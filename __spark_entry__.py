@@ -1,38 +1,1117 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: Spark queries + DuckDB oracle SQL for every operator.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(or an LLM-data-pipeline extension) against the driver's synthetic
+tables; ``oracle_sql()`` holds the ANSI-SQL equivalent DuckDB runs on
+the same parquet.  Column names/rounding are aligned on both sides so
+the driver's order-insensitive value-hash matches.
+
+Determinism notes
+-----------------
+- All md5-derived hashing (minhash/simhash/fingerprints) uses the same
+  construction in both engines: ``conv(substr(md5(seed:token),1,8),16,10)``.
+- Floating aggregates are rounded (r2..r6) to absorb partial-aggregation
+  ordering differences.
+- Every top-k / winner selection carries a full deterministic sort key.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.session import tune
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.functions import labels
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+    analysis,
+    dedup,
+    fuzzy_join,
+    outliers,
+    similarity,
+    textstats,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# Cross-engine float discipline: the synthetic money columns are exact
+# 2-decimal values, so double sums accumulate order-dependent fp error AND
+# true totals can sit exactly on rounding boundaries where Spark
+# (BigDecimal HALF_UP) and DuckDB (C++ multiply-round) disagree.  Fix:
+# aggregate in DECIMAL (exact, order-independent, identical in both
+# engines) and cast the final value to DOUBLE (IEEE-identical).
+# ---------------------------------------------------------------------------
+
+DEC = "decimal(18,4)"
+DEC_S = "decimal(8,4)"
+
+
+def dsum(col) -> F.Column:
+    """Exact decimal sum, rounded to 2dp in decimal arithmetic (HALF_UP,
+    identical in both engines), rendered as double.  The decimal round
+    before the double cast avoids the 1-ulp divergence DuckDB's
+    int128/10^s → double conversion shows on wide scales."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(DEC)), 2).cast("double")
+
+
+def dround(sum_col: F.Column) -> F.Column:
+    """round(decimal, 2) → double for an already-built decimal sum."""
+    return F.round(sum_col, 2).cast("double")
+
+
+def _disc_price():
+    """l_extendedprice·(1−l_discount) in exact decimal arithmetic."""
+    return F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount")).cast(DEC_S)
+
+
+def _charge():
+    return _disc_price() * (1 + F.col("l_tax")).cast(DEC_S)
+
+
+# DuckDB-side equivalents
+SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))"
+)
+SQL_CHARGE = SQL_DISC_PRICE + " * CAST(1 + l_tax AS DECIMAL(8,4))"
+
+
+def sql_dsum(expr: str) -> str:
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(18,4))), 2) AS DOUBLE)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is TIMESTAMP(NANOS) parquet, read as long nanos (see
+    # session.RUNTIME_CONF); convert to micros timestamp in-plan.  Integer
+    # `div` — a double division would lose precision on 1.7e18 nanos.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Flagship (entry): TPC-H Q1-style pricing summary — scan + pushdown +
+# hash aggregate, the canonical whole-stage-codegen pipeline.
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dround(F.sum(_disc_price())).alias("sum_disc_price"),
+            dround(F.sum(_charge())).alias("sum_charge"),
+            (dsum("l_quantity") / n).alias("avg_qty"),
+            (dsum("l_extendedprice") / n).alias("avg_price"),
+            (dsum("l_discount") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')}                       AS sum_qty,
+       {sql_dsum('l_extendedprice')}                  AS sum_base_price,
+       CAST(round(sum({SQL_DISC_PRICE}), 2) AS DOUBLE)          AS sum_disc_price,
+       CAST(round(sum({SQL_CHARGE}), 2) AS DOUBLE)              AS sum_charge,
+       {sql_dsum('l_quantity')} / count(*)            AS avg_qty,
+       {sql_dsum('l_extendedprice')} / count(*)       AS avg_price,
+       {sql_dsum('l_discount')} / count(*)            AS avg_disc,
+       count(*)                                       AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filter both sides, top-10 revenue.
+    customer is broadcast; deterministic tie-break on o_orderkey."""
+    tune(spark)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dround(F.sum(_disc_price())).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(round(sum({SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+WHERE c_mktsegment = 'MACHINERY'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join (dims broadcast), revenue per nation."""
+    tune(spark)
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dround(F.sum(_disc_price())).alias("revenue"))
+    )
+
+
+ORACLE_NATION_REVENUE = f"""
+SELECT n_name, CAST(round(sum({SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Analysis module: key-players shares + OTHERS folding (G1/G2/W1), top-k
+# ---------------------------------------------------------------------------
+
+
+def q_brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    # grouped first so the share/fold windows run on the tiny result;
+    # amounts stay DECIMAL through the fold for exactness
+    g = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(_disc_price()).alias("amount"))
+    )
+    shares = analysis.group_share_pre_agg(g, "brand")
+    folded = analysis.fold_others(shares, "brand", threshold=20.0)
+    return folded.select(
+        "brand",
+        F.round(F.col("amount"), 2).cast("double").alias("amount"),
+        F.round("amount_prop", 4).alias("amount_prop"),
+    )
+
+
+ORACLE_BRAND_SHARE = f"""
+WITH g AS (
+  SELECT p_brand AS brand, sum({SQL_DISC_PRICE}) AS amount
+  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
+), s AS (
+  SELECT brand, amount,
+         CAST(amount AS DOUBLE) / CAST(sum(amount) OVER () AS DOUBLE) * 100 AS prop
+  FROM g
+), c AS (
+  SELECT brand, amount, prop,
+         sum(prop) OVER (ORDER BY prop ASC, brand ASC ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+), f AS (
+  SELECT CASE WHEN cum < 20 THEN 'OTHERS' ELSE brand END AS brand, amount, prop FROM c
+)
+SELECT brand, CAST(round(sum(amount), 2) AS DOUBLE) AS amount, round(sum(prop), 4) AS amount_prop
+FROM f GROUP BY brand
+"""
+
+
+def q_top3_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(dround(F.sum(_disc_price())).alias("amount"))
+    )
+    return analysis.top_k(rev, "amount", 3)
+
+
+ORACLE_TOP3 = f"""
+SELECT p_brand AS brand, CAST(round(sum({SQL_DISC_PRICE}), 2) AS DOUBLE) AS amount
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY amount DESC LIMIT 3
+"""
+
+
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 pivot with explicit labels (no discovery scan)."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = analysis.pivot_sum(li, "l_linestatus", "l_returnflag", "l_quantity", values=["A", "N", "R"])
+    return p.select(
+        "l_linestatus",
+        F.round(F.col("A"), 1).alias("A"),
+        F.round(F.col("N"), 1).alias("N"),
+        F.round(F.col("R"), 1).alias("R"),
+    )
+
+
+ORACLE_PIVOT = """
+SELECT l_linestatus,
+       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 1) AS "A",
+       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 1) AS "N",
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 1) AS "R"
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters (P1-P3, F1-F3)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: per-row derived metrics; division is NULL-on-zero (non-ANSI)."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # rounding ≥ the true decimal count (revenue ≤4dp, charge ≤6dp)
+        # keeps Spark HALF_UP and DuckDB C++ rounding in agreement
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
+        ).alias("charge"),
+        F.round(
+            F.when(F.col("l_quantity") != 0, F.col("l_extendedprice") / F.col("l_quantity")), 8
+        ).alias("unit_price"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+    )
+
+
+ORACLE_LINEITEM_DERIVED = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 6)                AS revenue,
+       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)  AS charge,
+       round(CASE WHEN l_quantity != 0 THEN l_extendedprice / l_quantity END, 8) AS unit_price,
+       CAST(l_quantity AS INT)                                     AS qty_int
+FROM lineitem
+"""
+
+
+def q_orders_min_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 min-amount filter → per-status totals."""
+    tune(spark)
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") >= 10000)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+    )
+
+
+ORACLE_ORDERS_MIN_TOTAL = f"""
+SELECT o_orderstatus, count(*) AS n, {sql_dsum('o_totalprice')} AS total
+FROM orders WHERE o_totalprice >= 10000 GROUP BY o_orderstatus
+"""
+
+
+def q_part_keyword_antifilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: anti-filter against a keyword alternation."""
+    tune(spark)
+    p = _t(spark, sf_dir, "part")
+    keep = ~F.upper(F.col("p_name")).rlike("RED|GREEN|METAL")
+    return p.filter(keep).groupBy("p_type").agg(F.count("*").alias("n"))
+
+
+ORACLE_ANTIFILTER = """
+SELECT p_type, count(*) AS n FROM part
+WHERE NOT regexp_matches(upper(p_name), 'RED|GREEN|METAL')
+GROUP BY p_type
+"""
+
+
+def q_union_year_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 + O3: two year slices unioned by name, re-aggregated."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.year("l_shipdate") == 1995)
+    b = li.filter(F.year("l_shipdate") == 1997)
+    return (
+        a.unionByName(b)
+        .groupBy(F.year("l_shipdate").alias("yr"))
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("total"))
+    )
+
+
+ORACLE_UNION_SLICES = f"""
+WITH u AS (
+  SELECT * FROM lineitem WHERE year(l_shipdate) = 1995
+  UNION ALL
+  SELECT * FROM lineitem WHERE year(l_shipdate) = 1997
+)
+SELECT year(l_shipdate) AS yr, count(*) AS n, {sql_dsum('l_extendedprice')} AS total
+FROM u GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text functions (T1-T7)
+# ---------------------------------------------------------------------------
+
+
+def q_documents_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T3 normalization pipeline over documents.text."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.functions.text import (
+        normalize_text,
+    )
+
+    return d.select("doc_id", normalize_text(F.col("text")).alias("norm_text"))
+
+
+ORACLE_NORMALIZE = r"""
+SELECT doc_id,
+       upper(trim(regexp_replace(
+           regexp_replace(regexp_replace(text, '[,()\[\]:;]', ' ', 'g'), '[/*]', '', 'g'),
+           '\s+', ' ', 'g'))) AS norm_text
+FROM documents
+"""
+
+
+def q_events_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6-style numeric extraction from a semi-structured string column."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("int").alias("k")
+    )
+
+
+ORACLE_EXTRACT_PROPS = r"""
+SELECT event_id, CAST(regexp_extract(props, '(\d+)', 1) AS INT) AS k FROM events
+"""
+
+
+def q_orders_priority_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style word→number mapping via a MapType literal."""
+    tune(spark)
+    o = _t(spark, sf_dir, "orders")
+    words = {"URGENT": 1, "HIGH": 2, "MEDIUM": 3, "NOT SPECIFIED": 4, "LOW": 5}
+    mapping = F.create_map(*[x for w, n in words.items() for x in (F.lit(w), F.lit(n))])
+    word = F.regexp_extract(F.col("o_orderpriority"), r"\d-(.+)", 1)
+    return (
+        o.select(F.col("o_orderpriority"), F.element_at(mapping, word).alias("code"))
+        .groupBy("o_orderpriority", "code")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_PRIORITY_CODE = r"""
+SELECT o_orderpriority,
+       CASE regexp_extract(o_orderpriority, '\d-(.+)', 1)
+            WHEN 'URGENT' THEN 1 WHEN 'HIGH' THEN 2 WHEN 'MEDIUM' THEN 3
+            WHEN 'NOT SPECIFIED' THEN 4 WHEN 'LOW' THEN 5 END AS code,
+       count(*) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy joins (J1/J2/J3) — the engine's heart, over documents
+# ---------------------------------------------------------------------------
+
+_J1_NEEDLES = [(1, "vector"), (2, "stream"), (3, "merge"), (4, "hash"), (5, "window")]
+
+
+def q_containment_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: first-priority containment match (brand-detection semantics)."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    dim = spark.createDataFrame(_J1_NEEDLES, "prio int, needle string")
+    out = fuzzy_join.containment_lookup(
+        d.select("doc_id", "text"),
+        "doc_id",
+        ["text"],
+        dim,
+        "needle",
+        ["needle"],
+        [F.col("prio").asc()],
+    )
+    return out.select("doc_id", F.col("needle").alias("matched"))
+
+
+ORACLE_CONTAINMENT_FIRST = """
+SELECT doc_id,
+       CASE WHEN contains(text, 'vector') THEN 'vector'
+            WHEN contains(text, 'stream') THEN 'stream'
+            WHEN contains(text, 'merge')  THEN 'merge'
+            WHEN contains(text, 'hash')   THEN 'hash'
+            WHEN contains(text, 'window') THEN 'window' END AS matched
+FROM documents
+"""
+
+_J2_NEEDLES = [(1, "scan group"), (2, "table key"), (3, "table"), (4, "group"), (5, "scan")]
+
+
+def q_containment_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: longest containment match wins (model-detection semantics);
+    ties break by dim priority."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    dim = spark.createDataFrame(_J2_NEEDLES, "prio int, needle string")
+    out = fuzzy_join.containment_lookup(
+        d.select("doc_id", "text"),
+        "doc_id",
+        ["text"],
+        dim,
+        "needle",
+        ["needle"],
+        [F.length("needle").desc(), F.col("prio").asc()],
+    )
+    return out.select("doc_id", F.col("needle").alias("matched"))
+
+
+ORACLE_CONTAINMENT_LONGEST = """
+SELECT doc_id,
+       CASE WHEN contains(text, 'scan group') THEN 'scan group'
+            WHEN contains(text, 'table key')  THEN 'table key'
+            WHEN contains(text, 'table')      THEN 'table'
+            WHEN contains(text, 'group')      THEN 'group'
+            WHEN contains(text, 'scan')       THEN 'scan' END AS matched
+FROM documents
+"""
+
+_J3_KB = [
+    (1, "sp[a-z]*k", "SPARKISH"),
+    (2, "tab[a-z]+", "TABULAR"),
+    (3, "wind[a-z]+", "WINDOWED"),
+]
+
+
+def q_regex_kb_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: regex-pattern knowledge-base join, last-match-wins (kb_order
+    desc), extracted hit from the winning pattern (pattern is DATA)."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    kb = spark.createDataFrame(_J3_KB, "kb_order int, pattern string, category string")
+    out = fuzzy_join.regex_lookup(
+        d.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        kb,
+        "pattern",
+        ["pattern", "category"],
+        [F.col("kb_order").desc()],
+    )
+    return out.select(
+        "doc_id",
+        "category",
+        F.regexp_substr(F.col("text"), F.col("pattern")).alias("hit"),
+    )
+
+
+ORACLE_REGEX_KB = """
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, 'wind[a-z]+') THEN 'WINDOWED'
+            WHEN regexp_matches(text, 'tab[a-z]+')  THEN 'TABULAR'
+            WHEN regexp_matches(text, 'sp[a-z]*k')  THEN 'SPARKISH' END AS category,
+       CASE WHEN regexp_matches(text, 'wind[a-z]+') THEN regexp_extract(text, 'wind[a-z]+')
+            WHEN regexp_matches(text, 'tab[a-z]+')  THEN regexp_extract(text, 'tab[a-z]+')
+            WHEN regexp_matches(text, 'sp[a-z]*k')  THEN regexp_extract(text, 'sp[a-z]*k') END AS hit
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range/band join (J5) and key-derived equi join (J7)
+# ---------------------------------------------------------------------------
+
+
+def q_acctbal_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: ±5% band join suppliers↔customers of the same nation."""
+    tune(spark)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    n = _t(spark, sf_dir, "nation")
+    pairs = c.join(
+        F.broadcast(s),
+        on=(c.c_nationkey == s.s_nationkey)
+        & s.s_acctbal.between(c.c_acctbal * 0.95, c.c_acctbal * 1.05),
+    ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return pairs.groupBy("n_name").agg(
+        F.count("*").alias("n_pairs"),
+        (dsum(F.abs(F.col("s_acctbal") - F.col("c_acctbal"))) / F.count("*")).alias("avg_gap"),
+    )
+
+
+ORACLE_BAND_JOIN = f"""
+SELECT n_name, count(*) AS n_pairs,
+       {sql_dsum('abs(s_acctbal - c_acctbal)')} / count(*) AS avg_gap
+FROM customer
+JOIN supplier ON c_nationkey = s_nationkey
+            AND s_acctbal BETWEEN c_acctbal * 0.95 AND c_acctbal * 1.05
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 0 AND s_acctbal > 0
+GROUP BY n_name
+"""
+
+_FX_DAYS = [(day, round(6.5 + day * 0.01, 2)) for day in range(1, 21)]
+
+
+def q_events_fx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: key-derived broadcast rate join; keys 21+ deliberately missing
+    → NULL converted values (reference unmatched-month behavior)."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    fx = spark.createDataFrame(_FX_DAYS, "day int, rate double")
+    j = e.withColumn("day", F.dayofmonth("ts")).join(F.broadcast(fx), on="day", how="left")
+    return j.groupBy("day").agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("sum_value"),
+        dround(F.sum(F.col("value").cast(DEC) * F.col("rate").cast(DEC_S))).alias("sum_converted"),
+    )
+
+
+ORACLE_FX = f"""
+WITH fx AS (
+  SELECT day, round(6.5 + day * 0.01, 2) AS rate
+  FROM generate_series(1, 20) AS t(day)
+)
+SELECT day(ts) AS day, count(*) AS n,
+       {sql_dsum('value')} AS sum_value,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4)) * CAST(rate AS DECIMAL(8,4))), 2) AS DOUBLE) AS sum_converted
+FROM events LEFT JOIN fx ON day(ts) = fx.day
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Conditional labeling (C1-C5)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_label_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C2-style ordered cascade with a final unconditional overwrite."""
+    tune(spark)
+    o = _t(spark, sf_dir, "orders")
+    base = (
+        F.when(F.col("o_orderpriority").startswith("1"), "critical")
+        .when((F.col("o_orderpriority").startswith("2")) & (F.col("o_orderstatus") == "O"), "high-open")
+        .otherwise("normal")
+    )
+    label = F.when(F.col("o_orderstatus") == "P", "pending").otherwise(base)
+    return o.select(label.alias("label")).groupBy("label").agg(F.count("*").alias("n"))
+
+
+ORACLE_LABEL_CASCADE = """
+SELECT CASE WHEN o_orderstatus = 'P' THEN 'pending'
+            WHEN o_orderpriority LIKE '1%' THEN 'critical'
+            WHEN o_orderpriority LIKE '2%' AND o_orderstatus = 'O' THEN 'high-open'
+            ELSE 'normal' END AS label,
+       count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_documents_new_used(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: token-exact keyword classification with substring override."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.upper(F.col("text")), " ")
+    hit = F.arrays_overlap(toks, F.array(F.lit("OLD"), F.lit("USED"), F.lit("SLOW")))
+    label = F.when(hit, "used").otherwise("new")
+    label = F.when(F.upper(F.col("text")).rlike("FAST|NEW"), "new").otherwise(label)
+    return d.select("doc_id", label.alias("label"))
+
+
+ORACLE_NEW_USED = """
+SELECT doc_id,
+       CASE WHEN regexp_matches(upper(text), 'FAST|NEW') THEN 'new'
+            WHEN list_has_any(string_split(upper(text), ' '), ['OLD','USED','SLOW']) THEN 'used'
+            ELSE 'new' END AS label
+FROM documents
+"""
+
+
+def q_quantity_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: closed-form interval binning (no data-dependent loop)."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    bin_label = labels.load_interval(F.col("l_quantity"), width=10, kind="excavator")
+    return li.select(bin_label.alias("bin")).groupBy("bin").agg(F.count("*").alias("n"))
+
+
+ORACLE_BINNING = """
+SELECT CASE WHEN l_quantity IS NULL OR l_quantity = 0 THEN 'UNKNOWN'
+            WHEN l_quantity < 5  THEN '<5T'
+            WHEN l_quantity < 10 THEN '5-10T'
+            ELSE CAST(CAST(floor(l_quantity / 10) * 10 AS BIGINT) AS VARCHAR) || '-' ||
+                 CAST(CAST(floor(l_quantity / 10) * 10 + 10 AS BIGINT) AS VARCHAR) || 'T'
+       END AS bin,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Median / outliers (G3, X1)
+# ---------------------------------------------------------------------------
+
+
+def q_brand_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(F.round(F.median("p_retailprice"), 4).alias("median_price"))
+
+
+ORACLE_BRAND_MEDIAN = """
+SELECT p_brand, round(median(p_retailprice), 4) AS median_price
+FROM part GROUP BY p_brand
+"""
+
+
+def q_part_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: per-row outlier label vs per-brand median (groupBy median +
+    broadcast join-back)."""
+    tune(spark)
+    p = _t(spark, sf_dir, "part")
+    out = outliers.mark_outliers(p, ["p_brand"], "p_retailprice", lo=0.8, hi=1.2)
+    return out.select("p_partkey", "p_brand", "outliers")
+
+
+ORACLE_OUTLIERS = """
+WITH med AS (SELECT p_brand, median(p_retailprice) AS m FROM part GROUP BY p_brand)
+SELECT p_partkey, part.p_brand,
+       CASE WHEN m IS NULL OR p_retailprice IS NULL THEN 'UNKNOWN'
+            WHEN p_retailprice >= 1.2 * m OR p_retailprice <= 0.8 * m THEN 'yes'
+            ELSE 'no' END AS outliers
+FROM part JOIN med ON part.p_brand = med.p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Simple aggregates / distinct (G4, G9)
+# ---------------------------------------------------------------------------
+
+
+def q_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    return analysis.value_counts(e, ["event_type"])
+
+
+ORACLE_EVENT_COUNTS = """
+SELECT event_type, count(*) AS count FROM events GROUP BY 1
+"""
+
+
+def q_distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+ORACLE_DISTINCT = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windowed event aggregation (streaming-shaped, batch-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type — the batch twin of the
+    Structured Streaming job in streaming/jobs.py."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "sum_value")
+    )
+
+
+ORACLE_HOURLY_WINDOWS = f"""
+SELECT date_trunc('hour', ts) AS wstart, event_type,
+       count(*) AS n, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: dedup / minhash / simhash / jaccard /
+# similarity / text stats
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = r"trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
+_H_SQL = "('0x' || substr(md5({seed} || ':' || {expr}), 1, 8))::BIGINT"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-content fingerprint; smallest id kept."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    kept = dedup.dedup_exact(d, "doc_id", "text")
+    return kept.select("doc_id", textstats.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH n AS (SELECT doc_id, md5({_NORM_SQL.format(col='text')}) AS fingerprint FROM documents)
+SELECT min(doc_id) AS doc_id, fingerprint FROM n GROUP BY fingerprint
+"""
+
+_MH_HASHES = 8
+_MH_SHINGLE = 3
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 md5 hash families over word 3-gram shingles)."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(d, "doc_id", "text", num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE)
+
+
+def _oracle_minhash() -> str:
+    mins = ",\n       ".join(
+        f"min({_H_SQL.format(seed=i, expr='sh')}) AS mh_{i}" for i in range(_MH_HASHES)
+    )
+    norm = _NORM_SQL.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+)
+SELECT doc_id, {mins}
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (8 bands × 1 row) + estimated Jaccard."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE)
+    sigs = sigs.cache()
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=_MH_HASHES, bands=_MH_HASHES)
+    sim = dedup.minhash_similarity(sigs, pairs, "doc_id", num_hashes=_MH_HASHES)
+    return sim.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def _oracle_minhash_pairs() -> str:
+    eqs = " OR ".join(f"a.mh_{i} = b.mh_{i}" for i in range(_MH_HASHES))
+    matches = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(_MH_HASHES)
+    )
+    return f"""
+WITH sigs AS ({_oracle_minhash()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(({matches}) / {_MH_HASHES}.0, 6) AS est_jaccard
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({eqs})
+"""
+
+
+_SIMHASH_BITS = 32
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d, "doc_id", "text", bits=_SIMHASH_BITS)
+
+
+def _oracle_simhash() -> str:
+    h = _H_SQL.format(seed=99, expr="t")
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s_{i} > 0 THEN {2**i}::BIGINT ELSE 0 END" for i in range(_SIMHASH_BITS)
+    )
+    norm = _NORM_SQL.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS t FROM documents
+), hashed AS (
+  SELECT doc_id, {h} AS h FROM toks WHERE t != ''
+), sums AS (
+  SELECT doc_id, {sums} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard for pairs sharing ≥1 shingle (inverted-
+    index join, never all-pairs)."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _oracle_ngram_jaccard() -> str:
+    norm = _NORM_SQL.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM sh_raw
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+"""
+
+
+def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 5 query vectors."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_knn(emb, q, id_col="vec_id", vec_col="embedding", k=5)
+    return out.select("query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+ORACLE_KNN = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(qv::DOUBLE[], embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim
+FROM ranked WHERE rn <= 5
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, punctuation/stopword ratios, quality score,
+    fingerprint — the text-analysis column family."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    out = textstats.with_text_stats(d, "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        "punct_ratio",
+        "stopword_ratio_en",
+        "quality",
+        "fingerprint",
+    )
+
+
+def _oracle_text_stats() -> str:
+    norm = _NORM_SQL.format(col="text")
+    en = "['the','a','an','of','and','to','in','is','it','for']"
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+             / greatest(length(text), 1) AS punct_ratio_raw,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> list_contains({en}, x))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       round(punct_ratio_raw, 6) AS punct_ratio,
+       round(stop_hits * 1.0 / greatest(n_tokens, 1), 6) AS stopword_ratio_en,
+       round((least(n_tokens / 50.0, 1.0)
+            + least(stop_hits * 1.0 / greatest(n_tokens, 1) * 5.0, 1.0)
+            + greatest(1.0 - punct_ratio_raw * 4.0, 0.0)) / 3.0, 6) AS quality,
+       md5({norm}) AS fingerprint
+FROM base
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID; compared against the generator's lang."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", textstats.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _oracle_lang_id() -> str:
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.textstats import (
+        STOPWORDS,
+    )
+
+    langs = sorted(STOPWORDS)
+    scores = []
+    for lang in langs:
+        lst = "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        scores.append(
+            rf"len(list_filter(string_split_regex(lower(text), '\s+'), x -> list_contains({lst}, x))) AS s_{lang}"
+        )
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    scores_sql = ",\n         ".join(scores)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {scores_sql}
+  FROM documents
+)
+SELECT doc_id, lang, {case} AS lang_guess FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (no SQL oracle — mapInPandas stage; rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        multimodal,
+    )
+
+    media = multimodal.synthetic_media(spark, 64)
+    feats = multimodal.extract_features(media, decoder=multimodal.fake_decode)
+    return feats.select("media_id", "kind", "n_bytes", "content_md5")
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
+    return q_pricing_summary(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority_top10": q_shipping_priority,
+        "nation_revenue": q_nation_revenue,
+        "brand_market_share": q_brand_market_share,
+        "top3_brands": q_top3_brands,
+        "pivot_returnflag_qty": q_pivot_returnflag,
+        "lineitem_derived": q_lineitem_derived,
+        "orders_min_total": q_orders_min_total,
+        "part_keyword_antifilter": q_part_keyword_antifilter,
+        "union_year_slices": q_union_year_slices,
+        "documents_normalize": q_documents_normalize,
+        "events_extract_props": q_events_extract_props,
+        "orders_priority_code": q_orders_priority_code,
+        "containment_first": q_containment_first,
+        "containment_longest": q_containment_longest,
+        "regex_kb_match": q_regex_kb_match,
+        "acctbal_band_join": q_acctbal_band_join,
+        "events_fx_convert": q_events_fx_convert,
+        "orders_label_cascade": q_orders_label_cascade,
+        "documents_new_used": q_documents_new_used,
+        "quantity_binning": q_quantity_binning,
+        "brand_median_price": q_brand_median_price,
+        "part_price_outliers": q_part_price_outliers,
+        "event_type_counts": q_event_type_counts,
+        "distinct_flag_status": q_distinct_flag_status,
+        "hourly_event_windows": q_hourly_event_windows,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_knn": q_embedding_knn,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": ORACLE_PRICING,
+        "shipping_priority_top10": ORACLE_SHIPPING,
+        "nation_revenue": ORACLE_NATION_REVENUE,
+        "brand_market_share": ORACLE_BRAND_SHARE,
+        "top3_brands": ORACLE_TOP3,
+        "pivot_returnflag_qty": ORACLE_PIVOT,
+        "lineitem_derived": ORACLE_LINEITEM_DERIVED,
+        "orders_min_total": ORACLE_ORDERS_MIN_TOTAL,
+        "part_keyword_antifilter": ORACLE_ANTIFILTER,
+        "union_year_slices": ORACLE_UNION_SLICES,
+        "documents_normalize": ORACLE_NORMALIZE,
+        "events_extract_props": ORACLE_EXTRACT_PROPS,
+        "orders_priority_code": ORACLE_PRIORITY_CODE,
+        "containment_first": ORACLE_CONTAINMENT_FIRST,
+        "containment_longest": ORACLE_CONTAINMENT_LONGEST,
+        "regex_kb_match": ORACLE_REGEX_KB,
+        "acctbal_band_join": ORACLE_BAND_JOIN,
+        "events_fx_convert": ORACLE_FX,
+        "orders_label_cascade": ORACLE_LABEL_CASCADE,
+        "documents_new_used": ORACLE_NEW_USED,
+        "quantity_binning": ORACLE_BINNING,
+        "brand_median_price": ORACLE_BRAND_MEDIAN,
+        "part_price_outliers": ORACLE_OUTLIERS,
+        "event_type_counts": ORACLE_EVENT_COUNTS,
+        "distinct_flag_status": ORACLE_DISTINCT,
+        "hourly_event_windows": ORACLE_HOURLY_WINDOWS,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "minhash_signatures": _oracle_minhash(),
+        "minhash_pairs": _oracle_minhash_pairs(),
+        "simhash": _oracle_simhash(),
+        "ngram_jaccard": _oracle_ngram_jaccard(),
+        "embedding_knn": ORACLE_KNN,
+        "text_stats": _oracle_text_stats(),
+        "lang_id": _oracle_lang_id(),
+        # media_features: mapInPandas stage, no SQL equivalent (rows-only)
+    }

@@ -1,0 +1,89 @@
+"""Benchmark harness: run headline queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1) and print ONE JSON line with per-query seconds.
+
+Execution is forced with the noop sink (full computation incl.
+projections, no driver collect cost) — the same way a cluster job would
+materialize to storage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+# headline set: every operator family, weighted toward the scan/join/agg
+# core; the quadratic-ish doc-pair ops run on the bounded documents table
+BENCH_QUERIES = [
+    "pricing_summary",
+    "shipping_priority_top10",
+    "nation_revenue",
+    "brand_market_share",
+    "pivot_returnflag_qty",
+    "lineitem_derived",
+    "quantity_binning",
+    "part_price_outliers",
+    "acctbal_band_join",
+    "events_fx_convert",
+    "hourly_event_windows",
+    "containment_first",
+    "regex_kb_match",
+    "documents_normalize",
+    "dedup_exact",
+    "minhash_pairs",
+    "simhash",
+    "embedding_knn",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # JVM/codegen warmup on the smallest sf so steady-state throughput is
+    # measured, not first-query JIT
+    try:
+        qs["pricing_summary"](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_headline_queries",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Conditional labeling cascades (C1–C7) as Column expressions.
+
+These reproduce the reference's ordered ``when`` semantics; reference
+bugs are implemented as *documented intent* with the divergences noted
+(SURVEY §7.3, COMPAT.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+UNKNOWN = "UNKNOWN"
+
+# ---------------------------------------------------------------------------
+# C1 — excavator type rules (prog.py:127-138).  Ordered; the final 'tire'
+# rule is UNCONDITIONAL in the reference (overwrites known types) and that
+# behavior is observable in golden output, so it is kept.
+# ---------------------------------------------------------------------------
+
+
+def excavator_type(desc: Column, cur_type: Column) -> Column:
+    unknown = cur_type.isNull() | (cur_type == UNKNOWN)
+    d = F.upper(desc)
+    out = F.when(unknown & d.contains("CRAWLER EXCAVATOR"), "EXCAVATOR").otherwise(cur_type)
+    unknown2 = out.isNull() | (out == UNKNOWN)
+    out = F.when(unknown2 & (d.contains("WHEEL EXCAVATOR") | d.contains("WHEEL")), "WHEEL EXCAVATOR").otherwise(out)
+    unknown3 = out.isNull() | (out == UNKNOWN)
+    out = F.when(unknown3 & d.contains("AMPHIBIOUS"), "AMPHIBIOUS EXCAVATOR").otherwise(out)
+    # unconditional overwrite (prog.py:138)
+    out = F.when(d.contains("TIRE"), "WHEEL EXCAVATOR").otherwise(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# C2 — crane type rules (prog.py:140-144)
+# ---------------------------------------------------------------------------
+
+
+def crane_type(desc: Column, cur_type: Column) -> Column:
+    d = F.upper(desc)
+    unknown = cur_type.isNull() | (cur_type == UNKNOWN)
+    out = F.when(unknown & (d.contains("WHEEL") | d.contains("TIRE")), "WHEELED CRANE").otherwise(cur_type)
+    u2 = out.isNull() | (out == UNKNOWN)
+    out = F.when(u2 & d.contains("ROUGH"), "ROUGH-TERRAIN CRANE").otherwise(out)
+    u3 = out.isNull() | (out == UNKNOWN)
+    out = F.when(u3 & d.contains("CRAWLER"), "CRAWLER CRANE").otherwise(out)
+    # unconditional (prog.py:144)
+    out = F.when(d.contains("CRAWLER") & d.contains("TELESCOPIC"), "CRAWLER CRANE (TELESCOPIC_BOOM)").otherwise(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# C3 — new/used classifier (prog.py:146-158).
+# Reference bug: multi-word keywords ('SECOND HAND', '2ND HAND') can never
+# equal a single token.  Documented intent is implemented: multi-word
+# keywords match as substrings, single-word keywords token-exact.
+# ---------------------------------------------------------------------------
+
+USED_TOKENS = ["USED", "SECONDHAND", "OLD", "REFURBISH"] + [str(y) for y in range(1950, 2019)]
+USED_PHRASES = ["SECOND HAND", "2ND HAND"]
+
+
+def new_or_used(desc: Column) -> Column:
+    d = F.upper(desc)
+    tokens = F.split(d, " ")
+    token_hit = F.arrays_overlap(tokens, F.array(*[F.lit(t) for t in USED_TOKENS]))
+    phrase_hit = F.lit(False)
+    for p in USED_PHRASES:
+        phrase_hit = phrase_hit | d.contains(p)
+    used = token_hit | phrase_hit
+    label = F.when(used, "used").otherwise("new")
+    # override: NEW|UNUSED substring flips back to new (prog.py:157-158)
+    return F.when(d.rlike("NEW|UNUSED"), "new").otherwise(label)
+
+
+# ---------------------------------------------------------------------------
+# C4 — parts flag (prog.py:161-162)
+# ---------------------------------------------------------------------------
+
+
+def is_parts(desc: Column) -> Column:
+    return F.upper(desc).rlike("CKD|SKD|PARTIAL")
+
+
+# ---------------------------------------------------------------------------
+# C5 — capacity binning (prog.py:343-402 define_load_interval).
+# The reference loops over data-dependent bucket bounds; the closed form
+# below is equivalent (documented intent: no gap for L>10) and needs no
+# driver-side data pass — essential at scale.
+# ---------------------------------------------------------------------------
+
+
+def load_interval(value: Column, width: int = 10, kind: str = "excavator") -> Column:
+    """Bucket a tonnage value into labels '<5T', '5-10T', '20-30T', ….
+
+    ``value`` is the evaluate column (capacity, else unit weight for
+    excavators — caller composes with ``coalesce``).
+    """
+    lo = (F.floor(value / width) * width).cast("long")
+    bucket = F.concat(lo.cast("string"), F.lit("-"), (lo + width).cast("string"), F.lit("T"))
+    if kind == "excavator":
+        return (
+            F.when(value.isNull() | (value == 0), UNKNOWN)
+            .when(value < 5, "<5T")
+            .when(value < 10, "5-10T")
+            .otherwise(bucket)
+        )
+    # crane: single '<L' bucket then width buckets (prog.py:385-402)
+    return (
+        F.when(value.isNull() | (value == 0), UNKNOWN)
+        .when(value < width, f"<{width}T")
+        .otherwise(bucket)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6 — fixed working-scenario bins (prog.py:406-431)
+# ---------------------------------------------------------------------------
+
+
+def excavator_type_interval(value: Column) -> Column:
+    return (
+        F.when(value.isNull() | (value == 0), UNKNOWN)
+        .when(value < 5, "<5T")
+        .when(value < 10, "5-10T")
+        .when(value < 30, "10-30T")
+        .when(value < 70, "30-70T")
+        .when(value < 90, "70-90T")
+        .otherwise("≥90T")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C7 — sentinel rendering at the export boundary only (SURVEY §1.4):
+# internal representation is typed NULL; 'UNKNOWN' appears on write.
+# ---------------------------------------------------------------------------
+
+
+def render_unknown(col: Column) -> Column:
+    return F.coalesce(col.cast("string"), F.lit(UNKNOWN))

@@ -1,0 +1,125 @@
+"""Analysis/report operators (G1–G9, W1–W3, O1–O4, V1).
+
+Reference: ``key_players_table`` (prog.py:610-645), ``key_capacity_interval``
+(prog.py:664-689), ``top3_players`` (prog.py:693-694), pivots/value_counts
+in the notebook cells.
+
+All aggregations are plain hash aggregates with map-side partial
+aggregation; the grand total for proportions uses a window over the
+(already tiny) grouped result, not a second scan of the fact table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_share(
+    df: DataFrame,
+    key: str,
+    amount_col: str,
+    qty_col: str | None = None,
+) -> DataFrame:
+    """G1+G2: per-key sums plus percentage shares of the grand total."""
+    aggs = [F.sum(amount_col).alias("amount")]
+    if qty_col is not None:
+        aggs.append(F.sum(qty_col).alias("qty"))
+    g = df.groupBy(key).agg(*aggs)
+    w = Window.partitionBy()
+    # proportions computed in double even when the measure is DECIMAL
+    # (exact-decimal aggregation); the decimal→double cast is IEEE-exact
+    # and engine-independent, unlike decimal division.
+    g = g.withColumn(
+        "amount_prop",
+        F.col("amount").cast("double") / F.sum("amount").over(w).cast("double") * 100,
+    )
+    if qty_col is not None:
+        g = g.withColumn(
+            "qty_prop",
+            F.col("qty").cast("double") / F.sum("qty").over(w).cast("double") * 100,
+        )
+    return g
+
+
+def group_share_pre_agg(g: DataFrame, key: str, amount_col: str = "amount") -> DataFrame:
+    """Shares over an already-grouped table (one row per key)."""
+    w = Window.partitionBy()
+    return g.withColumn(
+        "amount_prop",
+        F.col(amount_col).cast("double") / F.sum(amount_col).over(w).cast("double") * 100,
+    )
+
+
+def fold_others(
+    shares: DataFrame,
+    key: str,
+    threshold: float = 20.0,
+    prop_col: str = "amount_prop",
+) -> DataFrame:
+    """W1 (prog.py:622-630): ascending cumulative share; keys whose running
+    cumulative share stays under ``threshold`` fold into 'OTHERS', then
+    re-aggregate.  One window over the grouped (small) table."""
+    w = (
+        Window.orderBy(F.col(prop_col).asc(), F.col(key).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    folded = shares.withColumn("__cum", F.sum(prop_col).over(w)).withColumn(
+        key, F.when(F.col("__cum") < threshold, "OTHERS").otherwise(F.col(key))
+    )
+    value_cols = [c for c in shares.columns if c != key]
+    return folded.groupBy(key).agg(*[F.sum(c).alias(c) for c in value_cols])
+
+
+def report_order(df: DataFrame, key: str, amount_col: str = "amount") -> DataFrame:
+    """O4: OTHERS then UNKNOWN forced to the bottom, rest by amount desc."""
+    rank = (
+        F.when(F.col(key) == "OTHERS", 1)
+        .when(F.col(key) == "UNKNOWN", 2)
+        .otherwise(0)
+    )
+    return df.orderBy(rank, F.col(amount_col).desc())
+
+
+def top_k(df: DataFrame, order_col: str, k: int = 3) -> DataFrame:
+    """W3: top-k by measure (reference top3_players, prog.py:693-694)."""
+    return df.orderBy(F.col(order_col).desc()).limit(k)
+
+
+def value_counts(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """G4: frequency table, most frequent first."""
+    return df.groupBy(*cols).count().orderBy(F.col("count").desc(), *cols)
+
+
+def pivot_sum(
+    df: DataFrame, index: str, pivot_col: str, value_col: str, values: Sequence[str] | None = None
+) -> DataFrame:
+    """G7: pivot_table(index, columns, values, aggfunc='sum').
+
+    Pass explicit ``values`` at scale — it removes the extra distinct-scan
+    Spark otherwise runs to discover pivot labels."""
+    p = df.groupBy(index).pivot(pivot_col, values) if values else df.groupBy(index).pivot(pivot_col)
+    return p.sum(value_col)
+
+
+def keyword_diagnostics(df: DataFrame, text_col: str, keywords: Sequence[str]) -> DataFrame:
+    """G8 (check_parts, prog.py:279-284): one pass, one count per keyword."""
+    import re as _re
+
+    aggs = [
+        F.count(F.when(F.upper(F.col(text_col)).rlike(_re.escape(k.upper())), 1)).alias(k)
+        for k in keywords
+    ]
+    return df.agg(*aggs)
+
+
+def format_report(df: DataFrame, pct_cols: Sequence[str] = (), musd_cols: Sequence[str] = ()) -> DataFrame:
+    """V1 presentation formatting — kept out of the numeric core."""
+    out = df
+    for c in pct_cols:
+        out = out.withColumn(c, F.format_string("%.1f%%", F.col(c)))
+    for c in musd_cols:
+        out = out.withColumn(c, F.concat(F.format_number(F.col(c) / 1e6, 1), F.lit(" M")))
+    return out

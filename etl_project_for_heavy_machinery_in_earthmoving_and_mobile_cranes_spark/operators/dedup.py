@@ -1,0 +1,214 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup, MinHash+LSH, SimHash and n-gram Jaccard — all expressed as
+native DataFrame ops (explode → hash → groupBy → self-join on bucket),
+no Python UDFs, so they scale to the 100 TB design point: the only
+shuffles are the per-doc signature aggregation and the bucket join, both
+keyed well enough for AQE to balance.
+
+Hashes are md5-based (``conv(substr(md5(seed||token),1,8),16,10)``) —
+deterministic and reproducible bit-for-bit in any engine with md5
+(the DuckDB correctness oracle uses the same construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_for_dedup(col: Column) -> Column:
+    """Casefold, strip non-alphanumerics to spaces, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize_for_dedup(col), " ")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>); distinct."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+def md5_hash64(col: Column, seed: int = 0) -> Column:
+    """Deterministic 32-bit-range hash as BIGINT via md5 prefix."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str, text_col: str, normalized: bool = True
+) -> DataFrame:
+    """Keep one row per (normalized) text — the smallest id wins.
+    Single hash-aggregate shuffle on the text key; at scale, group on
+    ``md5(text)`` instead of the full text to shrink shuffle width."""
+    key = normalize_for_dedup(F.col(text_col)) if normalized else F.col(text_col)
+    w = Window.partitionBy(F.md5(key)).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """One row per doc: ``id, mh_0..mh_{k-1}`` (min over shingles of k
+    independent md5 hash families).  explode → single groupBy(id)."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
+    )
+    aggs = [
+        F.min(md5_hash64(F.col("__sh"), seed=i)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become candidate
+    pairs (id_a < id_b).  The bucket join is an equi hash join on the
+    band key — the scale path that avoids all-pairs comparison."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.concat_ws(
+            "_",
+            F.lit(b),
+            *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)],
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*band_cols)).alias("__bucket"),
+    ).dropDuplicates()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=(F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates()
+    )
+
+
+def minhash_similarity(
+    sigs: DataFrame, pairs: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """Estimated Jaccard = fraction of matching signature components."""
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)]
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)]
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return j.select(
+        "id_a", "id_b", (matches / F.lit(num_hashes)).alias("est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """Per-doc ``bits``-bit SimHash over token multiset.
+
+    explode tokens → per-token md5 hash → per-bit signed counts in ONE
+    groupBy (bits sums computed map-side) → reassemble the fingerprint.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+    toks = toks.filter(F.col("__t") != "")
+    h = md5_hash64(F.col("__t"), seed=99)
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*bit_aggs)
+    fp = sum(
+        F.when(F.col(f"s_{i}") > 0, F.lit(2**i)).otherwise(0) for i in range(bits)
+    )
+    return sums.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact, via shared-shingle self-join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over word-n-gram shingle sets, computed only for
+    pairs sharing ≥1 shingle (inverted-index join — never all-pairs).
+    Returns ``id_a < id_b, jaccard``."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "__sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "__sh")
+    common = (
+        a.join(b, on=["__sh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__common")
+                / (F.col("__sza") + F.col("__szb") - F.col("__common"))
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out

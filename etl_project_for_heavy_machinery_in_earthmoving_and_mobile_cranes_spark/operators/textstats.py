@@ -1,0 +1,96 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All JVM-side Column expressions (split/filter/aggregate over token
+arrays) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_for_dedup
+
+# whitespace tokens; BPE-ish fallback splits punctuation off words
+_TOKEN_RE = r"\s+"
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "von"],
+}
+
+
+def ws_tokens(col: Column) -> Column:
+    return F.filter(F.split(F.trim(col), _TOKEN_RE), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(ws_tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Count of BPE-ish segments (letter runs, digit runs, single
+    punctuation) — a cheap proxy for subword token counts."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), F.lit(0)))
+
+
+def punct_ratio(col: Column) -> Column:
+    nonword = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return nonword / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_hits(col: Column, lang: str = "en") -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    toks = F.split(F.lower(col), _TOKEN_RE)
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    return stopword_hits(col, lang) / F.greatest(token_count(col), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: rewards reasonable length and stopword
+    presence, penalizes punctuation soup.  Deterministic + SQL-expressible
+    so the oracle can recompute it."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(col, "en") * 5.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - punct_ratio(col) * 4.0, F.lit(0.0))
+    return F.round((len_score + stop_score + punct_pen) / 3.0, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """N-gram/stopword-hit language guess: the language with the most
+    stopword hits wins; ties break alphabetically; zero hits → 'und'."""
+    scored = [(lang, stopword_hits(col, lang)) for lang in sorted(STOPWORDS)]
+    best_score = F.greatest(*[s for _, s in scored])
+    out = F.lit("und")
+    # reversed so earlier (alphabetical) languages win ties
+    for lang, s in reversed(scored):
+        out = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalized-content fingerprint (md5 of casefolded token stream) —
+    the key used for exact dedup across formatting variants."""
+    return F.md5(normalize_for_dedup(col))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("n_bpe_tokens", bpe_ish_token_count(c))
+        .withColumn("n_chars2", F.length(c))
+        .withColumn("punct_ratio", F.round(punct_ratio(c), 6))
+        .withColumn("stopword_ratio_en", F.round(stopword_ratio(c, "en"), 6))
+        .withColumn("quality", quality_score(c))
+        .withColumn("lang_guess", lang_id(c))
+        .withColumn("fingerprint", fingerprint(c))
+    )

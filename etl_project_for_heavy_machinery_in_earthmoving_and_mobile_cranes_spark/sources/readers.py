@@ -1,0 +1,74 @@
+"""Sources & sinks (S1–S5).
+
+Canonical storage is Parquet (columnar, splittable, predicate/projection
+pushdown); CSV supported with explicit schemas; xlsx exists only at the
+ingestion edge (reference S1/S2 read xlsx) via a pandas conversion on
+the driver — xlsx files are small dims/batches by nature, never the
+100 TB fact path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Explicit schema always (SURVEY §1.3: no inferred schemas);
+    PERMISSIVE + columnNameOfCorruptRecord preserves bad rows for the
+    validation stage instead of failing the job."""
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("mode", mode)
+        .csv(path)
+    )
+
+
+def read_xlsx_as_df(
+    spark: SparkSession,
+    path: str,
+    sheet_name: str | int = 0,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """S1/S2 edge converter: xlsx → pandas → Spark.  Driver-side by
+    design — xlsx inputs are small batch extracts (10³ rows in the
+    reference); big data arrives as Parquet/CSV."""
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=sheet_name)
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "xlsx ingestion needs pandas+openpyxl on the driver"
+        ) from e
+    if schema is not None:
+        return spark.createDataFrame(pdf, schema=schema)
+    return spark.createDataFrame(pdf)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
