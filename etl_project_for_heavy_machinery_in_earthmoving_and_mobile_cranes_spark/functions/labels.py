@@ -20,16 +20,20 @@ UNKNOWN = "UNKNOWN"
 
 
 def excavator_type(desc: Column, cur_type: Column) -> Column:
-    unknown = cur_type.isNull() | (cur_type == UNKNOWN)
+    # Flat when-chain (no progressive `out` nesting — that triples the
+    # expression tree per rule).  Precedence encoded directly: the
+    # unconditional 'tire' overwrite first, then keep-known, then the
+    # first matching unknown-guarded rule.
     d = F.upper(desc)
-    out = F.when(unknown & d.contains("CRAWLER EXCAVATOR"), "EXCAVATOR").otherwise(cur_type)
-    unknown2 = out.isNull() | (out == UNKNOWN)
-    out = F.when(unknown2 & (d.contains("WHEEL EXCAVATOR") | d.contains("WHEEL")), "WHEEL EXCAVATOR").otherwise(out)
-    unknown3 = out.isNull() | (out == UNKNOWN)
-    out = F.when(unknown3 & d.contains("AMPHIBIOUS"), "AMPHIBIOUS EXCAVATOR").otherwise(out)
-    # unconditional overwrite (prog.py:138)
-    out = F.when(d.contains("TIRE"), "WHEEL EXCAVATOR").otherwise(out)
-    return out
+    known = cur_type.isNotNull() & (cur_type != UNKNOWN)
+    return (
+        F.when(d.contains("TIRE"), "WHEEL EXCAVATOR")  # unconditional (prog.py:138)
+        .when(known, cur_type)
+        .when(d.contains("CRAWLER EXCAVATOR"), "EXCAVATOR")
+        .when(d.contains("WHEEL EXCAVATOR") | d.contains("WHEEL"), "WHEEL EXCAVATOR")
+        .when(d.contains("AMPHIBIOUS"), "AMPHIBIOUS EXCAVATOR")
+        .otherwise(cur_type)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -39,15 +43,16 @@ def excavator_type(desc: Column, cur_type: Column) -> Column:
 
 def crane_type(desc: Column, cur_type: Column) -> Column:
     d = F.upper(desc)
-    unknown = cur_type.isNull() | (cur_type == UNKNOWN)
-    out = F.when(unknown & (d.contains("WHEEL") | d.contains("TIRE")), "WHEELED CRANE").otherwise(cur_type)
-    u2 = out.isNull() | (out == UNKNOWN)
-    out = F.when(u2 & d.contains("ROUGH"), "ROUGH-TERRAIN CRANE").otherwise(out)
-    u3 = out.isNull() | (out == UNKNOWN)
-    out = F.when(u3 & d.contains("CRAWLER"), "CRAWLER CRANE").otherwise(out)
-    # unconditional (prog.py:144)
-    out = F.when(d.contains("CRAWLER") & d.contains("TELESCOPIC"), "CRAWLER CRANE (TELESCOPIC_BOOM)").otherwise(out)
-    return out
+    known = cur_type.isNotNull() & (cur_type != UNKNOWN)
+    return (
+        # unconditional (prog.py:144)
+        F.when(d.contains("CRAWLER") & d.contains("TELESCOPIC"), "CRAWLER CRANE (TELESCOPIC_BOOM)")
+        .when(known, cur_type)
+        .when(d.contains("WHEEL") | d.contains("TIRE"), "WHEELED CRANE")
+        .when(d.contains("ROUGH"), "ROUGH-TERRAIN CRANE")
+        .when(d.contains("CRAWLER"), "CRAWLER CRANE")
+        .otherwise(cur_type)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -30,15 +30,24 @@ BRAND_ALIASES: list[tuple[str, str, bool]] = [
 
 
 def apply_brand_aliases(col: Column) -> Column:
-    """Prepend the canonical brand token when an alias is present."""
-    out = col
+    """Prepend the canonical brand token(s) when an alias is present.
+
+    All hits are evaluated against the BASE column and prepended in one
+    concat — NOT as a chain of ``when(...).otherwise(prev)`` layers,
+    which would triple the expression tree per alias (3^N growth) and
+    break whole-stage codegen.  Semantics match the reference's
+    sequential prepends except multi-alias prepend order, which is
+    unobservable (brand priority comes from ref_idx, not position).
+    """
+    hits = []
     for alias, canon, token_exact in BRAND_ALIASES:
         if token_exact:
-            hit = F.array_contains(F.split(out, " "), alias)
+            hit = F.array_contains(F.split(col, " "), alias)
         else:
-            hit = out.contains(alias)
-        out = F.when(hit & ~out.contains(canon), F.concat(F.lit(canon + " "), out)).otherwise(out)
-    return out
+            hit = col.contains(alias)
+        hits.append(F.when(hit & ~col.contains(canon), F.lit(canon)))
+    prefix = F.concat_ws(" ", *hits)
+    return F.when(prefix != "", F.concat(prefix, F.lit(" "), col)).otherwise(col)
 
 
 # ---------------------------------------------------------------------------

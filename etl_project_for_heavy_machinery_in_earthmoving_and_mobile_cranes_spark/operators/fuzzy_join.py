@@ -40,6 +40,13 @@ def _pick_winner(
     )
 
 
+def pick_winner(
+    matched: DataFrame, fact_id: str, priority: Sequence[Column]
+) -> DataFrame:
+    """Public alias for the deterministic winner selection (W2)."""
+    return _pick_winner(matched, fact_id, priority)
+
+
 def containment_lookup(
     fact: DataFrame,
     fact_id: str,
@@ -149,8 +156,11 @@ def starting_point_capacity(model: Column, capacity_regex: Column, code: Column)
       0: num/10 · 1: drop first digit then /10 · 2: undeterminable (NULL)
       3: as-is · -2: drop first two digits · -1/else: drop first digit
     """
-    raw = F.regexp_extract(model, capacity_regex, 1)
-    num = F.when(raw != "", raw).otherwise(F.lit(None))
+    # pyspark's regexp_extract requires a literal pattern; the pattern
+    # here is DATA (a kb column), so use regexp_extract_all(col, col, 1)
+    # and take the first hit's capture group.
+    raw = F.element_at(F.regexp_extract_all(model, capacity_regex, F.lit(1)), 1)
+    num = F.when(raw.isNotNull() & (raw != ""), raw).otherwise(F.lit(None))
     return (
         F.when(code == 0, num.cast("double") / 10)
         .when(code == 1, F.substring(num, 2, 100).cast("double") / 10)

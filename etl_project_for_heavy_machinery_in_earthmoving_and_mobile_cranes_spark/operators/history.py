@@ -40,6 +40,15 @@ def write_history(df: DataFrame, path: str, partition_col: str = "month") -> Non
     )
 
 
-def year_slice(df: DataFrame, date_col: str, year: int) -> DataFrame:
-    """F3: partition-prunable year filter."""
-    return df.filter(F.year(F.to_date(F.col(date_col))) == year)
+def year_slice(
+    df: DataFrame, date_col: str, year: int, fmt: str | None = None
+) -> DataFrame:
+    """F3: partition-prunable year filter.  ``fmt`` parses string dates
+    (e.g. the reference's 'yyyy/MM/dd'); date/timestamp columns pass
+    through untouched."""
+    c = F.col(date_col)
+    if fmt is not None:
+        c = F.to_date(c, fmt)
+    elif dict(df.dtypes).get(date_col) == "string":
+        c = F.coalesce(F.to_date(c), F.to_date(c, "yyyy/MM/dd"))
+    return df.filter(F.year(c) == year)

@@ -1,0 +1,116 @@
+"""Structured Streaming jobs over the events stream (SURVEY §7.6).
+
+The reference is batch-append only (history union, O3); this module is
+the streaming-native extension: watermarked tumbling/session windows,
+streaming dedup, and an idempotent foreachBatch history appender.
+
+All jobs are defined against a *streaming* DataFrame and are tested
+with the file source + ``availableNow`` trigger (exactly-once batch
+drain), which is also the production pattern for catch-up processing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of event parquet files landing in a directory."""
+    r = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(input_dir)
+
+
+def hourly_type_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows per event type with late-data watermark —
+    the streaming twin of the batch ``hourly_event_windows`` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "sum_value")
+    )
+
+
+def deduped_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-dedup on event_id: state is bounded by the
+    watermark horizon (dropDuplicatesWithinWatermark)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def user_sessions(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (gap-based), built on the native
+    session_window operator — no custom state management needed."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, checkpoint_dir: str, output_mode: str = "append"
+) -> list:
+    """Drain the stream with the availableNow trigger into an in-memory
+    sink; returns the collected rows.  Used by tests and backfills."""
+    import uuid
+
+    spark = sdf.sparkSession
+    name = f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def append_history_stream(
+    events: DataFrame, table_path: str, checkpoint_dir: str
+):
+    """Idempotent streaming append into the partitioned history table via
+    foreachBatch (exactly-once per micro-batch with the checkpoint)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("p_date", F.to_date("ts"))
+            .write.mode("append")
+            .partitionBy("p_date")
+            .parquet(table_path)
+        )
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

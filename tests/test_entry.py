@@ -1,0 +1,27 @@
+"""Smoke tests for the driver contract (full oracle comparison lives in
+tools/check_oracle.py, driven at sf0.01)."""
+
+import __spark_entry__ as entry
+
+
+def test_entry_flagship(spark):
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_disc_price" in df.columns
+
+
+def test_queries_and_oracles_aligned():
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert len(qs) >= 30
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracle without query: {missing}"
+    # media_features is the only rows-only (non-SQL-expressible) op
+    assert set(qs) - set(oracles) == {"media_features"}
+
+
+def test_selected_queries_run(spark, sf_dir):
+    qs = entry.queries()
+    for name in ["pricing_summary", "containment_first", "minhash_signatures"]:
+        assert qs[name](spark, sf_dir).count() > 0

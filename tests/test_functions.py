@@ -1,0 +1,104 @@
+"""Unit tests for the Column-expression function library (T1-T7, C1-C7)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.functions import (
+    labels as L,
+)
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.functions import (
+    text as T,
+)
+
+
+def one(spark, col, value):
+    return spark.createDataFrame([(value,)], "s string").select(col.alias("r")).first()["r"]
+
+
+def test_normalize_text(spark):
+    got = one(spark, T.normalize_text(F.col("s")), "  Used, EXCAVATOR/ (KOMATSU) [PC200]: nice;  *")
+    assert got == "USED EXCAVATOR KOMATSU PC200 NICE"
+
+
+def test_brand_alias_token_exact_cat(spark):
+    col = T.normalize_text(F.col("s"), alias_brands=True)
+    # token-exact: 'CAT' as a token triggers, 'CATALOG' must not
+    assert one(spark, col, "CAT 320D").startswith("CATERPILLAR ")
+    assert not one(spark, col, "CATALOG 320D").startswith("CATERPILLAR")
+    # no double-prepend when canonical already present
+    assert one(spark, col, "CATERPILLAR CAT 320D").count("CATERPILLAR") == 1
+
+
+def test_brand_alias_substring(spark):
+    col = T.normalize_text(F.col("s"), alias_brands=True)
+    assert one(spark, col, "XUZHOU CONSTRUCTION MACHINERY EXPORT").startswith("XCMG ")
+    assert one(spark, col, "HİDROMEK MAKINA").startswith("HIDROMEK ")
+    assert one(spark, col, "MARUBENI CORP").startswith("KOMATSU ")
+
+
+def test_number_word(spark):
+    assert one(spark, T.extract_number_word(F.col("s")), "TWO UNITS OF EXCAVATOR") == 2
+    assert one(spark, T.extract_number_word(F.col("s")), "NOTHING HERE") is None
+    # must be a word boundary: 'ONEROUS' should not match
+    assert one(spark, T.extract_number_word(F.col("s")), "ONEROUS TERMS") is None
+
+
+def test_extract_units(spark):
+    assert one(spark, T.extract_units(F.col("s")), "3 UNITS EXCAVATOR") == 3
+    assert one(spark, T.extract_units(F.col("s")), "12UNITS") == 12
+    assert one(spark, T.extract_units(F.col("s")), "UNITS UNKNOWN") is None
+
+
+def test_extract_capacity(spark):
+    assert one(spark, T.extract_capacity_tons(F.col("s")), "ABOUT 21.5 TONS") == 21.5
+    assert one(spark, T.extract_capacity_tons(F.col("s")), "20 METRIC TON") == 20.0
+    assert one(spark, T.extract_capacity_tons(F.col("s")), "NO CAPACITY") is None
+    # no partial-number match inside words
+    assert one(spark, T.extract_capacity_tons(F.col("s")), "CARTONS 5") is None
+
+
+def test_irrelevant_filter(spark):
+    keep = T.irrelevant_keyword_filter(F.col("s"))
+    assert one(spark, keep, "EXCAVATOR PC200") is True
+    assert one(spark, keep, "TELEHANDLER 5T") is False
+    assert one(spark, keep, "WHEEL LOADER") is False
+
+
+def test_new_or_used(spark):
+    c = L.new_or_used(F.col("s"))
+    assert one(spark, c, "USED EXCAVATOR") == "used"
+    assert one(spark, c, "EXCAVATOR YEAR 2015") == "used"
+    assert one(spark, c, "SECOND HAND EXCAVATOR") == "used"      # documented intent
+    assert one(spark, c, "EXCAVATOR 2020 MODEL") == "new"        # 2020 not in 1950-2018
+    assert one(spark, c, "USED BUT UNUSED") == "new"             # override
+    assert one(spark, c, "BRAND NEW MACHINE") == "new"
+
+
+def test_excavator_type_rules(spark):
+    df = spark.createDataFrame(
+        [("CRAWLER EXCAVATOR", None), ("WHEEL MACHINE", None),
+         ("AMPHIBIOUS UNIT", None), ("WITH TIRE", "EXCAVATOR"), ("PLAIN", "KEEP")],
+        "d string, t string",
+    )
+    got = [r["r"] for r in df.select(L.excavator_type(F.col("d"), F.col("t")).alias("r")).collect()]
+    # 'tire' overwrites even a known type (reference prog.py:138)
+    assert got == ["EXCAVATOR", "WHEEL EXCAVATOR", "AMPHIBIOUS EXCAVATOR", "WHEEL EXCAVATOR", "KEEP"]
+
+
+def test_load_interval_closed_form(spark):
+    vals = [(None,), (0.0,), (3.0,), (7.5,), (10.0,), (25.0,), (90.0,), (255.0,)]
+    df = spark.createDataFrame(vals, "v double")
+    got = [r["r"] for r in df.select(L.load_interval(F.col("v"), 10).alias("r")).collect()]
+    assert got == ["UNKNOWN", "UNKNOWN", "<5T", "5-10T", "10-20T", "20-30T", "90-100T", "250-260T"]
+    # no gap for widths > 10 (documented-intent fix of the C5 gap bug):
+    # values in [10, width) fall into the closed-form '0-20T' bucket
+    # instead of the reference's NaN→UNKNOWN
+    got20 = [r["r"] for r in df.select(L.load_interval(F.col("v"), 20).alias("r")).collect()]
+    assert got20 == ["UNKNOWN", "UNKNOWN", "<5T", "5-10T", "0-20T", "20-40T", "80-100T", "240-260T"]
+
+
+def test_type_interval(spark):
+    vals = [(None,), (0.0,), (4.0,), (9.9,), (29.0,), (69.0,), (89.0,), (95.0,)]
+    df = spark.createDataFrame(vals, "v double")
+    got = [r["r"] for r in df.select(L.excavator_type_interval(F.col("v")).alias("r")).collect()]
+    assert got == ["UNKNOWN", "UNKNOWN", "<5T", "5-10T", "10-30T", "30-70T", "70-90T", "≥90T"]

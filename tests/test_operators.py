@@ -1,0 +1,307 @@
+"""Operator-level tests: fuzzy joins, range join, outliers, dedup,
+similarity, text stats, multimodal plumbing, history maintenance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+    analysis,
+    dedup,
+    fuzzy_join,
+    history,
+    multimodal,
+    outliers,
+    range_join,
+    similarity,
+    textstats,
+)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy joins
+# ---------------------------------------------------------------------------
+
+
+def test_containment_first_priority(spark):
+    fact = spark.createDataFrame(
+        [(1, "KOMATSU BUCKET FOR HITACHI"), (2, "ONLY HITACHI"), (3, "NOTHING")],
+        "id long, txt string",
+    )
+    dim = spark.createDataFrame(
+        [(1, "KOMATSU"), (2, "HITACHI")], "prio int, needle string"
+    )
+    out = fuzzy_join.containment_lookup(
+        fact, "id", ["txt"], dim, "needle", ["needle"], [F.col("prio").asc()]
+    )
+    got = {r["id"]: r["needle"] for r in out.collect()}
+    assert got == {1: "KOMATSU", 2: "HITACHI", 3: None}
+
+
+def test_containment_token_strategy_equivalent(spark):
+    fact = spark.createDataFrame(
+        [(1, "KOMATSU BUCKET FOR HITACHI"), (2, "ONLY HITACHI X"), (3, "NOTHING")],
+        "id long, txt string",
+    )
+    dim = spark.createDataFrame(
+        [(1, "KOMATSU"), (2, "HITACHI")], "prio int, needle string"
+    )
+    a = fuzzy_join.containment_lookup(
+        fact, "id", ["txt"], dim, "needle", ["needle"], [F.col("prio").asc()]
+    )
+    b = fuzzy_join.containment_lookup(
+        fact, "id", ["txt"], dim, "needle", ["needle"], [F.col("prio").asc()],
+        strategy="token",
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_longest_regex_hit(spark):
+    df = spark.createDataFrame([("PC200 AND PC2000X", r"PC\d+")], "txt string, pat string")
+    got = df.select(
+        fuzzy_join.longest_regex_hit(F.col("txt"), F.col("pat")).alias("r")
+    ).first()["r"]
+    assert got == "PC2000"
+
+
+def test_starting_point_codes(spark):
+    rows = [
+        ("PC200", r"PC(\d+)", 0, 20.0),
+        ("SY215", r"SY(\d+)", 1, 1.5),     # drop first digit, /10
+        ("SK200", r"SK(\d+)", 2, None),    # TBD
+        ("320D", r"3(\d{2})", 3, 20.0),    # as-is
+        ("QUY550", r"QUY(\d+)", -2, 0.0),  # drop two digits
+        ("GR700EX", r"GR(\d+)", -1, 0.0),  # drop one digit → '00'
+    ]
+    df = spark.createDataFrame(
+        [(m, p, c) for m, p, c, _ in rows], "m string, p string, c int"
+    )
+    got = [
+        r["r"]
+        for r in df.select(
+            fuzzy_join.starting_point_capacity(F.col("m"), F.col("p"), F.col("c")).alias("r")
+        ).collect()
+    ]
+    assert got == [e for _, _, _, e in rows]
+
+
+# ---------------------------------------------------------------------------
+# range join
+# ---------------------------------------------------------------------------
+
+
+def test_band_join_plain_vs_bucketed(spark):
+    left = spark.createDataFrame(
+        [(1, "A", 100.0), (2, "A", 200.0), (3, "B", 100.0)], "lid long, k string, lv double"
+    )
+    right = spark.createDataFrame(
+        [(10, "A", 103.0), (11, "A", 210.0), (12, "B", 300.0)], "rid long, k string, rv double"
+    )
+    plain = range_join.band_join(left, right, ["k"], "lv", "rv", tol=0.05)
+    assert sorted((r["lid"], r["rid"]) for r in plain.collect()) == [(1, 10), (2, 11)]
+    bucketed = range_join.band_join(left, right, ["k"], "lv", "rv", tol=0.05, bucketed=True)
+    assert sorted((r["lid"], r["rid"]) for r in bucketed.collect()) == [(1, 10), (2, 11)]
+
+
+def test_infer_unknown_models_deterministic_winner(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "K", "EXC", "M1", 20.0),
+            (2, "K", "EXC", "M2", 20.0),
+            (3, "K", "EXC", None, 20.5),   # both M1/M2 in band, equal delta → M1
+            (4, "K", "EXC", None, 50.0),   # out of band
+            (5, "K", None, None, 20.0),    # type unknown → not inferable
+        ],
+        "shipment_id long, brand string, type string, model string, capacity double",
+    )
+    out = range_join.infer_unknown_models(df)
+    got = {r["shipment_id"]: (r["model"], r["__model_inferred"]) for r in out.collect()}
+    assert got[3] == ("M1", True)
+    assert got[4] == (None, False)
+    assert got[5] == (None, False)
+
+
+# ---------------------------------------------------------------------------
+# outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mark_outliers(spark):
+    df = spark.createDataFrame(
+        [("A", 100.0), ("A", 102.0), ("A", 104.0), ("A", 200.0), ("B", None)],
+        "g string, v double",
+    )
+    out = outliers.mark_outliers(df, ["g"], "v")
+    got = sorted((r["g"], r["v"], r["outliers"]) for r in out.collect())
+    # median(A) = 103 → 200 ≥ 123.6 flagged; NULL value → UNKNOWN
+    assert got == [
+        ("A", 100.0, "no"), ("A", 102.0, "no"), ("A", 104.0, "no"),
+        ("A", 200.0, "yes"), ("B", None, "UNKNOWN"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# analysis
+# ---------------------------------------------------------------------------
+
+
+def test_fold_others_cumulative(spark):
+    df = spark.createDataFrame(
+        [("A", 50.0), ("B", 30.0), ("C", 12.0), ("D", 5.0), ("E", 3.0)],
+        "brand string, amount double",
+    )
+    shares = analysis.group_share_pre_agg(df, "brand")
+    folded = analysis.fold_others(shares, "brand", threshold=20.0)
+    got = {r["brand"]: r["amount"] for r in folded.collect()}
+    # ascending cumulative: E(3)+D(5)+C(12) = 20 → only E,D fold (cum<20)
+    assert got == {"A": 50.0, "B": 30.0, "C": 12.0, "OTHERS": 8.0}
+
+
+def test_pivot_and_report_order(spark):
+    df = spark.createDataFrame(
+        [("X", "a", 1.0), ("X", "b", 2.0), ("Y", "a", 3.0)], "k string, p string, v double"
+    )
+    piv = analysis.pivot_sum(df, "k", "p", "v", values=["a", "b"])
+    got = {r["k"]: (r["a"], r["b"]) for r in piv.collect()}
+    assert got == {"X": (1.0, 2.0), "Y": (3.0, None)}
+
+    rep = spark.createDataFrame(
+        [("OTHERS", 99.0), ("UNKNOWN", 98.0), ("A", 10.0), ("B", 20.0)],
+        "brand string, amount double",
+    )
+    ordered = [r["brand"] for r in analysis.report_order(rep, "brand").collect()]
+    assert ordered == ["B", "A", "OTHERS", "UNKNOWN"]
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / textstats
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "Hello,  World!"), (1, "hello world"), (2, "different")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(df, "doc_id", "text").collect())
+    assert kept == [1, 2]
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "z y x w v u")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(df, "doc_id", "text").collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) not in pairs
+
+
+def test_minhash_near_dup_detection(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely different words here now ok")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(df, "doc_id", "text", num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, bands=16)
+    sim = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+           dedup.minhash_similarity(sigs, pairs, "doc_id", 16).collect()}
+    assert sim.get((1, 2), 0) > 0.5
+    assert sim.get((1, 3), 0) == 0
+
+
+def test_simhash_similarity_order(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta"),
+         (3, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, "doc_id", "text").collect()}
+    d = df.sparkSession.createDataFrame(
+        [(fp[1], fp[2]), (fp[1], fp[3])], "a long, b long"
+    ).select(dedup.hamming64(F.col("a"), F.col("b")).alias("h")).collect()
+    assert d[0]["h"] < d[1]["h"]  # near-dup closer than unrelated
+
+
+def test_brute_force_vs_lsh_knn(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 3")
+    exact = similarity.brute_force_knn(emb, q, k=3)
+    approx = similarity.lsh_knn(emb, q, k=3, num_planes=2)
+    er = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ar = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(er) == 9
+    # low plane count → big buckets → decent recall on 300 vectors
+    assert len(er & ar) >= 3
+
+
+def test_textstats_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick fox is in the yard for a while")], "doc_id long, text string"
+    )
+    r = textstats.with_text_stats(df).first()
+    assert r["n_tokens"] == 10
+    assert r["stopword_ratio_en"] > 0.3
+    assert r["lang_guess"] == "en"
+    assert len(r["fingerprint"]) == 32
+    assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_lang_id_tie_and_unknown(spark):
+    df = spark.createDataFrame(
+        [(1, "xyzzy plugh"), (2, "el la de y que en un")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["r"] for r in
+           df.select("doc_id", textstats.lang_id(F.col("text")).alias("r")).collect()}
+    assert got[1] == "und"
+    assert got[2] == "es"
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_feature_extraction(spark):
+    media = multimodal.synthetic_media(spark, 9)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 9
+    for r in feats:
+        assert len(r["features"]) == 8
+        assert len(r["content_md5"]) == 32
+        assert r["n_bytes"] > 0
+
+
+def test_multimodal_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"x", "image/png")
+
+
+def test_media_stats_jvm_only(spark):
+    media = multimodal.synthetic_media(spark, 12)
+    got = {r["kind"]: r["n"] for r in multimodal.media_stats(media).collect()}
+    assert got == {"image": 4, "audio": 4, "video": 4}
+
+
+# ---------------------------------------------------------------------------
+# history
+# ---------------------------------------------------------------------------
+
+
+def test_history_union_and_schema_check(spark, tmp_path):
+    a = spark.createDataFrame([(1, "x", 202401)], "id long, v string, month int")
+    b = spark.createDataFrame([(2, "y", 202402)], "id long, v string, month int")
+    u = history.append_history(a, b)
+    assert u.count() == 2
+    bad = spark.createDataFrame([(3, 202403)], "id long, month int")
+    with pytest.raises(history.SchemaMismatch):
+        history.append_history(a, bad)
+    history.write_history(u, str(tmp_path / "hist"))
+    back = spark.read.parquet(str(tmp_path / "hist"))
+    assert back.count() == 2
+    assert history.year_slice(
+        spark.createDataFrame([("2024/01/05",), ("2023/01/05",)], "date string"),
+        "date", 2024,
+    ).count() == 1

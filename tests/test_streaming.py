@@ -1,0 +1,72 @@
+"""Structured Streaming jobs: file source + availableNow drain, compared
+against the batch twin on the same data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import jobs
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    """Stage the events table as a landing directory of parquet files."""
+    out = tmp_path_factory.mktemp("events_in")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df.repartition(4).write.mode("overwrite").parquet(str(out / "data"))
+    return str(out / "data")
+
+
+def test_hourly_counts_stream_matches_batch(spark, event_dir, tmp_path):
+    stream = jobs.read_event_stream(spark, event_dir)
+    assert stream.isStreaming
+    # complete mode: append would hold back windows newer than the
+    # watermark horizon at end-of-stream
+    got = jobs.run_available_now(
+        jobs.hourly_type_counts(stream), str(tmp_path / "cp1"), output_mode="complete"
+    )
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "sum_value")
+        .collect()
+    )
+    key = lambda r: (r["wstart"], r["event_type"])
+    assert {key(r): r["n"] for r in got} == {key(r): r["n"] for r in batch}
+
+
+def test_streaming_dedup(spark, event_dir, tmp_path):
+    stream = jobs.read_event_stream(spark, event_dir)
+    got = jobs.run_available_now(
+        jobs.deduped_events(stream).select("event_id"), str(tmp_path / "cp2")
+    )
+    n_distinct = spark.read.parquet(event_dir).select("event_id").distinct().count()
+    assert len(got) == n_distinct
+
+
+def test_user_sessions(spark, event_dir, tmp_path):
+    stream = jobs.read_event_stream(spark, event_dir)
+    got = jobs.run_available_now(
+        jobs.user_sessions(stream, gap="30 minutes"), str(tmp_path / "cp3"),
+        output_mode="complete",
+    )
+    assert len(got) > 0
+    for r in got[:50]:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
+    # every event lands in exactly one session
+    assert sum(r["n_events"] for r in got) == spark.read.parquet(event_dir).count()
+
+
+def test_history_append_stream_idempotent(spark, event_dir, tmp_path):
+    table = str(tmp_path / "hist_table")
+    cp = str(tmp_path / "cp4")
+    q = jobs.append_history_stream(jobs.read_event_stream(spark, event_dir), table, cp)
+    q.awaitTermination()
+    n1 = spark.read.parquet(table).count()
+    # re-run with same checkpoint: no new data → no duplicate append
+    q2 = jobs.append_history_stream(jobs.read_event_stream(spark, event_dir), table, cp)
+    q2.awaitTermination()
+    n2 = spark.read.parquet(table).count()
+    assert n1 == n2 == spark.read.parquet(event_dir).count()
