@@ -773,6 +773,13 @@ _NORM_SQL = r"trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
 _H_SQL = "('0x' || substr(md5({seed} || ':' || {expr}), 1, 8))::BIGINT"
 
 
+def _h_family_sql(i: int, expr: str) -> str:
+    """i-th md5-derived 32-bit hash family (4 families per digest),
+    mirroring dedup.md5_hash_family."""
+    seed, part = divmod(i, 4)
+    return f"('0x' || substr(md5('{seed}:' || {expr}), {1 + 8 * part}, 8))::BIGINT"
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized-content fingerprint; smallest id kept."""
     tune(spark)
@@ -799,7 +806,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_minhash() -> str:
     mins = ",\n       ".join(
-        f"min({_H_SQL.format(seed=i, expr='sh')}) AS mh_{i}" for i in range(_MH_HASHES)
+        f"min({_h_family_sql(i, 'sh')}) AS mh_{i}" for i in range(_MH_HASHES)
     )
     norm = _NORM_SQL.format(col="text")
     return f"""
@@ -821,7 +828,9 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     d = _t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(d, "doc_id", "text", num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE)
-    sigs = sigs.cache()
+    # sigs feeds three joins — materialize once instead of recomputing
+    # the explode+hash subtree per consumer
+    sigs = sigs.localCheckpoint(eager=True)
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=_MH_HASHES, bands=_MH_HASHES)
     sim = dedup.minhash_similarity(sigs, pairs, "doc_id", num_hashes=_MH_HASHES)
     return sim.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))

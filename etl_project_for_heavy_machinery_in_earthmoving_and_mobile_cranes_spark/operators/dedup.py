@@ -29,17 +29,54 @@ def tokens(col: Column) -> Column:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (array<string>); distinct."""
-    toks = tokens(col)
+    """Word n-gram shingles (array<string>); distinct.
+
+    PERFORMANCE: pass a plain column reference to an already-projected
+    token array via ``shingles_of_tokens`` when possible — embedding the
+    tokenization expression here makes ``slice`` re-evaluate the full
+    regex normalization per shingle element (O(tokens²) per doc)."""
+    return shingles_of_tokens(tokens(col), n)
+
+
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.array_distinct(grams)
 
 
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out_col: str = "__sh"
+) -> DataFrame:
+    """(id, shingle) rows: tokenization projected ONCE per doc, then the
+    n-gram build works on the materialized array column."""
+    return (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_of_tokens(F.col("__toks"), n)).alias(out_col),
+        )
+    )
+
+
 def md5_hash64(col: Column, seed: int = 0) -> Column:
     """Deterministic 32-bit-range hash as BIGINT via md5 prefix."""
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col).cast("binary")), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def md5_hash_family(col: Column, i: int) -> Column:
+    """i-th independent 32-bit hash.  One md5 digest yields FOUR 32-bit
+    hashes (128 bits / 4 hex-8 chunks), so k families cost ceil(k/4)
+    md5 evaluations per row instead of k — the md5 is the hot-path cost
+    in minhash signatures."""
+    seed, part = divmod(i, 4)
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), col).cast("binary")), 1 + 8 * part, 8
+        ),
+        16,
+        10,
     ).cast("bigint")
 
 
@@ -73,13 +110,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per doc: ``id, mh_0..mh_{k-1}`` (min over shingles of k
     independent md5 hash families).  explode → single groupBy(id)."""
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
-    )
-    aggs = [
-        F.min(md5_hash64(F.col("__sh"), seed=i)).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    # one md5 digest per 4 hash families, computed ONCE per shingle row in
+    # a projection — embedding the md5 inside each min() would evaluate it
+    # k times per row (no CSE across aggregate expressions)
+    n_digests = (num_hashes + 3) // 4
+    for s in range(n_digests):
+        sh = sh.withColumn(
+            f"__d{s}",
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("__sh")).cast("binary")),
+        )
+    aggs = []
+    for i in range(num_hashes):
+        seed, part = divmod(i, 4)
+        h = F.conv(F.substring(F.col(f"__d{seed}"), 1 + 8 * part, 8), 16, 10).cast("bigint")
+        aggs.append(F.min(h).alias(f"mh_{i}"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -185,9 +230,7 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over word-n-gram shingle sets, computed only for
     pairs sharing ≥1 shingle (inverted-index join — never all-pairs).
     Returns ``id_a < id_b, jaccard``."""
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
-    )
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "__sh")
     b = sh.select(F.col(id_col).alias("id_b"), "__sh")
