@@ -1021,6 +1021,134 @@ SELECT doc_id, lang, {case} AS lang_guess FROM scored
 
 
 # ---------------------------------------------------------------------------
+# Remaining aggregate/report operators (G5, G6, G8, V1, G4 multi-col)
+# ---------------------------------------------------------------------------
+
+_DIAG_KEYWORDS = ["spark", "vector", "agg", "window", "zebra"]
+
+
+def q_keyword_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 (check_parts): one pass, one containment count per keyword."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return analysis.keyword_diagnostics(d, "text", _DIAG_KEYWORDS)
+
+
+ORACLE_KEYWORD_DIAG = "SELECT " + ", ".join(
+    f"count(CASE WHEN regexp_matches(upper(text), '{k.upper()}') THEN 1 END) AS \"{k}\""
+    for k in _DIAG_KEYWORDS
+) + " FROM documents"
+
+
+def q_null_count_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: null accounting after a lossy extraction (3-digit k values)."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    k3 = F.regexp_extract(F.col("props"), r"(\d{3})", 1)
+    k = F.when(k3 != "", k3.cast("int"))
+    return e.select(k.alias("k3")).agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.isnull("k3"), 1)).alias("n_null"),
+        F.count("k3").alias("n_nonnull"),
+    )
+
+
+ORACLE_NULL_AUDIT = r"""
+WITH x AS (
+  SELECT CASE WHEN regexp_extract(props, '(\d{3})', 1) != ''
+              THEN CAST(regexp_extract(props, '(\d{3})', 1) AS INT) END AS k3
+  FROM events
+)
+SELECT count(*) AS n_total,
+       count(CASE WHEN k3 IS NULL THEN 1 END) AS n_null,
+       count(k3) AS n_nonnull
+FROM x
+"""
+
+
+def q_report_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 presentation formatting over the key-players table."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    g = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(_disc_price()).alias("amount"))
+    )
+    shares = analysis.group_share_pre_agg(g, "brand")
+    return shares.select(
+        "brand",
+        F.format_string("%.1f M", F.col("amount").cast("double") / 1e6).alias("amount_m"),
+        F.format_string("%.2f%%", F.round(F.col("amount_prop"), 4)).alias("share_pct"),
+    )
+
+
+ORACLE_REPORT_FORMAT = f"""
+WITH g AS (
+  SELECT p_brand AS brand, sum({SQL_DISC_PRICE}) AS amount
+  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
+), s AS (
+  SELECT brand, amount,
+         CAST(amount AS DOUBLE) / CAST(sum(amount) OVER () AS DOUBLE) * 100 AS prop
+  FROM g
+)
+SELECT brand,
+       printf('%.1f M', CAST(amount AS DOUBLE) / 1e6) AS amount_m,
+       printf('%.2f%%', round(prop, 4)) AS share_pct
+FROM s
+"""
+
+
+def q_lang_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 multi-column value_counts (notebook cell 56 analog)."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return analysis.value_counts(d, ["lang", "source"])
+
+
+ORACLE_LANG_SOURCE = """
+SELECT lang, source, count(*) AS count FROM documents GROUP BY 1, 2
+"""
+
+
+def q_filtered_slice_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: totals over a label slice (reference 'No match' residue)."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "error").agg(
+        F.count("*").alias("n"), dsum("value").alias("total_value")
+    )
+
+
+ORACLE_FILTERED_SLICE = f"""
+SELECT count(*) AS n, {sql_dsum('value')} AS total_value
+FROM events WHERE event_type = 'error'
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold tuned to the
+    synthetic distribution)."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.near_dup_pairs(emb, threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+ORACLE_NEAR_DUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+       AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (no SQL oracle — mapInPandas stage; rows-only check)
 # ---------------------------------------------------------------------------
 
@@ -1082,6 +1210,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": q_embedding_knn,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "keyword_diagnostics": q_keyword_diagnostics,
+        "null_count_audit": q_null_count_audit,
+        "report_format": q_report_format,
+        "lang_source_counts": q_lang_source_counts,
+        "filtered_slice_agg": q_filtered_slice_agg,
+        "embedding_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
     }
 
@@ -1122,5 +1256,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn": ORACLE_KNN,
         "text_stats": _oracle_text_stats(),
         "lang_id": _oracle_lang_id(),
+        "keyword_diagnostics": ORACLE_KEYWORD_DIAG,
+        "null_count_audit": ORACLE_NULL_AUDIT,
+        "report_format": ORACLE_REPORT_FORMAT,
+        "lang_source_counts": ORACLE_LANG_SOURCE,
+        "filtered_slice_agg": ORACLE_FILTERED_SLICE,
+        "embedding_near_dup": ORACLE_NEAR_DUP,
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }

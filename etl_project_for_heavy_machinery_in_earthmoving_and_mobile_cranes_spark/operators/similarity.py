@@ -72,6 +72,24 @@ def brute_force_knn(
     )
 
 
+def near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold).  Brute-force baseline; at scale swap the self cross join
+    for the SRP-bucketed candidate join in ``lsh_knn`` (same scoring)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, on=F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def _det_plane(seed: int, plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 — no RNG state, so
     any executor / any engine reproduces the same planes."""
