@@ -39,7 +39,12 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 
 def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # guard: sequence(1, 0) yields DESCENDING [1, 0] in Spark, sending an
+    # illegal start=0 into slice() — short docs must produce [] instead
+    last = F.size(toks) - (n - 1)
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.array_distinct(grams)
 

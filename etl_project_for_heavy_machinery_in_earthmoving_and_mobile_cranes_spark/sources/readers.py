@@ -53,7 +53,7 @@ def read_xlsx_as_df(
         import pandas as pd
 
         pdf = pd.read_excel(path, sheet_name=sheet_name)
-    except ImportError as e:  # pragma: no cover
+    except ImportError as e:  # pragma: no cover - openpyxl not installed
         raise NotImplementedError(
             "xlsx ingestion needs pandas+openpyxl on the driver"
         ) from e

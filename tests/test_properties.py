@@ -1,0 +1,100 @@
+"""Property-style tests (SURVEY §5.2): label totality, proportion
+invariants, row-order invariance — on seeded random data (one Spark job
+per property, not per example, to keep the suite fast)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.functions import (
+    labels as L,
+)
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+    analysis,
+    dedup,
+    outliers,
+)
+
+WORDS = ["USED", "NEW", "EXCAVATOR", "CRANE", "2015", "2020", "OLD", "UNUSED",
+         "PC200", "KOMATSU", "TIRE", "WHEEL", "SECOND", "HAND", "X", "Y"]
+
+
+def _random_texts(n, seed):
+    rng = random.Random(seed)
+    return [" ".join(rng.choices(WORDS, k=rng.randint(1, 12))) for _ in range(n)]
+
+
+def test_new_used_total_function(spark):
+    """Every row gets exactly one of {new, used} — no NULLs, no others."""
+    df = spark.createDataFrame([(t,) for t in _random_texts(300, 1)], "s string")
+    got = df.select(L.new_or_used(F.col("s")).alias("r")).groupBy("r").count().collect()
+    assert set(r["r"] for r in got) <= {"new", "used"}
+    assert sum(r["count"] for r in got) == 300
+
+
+def test_interval_labels_contain_value(spark):
+    """Every bucketed value lies inside its parsed label range."""
+    rng = random.Random(2)
+    vals = [round(rng.uniform(0.1, 400), 2) for _ in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = df.select("v", L.load_interval(F.col("v"), 10).alias("b")).collect()
+    for r in rows:
+        b, v = r["b"], r["v"]
+        if b == "<5T":
+            assert v < 5
+        elif b == "5-10T":
+            assert 5 <= v < 10
+        else:
+            lo, hi = b[:-1].split("-")
+            assert float(lo) <= v < float(hi)
+
+
+def test_outliers_invariant_under_row_order(spark):
+    rng = random.Random(3)
+    rows = [(i, rng.choice("ABC"), round(rng.uniform(50, 200), 2)) for i in range(200)]
+    df1 = spark.createDataFrame(rows, "id long, g string, v double")
+    df2 = spark.createDataFrame(list(reversed(rows)), "id long, g string, v double").repartition(7)
+    r1 = {r["id"]: r["outliers"] for r in outliers.mark_outliers(df1, ["g"], "v").collect()}
+    r2 = {r["id"]: r["outliers"] for r in outliers.mark_outliers(df2, ["g"], "v").collect()}
+    assert r1 == r2
+
+
+def test_proportions_sum_to_100(spark):
+    rng = random.Random(4)
+    rows = [(rng.choice("ABCDEFG"), round(rng.uniform(1, 1000), 2)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    shares = analysis.group_share(df, "k", "v")
+    total = shares.agg(F.sum("amount_prop")).first()[0]
+    assert total == pytest.approx(100.0)
+    folded = analysis.fold_others(shares.select("k", "amount", "amount_prop"), "k")
+    assert folded.agg(F.sum("amount_prop")).first()[0] == pytest.approx(100.0)
+
+
+def test_minhash_estimates_bounded_and_symmetric_inputs(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_random_texts(60, 5))], "doc_id long, text string"
+    )
+    sigs = dedup.minhash_signatures(df, "doc_id", "text", num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=8)
+    sim = dedup.minhash_similarity(sigs, pairs, "doc_id", num_hashes=8).collect()
+    for r in sim:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert r["id_a"] < r["id_b"]
+
+
+def test_dedup_exact_idempotent(spark):
+    texts = _random_texts(100, 6)
+    df = spark.createDataFrame(
+        [(i, texts[i % 40]) for i in range(100)], "doc_id long, text string"
+    )
+    once = dedup.dedup_exact(df, "doc_id", "text")
+    twice = dedup.dedup_exact(once, "doc_id", "text")
+    assert once.count() == twice.count()
+    # kept ids are the minimum id per distinct text (random texts may
+    # collide across groups, so group by actual value)
+    kept = set(r["doc_id"] for r in once.collect())
+    by_text = {}
+    for i in range(100):
+        by_text.setdefault(texts[i % 40], []).append(i)
+    assert kept == {min(ids) for ids in by_text.values()}

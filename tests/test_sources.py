@@ -1,0 +1,61 @@
+"""Source/sink tests (S1-S5): csv with explicit schema, parquet
+round-trip with partitioning, xlsx edge converter (skip-gated — the
+codec is an optional driver-side dependency)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark import sources
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+
+
+def test_csv_explicit_schema_and_corrupt_rows(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,amount\n1,a,10.5\n2,b,junk\n3,c,30.0\n")
+    df = sources.read_csv(spark, str(p), SCHEMA)
+    rows = {r["id"]: r["amount"] for r in df.collect()}
+    # PERMISSIVE + non-ANSI: bad numeric → NULL, row preserved
+    assert rows == {1: 10.5, 2: None, 3: 30.0}
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA)
+    out = str(tmp_path / "t")
+    sources.write_parquet(df, out, partition_by=("name",))
+    back = sources.read_parquet(spark, out)
+    assert back.count() == 2
+    assert set(back.columns) == {"id", "name", "amount"}
+    # partition pruning: only one directory read for name='a'
+    assert back.filter("name = 'a'").count() == 1
+
+
+def test_xlsx_edge_converter(spark, tmp_path):
+    openpyxl = pytest.importorskip("openpyxl")  # noqa: F841 - optional codec
+    import pandas as pd
+
+    p = tmp_path / "in.xlsx"
+    pd.DataFrame({"id": [1, 2], "name": ["x", "y"], "amount": [1.5, 2.5]}).to_excel(
+        p, index=False
+    )
+    df = sources.read_xlsx_as_df(spark, str(p), schema=SCHEMA)
+    assert df.count() == 2
+
+
+def test_xlsx_raises_clean_error_without_codec(spark, tmp_path):
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl installed; error path not reachable")
+    except ImportError:
+        pass
+    p = tmp_path / "missing.xlsx"
+    p.write_bytes(b"PK\x03\x04fake")
+    with pytest.raises((NotImplementedError, Exception)):
+        sources.read_xlsx_as_df(spark, str(p))
