@@ -459,7 +459,7 @@ def q_containment_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim,
         "needle",
         ["needle"],
-        [F.col("prio").asc()],
+        [F.col("prio")],
     )
     return out.select("doc_id", F.col("needle").alias("matched"))
 
@@ -490,7 +490,7 @@ def q_containment_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim,
         "needle",
         ["needle"],
-        [F.length("needle").desc(), F.col("prio").asc()],
+        [-F.length("needle"), F.col("prio")],
     )
     return out.select("doc_id", F.col("needle").alias("matched"))
 
@@ -525,7 +525,7 @@ def q_regex_kb_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         kb,
         "pattern",
         ["pattern", "category"],
-        [F.col("kb_order").desc()],
+        [-F.col("kb_order")],
     )
     return out.select(
         "doc_id",

@@ -32,11 +32,20 @@ MATCH_RANK = "__match_rank"
 def _pick_winner(
     matched: DataFrame, fact_id: str, priority: Sequence[Column]
 ) -> DataFrame:
-    w = Window.partitionBy(fact_id).orderBy(*priority)
+    """Keep the best match per fact row.
+
+    ``priority``: plain Columns forming a TOTAL order, compared
+    ascending (desc intents are expressed by negation, e.g.
+    ``-F.length(c)``).  Implemented as ``min_by`` over a struct key —
+    one hash aggregate with map-side partial combine — instead of a
+    ``row_number`` window, which would sort-shuffle every matched row.
+    """
+    others = [c for c in matched.columns if c != fact_id]
+    key = F.struct(*priority)
     return (
-        matched.withColumn(MATCH_RANK, F.row_number().over(w))
-        .filter(F.col(MATCH_RANK) == 1)
-        .drop(MATCH_RANK)
+        matched.groupBy(fact_id)
+        .agg(F.min_by(F.struct(*[F.col(c) for c in others]), key).alias("__w"))
+        .select(fact_id, "__w.*")
     )
 
 

@@ -100,7 +100,7 @@ def match_catalog(df: DataFrame, model_ref: DataFrame) -> DataFrame:
     b_matched = df.select(ID, "description2", "supplier2").join(
         F.broadcast(brands), on=b_hit, how="inner"
     )
-    b_win = FJ.pick_winner(b_matched, ID, [F.col("brand_prio").asc()]).select(
+    b_win = FJ.pick_winner(b_matched, ID, [F.col("brand_prio")]).select(
         ID, F.col("b_brand").alias("brand")
     )
     out = df.join(b_win, on=ID, how="left")
@@ -126,7 +126,7 @@ def match_catalog(df: DataFrame, model_ref: DataFrame) -> DataFrame:
         )
     )
     m_win = FJ.pick_winner(
-        m_matched, ID, [F.length("model_ref").desc(), F.col("ref_idx").asc()]
+        m_matched, ID, [-F.length("model_ref"), F.col("ref_idx")]
     ).select(
         ID,
         F.col("model_ref").alias("model"),
@@ -190,7 +190,7 @@ def _regex_pass(
     if brand_scoped:
         pred = (F.col("brand") == F.col("rx_brand")) & pred
     matched = facts.join(F.broadcast(kbx), on=pred, how="inner")
-    win = FJ.pick_winner(matched, ID, [F.col("kb_order").desc()])
+    win = FJ.pick_winner(matched, ID, [-F.col("kb_order")])
 
     hits = F.regexp_extract_all(F.col("description2"), F.col("model_regex"), F.lit(0))
     new_model = FJ.longest_regex_hit(F.col("description2"), F.col("model_regex"))
@@ -321,15 +321,26 @@ def run_pipeline(
     min_amount: float = 10000.0,
     interval_width: int = 10,
     datasource: str | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Full cleaning pipeline; returns the enriched DataFrame with typed
-    NULLs (call ``render_export`` for the sentinel-rendered view)."""
+    NULLs (call ``render_export`` for the sentinel-rendered view).
+
+    ``persist``: the match/regex/inference stages each fork the fact
+    table (winner-selection branch + main branch join back on the id).
+    Without persistence Spark recomputes the whole upstream lineage per
+    fork — multiplicative at 6 forks — so the forked frames are cached
+    (MEMORY_AND_DISK; spill-safe at cluster scale)."""
+
+    def _pin(d: DataFrame) -> DataFrame:
+        return d.persist() if persist else d
+
     df = coerce_and_derive(shipments, min_amount=min_amount)
-    df = normalize(df)
+    df = _pin(normalize(df))                 # forked by J1/J2
     df = match_catalog(df, model_ref)
-    df = label_cascades(df, file_type=file_type)
+    df = _pin(label_cascades(df, file_type=file_type))  # forked by J3 passes
     df = regex_stage(df, regex_kb)
-    df = capacity_from_text(df)
+    df = _pin(capacity_from_text(df))        # forked by J5 + outlier median
     df = infer_models(df)
     df = mark_price_outliers(df)
     df = add_intervals(df, file_type=file_type, width=interval_width)

@@ -31,7 +31,7 @@ def test_containment_first_priority(spark):
         [(1, "KOMATSU"), (2, "HITACHI")], "prio int, needle string"
     )
     out = fuzzy_join.containment_lookup(
-        fact, "id", ["txt"], dim, "needle", ["needle"], [F.col("prio").asc()]
+        fact, "id", ["txt"], dim, "needle", ["needle"], [F.col("prio")]
     )
     got = {r["id"]: r["needle"] for r in out.collect()}
     assert got == {1: "KOMATSU", 2: "HITACHI", 3: None}
@@ -46,10 +46,10 @@ def test_containment_token_strategy_equivalent(spark):
         [(1, "KOMATSU"), (2, "HITACHI")], "prio int, needle string"
     )
     a = fuzzy_join.containment_lookup(
-        fact, "id", ["txt"], dim, "needle", ["needle"], [F.col("prio").asc()]
+        fact, "id", ["txt"], dim, "needle", ["needle"], [F.col("prio")]
     )
     b = fuzzy_join.containment_lookup(
-        fact, "id", ["txt"], dim, "needle", ["needle"], [F.col("prio").asc()],
+        fact, "id", ["txt"], dim, "needle", ["needle"], [F.col("prio")],
         strategy="token",
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -1,0 +1,88 @@
+"""Physical-plan contract tests: the optimizations the engine is
+designed around must actually appear in the plans (pushdown, column
+pruning, broadcast strategies, window-group-limit winner selection) —
+and plan regressions (cartesian products, full-width scans) must fail
+loudly here rather than at 100 TB.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def plan_of(spark, name, sf_dir):
+    df = entry.queries()[name](spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    p = plan_of(spark, "pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # projection pruned to the 7 needed columns — no full-width scan
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]
+    assert "HashAggregate" in p
+
+
+def test_star_joins_broadcast_no_cartesian(spark, sf_dir):
+    for q in ["shipping_priority_top10", "nation_revenue"]:
+        p = plan_of(spark, q, sf_dir)
+        assert "BroadcastHashJoin" in p, q
+        assert "CartesianProduct" not in p, q
+    # top-k via TakeOrderedAndProject, not global sort
+    assert "TakeOrderedAndProject" in plan_of(spark, "shipping_priority_top10", sf_dir)
+
+
+def test_containment_join_shape(spark, sf_dir):
+    p = plan_of(spark, "containment_first", sf_dir)
+    # theta join against the broadcast dim — fact side never shuffled
+    # before the match
+    assert "BroadcastNestedLoopJoin" in p
+    # winner selection is a min_by hash aggregate (map-side partial
+    # combine), NOT a sort-based row_number window
+    assert "min_by" in p
+    assert "Window" not in p
+
+
+def test_fx_join_broadcast_left_outer(spark, sf_dir):
+    p = plan_of(spark, "events_fx_convert", sf_dir)
+    assert "BroadcastHashJoin LeftOuter" in p
+
+
+def test_outlier_median_join_broadcast(spark, sf_dir):
+    p = plan_of(spark, "part_price_outliers", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pipeline_plan_no_cartesian(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark import (
+        fixtures,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.plans import (
+        pipeline,
+    )
+
+    df = pipeline.run_pipeline(
+        fixtures.shipments_df(spark),
+        fixtures.model_ref_df(spark),
+        fixtures.regex_kb_df(spark),
+        fixtures.fx_rates_df(spark),
+    )
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    p = qe.explainString(mode)
+    assert "CartesianProduct" not in p
+    # the containment/regex dims ride broadcast nested loop joins
+    assert "BroadcastNestedLoopJoin" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_no_python_udfs_in_query_plans(spark, sf_dir):
+    """Everything except the multimodal decoder must stay JVM-side."""
+    for q in ["documents_normalize", "text_stats", "simhash", "lang_id",
+              "quantity_binning", "regex_kb_match"]:
+        p = plan_of(spark, q, sf_dir)
+        assert "BatchEvalPython" not in p, q
+        assert "ArrowEvalPython" not in p, q
