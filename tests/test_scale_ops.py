@@ -1,0 +1,101 @@
+"""Scale-path operators: salted joins, two-phase distinct, bucketed
+co-located joins, stateful streaming."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import skew
+
+
+def test_salted_join_matches_plain_join(spark):
+    rng = random.Random(11)
+    # heavily skewed: 80% of fact rows share one key
+    fact = spark.createDataFrame(
+        [(i, "HOT" if rng.random() < 0.8 else rng.choice("ABCDE")) for i in range(2000)],
+        "id long, k string",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"v_{k}") for k in ["HOT", "A", "B", "C", "D", "E"]], "k string, payload string"
+    )
+    plain = {(r["id"], r["payload"]) for r in fact.join(dim, "k").collect()}
+    salted = {
+        (r["id"], r["payload"])
+        for r in skew.salted_join(fact, dim, "k", num_salts=8, salt_source="id").collect()
+    }
+    assert salted == plain
+
+
+def test_two_phase_count_distinct(spark):
+    rng = random.Random(12)
+    df = spark.createDataFrame(
+        [(rng.choice("XY"), rng.randint(0, 30)) for _ in range(500)], "g string, v int"
+    )
+    got = {
+        r["g"]: r["n_distinct_v"]
+        for r in skew.two_phase_count_distinct(df, "g", "v").collect()
+    }
+    want = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located join: both sides bucketed on the join key → the join
+    plan has no shuffle Exchange for either side."""
+    # note: warehouse dir is a static conf — tables land in the default
+    # ./spark-warehouse (gitignored); dropped at the end
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    for name in ["b_lineitem", "b_orders"]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem")
+    )
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders")
+    )
+    j = spark.table("b_lineitem").join(
+        spark.table("b_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = j._jdf.queryExecution().toString()
+    n = j.count()
+    assert n == li.count()
+    assert "Exchange hashpartitioning" not in plan
+    for name in ["b_lineitem", "b_orders"]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_stateful_user_profiles_stream(spark, sf_dir, tmp_path):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import (
+        jobs,
+        stateful,
+    )
+
+    src = tmp_path / "ev"
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df.repartition(2).write.mode("overwrite").parquet(str(src))
+
+    stream = jobs.read_event_stream(spark, str(src))
+    got = jobs.run_available_now(
+        stateful.user_profiles(stream), str(tmp_path / "cp"), output_mode="update"
+    )
+    # single availableNow batch → one running-profile row per user,
+    # totals equal to the batch aggregate
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in spark.read.parquet(str(src))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    latest = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in got}
+    assert latest == want
+    assert all(not r["closed"] for r in got)
