@@ -1149,6 +1149,82 @@ WHERE list_dot_product(a.v, b.v) /
 
 
 # ---------------------------------------------------------------------------
+# Rollup aggregation and as-of join
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (flag, status) → (flag) → grand total."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+ORACLE_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity')} AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+# rate-change feed: 40 changes through January (events span Jan 2024)
+_RATE_CHANGES = [
+    (f"2024-01-{d:02d} {h:02d}:00:00", round(7.0 + (d * 7 + h) % 13 * 0.01, 2))
+    for d in range(1, 21)
+    for h in (0, 12)
+]
+
+
+def q_asof_rate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event takes the most recent rate at or before
+    its timestamp (broadcast strategy; union strategy tested separately)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        asof,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    rates = spark.createDataFrame(_RATE_CHANGES, "rts string, rate double").withColumn(
+        "rts", F.to_timestamp("rts")
+    )
+    out = asof.asof_join_broadcast(e, rates, "ts", "rts", payload=["rate"])
+    return out.select(
+        "event_id",
+        F.col("rate"),
+        F.round(F.col("value").cast(DEC) * F.col("rate").cast(DEC_S), 4)
+        .cast("double")
+        .alias("value_converted"),
+    )
+
+
+def _oracle_asof() -> str:
+    rows = ", ".join(f"(TIMESTAMP '{t}', {r})" for t, r in _RATE_CHANGES)
+    return f"""
+WITH rates(rts, rate) AS (VALUES {rows})
+SELECT event_id, rate,
+       CAST(round(CAST(value AS DECIMAL(18,4)) * CAST(rate AS DECIMAL(8,4)), 4) AS DOUBLE)
+           AS value_converted
+FROM events ASOF LEFT JOIN rates ON events.ts >= rates.rts
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → cluster summary.
+    Iterative algorithm (label propagation) — rows-only check."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE)
+    sigs = sigs.localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=_MH_HASHES, bands=_MH_HASHES)
+    comps = dedup.connected_components(pairs, "id_a", "id_b")
+    return (
+        comps.groupBy("label")
+        .agg(F.count("*").alias("cluster_size"), F.min("node").alias("keep_doc_id"))
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (no SQL oracle — mapInPandas stage; rows-only check)
 # ---------------------------------------------------------------------------
 
@@ -1216,6 +1292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_counts": q_lang_source_counts,
         "filtered_slice_agg": q_filtered_slice_agg,
         "embedding_near_dup": q_embedding_near_dup,
+        "rollup_pricing": q_rollup_pricing,
+        "asof_rate_join": q_asof_rate_join,
+        "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
     }
 
@@ -1262,5 +1341,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_counts": ORACLE_LANG_SOURCE,
         "filtered_slice_agg": ORACLE_FILTERED_SLICE,
         "embedding_near_dup": ORACLE_NEAR_DUP,
+        "rollup_pricing": ORACLE_ROLLUP,
+        "asof_rate_join": _oracle_asof(),
+        # dedup_clusters: iterative label propagation (rows-only check)
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }
