@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "simhash",
     "embedding_knn",
     "text_stats",
+    "rollup_pricing",
+    "asof_rate_join",
 ]
 
 

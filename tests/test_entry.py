@@ -17,8 +17,8 @@ def test_queries_and_oracles_aligned():
     assert len(qs) >= 30
     missing = set(oracles) - set(qs)
     assert not missing, f"oracle without query: {missing}"
-    # media_features is the only rows-only (non-SQL-expressible) op
-    assert set(qs) - set(oracles) == {"media_features"}
+    # rows-only ops: mapInPandas media stage + iterative label propagation
+    assert set(qs) - set(oracles) == {"media_features", "dedup_clusters"}
 
 
 def test_selected_queries_run(spark, sf_dir):
