@@ -67,6 +67,12 @@ _BASE = dict(
 
 
 def _row(sid, month, desc, supplier, qty, amount, date, weight_kg):
+    # raw input price (the F1 filter reads it BEFORE the recompute);
+    # customs extracts carry amount/qty as the declared unit price
+    try:
+        price = amount / float(qty)
+    except (TypeError, ValueError):
+        price = amount
     r = dict(_BASE)
     r.update(
         shipment_id=sid,
@@ -75,7 +81,7 @@ def _row(sid, month, desc, supplier, qty, amount, date, weight_kg):
         supplier=supplier,
         qty=qty,
         amount_in_usd=amount,
-        price_in_usd=None,
+        price_in_usd=price,
         date=date,
         weight_in_kg=weight_kg,
     )

@@ -30,7 +30,9 @@ def excavator_type(desc: Column, cur_type: Column) -> Column:
         F.when(d.contains("TIRE"), "WHEEL EXCAVATOR")  # unconditional (prog.py:138)
         .when(known, cur_type)
         .when(d.contains("CRAWLER EXCAVATOR"), "EXCAVATOR")
-        .when(d.contains("WHEEL EXCAVATOR") | d.contains("WHEEL"), "WHEEL EXCAVATOR")
+        # prog.py:132: contains('wheel excavator') AND contains('wheel')
+        # — the second term is redundant, NOT an OR
+        .when(d.contains("WHEEL EXCAVATOR"), "WHEEL EXCAVATOR")
         .when(d.contains("AMPHIBIOUS"), "AMPHIBIOUS EXCAVATOR")
         .otherwise(cur_type)
     )
@@ -66,14 +68,20 @@ USED_TOKENS = ["USED", "SECONDHAND", "OLD", "REFURBISH"] + [str(y) for y in rang
 USED_PHRASES = ["SECOND HAND", "2ND HAND"]
 
 
-def new_or_used(desc: Column) -> Column:
+def new_or_used(desc: Column, strict_reference_compat: bool = False) -> Column:
+    """``strict_reference_compat=True`` reproduces the reference bug
+    where multi-word keywords can never equal a single token (COMPAT #4);
+    default implements the documented intent (phrases match as
+    substrings)."""
     d = F.upper(desc)
     tokens = F.split(d, " ")
     token_hit = F.arrays_overlap(tokens, F.array(*[F.lit(t) for t in USED_TOKENS]))
-    phrase_hit = F.lit(False)
-    for p in USED_PHRASES:
-        phrase_hit = phrase_hit | d.contains(p)
-    used = token_hit | phrase_hit
+    used = token_hit
+    if not strict_reference_compat:
+        phrase_hit = F.lit(False)
+        for p in USED_PHRASES:
+            phrase_hit = phrase_hit | d.contains(p)
+        used = used | phrase_hit
     label = F.when(used, "used").otherwise("new")
     # override: NEW|UNUSED substring flips back to new (prog.py:157-158)
     return F.when(d.rlike("NEW|UNUSED"), "new").otherwise(label)

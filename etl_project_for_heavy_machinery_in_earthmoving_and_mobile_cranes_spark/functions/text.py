@@ -17,14 +17,15 @@ from pyspark.sql import functions as F
 # whitespace token, not a substring (else CATERPILLAR would self-match).
 # ---------------------------------------------------------------------------
 
-# (alias substring, canonical brand, token_exact)
+# (alias substring, canonical brand, token_exact) — exact alias strings
+# per prog.py:1-18
 BRAND_ALIASES: list[tuple[str, str, bool]] = [
     ("XUZHOU CONSTRUCTION MACHINERY", "XCMG", False),
     ("CAT", "CATERPILLAR", True),
     ("MANITOWOC", "GROVE", False),
     ("MARUBENI", "KOMATSU", False),
-    ("TOYOTA TSUSHO", "TAKEUCHI", False),
-    ("SHANDONG LINGONG", "SDLG", False),
+    ("TOYOTA TSUSHO CORPORATION", "TAKEUCHI", False),
+    ("SHANDONG LINGONG CONSTRUCTION MACHINERY", "SDLG", False),
     ("HİDROMEK", "HIDROMEK", False),  # Turkish dotted-İ (prog.py:16)
 ]
 
@@ -129,13 +130,15 @@ def extract_capacity_tons(col: Column) -> Column:
 # case-insensitive substrings; matching rows are dropped.
 # ---------------------------------------------------------------------------
 
+# exact list per prog.py:119-125 (incl. its duplicates, deduped here;
+# matching is case-insensitive substring)
 IRRELEVANT_KEYWORDS = [
-    "CARRIER", "TELEHANDLER", "SKID STEER", "BACKHOE", "WHEEL LOADER",
-    "FORKLIFT", "BULLDOZER", "DOZER", "PAVER", "ROLLER", "COMPACTOR",
-    "DRILLING", "PILING", "TOWER CRANE", "GANTRY", "HOIST", "WINCH",
-    "CONVEYOR", "ATTACHMENT", "BREAKER", "GLASS CRANE", "SPIDER",
-    "TRUCK CRANE CHASSIS", "TRAILER", "DUMP TRUCK", "MIXER", "PUMP",
-    "GENERATOR", "SCRAPER", "VİNCE", "GRADER",
+    "CARRIER", "TELESCOPLADER", "HARBOUR", "OPEN SHEET", "STACK",
+    "BOAT", "BACKHOE", "SKID", "ROLLER", "BENZ", "TELEHANDLER",
+    "LOADER", "FORK", "PAVER", "STACKER", "MATERIAL HANDLER",
+    "BRIDGE", "REACH", "HANDER", "GRABBER", "GANTRY", "BACK HOE",
+    "PORT", "MERCEDES", "VİNCE", "SPIDER", "PIPE", "HANDLING",
+    "GLASS CRANE", "LOAD", "GRADER",
 ]
 
 

@@ -48,10 +48,15 @@ ID = "shipment_id"
 
 
 def coerce_and_derive(df: DataFrame, min_amount: float = 10000.0) -> DataFrame:
+    # F1 FIRST, on the RAW price column: notebook cell 11 runs two
+    # sequential keeps (amount >= 10k AND price >= 10k) BEFORE the unit
+    # price is recomputed in cell 13.
+    keep = (F.col("amount_in_usd") >= min_amount) & (F.col("price_in_usd") >= min_amount)
+    out = df.filter(keep)
     qty = F.col("qty").cast("double")
     weight = F.col("weight_in_kg").cast("double")
-    out = (
-        df.withColumn("qty_n", qty)
+    return (
+        out.withColumn("qty_n", qty)
         .withColumn("weight_kg_n", weight)
         .withColumn("date_parsed", F.to_date(F.col("date"), "yyyy/MM/dd"))
         .withColumn(
@@ -63,10 +68,6 @@ def coerce_and_derive(df: DataFrame, min_amount: float = 10000.0) -> DataFrame:
             F.when(qty != 0, weight / qty / 1000),
         )
     )
-    # F1: drop rows where BOTH amount and recomputed price are below the
-    # floor (notebook cell 11)
-    keep = (F.col("amount_in_usd") >= min_amount) | (F.col("price_in_usd") >= min_amount)
-    return out.filter(keep)
 
 
 # ---------------------------------------------------------------------------
@@ -149,11 +150,13 @@ def match_catalog(df: DataFrame, model_ref: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def label_cascades(df: DataFrame, file_type: str = "excavator") -> DataFrame:
+def label_cascades(
+    df: DataFrame, file_type: str = "excavator", strict_reference_compat: bool = False
+) -> DataFrame:
     d2 = F.col("description2")
     typer = L.excavator_type if file_type == "excavator" else L.crane_type
     out = df.withColumn("type", typer(d2, F.col("type")))
-    out = out.withColumn("new_used", L.new_or_used(d2))
+    out = out.withColumn("new_used", L.new_or_used(d2, strict_reference_compat))
     return out.withColumn(
         "remark", F.when(L.is_parts(d2), R_PARTS).otherwise(F.col("remark"))
     )
@@ -322,6 +325,7 @@ def run_pipeline(
     interval_width: int = 10,
     datasource: str | None = None,
     persist: bool = True,
+    strict_reference_compat: bool = False,
 ) -> DataFrame:
     """Full cleaning pipeline; returns the enriched DataFrame with typed
     NULLs (call ``render_export`` for the sentinel-rendered view).
@@ -338,7 +342,9 @@ def run_pipeline(
     df = coerce_and_derive(shipments, min_amount=min_amount)
     df = _pin(normalize(df))                 # forked by J1/J2
     df = match_catalog(df, model_ref)
-    df = _pin(label_cascades(df, file_type=file_type))  # forked by J3 passes
+    df = _pin(
+        label_cascades(df, file_type=file_type, strict_reference_compat=strict_reference_compat)
+    )  # forked by J3 passes
     df = regex_stage(df, regex_kb)
     df = _pin(capacity_from_text(df))        # forked by J5 + outlier median
     df = infer_models(df)

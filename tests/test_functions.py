@@ -76,13 +76,15 @@ def test_new_or_used(spark):
 
 def test_excavator_type_rules(spark):
     df = spark.createDataFrame(
-        [("CRAWLER EXCAVATOR", None), ("WHEEL MACHINE", None),
+        [("CRAWLER EXCAVATOR", None), ("WHEEL EXCAVATOR X", None),
+         ("WHEEL MACHINE", None),  # 'wheel' alone must NOT fire (prog.py:132 is AND)
          ("AMPHIBIOUS UNIT", None), ("WITH TIRE", "EXCAVATOR"), ("PLAIN", "KEEP")],
         "d string, t string",
     )
     got = [r["r"] for r in df.select(L.excavator_type(F.col("d"), F.col("t")).alias("r")).collect()]
     # 'tire' overwrites even a known type (reference prog.py:138)
-    assert got == ["EXCAVATOR", "WHEEL EXCAVATOR", "AMPHIBIOUS EXCAVATOR", "WHEEL EXCAVATOR", "KEEP"]
+    assert got == ["EXCAVATOR", "WHEEL EXCAVATOR", None, "AMPHIBIOUS EXCAVATOR",
+                   "WHEEL EXCAVATOR", "KEEP"]
 
 
 def test_load_interval_closed_form(spark):

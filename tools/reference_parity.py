@@ -1,0 +1,201 @@
+"""End-to-end parity check against the reference's OWN artifacts.
+
+Reads the published raw input batch (1,294 rows, May–Jul 2024) with the
+stdlib xlsx reader, reverse-engineers a model catalog from the golden
+output (the reference's knowledge-base xlsx files are not published),
+runs this engine's pipeline, aligns rows against the golden May–Jul
+slice (832 rows), and scores label agreement per derived column.
+
+Caveats (unavoidable without the unpublished KBs):
+- regex_kb is empty → rows the reference labeled via regex can only
+  match here if their model also appears in the golden-derived catalog;
+- golden models are de-spaced, so multi-word catalog models can't
+  containment-match; catalog order (the J1 first-brand tie-break) is
+  unknown — alphabetical is used.
+
+Prints one JSON line with per-column agreement rates.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from collections import Counter, defaultdict
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.schemas import (  # noqa: E402
+    MODEL_REF_SCHEMA,
+    REGEX_KB_SCHEMA,
+    SHIPMENTS_SCHEMA,
+)
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.session import (  # noqa: E402
+    get_spark,
+)
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources.xlsx_lite import (  # noqa: E402
+    read_xlsx_records,
+)
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.plans import (  # noqa: E402
+    pipeline,
+)
+
+INPUT_XLSX = "/root/reference/Input data/Indonesia_842952_May_July.xlsx"
+GOLDEN_XLSX = "/root/reference/Output/Indonesia_excavator_2022_2024.07.xlsx"
+
+# input xlsx header → engine column
+COLMAP = {
+    "month": "month",
+    "hs code": "hs_code",
+    "product description": "product_description",
+    "code description": "code_description",
+    "importer": "importer",
+    "supplier": "supplier",
+    "original country": "original_country",
+    "original state": "original_state",
+    "qty": "qty",
+    "unit": "unit",
+    "amount in usd": "amount_in_usd",
+    "price in usd": "price_in_usd",
+    "amount in contract": "amount_in_contract",
+    "price in contract": "price_in_contract",
+    "date": "date",
+    "declaration number": "declaration_number",
+    "import/export": "import_export",
+    "destination port in indonesia": "destination_port",
+    "foreign ports of loading": "foreign_port",
+    "importer address": "importer_address",
+    "exporter address": "exporter_address",
+    "currency": "currency",
+    "amount in IDR": "amount_in_idr",
+    "price in IDR": "price_in_idr",
+    "unit price in usd by weight": "unit_price_in_usd_by_weight",
+    "weight in kg": "weight_in_kg",
+}
+
+
+def _align_key(desc, supplier, amount, qty):
+    a = round(float(amount), 2) if amount is not None else None
+    return (str(desc or "").strip(), str(supplier or "").strip(), a, str(qty))
+
+
+def main() -> None:
+    spark = get_spark(app_name="reference-parity")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    raw = read_xlsx_records(INPUT_XLSX)
+    golden = read_xlsx_records(GOLDEN_XLSX)
+    batch = [r for r in golden if r.get("month") in (202405, 202406, 202407)]
+
+    # --- shipments DF from the raw input ---
+    rows = []
+    for i, r in enumerate(raw):
+        d = {eng: r.get(src) for src, eng in COLMAP.items()}
+        rows.append(
+            tuple(
+                [i + 1]
+                + [
+                    (
+                        None
+                        if d.get(f.name) is None
+                        else (
+                            float(d[f.name])
+                            if f.dataType.typeName() == "double"
+                            else int(d[f.name])
+                            if f.dataType.typeName() == "integer"
+                            else str(d[f.name])
+                        )
+                    )
+                    for f in SHIPMENTS_SCHEMA.fields[1:]
+                ]
+            )
+        )
+    shipments = spark.createDataFrame(rows, SHIPMENTS_SCHEMA)
+
+    # --- catalog reverse-engineered from the golden output ---
+    seen = {}
+    for r in golden:
+        b, m = r.get("brand"), r.get("model")
+        if not b or not m or b == "UNKNOWN" or m == "UNKNOWN":
+            continue
+        cap = r.get("capacity")
+        try:
+            cap = float(cap)
+        except (TypeError, ValueError):
+            cap = None
+        t = r.get("type")
+        t = t if t and t != "UNKNOWN" else None
+        key = (str(b), str(m))
+        if key not in seen:
+            seen[key] = (cap, t, None)
+    cat_rows = [
+        (i + 1, b, m, cap, t, hp)
+        for i, ((b, m), (cap, t, hp)) in enumerate(sorted(seen.items()))
+    ]
+    model_ref = spark.createDataFrame(cat_rows, MODEL_REF_SCHEMA)
+    empty_kb = spark.createDataFrame([], REGEX_KB_SCHEMA)
+
+    out = pipeline.run_pipeline(
+        shipments, model_ref, empty_kb, None,
+        datasource="Indonesia", strict_reference_compat=True,
+    )
+    mine = [r.asDict() for r in pipeline.render_export(out).collect()]
+
+    # --- align by (description, supplier, amount, qty) occurrence order ---
+    # the reference normalized `supplier` IN PLACE (data_preperation),
+    # so the golden supplier aligns with this engine's supplier2
+    gmap = defaultdict(list)
+    for r in batch:
+        gmap[_align_key(r["product description"], r["supplier"], r["amount in usd"], r["qty"])].append(r)
+    pairs = []
+    unaligned = 0
+    for m in mine:
+        k = _align_key(m["product_description"], m["supplier2"], m["amount_in_usd"], m["qty"])
+        if gmap[k]:
+            pairs.append((m, gmap[k].pop(0)))
+        else:
+            unaligned += 1
+
+    def rate(fn):
+        hits = sum(1 for m, g in pairs if fn(m, g))
+        return round(hits / len(pairs), 4) if pairs else None
+
+    def norm(v):
+        return str(v).strip() if v is not None else "UNKNOWN"
+
+    def capnorm(v):
+        try:
+            return round(float(v), 2)
+        except (TypeError, ValueError):
+            return "UNKNOWN"
+
+    report = {
+        "input_rows": len(raw),
+        "golden_batch_rows": len(batch),
+        "my_surviving_rows": len(mine),
+        "aligned_pairs": len(pairs),
+        "my_rows_unaligned": unaligned,
+        # direct check of the T1/T2 normalization chain vs the golden
+        # description2 column
+        "description2_match": rate(
+            lambda m, g: norm(m["description2"]) == norm(g["description2"])
+        ),
+        "brand_match": rate(lambda m, g: norm(m["brand"]) == norm(g["brand"])),
+        "model_match": rate(lambda m, g: norm(m["model"]) == norm(g["model"])),
+        "type_match": rate(lambda m, g: norm(m["type"]) == norm(g["type"])),
+        "new_used_match": rate(lambda m, g: norm(m["new_used"]) == norm(g["new/used"])),
+        "capacity_match": rate(lambda m, g: capnorm(m["capacity"]) == capnorm(g["capacity"])),
+        "outliers_match": rate(lambda m, g: norm(m["outliers"]) == norm(g["outliers"])),
+        "capacity_interval_match": rate(
+            lambda m, g: norm(m["capacity_interval"]) == norm(g["capacity interval"])
+        ),
+        "my_remarks": dict(Counter(m["remark"] for m in mine)),
+        "golden_remarks": dict(Counter(r["remark"] for r in batch)),
+    }
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
