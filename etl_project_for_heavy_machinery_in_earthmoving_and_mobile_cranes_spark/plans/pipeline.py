@@ -116,13 +116,19 @@ def match_catalog(df: DataFrame, model_ref: DataFrame) -> DataFrame:
         F.col("type").alias("m_type"),
         F.col("hp").alias("m_hp"),
     )
+    # containment on the raw text OR on the de-spaced text: the catalog
+    # key is de-spaced, so 'MODEL 330 GC' in the description must still
+    # hit catalog model '330GC' (the reference matched spaced catalog
+    # models against spaced text — same semantics, space-insensitive)
+    m_hit = (F.instr(F.col("description2"), F.col("model_ref")) > 0) | (
+        F.instr(T.despace(F.col("description2")), F.col("model_ref")) > 0
+    )
     m_matched = (
         out.filter(F.col("brand").isNotNull())
         .select(ID, "description2", "brand")
         .join(
             F.broadcast(refm),
-            on=(F.col("brand") == F.col("m_brand"))
-            & (F.instr(F.col("description2"), F.col("model_ref")) > 0),
+            on=(F.col("brand") == F.col("m_brand")) & m_hit,
             how="inner",
         )
     )
