@@ -1149,6 +1149,60 @@ WHERE list_dot_product(a.v, b.v) /
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured parsing and set operations (engine extensions beyond
+# the reference's scalar surface, SURVEY §2.11)
+# ---------------------------------------------------------------------------
+
+
+def q_parse_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json over the events props column → typed field access."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return (
+        e.select(F.col("event_type"), parsed.getField("k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_PARSE_JSON = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(props::JSON->>'k' AS INT)) AS sum_k,
+       min(CAST(props::JSON->>'k' AS INT)) AS min_k,
+       max(CAST(props::JSON->>'k' AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_parts_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: parts ordered in 1995 minus/intersect 1996."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.year("l_shipdate") == 1995).select("l_partkey").distinct()
+    b = li.filter(F.year("l_shipdate") == 1996).select("l_partkey").distinct()
+    return (
+        a.subtract(b).agg(F.count("*").alias("only_1995"))
+        .crossJoin(b.subtract(a).agg(F.count("*").alias("only_1996")))
+        .crossJoin(a.intersect(b).agg(F.count("*").alias("both_years")))
+    )
+
+
+ORACLE_EXCEPT_INTERSECT = """
+WITH a AS (SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1995),
+     b AS (SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996)
+SELECT (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS only_1995,
+       (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS only_1996,
+       (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS both_years
+"""
+
+
+# ---------------------------------------------------------------------------
 # Rollup aggregation and as-of join
 # ---------------------------------------------------------------------------
 
@@ -1292,6 +1346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_counts": q_lang_source_counts,
         "filtered_slice_agg": q_filtered_slice_agg,
         "embedding_near_dup": q_embedding_near_dup,
+        "parse_props_json": q_parse_props_json,
+        "parts_except_intersect": q_parts_except_intersect,
         "rollup_pricing": q_rollup_pricing,
         "asof_rate_join": q_asof_rate_join,
         "dedup_clusters": q_dedup_clusters,
@@ -1341,6 +1397,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_counts": ORACLE_LANG_SOURCE,
         "filtered_slice_agg": ORACLE_FILTERED_SLICE,
         "embedding_near_dup": ORACLE_NEAR_DUP,
+        "parse_props_json": ORACLE_PARSE_JSON,
+        "parts_except_intersect": ORACLE_EXCEPT_INTERSECT,
         "rollup_pricing": ORACLE_ROLLUP,
         "asof_rate_join": _oracle_asof(),
         # dedup_clusters: iterative label propagation (rows-only check)
