@@ -1203,6 +1203,157 @@ SELECT (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS only_1
 
 
 # ---------------------------------------------------------------------------
+# Sessionization, top-k per group, deterministic sampling, cube,
+# exact percentiles (training-pipeline + analysis extensions)
+# ---------------------------------------------------------------------------
+
+
+def q_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) of the event log, per-user
+    session stats.  Batch twin of the streaming session_window job."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sessionize,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionize.session_stats(e, "user_id", "ts", gap_seconds=1800)
+
+
+ORACLE_SESSIONS = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR floor(epoch(ts))::BIGINT
+                        - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+), per_session AS (
+    SELECT user_id, session_seq, count(*) AS n_events,
+           floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS span_s
+    FROM numbered GROUP BY user_id, session_seq
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+       sum(span_s) AS total_span_s
+FROM per_session GROUP BY user_id
+"""
+
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue within each brand (top-k per group):
+    hash-agg on (brand, part) then a rank window partitioned by brand.
+    The groupBy collapses the data BEFORE the window, so the sort sees
+    |parts| rows, not |lineitem| — the scale-correct order."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(dsum(_disc_price()).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        g.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rk")
+    )
+
+
+ORACLE_TOP_PARTS = f"""
+WITH g AS (
+    SELECT p_brand, p_partkey, {sql_dsum(SQL_DISC_PRICE)} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand, p_partkey
+)
+SELECT p_brand, p_partkey, revenue, rk FROM (
+    SELECT g.*, row_number() OVER (
+        PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rk
+    FROM g
+) WHERE rk <= 3
+"""
+
+# 10% keep-fraction in the md5 32-bit bucket space (sampling.hash_sample)
+_SAMPLE_CUT = int(0.10 * (1 << 32))
+
+
+def q_hash_sampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample (membership = pure function of
+    the key, stable across reruns/engines/partitionings), then agg."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    tune(spark)
+    o = _t(spark, sf_dir, "orders")
+    s = sampling.hash_sample(o, "o_orderkey", 0.10, seed=0)
+    return s.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("sum_total")
+    )
+
+
+ORACLE_HASH_SAMPLE = f"""
+SELECT o_orderstatus, count(*) AS n, {sql_dsum('o_totalprice')} AS sum_total
+FROM orders
+WHERE ('0x' || substr(md5('0:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+      < {_SAMPLE_CUT}
+GROUP BY o_orderstatus
+"""
+
+
+def q_cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    pass (partial-aggregated map-side, one shuffle)."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+ORACLE_CUBE = f"""
+SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity')} AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of quantity per return flag.
+    (The scale path is the GK sketch — operators/sketches.py,
+    error-bound-tested; exact percentile is the oracle-checkable twin.)"""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile(F.col("l_quantity"), F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.9)]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("__p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("__p")[0], 4).alias("p25"),
+            F.round(F.col("__p")[1], 4).alias("p50"),
+            F.round(F.col("__p")[2], 4).alias("p75"),
+            F.round(F.col("__p")[3], 4).alias("p90"),
+        )
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+       round(quantile_cont(l_quantity, 0.50), 4) AS p50,
+       round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+       round(quantile_cont(l_quantity, 0.90), 4) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # Rollup aggregation and as-of join
 # ---------------------------------------------------------------------------
 
@@ -1348,6 +1499,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "parse_props_json": q_parse_props_json,
         "parts_except_intersect": q_parts_except_intersect,
+        "sessionized_events": q_sessionized_events,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "hash_sampled_stats": q_hash_sampled_stats,
+        "cube_qty": q_cube_qty,
+        "quantity_percentiles": q_quantity_percentiles,
         "rollup_pricing": q_rollup_pricing,
         "asof_rate_join": q_asof_rate_join,
         "dedup_clusters": q_dedup_clusters,
@@ -1399,6 +1555,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": ORACLE_NEAR_DUP,
         "parse_props_json": ORACLE_PARSE_JSON,
         "parts_except_intersect": ORACLE_EXCEPT_INTERSECT,
+        "sessionized_events": ORACLE_SESSIONS,
+        "top_parts_per_brand": ORACLE_TOP_PARTS,
+        "hash_sampled_stats": ORACLE_HASH_SAMPLE,
+        "cube_qty": ORACLE_CUBE,
+        "quantity_percentiles": ORACLE_PERCENTILES,
         "rollup_pricing": ORACLE_ROLLUP,
         "asof_rate_join": _oracle_asof(),
         # dedup_clusters: iterative label propagation (rows-only check)

@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "text_stats",
     "rollup_pricing",
     "asof_rate_join",
+    "sessionized_events",
+    "top_parts_per_brand",
+    "hash_sampled_stats",
 ]
 
 

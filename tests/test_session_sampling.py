@@ -1,0 +1,101 @@
+"""Sessionization, deterministic sampling, and sketch operators."""
+
+from pyspark.sql import functions as F
+
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+    sampling,
+    sessionize,
+    sketches,
+)
+
+
+def _events(spark):
+    rows = [
+        # user 1: two sessions (gap of exactly 1800s continues, 1801s breaks)
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:30:00"),  # 1800s after -> same session
+        (1, "2024-01-01 11:00:01"),  # 1801s after -> new session
+        # user 2: single event
+        (2, "2024-01-01 09:00:00"),
+        # user 3: duplicate timestamps stay in one session
+        (3, "2024-01-01 08:00:00"),
+        (3, "2024-01-01 08:00:00"),
+    ]
+    return spark.createDataFrame(rows, "user_id int, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+
+
+def test_sessionize_gap_rule(spark):
+    s = sessionize.sessionize(_events(spark), "user_id", "ts", gap_seconds=1800)
+    got = {
+        (r.user_id, r.ts.isoformat(), r.session_seq)
+        for r in s.collect()
+    }
+    assert (1, "2024-01-01T10:30:00", 1) in got  # exactly-at-gap continues
+    assert (1, "2024-01-01T11:00:01", 2) in got  # strictly-over-gap breaks
+
+
+def test_session_stats(spark):
+    stats = {
+        r.user_id: r
+        for r in sessionize.session_stats(
+            _events(spark), "user_id", "ts", gap_seconds=1800
+        ).collect()
+    }
+    assert stats[1].n_sessions == 2
+    assert stats[1].max_session_events == 2
+    assert stats[1].total_span_s == 1800  # session 1 spans 1800s, session 2 is a point
+    assert stats[2].n_sessions == 1 and stats[2].total_span_s == 0
+    assert stats[3].n_sessions == 1 and stats[3].max_session_events == 2
+
+
+def test_hash_sample_deterministic_and_partition_stable(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = {r.k for r in sampling.hash_sample(df, "k", 0.2, seed=0).collect()}
+    # repartitioning must not change membership (unlike df.sample)
+    b = {
+        r.k
+        for r in sampling.hash_sample(df.repartition(17), "k", 0.2, seed=0).collect()
+    }
+    assert a == b
+    assert 0.15 < len(a) / 5000 < 0.25
+    # a different seed draws a different sample
+    c = {r.k for r in sampling.hash_sample(df, "k", 0.2, seed=1).collect()}
+    assert a != c
+
+
+def test_stratified_hash_sample_rates(spark):
+    df = spark.range(0, 6000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("s")
+    )
+    out = sampling.stratified_hash_sample(
+        df, "k", "s", {"0": 0.5, "1": 0.1}, default_fraction=0.0
+    )
+    by = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert 800 < by.get("0", 0) < 1200  # ~1000 of 2000
+    assert 100 < by.get("1", 0) < 300  # ~200 of 2000
+    assert "2" not in by  # default fraction 0 drops the stratum
+
+
+def test_split_train_holdout_disjoint_exhaustive(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    train, hold = sampling.split_train_holdout(df, "k", holdout_fraction=0.1)
+    t = {r.k for r in train.collect()}
+    h = {r.k for r in hold.collect()}
+    assert t.isdisjoint(h)
+    assert len(t) + len(h) == 2000
+    assert 100 < len(h) < 320
+
+
+def test_hll_distinct_error_bound(spark):
+    df = spark.range(0, 20000).select((F.col("id") % 5000).alias("v"))
+    got = df.agg(sketches.hll_distinct("v", rsd=0.01).alias("d")).collect()[0].d
+    assert abs(got - 5000) / 5000 < 0.05
+
+
+def test_quantile_summary_error_bound(spark):
+    df = spark.range(1, 10001).select(F.col("id").cast("double").alias("v"))
+    row = sketches.quantile_summary(df, [], "v", probs=(0.5, 0.9)).collect()[0]
+    assert abs(row.p50 - 5000) <= 20
+    assert abs(row.p90 - 9000) <= 20
