@@ -1353,6 +1353,96 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no 1995 orders,
+    counted per nation.  At scale this is a shuffled hash anti-join on
+    c_custkey (year filter pushed to the orders scan); the nation dim
+    is broadcast."""
+    tune(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .select("o_custkey")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_no_orders"))
+    )
+
+
+ORACLE_NO_ORDERS = """
+SELECT n_name, count(*) AS n_no_orders
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+GROUP BY n_name
+"""
+
+
+def q_suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): suppliers that shipped at least one
+    returned line, counted per nation."""
+    tune(spark)
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_suppkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+ORACLE_SEMI_RETURNS = """
+SELECT n_name, count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+GROUP BY n_name
+"""
+
+
+def q_running_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window: monthly order revenue with a running total.
+    Aggregate first (hash agg to |months| rows), then the unbounded-
+    preceding window runs on the tiny grouped result — never on the
+    fact table."""
+    tune(spark)
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.sum(F.col("revenue").cast(DEC)).over(w), 2)
+        .cast("double")
+        .alias("cum_revenue"),
+    )
+
+
+ORACLE_RUNNING_REVENUE = f"""
+WITH monthly AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       CAST(round(sum(CAST(revenue AS DECIMAL(18,4)))
+                  OVER (ORDER BY month ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE)
+           AS cum_revenue
+FROM monthly
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rollup aggregation and as-of join
 # ---------------------------------------------------------------------------
@@ -1504,6 +1594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sampled_stats": q_hash_sampled_stats,
         "cube_qty": q_cube_qty,
         "quantity_percentiles": q_quantity_percentiles,
+        "customers_no_orders": q_customers_no_orders,
+        "suppliers_with_returns": q_suppliers_with_returns,
+        "running_monthly_revenue": q_running_monthly_revenue,
         "rollup_pricing": q_rollup_pricing,
         "asof_rate_join": q_asof_rate_join,
         "dedup_clusters": q_dedup_clusters,
@@ -1560,6 +1653,9 @@ def oracle_sql() -> dict[str, str]:
         "hash_sampled_stats": ORACLE_HASH_SAMPLE,
         "cube_qty": ORACLE_CUBE,
         "quantity_percentiles": ORACLE_PERCENTILES,
+        "customers_no_orders": ORACLE_NO_ORDERS,
+        "suppliers_with_returns": ORACLE_SEMI_RETURNS,
+        "running_monthly_revenue": ORACLE_RUNNING_REVENUE,
         "rollup_pricing": ORACLE_ROLLUP,
         "asof_rate_join": _oracle_asof(),
         # dedup_clusters: iterative label propagation (rows-only check)
