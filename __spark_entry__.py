@@ -828,11 +828,10 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     d = _t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(d, "doc_id", "text", num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE)
-    # sigs feeds three joins — materialize once instead of recomputing
-    # the explode+hash subtree per consumer
+    # sigs feeds both sides of the band self-join — materialize once
+    # instead of recomputing the explode+hash subtree per consumer
     sigs = sigs.localCheckpoint(eager=True)
-    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=_MH_HASHES, bands=_MH_HASHES)
-    sim = dedup.minhash_similarity(sigs, pairs, "doc_id", num_hashes=_MH_HASHES)
+    sim = dedup.lsh_similar_pairs(sigs, "doc_id", num_hashes=_MH_HASHES, bands=_MH_HASHES)
     return sim.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 

@@ -167,6 +167,57 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_similar_pairs(
+    sigs: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Fused band-join + similarity: candidate pairs WITH estimated
+    Jaccard in a single shuffle chain.
+
+    Carries the signature columns through the band explode so the match
+    count is computed inside the bucket join — no re-join back to the
+    sigs table (two full shuffles saved vs lsh_candidate_pairs +
+    minhash_similarity).  The extra shuffle width (k longs per row) is
+    cheaper than two extra joins at any scale where LSH is warranted.
+    (id, bucket) needs no pre-dedup: the band index is embedded in the
+    bucket key, so each doc emits exactly one row per band.
+    """
+    rows = num_hashes // bands
+    band_cols = [
+        F.concat_ws(
+            "_",
+            F.lit(b),
+            *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)],
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col),
+        *[F.col(f"mh_{i}") for i in range(num_hashes)],
+        F.explode(F.array(*band_cols)).alias("__bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        a.join(
+            b,
+            on=(F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (matches / F.lit(num_hashes)).alias("est_jaccard"),
+        )
+        # a pair colliding in several bands repeats with the SAME
+        # est_jaccard, so subset-dedup is exact
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_similarity(
     sigs: DataFrame, pairs: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
