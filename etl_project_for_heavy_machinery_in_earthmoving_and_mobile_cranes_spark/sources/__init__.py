@@ -1,6 +1,9 @@
 from .readers import (  # noqa: F401
+    compact_parquet,
     read_csv,
+    read_jsonl,
     read_parquet,
     read_xlsx_as_df,
+    write_jsonl,
     write_parquet,
 )

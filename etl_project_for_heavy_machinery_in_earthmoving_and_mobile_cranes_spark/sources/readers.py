@@ -72,3 +72,46 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """JSON-lines source (the lingua franca of LLM training corpora).
+    Explicit schema: schema inference would scan the full 100 TB input
+    once before the real job even starts."""
+    return spark.read.schema(schema).option("mode", mode).json(path)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = (), mode: str = "overwrite"
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-file compaction: rewrite a directory into ~target-sized
+    files.  Streaming sinks and over-parallel writers fragment tables
+    into many tiny files; scans then pay per-file open cost and lose
+    row-group locality.  File count is estimated from on-disk bytes —
+    no shuffle beyond the coalesce.  Returns the file count written."""
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    size_bytes = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

@@ -99,3 +99,25 @@ def test_quantile_summary_error_bound(spark):
     row = sketches.quantile_summary(df, [], "v", probs=(0.5, 0.9)).collect()[0]
     assert abs(row.p50 - 5000) <= 20
     assert abs(row.p90 - 9000) <= 20
+
+
+def test_ivf_knn_recall_and_exact_degeneration(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    exact = similarity.brute_force_knn(emb, q, k=3)
+    er = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert len(er) == 15
+
+    cents = similarity.train_ivf_centroids(emb, n_cells=8, seed=7)
+    approx = similarity.ivf_knn(emb, q, k=3, n_cells=8, nprobe=3, centroids=cents)
+    ar = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(er & ar) >= 8  # decent recall probing 3/8 cells
+
+    # nprobe = n_cells searches every cell -> exact result
+    full = similarity.ivf_knn(emb, q, k=3, n_cells=8, nprobe=8, centroids=cents)
+    fr = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    assert fr == er

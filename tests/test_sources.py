@@ -3,6 +3,7 @@ round-trip with partitioning, xlsx edge converter (skip-gated — the
 codec is an optional driver-side dependency)."""
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark import sources
@@ -59,3 +60,51 @@ def test_xlsx_raises_clean_error_without_codec(spark, tmp_path):
     p.write_bytes(b"PK\x03\x04fake")
     with pytest.raises((NotImplementedError, Exception)):
         sources.read_xlsx_as_df(spark, str(p))
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, 'a "quoted" line', "en"), (2, "unicode ÄÖÜ 機械", "de"), (3, None, None)],
+        schema,
+    )
+    p = str(tmp_path / "docs_jsonl")
+    sources.write_jsonl(df, p)
+    back = sources.read_jsonl(spark, p, schema)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    df = spark.range(0, 1000).selectExpr(
+        "id", "CAST(id % 4 AS STRING) AS shard"
+    )
+    p = str(tmp_path / "parts")
+    sources.write_parquet(df, p, partition_by=("shard",))
+    scan = spark.read.parquet(p).filter("shard = '2'")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # hive-style layout + partition filter => only shard=2 directory read
+    assert "PartitionFilters" in plan and "shard" in plan
+    assert scan.count() == 250
+    files = [r[0] for r in scan.select(F.input_file_name()).distinct().collect()]
+    assert files and all("shard=2" in f for f in files)
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    df = spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
+    frag = str(tmp_path / "fragmented")
+    df.repartition(64).write.parquet(frag)
+    out = str(tmp_path / "compacted")
+    n = sources.compact_parquet(spark, frag, out, target_file_mb=256)
+    assert n == 1
+    import glob
+
+    assert len(glob.glob(out + "/part-*.parquet")) == 1
+    assert spark.read.parquet(out).count() == 10000
