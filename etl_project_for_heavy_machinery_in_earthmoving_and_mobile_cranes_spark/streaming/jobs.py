@@ -114,3 +114,51 @@ def append_history_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_stream_with_dim(
+    events: DataFrame, dim: DataFrame, on: str = "event_type"
+) -> DataFrame:
+    """Stream-static join: enrich each event with a dimension row.  The
+    static side is planned per micro-batch (broadcast when small) and
+    needs no watermark — the canonical pattern for rate tables, feature
+    lookups, and KB dims on a stream."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def clicks_to_purchases(
+    events: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a prior click
+    by the same user within ``max_gap``.  Both sides carry watermarks
+    and the join predicate bounds event time on both, so state for
+    expired rows is evicted — the requirement for unbounded-input
+    stream-stream joins."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts", "value")

@@ -70,3 +70,50 @@ def test_history_append_stream_idempotent(spark, event_dir, tmp_path):
     q2.awaitTermination()
     n2 = spark.read.parquet(table).count()
     assert n1 == n2 == spark.read.parquet(event_dir).count()
+
+
+def test_stream_static_enrichment(spark, event_dir, tmp_path):
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("view", 0.5)],
+        "event_type string, weight double",
+    )
+    stream = jobs.read_event_stream(spark, event_dir)
+    got = jobs.run_available_now(
+        jobs.enrich_stream_with_dim(stream, dim),
+        str(tmp_path / "cp_enrich"),
+        output_mode="append",
+    )
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r["event_type"], set()).add(r["weight"])
+    assert by_type["click"] == {1.0}
+    assert by_type["purchase"] == {5.0}
+    assert by_type["error"] == {None}  # left join keeps unmatched events
+    n_batch = spark.read.parquet(event_dir).count()
+    assert len(got) == n_batch
+
+
+def test_stream_stream_click_purchase_join(spark, event_dir, tmp_path):
+    stream = jobs.read_event_stream(spark, event_dir)
+    got = jobs.run_available_now(
+        jobs.clicks_to_purchases(stream),
+        str(tmp_path / "cp_ss"),
+        output_mode="append",
+    )
+    # batch twin of the same attribution join
+    e = spark.read.parquet(event_dir)
+    c = e.filter("event_type = 'click'").selectExpr(
+        "user_id AS c_user", "event_id AS click_id", "ts AS click_ts"
+    )
+    p = e.filter("event_type = 'purchase'").selectExpr(
+        "user_id AS p_user", "event_id AS purchase_id", "ts AS purchase_ts"
+    )
+    batch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+    ).select("purchase_id", "click_id")
+    want = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+    assert want, "fixture should produce at least one attributed pair"
+    assert {(r["purchase_id"], r["click_id"]) for r in got} == want
