@@ -86,3 +86,42 @@ def test_no_python_udfs_in_query_plans(spark, sf_dir):
         p = plan_of(spark, q, sf_dir)
         assert "BatchEvalPython" not in p, q
         assert "ArrowEvalPython" not in p, q
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Window + per-session agg + per-user agg must all reuse ONE
+    hash-partitioning on user_id (subset-key clustering satisfies the
+    downstream groupBys) — a second exchange here would double-shuffle
+    the full event log at scale."""
+    import re
+
+    p = plan_of(spark, "sessionized_events", sf_dir)
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 1
+
+
+def test_top_k_per_group_window_group_limit(spark, sf_dir):
+    """row_number<=k must compile to WindowGroupLimit with a Partial
+    pass BEFORE the exchange — each map task forwards only its local
+    top-k, so the shuffle carries O(groups*k), not all groups' rows."""
+    p = plan_of(spark, "top_parts_per_brand", sf_dir)
+    assert "WindowGroupLimit" in p
+    assert "Partial" in p.split("Exchange hashpartitioning(p_brand")[0]
+    assert "BroadcastHashJoin" in p  # part dim broadcast, lineitem never shuffled for the join
+
+
+def test_anti_semi_join_strategies(spark, sf_dir):
+    p = plan_of(spark, "customers_no_orders", sf_dir)
+    assert "LeftAnti" in p and "CartesianProduct" not in p
+    p = plan_of(spark, "suppliers_with_returns", sf_dir)
+    assert "LeftSemi" in p and "CartesianProduct" not in p
+    # returnflag filter reaches the lineitem scan
+    assert "PushedFilters" in p and "l_returnflag" in p
+
+
+def test_hash_sample_no_shuffle_before_filter(spark, sf_dir):
+    """Deterministic sampling is a pure narrow filter: the only exchange
+    allowed is the final aggregation's."""
+    import re
+
+    p = plan_of(spark, "hash_sampled_stats", sf_dir)
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 1
