@@ -1352,6 +1352,67 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency, top 20.  explode → count is the
+    one-shuffle word-count shape; top-k via deterministic sort+limit."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(dedup.normalize_for_dedup(F.col("text")), " "), lambda x: x != ""
+    )
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+ORACLE_TOKEN_FREQ = f"""
+SELECT t AS token, count(*) AS n
+FROM (SELECT unnest(list_filter(string_split({_NORM_SQL.format(col='text')}, ' '),
+                                x -> x != '')) AS t
+      FROM documents)
+GROUP BY t ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition metrics (duplicate token / bigram
+    fractions) — Gopher-style corpus quality filters."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return textstats.repetition_stats(d, "doc_id", "text")
+
+
+ORACLE_DOC_REPETITION = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split({_NORM_SQL.format(col='text')}, ' '),
+                     x -> x != '') AS t
+  FROM documents
+), arrs AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1])
+              ELSE [] END AS b
+  FROM toks
+)
+SELECT doc_id, len(t) AS n_tokens,
+       CASE WHEN len(t) > 0
+            THEN round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                           / CAST(len(t) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN len(b) > 0
+            THEN round(1.0 - CAST(len(list_distinct(b)) AS DOUBLE)
+                           / CAST(len(b) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM arrs
+"""
+
+
 def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (NOT EXISTS): customers with no 1995 orders,
     counted per nation.  At scale this is a shuffled hash anti-join on
@@ -1593,6 +1654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sampled_stats": q_hash_sampled_stats,
         "cube_qty": q_cube_qty,
         "quantity_percentiles": q_quantity_percentiles,
+        "token_frequency": q_token_frequency,
+        "doc_repetition": q_doc_repetition,
         "customers_no_orders": q_customers_no_orders,
         "suppliers_with_returns": q_suppliers_with_returns,
         "running_monthly_revenue": q_running_monthly_revenue,
@@ -1652,6 +1715,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_sampled_stats": ORACLE_HASH_SAMPLE,
         "cube_qty": ORACLE_CUBE,
         "quantity_percentiles": ORACLE_PERCENTILES,
+        "token_frequency": ORACLE_TOKEN_FREQ,
+        "doc_repetition": ORACLE_DOC_REPETITION,
         "customers_no_orders": ORACLE_NO_ORDERS,
         "suppliers_with_returns": ORACLE_SEMI_RETURNS,
         "running_monthly_revenue": ORACLE_RUNNING_REVENUE,

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "sessionized_events",
     "top_parts_per_brand",
     "hash_sampled_stats",
+    "token_frequency",
 ]
 
 

@@ -94,3 +94,39 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_guess", lang_id(c))
         .withColumn("fingerprint", fingerprint(c))
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style quality rules):
+    duplicate-token fraction and duplicate-bigram fraction.  High values
+    flag boilerplate/spam for corpus filtering.  Pure array expressions
+    — tokens projected once, no explode, no shuffle."""
+    toks = F.filter(
+        F.split(normalize_for_dedup(F.col(text_col)), " "), lambda x: x != ""
+    )
+    t = df.select(F.col(id_col), toks.alias("__t"))
+    # NON-distinct bigrams (repetition is the signal, unlike shingling)
+    last = F.size(F.col("__t")) - 1
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, 2))
+    )
+    t = t.withColumn("__b", bigrams)
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        d = F.size(F.array_distinct(arr))
+        return F.when(
+            n > 0, F.round(1.0 - d.cast("double") / n.cast("double"), 6)
+        ).otherwise(F.lit(0.0))
+
+    return t.select(
+        F.col(id_col),
+        F.size("__t").alias("n_tokens"),
+        dup_frac(F.col("__t")).alias("dup_token_frac"),
+        dup_frac(F.col("__b")).alias("dup_bigram_frac"),
+    )
