@@ -52,3 +52,27 @@ def year_slice(
     elif dict(df.dtypes).get(date_col) == "string":
         c = F.coalesce(F.to_date(c), F.to_date(c, "yyyy/MM/dd"))
     return df.filter(F.year(c) == year)
+
+
+def merge_upsert(
+    current: DataFrame, updates: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Key-based upsert: rows in ``updates`` replace same-key rows in
+    ``current``; new keys append.  The MERGE-INTO shape without a table
+    format: anti-join out the superseded rows, union the updates.  One
+    shuffle on the key (both inputs hash-partition for the anti join);
+    at scale write the result partitioned so only affected partitions
+    rewrite (partition-key prefix in ``key_cols`` enables dynamic
+    partition overwrite)."""
+    keep = current.join(
+        updates.select(*key_cols).dropDuplicates(), on=key_cols, how="left_anti"
+    )
+    return keep.unionByName(updates)
+
+
+def read_with_schema_evolution(spark, paths: list[str]) -> DataFrame:
+    """Read history batches whose schemas drifted (columns added over
+    time): mergeSchema unions the parquet footers; missing columns read
+    as NULL.  Footer merging is driver-side metadata work — cheap even
+    over 10^5 files."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -108,3 +108,27 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
 
     assert len(glob.glob(out + "/part-*.parquet")) == 1
     assert spark.read.parquet(out).count() == 10000
+
+
+def test_merge_upsert_and_schema_evolution(spark, tmp_path):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        history,
+    )
+
+    cur = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, v string, amt double"
+    )
+    upd = spark.createDataFrame(
+        [(2, "B2", 21.0), (4, "d", 40.0)], "k int, v string, amt double"
+    )
+    out = {r.k: (r.v, r.amt) for r in history.merge_upsert(cur, upd, ["k"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("B2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    # schema drift: batch 2 adds a column; merged read NULL-fills batch 1
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    cur.write.parquet(p1)
+    upd.withColumn("source", F.lit("s2")).write.parquet(p2)
+    merged = history.read_with_schema_evolution(spark, [p1, p2])
+    assert set(merged.columns) == {"k", "v", "amt", "source"}
+    rows = {r.k: r.source for r in merged.collect()}
+    assert rows[1] is None and rows[4] == "s2"
