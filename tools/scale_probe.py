@@ -1,0 +1,121 @@
+"""Empirical scaling probe: replicate the sf0.1 tables N× (key-offset
+so join cardinalities scale linearly) into a multi-file parquet layout,
+then time the headline queries at both scales.
+
+Purpose: evidence for the 100 TB design claims — a well-shaped query
+should scale ~linearly in rows (ratio ≈ N after subtracting fixed
+overhead), and the multi-file layout exercises real scan parallelism
+that the driver's single-row-group testdata cannot.
+
+Usage:  python tools/scale_probe.py [N] [out_dir]
+Prints one JSON line: per-query seconds at sf0.1 and sf0.1×N + ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+
+# key columns to offset per replica so FK relationships scale instead of
+# fanning out (each replica is a self-contained TPC-H-ish world)
+OFFSET_KEYS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": [],  # dims shared across replicas
+    "region": [],
+}
+
+PROBE_QUERIES = [
+    "pricing_summary",
+    "nation_revenue",
+    "top_parts_per_brand",
+    "sessionized_events",
+    "hash_sampled_stats",
+    "dedup_exact",
+    "token_frequency",
+    "hourly_event_windows",
+]
+
+
+def replicate(spark, n: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for table, keys in OFFSET_KEYS.items():
+        src = spark.read.parquet(f"{BASE}/{table}.parquet")
+        if not keys or n == 1:
+            src.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+            continue
+        offsets = {k: src.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        parts = []
+        for i in range(n):
+            rep = src
+            for k, off in offsets.items():
+                rep = rep.withColumn(k, F.col(k) + F.lit(i * off))
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # several files per table -> real scan parallelism
+        out.repartition(max(8, n)).write.mode("overwrite").parquet(
+            f"{out_dir}/{table}.parquet"
+        )
+
+
+def time_queries(spark, qs, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in PROBE_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/spark_graft_sf0.1x{n}"
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    if not os.path.isdir(out_dir) or not os.listdir(out_dir):
+        replicate(spark, n, out_dir)
+
+    # warm up BOTH dirs before measuring: the first query after the
+    # in-session replication write otherwise pays a huge one-off GC /
+    # page-cache penalty that has nothing to do with the query shape
+    # (observed 108s -> 5s for the same query once warmed).
+    time_queries(spark, qs, BASE)
+    time_queries(spark, qs, out_dir)
+    base = time_queries(spark, qs, BASE)
+    scaled = time_queries(spark, qs, out_dir)
+    report = {
+        q: {
+            "sf0.1_s": base[q],
+            f"x{n}_s": scaled[q],
+            "ratio": round(scaled[q] / base[q], 2) if base[q] else None,
+        }
+        for q in PROBE_QUERIES
+    }
+    print(json.dumps({"replicas": n, "queries": report}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
