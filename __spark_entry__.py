@@ -1413,6 +1413,71 @@ FROM arrs
 """
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: per-kind hit counts (email / IPv4 /
+    long digit runs) plus an md5 of the redacted text.  Chained
+    regexp_replace — a narrow codegen projection, no shuffle; the agg
+    below is only to keep the driver-side result small."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    r = textstats.with_pii_redaction(d)
+    return r.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_longnum",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
+_PII_SQL = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "longnum": r"\b\d{9,}\b",
+}
+
+ORACLE_PII = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_SQL["email"]}'))   AS n_email,
+       len(regexp_extract_all(text, '{_PII_SQL["ipv4"]}'))    AS n_ipv4,
+       len(regexp_extract_all(text, '{_PII_SQL["longnum"]}')) AS n_longnum,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+              '{_PII_SQL["email"]}', '<EMAIL>', 'g'),
+              '{_PII_SQL["ipv4"]}', '<IP>', 'g'),
+              '{_PII_SQL["longnum"]}', '<NUM>', 'g'))          AS redacted_md5
+FROM documents
+"""
+
+
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: mean token log-probability under the
+    corpus's own unigram distribution (cheap perplexity proxy)."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return textstats.unigram_logprob(d, "doc_id", "text")
+
+
+ORACLE_UNIGRAM = f"""
+WITH dt AS (
+  SELECT doc_id, t AS tok, count(*) AS k
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split({_NORM_SQL.format(col='text')}, ' '),
+                                  x -> x != '')) AS t
+        FROM documents)
+  GROUP BY doc_id, t
+), freq AS (
+  SELECT tok, sum(k) AS c FROM dt GROUP BY tok
+), tot AS (
+  SELECT sum(c) AS t FROM freq
+)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_tokens,
+       round(sum(k * ln(CAST(c AS DOUBLE) / t)) / sum(k), 4) AS avg_logprob
+FROM dt JOIN freq USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (NOT EXISTS): customers with no 1995 orders,
     counted per nation.  At scale this is a shuffled hash anti-join on
@@ -1656,6 +1721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_percentiles": q_quantity_percentiles,
         "token_frequency": q_token_frequency,
         "doc_repetition": q_doc_repetition,
+        "pii_redaction": q_pii_redaction,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
         "customers_no_orders": q_customers_no_orders,
         "suppliers_with_returns": q_suppliers_with_returns,
         "running_monthly_revenue": q_running_monthly_revenue,
@@ -1717,6 +1784,8 @@ def oracle_sql() -> dict[str, str]:
         "quantity_percentiles": ORACLE_PERCENTILES,
         "token_frequency": ORACLE_TOKEN_FREQ,
         "doc_repetition": ORACLE_DOC_REPETITION,
+        "pii_redaction": ORACLE_PII,
+        "doc_unigram_logprob": ORACLE_UNIGRAM,
         "customers_no_orders": ORACLE_NO_ORDERS,
         "suppliers_with_returns": ORACLE_SEMI_RETURNS,
         "running_monthly_revenue": ORACLE_RUNNING_REVENUE,

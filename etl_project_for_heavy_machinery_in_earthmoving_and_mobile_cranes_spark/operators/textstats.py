@@ -96,6 +96,76 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns kept to constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle): classes, \b, bounded repetition.
+# Order matters: emails are redacted before bare digit runs so the local
+# part's digits don't get double-redacted.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("longnum", r"\b\d{9,}\b", "<NUM>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, IPv4 addresses, and long (≥9 digit) numeric runs
+    with typed placeholder tokens.  Pure chained regexp_replace — one
+    narrow projection, no shuffle, codegen-friendly at any scale."""
+    out = col
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds per-kind PII hit counts and the redacted text.  The counts
+    are computed on the ORIGINAL text (before any placeholder rewrite)
+    so kinds don't interfere."""
+    c = F.col(text_col)
+    out = df
+    for kind, pat, _ in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.regexp_count(c, F.lit(pat)))
+    return out.withColumn("redacted", redact_pii(c))
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Self-trained unigram language-model score per document: mean
+    log-probability of the doc's tokens under the corpus's own unigram
+    distribution.  Low scores flag gibberish / rare-token-heavy docs —
+    the classic cheap LM-quality filter before real perplexity models.
+
+    Shape: explode → per-doc token counts (cuts the join from n_tokens
+    to n_distinct_tokens rows per doc) → global frequency table → join
+    back → weighted mean.  The frequency table is vocabulary-sized, so
+    AQE will broadcast it when small; at 100 TB it shuffle-joins on the
+    token key, which is exactly the word-count partitioning already in
+    place from the groupBy."""
+    toks = F.filter(
+        F.split(normalize_for_dedup(F.col(text_col)), " "), lambda x: x != ""
+    )
+    dt = (
+        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("k"))
+        # dt forks (frequency table + join-back): persist so the
+        # explode+aggregate runs once, not once per branch
+        .persist()
+    )
+    freq = dt.groupBy("tok").agg(F.sum("k").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    return (
+        dt.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("k") * F.log(F.col("c") / F.col("t"))) / F.sum("k"), 4
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -95,6 +95,31 @@ def write_jsonl(
     w.json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC source — same columnar pushdown/pruning guarantees as
+    parquet via Spark's built-in vectorized ORC reader (no extra
+    packages).  Some lakehouse estates are ORC-native (Hive legacy);
+    the engine treats it as a first-class interchange format."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

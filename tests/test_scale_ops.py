@@ -99,3 +99,43 @@ def test_stateful_user_profiles_stream(spark, sf_dir, tmp_path):
     latest = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in got}
     assert latest == want
     assert all(not r["closed"] for r in got)
+
+
+def test_pii_redaction_kinds_and_counts(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import textstats
+
+    rows = [
+        (1, "contact bob.smith+x@ex-ample.co.uk or 10.0.255.3 id 123456789"),
+        (2, "no pii here, just 12345 and v1.2.3.4.5"),
+        (3, "two mails a@b.io c@d.org"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in textstats.with_pii_redaction(df).collect()
+    }
+    assert got[1]["redacted"] == "contact <EMAIL> or <IP> id <NUM>"
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_longnum"]) == (1, 1, 1)
+    # dotted version string is 5 octet-ish groups: the \b-anchored ipv4
+    # pattern still matches its leading 4 groups -- documented behavior
+    assert got[2]["n_email"] == 0 and got[2]["n_longnum"] == 0
+    assert got[3]["n_email"] == 2 and got[3]["redacted"] == "two mails <EMAIL> <EMAIL>"
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c"), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in textstats.unigram_logprob(df, "doc_id", "text").collect()
+    }
+    # corpus: a=2, b=1, c=1, total=4
+    exp1 = (2 * math.log(0.5) + math.log(0.25)) / 3
+    assert got[1] == (3, round(exp1, 4))
+    assert got[2] == (1, round(math.log(0.25), 4))
+    assert 3 not in got  # empty doc has no tokens -> absent, both engines
