@@ -1478,6 +1478,47 @@ GROUP BY doc_id
 """
 
 
+def q_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (pre-training batching): documents
+    hash-bucketed into 8 parallel streams, each stream offset-packed
+    into 2048-token chunks by one window; per-chunk fill stats out.
+    One shuffle (the bucket window) + one agg."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        packing,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", textstats.token_count(F.col("text"))
+    )
+    packed = packing.pack_documents(d, "doc_id", "n_tokens", budget=2048, num_buckets=8)
+    return packing.chunk_stats(packed, "n_tokens")
+
+
+_TOKCOUNT_SQL = (
+    r"len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''))"
+)
+
+ORACLE_PACKED = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKCOUNT_SQL} AS n_tokens,
+         ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+           AS bucket
+  FROM documents
+), packed AS (
+  SELECT bucket, n_tokens,
+         CAST(floor(COALESCE(sum(n_tokens) OVER (
+             PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+           AS BIGINT) AS chunk_id
+  FROM toks
+)
+SELECT bucket, chunk_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+FROM packed GROUP BY bucket, chunk_id
+"""
+
+
 def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (NOT EXISTS): customers with no 1995 orders,
     counted per nation.  At scale this is a shuffled hash anti-join on
@@ -1723,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "pii_redaction": q_pii_redaction,
         "doc_unigram_logprob": q_doc_unigram_logprob,
+        "packed_chunks": q_packed_chunks,
         "customers_no_orders": q_customers_no_orders,
         "suppliers_with_returns": q_suppliers_with_returns,
         "running_monthly_revenue": q_running_monthly_revenue,
@@ -1786,6 +1828,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": ORACLE_DOC_REPETITION,
         "pii_redaction": ORACLE_PII,
         "doc_unigram_logprob": ORACLE_UNIGRAM,
+        "packed_chunks": ORACLE_PACKED,
         "customers_no_orders": ORACLE_NO_ORDERS,
         "suppliers_with_returns": ORACLE_SEMI_RETURNS,
         "running_monthly_revenue": ORACLE_RUNNING_REVENUE,

@@ -371,3 +371,55 @@ def ngram_jaccard_pairs(
     if min_jaccard > 0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (CCNet / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """Remove lines that appear (normalized) in >= ``min_docs`` distinct
+    documents — nav menus, cookie banners, license footers.  The
+    corpus-level complement of within-doc repetition filtering.
+
+    Shape: posexplode lines → line-frequency table (groupBy normalized
+    line, count distinct docs) → left join + filter → reassemble in
+    original line order (max_by-free: sort collected (pos, line) structs).
+    Two shuffles (the frequency agg and the reassembly agg); the join on
+    the normalized-line key is exactly word-count partitioning.  Empty
+    documents and documents whose every line is boilerplate come back
+    with ``cleaned = ''`` rather than dropping out.
+    """
+    key = normalize_for_dedup(F.col("line")) if normalize else F.col("line")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("__k", key)
+    freq = (
+        lines.groupBy("__k")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+    )
+    kept = lines.join(freq, "__k", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("cleaned"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("bigint").alias("n_lines_kept"),
+    )

@@ -139,3 +139,56 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[1] == (3, round(exp1, 4))
     assert got[2] == (1, round(math.log(0.25), 4))
     assert 3 not in got  # empty doc has no tokens -> absent, both engines
+
+
+def test_pack_documents_offset_rule(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import packing
+
+    # single bucket -> pure offset packing, hand-checkable
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([600, 600, 600, 600, 100, 2500, 10])],
+        "doc_id long, n_tokens long",
+    )
+    packed = packing.pack_documents(df, "doc_id", "n_tokens", budget=1000, num_buckets=1)
+    got = {r["doc_id"]: r["chunk_id"] for r in packed.collect()}
+    # priors: 0,600,1200,1800,2400,2500,5000 -> chunks 0,0,1,1,2,2,5
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 5}
+    stats = {
+        r["chunk_id"]: (r["n_docs"], r["chunk_tokens"])
+        for r in packing.chunk_stats(packed, "n_tokens").collect()
+    }
+    assert stats == {0: (2, 1200), 1: (2, 1200), 2: (2, 2600), 5: (1, 10)}
+
+
+def test_pack_documents_bucket_stability(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import packing
+
+    df = spark.range(0, 500).selectExpr("id AS doc_id", "id % 7 * 100 AS n_tokens")
+    a = packing.pack_documents(df, "doc_id", "n_tokens", 1000, num_buckets=8)
+    b = packing.pack_documents(
+        df.repartition(13), "doc_id", "n_tokens", 1000, num_buckets=8
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.select("bucket").distinct().count() == 8
+
+
+def test_strip_boilerplate_lines(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import dedup
+
+    rows = [
+        (1, "Welcome!\nreal content one\nCookie notice"),
+        (2, "welcome\nreal content two\ncookie NOTICE."),
+        (3, "unique doc\nCookie notice"),
+        (4, "a\nb\nc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cleaned"], r["n_lines_kept"])
+        for r in dedup.strip_boilerplate_lines(df, "doc_id", "text").collect()
+    }
+    # normalized 'welcome'/'cookie notice' hit 2 and 3 docs -> stripped;
+    # line order inside each doc is preserved
+    assert got[1] == ("real content one", 1)
+    assert got[2] == ("real content two", 1)
+    assert got[3] == ("unique doc", 1)
+    assert got[4] == ("a\nb\nc", 3)
