@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "top_parts_per_brand",
     "hash_sampled_stats",
     "token_frequency",
+    "pii_redaction",
+    "packed_chunks",
+    "doc_unigram_logprob",
 ]
 
 

@@ -5,6 +5,7 @@ from .readers import (  # noqa: F401
     read_orc,
     read_parquet,
     read_xlsx_as_df,
+    write_clustered_parquet,
     write_jsonl,
     write_orc,
     write_parquet,

@@ -125,3 +125,36 @@ def test_hash_sample_no_shuffle_before_filter(spark, sf_dir):
 
     p = plan_of(spark, "hash_sampled_stats", sf_dir)
     assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 1
+
+
+def test_pii_redaction_pure_projection(spark, sf_dir):
+    """Chained regexp_replace scrub: zero exchanges, no Python, scan
+    pruned to (doc_id, text)."""
+    import re
+
+    p = plan_of(spark, "pii_redaction", sf_dir)
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 0
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    read = p.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in read and "lang" not in read
+
+
+def test_packed_chunks_single_window_exchange(spark, sf_dir):
+    """Bucketed packing: ONE hash exchange on the bucket key feeds both
+    the window and the (bucket, chunk_id) aggregate — grouping on a
+    superset of the window partition key preserves clustering, so the
+    full corpus is shuffled exactly once."""
+    import re
+
+    p = plan_of(spark, "packed_chunks", sf_dir)
+    assert "Window" in p
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 1
+    assert "CartesianProduct" not in p
+
+
+def test_unigram_logprob_joins_on_token_partitioning(spark, sf_dir):
+    """Word-count shape: no cartesian, no Python, frequency-table join
+    keyed on the token."""
+    p = plan_of(spark, "doc_unigram_logprob", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

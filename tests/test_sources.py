@@ -154,3 +154,33 @@ def test_orc_roundtrip(spark, tmp_path):
     # filter pushdown reaches the ORC scan like parquet
     plan = back.filter("k = 2")._jdf.queryExecution().executedPlan().toString()
     assert "orc" in plan.lower()
+
+
+def test_clustered_write_disjoint_file_ranges(spark, tmp_path):
+    import glob
+
+    df = spark.range(0, 10000).selectExpr(
+        "pmod(hash(id), 10000) AS k", "id AS payload"
+    )
+    p = str(tmp_path / "clustered")
+    sources.write_clustered_parquet(df, p, ("k",), num_files=8)
+    files = sorted(glob.glob(p + "/*.parquet"))
+    assert len(files) == 8
+    # every file owns a disjoint key range -> range predicates skip
+    # whole files via parquet min/max stats
+    ranges = [
+        tuple(spark.read.parquet(f).agg(F.min("k"), F.max("k")).first())
+        for f in files
+    ]
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # point predicate scans read the pruned schema + pushed filter
+    plan = (
+        spark.read.parquet(p)
+        .filter("k = 17")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "k" in plan
