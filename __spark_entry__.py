@@ -1519,6 +1519,109 @@ FROM packed GROUP BY bucket, chunk_id
 """
 
 
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations over the warehouse: content rules as
+    one-pass conditional counts per table, plus an FK orphan check
+    (orders→customer anti join).  Long-format (check_name, n_violations)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        quality,
+    )
+
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    d = _t(spark, sf_dir, "documents")
+    li_checks = quality.violation_counts(
+        li,
+        {
+            "lineitem_nonpositive_qty": F.col("l_quantity") <= 0,
+            "lineitem_nonpositive_price": F.col("l_extendedprice") <= 0,
+            "lineitem_discount_range": ~F.col("l_discount").between(0, 1),
+            "lineitem_tax_range": ~F.col("l_tax").between(0, 1),
+        },
+    )
+    o_checks = quality.violation_counts(
+        o,
+        {
+            "orders_null_totalprice": F.col("o_totalprice").isNull(),
+            "orders_null_date": F.col("o_orderdate").isNull(),
+        },
+    )
+    d_checks = quality.violation_counts(
+        d,
+        {
+            "documents_empty_text": F.coalesce(F.length("text"), F.lit(0)) == 0,
+            "documents_nchars_mismatch": F.col("n_chars") != F.length("text"),
+        },
+    )
+    fk = quality.fk_orphan_count(
+        o, "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey"
+    ).select(F.lit("orders_orphan_custkey").alias("check_name"), "n_violations")
+    return li_checks.unionByName(o_checks).unionByName(d_checks).unionByName(fk)
+
+
+ORACLE_DQ = """
+SELECT 'lineitem_nonpositive_qty' AS check_name, count(*) FILTER (l_quantity <= 0) AS n_violations FROM lineitem
+UNION ALL
+SELECT 'lineitem_nonpositive_price', count(*) FILTER (l_extendedprice <= 0) FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_range', count(*) FILTER (l_discount NOT BETWEEN 0 AND 1) FROM lineitem
+UNION ALL
+SELECT 'lineitem_tax_range', count(*) FILTER (l_tax NOT BETWEEN 0 AND 1) FROM lineitem
+UNION ALL
+SELECT 'orders_null_totalprice', count(*) FILTER (o_totalprice IS NULL) FROM orders
+UNION ALL
+SELECT 'orders_null_date', count(*) FILTER (o_orderdate IS NULL) FROM orders
+UNION ALL
+SELECT 'documents_empty_text', count(*) FILTER (COALESCE(length(text), 0) = 0) FROM documents
+UNION ALL
+SELECT 'documents_nchars_mismatch', count(*) FILTER (n_chars != length(text)) FROM documents
+UNION ALL
+SELECT 'orders_orphan_custkey', count(*) FROM orders
+WHERE o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+"""
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per exact-duplicate group: groups
+    keyed by content fingerprint, canonical = longest text (tie → min
+    doc_id), via a min_by hash aggregate over a composite sort key —
+    one shuffle on the fingerprint, no window sort."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    fp = d.withColumn("fp", textstats.fingerprint(F.col("text")))
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            # composite priority (longest text, then smallest doc_id)
+            # packed into one BIGINT so the same max_by works in both
+            # engines (DuckDB arg_max keys must be scalar)
+            F.max_by(
+                F.col("doc_id"),
+                F.length("text").cast("bigint") * F.lit(10_000_000_000)
+                - F.col("doc_id"),
+            ).alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .select(
+            F.col("fp").alias("fingerprint"), "n_dups", "canonical_doc_id"
+        )
+    )
+
+
+ORACLE_DEDUP_CANONICAL = f"""
+SELECT md5({_NORM_SQL.format(col='text')}) AS fingerprint,
+       count(*) AS n_dups,
+       arg_max(doc_id, CAST(length(text) AS BIGINT) * 10000000000 - doc_id)
+         AS canonical_doc_id
+FROM documents
+GROUP BY fingerprint
+HAVING count(*) > 1
+"""
+
+
 def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (NOT EXISTS): customers with no 1995 orders,
     counted per nation.  At scale this is a shuffled hash anti-join on
@@ -1765,6 +1868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "packed_chunks": q_packed_chunks,
+        "dq_audit": q_dq_audit,
+        "dedup_canonical": q_dedup_canonical,
         "customers_no_orders": q_customers_no_orders,
         "suppliers_with_returns": q_suppliers_with_returns,
         "running_monthly_revenue": q_running_monthly_revenue,
@@ -1829,6 +1934,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": ORACLE_PII,
         "doc_unigram_logprob": ORACLE_UNIGRAM,
         "packed_chunks": ORACLE_PACKED,
+        "dq_audit": ORACLE_DQ,
+        "dedup_canonical": ORACLE_DEDUP_CANONICAL,
         "customers_no_orders": ORACLE_NO_ORDERS,
         "suppliers_with_returns": ORACLE_SEMI_RETURNS,
         "running_monthly_revenue": ORACLE_RUNNING_REVENUE,

@@ -1,0 +1,51 @@
+"""Data-quality expectations: content-level validation the reference
+only does at the schema level (check_col_names, prog.py:450-468 —
+column-set symmetric difference).  The engine extends the idea to row
+content: declarative rules evaluated in ONE pass over each table, plus
+referential-integrity orphan counts.
+
+Scale shape: every rule family is a conditional count inside a single
+aggregate (map-side partial combine, one row out per table — no
+shuffle of data rows, only of per-partition counters).  FK checks are
+left-anti joins that AQE turns into broadcast joins when the parent's
+key projection is small; at 100 TB parent scale they degrade to a
+shuffled anti join on the key, which is the minimum possible work for
+exact orphan detection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def violation_counts(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Evaluate named violation predicates in one aggregate pass.
+
+    ``rules`` maps check name → Column that is TRUE when the row
+    VIOLATES the check.  Returns long-format ``(check_name, n_violations)``
+    — stable output schema regardless of rule count, so downstream
+    alerting doesn't change shape when rules are added.
+    """
+    aggs = [
+        F.count(F.when(cond, F.lit(1))).alias(name) for name, cond in rules.items()
+    ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{name}', `{name}`" for name in rules)
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stack}) AS (check_name, n_violations)"
+    )
+
+
+def fk_orphan_count(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
+) -> DataFrame:
+    """Referential integrity: child rows whose key has no parent.
+    NULL child keys are not orphans (SQL FK semantics) — they are a
+    separate nullability rule if unwanted."""
+    orphans = child.filter(F.col(child_key).isNotNull()).join(
+        parent.select(parent_key).distinct(),
+        on=F.col(child_key) == F.col(parent_key),
+        how="left_anti",
+    )
+    return orphans.agg(F.count("*").alias("n_violations"))

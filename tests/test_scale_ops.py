@@ -192,3 +192,31 @@ def test_strip_boilerplate_lines(spark):
     assert got[2] == ("real content two", 1)
     assert got[3] == ("unique doc", 1)
     assert got[4] == ("a\nb\nc", 3)
+
+
+def test_violation_counts_and_fk_orphans(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None), (4, 0.0)], "id long, v double"
+    )
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in quality.violation_counts(
+            df,
+            {
+                "neg_v": F.col("v") < 0,
+                "null_v": F.col("v").isNull(),
+                "zero_v": F.col("v") == 0,
+            },
+        ).collect()
+    }
+    # NULL predicate results don't count as violations (count(when))
+    assert got == {"neg_v": 1, "null_v": 1, "zero_v": 1}
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 11), (3, 99), (4, None)], "id long, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (11,)], "pk int")
+    n = quality.fk_orphan_count(child, "fk", parent, "pk").first()["n_violations"]
+    assert n == 1  # only fk=99; NULL fk is not an orphan
