@@ -83,6 +83,84 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def fake_resize(content: bytes, mime: str, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode: output size
+    scales with the target area so batch-memory behavior is realistic."""
+    seed = hashlib.md5((content or b"") + f":{width}x{height}".encode()).digest()
+    n = max(1, width * height // 64)
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, str, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """mapInPandas image resize.  Only ``kind == 'image'`` rows enter the
+    Python stage (the filter is JVM-side, before any Arrow transfer);
+    output carries the new dims as typed columns.  A real deployment
+    swaps ``resizer`` for PIL/libvips; the Spark plumbing is identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "mime": pdf["mime"],
+                    "content": [
+                        resizer(c, m, width, height)
+                        for c, m in zip(pdf["content"], pdf["mime"])
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling WITHOUT decode: the frame index plan (one
+    row per sampled frame) is pure JVM — explode over a sequence sized
+    from metadata (``meta['n_frames']``, defaulting from byte length).
+    The per-frame ``content`` decode is left to a downstream
+    ``extract_features``-style stage; at 100 TB you never want frame
+    explosion and byte decode fused, because the exploded plan must
+    shuffle small (id, frame_no) rows, not the video payload."""
+    n_frames = F.coalesce(
+        F.element_at(F.col("meta"), "n_frames").cast("int"),
+        (F.length("content") / 16).cast("int"),
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .withColumn(
+            "frame_no",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)
+                )
+            ),
+        )
+        .select("media_id", "mime", "frame_no", n_frames.alias("n_frames"))
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-JVM metadata pass (no decode): per-kind byte stats — the
     cheap pre-filter before any expensive Python decode stage."""

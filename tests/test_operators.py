@@ -305,3 +305,33 @@ def test_history_union_and_schema_check(spark, tmp_path):
         spark.createDataFrame([("2024/01/05",), ("2023/01/05",)], "date string"),
         "date", 2024,
     ).count() == 1
+
+
+def test_multimodal_resize_plumbing(spark):
+    media = multimodal.synthetic_media(spark, 12)
+    out = multimodal.resize_images(media, 32, 16).collect()
+    # only image rows pass, dims are typed columns, payload sized to target
+    assert len(out) == 4 and all(r["kind"] == "image" for r in out)
+    assert all((r["width"], r["height"]) == (32, 16) for r in out)
+    assert all(len(r["content"]) == 32 * 16 // 64 for r in out)
+    # deterministic: same inputs -> same bytes
+    again = multimodal.resize_images(media, 32, 16).collect()
+    assert {r["media_id"]: bytes(r["content"]) for r in out} == {
+        r["media_id"]: bytes(r["content"]) for r in again
+    }
+
+
+def test_multimodal_frame_sampling_jvm_only(spark):
+    media = multimodal.synthetic_media(spark, 12).withColumn(
+        "meta", F.create_map(F.lit("n_frames"), F.lit("25"))
+    )
+    out = multimodal.sample_frames(media, every_n=10)
+    rows = out.collect()
+    assert all(r["n_frames"] == 25 for r in rows)
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append(r["frame_no"])
+    assert all(sorted(v) == [0, 10, 20] for v in per.values())
+    # frame-index planning must not enter Python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
