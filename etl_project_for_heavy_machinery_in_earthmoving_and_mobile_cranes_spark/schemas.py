@@ -30,8 +30,16 @@ TESTDATA_TABLES = [
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table.  Parquet carries its own schema; Catalyst
-    prunes columns/filters at the scan, so no projection is forced here."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    prunes columns/filters at the scan, so no projection is forced here.
+    events.ts is TIMESTAMP(NANOS) parquet read as long nanos (see
+    session.RUNTIME_CONF) — normalized to a micros timestamp so SQL/
+    DataFrame consumers see a real timestamp column."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

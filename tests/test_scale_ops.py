@@ -220,3 +220,33 @@ def test_violation_counts_and_fk_orphans(spark):
     parent = spark.createDataFrame([(10,), (11,)], "pk int")
     n = quality.fk_orphan_count(child, "fk", parent, "pk").first()["n_violations"]
     assert n == 1  # only fk=99; NULL fk is not an orphan
+
+
+def test_sql_surface_over_registered_views(spark, sf_dir):
+    """The full table set is queryable through plain spark.sql — the
+    engine's SQL API.  SQL and DataFrame plans must agree exactly."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark import schemas
+
+    schemas.register_temp_views(spark, sf_dir)
+    got = spark.sql(
+        """
+        SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+        """
+    ).collect()
+    want = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/nation.parquet"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+        .orderBy("n_name")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # events view exposes a real timestamp (nanos normalized in the loader)
+    assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
+    assert spark.sql("SELECT max(ts) FROM events").first()[0] is not None

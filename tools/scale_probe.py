@@ -52,6 +52,10 @@ PROBE_QUERIES = [
     "dedup_exact",
     "token_frequency",
     "hourly_event_windows",
+    "pii_redaction",
+    "packed_chunks",
+    "doc_unigram_logprob",
+    "dq_audit",
 ]
 
 
