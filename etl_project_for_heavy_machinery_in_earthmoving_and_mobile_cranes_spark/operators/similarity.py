@@ -37,6 +37,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize (zero vectors pass through unchanged).  On unit
+    vectors L2 distance and cosine similarity give the same ranking
+    (||q-x||² = 2-2cos) — the bridge that lets L2-space quantizers (PQ,
+    k-means cells) serve cosine queries."""
+    n = norm(a)
+    return F.when(n == 0, a.cast("array<double>")).otherwise(
+        F.transform(a, lambda x: x.cast("double") / n)
+    )
+
+
 def brute_force_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -258,6 +269,149 @@ def ivf_knn(
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): subspace codebooks + asymmetric-distance KNN
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 7,
+    max_iter: int = 8,
+    sample_fraction: float = 1.0,
+) -> list[list[list[float]]]:
+    """Train ``m`` per-subspace k-means codebooks (k centroids each of
+    dim d/m).  Like the IVF quantizer: train on a sample, return plain
+    floats that compile into literal expressions — no model objects on
+    executors.  m*ceil(log2 k) bits replace d floats per vector; the
+    compressed codes are what a 100 TB corpus keeps hot."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus
+    if sample_fraction < 1.0:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    dim = len(train.select(vec_col).first()[0])
+    sub = dim // m
+    books = []
+    unit = l2_normalize(F.col(vec_col))
+    train = train.select(unit.alias("__v")).persist()
+    for s in range(m):
+        feats = train.select(
+            array_to_vector(F.slice("__v", s * sub + 1, sub)).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + s, maxIter=max_iter).fit(feats)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    train.unpersist()
+    return books
+
+
+def _argmin_code(subvec: Column, book: list[list[float]]) -> Column:
+    """Index of the nearest centroid — array_sort on (dist, idx)
+    structs, deterministic tie-break on idx."""
+    structs = F.array(
+        *[
+            F.struct(_sq_dist(subvec, c).alias("d"), F.lit(j).alias("j"))
+            for j, c in enumerate(book)
+        ]
+    )
+    return F.array_sort(structs)[0].getField("j")
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """Attach ``pq_code`` (array<int>, one code per subspace).  Pure
+    expression over literal codebooks — JVM-side, no UDF."""
+    sub = len(codebooks[0][0])
+    code = F.array(
+        *[
+            _argmin_code(F.slice(F.col(vec_col), s * sub + 1, sub), book)
+            for s, book in enumerate(codebooks)
+        ]
+    )
+    return df.withColumn("pq_code", code)
+
+
+def pq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 7,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance KNN over PQ codes: the corpus is represented
+    ONLY by its codes; each query computes an m×n_codes lookup table of
+    exact subspace distances to every centroid, and a candidate's
+    distance is the sum of m table lookups.
+
+    Scale shape: queries (with their small LUTs) broadcast against the
+    code table — the scan side carries m ints per vector instead of d
+    floats, an ~8-16× memory/IO compression, and the per-candidate cost
+    is m array lookups instead of d multiplies.  Compose with IVF cells
+    (join on ``__cell`` first) for sublinear candidate counts; this
+    function scans all codes, which is the right baseline shape when
+    the whole code table fits in memory per executor."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, vec_col, m=m, k=n_codes, seed=seed
+        )
+    sub = len(codebooks[0][0])
+    coded = pq_encode(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            l2_normalize(F.col(vec_col)).alias(vec_col),
+        ),
+        vec_col,
+        codebooks,
+    ).select("neighbor_id", "pq_code")
+    # per-query LUT: lut[s][j] = ||q_s - codebook_s[j]||^2 (exact, tiny)
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _sq_dist(F.slice(F.col(vec_col), s * sub + 1, sub), c)
+                    for c in book
+                ]
+            )
+            for s, book in enumerate(codebooks)
+        ]
+    )
+    qt = queries.select(
+        F.col(id_col).alias("query_id"),
+        l2_normalize(F.col(vec_col)).alias(vec_col),
+    ).withColumn("__lut", lut)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("__lut"),
+            F.col("pq_code"),
+            lambda row, code: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        coded.join(F.broadcast(qt), on=F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", adc)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("__rn", F.row_number().over(w))

@@ -45,3 +45,35 @@ def test_connected_components(spark):
     comps = dedup.connected_components(pairs)
     got = {r["node"]: r["label"] for r in comps.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_pq_codes_and_adc_recall(spark, sf_dir):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(10)
+    books = sim.train_pq_codebooks(emb, m=4, k=8)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+
+    coded = sim.pq_encode(
+        emb.selectExpr("vec_id", "embedding"), "embedding", books
+    ).collect()
+    # m codes per vector, every code a valid centroid index
+    assert all(len(r["pq_code"]) == 4 for r in coded)
+    assert all(0 <= c < 8 for r in coded for c in r["pq_code"])
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_knn(emb, q, k=10).collect()
+    }
+    got = sim.pq_knn(emb, q, k=10, codebooks=books)
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    recall = len(exact & pairs) / len(exact)
+    # random top-10 of ~500 would land ~0.02; even a coarse 4x8 codebook
+    # must beat that by an order of magnitude
+    assert recall >= 0.08, recall
+    # deterministic re-run
+    again = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    assert pairs == again
