@@ -418,3 +418,91 @@ def pq_knn(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivf_pq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 7,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF×PQ — the billion-scale ANN layout: candidates restricted to
+    the query's ``nprobe`` nearest cells (equi join on cell id, sublinear
+    candidate count) AND scored from m-byte PQ codes instead of full
+    vectors (asymmetric distance, LUT lookups).  The corpus side of the
+    join carries only (id, cell, code) — at 100 TB the full vectors
+    never shuffle, never broadcast, and are only read once at encode
+    time.  Recall tunes with nprobe × codebook resolution; both
+    quantizers train on samples and compile to literal expressions."""
+    unit_corpus = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        l2_normalize(F.col(vec_col)).alias("__cv"),
+    )
+    unit_queries = queries.select(
+        F.col(id_col).alias("query_id"),
+        l2_normalize(F.col(vec_col)).alias("__qv"),
+    )
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            unit_corpus, "__cv", n_cells=n_cells, seed=seed
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            unit_corpus, "__cv", m=m, k=n_codes, seed=seed
+        )
+    sub = len(codebooks[0][0])
+    cb = assign_cells(
+        pq_encode(unit_corpus, "__cv", codebooks).select(
+            "neighbor_id", "pq_code", "__cv"
+        ),
+        "__cv",
+        centroids,
+        nprobe=1,
+    ).select("neighbor_id", "pq_code", "__cell")
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _sq_dist(F.slice(F.col("__qv"), s * sub + 1, sub), c)
+                    for c in book
+                ]
+            )
+            for s, book in enumerate(codebooks)
+        ]
+    )
+    qb = assign_cells(
+        unit_queries.withColumn("__lut", lut), "__qv", centroids, nprobe=nprobe
+    ).select("query_id", "__lut", "__cell")
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("__lut"),
+            F.col("pq_code"),
+            lambda row, code: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cb.join(F.broadcast(qb), on="__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", adc)
+        .select("query_id", "neighbor_id", "adc_dist")
+        # a (query, neighbor) pair can meet in several probed cells
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

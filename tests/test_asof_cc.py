@@ -77,3 +77,30 @@ def test_pq_codes_and_adc_recall(spark, sf_dir):
     # deterministic re-run
     again = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
     assert pairs == again
+
+
+def test_ivf_pq_knn_mechanics_and_recall(spark, sf_dir):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(10)
+    got = sim.ivf_pq_knn(
+        emb, q, k=10, n_cells=8, nprobe=8, m=4, n_codes=8
+    )
+    rows = got.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # k results per query, no self-matches, no duplicate neighbors
+    assert all(len(v) == 10 for v in per.values())
+    assert all(qid not in v for qid, v in per.items())
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_knn(emb, q, k=10).collect()
+    }
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    # full-probe (nprobe = n_cells) means loss comes only from the PQ
+    # codes; must far exceed the ~0.02 random floor
+    assert len(exact & pairs) / len(exact) >= 0.08
