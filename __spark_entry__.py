@@ -31,6 +31,7 @@ from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.oper
     outliers,
     similarity,
     textstats,
+    timeseries,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -1805,6 +1806,185 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-series: resample + gap-fill, deltas/spikes, SCD2 intervals;
+# quantile bucketing; TF-IDF terms
+# ---------------------------------------------------------------------------
+
+
+def q_resampled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-min resample of event value per type, dense grid, forward
+    fill.  Sum is decimal-exact (cross-engine float discipline)."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", F.col("value").cast(DEC).alias("v")
+    )
+    out = timeseries.resample_gapfill(e, "event_type", "ts", "v", 900, agg="sum")
+    return out.select(
+        F.col("key").alias("event_type"),
+        "bucket_ts",
+        F.round(F.col("value"), 2).cast("double").alias("value"),
+        F.col("is_gap").cast("int").alias("is_gap"),
+    )
+
+
+ORACLE_RESAMPLED = """
+WITH b AS (
+  SELECT event_type AS key, CAST(floor(epoch(ts)/900) AS BIGINT)*900 AS bucket,
+         sum(CAST(value AS DECIMAL(18,4))) AS v
+  FROM events GROUP BY 1,2
+), g AS (
+  SELECT key, unnest(generate_series(min(bucket), max(bucket), 900)) AS bucket
+  FROM b GROUP BY key
+)
+SELECT g.key AS event_type,
+       CAST(to_timestamp(g.bucket) AS TIMESTAMP) AS bucket_ts,
+       CAST(round(last_value(b.v IGNORE NULLS) OVER (
+                PARTITION BY g.key ORDER BY g.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+            AS DOUBLE) AS value,
+       CASE WHEN b.v IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM g LEFT JOIN b ON g.key = b.key AND g.bucket = b.bucket
+"""
+
+
+def q_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive deltas + spike flags (lag window)."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = timeseries.event_deltas(e, "user_id", "ts", "value", spike_factor=2.0)
+    return out.select(
+        "user_id",
+        "ts",
+        "value",
+        "prev_value",
+        "delta",
+        "gap_seconds",
+        F.col("is_spike").cast("int").alias("is_spike"),
+    )
+
+
+ORACLE_DELTAS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, value) AS prev_value,
+         lag(ts)    OVER (PARTITION BY user_id ORDER BY ts, value) AS pt
+  FROM events
+)
+SELECT user_id, ts, value, prev_value,
+       value - prev_value AS delta,
+       CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(pt)) AS BIGINT)
+           AS gap_seconds,
+       CASE WHEN prev_value IS NULL THEN 0
+            WHEN abs(value) > 2.0 * abs(prev_value) THEN 1 ELSE 0 END AS is_spike
+FROM o
+"""
+
+
+def q_scd2_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals of each user's event_type runs."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    out = timeseries.scd2_from_events(e, "user_id", "ts", ["event_type"])
+    return out.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+ORACLE_SCD2 = """
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS pe,
+         lag(ts)         OVER (PARTITION BY user_id ORDER BY ts) AS pt
+  FROM events
+), r AS (
+  SELECT user_id, ts, event_type,
+         sum(CASE WHEN pt IS NULL OR pe IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM o
+), p AS (
+  SELECT user_id, run, event_type, min(ts) AS valid_from
+  FROM r GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to,
+       CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+                 IS NULL THEN 1 ELSE 0 END AS is_current
+FROM p
+"""
+
+
+def q_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) quantile bucketing of customers by balance.  The global
+    ntile window is single-partition by construction — correct here
+    because it runs on the dimension table; for fact-scale bucketing use
+    approx_percentile cutpoints + a broadcast range join instead."""
+    tune(spark)
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        c.withColumn("bucket", F.ntile(4).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+            dsum("c_acctbal").alias("sum_bal"),
+        )
+    )
+
+
+ORACLE_QUARTILES = f"""
+WITH b AS (
+  SELECT c_acctbal, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
+  FROM customer
+)
+SELECT bucket, count(*) AS n, min(c_acctbal) AS lo, max(c_acctbal) AS hi,
+       {sql_dsum('c_acctbal')} AS sum_bal
+FROM b GROUP BY bucket
+"""
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return textstats.tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+def _oracle_tfidf() -> str:
+    norm = _NORM_SQL.format(col="text")
+    return f"""
+WITH dt AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split({norm}, ' '), x -> x <> '')) AS term
+  FROM documents
+), tc AS (
+  SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tc GROUP BY 1
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM tc
+), s AS (
+  SELECT tc.doc_id, tc.term, tc.tf,
+         round(tc.tf * ln(CAST(n AS DOUBLE) / df), 4) AS score,
+         row_number() OVER (
+             PARTITION BY tc.doc_id
+             ORDER BY round(tc.tf * ln(CAST(n AS DOUBLE) / df), 4) DESC,
+                      tc.term ASC) AS rn
+  FROM tc JOIN dfreq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, score FROM s WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -1875,6 +2055,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_monthly_revenue": q_running_monthly_revenue,
         "rollup_pricing": q_rollup_pricing,
         "asof_rate_join": q_asof_rate_join,
+        "resampled_series": q_resampled_series,
+        "event_deltas": q_event_deltas,
+        "scd2_user_type": q_scd2_user_type,
+        "acctbal_quartiles": q_acctbal_quartiles,
+        "tfidf_terms": q_tfidf_terms,
         "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
     }
@@ -1941,6 +2126,11 @@ def oracle_sql() -> dict[str, str]:
         "running_monthly_revenue": ORACLE_RUNNING_REVENUE,
         "rollup_pricing": ORACLE_ROLLUP,
         "asof_rate_join": _oracle_asof(),
+        "resampled_series": ORACLE_RESAMPLED,
+        "event_deltas": ORACLE_DELTAS,
+        "scd2_user_type": ORACLE_SCD2,
+        "acctbal_quartiles": ORACLE_QUARTILES,
+        "tfidf_terms": _oracle_tfidf(),
         # dedup_clusters: iterative label propagation (rows-only check)
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }

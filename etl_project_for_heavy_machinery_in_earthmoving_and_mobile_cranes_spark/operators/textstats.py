@@ -200,3 +200,47 @@ def repetition_stats(
         dup_frac(F.col("__t")).alias("dup_token_frac"),
         dup_frac(F.col("__b")).alias("dup_bigram_frac"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (``tf · ln(N/df)``) — the classic keyword/topic signal a corpus
+    pipeline derives before heavier embedding models.
+
+    Shape: explode → per-doc term counts → document-frequency table →
+    join back on the term key → per-doc top-k window.  The df table is
+    vocabulary-sized (AQE broadcasts it when small; term-partitioned
+    hash join otherwise), and the top-k window compiles to a partial
+    WindowGroupLimit before the doc-key shuffle, so only ~k rows per doc
+    cross the wire.  Deterministic tie-break: score desc, term asc.
+    """
+    toks = F.filter(
+        F.split(normalize_for_dedup(F.col(text_col)), " "), lambda x: x != ""
+    )
+    dt = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        # forks into the df table + join-back: run the explode once
+        .persist()
+    )
+    n_docs = dt.select(id_col).distinct().count()
+    docfreq = dt.groupBy("term").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+    )
+    return (
+        dt.join(docfreq, "term")
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(id_col, "term", "tf", "score")
+    )

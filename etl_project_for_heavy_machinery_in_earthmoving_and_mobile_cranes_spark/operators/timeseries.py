@@ -1,0 +1,151 @@
+"""Time-series operators: resample + gap-fill, delta/change detection,
+and SCD2 (validity-interval) dimension builds.
+
+The reference's only temporal logic is month-keyed FX conversion
+(`data_processing_program_20240520.py:320-340`) and year slices; a
+production analytics engine over event streams additionally needs
+regular-grid resampling (for charting/feature windows), consecutive-row
+deltas (rate-of-change features, anomaly flags), and validity-interval
+history tables (the batch twin of CDC).  All three are pure
+window/explode compositions — no UDFs, fully codegen'd.
+
+Scale notes
+-----------
+- ``resample_gapfill``: one shuffle on the series key; the dense grid is
+  generated per key with ``sequence()`` (JVM-side, no driver loop) and
+  the forward fill is one ``last(ignorenulls)`` window pass over
+  key-local sorted runs.  Grid size per key is bounded by
+  span/step, not by table row count — at 100 TB the explode factor is
+  the knob: pick the bucket width so (span/step) stays ~1e4 per key.
+- ``event_deltas`` / ``scd2_from_events``: single window shuffle per
+  key, linear in the key's own history — the same skew profile as
+  sessionization (celebrity keys bounded by their own event count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_gapfill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    agg: str = "sum",
+) -> DataFrame:
+    """Aggregate ``value_col`` into fixed ``step_seconds`` buckets per
+    key, then densify to a regular grid spanning each key's own
+    [min_bucket, max_bucket] and forward-fill missing buckets with the
+    most recent observed aggregate.
+
+    Returns ``(key, bucket_ts, value, is_gap)`` where ``is_gap`` marks
+    grid points with no source rows (their ``value`` is the fill).
+    """
+    agg_fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+              "count": F.count}[agg]
+    step = F.lit(step_seconds)
+    bucketed = (
+        df.withColumn(
+            "__bucket",
+            (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step).cast("long"),
+        )
+        .groupBy(F.col(key_col).alias("key"), F.col("__bucket"))
+        .agg(agg_fn(value_col).alias("__v"))
+    )
+    # per-key dense grid: sequence() is evaluated executor-side; the
+    # explode factor is span/step per key, independent of row count
+    grid = (
+        bucketed.groupBy("key")
+        .agg(F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), step.cast("long"))
+            ).alias("__bucket"),
+        )
+    )
+    w = Window.partitionBy("key").orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        grid.join(bucketed, ["key", "__bucket"], "left")
+        .select(
+            "key",
+            F.timestamp_seconds(F.col("__bucket")).alias("bucket_ts"),
+            F.last("__v", ignorenulls=True).over(w).alias("value"),
+            F.col("__v").isNull().alias("is_gap"),
+        )
+    )
+
+
+def event_deltas(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    spike_factor: float = 2.0,
+) -> DataFrame:
+    """Consecutive-row deltas per key: previous value, absolute delta,
+    seconds since the previous event, and a spike flag when the value
+    jumps by more than ``spike_factor``× the previous value.
+
+    First event per key has NULL prev/delta and ``is_spike = false``.
+    Ordering ties on ``ts_col`` are broken by the row's own value then
+    any remaining columns are irrelevant — callers with non-unique
+    (key, ts) should pre-aggregate.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, value_col)
+    prev_v = F.lag(value_col).over(w)
+    prev_t = F.lag(ts_col).over(w)
+    return df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col),
+        prev_v.alias("prev_value"),
+        (F.col(value_col) - prev_v).alias("delta"),
+        (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_t)).alias(
+            "gap_seconds"
+        ),
+        F.coalesce(
+            F.abs(F.col(value_col)) > F.lit(spike_factor) * F.abs(prev_v),
+            F.lit(False),
+        ).alias("is_spike"),
+    )
+
+
+def scd2_from_events(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Collapse an attribute-change event log into SCD2 validity
+    intervals: one row per (key, attribute-state run) with
+    ``valid_from`` / ``valid_to`` (NULL = current) and ``is_current``.
+
+    Consecutive events with identical ``attr_cols`` merge into one
+    interval (true run-length collapse, not just lead()): a change flag
+    per row → running sum → group by (key, run id).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    changed = F.lit(False)
+    for a in attr_cols:
+        # null-safe inequality vs previous row
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    run = F.sum(
+        (changed | F.lag(ts_col).over(w).isNull()).cast("int")
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    runs = df.withColumn("__run", run)
+    per_run = runs.groupBy(key_col, "__run", *attr_cols).agg(
+        F.min(ts_col).alias("valid_from")
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from")
+    return per_run.select(
+        key_col,
+        *attr_cols,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -1,0 +1,102 @@
+"""Unit tests for the time-series operators (resample/gap-fill, deltas,
+SCD2) on hand-computed fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+    timeseries,
+)
+
+
+def _ts_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_resample_gapfill_forward_fills_gaps(spark):
+    df = _ts_df(
+        spark,
+        [
+            ("a", "2024-01-01 00:00:30", 1.0),
+            ("a", "2024-01-01 00:00:45", 2.0),
+            # gap minute 00:01
+            ("a", "2024-01-01 00:02:10", 5.0),
+            ("b", "2024-01-01 00:05:00", 7.0),
+        ],
+    )
+    out = timeseries.resample_gapfill(df, "key", "ts", "v", 60, agg="sum")
+    got = {
+        (r["key"], r["bucket_ts"].strftime("%H:%M"), r["value"], r["is_gap"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", "00:00", 3.0, False),
+        ("a", "00:01", 3.0, True),  # filled from previous bucket
+        ("a", "00:02", 5.0, False),
+        ("b", "00:05", 7.0, False),  # single-bucket key: no grid padding
+    }
+
+
+def test_event_deltas_and_spikes(spark):
+    df = _ts_df(
+        spark,
+        [
+            ("u", "2024-01-01 00:00:00", 10.0),
+            ("u", "2024-01-01 00:01:00", 12.0),
+            ("u", "2024-01-01 00:03:00", 30.0),  # > 2x prev -> spike
+        ],
+    )
+    out = timeseries.event_deltas(df, "key", "ts", "v", spike_factor=2.0)
+    rows = sorted(out.collect(), key=lambda r: r["ts"])
+    assert [r["delta"] for r in rows] == [None, 2.0, 18.0]
+    assert [r["gap_seconds"] for r in rows] == [None, 60, 120]
+    assert [r["is_spike"] for r in rows] == [False, False, True]
+
+
+def test_scd2_collapses_runs_and_marks_current(spark):
+    df = spark.createDataFrame(
+        [
+            ("u", "2024-01-01 00:00:00", "x"),
+            ("u", "2024-01-02 00:00:00", "x"),  # same attr: merges into run 1
+            ("u", "2024-01-03 00:00:00", "y"),
+            ("u", "2024-01-04 00:00:00", "x"),  # back to x: NEW interval
+        ],
+        "key string, ts string, attr string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = timeseries.scd2_from_events(df, "key", "ts", ["attr"])
+    rows = sorted(out.collect(), key=lambda r: r["valid_from"])
+    assert [(r["attr"], r["valid_from"].day, r["is_current"]) for r in rows] == [
+        ("x", 1, False),
+        ("y", 3, False),
+        ("x", 4, True),
+    ]
+    # intervals tile: each valid_to equals the next valid_from
+    assert rows[0]["valid_to"] == rows[1]["valid_from"]
+    assert rows[1]["valid_to"] == rows[2]["valid_from"]
+    assert rows[2]["valid_to"] is None
+
+
+def test_tfidf_top_terms_scores(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        textstats,
+    )
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    top = {r["doc_id"]: (r["term"], r["score"]) for r in out}
+    # doc 1: apple tf=2 df=1 -> 2*ln(3)
+    assert top[1] == ("apple", round(2 * math.log(3), 4))
+    # doc 2: banana/cherry both tf=1 df=2 -> equal score; tie-break term asc
+    assert top[2] == ("banana", round(math.log(3 / 2), 4))
+    assert top[3][0] == "cherry"
