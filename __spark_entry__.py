@@ -1985,6 +1985,136 @@ SELECT doc_id, term, tf, score FROM s WHERE rn <= 3
 
 
 # ---------------------------------------------------------------------------
+# Decontamination, domain-mix sampling, rolling windows, grouping sets
+# ---------------------------------------------------------------------------
+
+
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id%20 != 0) sharing
+    any word-5-gram with the held-out benchmark slice (doc_id%20 == 0)."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    return dedup.decontaminate(corpus, bench, "doc_id", "text", n=5)
+
+
+def _oracle_decontaminate() -> str:
+    norm = _NORM_SQL.format(col="text")
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(5))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 4),
+                               i -> {gram})) AS sh
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM sh_raw
+), bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0
+)
+SELECT doc_id, count(*) AS n_overlapping
+FROM sh JOIN bench USING (sh)
+WHERE doc_id % 20 <> 0
+GROUP BY doc_id
+"""
+
+
+# domain-mix keep-fractions by source stratum (md5 32-bit bucket space)
+_MIX_FRACS = {f"src{i}": 0.8 for i in range(5)}
+_MIX_FRACS.update({f"src{i}": 0.4 for i in range(5, 10)})
+_MIX_DEFAULT = 0.1
+
+
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (domain mixing): deterministic
+    hash-stable keep fractions per stratum, then per-source audit."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    s = sampling.stratified_hash_sample(
+        d, "doc_id", "source", _MIX_FRACS, default_fraction=_MIX_DEFAULT, seed=0
+    )
+    return s.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+def _oracle_domain_mix() -> str:
+    cases = " ".join(
+        f"WHEN source = '{v}' THEN {int(f * (1 << 32))}"
+        for v, f in sorted(_MIX_FRACS.items())
+    )
+    return f"""
+SELECT source, count(*) AS n, sum(n_chars) AS sum_chars
+FROM documents
+WHERE ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < CASE {cases} ELSE {int(_MIX_DEFAULT * (1 << 32))} END
+GROUP BY source
+"""
+
+
+def q_rolling_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row mean + trailing 1-hour range sum/count per user."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return timeseries.rolling_stats(
+        e, "user_id", "ts", "value", n_rows=7, range_seconds=3600
+    )
+
+
+ORACLE_ROLLING = """
+WITH base AS (
+  SELECT user_id, ts, value, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+)
+SELECT user_id, ts, value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+                 PARTITION BY user_id ORDER BY ts, value
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (
+                 PARTITION BY user_id ORDER BY ts, value
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7r,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER (
+                 PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+            AS DOUBLE) AS range_sum,
+       count(*) OVER (
+                 PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS range_n
+FROM base
+"""
+
+
+def q_grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (a,b) / (a) / () with grouping_id —
+    arbitrary set combos beyond cube/rollup, one shuffle."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        dsum("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+ORACLE_GROUPING_SETS = f"""
+SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity')} AS sum_qty,
+       count(*) AS n, GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -2060,6 +2190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_type": q_scd2_user_type,
         "acctbal_quartiles": q_acctbal_quartiles,
         "tfidf_terms": q_tfidf_terms,
+        "decontaminate_docs": q_decontaminate_docs,
+        "domain_mix_sample": q_domain_mix_sample,
+        "rolling_value_stats": q_rolling_value_stats,
+        "grouping_sets_pricing": q_grouping_sets_pricing,
         "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
     }
@@ -2131,6 +2265,10 @@ def oracle_sql() -> dict[str, str]:
         "scd2_user_type": ORACLE_SCD2,
         "acctbal_quartiles": ORACLE_QUARTILES,
         "tfidf_terms": _oracle_tfidf(),
+        "decontaminate_docs": _oracle_decontaminate(),
+        "domain_mix_sample": _oracle_domain_mix(),
+        "rolling_value_stats": ORACLE_ROLLING,
+        "grouping_sets_pricing": ORACLE_GROUPING_SETS,
         # dedup_clusters: iterative label propagation (rows-only check)
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }

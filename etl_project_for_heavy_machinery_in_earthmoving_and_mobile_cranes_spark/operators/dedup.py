@@ -423,3 +423,33 @@ def strip_boilerplate_lines(
         F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
         F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("bigint").alias("n_lines_kept"),
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: find corpus docs sharing any word
+    n-gram with a benchmark/eval set (the GPT-3-style 13-gram overlap
+    rule).  Returns ``(id, n_overlapping)`` — distinct overlapping
+    grams per contaminated doc; anti-join the result against the corpus
+    to drop them.
+
+    Scale: benchmark gram sets are tiny next to a 100 TB corpus, so the
+    distinct-gram side broadcasts and the scan stays shuffle-free on the
+    corpus side (set ``broadcast_benchmark=False`` to shuffle-join on
+    the gram key for very large eval suites).  Corpus grams are never
+    materialized beyond the streamed explode."""
+    c = shingle_rows(corpus, id_col, text_col, n)
+    b = shingle_rows(benchmark, id_col, text_col, n).select("__sh").distinct()
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    return (
+        c.join(b, "__sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlapping"))
+    )

@@ -149,3 +149,50 @@ def scd2_from_events(
         "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n_rows: int = 7,
+    range_seconds: int = 3600,
+) -> DataFrame:
+    """Rolling features per key, two frame kinds in one pass: a
+    ``n_rows``-row trailing mean (classic moving average) and a
+    time-range trailing sum/count over the last ``range_seconds``.
+
+    Both windows share the same partitioning, so Spark plans ONE
+    shuffle for all four output columns (the orderings differ — full
+    timestamp for the rows frame, whole seconds for the numeric range
+    frame — so each gets its own in-partition sort).  Sums go through
+    DECIMAL so the sliding-frame accumulation order (linear rescan
+    here, segment tree in other engines) cannot produce float-ulp
+    drift.  The rows frame orders by the full-precision timestamp:
+    flooring to seconds would tie co-second rows and make the frame
+    contents engine-dependent.
+    """
+    wr = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(value_col))
+        .rowsBetween(-(n_rows - 1), 0)
+    )
+    wt = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_timestamp(F.col(ts_col)))
+        .rangeBetween(-range_seconds, 0)
+    )
+    v = F.col(value_col).cast("decimal(18,4)")
+    return df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col),
+        # exact decimal sum → IEEE double division: one rounding step,
+        # no decimal-quotient-scale double-rounding across engines
+        F.round(
+            F.sum(v).over(wr).cast("double") / F.count("*").over(wr), 4
+        ).alias(f"avg_{n_rows}r"),
+        F.round(F.sum(v).over(wt), 2).cast("double").alias("range_sum"),
+        F.count("*").over(wt).alias("range_n"),
+    )

@@ -100,3 +100,40 @@ def test_tfidf_top_terms_scores(spark):
     # doc 2: banana/cherry both tf=1 df=2 -> equal score; tie-break term asc
     assert top[2] == ("banana", round(math.log(3 / 2), 4))
     assert top[3][0] == "cherry"
+
+
+def test_rolling_stats_frames(spark):
+    df = _ts_df(
+        spark,
+        [
+            ("u", "2024-01-01 00:00:00", 1.0),
+            ("u", "2024-01-01 00:30:00", 2.0),
+            ("u", "2024-01-01 01:10:00", 4.0),  # 00:00 falls out of 1h range
+        ],
+    )
+    out = timeseries.rolling_stats(
+        df, "key", "ts", "v", n_rows=2, range_seconds=3600
+    )
+    rows = sorted(out.collect(), key=lambda r: r["ts"])
+    assert [r["avg_2r"] for r in rows] == [1.0, 1.5, 3.0]
+    assert [r["range_sum"] for r in rows] == [1.0, 3.0, 6.0]
+    assert [r["range_n"] for r in rows] == [1, 2, 2]
+
+
+def test_decontaminate_flags_overlap(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains bench 5-gram
+            (2, "one two three four five six"),          # clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = dedup.decontaminate(corpus, bench, "doc_id", "text", n=5).collect()
+    assert {(r["doc_id"], r["n_overlapping"]) for r in out} == {(1, 1)}
