@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "pii_redaction",
     "packed_chunks",
     "doc_unigram_logprob",
+    "resampled_series",
+    "rolling_value_stats",
+    "grouping_sets_pricing",
+    "tfidf_terms",
+    "decontaminate_docs",
 ]
 
 
