@@ -158,3 +158,54 @@ def test_unigram_logprob_joins_on_token_partitioning(spark, sf_dir):
     p = plan_of(spark, "doc_unigram_logprob", sf_dir)
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_timeseries_windows_single_exchange(spark, sf_dir):
+    """Deltas, SCD2, and dual-frame rolling stats each shuffle the
+    events table exactly once: every window/groupBy in the chain is
+    keyed on (a subset-compatible superset of) the same entity key."""
+    import re
+
+    for q in ["event_deltas", "scd2_user_type", "rolling_value_stats"]:
+        p = plan_of(spark, q, sf_dir)
+        assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 1, q
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, q
+
+
+def test_resample_partial_agg_before_shuffle(spark, sf_dir):
+    """Resample keeps the map-side partial aggregate: the full event
+    stream is combined per (key, bucket) BEFORE its shuffle, and the
+    only other exchange moves already-bucketed (tiny) aggregates.  A
+    repartition-by-key-first shape would be 1 exchange but would ship
+    raw rows — worse at scale."""
+    import re
+
+    p = plan_of(spark, "resampled_series", sf_dir)
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 2
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+
+
+def test_grouping_sets_one_exchange(spark, sf_dir):
+    import re
+
+    p = plan_of(spark, "grouping_sets_pricing", sf_dir)
+    assert "Expand" in p
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 1
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark gram set rides a broadcast join — the corpus-side
+    gram stream is never shuffled for the membership probe."""
+    p = plan_of(spark, "decontaminate_docs", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tfidf_partial_topk_before_shuffle(spark, sf_dir):
+    """Per-doc top-k compiles to a partial WindowGroupLimit below the
+    doc-key exchange — only ~k candidate rows per doc cross the wire."""
+    p = plan_of(spark, "tfidf_terms", sf_dir)
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
