@@ -2114,6 +2114,83 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return textstats.token_entropy(d, "doc_id", "text")
+
+
+def _oracle_entropy() -> str:
+    norm = _NORM_SQL.format(col="text")
+    return f"""
+WITH dt AS (
+  SELECT doc_id, tok, count(*) AS k
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split({norm}, ' '), x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+       round(ln(CAST(sum(k) AS DOUBLE)) - sum(k * ln(CAST(k AS DOUBLE))) / sum(k), 4)
+           AS entropy
+FROM dt GROUP BY doc_id
+"""
+
+
+def q_price_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts of order totals per priority."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        outliers as outl,
+    )
+
+    tune(spark)
+    o = _t(spark, sf_dir, "orders")
+    return outl.iqr_outliers(o, ["o_orderpriority"], "o_totalprice", k=1.5)
+
+
+ORACLE_IQR = """
+WITH s AS (
+  SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.25)
+               - 1.5 * (quantile_cont(o_totalprice, 0.75)
+                        - quantile_cont(o_totalprice, 0.25)), 4) AS lo_fence,
+         round(quantile_cont(o_totalprice, 0.75)
+               + 1.5 * (quantile_cont(o_totalprice, 0.75)
+                        - quantile_cont(o_totalprice, 0.25)), 4) AS hi_fence
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderpriority, s.lo_fence, s.hi_fence, count(*) AS n,
+       count(*) FILTER (o.o_totalprice < s.lo_fence
+                        OR o.o_totalprice > s.hi_fence) AS n_outliers
+FROM orders o JOIN s USING (o_orderpriority)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch docs (doc_id >= 250) surviving dedup against the
+    history snapshot (doc_id < 250) and within-batch duplicates."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") >= 250)
+    hist = d.filter(F.col("doc_id") < 250)
+    return dedup.incremental_dedup(batch, hist, "doc_id", "text")
+
+
+def _oracle_incremental() -> str:
+    norm = _NORM_SQL.format(col="text")
+    return f"""
+WITH f AS (
+  SELECT doc_id, md5({norm}) AS fp FROM documents
+), b AS (SELECT * FROM f WHERE doc_id >= 250),
+h AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250)
+SELECT min(doc_id) AS doc_id, fp AS fingerprint
+FROM b WHERE fp NOT IN (SELECT fp FROM h)
+GROUP BY fp
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2194,6 +2271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_sample": q_domain_mix_sample,
         "rolling_value_stats": q_rolling_value_stats,
         "grouping_sets_pricing": q_grouping_sets_pricing,
+        "token_entropy": q_token_entropy,
+        "price_iqr_outliers": q_price_iqr_outliers,
+        "incremental_dedup": q_incremental_dedup,
         "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
     }
@@ -2269,6 +2349,9 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix_sample": _oracle_domain_mix(),
         "rolling_value_stats": ORACLE_ROLLING,
         "grouping_sets_pricing": ORACLE_GROUPING_SETS,
+        "token_entropy": _oracle_entropy(),
+        "price_iqr_outliers": ORACLE_IQR,
+        "incremental_dedup": _oracle_incremental(),
         # dedup_clusters: iterative label propagation (rows-only check)
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }

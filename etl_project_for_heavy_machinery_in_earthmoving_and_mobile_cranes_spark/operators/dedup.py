@@ -453,3 +453,29 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_overlapping"))
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Cross-snapshot dedup: keep only batch docs whose normalized
+    fingerprint appears in neither the history set nor earlier in the
+    batch itself (min-id wins within the batch).
+
+    The shape an append-only corpus needs on every ingest: an anti join
+    against the history fingerprint index plus an in-batch min_by — no
+    full-corpus re-dedup.  At scale the history side is a fingerprint-
+    only projection (16-byte keys), bucketed on fingerprint so repeated
+    ingests co-locate without reshuffling history."""
+    fp = F.md5(normalize_for_dedup(F.col(text_col)))
+    b = batch.withColumn("__fp", fp)
+    h = history.select(F.md5(normalize_for_dedup(F.col(text_col))).alias("__fp"))
+    survivors = b.join(h.distinct(), "__fp", "left_anti")
+    return (
+        survivors.groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, F.col("__fp").alias("fingerprint"))
+    )

@@ -42,3 +42,49 @@ def mark_outliers(
     if unknown_if is not None:
         verdict = F.when(unknown_if, "UNKNOWN").otherwise(verdict)
     return out.withColumn(out_col, verdict).drop("__med")
+
+
+def iqr_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Per-group Tukey fences: exact Q1/Q3, fences at ``Q1 - k·IQR`` /
+    ``Q3 + k·IQR``, and the count of rows outside them.
+
+    Complements ``mark_outliers`` (median-ratio rule from the
+    reference, `data_processing_program_20240520.py:287-316`) with the
+    distribution-aware rule an analyst expects.  Fences are rounded to
+    4dp before comparison so the flag is stable across engines whose
+    exact-percentile interpolation differs in the last ulp.  One
+    grouped percentile pass + one broadcast join back — at scale the
+    group-stats table is group-cardinality-sized, always the broadcast
+    side.
+    """
+    stats = df.groupBy(*keys).agg(
+        F.percentile(value_col, 0.25).alias("__q1"),
+        F.percentile(value_col, 0.75).alias("__q3"),
+    )
+    fences = stats.select(
+        *keys,
+        F.round(F.col("__q1") - k * (F.col("__q3") - F.col("__q1")), 4).alias(
+            "lo_fence"
+        ),
+        F.round(F.col("__q3") + k * (F.col("__q3") - F.col("__q1")), 4).alias(
+            "hi_fence"
+        ),
+    )
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(fences), list(keys))
+        .groupBy(*keys)
+        .agg(
+            F.first("lo_fence").alias("lo_fence"),
+            F.first("hi_fence").alias("hi_fence"),
+            F.count("*").alias("n"),
+            F.count(
+                F.when((v < F.col("lo_fence")) | (v > F.col("hi_fence")), 1)
+            ).alias("n_outliers"),
+        )
+    )

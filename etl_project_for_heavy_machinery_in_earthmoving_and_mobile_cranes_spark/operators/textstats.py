@@ -244,3 +244,30 @@ def tfidf_top_terms(
         .filter(F.col("__rn") <= k)
         .select(id_col, "term", "tf", "score")
     )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the token distribution —
+    near-zero entropy flags degenerate/repetitive docs, unusually high
+    entropy flags random-character noise.
+
+    Single-pass identity ``H = ln(n) - (Σ k·ln k)/n`` over per-doc token
+    counts: no join-back against a totals table, so the whole operator
+    is explode → (doc, token) count → one per-doc aggregate — two
+    map-side-combined shuffles, no Python.
+    """
+    toks = F.filter(
+        F.split(normalize_for_dedup(F.col(text_col)), " "), lambda x: x != ""
+    )
+    dt = (
+        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("k"))
+    )
+    n = F.sum("k")
+    return dt.groupBy(id_col).agg(
+        n.cast("bigint").alias("n_tokens"),
+        F.round(
+            F.log(n) - F.sum(F.col("k") * F.log("k")) / n, 4
+        ).alias("entropy"),
+    )

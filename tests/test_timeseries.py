@@ -137,3 +137,60 @@ def test_decontaminate_flags_overlap(spark):
     )
     out = dedup.decontaminate(corpus, bench, "doc_id", "text", n=5).collect()
     assert {(r["doc_id"], r["n_overlapping"]) for r in out} == {(1, 1)}
+
+
+def test_token_entropy_hand_computed(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        textstats,
+    )
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b b"), (2, "x x x x"), (3, "p q r s")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["entropy"])
+        for r in textstats.token_entropy(df, "doc_id", "text").collect()
+    }
+    assert got[1] == (4, round(math.log(2), 4))   # uniform over 2 tokens
+    assert got[2] == (4, 0.0)                     # degenerate
+    assert got[3] == (4, round(math.log(4), 4))   # uniform over 4
+
+
+def test_iqr_outliers_fences_and_counts(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        outliers,
+    )
+
+    # group g: values 1..9 plus one extreme; Q1=2.5 Q3=7.5 IQR=5
+    # fences: -5.0 / 15.0 -> only 100.0 is outside
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 100.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = outliers.iqr_outliers(df, ["k"], "v", k=1.5).collect()[0]
+    assert out["n"] == 10 and out["n_outliers"] == 1
+    assert out["lo_fence"] < 1.0 and out["hi_fence"] < 100.0
+
+
+def test_incremental_dedup_history_and_batch(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        dedup,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "seen before")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Seen  BEFORE"),   # dup of history (normalization)
+            (11, "fresh content"),
+            (12, "fresh content"),  # in-batch dup: min id wins
+            (13, "also new"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]
+        for r in dedup.incremental_dedup(batch, hist, "doc_id", "text").collect()
+    }
+    assert got == {11, 13}
