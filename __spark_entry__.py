@@ -2191,6 +2191,51 @@ GROUP BY fp
 """
 
 
+def q_sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 15min slide): each event lands in 4
+    overlapping windows.  Batch twin of the streaming sliding-window
+    job; Spark expands in-plan (no self-join)."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "sum_value")
+    )
+
+
+ORACLE_SLIDING = f"""
+SELECT CAST(to_timestamp((CAST(floor(epoch(ts)/900) AS BIGINT) - k) * 900)
+            AS TIMESTAMP) AS wstart,
+       event_type, count(*) AS n, {sql_dsum('value')} AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)
+GROUP BY 1, 2
+"""
+
+
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path for semi-structured data: parse_json →
+    variant_get typed extraction (binary variant encoding, no
+    per-query re-parse), bucketed histogram of the extracted field."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select((F.floor(k / 10) * 10).cast("int").alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_VARIANT = """
+SELECT CAST(floor(CAST(props::JSON->>'k' AS INT) / 10) * 10 AS INT) AS k_bucket,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2274,6 +2319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "price_iqr_outliers": q_price_iqr_outliers,
         "incremental_dedup": q_incremental_dedup,
+        "sliding_event_windows": q_sliding_event_windows,
+        "variant_props": q_variant_props,
         "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
     }
@@ -2352,6 +2399,8 @@ def oracle_sql() -> dict[str, str]:
         "token_entropy": _oracle_entropy(),
         "price_iqr_outliers": ORACLE_IQR,
         "incremental_dedup": _oracle_incremental(),
+        "sliding_event_windows": ORACLE_SLIDING,
+        "variant_props": ORACLE_VARIANT,
         # dedup_clusters: iterative label propagation (rows-only check)
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }

@@ -48,6 +48,24 @@ def hourly_type_counts(events: DataFrame, watermark: str = "2 hours") -> DataFra
     )
 
 
+def sliding_type_counts(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    length: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Sliding windows (overlapping; each event in length/slide
+    windows) per event type — the streaming twin of the batch
+    ``sliding_event_windows`` query.  State size scales with
+    (windows in watermark horizon) × (types), independent of rate."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", length, slide).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "sum_value")
+    )
+
+
 def deduped_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact-dedup on event_id: state is bounded by the
     watermark horizon (dropDuplicatesWithinWatermark)."""

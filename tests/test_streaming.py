@@ -117,3 +117,23 @@ def test_stream_stream_click_purchase_join(spark, event_dir, tmp_path):
     want = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
     assert want, "fixture should produce at least one attributed pair"
     assert {(r["purchase_id"], r["click_id"]) for r in got} == want
+
+
+def test_sliding_counts_stream_matches_batch(spark, event_dir, tmp_path):
+    stream = jobs.read_event_stream(spark, event_dir)
+    got = jobs.run_available_now(
+        jobs.sliding_type_counts(stream), str(tmp_path / "cp_slide"),
+        output_mode="complete",
+    )
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n")
+        .collect()
+    )
+    key = lambda r: (r["wstart"], r["event_type"])
+    assert {key(r): r["n"] for r in got} == {key(r): r["n"] for r in batch}
+    # every event appears in exactly 4 overlapping windows
+    n_events = spark.read.parquet(event_dir).count()
+    assert sum(r["n"] for r in got) == 4 * n_events
