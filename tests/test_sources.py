@@ -184,3 +184,47 @@ def test_clustered_write_disjoint_file_ranges(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "k" in plan
+
+
+def test_xlsx_lite_writer_roundtrip(tmp_path):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        xlsx_lite,
+    )
+
+    p = str(tmp_path / "rt.xlsx")
+    rows = [["id", "name", "amt"], [1, "alpha", 1.5], [2, "b <&> c", None]]
+    xlsx_lite.write_xlsx_rows(p, rows)
+    assert xlsx_lite.read_xlsx_rows(p) == rows
+
+
+def test_xlsx_python_datasource(spark, tmp_path):
+    """format('xlsx') via the Spark 4 Python Data Source API: per-file
+    partitions, typed schema, header handling — no openpyxl anywhere."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        xlsx_lite,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources.xlsx_datasource import (
+        XlsxDataSource,
+    )
+
+    for i in range(2):
+        xlsx_lite.write_xlsx_rows(
+            str(tmp_path / f"batch{i}.xlsx"),
+            [["id", "name", "amt"], [i * 10 + 1, f"a{i}", 1.5], [i * 10 + 2, f"b{i}", 2.5]],
+        )
+    spark.dataSource.register(XlsxDataSource)
+
+    # explicit schema: typed columns
+    df = (
+        spark.read.format("xlsx")
+        .schema("id long, name string, amt double")
+        .load(str(tmp_path / "*.xlsx"))
+    )
+    assert df.rdd.getNumPartitions() == 2  # one per workbook
+    got = {(r["id"], r["name"], r["amt"]) for r in df.collect()}
+    assert got == {(1, "a0", 1.5), (2, "b0", 2.5), (11, "a1", 1.5), (12, "b1", 2.5)}
+
+    # inferred schema: header names, all strings
+    inf = spark.read.format("xlsx").load(str(tmp_path / "batch0.xlsx"))
+    assert inf.columns == ["id", "name", "amt"]
+    assert {r["id"] for r in inf.collect()} == {"1", "2"}
