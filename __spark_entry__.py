@@ -2236,6 +2236,91 @@ FROM events GROUP BY 1
 """
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step: every vector labeled with its nearest
+    of 4 seed centroids (vec_id 0..3), as a shuffle-free literal
+    expression (similarity.assign_to_nearest)."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    out = similarity.assign_to_nearest(emb, "embedding", cents)
+    return out.select(
+        "vec_id", "cluster_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+ORACLE_EMBEDDING_CLUSTERS = """
+WITH c AS (SELECT vec_id AS cluster_id, embedding AS cv FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT e.vec_id, c.cluster_id,
+         list_dot_product(embedding::DOUBLE[], cv::DOUBLE[]) /
+         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+          sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))) AS sim
+  FROM embeddings e CROSS JOIN c
+), ranked AS (
+  SELECT vec_id, cluster_id, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, cluster_id, round(sim, 6) AS cosine_sim FROM ranked WHERE rn = 1
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation: keep documents at/above the median quality
+    WITHIN their detected language (textstats.quality_percentile_filter)."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    out = textstats.quality_percentile_filter(d, "text", min_rank=0.5)
+    return out.select("doc_id", "lang_guess", "quality", "q_rank")
+
+
+def _oracle_quality_filter() -> str:
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.textstats import (
+        STOPWORDS,
+    )
+
+    langs = sorted(STOPWORDS)
+    scores = []
+    for lang in langs:
+        lst = "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        scores.append(
+            rf"len(list_filter(string_split_regex(lower(text), '\s+'), x -> list_contains({lst}, x))) AS s_{lang}"
+        )
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    scores_sql = ",\n         ".join(scores)
+    return rf"""
+WITH scored AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_tokens,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+             / greatest(length(text), 1) AS punct_raw,
+         {scores_sql}
+  FROM documents
+), lq AS (
+  SELECT doc_id, {case} AS lang_guess,
+         round((least(n_tokens / 50.0, 1.0)
+              + least(s_en * 1.0 / greatest(n_tokens, 1) * 5.0, 1.0)
+              + greatest(1.0 - punct_raw * 4.0, 0.0)) / 3.0, 6) AS quality
+  FROM scored
+), r AS (
+  SELECT doc_id, lang_guess, quality,
+         round(percent_rank() OVER (PARTITION BY lang_guess ORDER BY quality), 6) AS q_rank
+  FROM lq
+)
+SELECT doc_id, lang_guess, quality, q_rank FROM r WHERE q_rank >= 0.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2321,6 +2406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "sliding_event_windows": q_sliding_event_windows,
         "variant_props": q_variant_props,
+        "embedding_clusters": q_embedding_clusters,
+        "quality_filter": q_quality_filter,
         "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
     }
@@ -2401,6 +2488,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _oracle_incremental(),
         "sliding_event_windows": ORACLE_SLIDING,
         "variant_props": ORACLE_VARIANT,
+        "embedding_clusters": ORACLE_EMBEDDING_CLUSTERS,
+        "quality_filter": _oracle_quality_filter(),
         # dedup_clusters: iterative label propagation (rows-only check)
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }

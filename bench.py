@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "grouping_sets_pricing",
     "tfidf_terms",
     "decontaminate_docs",
+    "embedding_clusters",
+    "quality_filter",
 ]
 
 

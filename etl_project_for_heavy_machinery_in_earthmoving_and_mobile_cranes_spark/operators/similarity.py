@@ -506,3 +506,46 @@ def ivf_pq_knn(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def assign_to_nearest(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    id_out: str = "cluster_id",
+    sim_out: str = "cosine_sim",
+) -> DataFrame:
+    """One k-means assignment step (Lloyd E-step): attach the id of the
+    cosine-nearest centroid to every row, ties broken by smallest
+    centroid id.
+
+    Scale design: NO join and NO shuffle.  Centroids are small by
+    construction (k ≪ rows), so they are baked in as literal arrays and
+    the argmax is a single whole-stage-codegen expression — a 100 TB
+    corpus assigns in one map-only pass.  The naive alternative
+    (crossJoin(broadcast(centroids)) + window argmax) explodes rows k×
+    and shuffles on the row id for the window; this does neither.
+    The row norm is projected once (``__vnorm``) so it is not
+    re-evaluated per centroid.
+    """
+    import math
+
+    v = F.col(vec_col)
+    with_norm = df.withColumn("__vnorm", norm(v))
+    structs = []
+    for cid, c in centroids:
+        cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        sim = dot(v, carr) / (F.col("__vnorm") * F.lit(cn))
+        structs.append(
+            F.struct(
+                (-sim).alias("d"), F.lit(int(cid)).alias("cid"), sim.alias("s")
+            )
+        )
+    best = F.element_at(F.array_sort(F.array(*structs)), 1)
+    return (
+        with_norm.withColumn("__best", best)
+        .withColumn(id_out, F.col("__best.cid"))
+        .withColumn(sim_out, F.col("__best.s"))
+        .drop("__vnorm", "__best")
+    )

@@ -271,3 +271,29 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.log(n) - F.sum(F.col("k") * F.log("k")) / n, 4
         ).alias("entropy"),
     )
+
+
+def quality_percentile_filter(
+    df: DataFrame, text_col: str = "text", min_rank: float = 0.5
+) -> DataFrame:
+    """Corpus curation by per-language quality percentile: score every
+    document (quality_score + lang_id), rank it WITHIN its language by
+    percent_rank, keep rows at or above ``min_rank``.  Per-language
+    thresholds stop an English-tuned heuristic from discarding other
+    languages wholesale.
+
+    Scale note: percent_rank partitions by language — few, huge
+    partitions at corpus scale (skew).  At 100 TB compute per-language
+    cutoffs with percentile_approx instead, broadcast the k-row cutoff
+    table, and filter — same semantics up to sketch error, no global
+    sort per language.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    scored = df.withColumn("quality", quality_score(c)).withColumn(
+        "lang_guess", lang_id(c)
+    )
+    w = Window.partitionBy("lang_guess").orderBy("quality")
+    ranked = scored.withColumn("q_rank", F.round(F.percent_rank().over(w), 6))
+    return ranked.filter(F.col("q_rank") >= min_rank)

@@ -335,3 +335,54 @@ def test_multimodal_frame_sampling_jvm_only(spark):
     # frame-index planning must not enter Python
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_assign_to_nearest_argmax_tiebreak_and_no_shuffle(spark):
+    import re
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 2.0]),
+            (2, [1.0, 1.0]),   # equidistant from both centroids -> tie
+            (3, [-1.0, 0.0]),  # anti-parallel to centroid 0
+        ],
+        "id int, v array<double>",
+    )
+    cents = [(0, [2.0, 0.0]), (1, [0.0, 1.0])]
+    out = {
+        r["id"]: (r["cluster_id"], round(r["cosine_sim"], 6))
+        for r in similarity.assign_to_nearest(df, "v", cents).collect()
+    }
+    assert out[0] == (0, 1.0)
+    assert out[1] == (1, 1.0)
+    assert out[2] == (0, 0.707107)  # tie -> smallest centroid id
+    assert out[3] == (1, 0.0)       # cos -1 vs 0 -> centroid 1
+    # shuffle-free: literal-expression argmax, no join, no exchange
+    qe = similarity.assign_to_nearest(df, "v", cents)._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = qe.explainString(mode)
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 0
+    assert "Join" not in p
+
+
+def test_quality_percentile_filter_per_lang_median(spark):
+    rows = []
+    # 4 english docs of increasing quality (distinct length scores,
+    # below the 50-token saturation point so no percent_rank ties)
+    for i, n in enumerate([1, 2, 3, 4]):
+        rows.append((i, " ".join(["the cat is on a mat for it and"] * n)))
+    # 3 'und' docs (no stopwords), increasing length
+    for i, n in enumerate([1, 3, 9]):
+        rows.append((10 + i, " ".join(["zzz qqq xxx"] * n)))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    kept = textstats.quality_percentile_filter(df, "text", min_rank=0.5).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang_guess"], set()).add(r["doc_id"])
+    # percent_rank >= 0.5 keeps the top half of each language partition
+    assert by_lang["en"] == {2, 3}
+    assert by_lang["und"] == {11, 12}
+    assert all(r["q_rank"] >= 0.5 for r in kept)
