@@ -54,3 +54,28 @@ def quantile_summary(
     for i, p in enumerate(probs):
         out = out.withColumn(f"p{int(p * 100)}", F.col("__q")[i])
     return out.drop("__q")
+
+
+def cms_sketch(
+    col: str, eps: float = 0.001, confidence: float = 0.99, seed: int = 42
+) -> Column:
+    """Count-min sketch aggregate for heavy-hitter frequency estimation.
+
+    A depth×width counter grid (depth = ln(1/(1-confidence)), width =
+    ceil(2/eps)) that aggregates map-side and merges associatively —
+    at 100 TB the full token-frequency table may be billions of rows,
+    but the sketch is a few KB per partition and one small merge,
+    answering "how often does X occur" within eps·N overestimate.
+    """
+    return F.count_min_sketch(col, F.lit(eps), F.lit(confidence), F.lit(seed))
+
+
+def cms_estimate(spark, sketch_bytes: bytes, items: list) -> dict:
+    """Driver-side point queries against a serialized count-min sketch
+    (the binary produced by ``cms_sketch``).  Estimates never
+    undercount; overcount is bounded by eps·total with the sketch's
+    confidence."""
+    jvm = spark._jvm
+    stream = jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(stream)
+    return {item: cms.estimateCount(item) for item in items}

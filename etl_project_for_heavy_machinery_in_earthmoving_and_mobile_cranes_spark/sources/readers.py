@@ -163,3 +163,53 @@ def compact_parquet(
     df = spark.read.parquet(path)
     df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, ...],
+    num_files: int = 8,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) layout for tables filtered on ANY of the
+    cluster columns, not just a leading key.
+
+    Each column is bucketed into 2^bits equi-width cells (bounds from
+    one tiny min/max agg), the cell indexes are bit-interleaved into a
+    single z-value, and the table is range-partitioned + sorted on z.
+    Every file then covers a small hyper-rectangle of the key space, so
+    parquet min/max stats skip most files for a predicate on EITHER
+    column — where ``write_clustered_parquet`` on (x, y) only helps x.
+    Cost at any scale: one scalar agg + one range exchange + a
+    partition-local sort — same exchange count as single-key
+    clustering."""
+    stats = df.agg(
+        *[F.min(c).alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).alias(f"__mx_{c}") for c in cols],
+    ).collect()[0]
+    n = 1 << bits
+    cells = []
+    for c in cols:
+        mn = float(stats[f"__mn_{c}"])
+        span = (float(stats[f"__mx_{c}"]) - mn) or 1.0
+        cells.append(
+            F.least(
+                F.lit(n - 1), F.floor((F.col(c) - F.lit(mn)) / F.lit(span) * n)
+            ).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, cell in enumerate(cells):
+            z = z + F.shiftright(cell, i).bitwiseAND(F.lit(1)) * F.lit(
+                1 << (i * len(cols) + j)
+            )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -180,3 +180,49 @@ def clicks_to_purchases(
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")),
         "inner",
     ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts", "value")
+
+
+def upsert_stream(
+    events: DataFrame, table_path: str, key_cols: list[str], checkpoint_dir: str
+):
+    """Streaming MERGE: each micro-batch upserts into a keyed parquet
+    table via foreachBatch + ``history.merge_upsert`` (latest row per
+    key wins, within-batch latest picked by ts).
+
+    Plain parquet has no transactional MERGE, so a batch writes the
+    merged table to a new versioned directory and atomically renames it
+    over the old one — correct single-writer semantics, full-table
+    rewrite cost.  At production scale the same ``write_batch`` body
+    targets a table format (Delta/Iceberg MERGE INTO) that rewrites
+    only the files containing matched keys; the streaming plumbing
+    (checkpoint, availableNow, per-batch idempotence) is unchanged."""
+    import os
+    import shutil
+
+    from ..operators.history import merge_upsert
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        latest = F.max_by(
+            F.struct(*[c for c in batch_df.columns if c not in key_cols]), F.col("ts")
+        ).alias("__rest")
+        dedup = (
+            batch_df.groupBy(*key_cols).agg(latest).select(*key_cols, "__rest.*")
+        )
+        if os.path.exists(table_path):
+            current = spark.read.parquet(table_path)
+            merged = merge_upsert(current, dedup.select(*current.columns), key_cols)
+        else:
+            merged = dedup
+        tmp = f"{table_path}.v{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(table_path):
+            shutil.rmtree(table_path)
+        os.rename(tmp, table_path)
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -209,3 +209,53 @@ def test_tfidf_partial_topk_before_shuffle(spark, sf_dir):
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
+    """A selective filter on the build side of a shuffle join is
+    rewritten into a bloom filter evaluated at the probe side's scan —
+    runtime row-level pruning BEFORE the shuffle, the key defense for a
+    100 TB fact joined to a filtered dim too big to broadcast."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(2_000_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    small = spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("w")
+    )
+    big.write.mode("overwrite").parquet(str(tmp_path / "big"))
+    small.write.mode("overwrite").parquet(str(tmp_path / "small"))
+
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "500MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for k, v in keys.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        j = spark.read.parquet(str(tmp_path / "big")).join(
+            spark.read.parquet(str(tmp_path / "small")).filter(F.col("w") == 3),
+            "k",
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        p = j._jdf.queryExecution().explainString(mode)
+        assert "might_contain" in p          # probe side consumes the filter
+        assert "bloom_filter_agg" in p       # build side produces it
+        assert j.count() == 15385            # semantics unchanged
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

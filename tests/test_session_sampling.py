@@ -121,3 +121,23 @@ def test_ivf_knn_recall_and_exact_degeneration(spark):
     full = similarity.ivf_knn(emb, q, k=3, n_cells=8, nprobe=8, centroids=cents)
     fr = {(r.query_id, r.neighbor_id) for r in full.collect()}
     assert fr == er
+
+
+def test_cms_heavy_hitter_error_bound(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sketches,
+    )
+
+    # zipf-ish: token i appears (200 - i) times
+    rows = [(f"tok{i}",) for i in range(200) for _ in range(200 - i)]
+    df = spark.createDataFrame(rows, "tok string").repartition(8)
+    total = df.count()
+    eps = 0.005
+    blob = df.agg(
+        sketches.cms_sketch("tok", eps=eps, confidence=0.99).alias("s")
+    ).collect()[0]["s"]
+    est = sketches.cms_estimate(spark, blob, [f"tok{i}" for i in range(0, 200, 25)])
+    for tok, e in est.items():
+        true = 200 - int(tok[3:])
+        assert e >= true  # CMS never undercounts
+        assert e <= true + eps * total

@@ -228,3 +228,39 @@ def test_xlsx_python_datasource(spark, tmp_path):
     inf = spark.read.format("xlsx").load(str(tmp_path / "batch0.xlsx"))
     assert inf.columns == ["id", "name", "amt"]
     assert {r["id"] for r in inf.collect()} == {"1", "2"}
+
+
+def test_zorder_write_bounds_both_dims(spark, tmp_path):
+    """Z-order files cover small (x, y) rectangles; single-key
+    clustering leaves the trailing dim unbounded per file."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        readers,
+    )
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    zpath, xpath = str(tmp_path / "z"), str(tmp_path / "xonly")
+    readers.write_zordered_parquet(grid, zpath, ("x", "y"), num_files=16, bits=6)
+    readers.write_clustered_parquet(grid, xpath, ("x",), num_files=16)
+
+    def avg_ranges(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("rx"),
+                (F.max("y") - F.min("y")).alias("ry"),
+            )
+            .agg(F.avg("rx"), F.avg("ry"))
+            .collect()[0]
+        )
+        return per_file[0], per_file[1]
+
+    zrx, zry = avg_ranges(zpath)
+    xrx, xry = avg_ranges(xpath)
+    # x-clustered: x tight but y spans the whole domain per file
+    assert xry > 55
+    # z-ordered: BOTH dims bounded well below the 63-wide domain
+    assert zrx < 32 and zry < 32
+    assert zry < 0.5 * xry

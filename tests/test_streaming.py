@@ -137,3 +137,42 @@ def test_sliding_counts_stream_matches_batch(spark, event_dir, tmp_path):
     # every event appears in exactly 4 overlapping windows
     n_events = spark.read.parquet(event_dir).count()
     assert sum(r["n"] for r in got) == 4 * n_events
+
+
+def test_upsert_stream_latest_per_key(spark, event_dir, tmp_path):
+    """foreachBatch MERGE: after two deliveries the keyed table holds
+    exactly one row per user — that user's latest event overall (the
+    second delivery contains only later events, so update-wins equals
+    global argmax by ts)."""
+    src = spark.read.parquet(event_dir)
+    mid = src.select(F.unix_timestamp("ts").alias("s")).approxQuantile(
+        "s", [0.5], 0.0
+    )[0]
+    early = src.filter(F.unix_timestamp("ts") <= mid)
+    late = src.filter(F.unix_timestamp("ts") > mid)
+    land = str(tmp_path / "land")
+    table, cp = str(tmp_path / "tbl"), str(tmp_path / "cp")
+
+    early.write.parquet(land)
+    q = jobs.upsert_stream(
+        jobs.read_event_stream(spark, land), table, ["user_id"], cp
+    )
+    q.awaitTermination()
+    t1 = spark.read.parquet(table)
+    assert t1.count() == early.select("user_id").distinct().count()
+
+    late.write.mode("append").parquet(land)
+    q2 = jobs.upsert_stream(
+        jobs.read_event_stream(spark, land), table, ["user_id"], cp
+    )
+    q2.awaitTermination()
+
+    got = {
+        (r["user_id"], r["ts"])
+        for r in spark.read.parquet(table).select("user_id", "ts").collect()
+    }
+    want = {
+        (r["user_id"], r["ts"])
+        for r in src.groupBy("user_id").agg(F.max("ts").alias("ts")).collect()
+    }
+    assert got == want
