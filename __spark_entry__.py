@@ -2321,6 +2321,71 @@ SELECT doc_id, lang_guess, quality, q_rank FROM r WHERE q_rank >= 0.5
 """
 
 
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated top-2 orders per customer via Spark 4 lateralJoin
+    (CROSS APPLY): the per-row subquery shape window functions can't
+    express when the inner query has its own LIMIT semantics."""
+    tune(spark)
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("__ck"), "o_orderkey", "o_totalprice"
+    )
+    inner = (
+        o.where(F.col("__ck") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return c.lateralJoin(inner)
+
+
+ORACLE_LATERAL = """
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+) t
+"""
+
+
+def q_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive hierarchy walk with a recursive CTE (Spark 4):
+    depth + root for every node of the synthesized supplier tree
+    (parent = suppkey div 10) — the iterative-query shape (BOM
+    explosion, org charts, graph reachability) now first-class SQL."""
+    tune(spark)
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT s_suppkey, 1 AS depth, s_suppkey AS root
+          FROM supplier_rcte WHERE s_suppkey <= 9
+          UNION ALL
+          SELECT s.s_suppkey, c.depth + 1, c.root
+          FROM supplier_rcte s JOIN chain c
+            ON s.s_suppkey > 9
+           AND CAST(floor(s.s_suppkey / 10) AS BIGINT) = c.s_suppkey
+        )
+        SELECT s_suppkey, depth, root FROM chain
+        """
+    )
+
+
+ORACLE_SUPPLIER_CHAIN = """
+WITH RECURSIVE chain AS (
+  SELECT s_suppkey, 1 AS depth, s_suppkey AS root
+  FROM supplier WHERE s_suppkey <= 9
+  UNION ALL
+  SELECT s.s_suppkey, c.depth + 1, c.root
+  FROM supplier s JOIN chain c
+    ON s.s_suppkey > 9
+   AND CAST(floor(s.s_suppkey / 10) AS BIGINT) = c.s_suppkey
+)
+SELECT s_suppkey, depth, root FROM chain
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2408,6 +2473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_props": q_variant_props,
         "embedding_clusters": q_embedding_clusters,
         "quality_filter": q_quality_filter,
+        "lateral_top_orders": q_lateral_top_orders,
+        "supplier_chain": q_supplier_chain,
         "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
     }
@@ -2490,6 +2557,8 @@ def oracle_sql() -> dict[str, str]:
         "variant_props": ORACLE_VARIANT,
         "embedding_clusters": ORACLE_EMBEDDING_CLUSTERS,
         "quality_filter": _oracle_quality_filter(),
+        "lateral_top_orders": ORACLE_LATERAL,
+        "supplier_chain": ORACLE_SUPPLIER_CHAIN,
         # dedup_clusters: iterative label propagation (rows-only check)
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }

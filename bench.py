@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "decontaminate_docs",
     "embedding_clusters",
     "quality_filter",
+    "lateral_top_orders",
 ]
 
 

@@ -49,3 +49,21 @@ def fk_orphan_count(
         how="left_anti",
     )
     return orphans.agg(F.count("*").alias("n_violations"))
+
+
+def with_observed_metrics(
+    df: DataFrame, name: str, metrics: dict[str, Column]
+):
+    """Attach accumulator-style metrics to a plan: returns
+    ``(df, observation)``; after ANY action on ``df`` (typically the
+    production write), ``observation.get`` yields the metric values.
+
+    This is the zero-cost audit path at scale — row counts, null
+    counts, and range checks ride along the write as aggregates over
+    the already-materialized rows, instead of a second full scan of a
+    100 TB input.  Contrast with ``violation_counts``, which is a
+    standalone (re-scanning) audit query."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(k) for k, c in metrics.items()]), obs

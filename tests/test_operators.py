@@ -386,3 +386,25 @@ def test_quality_percentile_filter_per_lang_median(spark):
     assert by_lang["en"] == {2, 3}
     assert by_lang["und"] == {11, 12}
     assert all(r["q_rank"] >= 0.5 for r in kept)
+
+
+def test_observed_metrics_ride_along_write(spark, tmp_path):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        quality,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0), (4, 9.0)], "id int, v double"
+    )
+    out, obs = quality.with_observed_metrics(
+        df,
+        "write_audit",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.count(F.when(F.isnull("v"), 1)),
+            "n_negative": F.count(F.when(F.col("v") < 0, 1)),
+        },
+    )
+    # the metrics are produced BY the write itself — no second scan
+    out.write.mode("overwrite").parquet(str(tmp_path / "t"))
+    assert obs.get == {"n_rows": 4, "n_null_v": 1, "n_negative": 1}
