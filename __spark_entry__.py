@@ -2386,6 +2386,24 @@ SELECT s_suppkey, depth, root FROM chain
 """
 
 
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidates: part-name pairs within edit
+    distance 3, blocked on the first word (dedup.fuzzy_name_pairs)."""
+    tune(spark)
+    p = _t(spark, sf_dir, "part")
+    return dedup.fuzzy_name_pairs(
+        p, "p_name", lambda n: F.substring_index(n, " ", 1), max_dist=3
+    )
+
+
+ORACLE_FUZZY_NAMES = """
+WITH n AS (SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 1) AS blk FROM part)
+SELECT a.name AS name_a, b.name AS name_b, levenshtein(a.name, b.name) AS edit_dist
+FROM n a JOIN n b ON a.blk = b.blk
+WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2475,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "lateral_top_orders": q_lateral_top_orders,
         "supplier_chain": q_supplier_chain,
+        "fuzzy_part_names": q_fuzzy_part_names,
         "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
     }
@@ -2559,6 +2578,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": _oracle_quality_filter(),
         "lateral_top_orders": ORACLE_LATERAL,
         "supplier_chain": ORACLE_SUPPLIER_CHAIN,
+        "fuzzy_part_names": ORACLE_FUZZY_NAMES,
         # dedup_clusters: iterative label propagation (rows-only check)
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }

@@ -479,3 +479,36 @@ def incremental_dedup(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, F.col("__fp").alias("fingerprint"))
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    block,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Entity-resolution candidate pairs by edit distance with blocking.
+
+    Distinct names only (entity resolution is over the name domain, not
+    row ids), equi self-join on a cheap blocking key, then a
+    levenshtein filter.  Blocking converts the O(n²) all-pairs scan
+    into per-block cartesian products joined by hash — the standard ER
+    compromise: the block key bounds cost and the edit-distance bound
+    sets precision; names split across blocks are the recall loss.  At
+    100 TB block keys should be chosen so the largest block fits one
+    task (add a second key component — length bucket, phonetic code —
+    if a block grows hot)."""
+    names = (
+        df.select(F.col(name_col).alias("name"))
+        .distinct()
+        .withColumn("blk", block(F.col("name")))
+    )
+    a = names.select("blk", F.col("name").alias("name_a"))
+    b = names.select("blk", F.col("name").alias("name_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("name_a", "name_b", "edit_dist")
+    )

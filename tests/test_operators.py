@@ -408,3 +408,22 @@ def test_observed_metrics_ride_along_write(spark, tmp_path):
     # the metrics are produced BY the write itself — no second scan
     out.write.mode("overwrite").parquet(str(tmp_path / "t"))
     assert obs.get == {"n_rows": 4, "n_null_v": 1, "n_negative": 1}
+
+
+def test_fuzzy_name_pairs_blocking_and_distance(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "red widget"),
+            (2, "red widgets"),   # dist 1 to 'red widget', same block
+            (3, "red gizmo"),     # dist > 3 to both
+            (4, "blue widget"),   # different block — never compared
+            (5, "red widget"),    # duplicate name collapses first
+        ],
+        "id int, name string",
+    )
+    out = dedup.fuzzy_name_pairs(
+        df, "name", lambda n: F.substring_index(n, " ", 1), max_dist=3
+    ).collect()
+    assert [(r["name_a"], r["name_b"], r["edit_dist"]) for r in out] == [
+        ("red widget", "red widgets", 1)
+    ]
