@@ -2404,6 +2404,35 @@ WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 3
 """
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bucket histogram of order totals: data-dependent
+    bounds from one scalar agg, broadcast back as a 1-row cross join —
+    two passes total, no collect, bucket arithmetic in codegen."""
+    tune(spark)
+    o = _t(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / 10
+    bucket = F.least(
+        F.lit(9), F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("int")
+    )
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_HISTOGRAM = """
+WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+SELECT least(9, CAST(floor((o_totalprice - mn) / ((mx - mn) / 10)) AS INT)) AS bucket,
+       count(*) AS n
+FROM orders, s GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2494,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_top_orders": q_lateral_top_orders,
         "supplier_chain": q_supplier_chain,
         "fuzzy_part_names": q_fuzzy_part_names,
+        "price_histogram": q_price_histogram,
         "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
     }
@@ -2579,6 +2609,7 @@ def oracle_sql() -> dict[str, str]:
         "lateral_top_orders": ORACLE_LATERAL,
         "supplier_chain": ORACLE_SUPPLIER_CHAIN,
         "fuzzy_part_names": ORACLE_FUZZY_NAMES,
+        "price_histogram": ORACLE_HISTOGRAM,
         # dedup_clusters: iterative label propagation (rows-only check)
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }

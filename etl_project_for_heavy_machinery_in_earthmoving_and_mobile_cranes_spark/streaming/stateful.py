@@ -90,3 +90,73 @@ def user_profiles(events: DataFrame, timeout_minutes: int | None = None) -> Data
         outputMode="update",
         timeoutConf=conf,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas twin: the successor API with typed,
+# named state variables (ValueState/ListState/MapState), optional TTL,
+# and explicit timers — same per-user profile semantics as
+# ``user_profiles`` above, for migration parity.
+# ---------------------------------------------------------------------------
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class ProfileProcessor(StatefulProcessor):
+    """StatefulProcessor keeping one ValueState tuple per user."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("profile", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        (user_id,) = key
+        n, s, m = (
+            self._state.get() if self._state.exists() else (0, 0.0, float("-inf"))
+        )
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            m = max(m, float(pdf["value"].max()))
+        self._state.update((n, s, m))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n_events": n,
+                    "sum_value": s,
+                    "max_value": m,
+                    "closed": False,
+                }
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_profiles_tws(events: DataFrame) -> DataFrame:
+    """``user_profiles`` on the transformWithStateInPandas API (Spark 4):
+    named typed state instead of a single opaque tuple, so an operator
+    can grow additional state variables (lists, maps, TTLs, timers)
+    without re-encoding everything — the forward path for custom
+    stateful operators; applyInPandasWithState remains for back-compat.
+
+    Requires the ``protobuf`` package (the state-server protocol is
+    proto-encoded); raises ImportError upfront where it is absent so
+    the failure is a clear dependency message, not a crashed worker."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package; "
+            "use stateful.user_profiles (applyInPandasWithState) instead"
+        ) from e
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ProfileProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -250,3 +250,48 @@ def test_sql_surface_over_registered_views(spark, sf_dir):
     # events view exposes a real timestamp (nanos normalized in the loader)
     assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
     assert spark.sql("SELECT max(ts) FROM events").first()[0] is not None
+
+
+def test_transform_with_state_profiles_match_apply_in_pandas(spark, sf_dir, tmp_path):
+    """The Spark 4 transformWithStateInPandas twin produces the same
+    per-user profiles as the applyInPandasWithState operator."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import (
+        jobs,
+        stateful,
+    )
+
+    src = tmp_path / "ev"
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df.repartition(2).write.mode("overwrite").parquet(str(src))
+
+    stream = jobs.read_event_stream(spark, str(src))
+    got = jobs.run_available_now(
+        stateful.user_profiles_tws(stream), str(tmp_path / "cp"), output_mode="update"
+    )
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in spark.read.parquet(str(src))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    latest = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in got}
+    assert latest == want
+
+
+def test_transform_with_state_clear_error_without_protobuf(spark):
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        pytest.skip("protobuf present; gating path not reachable")
+    except ImportError:
+        pass
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import (
+        stateful,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+    with pytest.raises(ImportError, match="protobuf"):
+        stateful.user_profiles_tws(df)
