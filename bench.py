@@ -76,6 +76,17 @@ def main() -> None:
         ).save()
     except Exception:
         pass
+    # warm the benchmark data dir's page cache: one untimed full scan
+    # per table (noop sink — count() would read only footers), so
+    # per-query numbers reflect steady-state compute rather than
+    # whichever query happens to run first paying the cold reads
+    try:
+        import glob as _glob
+
+        for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+            spark.read.parquet(p).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
