@@ -26,6 +26,7 @@ from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sess
 from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.functions import labels
 from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
     analysis,
+    behavior,
     dedup,
     fuzzy_join,
     outliers,
@@ -2434,6 +2435,258 @@ FROM orders, s GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Behavior analytics, robust stats, rank/corr surfaces, unpivot,
+# corpus-contrast terms
+# ---------------------------------------------------------------------------
+
+
+def q_mad_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-z (MAD) outlier counts per brand (outliers.mad_outliers)."""
+    tune(spark)
+    p = _t(spark, sf_dir, "part")
+    return outliers.mad_outliers(p, ["p_brand"], "p_retailprice")
+
+
+ORACLE_MAD = """
+WITH med AS (
+  SELECT p_brand, round(median(p_retailprice), 4) AS med FROM part GROUP BY 1
+), d AS (
+  SELECT p.p_brand, p_retailprice, med FROM part p JOIN med USING (p_brand)
+), mad AS (
+  SELECT p_brand, round(median(abs(p_retailprice - med)), 4) AS mad
+  FROM d GROUP BY 1
+)
+SELECT d.p_brand, max(med) AS med, max(mad) AS mad, count(*) AS n,
+       count(*) FILTER (abs(p_retailprice - med) > 3.5 * 1.4826 * mad)
+         AS n_outliers
+FROM d JOIN mad USING (p_brand)
+GROUP BY d.p_brand
+"""
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch view→click→purchase funnel (behavior.funnel_counts).
+    Times compared at whole-second resolution on both engines (Spark
+    unix_timestamp floors; see memory note on nanos parquet)."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events").withColumn("ts_s", F.unix_timestamp("ts"))
+    return behavior.funnel_counts(
+        e, "user_id", "ts_s", "event_type", ["view", "click", "purchase"]
+    )
+
+
+ORACLE_FUNNEL = """
+WITH pu AS (
+  SELECT user_id,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) FILTER (event_type = 'view') AS t0,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) FILTER (event_type = 'click') AS t1,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) FILTER (event_type = 'purchase') AS t2
+  FROM events GROUP BY 1
+), s AS (
+  SELECT
+    CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+    CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+             THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+    CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                  AND t2 IS NOT NULL AND t2 >= t1
+             THEN 1 ELSE 0 END) AS BIGINT) AS s2
+  FROM pu
+)
+SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage, s0 AS users FROM s
+UNION ALL SELECT 1, 'click', s1 FROM s
+UNION ALL SELECT 2, 'purchase', s2 FROM s
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive event-type transition matrix (behavior.transition_counts).
+    (user_id, ts) is unique in the synthetic data; event_id tiebreak kept
+    for determinism under future data."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    return behavior.transition_counts(e, "user_id", ["ts", "event_id"], "event_type")
+
+
+ORACLE_TRANSITIONS = """
+WITH p AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+)
+SELECT src, dst, count(*) AS n, count(DISTINCT user_id) AS users
+FROM p WHERE src IS NOT NULL GROUP BY 1, 2
+"""
+
+
+EWMA_ALPHA, EWMA_DEPTH = 0.5, 8
+
+
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lag EWMA smoothing of per-user event values
+    (timeseries.ewma_bounded): one Window node, depth+1 shared-spec lags."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    return timeseries.ewma_bounded(
+        e.select("user_id", "event_id", "ts", "value"),
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        alpha=EWMA_ALPHA,
+        depth=EWMA_DEPTH,
+    ).select("user_id", "event_id", "value", "ewma")
+
+
+def _oracle_ewma() -> str:
+    lags = ",\n         ".join(
+        f"lag(value, {i}) OVER w AS l{i}" for i in range(1, EWMA_DEPTH + 1)
+    )
+    num = " + ".join(
+        ["value * 1.0"]
+        + [
+            f"CASE WHEN l{i} IS NOT NULL THEN l{i} * {EWMA_ALPHA**i!r} ELSE 0.0 END"
+            for i in range(1, EWMA_DEPTH + 1)
+        ]
+    )
+    den = " + ".join(
+        ["1.0"]
+        + [
+            f"CASE WHEN l{i} IS NOT NULL THEN {EWMA_ALPHA**i!r} ELSE 0.0 END"
+            for i in range(1, EWMA_DEPTH + 1)
+        ]
+    )
+    return f"""
+WITH t AS (
+  SELECT user_id, event_id, value,
+         {lags}
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, value, round(({num}) / ({den}), 4) AS ewma FROM t
+"""
+
+
+def q_supplier_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic rank statistics per nation: percent_rank / cume_dist /
+    dense_rank over account balance — one window pass, one shuffle."""
+    tune(spark)
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.dense_rank().over(w).cast("bigint").alias("dr"),
+    )
+
+
+ORACLE_RANK_STATS = """
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd,
+       dense_rank() OVER w AS dr
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
+"""
+
+
+def q_corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per return flag: Pearson corr, sample
+    covariance, sample stddevs — single-pass co-moment hash aggregate."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.count("*").alias("n"),
+    )
+
+
+ORACLE_CORR = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(stddev_samp(l_extendedprice), 2) AS sd_price,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_unpivot_nation_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→tall melt of a per-nation measure table (DataFrame.unpivot):
+    the report-side inverse of pivot (G7)."""
+    tune(spark)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    wide = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum("c_acctbal").alias("acctbal"),
+            F.count("*").cast("double").alias("customers"),
+            F.count_distinct("c_mktsegment").cast("double").alias("segments"),
+        )
+    )
+    return wide.unpivot("n_name", ["acctbal", "customers", "segments"], "measure", "value")
+
+
+ORACLE_UNPIVOT = f"""
+WITH wide AS (
+  SELECT n_name,
+         {sql_dsum('c_acctbal')} AS acctbal,
+         CAST(count(*) AS DOUBLE) AS customers,
+         CAST(count(DISTINCT c_mktsegment) AS DOUBLE) AS segments
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, 'acctbal' AS measure, acctbal AS value FROM wide
+UNION ALL SELECT n_name, 'customers', customers FROM wide
+UNION ALL SELECT n_name, 'segments', segments FROM wide
+"""
+
+
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinctive vocabulary by smoothed log-odds
+    (textstats.distinctive_terms) — corpus-contrast twin of TF-IDF."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return textstats.distinctive_terms(d, "lang", "text", k=5, min_count=5)
+
+
+def _oracle_distinctive() -> str:
+    norm = _NORM_SQL.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT lang AS grp,
+         unnest(list_filter(string_split({norm}, ' '), x -> x <> '')) AS term
+  FROM documents
+), gt AS (
+  SELECT grp, term, count(*) AS c_g FROM toks GROUP BY 1, 2
+), ng AS (SELECT grp, sum(c_g) AS n_g FROM gt GROUP BY 1),
+tt AS (SELECT term, sum(c_g) AS c_all FROM gt GROUP BY 1),
+na AS (SELECT sum(c_g) AS n_all FROM gt),
+s AS (
+  SELECT gt.grp, gt.term, gt.c_g,
+         round(ln((gt.c_g + 0.5) / (n_g - gt.c_g + 0.5))
+             - ln(((c_all - gt.c_g) + 0.5)
+                  / ((n_all - n_g) - (c_all - gt.c_g) + 0.5)), 4) AS score
+  FROM gt JOIN ng USING (grp) JOIN tt USING (term) CROSS JOIN na
+  WHERE gt.c_g >= 5
+), r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY grp ORDER BY score DESC, term ASC) AS rn
+  FROM s
+)
+SELECT grp AS lang, term, c_g, score FROM r WHERE rn <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -2524,6 +2777,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_chain": q_supplier_chain,
         "fuzzy_part_names": q_fuzzy_part_names,
         "price_histogram": q_price_histogram,
+        "mad_price_outliers": q_mad_price_outliers,
+        "event_funnel": q_event_funnel,
+        "event_transitions": q_event_transitions,
+        "ewma_user_value": q_ewma_user_value,
+        "supplier_rank_stats": q_supplier_rank_stats,
+        "corr_quantity_price": q_corr_quantity_price,
+        "unpivot_nation_measures": q_unpivot_nation_measures,
+        "distinctive_terms": q_distinctive_terms,
         "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
     }
@@ -2610,6 +2871,14 @@ def oracle_sql() -> dict[str, str]:
         "supplier_chain": ORACLE_SUPPLIER_CHAIN,
         "fuzzy_part_names": ORACLE_FUZZY_NAMES,
         "price_histogram": ORACLE_HISTOGRAM,
+        "mad_price_outliers": ORACLE_MAD,
+        "event_funnel": ORACLE_FUNNEL,
+        "event_transitions": ORACLE_TRANSITIONS,
+        "ewma_user_value": _oracle_ewma(),
+        "supplier_rank_stats": ORACLE_RANK_STATS,
+        "corr_quantity_price": ORACLE_CORR,
+        "unpivot_nation_measures": ORACLE_UNPIVOT,
+        "distinctive_terms": _oracle_distinctive(),
         # dedup_clusters: iterative label propagation (rows-only check)
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }

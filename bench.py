@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "embedding_clusters",
     "quality_filter",
     "lateral_top_orders",
+    "mad_price_outliers",
+    "event_funnel",
+    "event_transitions",
+    "distinctive_terms",
 ]
 
 

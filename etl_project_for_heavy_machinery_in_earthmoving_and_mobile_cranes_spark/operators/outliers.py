@@ -88,3 +88,49 @@ def iqr_outliers(
             ).alias("n_outliers"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: float = 3.5,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Per-group robust-z outliers via Median Absolute Deviation.
+
+    MAD = median(|x − median(x)|); a row is an outlier when
+    ``|x − med| > k · consistency · MAD`` (1.4826 scales MAD to σ under
+    normality; k=3.5 is the textbook Iglewicz-Hoban cut).  Unlike the
+    reference's fixed ±20 %-of-median rule (mark_outliers,
+    `data_processing_program_20240520.py:287-316`), the threshold adapts
+    to each group's own spread, and unlike Tukey fences it is 50 %-
+    breakdown robust.
+
+    Shape: two grouped exact-median passes over the fact (each one
+    shuffle on the group key, map-side partial agg) with broadcast
+    join-backs of the group-cardinality-sized stats tables.  Both
+    medians are rounded to 4dp before the comparison so the flag is
+    stable across engines whose exact-percentile interpolation differs
+    in the last ulp.  Returns one row per group:
+    (keys…, med, mad, n, n_outliers).
+    """
+    v = F.col(value_col)
+    med = df.groupBy(*keys).agg(F.round(F.median(v), 4).alias("med"))
+    with_med = df.join(F.broadcast(med), list(keys))
+    mad = with_med.groupBy(*keys).agg(
+        F.first("med").alias("med"),
+        F.round(F.median(F.abs(v - F.col("med"))), 4).alias("mad"),
+    )
+    return (
+        df.join(F.broadcast(mad), list(keys))
+        .groupBy(*keys)
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count("*").alias("n"),
+            F.count(
+                F.when(F.abs(v - F.col("med")) > k * consistency * F.col("mad"), 1)
+            ).alias("n_outliers"),
+        )
+    )

@@ -297,3 +297,64 @@ def quality_percentile_filter(
     w = Window.partitionBy("lang_guess").orderBy("quality")
     ranked = scored.withColumn("q_rank", F.round(F.percent_rank().over(w), 6))
     return ranked.filter(F.col("q_rank") >= min_rank)
+
+
+def distinctive_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k most distinctive terms per group by smoothed log-odds ratio.
+
+    For term t in group g: ``lo = ln((c_g+½)/(n_g−c_g+½)) −
+    ln((c_r+½)/(n_r−c_r+½))`` where c_g/n_g are the term/total token
+    counts inside g and c_r/n_r the counts in the rest of the corpus
+    (Monroe et al. 2008 "Fightin' Words" without the prior-variance
+    term).  The corpus-contrast twin of TF-IDF: per-language or
+    per-domain vocabulary drift is the standard triage step before
+    re-balancing a training mix.
+
+    Shape: one explode → (group, term) hash aggregate, then the
+    term-marginal and group-marginal tables derive from the SAME
+    grouped result (persisted — vocabulary-sized, tiny vs the corpus),
+    so the corpus is scanned exactly once.  Marginal join-backs are on
+    the term / group keys of vocabulary- and group-cardinality-sized
+    tables; the final top-k is a WindowGroupLimit over |groups| keys.
+    """
+    toks = F.filter(
+        F.split(normalize_for_dedup(F.col(text_col)), " "), lambda x: x != ""
+    )
+    gt = (
+        df.select(F.col(group_col).alias("grp"), F.explode(toks).alias("term"))
+        .groupBy("grp", "term")
+        .agg(F.count("*").alias("c_g"))
+        .persist()
+    )
+    grp_totals = gt.groupBy("grp").agg(F.sum("c_g").alias("n_g"))
+    term_totals = gt.groupBy("term").agg(F.sum("c_g").alias("c_all"))
+    corpus_total = gt.agg(F.sum("c_g").alias("n_all"))
+
+    from pyspark.sql import Window
+
+    joined = (
+        gt.join(F.broadcast(grp_totals), "grp")
+        .join(term_totals, "term")
+        .crossJoin(F.broadcast(corpus_total))
+        .filter(F.col("c_g") >= min_count)
+    )
+    c_g, n_g = F.col("c_g"), F.col("n_g")
+    c_r = F.col("c_all") - c_g
+    n_r = F.col("n_all") - n_g
+    score = F.round(
+        F.log((c_g + 0.5) / (n_g - c_g + 0.5)) - F.log((c_r + 0.5) / (n_r - c_r + 0.5)),
+        4,
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        joined.withColumn("score", score)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(F.col("grp").alias(group_col), "term", "c_g", "score")
+    )

@@ -1,0 +1,82 @@
+"""Tests for behavior analytics (funnel, transitions), MAD outliers,
+bounded EWMA, and distinctive terms — hand-computed expectations."""
+
+from pyspark.sql import functions as F
+
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+    behavior,
+    outliers,
+    textstats,
+    timeseries,
+)
+
+
+def test_funnel_min_ts_chain(spark):
+    # u1 completes in order; u2 purchases BEFORE first view (no credit past
+    # stage 1 even though a later purchase exists — first-touch semantics);
+    # u3 stops after click; u4 never views.
+    rows = [
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        (2, 5, "purchase"), (2, 10, "view"), (2, 20, "click"), (2, 40, "purchase"),
+        (3, 10, "view"), (3, 15, "click"),
+        (4, 10, "click"), (4, 20, "purchase"),
+    ]
+    e = spark.createDataFrame(rows, "user_id int, ts int, event_type string")
+    out = behavior.funnel_counts(e, "user_id", "ts", "event_type",
+                                 ["view", "click", "purchase"])
+    got = {r["stage"]: r["users"] for r in out.collect()}
+    assert got == {"view": 3, "click": 3, "purchase": 1}
+
+
+def test_transition_counts_orders_and_counts_users(spark):
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 1, "a"), (2, 2, "b"),
+    ]
+    e = spark.createDataFrame(rows, "user_id int, event_id int, state string")
+    out = behavior.transition_counts(e, "user_id", ["event_id"], "state")
+    got = {(r["src"], r["dst"]): (r["n"], r["users"]) for r in out.collect()}
+    assert got == {("a", "b"): (3, 2), ("b", "a"): (1, 1)}
+
+
+def test_mad_outliers_hand_computed(spark):
+    # group g: values 1..9 plus a wild 100 → med=5.5, |x-med| = 4.5,3.5,
+    # 2.5,1.5,0.5,0.5,1.5,2.5,3.5,94.5 → MAD=2.5; cut 3.5*1.4826*2.5≈12.97
+    # → only 100 is outside.
+    vals = list(range(1, 10)) + [100]
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "k string, v double")
+    row = outliers.mad_outliers(df, ["k"], "v").collect()[0]
+    assert row["med"] == 5.5 and row["mad"] == 2.5
+    assert row["n"] == 10 and row["n_outliers"] == 1
+
+
+def test_ewma_bounded_head_unbiased(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 30.0)],
+        "k string, t int, v double",
+    )
+    out = timeseries.ewma_bounded(df, "k", ["t"], "v", alpha=0.5, depth=8)
+    got = {r["t"]: r["ewma"] for r in out.collect()}
+    # head row: only itself → exactly v (normalized, not damped)
+    assert got[1] == 10.0
+    # row 2: (20 + .5*10)/1.5 ; row 3: (30 + .5*20 + .25*10)/1.75
+    assert got[2] == round(25.0 / 1.5, 4)
+    assert got[3] == round(42.5 / 1.75, 4)
+
+
+def test_ewma_single_window_node(spark):
+    df = spark.createDataFrame([("k", 1, 1.0)], "k string, t int, v double")
+    plan = timeseries.ewma_bounded(df, "k", ["t"], "v")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+
+
+def test_distinctive_terms_contrast(spark):
+    # 'zz' appears only in lang A (6 times), filler shared across both.
+    a_text = "zz " * 6 + "common " * 10
+    b_text = "common " * 16
+    df = spark.createDataFrame(
+        [(1, "A", a_text), (2, "B", b_text)], "doc_id int, lang string, text string"
+    )
+    out = textstats.distinctive_terms(df, "lang", "text", k=1, min_count=5)
+    top = {r["lang"]: r["term"] for r in out.collect()}
+    assert top["A"] == "zz" and top["B"] == "common"
