@@ -2686,6 +2686,104 @@ SELECT grp AS lang, term, c_g, score FROM r WHERE rn <= 5
 """
 
 
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample of documents (by length) via the A-ES
+    rule (sampling.weighted_sample_topk) — deterministic, engine-portable."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import sampling
+
+    return sampling.weighted_sample_topk(
+        d.select("doc_id", "n_chars"), "doc_id", "n_chars", k=100
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         round(ln(({_H_SQL.format(seed="'0'", expr='CAST(doc_id AS VARCHAR)')} + 0.5)
+                  / 4294967296.0) / n_chars, 12) AS score
+  FROM documents
+)
+SELECT doc_id, n_chars, score FROM s
+ORDER BY score DESC, doc_id ASC LIMIT 100
+"""
+
+
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-user modal event type (analysis.mode_per_group):
+    ties → alphabetically first, pinned on both engines."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    return analysis.mode_per_group(
+        e, ["user_id"], "event_type", out_col="mode_event_type"
+    )
+
+
+ORACLE_MODE = """
+WITH g AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn
+  FROM g
+)
+SELECT user_id, event_type AS mode_event_type, n FROM r WHERE rn = 1
+"""
+
+
+def q_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted group-concat (LISTAGG) of distinct market segments per
+    nation — collect_set stays bounded by segment cardinality, and the
+    array_sort pins ordering so the string is deterministic."""
+    tune(spark)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+ORACLE_LISTAGG = """
+SELECT n_name,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       count(DISTINCT c_mktsegment) AS n_segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_event_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity grid (calendar/date-part surface).
+    Session TZ is pinned UTC so Spark's LTZ parts equal DuckDB's naive
+    parts; Spark dayofweek is 1=Sunday, DuckDB dow is 0=Sunday (+1)."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+ORACLE_HEATMAP = f"""
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hour,
+       count(*) AS n,
+       {sql_dsum('value')} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2785,6 +2883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_quantity_price": q_corr_quantity_price,
         "unpivot_nation_measures": q_unpivot_nation_measures,
         "distinctive_terms": q_distinctive_terms,
+        "weighted_doc_sample": q_weighted_doc_sample,
+        "mode_event_type": q_mode_event_type,
+        "nation_segments": q_nation_segments,
+        "event_calendar_heatmap": q_event_calendar_heatmap,
         "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
     }
@@ -2879,6 +2981,10 @@ def oracle_sql() -> dict[str, str]:
         "corr_quantity_price": ORACLE_CORR,
         "unpivot_nation_measures": ORACLE_UNPIVOT,
         "distinctive_terms": _oracle_distinctive(),
+        "weighted_doc_sample": ORACLE_WEIGHTED_SAMPLE,
+        "mode_event_type": ORACLE_MODE,
+        "nation_segments": ORACLE_LISTAGG,
+        "event_calendar_heatmap": ORACLE_HEATMAP,
         # dedup_clusters: iterative label propagation (rows-only check)
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }

@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "event_funnel",
     "event_transitions",
     "distinctive_terms",
+    "weighted_doc_sample",
+    "mode_event_type",
 ]
 
 

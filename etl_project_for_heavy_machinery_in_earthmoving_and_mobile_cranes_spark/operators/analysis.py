@@ -123,3 +123,25 @@ def format_report(df: DataFrame, pct_cols: Sequence[str] = (), musd_cols: Sequen
     for c in musd_cols:
         out = out.withColumn(c, F.concat(F.format_number(F.col(c) / 1e6, 1), F.lit(" M")))
     return out
+
+
+def mode_per_group(
+    df: DataFrame, keys: Sequence[str], value_col: str, out_col: str = "mode"
+) -> DataFrame:
+    """Deterministic per-group mode: most frequent value, ties broken by
+    the smallest value.  Two hash aggregates (count per (keys, value),
+    then a ``min_by`` winner per keys) — no window shuffle, and unlike
+    ``F.mode`` the tie-break is pinned, so results are reproducible
+    across runs and engines.  Returns (keys…, out_col, n)."""
+    g = df.groupBy(*keys, value_col).agg(F.count("*").alias("n"))
+    picked = g.groupBy(*keys).agg(
+        F.min_by(
+            F.struct(F.col(value_col), F.col("n")),
+            F.struct((-F.col("n")).alias("neg_n"), F.col(value_col)),
+        ).alias("__m")
+    )
+    return picked.select(
+        *keys,
+        F.col(f"__m.{value_col}").alias(out_col),
+        F.col("__m.n").alias("n"),
+    )

@@ -75,3 +75,36 @@ def split_train_holdout(
     cut = int(holdout_fraction * _BUCKETS)
     b = hash_bucket(F.col(key_col), seed)
     return df.filter(b >= cut), df.filter(b < cut)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    score_col: str = "score",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES).
+
+    Each row draws a deterministic uniform u∈(0,1) from its key; the k
+    rows with the largest ``u^(1/w)`` — equivalently largest
+    ``ln(u)/w`` — form the sample, giving inclusion probability ∝
+    weight without replacement.  Hash-derived u keeps membership a pure
+    function of the row (reruns/backfills/other engines agree), which
+    ``df.sample`` cannot promise across repartitions.
+
+    Scale: narrow projection + global top-k — Spark compiles
+    ``orderBy().limit(k)`` to TakeOrderedAndProject (per-partition heap
+    of k, single reduce), so no full sort at any data size.  u is exact
+    in double ((h+0.5)/2^32, power-of-two divide); the score is rounded
+    to 12 dp so libm ln() last-ulp differences can't reorder engines,
+    and the key breaks residual ties.
+    """
+    u = (hash_bucket(F.col(key_col), seed) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    score = F.round(F.log(u) / F.col(weight_col), 12)
+    return (
+        df.withColumn(score_col, score)
+        .orderBy(F.col(score_col).desc(), F.col(key_col).asc())
+        .limit(k)
+    )

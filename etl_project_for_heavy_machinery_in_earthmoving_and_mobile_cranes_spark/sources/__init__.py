@@ -6,6 +6,7 @@ from .readers import (  # noqa: F401
     read_parquet,
     read_xlsx_as_df,
     write_clustered_parquet,
+    write_csv,
     write_jsonl,
     write_orc,
     write_parquet,

@@ -87,6 +87,21 @@ def read_jsonl(
     return spark.read.schema(schema).option("mode", mode).json(path)
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """CSV export at the edge (header on by default; engine-canonical
+    format stays parquet).  Compression off so downstream line tools work."""
+    w = df.write.mode(mode).option("header", header)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.csv(path)
+
+
 def write_jsonl(
     df: DataFrame, path: str, partition_by: tuple[str, ...] = (), mode: str = "overwrite"
 ) -> None:

@@ -80,3 +80,27 @@ def test_distinctive_terms_contrast(spark):
     out = textstats.distinctive_terms(df, "lang", "text", k=1, min_count=5)
     top = {r["lang"]: r["term"] for r in out.collect()}
     assert top["A"] == "zz" and top["B"] == "common"
+
+
+def test_mode_per_group_tie_breaks_to_smallest(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import analysis
+
+    rows = [(1, "b"), (1, "b"), (1, "a"), (1, "a"), (2, "z")]
+    df = spark.createDataFrame(rows, "k int, v string")
+    got = {r["k"]: (r["mode"], r["n"]) for r in analysis.mode_per_group(df, ["k"], "v").collect()}
+    assert got == {1: ("a", 2), 2: ("z", 1)}
+
+
+def test_weighted_sample_favors_heavy_and_is_deterministic(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import sampling
+
+    # 50 light rows (w=1) vs 50 heavy rows (w=100): a 25-row sample
+    # should be dominated by heavy keys, and two runs must agree exactly.
+    rows = [(i, 1.0 if i < 50 else 100.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, w double")
+    s1 = sampling.weighted_sample_topk(df, "id", "w", k=25)
+    ids1 = sorted(r["id"] for r in s1.collect())
+    ids2 = sorted(r["id"] for r in sampling.weighted_sample_topk(df, "id", "w", k=25).collect())
+    assert ids1 == ids2
+    heavy = sum(1 for i in ids1 if i >= 50)
+    assert heavy >= 20

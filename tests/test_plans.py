@@ -259,3 +259,20 @@ def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_respected(spark, sf_dir):
+    """Scale levers: SHUFFLE_HASH / MERGE hints must override the default
+    broadcast pick so a 100TB-side join can be steered per-site."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan_sh = (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffledHashJoin" in plan_sh
+    plan_sm = (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in plan_sm

@@ -264,3 +264,25 @@ def test_zorder_write_bounds_both_dims(spark, tmp_path):
     # z-ordered: BOTH dims bounded well below the 63-wide domain
     assert zrx < 32 and zry < 32
     assert zry < 0.5 * xry
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "plain", 1.5), (2, 'comma, and "quote"', -2.0), (3, None, None)],
+        schema,
+    )
+    p = str(tmp_path / "csv_out")
+    sources.write_csv(df, p)
+    back = sources.read_csv(spark, p, schema)
+    assert sorted((r["k"], r["s"], r["v"]) for r in back.collect()) == sorted(
+        (r["k"], r["s"], r["v"]) for r in df.collect()
+    )
