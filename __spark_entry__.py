@@ -837,6 +837,22 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+def q_minhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of minhash_pairs: xxhash64 signatures (JVM
+    intrinsic, ~7× faster than the md5 parity construction).  Same
+    banding/collision mechanics; signatures are engine-local, so this
+    entry is rows-only checked (no cross-engine oracle by design)."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        d, "doc_id", "text",
+        num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE, hash_fn="xxhash64",
+    )
+    sigs = sigs.localCheckpoint(eager=True)
+    sim = dedup.lsh_similar_pairs(sigs, "doc_id", num_hashes=_MH_HASHES, bands=_MH_HASHES)
+    return sim.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
 def _oracle_minhash_pairs() -> str:
     eqs = " OR ".join(f"a.mh_{i} = b.mh_{i}" for i in range(_MH_HASHES))
     matches = " + ".join(
@@ -2825,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs_fast": q_minhash_pairs_fast,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_knn": q_embedding_knn,

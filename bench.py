@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "documents_normalize",
     "dedup_exact",
     "minhash_pairs",
+    "minhash_pairs_fast",
     "simhash",
     "embedding_knn",
     "text_stats",

@@ -111,11 +111,32 @@ def dedup_exact(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """One row per doc: ``id, mh_0..mh_{k-1}`` (min over shingles of k
-    independent md5 hash families).  explode → single groupBy(id)."""
+    independent hash families).  explode → single groupBy(id).
+
+    ``hash_fn``:
+    - ``"md5"`` (default): cross-engine-reproducible construction
+      (``conv(substr(md5(seed:shingle)))``) — any engine with md5 can
+      recompute the exact signatures (the DuckDB oracle does).
+    - ``"xxhash64"``: JVM-intrinsic seeded hash, measured ~7× faster on
+      the signature stage (no digest string, no base conversion) —
+      the 100 TB path when signatures only need to agree with
+      THIS engine's runs.  Same banding/collision mechanics.
+    """
     sh = shingle_rows(df, id_col, text_col, shingle_n)
+    if hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+        return sh.groupBy(id_col).agg(*aggs)
     # one md5 digest per 4 hash families, computed ONCE per shingle row in
     # a projection — embedding the md5 inside each min() would evaluate it
     # k times per row (no CSE across aggregate expressions)

@@ -104,3 +104,23 @@ def test_weighted_sample_favors_heavy_and_is_deterministic(spark):
     assert ids1 == ids2
     heavy = sum(1 for i in ids1 if i >= 50)
     assert heavy >= 20
+
+
+def test_minhash_xxhash64_fast_path_same_mechanics(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different words entirely unrelated content here now"),
+        ],
+        "doc_id int, text string",
+    )
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, hash_fn="xxhash64")
+    pairs = dedup.lsh_similar_pairs(sigs, "doc_id", num_hashes=8, bands=8).collect()
+    exact = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    # identical docs: full signature agreement
+    assert exact.get((1, 2)) == 1.0
+    # disjoint doc never reaches jaccard 1 with the others
+    assert all(v < 1.0 for kk, v in exact.items() if kk != (1, 2))
