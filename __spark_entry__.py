@@ -2800,6 +2800,113 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (behavior.cohort_retention):
+    all-integer epoch-week arithmetic, one event-table scan.  Weekly
+    grain because the synthetic event window spans one month."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    return behavior.cohort_retention(e, "user_id", "ts", period="week")
+
+
+ORACLE_COHORT = """
+WITH um AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS m
+  FROM events
+), f AS (SELECT u, min(m) AS m0 FROM um GROUP BY 1)
+SELECT CAST(m0 AS INT) AS cohort_period,
+       CAST(m - m0 AS INT) AS periods_since,
+       count(DISTINCT u) AS users
+FROM um JOIN f USING (u) GROUP BY 1, 2
+"""
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view→first-purchase latency stats for converters
+    (behavior.conversion_lag_stats), whole-second resolution."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events").withColumn("ts_s", F.unix_timestamp("ts"))
+    return behavior.conversion_lag_stats(
+        e, "user_id", "ts_s", "event_type", "view", "purchase"
+    )
+
+
+ORACLE_CONVERSION_LAG = """
+WITH pu AS (
+  SELECT user_id,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) FILTER (event_type = 'view') AS t0,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) FILTER (event_type = 'purchase') AS t1
+  FROM events GROUP BY 1
+), l AS (
+  SELECT t1 - t0 AS lag_s FROM pu
+  WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+)
+SELECT CAST(count(*) AS BIGINT) AS converters,
+       round(quantile_cont(lag_s, 0.5), 4) AS median_lag_s,
+       round(quantile_cont(lag_s, 0.9), 4) AS p90_lag_s,
+       max(lag_s) AS max_lag_s
+FROM l
+"""
+
+
+def q_near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the embedding near-dup graph
+    (graph.triangle_enumerate) — clique density of duplicate clusters."""
+    tune(spark)
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = similarity.near_dup_pairs(emb, threshold=0.4).select("id_a", "id_b")
+    # edges feed three join legs — materialize the (small) edge list once
+    edges = edges.localCheckpoint(eager=True)
+    return graph.triangle_enumerate(edges)
+
+
+ORACLE_TRIANGLES = """
+WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+edges AS (
+  SELECT a.vec_id AS u, b.vec_id AS w
+  FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+)
+SELECT e1.u AS id_a, e1.w AS id_b, e2.w AS id_c
+FROM edges e1
+JOIN edges e2 ON e2.u = e1.w
+JOIN edges e3 ON e3.u = e1.u AND e3.w = e2.w
+"""
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tall column profile of orders (quality.column_profile): row/null/
+    distinct counts for every column from ONE aggregate pass."""
+    tune(spark)
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    o = _t(spark, sf_dir, "orders")
+    return quality.column_profile(o, _PROFILE_COLS)
+
+
+def _oracle_profile() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name, count(*) AS n,
+       count(*) FILTER ({c} IS NULL) AS n_null,
+       count(DISTINCT {c}) AS n_distinct FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL ".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2904,6 +3011,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mode_event_type": q_mode_event_type,
         "nation_segments": q_nation_segments,
         "event_calendar_heatmap": q_event_calendar_heatmap,
+        "cohort_retention": q_cohort_retention,
+        "conversion_lag": q_conversion_lag,
+        "near_dup_triangles": q_near_dup_triangles,
+        "table_profile": q_table_profile,
         "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
     }
@@ -3002,6 +3113,10 @@ def oracle_sql() -> dict[str, str]:
         "mode_event_type": ORACLE_MODE,
         "nation_segments": ORACLE_LISTAGG,
         "event_calendar_heatmap": ORACLE_HEATMAP,
+        "cohort_retention": ORACLE_COHORT,
+        "conversion_lag": ORACLE_CONVERSION_LAG,
+        "near_dup_triangles": ORACLE_TRIANGLES,
+        "table_profile": _oracle_profile(),
         # dedup_clusters: iterative label propagation (rows-only check)
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }

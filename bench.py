@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "distinctive_terms",
     "weighted_doc_sample",
     "mode_event_type",
+    "cohort_retention",
+    "table_profile",
 ]
 
 

@@ -102,3 +102,76 @@ def transition_counts(
         F.count("*").alias("n"),
         F.count_distinct(F.col(key_col)).alias("users"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "month",
+) -> DataFrame:
+    """Cohort retention matrix at monthly or weekly grain.
+
+    Cohort = the period of a user's first event; a user is "retained"
+    at offset k when they have any event k periods after their cohort
+    period.  Returns (cohort_period, periods_since, users) — cohort
+    labels are yyyymm ints for ``period='month'``, epoch-week indexes
+    for ``period='week'``; offsets are plain ints.  All-integer
+    arithmetic so any engine reproduces it bit-for-bit.
+
+    Shape: distinct (user, period) — one aggregate; per-user min —
+    a second aggregate over the already-small distinct table; then one
+    count.  The event table is scanned once.
+    """
+    if period == "week":
+        p = F.floor(F.unix_timestamp(F.col(ts_col)) / 604800).alias("__m")
+        label = F.col("__m0").cast("int")
+    elif period == "month":
+        p = (F.year(F.col(ts_col)) * 12 + F.month(F.col(ts_col)) - 1).alias("__m")
+        label = (
+            (F.floor(F.col("__m0") / 12)) * 100 + (F.col("__m0") % 12) + 1
+        ).cast("int")
+    else:
+        raise ValueError(f"period must be 'month' or 'week', got {period!r}")
+    um = events.select(F.col(user_col).alias("__u"), p).distinct()
+    first = um.groupBy("__u").agg(F.min("__m").alias("__m0"))
+    return (
+        um.join(first, "__u")
+        .groupBy(
+            label.alias("cohort_period"),
+            (F.col("__m") - F.col("__m0")).cast("int").alias("periods_since"),
+        )
+        .agg(F.count_distinct("__u").alias("users"))
+    )
+
+
+def conversion_lag_stats(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    from_stage: str,
+    to_stage: str,
+) -> DataFrame:
+    """Latency from first ``from_stage`` to first ``to_stage`` per user
+    (first-touch, converters only: first target at-or-after first
+    source), summarized as count / median / p90 / max seconds.
+
+    Same single-aggregate shape as ``funnel_counts``; the percentile
+    runs over the |converters|-sized per-user lag table.
+    """
+    per_user = events.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == from_stage, F.col(ts_col))).alias("__t0"),
+        F.min(F.when(F.col(type_col) == to_stage, F.col(ts_col))).alias("__t1"),
+    )
+    lags = per_user.filter(
+        F.col("__t0").isNotNull()
+        & F.col("__t1").isNotNull()
+        & (F.col("__t1") >= F.col("__t0"))
+    ).select((F.col("__t1") - F.col("__t0")).cast("bigint").alias("lag_s"))
+    return lags.agg(
+        F.count("*").alias("converters"),
+        F.round(F.median("lag_s"), 4).alias("median_lag_s"),
+        F.round(F.percentile("lag_s", 0.9), 4).alias("p90_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+    )

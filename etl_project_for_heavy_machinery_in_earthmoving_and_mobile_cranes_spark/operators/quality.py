@@ -67,3 +67,28 @@ def with_observed_metrics(
 
     obs = Observation(name)
     return df.observe(obs, *[c.alias(k) for k, c in metrics.items()]), obs
+
+
+def column_profile(df: DataFrame, cols: "Sequence[str] | None" = None) -> DataFrame:
+    """Tall data-profile of a table: per column, row count, null count
+    and exact distinct count — the first look any pipeline owner takes
+    at a new 100 TB table.
+
+    All metrics for all columns come from ONE aggregate pass (the
+    count-distincts expand to Spark's standard distinct-agg plan); the
+    tall (column_name, n, n_null, n_distinct) shape comes from a
+    ``stack`` over the single result row.  Counts only (no min/max
+    strings), so every metric is engine-portable BIGINT.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n, __null_{c}, __dist_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as (column_name, n, n_null, n_distinct)"
+    )

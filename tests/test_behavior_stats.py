@@ -124,3 +124,64 @@ def test_minhash_xxhash64_fast_path_same_mechanics(spark):
     assert exact.get((1, 2)) == 1.0
     # disjoint doc never reaches jaccard 1 with the others
     assert all(v < 1.0 for kk, v in exact.items() if kk != (1, 2))
+
+
+def test_cohort_retention_weekly(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import behavior
+
+    wk = 604800
+    rows = [
+        # u1 first in week 0, active weeks 0 and 2; u2 first week 0 only;
+        # u3 first week 1, active weeks 1 and 2
+        (1, 10), (1, 2 * wk + 5), (2, 20), (3, wk + 1), (3, 2 * wk + 9),
+    ]
+    df = spark.createDataFrame(
+        [(u, s) for u, s in rows], "user_id int, s long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("s")))
+    out = behavior.cohort_retention(df, "user_id", "ts", period="week")
+    got = {(r["cohort_period"], r["periods_since"]): r["users"] for r in out.collect()}
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_conversion_lag_converters_only(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import behavior
+
+    rows = [
+        (1, 100, "view"), (1, 160, "purchase"),       # lag 60
+        (2, 100, "view"), (2, 220, "purchase"),       # lag 120
+        (3, 100, "purchase"), (3, 200, "view"),       # purchase-first: excluded
+        (4, 100, "view"),                              # never converts
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts long, event_type string")
+    r = behavior.conversion_lag_stats(df, "user_id", "ts", "event_type", "view", "purchase").collect()[0]
+    assert r["converters"] == 2
+    assert r["median_lag_s"] == 90.0 and r["max_lag_s"] == 120
+
+
+def test_triangle_enumerate_and_degree_cap(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import graph
+
+    # triangle (1,2,3) + pendant edge (3,4) + triangle (2,3,4)? no:
+    # edges: 1-2, 1-3, 2-3 (triangle), 3-4, 2-4 -> second triangle 2-3-4
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (2, 4)], "id_a int, id_b int"
+    )
+    tri = sorted(
+        (r["id_a"], r["id_b"], r["id_c"])
+        for r in graph.triangle_enumerate(edges).collect()
+    )
+    assert tri == [(1, 2, 3), (2, 3, 4)]
+    # cap degree at 2: vertices 2 and 3 (degree 3) drop, no triangles left
+    capped = graph.triangle_enumerate(edges, max_degree=2).collect()
+    assert capped == []
+
+
+def test_column_profile_counts(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "k int, s string"
+    )
+    got = {r["column_name"]: (r["n"], r["n_null"], r["n_distinct"])
+           for r in quality.column_profile(df).collect()}
+    assert got == {"k": (3, 0, 3), "s": (3, 1, 1)}
