@@ -2907,6 +2907,50 @@ def _oracle_profile() -> str:
     return "\nUNION ALL ".join(parts)
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change classification (history.snapshot_diff).  Synthetic
+    snapshots derived deterministically from orders: 'old' drops keys
+    ≡0 (mod 10); 'new' drops keys ≡0 (mod 7) and bumps urgent prices —
+    so all three change classes appear."""
+    tune(spark)
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import history
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 0)
+    new = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.round(F.col("o_totalprice") * F.lit(1.1), 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return history.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 0
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+), j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+         END AS change_type
+  FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+)
+SELECT o_orderkey, change_type FROM j WHERE change_type IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3015,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_lag": q_conversion_lag,
         "near_dup_triangles": q_near_dup_triangles,
         "table_profile": q_table_profile,
+        "snapshot_diff": q_snapshot_diff,
         "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
     }
@@ -3117,6 +3162,7 @@ def oracle_sql() -> dict[str, str]:
         "conversion_lag": ORACLE_CONVERSION_LAG,
         "near_dup_triangles": ORACLE_TRIANGLES,
         "table_profile": _oracle_profile(),
+        "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         # dedup_clusters: iterative label propagation (rows-only check)
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "mode_event_type",
     "cohort_retention",
     "table_profile",
+    "snapshot_diff",
 ]
 
 

@@ -185,3 +185,20 @@ def test_column_profile_counts(spark):
     got = {r["column_name"]: (r["n"], r["n_null"], r["n_distinct"])
            for r in quality.column_profile(df).collect()}
     assert got == {"k": (3, 0, 3), "s": (3, 1, 1)}
+
+
+def test_snapshot_diff_classifies_all_kinds(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import history
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "d", 4.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (3, None, 3.0), (5, "e", 5.0)],
+        "k int, s string, v double",
+    )
+    got = {r["k"]: r["change_type"]
+           for r in history.snapshot_diff(old, new, ["k"]).collect()}
+    # 1 unchanged (absent), 3 unchanged with NULL compared null-safely
+    assert got == {2: "changed", 4: "removed", 5: "added"}
