@@ -2951,6 +2951,85 @@ SELECT o_orderkey, change_type FROM j WHERE change_type IS NOT NULL
 """
 
 
+def q_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag OLS of extendedprice on quantity via native regression
+    aggregates (regr_slope/intercept/r2) — single-pass co-moment agg,
+    the declarative replacement for a grouped-map pandas UDF."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )
+
+
+ORACLE_REGRESSION = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value
+    (timeseries.time_weighted_avg), whole-second durations."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events").withColumn("ts_s", F.unix_timestamp("ts"))
+    return timeseries.time_weighted_avg(
+        e, "user_id", "ts_s", "value", tiebreak_cols=("event_id",)
+    )
+
+
+ORACLE_TWAP = """
+WITH seg AS (
+  SELECT user_id, value,
+         CAST(lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+              - CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS dt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+)
+SELECT user_id,
+       round(sum(value * dt) / sum(dt), 4) AS twap,
+       CAST(sum(dt) AS BIGINT) AS span_s,
+       count(*) + 1 AS n_obs
+FROM seg WHERE dt IS NOT NULL GROUP BY 1
+"""
+
+
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (gaps-and-islands,
+    timeseries.activity_streaks) on epoch-day indexes."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    )
+    return timeseries.activity_streaks(e, "user_id", "day")
+
+
+ORACLE_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+  FROM events
+), runs AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, island, count(*) AS len FROM runs GROUP BY 1, 2
+)
+SELECT user_id, max(len) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS n_active_days
+FROM streaks GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3060,6 +3139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_triangles": q_near_dup_triangles,
         "table_profile": q_table_profile,
         "snapshot_diff": q_snapshot_diff,
+        "price_qty_regression": q_price_qty_regression,
+        "user_value_twap": q_user_value_twap,
+        "user_streaks": q_user_streaks,
         "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
     }
@@ -3163,6 +3245,9 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_triangles": ORACLE_TRIANGLES,
         "table_profile": _oracle_profile(),
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+        "price_qty_regression": ORACLE_REGRESSION,
+        "user_value_twap": ORACLE_TWAP,
+        "user_streaks": ORACLE_STREAKS,
         # dedup_clusters: iterative label propagation (rows-only check)
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }

@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "cohort_retention",
     "table_profile",
     "snapshot_diff",
+    "price_qty_regression",
+    "user_value_twap",
+    "user_streaks",
 ]
 
 

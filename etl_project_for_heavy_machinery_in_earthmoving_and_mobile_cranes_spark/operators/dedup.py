@@ -189,7 +189,11 @@ def lsh_candidate_pairs(
 
 
 def lsh_similar_pairs(
-    sigs: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Fused band-join + similarity: candidate pairs WITH estimated
     Jaccard in a single shuffle chain.
@@ -201,6 +205,13 @@ def lsh_similar_pairs(
     cheaper than two extra joins at any scale where LSH is warranted.
     (id, bucket) needs no pre-dedup: the band index is embedded in the
     bucket key, so each doc emits exactly one row per band.
+
+    ``max_bucket``: pair fan-out is Σ |bucket|²/2 — quadratic in TRUE
+    duplicate-family size.  On corpora with giant boilerplate families
+    the cap drops buckets wider than ``max_bucket`` members before the
+    join (one bucket-keyed count + semi join), bounding worst-case
+    fan-out at max_bucket²/2 per bucket; a family that large is
+    boilerplate to route to exact-dedup anyway, not near-dup scoring.
     """
     rows = num_hashes // bands
     band_cols = [
@@ -216,6 +227,14 @@ def lsh_similar_pairs(
         *[F.col(f"mh_{i}") for i in range(num_hashes)],
         F.explode(F.array(*band_cols)).alias("__bucket"),
     )
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("__bucket")
+            .agg(F.count("*").alias("__bc"))
+            .filter(F.col("__bc") <= max_bucket)
+            .select("__bucket")
+        )
+        banded = banded.join(ok, "__bucket", "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     matches = sum(

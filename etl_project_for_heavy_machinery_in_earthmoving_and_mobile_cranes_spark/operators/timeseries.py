@@ -233,3 +233,68 @@ def ewma_bounded(
         num = num + F.when(lag_i.isNotNull(), lag_i * wgt).otherwise(0.0)
         den = den + F.when(lag_i.isNotNull(), F.lit(wgt)).otherwise(0.0)
     return df.withColumn(out_col, F.round(num / den, 4))
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each observation holds its
+    value until the next one; the average weights values by their
+    holding duration.  The last observation per key has no duration and
+    contributes nothing (standard left-closed convention).
+
+    ``tiebreak_cols``: extra ordering columns for observations sharing a
+    timestamp (a tie gets dt=0 and drops out, but WHICH one must be
+    deterministic for reproducible results).
+
+    One lead() window pass + one hash aggregate — same single-shuffle
+    profile as event_deltas.  Returns (key, twap, span_s, n_obs).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    dt = (F.lead(F.col(ts_col)).over(w) - F.col(ts_col)).cast("double")
+    seg = df.select(
+        F.col(key_col),
+        F.col(value_col).alias("__v"),
+        dt.alias("__dt"),
+    ).filter(F.col("__dt").isNotNull())
+    return seg.groupBy(key_col).agg(
+        F.round(F.sum(F.col("__v") * F.col("__dt")) / F.sum("__dt"), 4).alias("twap"),
+        F.sum("__dt").cast("bigint").alias("span_s"),
+        (F.count("*") + 1).alias("n_obs"),
+    )
+
+
+def activity_streaks(
+    df: DataFrame,
+    key_col: str,
+    day_col,
+) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per key.
+
+    ``day_col``: integer day index column (epoch days).  The classic
+    trick — day − row_number() is constant within a consecutive run —
+    turns streak detection into one window + two aggregates.  The
+    explicit repartition on the key makes the WHOLE chain one exchange:
+    HashPartitioning(key) satisfies the (key, day) distinct, the key
+    window, and both downstream groupBys (subset rule) — verified 1
+    exchange vs 2 for the naive distinct-first plan.  Returns
+    (key, longest_streak, n_active_days).
+    """
+    days = (
+        df.repartition(F.col(key_col))
+        .select(F.col(key_col), F.col(day_col).alias("__d"))
+        .distinct()
+    )
+    w = Window.partitionBy(key_col).orderBy("__d")
+    runs = days.withColumn("__island", F.col("__d") - F.row_number().over(w))
+    streaks = runs.groupBy(key_col, "__island").agg(F.count("*").alias("__len"))
+    return streaks.groupBy(key_col).agg(
+        F.max("__len").alias("longest_streak"),
+        F.sum("__len").alias("n_active_days"),
+    )

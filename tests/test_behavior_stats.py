@@ -202,3 +202,21 @@ def test_snapshot_diff_classifies_all_kinds(spark):
            for r in history.snapshot_diff(old, new, ["k"]).collect()}
     # 1 unchanged (absent), 3 unchanged with NULL compared null-safely
     assert got == {2: "changed", 4: "removed", 5: "added"}
+
+
+def test_lsh_bucket_cap_drops_giant_families(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import dedup
+
+    # 5 identical docs (one giant bucket family) + 2 identical docs
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_b = "one two three four five six seven eight nine"
+    rows = [(i, text_a) for i in range(5)] + [(10, text_b), (11, text_b)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, hash_fn="xxhash64")
+    uncapped = dedup.lsh_similar_pairs(sigs, "doc_id", num_hashes=8, bands=8)
+    capped = dedup.lsh_similar_pairs(sigs, "doc_id", num_hashes=8, bands=8, max_bucket=3)
+    # uncapped: C(5,2)=10 pairs from family A + 1 pair from family B
+    assert uncapped.count() == 11
+    # capped at 3: family-A buckets (width 5) drop; only the B pair stays
+    got = [(r["id_a"], r["id_b"]) for r in capped.collect()]
+    assert got == [(10, 11)]

@@ -276,3 +276,18 @@ def test_join_strategy_hints_respected(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SortMergeJoin" in plan_sm
+
+
+def test_activity_streaks_single_exchange(spark, sf_dir):
+    import re
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import timeseries
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", (F.col("event_id") % 30).cast("bigint")
+    )
+    plan = (
+        timeseries.activity_streaks(e, "user_id", "day")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"(?<!Broadcast)Exchange ", plan)) == 1

@@ -194,3 +194,28 @@ def test_incremental_dedup_history_and_batch(spark):
         for r in dedup.incremental_dedup(batch, hist, "doc_id", "text").collect()
     }
     assert got == {11, 13}
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import timeseries
+    from pyspark.sql import functions as F
+
+    # value 10 held 10s, value 20 held 30s, last obs contributes nothing:
+    # twap = (10*10 + 20*30) / 40 = 17.5
+    df = spark.createDataFrame(
+        [("k", 0, 10.0), ("k", 10, 20.0), ("k", 40, 99.0)],
+        "k string, t long, v double",
+    )
+    r = timeseries.time_weighted_avg(df, "k", "t", "v").collect()[0]
+    assert r["twap"] == 17.5 and r["span_s"] == 40 and r["n_obs"] == 3
+
+
+def test_activity_streaks_islands(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import timeseries
+
+    # days 1,2,3 then 7,8 -> longest 3, active 5; duplicate day rows collapse
+    df = spark.createDataFrame(
+        [("u", d) for d in [1, 2, 3, 7, 8, 8]], "k string, day long"
+    )
+    r = timeseries.activity_streaks(df, "k", "day").collect()[0]
+    assert r["longest_streak"] == 3 and r["n_active_days"] == 5

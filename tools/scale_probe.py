@@ -56,6 +56,14 @@ PROBE_QUERIES = [
     "packed_chunks",
     "doc_unigram_logprob",
     "dq_audit",
+    "event_funnel",
+    "event_transitions",
+    "cohort_retention",
+    "mad_price_outliers",
+    "snapshot_diff",
+    "distinctive_terms",
+    "minhash_pairs_fast",
+    "weighted_doc_sample",
 ]
 
 
