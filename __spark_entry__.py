@@ -3030,6 +3030,49 @@ FROM streaks GROUP BY 1
 """
 
 
+CHUNK_LEN, CHUNK_OVERLAP = 32, 8
+
+
+def q_overlapping_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking with overlap
+    (packing.chunk_with_overlap): pure narrow explode, zero shuffles."""
+    tune(spark)
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(dedup.normalize_for_dedup(F.col("text")), " "), lambda x: x != ""
+    )
+    return packing.chunk_with_overlap(
+        d.select("doc_id", toks.alias("toks")),
+        "doc_id",
+        "toks",
+        chunk_tokens=CHUNK_LEN,
+        overlap=CHUNK_OVERLAP,
+    )
+
+
+def _oracle_chunks() -> str:
+    norm = _NORM_SQL.format(col="text")
+    step = CHUNK_LEN - CHUNK_OVERLAP
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split({norm}, ' '), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(len(toks) - 1, 0), {step})) AS st
+  FROM t
+)
+SELECT doc_id,
+       CAST(st / {step} AS INT) AS chunk_idx,
+       CAST(least({CHUNK_LEN}, len(toks) - st) AS INT) AS n_tokens,
+       array_to_string(list_slice(toks, st + 1, st + {CHUNK_LEN}), ' ') AS chunk_text
+FROM s WHERE st = 0 OR st < len(toks)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3142,6 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_qty_regression": q_price_qty_regression,
         "user_value_twap": q_user_value_twap,
         "user_streaks": q_user_streaks,
+        "overlapping_chunks": q_overlapping_chunks,
         "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
     }
@@ -3248,6 +3292,7 @@ def oracle_sql() -> dict[str, str]:
         "price_qty_regression": ORACLE_REGRESSION,
         "user_value_twap": ORACLE_TWAP,
         "user_streaks": ORACLE_STREAKS,
+        "overlapping_chunks": _oracle_chunks(),
         # dedup_clusters: iterative label propagation (rows-only check)
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }

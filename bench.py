@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "price_qty_regression",
     "user_value_twap",
     "user_streaks",
+    "overlapping_chunks",
 ]
 
 

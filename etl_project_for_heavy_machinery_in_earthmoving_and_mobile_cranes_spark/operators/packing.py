@@ -68,3 +68,45 @@ def chunk_stats(packed: DataFrame, tokens_col: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(tokens_col).cast("bigint").alias("chunk_tokens"),
     )
+
+
+def chunk_with_overlap(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    chunk_tokens: int,
+    overlap: int,
+) -> DataFrame:
+    """Sliding-window document chunking with overlap (the RAG-indexing
+    twin of pack_documents): each document's token array is cut into
+    windows of ``chunk_tokens`` advancing by ``chunk_tokens − overlap``,
+    so consecutive chunks share ``overlap`` tokens of context.
+
+    ``tokens_col`` is an array<string> column.  Window starts are
+    generated per row with ``sequence()`` (JVM-side, no driver loop)
+    and sliced with ``slice()`` — a pure narrow explode, no shuffle at
+    all; output size is input tokens × (1 + overlap/(chunk−overlap)),
+    the explicit replication knob.  Returns
+    (id, chunk_idx, n_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    out = (
+        df.select(F.col(id_col), toks.alias("__t"), F.explode(starts).alias("__s"))
+        .filter((F.col("__s") == 0) | (F.col("__s") < F.size("__t")))
+        .select(
+            F.col(id_col),
+            (F.col("__s") / step).cast("int").alias("chunk_idx"),
+            F.least(F.lit(chunk_tokens), F.size("__t") - F.col("__s")).alias(
+                "n_tokens"
+            ),
+            F.array_join(
+                F.slice(F.col("__t"), F.col("__s") + 1, F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+        )
+    )
+    return out

@@ -220,3 +220,23 @@ def test_lsh_bucket_cap_drops_giant_families(spark):
     # capped at 3: family-A buckets (width 5) drop; only the B pair stays
     got = [(r["id_a"], r["id_b"]) for r in capped.collect()]
     assert got == [(10, 11)]
+
+
+def test_chunk_with_overlap_windows(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import packing
+    import pytest as _pytest
+
+    toks = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, toks)], "doc_id int, toks array<string>")
+    out = packing.chunk_with_overlap(df, "doc_id", "toks", chunk_tokens=4, overlap=2)
+    rows = sorted((r["chunk_idx"], r["n_tokens"], r["chunk_text"]) for r in out.collect())
+    # step 2: starts 0,2,4,6,8 -> last window is a 2-token tail
+    assert rows == [
+        (0, 4, "w0 w1 w2 w3"),
+        (1, 4, "w2 w3 w4 w5"),
+        (2, 4, "w4 w5 w6 w7"),
+        (3, 4, "w6 w7 w8 w9"),
+        (4, 2, "w8 w9"),
+    ]
+    with _pytest.raises(ValueError):
+        packing.chunk_with_overlap(df, "doc_id", "toks", chunk_tokens=4, overlap=4)
