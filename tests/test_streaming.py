@@ -176,3 +176,35 @@ def test_upsert_stream_latest_per_key(spark, event_dir, tmp_path):
         for r in src.groupBy("user_id").agg(F.max("ts").alias("ts")).collect()
     }
     assert got == want
+
+
+def test_eventgen_streaming_source_deterministic(spark, tmp_path):
+    """Spark 4 Python streaming Data Source: bounded drain produces the
+    exact deterministic rows, split across multiple microbatches."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources.eventgen_datasource import (
+        EventGenDataSource,
+        _row,
+    )
+
+    spark.dataSource.register(EventGenDataSource)
+    out = str(tmp_path / "gen_out")
+    ckpt = str(tmp_path / "gen_ckpt")
+    # each availableNow start drains the reader's prefetched chunk; the
+    # restarts resume from the CHECKPOINTED offset — exercising exactly
+    # the replay/recovery contract the offset model promises
+    for _ in range(3):
+        q = (
+            spark.readStream.format("eventgen")
+            .option("rowsPerBatch", 40)
+            .option("maxRows", 100)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    expect = sorted(_row(i) for i in range(100))
+    assert got == expect
