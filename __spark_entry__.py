@@ -3073,6 +3073,29 @@ FROM s WHERE st = 0 OR st < len(toks)
 """
 
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-5-row median per user (timeseries.rolling_median):
+    lag-array construction since Spark's median takes no window frame."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    return timeseries.rolling_median(
+        e.select("user_id", "event_id", "ts", "value"),
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        n_rows=5,
+    ).select("user_id", "event_id", "value", "rmed")
+
+
+ORACLE_ROLLING_MEDIAN = """
+SELECT user_id, event_id, value,
+       round(median(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS rmed
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3186,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_twap": q_user_value_twap,
         "user_streaks": q_user_streaks,
         "overlapping_chunks": q_overlapping_chunks,
+        "rolling_median_value": q_rolling_median,
         "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
     }
@@ -3293,6 +3317,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_twap": ORACLE_TWAP,
         "user_streaks": ORACLE_STREAKS,
         "overlapping_chunks": _oracle_chunks(),
+        "rolling_median_value": ORACLE_ROLLING_MEDIAN,
         # dedup_clusters: iterative label propagation (rows-only check)
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }

@@ -298,3 +298,37 @@ def activity_streaks(
         F.max("__len").alias("longest_streak"),
         F.sum("__len").alias("n_active_days"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    key_col: str,
+    order_cols,
+    value_col: str,
+    n_rows: int = 5,
+    out_col: str = "rmed",
+) -> DataFrame:
+    """Exact rolling median over the trailing ``n_rows`` rows per key —
+    the robust-smoothing twin of a rolling mean (spike-immune).
+
+    Spark's exact ``median`` cannot take a window frame
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC on 4.1), so for the small
+    frames where rolling medians make sense the frame is materialized
+    as ``n_rows`` lag expressions sharing ONE WindowSpec (one Window
+    node, one shuffle — same cost as a single lag), sorted as an array,
+    and the median read positionally with even-count interpolation —
+    identical semantics to DuckDB's windowed ``median``/quantile_cont.
+    Head rows use their shorter prefix (standard expanding warmup).
+    """
+    order = [F.col(c) for c in ([order_cols] if isinstance(order_cols, str) else list(order_cols))]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    v = F.col(value_col)
+    vals = F.array(*[F.lag(v, i).over(w) if i else v for i in range(n_rows)])
+    arr = F.array_sort(F.filter(vals, lambda x: x.isNotNull()))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi_i = (n / 2 + 1).cast("int")
+    med = F.when(n % 2 == 1, lo).otherwise(
+        (F.element_at(arr, (n / 2).cast("int")) + F.element_at(arr, hi_i)) / 2
+    )
+    return df.withColumn(out_col, F.round(med, 4))

@@ -219,3 +219,16 @@ def test_activity_streaks_islands(spark):
     )
     r = timeseries.activity_streaks(df, "k", "day").collect()[0]
     assert r["longest_streak"] == 3 and r["n_active_days"] == 5
+
+
+def test_rolling_median_interpolation_and_warmup(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate([5, 1, 9, 3, 7])],
+        "k string, i int, v double",
+    )
+    out = timeseries.rolling_median(df, "k", ["i"], "v", n_rows=3)
+    got = {r["i"]: r["rmed"] for r in out.collect()}
+    # warmup: [5] -> 5; [5,1] -> 3 (interpolated); then 3-row medians
+    assert got == {0: 5.0, 1: 3.0, 2: 5.0, 3: 3.0, 4: 7.0}
