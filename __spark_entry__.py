@@ -1792,7 +1792,8 @@ FROM events ASOF LEFT JOIN rates ON events.ts >= rates.rts
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → cluster summary.
-    Iterative algorithm (label propagation) — rows-only check."""
+    Spark side iterates min-label propagation; oracle-checked against a
+    recursive-CTE transitive closure computing the same fixpoint."""
     tune(spark)
     d = _t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(d, "doc_id", "text", num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE)
@@ -3073,6 +3074,34 @@ FROM s WHERE st = 0 OR st < len(toks)
 """
 
 
+def _oracle_dedup_clusters() -> str:
+    """Connected components as SQL: Spark runs iterative min-label
+    propagation; the oracle computes the same fixpoint via a recursive
+    transitive closure (reach pairs are |cluster|²-bounded — fine at
+    oracle scale, which is exactly why the ENGINE side iterates
+    instead)."""
+    eqs = " OR ".join(f"a.mh_{i} = b.mh_{i}" for i in range(_MH_HASHES))
+    return f"""
+WITH RECURSIVE sigs AS ({_oracle_minhash()}),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({eqs})
+),
+bidir AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+nodes AS (SELECT DISTINCT src AS n FROM bidir),
+reach(a, b) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN bidir e ON e.src = r.b
+),
+lab AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY 1)
+SELECT label, count(*) AS cluster_size, min(node) AS keep_doc_id
+FROM lab GROUP BY 1
+"""
+
+
 def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trailing-5-row median per user (timeseries.rolling_median):
     lag-array construction since Spark's median takes no window frame."""
@@ -3318,6 +3347,8 @@ def oracle_sql() -> dict[str, str]:
         "user_streaks": ORACLE_STREAKS,
         "overlapping_chunks": _oracle_chunks(),
         "rolling_median_value": ORACLE_ROLLING_MEDIAN,
-        # dedup_clusters: iterative label propagation (rows-only check)
+        # dedup_clusters: Spark iterates label propagation; the oracle is
+        # the equivalent recursive-CTE transitive closure
+        "dedup_clusters": _oracle_dedup_clusters(),
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
     }

@@ -17,11 +17,10 @@ def test_queries_and_oracles_aligned():
     assert len(qs) >= 30
     missing = set(oracles) - set(qs)
     assert not missing, f"oracle without query: {missing}"
-    # rows-only ops: mapInPandas media stage, iterative label propagation,
-    # and the engine-local xxhash64 minhash scale path
+    # rows-only ops: mapInPandas media stage and the engine-local
+    # xxhash64 minhash scale path
     assert set(qs) - set(oracles) == {
         "media_features",
-        "dedup_clusters",
         "minhash_pairs_fast",
     }
 
