@@ -286,3 +286,20 @@ def test_csv_roundtrip(spark, tmp_path):
     assert sorted((r["k"], r["s"], r["v"]) for r in back.collect()) == sorted(
         (r["k"], r["s"], r["v"]) for r in df.collect()
     )
+
+
+def test_csv_permissive_preserves_corrupt_rows(spark, tmp_path):
+    p = tmp_path / "raw.csv"
+    p.write_text("k,v\n1,10.5\nbad,not_a_number\n3,7.25\n")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = sources.read_csv(spark, str(p), schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted((r["k"], r["v"]) for r in good.collect()) == [(1, 10.5), (3, 7.25)]
+    assert [r["_corrupt_record"] for r in bad.collect()] == ["bad,not_a_number"]
