@@ -3125,6 +3125,278 @@ FROM events
 """
 
 
+def q_market_share_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one brand's revenue share per order year inside
+    one region.  Two fact-side joins (orders on orderkey, part on
+    partkey) shuffle on their keys at scale — AQE broadcasts them at
+    test SF; the customer→nation→region dim chain is pinned broadcast.
+    Share = ratio of two exact-decimal sums from ONE grouped pass (the
+    conditional sum avoids a second scan or a self-join)."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey")
+    brand_amt = F.when(part.p_brand == "Brand#12", _disc_price()).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    g = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(asia_nations), cust.c_nationkey == F.col("n_nationkey"))
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            dround(F.sum(brand_amt)).alias("brand_revenue"),
+            dround(F.sum(_disc_price())).alias("total_revenue"),
+        )
+    )
+    return g.withColumn(
+        "mkt_share", F.col("brand_revenue") / F.col("total_revenue")
+    )
+
+
+ORACLE_MARKET_SHARE = f"""
+WITH g AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(sum(CASE WHEN p_brand = 'Brand#12' THEN {SQL_DISC_PRICE}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+           AS brand_revenue,
+         {sql_dsum(SQL_DISC_PRICE)} AS total_revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  JOIN part     ON l_partkey = p_partkey
+  WHERE r_name = 'ASIA'
+  GROUP BY 1
+)
+SELECT o_year, brand_revenue, total_revenue,
+       brand_revenue / total_revenue AS mkt_share
+FROM g
+"""
+
+
+def q_event_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for each unordered pair of event
+    types, how many users emitted both.  The ``repartition(user_id)``
+    before the distinct means the distinct AND both sides of the
+    self-join reuse ONE exchange (subset rule + exchange reuse); only
+    the final tiny pair aggregate shuffles again.  Per-user pair
+    fan-out is C(distinct types, 2) — bounded by the type vocabulary,
+    the usual cap that keeps basket self-joins tractable at scale."""
+    tune(spark)
+    ed = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .repartition("user_id")
+        .distinct()
+    )
+    a, b = ed.alias("a"), ed.alias("b")
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+ORACLE_EVENT_TYPE_PAIRS = """
+WITH ed AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_users
+FROM ed a JOIN ed b ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier (skyline): parts not strictly dominated
+    on (cheaper price, larger size).  One sorted window pass over the
+    per-price grouped table instead of the quadratic NOT-EXISTS
+    self-join the oracle runs."""
+    tune(spark)
+    part = _t(spark, sf_dir, "part")
+    f = analysis.pareto_frontier_2d(
+        part, minimize="p_retailprice", maximize="p_size", partition_by=["p_brand"]
+    )
+    return f.select("p_brand", "p_partkey", "p_name", "p_retailprice", "p_size")
+
+
+ORACLE_PARETO = """
+SELECT p_brand, p_partkey, p_name, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_brand = p.p_brand
+    AND q.p_retailprice < p.p_retailprice
+    AND q.p_size > p.p_size
+)
+"""
+
+
+def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand winsorized mean price: clip at the exact p05/p95
+    fences (rounded 4dp — the cross-engine percentile agreement
+    precision), then a decimal-exact mean of the clipped values.
+    One percentile aggregate + broadcast join-back + one grouped sum."""
+    tune(spark)
+    part = _t(spark, sf_dir, "part")
+    w = outliers.winsorize(
+        part, ["p_brand"], "p_retailprice", lo=0.05, hi=0.95, round_bounds=4
+    )
+    g = w.groupBy(
+        "p_brand", F.col("_w_lo").alias("lo"), F.col("_w_hi").alias("hi")
+    ).agg(
+        F.count("*").alias("n_parts"),
+        dsum("p_retailprice_wins").alias("wins_sum"),
+    )
+    return g.withColumn("wins_avg", F.col("wins_sum") / F.col("n_parts"))
+
+
+ORACLE_WINSORIZED = f"""
+WITH b AS (
+  SELECT p_brand, round(quantile_cont(p_retailprice, 0.05), 4) AS lo,
+         round(quantile_cont(p_retailprice, 0.95), 4) AS hi
+  FROM part GROUP BY 1
+), g AS (
+  SELECT p.p_brand, lo, hi, count(*) AS n_parts,
+         {sql_dsum('least(greatest(p_retailprice, lo), hi)')} AS wins_sum
+  FROM part p JOIN b USING (p_brand)
+  GROUP BY 1, 2, 3
+)
+SELECT p_brand, lo, hi, n_parts, wins_sum,
+       wins_sum / n_parts AS wins_avg
+FROM g
+"""
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocations by pointwise mutual information
+    (textstats.bigram_pmi): boilerplate-phrase detector over the
+    corpus.  Ratio arithmetic is pinned left-to-right double so both
+    engines feed ``ln`` identical bits; 6dp round absorbs libm ulp."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bigram_pmi(docs.select("text"), "text", min_count=3)
+
+
+ORACLE_BIGRAM_PMI = """
+WITH toks AS (
+  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+  FROM documents
+), uni AS (
+  SELECT unnest(t) AS tok FROM toks
+), uc AS (
+  SELECT tok, count(*) AS c FROM uni GROUP BY 1
+), bi AS (
+  SELECT t[g] AS x, t[g + 1] AS y
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS g FROM toks)
+), bc AS (
+  SELECT x, y, count(*) AS c_xy FROM bi GROUP BY 1, 2
+), tu AS (SELECT count(*) AS n_uni FROM uni),
+   tb AS (SELECT count(*) AS n_bi FROM bi)
+SELECT bc.x, bc.y, bc.c_xy,
+       round(ln(((CAST(bc.c_xy AS DOUBLE) * n_uni) * n_uni)
+                / ((CAST(n_bi AS DOUBLE) * ux.c) * uy.c)), 6) AS pmi
+FROM bc
+JOIN uc ux ON bc.x = ux.tok
+JOIN uc uy ON bc.y = uy.tok, tu, tb
+WHERE bc.c_xy >= 3
+"""
+
+
+def q_session_burst_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap range join (range_join.interval_overlap_join):
+    user sessions (gap rule, closed intervals made half-open with +1s)
+    overlap-joined against site-wide "burst hours" (hourly event count
+    > 1.2× the mean hour).  Both sides bin into hour buckets and
+    equi-join — no cross join, no distinct (first-shared-bucket dedup).
+    The burst side is |hours|-sized, so AQE broadcasts it; with a
+    per-entity right side you'd pass equi_keys to keep the bucket key
+    from concentrating."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        range_join,
+        sessionize,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    sess = sessionize.session_intervals(
+        e.select("user_id", "ts"), "user_id", "ts", gap_seconds=1800
+    ).withColumn("s_end_ho", F.col("session_end") + F.expr("INTERVAL 1 SECOND"))
+    hourly = e.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count("*").alias("c")
+    )
+    thr = hourly.agg((F.lit(1.2) * F.avg("c")).alias("thr"))
+    bursts = (
+        hourly.crossJoin(F.broadcast(thr))
+        .filter(F.col("c") > F.col("thr"))
+        .select(
+            F.col("w.start").alias("hs"),
+            F.col("w.end").alias("he"),
+            F.col("c").alias("burst_events"),
+        )
+    )
+    joined = range_join.interval_overlap_join(
+        sess, bursts, "session_start", "s_end_ho", "hs", "he", grain_seconds=3600
+    )
+    return joined.groupBy(
+        "user_id", F.col("session_seq").cast("long").alias("session_seq"),
+        "session_start",
+    ).agg(
+        F.count("*").alias("n_burst_hours"),
+        F.max("burst_events").alias("peak_burst_events"),
+    )
+
+
+ORACLE_SESSION_BURST = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR floor(epoch(ts))::BIGINT
+                        - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+), sess AS (
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM numbered GROUP BY 1, 2
+), hourly AS (
+    SELECT date_trunc('hour', ts) AS hs, count(*) AS c
+    FROM events GROUP BY 1
+), thr AS (SELECT 1.2 * avg(c) AS t FROM hourly),
+bursts AS (
+    SELECT hs, hs + INTERVAL 1 HOUR AS he, c
+    FROM hourly, thr WHERE c > t
+)
+SELECT s.user_id, s.session_seq, s.session_start,
+       count(*) AS n_burst_hours,
+       CAST(max(b.c) AS BIGINT) AS peak_burst_events
+FROM sess s
+JOIN bursts b ON s.session_start < b.he
+             AND b.hs < s.session_end + INTERVAL 1 SECOND
+GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3241,6 +3513,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median_value": q_rolling_median,
         "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
+        "market_share_year": q_market_share_year,
+        "event_type_pairs": q_event_type_pairs,
+        "pareto_parts": q_pareto_parts,
+        "winsorized_prices": q_winsorized_prices,
+        "bigram_pmi": q_bigram_pmi,
+        "session_burst_overlap": q_session_burst_overlap,
     }
 
 
@@ -3351,4 +3629,10 @@ def oracle_sql() -> dict[str, str]:
         # the equivalent recursive-CTE transitive closure
         "dedup_clusters": _oracle_dedup_clusters(),
         # media_features: mapInPandas stage, no SQL equivalent (rows-only)
+        "market_share_year": ORACLE_MARKET_SHARE,
+        "event_type_pairs": ORACLE_EVENT_TYPE_PAIRS,
+        "pareto_parts": ORACLE_PARETO,
+        "winsorized_prices": ORACLE_WINSORIZED,
+        "bigram_pmi": ORACLE_BIGRAM_PMI,
+        "session_burst_overlap": ORACLE_SESSION_BURST,
     }

@@ -145,3 +145,41 @@ def mode_per_group(
         F.col(f"__m.{value_col}").alias(out_col),
         F.col("__m.n").alias("n"),
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Two-dimensional Pareto frontier (skyline) under STRICT domination:
+    a row survives unless some other row in the same partition is
+    strictly better on BOTH axes (smaller ``minimize`` AND larger
+    ``maximize``).  Ties survive together.
+
+    The naive skyline is a quadratic NOT EXISTS self-join; for two
+    dimensions it collapses to one sorted pass: group to the best
+    ``maximize`` per distinct ``minimize`` value, take the running max
+    of that over strictly-smaller ``minimize`` values (rows-frame
+    window, distinct values so "1 preceding" IS "strictly smaller"),
+    and join the per-value verdict back.  The grouped table is
+    |distinct minimize| — vocabulary-sized, so the join-back broadcasts;
+    the only full-data shuffles are the group-by and the join's
+    partitioning, both on ``partition_by + minimize``.
+    """
+    keys = [*partition_by, minimize]
+    g = df.groupBy(*keys).agg(F.max(maximize).alias("_pf_max"))
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(minimize)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    best = g.select(
+        *keys, F.max("_pf_max").over(w).alias("_pf_best_below")
+    )
+    out = df.join(F.broadcast(best), keys)
+    return out.filter(
+        F.col("_pf_best_below").isNull()
+        | (F.col(maximize) >= F.col("_pf_best_below"))
+    ).drop("_pf_best_below")

@@ -115,3 +115,62 @@ def infer_unknown_models(
         .withColumn(model, F.coalesce(F.col(model), F.col("__inferred_model")))
         .drop("__inferred_model")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    grain_seconds: int = 3600,
+    equi_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Inner join of two interval tables on overlap of half-open
+    intervals [start, end): ``l_start < r_end AND r_start < l_end``.
+
+    A naive overlap join is a cross join with a theta filter — O(n·m)
+    and unpartitionable.  The scale shape bins both sides into fixed
+    time buckets of ``grain_seconds``: each interval explodes into the
+    buckets it touches, the join becomes an equi join on
+    (equi_keys…, bucket), and the exact overlap predicate runs as a
+    residual filter.  Shuffled rows = |intervals| ·
+    avg-buckets-per-interval; pick the grain near the typical interval
+    length to keep that factor ~2.
+
+    A pair overlapping k shared buckets would emit k duplicates;
+    instead of a distinct (an extra full-width shuffle) each pair is
+    kept only in the FIRST bucket both intervals share —
+    ``bucket == greatest(first_bucket(left), first_bucket(right))`` —
+    which every true overlap satisfies exactly once, so no dedup pass
+    is needed.
+
+    Timestamps are compared at microsecond precision.  Right-side
+    columns must be pre-renamed to avoid collisions.
+    """
+    g_us = int(grain_seconds) * 1_000_000
+
+    def first_b(col: str) -> Column:
+        return F.expr(f"unix_micros({col}) div {g_us}")
+
+    def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        # half-open: an interval ending exactly on a bucket edge does
+        # not touch that bucket — hence the (end − 1µs) last bucket
+        return df.withColumn(
+            "_io_bucket",
+            F.explode(
+                F.sequence(
+                    first_b(s), F.expr(f"(unix_micros({e}) - 1) div {g_us}")
+                )
+            ),
+        )
+
+    lb = bucketed(left, l_start, l_end)
+    rb = bucketed(right, r_start, r_end)
+    joined = lb.join(rb, [*equi_keys, "_io_bucket"]).filter(
+        (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+    )
+    return joined.filter(
+        F.col("_io_bucket") == F.greatest(first_b(l_start), first_b(r_start))
+    ).drop("_io_bucket")

@@ -68,3 +68,21 @@ def session_stats(
         F.max("n_events").alias("max_session_events"),
         F.sum("span_s").alias("total_span_s"),
     )
+
+
+def session_intervals(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """One row per (entity, session): start/end timestamps and event
+    count.  Same single entity-key shuffle as ``sessionize`` — the
+    per-session group-by rides the window's partitioning (subset rule).
+    The natural left side of ``range_join.interval_overlap_join``."""
+    s = sessionize(df, entity_col, ts_col, gap_seconds)
+    return s.groupBy(entity_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

@@ -358,3 +358,71 @@ def distinctive_terms(
         .filter(F.col("__rn") <= k)
         .select(F.col("grp").alias(group_col), "term", "c_g", "score")
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+) -> DataFrame:
+    """Bigram collocations scored by pointwise mutual information:
+    ``pmi = ln( p(x,y) / (p(x)·p(y)) )`` with p(x,y) = c_xy / N_bigrams
+    and p(x) = c_x / N_tokens.  The classic collocation detector
+    (Church & Hanks 1990) — for corpus hygiene it surfaces boilerplate
+    phrases and templated spans that unigram frequency misses.
+
+    Shape: ONE tokenization pass (persisted token arrays — the fork
+    below reads them twice), then bigrams via two shifted array slices
+    zipped per row (no posexplode self-join).  Unigram and bigram
+    count tables shuffle on the token key; the two marginal join-backs
+    are vocabulary-sized.  Scalar totals ride in via a broadcast cross
+    join.  All ratio arithmetic is double with pinned left-to-right
+    association so an external SQL oracle reproduces bit-identical
+    inputs to ``ln``; the 6dp round absorbs the last-ulp ``ln``
+    libm difference.
+
+    Returns (x, y, c_xy, pmi) for bigrams seen >= ``min_count`` times.
+    """
+    toks = df.select(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit("")
+        ).alias("t")
+    ).persist()
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    shifted = toks.select(
+        F.col("t"),
+        F.slice(F.col("t"), 1, F.size("t") - 1).alias("_a"),
+        F.slice(F.col("t"), 2, F.size("t") - 1).alias("_b"),
+    )
+    bi = (
+        shifted.select(
+            F.explode(
+                F.zip_with("_a", "_b", lambda x, y: F.struct(x.alias("x"), y.alias("y")))
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    n_bi = bi.agg(F.sum("c_xy").alias("n_bi"))
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    joined = (
+        bi.filter(F.col("c_xy") >= min_count)
+        .join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    ratio = (
+        F.col("c_xy").cast("double") * F.col("n_uni") * F.col("n_uni")
+    ) / (F.col("n_bi").cast("double") * F.col("c_x") * F.col("c_y"))
+    return joined.select(
+        "x", "y", "c_xy", F.round(F.log(ratio), 6).alias("pmi")
+    )

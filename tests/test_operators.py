@@ -12,6 +12,7 @@ from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.oper
     multimodal,
     outliers,
     range_join,
+    sessionize as sessionize_ops,
     similarity,
     textstats,
 )
@@ -427,3 +428,105 @@ def test_fuzzy_name_pairs_blocking_and_distance(spark):
     assert [(r["name_a"], r["name_b"], r["edit_dist"]) for r in out] == [
         ("red widget", "red widgets", 1)
     ]
+
+
+# ---------------------------------------------------------------------------
+# pareto frontier / winsorize / interval overlap / bigram PMI
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_frontier_strict_domination(spark):
+    # (price, size): survive unless strictly worse on both axes
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.0, 50),   # frontier (cheapest)
+            (2, "A", 20.0, 60),   # frontier (bigger than all cheaper)
+            (3, "A", 30.0, 55),   # dominated by id=2 (cheaper AND bigger)
+            (4, "A", 30.0, 60),   # tie on size with id=2 → not strict → survives
+            (5, "A", 40.0, 70),   # frontier
+            (6, "B", 99.0, 1),    # alone in partition → frontier
+        ],
+        "id long, brand string, price double, size int",
+    )
+    out = analysis.pareto_frontier_2d(
+        df, minimize="price", maximize="size", partition_by=["brand"]
+    )
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 4, 5, 6]
+
+
+def test_pareto_frontier_equal_minimize_ties(spark):
+    # two rows at the same price: both compared only against strictly
+    # cheaper rows, so the weaker one dies only if a cheaper row beats it
+    df = spark.createDataFrame(
+        [(1, 10.0, 5), (2, 20.0, 9), (3, 20.0, 3)],
+        "id long, price double, size int",
+    )
+    out = analysis.pareto_frontier_2d(df, minimize="price", maximize="size")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
+def test_winsorize_clips_to_fences(spark):
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)], "k string, v double"
+    )
+    out = outliers.winsorize(df, ["k"], "v", lo=0.05, hi=0.95)
+    rows = out.collect()
+    # exact interpolated percentiles of 1..100: p05=5.95, p95=95.05
+    assert all(abs(r["_w_lo"] - 5.95) < 1e-9 for r in rows)
+    assert all(abs(r["_w_hi"] - 95.05) < 1e-9 for r in rows)
+    clipped = {r["v"]: r["v_wins"] for r in rows}
+    assert clipped[1.0] == 5.95 and clipped[100.0] == 95.05
+    assert clipped[50.0] == 50.0  # interior untouched
+
+
+def test_interval_overlap_join_halfopen_and_dedup(spark):
+    # grain 10s; intervals as epoch-second timestamps
+    def ts(s):
+        return F.timestamp_seconds(F.col(s))
+
+    left = spark.createDataFrame([(1, 5, 35), (2, 40, 50)], "lid long, s long, e long")
+    left = left.select("lid", ts("s").alias("ls"), ts("e").alias("le"))
+    right = spark.createDataFrame(
+        [(10, 0, 100), (11, 35, 45), (12, 50, 60)], "rid long, s long, e long"
+    )
+    right = right.select("rid", ts("s").alias("rs"), ts("e").alias("re"))
+    out = range_join.interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", grain_seconds=10
+    )
+    pairs = sorted((r["lid"], r["rid"]) for r in out.collect())
+    # (1,10): overlap spans 4 shared buckets -> exactly ONE output row
+    # (1,11): touch at 35 only -> half-open, NO overlap
+    # (2,10): [40,50) inside [0,100)
+    # (2,11): [40,50) x [35,45) overlap
+    # (2,12): touch at 50 -> NO overlap
+    assert pairs == [(1, 10), (2, 10), (2, 11)]
+
+
+def test_session_intervals_bounds(spark):
+    df = spark.createDataFrame(
+        [("u", 0), ("u", 100), ("u", 5000), ("u", 5100)], "user_id string, s long"
+    ).select("user_id", F.timestamp_seconds(F.col("s")).alias("ts"))
+    out = sessionize_ops.session_intervals(df, "user_id", "ts", gap_seconds=1800)
+    rows = sorted(out.collect(), key=lambda r: r["session_seq"])
+    assert len(rows) == 2
+    assert [r["n_events"] for r in rows] == [2, 2]
+    spans = [
+        (r["session_end"] - r["session_start"]).total_seconds() for r in rows
+    ]
+    assert spans == [100.0, 100.0]
+
+
+def test_bigram_pmi_hand_computed(spark):
+    import math
+
+    # corpus: "a b" x3 and "a c" x1 → tokens: a:4 b:3 c:1, N_uni=8
+    # bigrams: (a,b):3 (a,c):1, N_bi=4
+    df = spark.createDataFrame(
+        [("a b",), ("a b",), ("a b",), ("a c",)], "text string"
+    )
+    out = textstats.bigram_pmi(df, "text", min_count=1)
+    got = {(r["x"], r["y"]): (r["c_xy"], r["pmi"]) for r in out.collect()}
+    exp_ab = round(math.log((3.0 * 8 * 8) / (4.0 * 4 * 3)), 6)
+    exp_ac = round(math.log((1.0 * 8 * 8) / (4.0 * 4 * 1)), 6)
+    assert got[("a", "b")] == (3, exp_ab)
+    assert got[("a", "c")] == (1, exp_ac)
