@@ -80,7 +80,8 @@ def test_stateful_user_profiles_stream(spark, sf_dir, tmp_path):
 
     src = tmp_path / "ev"
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     df.repartition(2).write.mode("overwrite").parquet(str(src))
 
     stream = jobs.read_event_stream(spark, str(src))
@@ -247,8 +248,9 @@ def test_sql_surface_over_registered_views(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
-    # events view exposes a real timestamp (nanos normalized in the loader)
-    assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
+    # events view exposes a real timestamp column (tz flavor depends on how
+    # the driver generated the parquet)
+    assert dict(spark.table("events").dtypes)["ts"] in ("timestamp", "timestamp_ntz")
     assert spark.sql("SELECT max(ts) FROM events").first()[0] is not None
 
 
@@ -263,7 +265,8 @@ def test_transform_with_state_profiles_match_apply_in_pandas(spark, sf_dir, tmp_
 
     src = tmp_path / "ev"
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     df.repartition(2).write.mode("overwrite").parquet(str(src))
 
     stream = jobs.read_event_stream(spark, str(src))

@@ -12,7 +12,8 @@ def event_dir(spark, sf_dir, tmp_path_factory):
     """Stage the events table as a landing directory of parquet files."""
     out = tmp_path_factory.mktemp("events_in")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     df.repartition(4).write.mode("overwrite").parquet(str(out / "data"))
     return str(out / "data")
 
