@@ -152,7 +152,9 @@ def interval_overlap_join(
     g_us = int(grain_seconds) * 1_000_000
 
     def first_b(col: str) -> Column:
-        return F.expr(f"unix_micros({col}) div {g_us}")
+        # cast: unix_micros only takes TIMESTAMP; NTZ inputs resolve via
+        # the session timezone (pinned to UTC in session.RUNTIME_CONF)
+        return F.expr(f"unix_micros(cast({col} as timestamp)) div {g_us}")
 
     def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
         # half-open: an interval ending exactly on a bucket edge does
@@ -161,7 +163,8 @@ def interval_overlap_join(
             "_io_bucket",
             F.explode(
                 F.sequence(
-                    first_b(s), F.expr(f"(unix_micros({e}) - 1) div {g_us}")
+                    first_b(s),
+                    F.expr(f"(unix_micros(cast({e} as timestamp)) - 1) div {g_us}"),
                 )
             ),
         )
