@@ -837,11 +837,25 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+_FAST_DUP_THRESHOLD = 0.8
+
+
 def q_minhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path twin of minhash_pairs: xxhash64 signatures (JVM
-    intrinsic, ~7× faster than the md5 parity construction).  Same
-    banding/collision mechanics; signatures are engine-local, so this
-    entry is rows-only checked (no cross-engine oracle by design)."""
+    """Scale-path near-dup pipeline: xxhash64 LSH candidate generation
+    (JVM-intrinsic hash, ~7× faster signatures than the md5 parity
+    construction) followed by EXACT n-gram-Jaccard verification of the
+    candidates, keeping pairs with jaccard >= 0.8.
+
+    The verify stage makes this oracle-checkable even though xxhash64
+    signatures are engine-local: with 8 single-row bands, a pair with
+    true Jaccard j collides with probability 1-(1-j)^8 (≥ 0.99999 at
+    j=0.8), and on the test corpora the LSH stage captures EVERY pair
+    above the threshold (asserted by tests/test_operators.py fast-path
+    recall test), so candidates+verify ≡ exact-all-pairs >= 0.8 — which
+    is what the DuckDB oracle computes.  At 100 TB the expensive stage
+    stays the banded+capped LSH join; verification touches only
+    candidate ids (dedup.exact_jaccard_of_pairs semi-joins the shingle
+    table down to them)."""
     tune(spark)
     d = _t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(
@@ -849,8 +863,54 @@ def q_minhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE, hash_fn="xxhash64",
     )
     sigs = sigs.localCheckpoint(eager=True)
-    sim = dedup.lsh_similar_pairs(sigs, "doc_id", num_hashes=_MH_HASHES, bands=_MH_HASHES)
-    return sim.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    cand = dedup.lsh_similar_pairs(sigs, "doc_id", num_hashes=_MH_HASHES, bands=_MH_HASHES)
+    # single-row bands maximize recall (miss prob (1-j)^8) but admit
+    # random one-hash collisions; requiring >=3 of 8 matching minhashes
+    # before exact verification cuts the candidate set ~100× while a
+    # true j>=0.8 pair fails it with prob P[Binom(8,0.8)<3] ~ 1e-4
+    # (recall 1 on the test corpora — reasserted against the oracle)
+    cand = cand.filter(F.col("est_jaccard") >= 3.0 / _MH_HASHES)
+    # the candidate table feeds the verify stage three times (both sides
+    # of the id-prune union + the final pair join) — materialize the
+    # small pair list once instead of re-running the band self-join
+    cand = cand.localCheckpoint(eager=True)
+    exact = dedup.exact_jaccard_of_pairs(
+        d, cand, "doc_id", "text", shingle_n=_MH_SHINGLE
+    )
+    return (
+        exact.filter(F.col("jaccard") >= _FAST_DUP_THRESHOLD)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _oracle_minhash_pairs_fast() -> str:
+    """Exact n-gram Jaccard >= threshold over all shared-shingle pairs —
+    equivalent to the LSH candidates+verify output when LSH recall at
+    the threshold is 1 (verified on the test corpora)."""
+    norm = _NORM_SQL.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM sh_raw
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c / (sa.sz + sb.sz - c) >= {_FAST_DUP_THRESHOLD}
+"""
 
 
 def _oracle_minhash_pairs() -> str:
@@ -897,12 +957,19 @@ SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums
 """
 
 
+NGRAM_MAX_DF = 200  # drop boilerplate shingles present in > this many docs
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard for pairs sharing ≥1 shingle (inverted-
-    index join, never all-pairs)."""
+    index join, never all-pairs).  Hot shingles (document frequency >
+    NGRAM_MAX_DF) are dropped before the self-join so one boilerplate
+    3-gram can't generate O(df²) pair rows at corpus scale."""
     tune(spark)
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, max_df=NGRAM_MAX_DF
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -916,8 +983,13 @@ WITH toks AS (
          unnest(list_transform(generate_series(1, len(t) - 2),
                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
   FROM toks
-), sh AS (
+), sh_all AS (
   SELECT DISTINCT doc_id, sh FROM sh_raw
+), sh AS (
+  SELECT doc_id, sh FROM sh_all
+  WHERE sh NOT IN (
+    SELECT sh FROM sh_all GROUP BY sh HAVING count(*) > {NGRAM_MAX_DF}
+  )
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
 ), common AS (
@@ -1190,7 +1262,7 @@ def q_parse_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PARSE_JSON = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(props::JSON->>'k' AS INT)) AS sum_k,
+       CAST(sum(CAST(props::JSON->>'k' AS INT)) AS BIGINT) AS sum_k,
        min(CAST(props::JSON->>'k' AS INT)) AS min_k,
        max(CAST(props::JSON->>'k' AS INT)) AS max_k
 FROM events GROUP BY event_type
@@ -1257,7 +1329,7 @@ WITH flagged AS (
     FROM numbered GROUP BY user_id, session_seq
 )
 SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
-       sum(span_s) AS total_span_s
+       CAST(sum(span_s) AS BIGINT) AS total_span_s
 FROM per_session GROUP BY user_id
 """
 
@@ -1813,6 +1885,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over the synthetic media table.
+    The checked projection is the deterministic metadata the Arrow stage
+    computes (kind routing, byte length) — DuckDB reproduces the
+    generator closed-form (its md5() is VARCHAR-only, so the payload
+    digest column stays pytest-verified, tests/test_scale_ops.py)."""
     tune(spark)
     from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
         multimodal,
@@ -1820,7 +1897,15 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = multimodal.synthetic_media(spark, 64)
     feats = multimodal.extract_features(media, decoder=multimodal.fake_decode)
-    return feats.select("media_id", "kind", "n_bytes", "content_md5")
+    return feats.select("media_id", "kind", "n_bytes")
+
+
+ORACLE_MEDIA_FEATURES = """
+SELECT i::BIGINT AS media_id,
+       CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       (16 * (i % 7 + 1))::BIGINT AS n_bytes
+FROM generate_series(0, 63) t(i)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3408,7 +3493,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is the driver's verification order (the per-round
+    correctness pass covers a prefix of this dict).  Round 2 ordering:
+    queries WITHOUT a green CORRECTNESS_r01 row come first, followed by
+    the four queries whose semantics/oracles changed this round, then
+    the round-1-verified remainder.  All 110 pass the full local gate
+    (tools/check_oracle.py) at sf0.01."""
     return {
+        # -- unverified in round 1 (registry positions 51-110) ----------
+        "dedup_clusters": q_dedup_clusters,
+        "decontaminate_docs": q_decontaminate_docs,
+        "asof_rate_join": q_asof_rate_join,
+        "tfidf_terms": q_tfidf_terms,
+        "supplier_chain": q_supplier_chain,
+        "snapshot_diff": q_snapshot_diff,
+        "rollup_pricing": q_rollup_pricing,
+        "media_features": q_media_features,
+        "incremental_dedup": q_incremental_dedup,
+        "fuzzy_part_names": q_fuzzy_part_names,
+        "near_dup_triangles": q_near_dup_triangles,
+        "embedding_clusters": q_embedding_clusters,
+        "pii_redaction": q_pii_redaction,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "packed_chunks": q_packed_chunks,
+        "overlapping_chunks": q_overlapping_chunks,
+        "quality_filter": q_quality_filter,
+        "token_entropy": q_token_entropy,
+        "distinctive_terms": q_distinctive_terms,
+        "weighted_doc_sample": q_weighted_doc_sample,
+        "domain_mix_sample": q_domain_mix_sample,
+        "bigram_pmi": q_bigram_pmi,
+        "dq_audit": q_dq_audit,
+        "dedup_canonical": q_dedup_canonical,
+        "table_profile": q_table_profile,
+        "variant_props": q_variant_props,
+        "resampled_series": q_resampled_series,
+        "event_deltas": q_event_deltas,
+        "scd2_user_type": q_scd2_user_type,
+        "rolling_value_stats": q_rolling_value_stats,
+        "rolling_median_value": q_rolling_median,
+        "sliding_event_windows": q_sliding_event_windows,
+        "ewma_user_value": q_ewma_user_value,
+        "user_value_twap": q_user_value_twap,
+        "user_streaks": q_user_streaks,
+        "event_funnel": q_event_funnel,
+        "event_transitions": q_event_transitions,
+        "cohort_retention": q_cohort_retention,
+        "conversion_lag": q_conversion_lag,
+        "event_calendar_heatmap": q_event_calendar_heatmap,
+        "session_burst_overlap": q_session_burst_overlap,
+        "grouping_sets_pricing": q_grouping_sets_pricing,
+        "price_iqr_outliers": q_price_iqr_outliers,
+        "mad_price_outliers": q_mad_price_outliers,
+        "price_qty_regression": q_price_qty_regression,
+        "supplier_rank_stats": q_supplier_rank_stats,
+        # -- changed this round (need fresh verification) ---------------
+        "minhash_pairs_fast": q_minhash_pairs_fast,
+        "ngram_jaccard": q_ngram_jaccard,
+        "parse_props_json": q_parse_props_json,
+        "sessionized_events": q_sessionized_events,
+        # -- round-1 unverified, lower-risk plain-SQL analysis ops ------
+        "customers_no_orders": q_customers_no_orders,
+        "suppliers_with_returns": q_suppliers_with_returns,
+        "running_monthly_revenue": q_running_monthly_revenue,
+        "acctbal_quartiles": q_acctbal_quartiles,
+        "lateral_top_orders": q_lateral_top_orders,
+        "price_histogram": q_price_histogram,
+        "corr_quantity_price": q_corr_quantity_price,
+        "unpivot_nation_measures": q_unpivot_nation_measures,
+        "mode_event_type": q_mode_event_type,
+        "nation_segments": q_nation_segments,
+        "market_share_year": q_market_share_year,
+        "event_type_pairs": q_event_type_pairs,
+        "pareto_parts": q_pareto_parts,
+        "winsorized_prices": q_winsorized_prices,
+        # -- green in CORRECTNESS_r01 (unchanged since) -----------------
         "pricing_summary": q_pricing_summary,
         "shipping_priority_top10": q_shipping_priority,
         "nation_revenue": q_nation_revenue,
@@ -3438,9 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_pairs": q_minhash_pairs,
-        "minhash_pairs_fast": q_minhash_pairs_fast,
         "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
         "embedding_knn": q_embedding_knn,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -3450,75 +3607,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_counts": q_lang_source_counts,
         "filtered_slice_agg": q_filtered_slice_agg,
         "embedding_near_dup": q_embedding_near_dup,
-        "parse_props_json": q_parse_props_json,
         "parts_except_intersect": q_parts_except_intersect,
-        "sessionized_events": q_sessionized_events,
         "top_parts_per_brand": q_top_parts_per_brand,
         "hash_sampled_stats": q_hash_sampled_stats,
         "cube_qty": q_cube_qty,
         "quantity_percentiles": q_quantity_percentiles,
         "token_frequency": q_token_frequency,
         "doc_repetition": q_doc_repetition,
-        "pii_redaction": q_pii_redaction,
-        "doc_unigram_logprob": q_doc_unigram_logprob,
-        "packed_chunks": q_packed_chunks,
-        "dq_audit": q_dq_audit,
-        "dedup_canonical": q_dedup_canonical,
-        "customers_no_orders": q_customers_no_orders,
-        "suppliers_with_returns": q_suppliers_with_returns,
-        "running_monthly_revenue": q_running_monthly_revenue,
-        "rollup_pricing": q_rollup_pricing,
-        "asof_rate_join": q_asof_rate_join,
-        "resampled_series": q_resampled_series,
-        "event_deltas": q_event_deltas,
-        "scd2_user_type": q_scd2_user_type,
-        "acctbal_quartiles": q_acctbal_quartiles,
-        "tfidf_terms": q_tfidf_terms,
-        "decontaminate_docs": q_decontaminate_docs,
-        "domain_mix_sample": q_domain_mix_sample,
-        "rolling_value_stats": q_rolling_value_stats,
-        "grouping_sets_pricing": q_grouping_sets_pricing,
-        "token_entropy": q_token_entropy,
-        "price_iqr_outliers": q_price_iqr_outliers,
-        "incremental_dedup": q_incremental_dedup,
-        "sliding_event_windows": q_sliding_event_windows,
-        "variant_props": q_variant_props,
-        "embedding_clusters": q_embedding_clusters,
-        "quality_filter": q_quality_filter,
-        "lateral_top_orders": q_lateral_top_orders,
-        "supplier_chain": q_supplier_chain,
-        "fuzzy_part_names": q_fuzzy_part_names,
-        "price_histogram": q_price_histogram,
-        "mad_price_outliers": q_mad_price_outliers,
-        "event_funnel": q_event_funnel,
-        "event_transitions": q_event_transitions,
-        "ewma_user_value": q_ewma_user_value,
-        "supplier_rank_stats": q_supplier_rank_stats,
-        "corr_quantity_price": q_corr_quantity_price,
-        "unpivot_nation_measures": q_unpivot_nation_measures,
-        "distinctive_terms": q_distinctive_terms,
-        "weighted_doc_sample": q_weighted_doc_sample,
-        "mode_event_type": q_mode_event_type,
-        "nation_segments": q_nation_segments,
-        "event_calendar_heatmap": q_event_calendar_heatmap,
-        "cohort_retention": q_cohort_retention,
-        "conversion_lag": q_conversion_lag,
-        "near_dup_triangles": q_near_dup_triangles,
-        "table_profile": q_table_profile,
-        "snapshot_diff": q_snapshot_diff,
-        "price_qty_regression": q_price_qty_regression,
-        "user_value_twap": q_user_value_twap,
-        "user_streaks": q_user_streaks,
-        "overlapping_chunks": q_overlapping_chunks,
-        "rolling_median_value": q_rolling_median,
-        "dedup_clusters": q_dedup_clusters,
-        "media_features": q_media_features,
-        "market_share_year": q_market_share_year,
-        "event_type_pairs": q_event_type_pairs,
-        "pareto_parts": q_pareto_parts,
-        "winsorized_prices": q_winsorized_prices,
-        "bigram_pmi": q_bigram_pmi,
-        "session_burst_overlap": q_session_burst_overlap,
     }
 
 
@@ -3553,6 +3648,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "minhash_signatures": _oracle_minhash(),
         "minhash_pairs": _oracle_minhash_pairs(),
+        "minhash_pairs_fast": _oracle_minhash_pairs_fast(),
         "simhash": _oracle_simhash(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "embedding_knn": ORACLE_KNN,
@@ -3628,7 +3724,9 @@ def oracle_sql() -> dict[str, str]:
         # dedup_clusters: Spark iterates label propagation; the oracle is
         # the equivalent recursive-CTE transitive closure
         "dedup_clusters": _oracle_dedup_clusters(),
-        # media_features: mapInPandas stage, no SQL equivalent (rows-only)
+        # media_features: the mapInPandas metadata projection is
+        # deterministic — the oracle reproduces the generator closed-form
+        "media_features": ORACLE_MEDIA_FEATURES,
         "market_share_year": ORACLE_MARKET_SHARE,
         "event_type_pairs": ORACLE_EVENT_TYPE_PAIRS,
         "pareto_parts": ORACLE_PARETO,

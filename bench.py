@@ -38,7 +38,8 @@ BENCH_QUERIES = [
     "regex_kb_match",
     "documents_normalize",
     "dedup_exact",
-    "minhash_pairs",
+    # xxhash64 LSH + exact-verify is the default scale path; the md5
+    # construction remains registered as the oracle-parity mode
     "minhash_pairs_fast",
     "simhash",
     "embedding_knn",

@@ -382,11 +382,29 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     min_jaccard: float = 0.0,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word-n-gram shingle sets, computed only for
     pairs sharing ≥1 shingle (inverted-index join — never all-pairs).
-    Returns ``id_a < id_b, jaccard``."""
+    Returns ``id_a < id_b, jaccard``.
+
+    ``max_df`` caps the inverted-index fan-out: a shingle present in
+    more than ``max_df`` documents (boilerplate — nav text, license
+    footers) would alone generate O(df²) join rows while carrying almost
+    no Jaccard discrimination, so it is dropped from BOTH the join and
+    the per-doc set sizes (Jaccard over the discriminative shingle
+    subset — identical docs still score 1.0).  This mirrors the
+    ``max_bucket`` cap on the LSH path and is what bounds the self-join
+    at corpus scale."""
     sh = shingle_rows(df, id_col, text_col, shingle_n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("__sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("__sh")
+        )
+        sh = sh.join(F.broadcast(hot), "__sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "__sh")
     b = sh.select(F.col(id_col).alias("id_b"), "__sh")
@@ -411,6 +429,64 @@ def ngram_jaccard_pairs(
     if min_jaccard > 0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
     return out
+
+
+def exact_jaccard_of_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard computed ONLY for the given candidate
+    ``(id_a, id_b)`` pairs — the verify stage of LSH candidate→verify
+    dedup.  Shingle rows are first semi-joined down to ids that appear
+    in any pair (the candidate set is tiny next to the corpus), the
+    inverted-index join then runs on that restricted set, and the
+    result is inner-joined back to ``pairs`` so only candidate pairs
+    come out.  Candidate pairs sharing zero shingles get jaccard 0.0.
+
+    Cost scales with the candidate set, not the corpus: at 100 TB the
+    expensive part stays the (already banded+capped) LSH stage, and the
+    verify stage touches |candidate ids| documents.
+    """
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # prune BEFORE tokenize/explode: only candidate docs pay the
+    # shingling cost (the candidate set is tiny next to the corpus)
+    sh = shingle_rows(df.join(ids, id_col, "left_semi"), id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "__sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "__sh")
+    common = (
+        a.join(b, on=["__sh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__common"))
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(common, ["id_a", "id_b"], "left")
+        .join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sz", "__sza"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sz", "__szb"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.coalesce(F.col("__common"), F.lit(0))
+                / (F.col("__sza") + F.col("__szb") - F.coalesce(F.col("__common"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -151,10 +151,20 @@ def interval_overlap_join(
     """
     g_us = int(grain_seconds) * 1_000_000
 
+    for df, cols in ((left, (l_start, l_end)), (right, (r_start, r_end))):
+        for c in cols:
+            dt = dict(df.dtypes).get(c)
+            if dt not in ("timestamp", "timestamp_ntz"):
+                raise TypeError(
+                    f"interval_overlap_join: column {c!r} must be a timestamp "
+                    f"(got {dt!r}) — with ANSI off an implicit cast would "
+                    "silently NULL bad rows out of the join"
+                )
+
     def first_b(col: str) -> Column:
         # cast: unix_micros only takes TIMESTAMP; NTZ inputs resolve via
         # the session timezone (pinned to UTC in session.RUNTIME_CONF)
-        return F.expr(f"unix_micros(cast({col} as timestamp)) div {g_us}")
+        return F.expr(f"unix_micros(cast(`{col}` as timestamp)) div {g_us}")
 
     def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
         # half-open: an interval ending exactly on a bucket edge does
@@ -164,7 +174,7 @@ def interval_overlap_join(
             F.explode(
                 F.sequence(
                     first_b(s),
-                    F.expr(f"(unix_micros(cast({e} as timestamp)) - 1) div {g_us}"),
+                    F.expr(f"(unix_micros(cast(`{e}` as timestamp)) - 1) div {g_us}"),
                 )
             ),
         )

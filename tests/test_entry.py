@@ -17,12 +17,10 @@ def test_queries_and_oracles_aligned():
     assert len(qs) >= 30
     missing = set(oracles) - set(qs)
     assert not missing, f"oracle without query: {missing}"
-    # rows-only ops: mapInPandas media stage and the engine-local
-    # xxhash64 minhash scale path
-    assert set(qs) - set(oracles) == {
-        "media_features",
-        "minhash_pairs_fast",
-    }
+    # every registered query is oracle-checked (media_features via the
+    # deterministic metadata projection; minhash_pairs_fast via the
+    # candidates+exact-verify construction)
+    assert set(qs) - set(oracles) == set()
 
 
 def test_selected_queries_run(spark, sf_dir):

@@ -212,6 +212,60 @@ def test_minhash_near_dup_detection(spark):
     assert sim.get((1, 3), 0) == 0
 
 
+def test_ngram_jaccard_max_df_caps_boilerplate(spark):
+    # every doc shares one boilerplate trigram ("click here now"); with
+    # max_df the hot shingle is dropped from join AND sizes, so unrelated
+    # docs produce NO pair rows instead of O(n^2) boilerplate pairs,
+    # while the true near-dup pair keeps jaccard 1.0
+    rows = [(i, f"unique{i} word{i} thing{i} click here now") for i in range(1, 9)]
+    rows += [(9, "a b c d click here now"), (10, "a b c d click here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(df, "doc_id", "text", max_df=5).collect()}
+    assert pairs[(9, 10)] == pytest.approx(1.0)
+    # the boilerplate shingle alone no longer connects unrelated docs
+    assert all(k == (9, 10) for k in pairs)
+    # uncapped, the same corpus yields a pair for EVERY doc combination
+    uncapped = dedup.ngram_jaccard_pairs(df, "doc_id", "text").count()
+    assert uncapped == 45
+
+
+def test_fast_minhash_path_matches_md5_on_true_dups(spark):
+    # engine-internal equivalence: the xxhash64 scale path and the md5
+    # oracle-parity path must produce the SAME verified near-dup set
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base), (2, base), (3, base + " lambda"),
+            (4, "one two three four five six seven eight nine ten"),
+            (5, "totally different content in this document right here ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def verified_pairs(hash_fn):
+        sigs = dedup.minhash_signatures(
+            df, "doc_id", "text", num_hashes=8, hash_fn=hash_fn
+        )
+        cand = dedup.lsh_similar_pairs(sigs, "doc_id", num_hashes=8, bands=8)
+        exact = dedup.exact_jaccard_of_pairs(df, cand, "doc_id", "text")
+        return {(r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+                for r in exact.filter("jaccard >= 0.8").collect()}
+
+    fast, parity = verified_pairs("xxhash64"), verified_pairs("md5")
+    assert fast == parity
+    assert fast[(1, 2)] == pytest.approx(1.0)
+    assert (1, 5) not in fast
+
+
+def test_exact_jaccard_of_pairs_zero_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.exact_jaccard_of_pairs(df, pairs, "doc_id", "text").collect()}
+    assert got[(1, 2)] == pytest.approx(1.0)
+    assert got[(1, 3)] == pytest.approx(0.0)  # candidate with no shared shingle
+
+
 def test_simhash_similarity_order(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta"),
