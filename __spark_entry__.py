@@ -507,6 +507,184 @@ SELECT doc_id,
 FROM documents
 """
 
+
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming session-window job: runs the SAME
+    operator code (`streaming.jobs.user_sessions`, native
+    F.session_window groupBy) on the batch events table — the
+    withWatermark call is a no-op on batch input, everything else is
+    identical, so a green row here verifies the streaming job's
+    sessionization semantics.  Value sums go through the decimal
+    discipline before the operator (works identically under
+    streaming)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import (
+        jobs,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("value").cast(DEC).alias("value")
+    )
+    out = jobs.user_sessions(e, gap="30 minutes", watermark="2 hours")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
+    )
+
+
+ORACLE_SESSION_WINDOW = """
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+    SELECT user_id, ts, value,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(38, 6))), 2) AS DOUBLE) AS sum_value
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+_UPSERT_CUTOFF = "2024-01-16"
+
+
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming upsert job: a latest-row-per-key
+    profile table built from events before the cutoff, then merged with
+    the post-cutoff updates via the SAME `history.merge_upsert` the
+    foreachBatch sink calls (anti-join + union).  Updates replace
+    superseded keys; new keys append."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        history,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", F.col("value").cast(DEC).alias("value")
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        key = F.struct("ts", "event_type", "value")
+        return df.groupBy("user_id").agg(
+            F.max_by(F.struct("ts", "event_type", "value"), key).alias("__w")
+        ).select("user_id", "__w.*")
+
+    cutoff = F.lit(_UPSERT_CUTOFF).cast("timestamp_ntz")
+    current = latest(e.filter(F.col("ts") < cutoff))
+    updates = latest(e.filter(F.col("ts") >= cutoff))
+    merged = history.merge_upsert(current, updates, ["user_id"])
+    return merged.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.round(F.col("value"), 2).cast("double").alias("last_value"),
+    )
+
+
+ORACLE_UPSERT_LATEST = """
+WITH ranked AS (
+    SELECT user_id, ts, event_type, value,
+           ts >= TIMESTAMP '2024-01-16' AS is_update,
+           row_number() OVER (
+               PARTITION BY user_id, (ts >= TIMESTAMP '2024-01-16')
+               ORDER BY ts DESC, event_type DESC, value DESC
+           ) AS rn
+    FROM events
+), latest AS (
+    SELECT * FROM ranked WHERE rn = 1
+), merged AS (
+    SELECT * FROM latest WHERE is_update
+    UNION ALL
+    SELECT * FROM latest c WHERE NOT is_update
+      AND NOT EXISTS (SELECT 1 FROM latest u
+                      WHERE u.is_update AND u.user_id = c.user_id)
+)
+SELECT user_id, ts AS last_ts, event_type AS last_type,
+       CAST(round(CAST(value AS DECIMAL(38, 6)), 2) AS DOUBLE) AS last_value
+FROM merged
+"""
+
+
+def q_containment_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-strategy containment at dim scale: the needle table is the
+    full part-name vocabulary (20k rows at sf0.1) matched against the
+    part names themselves — name-subsumption detection ('old plate' is
+    properly contained in 'cold plate x').  The token path turns the
+    containment into a hash join on the needle's first token (no
+    BroadcastNestedLoopJoin — asserted by tests/test_operators.py
+    plan-contract test); matches are token-anchored by design.  Winner:
+    longest needle, then lowest ref id."""
+    tune(spark)
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    # needle vocabulary = every distinct full name plus every distinct
+    # word (names are 2-word phrases, so the longest proper token-
+    # anchored containment is usually a word; full names keep the dim at
+    # fact cardinality to exercise the scale path)
+    names = p.select(F.col("p_name").alias("needle"), "p_partkey")
+    words = p.select(
+        F.explode(F.split("p_name", " ")).alias("needle"), "p_partkey"
+    )
+    dim = (
+        names.unionByName(words)
+        .groupBy("needle")
+        .agg(F.min("p_partkey").alias("ref_idx"))
+    )
+    out = fuzzy_join.containment_lookup(
+        p,
+        "p_partkey",
+        ["p_name"],
+        dim,
+        "needle",
+        ["needle", "ref_idx"],
+        [-F.length("needle"), F.col("ref_idx"), F.col("needle")],
+        strategy="token",
+        exclude_equal=True,
+    )
+    return out.filter(F.col("needle").isNotNull()).select(
+        "p_partkey",
+        "p_name",
+        F.col("needle").alias("contained_name"),
+        F.col("ref_idx").alias("contained_ref"),
+    )
+
+
+ORACLE_CONTAINMENT_TOKEN = """
+WITH vocab AS (
+  SELECT p_name AS needle, p_partkey FROM part
+  UNION ALL
+  SELECT unnest(string_split(p_name, ' ')) AS needle, p_partkey FROM part
+), dim AS (
+  SELECT needle, min(p_partkey) AS ref_idx FROM vocab GROUP BY needle
+), m AS (
+  SELECT f.p_partkey, f.p_name, d.needle, d.ref_idx
+  FROM part f
+  JOIN dim d
+    ON list_contains(string_split(f.p_name, ' '), split_part(d.needle, ' ', 1))
+   AND instr(f.p_name, d.needle) > 0
+   AND d.needle <> f.p_name
+), w AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY p_partkey ORDER BY length(needle) DESC, ref_idx, needle
+  ) AS rn
+  FROM m
+)
+SELECT p_partkey, p_name, needle AS contained_name, ref_idx AS contained_ref
+FROM w WHERE rn = 1
+"""
+
 _J3_KB = [
     (1, "sp[a-z]*k", "SPARKISH"),
     (2, "tab[a-z]+", "TABULAR"),
@@ -3544,15 +3722,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_burst_overlap": q_session_burst_overlap,
         "grouping_sets_pricing": q_grouping_sets_pricing,
         "price_iqr_outliers": q_price_iqr_outliers,
-        "mad_price_outliers": q_mad_price_outliers,
-        "price_qty_regression": q_price_qty_regression,
-        "supplier_rank_stats": q_supplier_rank_stats,
+        # -- new this round ---------------------------------------------
+        "containment_token": q_containment_token,
+        "session_window_stats": q_session_window_stats,
+        "upsert_latest": q_upsert_latest,
         # -- changed this round (need fresh verification) ---------------
         "minhash_pairs_fast": q_minhash_pairs_fast,
         "ngram_jaccard": q_ngram_jaccard,
         "parse_props_json": q_parse_props_json,
         "sessionized_events": q_sessionized_events,
         # -- round-1 unverified, lower-risk plain-SQL analysis ops ------
+        "mad_price_outliers": q_mad_price_outliers,
+        "price_qty_regression": q_price_qty_regression,
+        "supplier_rank_stats": q_supplier_rank_stats,
         "customers_no_orders": q_customers_no_orders,
         "suppliers_with_returns": q_suppliers_with_returns,
         "running_monthly_revenue": q_running_monthly_revenue,
@@ -3634,6 +3816,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_priority_code": ORACLE_PRIORITY_CODE,
         "containment_first": ORACLE_CONTAINMENT_FIRST,
         "containment_longest": ORACLE_CONTAINMENT_LONGEST,
+        "containment_token": ORACLE_CONTAINMENT_TOKEN,
+        "session_window_stats": ORACLE_SESSION_WINDOW,
+        "upsert_latest": ORACLE_UPSERT_LATEST,
         "regex_kb_match": ORACLE_REGEX_KB,
         "acctbal_band_join": ORACLE_BAND_JOIN,
         "events_fx_convert": ORACLE_FX,

@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "events_fx_convert",
     "hourly_event_windows",
     "containment_first",
+    "containment_token",
     "regex_kb_match",
     "documents_normalize",
     "dedup_exact",

@@ -65,6 +65,7 @@ def containment_lookup(
     payload_cols: Sequence[str],
     priority: Sequence[Column],
     strategy: str = "broadcast",
+    exclude_equal: bool = False,
 ) -> DataFrame:
     """J1/J2: for each fact row, find dim rows whose ``needle_col`` string
     is contained in any of the fact's ``text_cols``; keep the best match
@@ -76,13 +77,24 @@ def containment_lookup(
 
     ``strategy='token'`` — scale path: join on the needle's first token
     vs the fact text's exploded tokens (equi hash join), then verify full
-    containment.  Same results; avoids the nested-loop scan when the dim
-    is too big to nested-loop against.
+    containment.  Avoids the nested-loop scan when the dim is too big to
+    nested-loop against.  NOTE the token path is *token-anchored*: a
+    needle is only found where its first token appears as a whitespace
+    token of the text ('old plate' is missed inside 'cold plate').
+    Brand/model needles in the reference data are token-anchored, so
+    J1/J2 semantics are preserved; for arbitrary mid-token substrings
+    keep ``strategy='broadcast'``.
+
+    ``exclude_equal``: drop matches where the needle equals the text
+    column it matched (proper containment — for self-joins such as
+    name-subsumption detection).
     """
     needle = F.col(needle_col)
     contains_pred = None
     for tc in text_cols:
         p = F.instr(F.col(tc), needle) > 0
+        if exclude_equal:
+            p = p & (needle != F.col(tc))
         contains_pred = p if contains_pred is None else (contains_pred | p)
 
     if strategy == "token":

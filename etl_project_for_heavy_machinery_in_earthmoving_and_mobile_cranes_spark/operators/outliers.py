@@ -25,22 +25,26 @@ def mark_outliers(
     hi: float = 1.2,
     unknown_if=None,
     out_col: str = "outliers",
+    unknown_label: str = "UNKNOWN",
 ) -> DataFrame:
-    """Label each row 'yes' / 'no' / 'UNKNOWN' vs its group median.
+    """Label each row 'yes' / 'no' / ``unknown_label`` vs its group median.
 
     ``unknown_if``: optional Column marking rows that cannot be judged
     (reference: model unknown, capacity unknown, or used machine).
+    ``unknown_label``: the reference pipeline's golden output uses
+    lowercase 'unknown' for this column (unlike the 'UNKNOWN' sentinel
+    of brand/model/type), so the compat pipeline overrides the default.
     """
     med = df.groupBy(*keys).agg(F.median(F.col(value_col)).alias("__med"))
     out = df.join(F.broadcast(med), on=list(keys), how="left")
     v = F.col(value_col)
     verdict = (
-        F.when(F.col("__med").isNull() | v.isNull(), "UNKNOWN")
+        F.when(F.col("__med").isNull() | v.isNull(), unknown_label)
         .when((v >= hi * F.col("__med")) | (v <= lo * F.col("__med")), "yes")
         .otherwise("no")
     )
     if unknown_if is not None:
-        verdict = F.when(unknown_if, "UNKNOWN").otherwise(verdict)
+        verdict = F.when(unknown_if, unknown_label).otherwise(verdict)
     return out.withColumn(out_col, verdict).drop("__med")
 
 

@@ -283,8 +283,12 @@ def mark_price_outliers(df: DataFrame) -> DataFrame:
     unknown_if = (
         F.col("model").isNull() | F.col("capacity").isNull() | (F.col("new_used") == "used")
     )
+    # golden output (Output/Indonesia_excavator_2022_2024.07.xlsx) uses
+    # lowercase 'unknown' in the outliers column — unlike the 'UNKNOWN'
+    # sentinel everywhere else (COMPAT.md)
     return OU.mark_outliers(
-        df, ["brand", "model"], "price_in_usd", lo=0.8, hi=1.2, unknown_if=unknown_if
+        df, ["brand", "model"], "price_in_usd", lo=0.8, hi=1.2,
+        unknown_if=unknown_if, unknown_label="unknown",
     )
 
 

@@ -212,6 +212,40 @@ def test_minhash_near_dup_detection(spark):
     assert sim.get((1, 3), 0) == 0
 
 
+def test_containment_token_plan_is_hash_join(spark):
+    # plan contract: the token strategy must compile to an equi hash
+    # join on the exploded token key, never a BroadcastNestedLoopJoin
+    # (which is the broadcast strategy's plan and caps dim size)
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        fuzzy_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, "cold plate x"), (2, "old plate"), (3, "hot bolt")],
+        "fid long, name string",
+    )
+    dim = fact.select(F.col("name").alias("needle"), F.col("fid").alias("ref_idx"))
+
+    def run(strategy):
+        return fuzzy_join.containment_lookup(
+            fact, "fid", ["name"], dim, "needle", ["needle"],
+            [-F.length("needle"), F.col("ref_idx")],
+            strategy=strategy, exclude_equal=True,
+        )
+
+    token_plan = run("token")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in token_plan
+    assert "BroadcastHashJoin" in token_plan or "SortMergeJoin" in token_plan
+    bc_plan = run("broadcast")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in bc_plan
+
+    # token-anchored semantics: 'old plate' needle matches nothing
+    # ('cold plate x' contains it only mid-token); 'plate'-anchored
+    # needles would — containment is verified post-join
+    got = {r["fid"]: r["needle"] for r in run("token").collect()}
+    assert got == {1: None, 2: None, 3: None}
+
+
 def test_ngram_jaccard_max_df_caps_boilerplate(spark):
     # every doc shares one boilerplate trigram ("click here now"); with
     # max_df the hot shingle is dropped from join AND sizes, so unrelated

@@ -31,11 +31,11 @@ def result(spark):
 EXPECTED = {
     1: ("KOMATSU", "PC200-8", "EXCAVATOR", 20.0, pipeline.R_FULL, "new", "no"),
     2: ("KOMATSU", "PC200", "EXCAVATOR", 20.0, pipeline.R_FULL, "new", "no"),
-    3: ("HITACHI", "ZX200", "EXCAVATOR", 20.0, pipeline.R_RX_NB_UNIQUE, "used", "UNKNOWN"),
+    3: ("HITACHI", "ZX200", "EXCAVATOR", 20.0, pipeline.R_RX_NB_UNIQUE, "used", "unknown"),
     4: ("CATERPILLAR", "320D", "EXCAVATOR", 20.0, pipeline.R_FULL, "new", "no"),
-    5: ("CATERPILLAR", None, None, None, pipeline.R_BRAND_ONLY, "new", "UNKNOWN"),
-    6: (None, None, None, 20.0, pipeline.R_CAPACITY, "new", "UNKNOWN"),
-    7: ("KOMATSU", None, None, None, pipeline.R_BRAND_ONLY, "new", "UNKNOWN"),
+    5: ("CATERPILLAR", None, None, None, pipeline.R_BRAND_ONLY, "new", "unknown"),
+    6: (None, None, None, 20.0, pipeline.R_CAPACITY, "new", "unknown"),
+    7: ("KOMATSU", None, None, None, pipeline.R_BRAND_ONLY, "new", "unknown"),
     9: ("SANY", "SY215C", "EXCAVATOR", 21.5, pipeline.R_PARTS, "new", "no"),
     10: ("KOMATSU", "PC200-8", "EXCAVATOR", 20.0, pipeline.R_FULL, "new", "no"),
     11: ("KOMATSU", "PC200", "EXCAVATOR", 20.0, pipeline.R_FULL, "new", "no"),
@@ -43,14 +43,14 @@ EXPECTED = {
     14: ("GROVE", "GMK5250L", "WHEELED CRANE", 250.0, pipeline.R_FULL, "new", "no"),
     15: ("XCMG", "XE215C", "EXCAVATOR", 21.5, pipeline.R_FULL, "new", "no"),
     16: ("VOLVO", "EC130C", "EXCAVATOR", 13.5, pipeline.R_FULL, "new", "no"),
-    17: ("KOMATSU", "PC200", "EXCAVATOR", 20.0, pipeline.R_FULL, "used", "UNKNOWN"),
+    17: ("KOMATSU", "PC200", "EXCAVATOR", 20.0, pipeline.R_FULL, "used", "unknown"),
     18: ("KOMATSU", "PC200", "EXCAVATOR", 20.5, pipeline.R_INFERRED, "new", "no"),
     19: ("KOMATSU", "PC200-8", "EXCAVATOR", 20.0, pipeline.R_FULL, "new", "no"),
     20: ("KOMATSU", "PC200-8", "EXCAVATOR", 20.0, pipeline.R_FULL, "new", "yes"),
-    21: ("KOBELCO", "SK200", "EXCAVATOR", None, pipeline.R_RX_NB_UNIQUE, "new", "UNKNOWN"),
+    21: ("KOBELCO", "SK200", "EXCAVATOR", None, pipeline.R_RX_NB_UNIQUE, "new", "unknown"),
     22: ("ZOOMLION", "QUY550", "CRAWLER CRANE", 0.0, pipeline.R_RX_NB_UNIQUE, "new", "no"),
     23: ("KOMATSU", "PC30", "EXCAVATOR", 3.0, pipeline.R_RX_UNIQUE, "new", "no"),
-    24: ("KOMATSU", "PC200", "EXCAVATOR", 20.0, pipeline.R_FULL, "new", "UNKNOWN"),
+    24: ("KOMATSU", "PC200", "EXCAVATOR", 20.0, pipeline.R_FULL, "new", "unknown"),
     25: ("KOMATSU", "PC200", "EXCAVATOR", 20.0, pipeline.R_FULL, "new", "no"),
 }
 

@@ -113,31 +113,116 @@ def main() -> None:
         )
     shipments = spark.createDataFrame(rows, SHIPMENTS_SCHEMA)
 
-    # --- catalog reverse-engineered from the golden output ---
-    seen = {}
+    # --- KBs reverse-engineered from the golden output ---
+    # The reference's knowledge-base xlsx files are unpublished, but the
+    # golden output identifies which table labeled each row (the remark
+    # column) and what that entry produced.  Rows with containment
+    # remarks rebuild the model catalog; rows with regex remarks rebuild
+    # the regex table (the golden model string is, in every observed
+    # case, the literal regex hit — so an escaped-literal pattern
+    # reproduces hit, brand, and category, and the starting_point code
+    # is fitted per entry so the capacity arithmetic lands on the golden
+    # capacity).
+    import re as _re
+
+    def fnum(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+
+    # remark → provenance (the golden history slices carry the Chinese
+    # originals of the same vocabulary, prog.py remark strings)
+    rx_remarks = {
+        "Unique model match with regex",
+        "No brand in description, and unique model match with regex",
+        "Keep the longest from the multiple matched",
+        "No brand in description, and keep the longest from the multiple matched",
+        "根据规律匹配，型号唯一",
+        "描述中未找到对应品牌，根据规律匹配型号，型号唯一",
+        "根据规律，有多个匹配结果，但只保留最长型号",
+        "描述中未找到对应品牌，根据规律匹配型号，有多个匹配结果，但只保留最长型号",
+    }
+    containment_remarks = {"Fully match", "完全匹配"}
+    cat_count: Counter = Counter()
+    cat_seen: dict = {}
+    unknown_prov: dict = {}  # (brand, model) seen only without a remark
+    rx_count: Counter = Counter()
+    rx_seen: dict = {}
     for r in golden:
         b, m = r.get("brand"), r.get("model")
         if not b or not m or b == "UNKNOWN" or m == "UNKNOWN":
             continue
-        cap = r.get("capacity")
-        try:
-            cap = float(cap)
-        except (TypeError, ValueError):
-            cap = None
-        t = r.get("type")
-        t = t if t and t != "UNKNOWN" else None
         key = (str(b), str(m))
-        if key not in seen:
-            seen[key] = (cap, t, None)
+        cap, t = fnum(r.get("capacity")), r.get("type")
+        t = t if t and t != "UNKNOWN" else None
+        remark = str(r.get("remark") or "")
+        if remark in rx_remarks:
+            rx_count[key] += 1
+            rx_seen.setdefault(key, (cap, t))
+        elif remark in containment_remarks:
+            cat_count[key] += 1
+            cat_seen.setdefault(key, (cap, t, None))
+        else:
+            # no remark (history exports) — provenance unknown
+            unknown_prov.setdefault(key, (cap, t, None))
+    # fold unknown-provenance pairs into the catalog UNLESS a
+    # containment-witnessed model of the same brand is a proper
+    # substring: the original catalog cannot contain the superstring,
+    # or J2 longest-match would have picked it in the witnessed rows
+    # (e.g. golden 'Fully match' rows label CLG952EHD text as CLG952E)
+    cat_models_by_brand: dict = defaultdict(set)
+    for (b, m) in list(cat_seen) + list(rx_seen):
+        cat_models_by_brand[b].add(m)
+    for (b, m), payload in unknown_prov.items():
+        if (b, m) in cat_seen or (b, m) in rx_seen:
+            continue
+        if any(m2 != m and m2 in m for m2 in cat_models_by_brand[b]):
+            continue
+        cat_seen[(b, m)] = payload
+    # J1 breaks ties by catalog order: frequency prior (most-traded
+    # model first) approximates the unpublished original order better
+    # than the alphabetical fallback
     cat_rows = [
         (i + 1, b, m, cap, t, hp)
-        for i, ((b, m), (cap, t, hp)) in enumerate(sorted(seen.items()))
+        for i, ((b, m), (cap, t, hp)) in enumerate(
+            sorted(cat_seen.items(), key=lambda kv: (-cat_count[kv[0]], kv[0]))
+        )
     ]
     model_ref = spark.createDataFrame(cat_rows, MODEL_REF_SCHEMA)
-    empty_kb = spark.createDataFrame([], REGEX_KB_SCHEMA)
+
+    def fit_capacity_rule(model: str, cap):
+        """Pick (capacity_regex, starting_point) whose transform of the
+        model's first digit-run yields the golden capacity."""
+        hit = _re.search(r"[0-9]+", model)
+        if cap is None or hit is None:
+            return "([0-9]+)", 2  # undeterminable → sentinel
+        num = hit.group(0)
+        if num and fnum(num) is not None:
+            if float(num) / 10 == cap:
+                return "([0-9]+)", 0
+            if float(num) == cap:
+                return "([0-9]+)", 3
+            if len(num) > 1 and fnum(num[1:]) is not None and float(num[1:]) / 10 == cap:
+                return "([0-9]+)", 1
+            if len(num) > 2 and fnum(num[2:]) is not None and float(num[2:]) == cap:
+                return "([0-9]+)", -2
+        return "([0-9]+)", 2
+
+    # last-match-wins: order by golden frequency ascending so the most
+    # frequently-produced pattern sits LAST and takes contested rows —
+    # the ordering that reproduces both observed tie outcomes (XE60G
+    # over XE60; R215 over FR215F)
+    rx_rows = []
+    for i, ((b, m), (cap, t)) in enumerate(
+        sorted(rx_seen.items(), key=lambda kv: (rx_count[kv[0]], len(kv[0][1]), kv[0]))
+    ):
+        cap_rx, sp = fit_capacity_rule(m, cap)
+        rx_rows.append((i + 1, b, _re.escape(m), cap_rx, t, sp))
+    regex_kb = spark.createDataFrame(rx_rows, REGEX_KB_SCHEMA)
 
     out = pipeline.run_pipeline(
-        shipments, model_ref, empty_kb, None,
+        shipments, model_ref, regex_kb, None,
         datasource="Indonesia", strict_reference_compat=True,
     )
     mine = [r.asDict() for r in pipeline.render_export(out).collect()]
