@@ -508,6 +508,85 @@ FROM documents
 """
 
 
+_BP_MIN_DOCS = 5
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level boilerplate line removal.  The
+    single-line synthetic documents are deterministically re-lined
+    (every ' value ' separator becomes a newline) so the line-frequency
+    logic has real multi-line input; lines appearing in >= 5 distinct
+    docs are stripped and documents reassembled in original line
+    order."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("replace(text, ' value ', '\n')").alias("text")
+    )
+    out = dedup.strip_boilerplate_lines(
+        d, "doc_id", "text", min_docs=_BP_MIN_DOCS, normalize=False
+    )
+    return out.select("doc_id", "cleaned", "n_lines_kept")
+
+
+ORACLE_BOILERPLATE = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(replace(text, ' value ', chr(10)), chr(10)) AS ls
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(ls))) AS pos,
+         unnest(ls) AS line
+  FROM base
+), freq AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+), kept AS (
+  SELECT l.* FROM lines l WHERE l.line NOT IN (SELECT line FROM freq)
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+         count(*) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.cleaned, '') AS cleaned,
+       coalesce(r.n_lines_kept, 0) AS n_lines_kept
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (pure JVM, no decode): one row per
+    sampled frame index, frame count derived from media metadata /
+    byte length.  Deterministic over the synthetic media table, so the
+    oracle reproduces the generator closed-form."""
+    tune(spark)
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        multimodal,
+    )
+
+    media = multimodal.synthetic_media(spark, 64)
+    out = multimodal.sample_frames(media, every_n=2)
+    return out.select(
+        "media_id", "mime", "frame_no", F.col("n_frames").cast("int").alias("n_frames")
+    )
+
+
+ORACLE_MEDIA_FRAMES = """
+WITH vids AS (
+  SELECT i::BIGINT AS media_id, 'video/x-fake' AS mime,
+         (i % 7 + 1) AS n_frames
+  FROM generate_series(0, 63) t(i)
+  WHERE i % 3 = 2
+)
+SELECT media_id, mime,
+       unnest(generate_series(0, n_frames - 1, 2))::INT AS frame_no,
+       n_frames::INT AS n_frames
+FROM vids
+"""
+
+
 def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming session-window job: runs the SAME
     operator code (`streaming.jobs.user_sessions`, native
@@ -3720,18 +3799,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_lag": q_conversion_lag,
         "event_calendar_heatmap": q_event_calendar_heatmap,
         "session_burst_overlap": q_session_burst_overlap,
-        "grouping_sets_pricing": q_grouping_sets_pricing,
-        "price_iqr_outliers": q_price_iqr_outliers,
         # -- new this round ---------------------------------------------
         "containment_token": q_containment_token,
         "session_window_stats": q_session_window_stats,
         "upsert_latest": q_upsert_latest,
+        "boilerplate_strip": q_boilerplate_strip,
+        "media_frames": q_media_frames,
         # -- changed this round (need fresh verification) ---------------
         "minhash_pairs_fast": q_minhash_pairs_fast,
         "ngram_jaccard": q_ngram_jaccard,
         "parse_props_json": q_parse_props_json,
         "sessionized_events": q_sessionized_events,
         # -- round-1 unverified, lower-risk plain-SQL analysis ops ------
+        "grouping_sets_pricing": q_grouping_sets_pricing,
+        "price_iqr_outliers": q_price_iqr_outliers,
         "mad_price_outliers": q_mad_price_outliers,
         "price_qty_regression": q_price_qty_regression,
         "supplier_rank_stats": q_supplier_rank_stats,
@@ -3819,6 +3900,8 @@ def oracle_sql() -> dict[str, str]:
         "containment_token": ORACLE_CONTAINMENT_TOKEN,
         "session_window_stats": ORACLE_SESSION_WINDOW,
         "upsert_latest": ORACLE_UPSERT_LATEST,
+        "boilerplate_strip": ORACLE_BOILERPLATE,
+        "media_frames": ORACLE_MEDIA_FRAMES,
         "regex_kb_match": ORACLE_REGEX_KB,
         "acctbal_band_join": ORACLE_BAND_JOIN,
         "events_fx_convert": ORACLE_FX,

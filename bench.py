@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "user_value_twap",
     "user_streaks",
     "overlapping_chunks",
+    "session_window_stats",
+    "upsert_latest",
+    "boilerplate_strip",
 ]
 
 
