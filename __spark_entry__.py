@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 
 from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.session import tune
 from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.functions import labels
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.functions import (
+    text as text_fns,
+)
 from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
     analysis,
     behavior,
@@ -505,6 +508,106 @@ SELECT doc_id,
             WHEN contains(text, 'group')      THEN 'group'
             WHEN contains(text, 'scan')       THEN 'scan' END AS matched
 FROM documents
+"""
+
+
+def q_weight_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 bucketed band join: for each part, count same-brand parts
+    whose retail price lies within ±5% (self included).  Runs the
+    log-bucket equi-key variant — the scale path that turns the range
+    predicate into a hash join (bucket width ln(1+tol) ⇒ any in-band
+    pair spans adjacent buckets)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        range_join,
+    )
+
+    tune(spark)
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    r = p.select(
+        F.col("p_brand").alias("r_brand"),
+        F.col("p_retailprice").alias("r_price"),
+    )
+    joined = range_join.band_join(
+        p,
+        r.withColumnRenamed("r_brand", "p_brand"),
+        ["p_brand"],
+        "p_retailprice",
+        "r_price",
+        tol=0.05,
+        bucketed=True,
+    )
+    return joined.groupBy("p_partkey").agg(F.count("*").alias("n_similar"))
+
+
+ORACLE_WEIGHT_BAND = """
+SELECT l.p_partkey, count(*) AS n_similar
+FROM part l JOIN part r
+  ON l.p_brand = r.p_brand
+ AND r.p_retailprice BETWEEN l.p_retailprice * 0.95 AND l.p_retailprice * 1.05
+GROUP BY l.p_partkey
+"""
+
+
+def q_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 fixed working-scenario bins over lineitem quantity: frequency
+    per (capacity_interval, type_interval) label pair."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_quantity").cast("double").alias("q"))
+    out = li.select(
+        labels.load_interval(F.col("q"), width=10, kind="excavator").alias("capacity_interval"),
+        labels.excavator_type_interval(F.col("q")).alias("type_interval"),
+    )
+    return out.groupBy("capacity_interval", "type_interval").agg(
+        F.count("*").alias("n")
+    )
+
+
+ORACLE_TYPE_INTERVALS = """
+WITH b AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS q FROM lineitem
+), lab AS (
+  SELECT
+    CASE WHEN q IS NULL OR q = 0 THEN 'UNKNOWN'
+         WHEN q < 5  THEN '<5T'
+         WHEN q < 10 THEN '5-10T'
+         ELSE CAST(CAST(floor(q / 10) * 10 AS BIGINT) AS VARCHAR) || '-' ||
+              CAST(CAST(floor(q / 10) * 10 + 10 AS BIGINT) AS VARCHAR) || 'T'
+    END AS capacity_interval,
+    CASE WHEN q IS NULL OR q = 0 THEN 'UNKNOWN'
+         WHEN q < 5  THEN '<5T'
+         WHEN q < 10 THEN '5-10T'
+         WHEN q < 30 THEN '10-30T'
+         WHEN q < 70 THEN '30-70T'
+         WHEN q < 90 THEN '70-90T'
+         ELSE '≥90T'
+    END AS type_interval
+  FROM b
+)
+SELECT capacity_interval, type_interval, count(*) AS n
+FROM lab GROUP BY 1, 2
+"""
+
+
+def q_model_despace_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 + T7 over a deterministic text derived from the part table:
+    de-spaced model string and `N TONS` capacity extraction — the
+    oracle recomputes both closed-form, cross-checking the regex
+    semantics."""
+    tune(spark)
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
+    synth = F.concat(F.upper("p_name"), F.lit(" "), F.col("p_size").cast("string"), F.lit(" TONS"))
+    return p.select(
+        "p_partkey",
+        text_fns.despace(F.col("p_name")).alias("model2"),
+        text_fns.extract_capacity_tons(synth).alias("cap_tons"),
+    )
+
+
+ORACLE_DESPACE_CAP = """
+SELECT p_partkey,
+       replace(trim(p_name), ' ', '') AS model2,
+       CAST(p_size AS DOUBLE) AS cap_tons
+FROM part
 """
 
 
@@ -3780,10 +3883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_doc_sample": q_weighted_doc_sample,
         "domain_mix_sample": q_domain_mix_sample,
         "bigram_pmi": q_bigram_pmi,
-        "dq_audit": q_dq_audit,
-        "dedup_canonical": q_dedup_canonical,
         "table_profile": q_table_profile,
-        "variant_props": q_variant_props,
         "resampled_series": q_resampled_series,
         "event_deltas": q_event_deltas,
         "scd2_user_type": q_scd2_user_type,
@@ -3805,12 +3905,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_latest": q_upsert_latest,
         "boilerplate_strip": q_boilerplate_strip,
         "media_frames": q_media_frames,
+        "weight_band_join": q_weight_band_join,
+        "type_intervals": q_type_intervals,
+        "model_despace_capacity": q_model_despace_capacity,
         # -- changed this round (need fresh verification) ---------------
         "minhash_pairs_fast": q_minhash_pairs_fast,
         "ngram_jaccard": q_ngram_jaccard,
         "parse_props_json": q_parse_props_json,
         "sessionized_events": q_sessionized_events,
         # -- round-1 unverified, lower-risk plain-SQL analysis ops ------
+        "dq_audit": q_dq_audit,
+        "dedup_canonical": q_dedup_canonical,
+        "variant_props": q_variant_props,
         "grouping_sets_pricing": q_grouping_sets_pricing,
         "price_iqr_outliers": q_price_iqr_outliers,
         "mad_price_outliers": q_mad_price_outliers,
@@ -3902,6 +4008,9 @@ def oracle_sql() -> dict[str, str]:
         "upsert_latest": ORACLE_UPSERT_LATEST,
         "boilerplate_strip": ORACLE_BOILERPLATE,
         "media_frames": ORACLE_MEDIA_FRAMES,
+        "weight_band_join": ORACLE_WEIGHT_BAND,
+        "type_intervals": ORACLE_TYPE_INTERVALS,
+        "model_despace_capacity": ORACLE_DESPACE_CAP,
         "regex_kb_match": ORACLE_REGEX_KB,
         "acctbal_band_join": ORACLE_BAND_JOIN,
         "events_fx_convert": ORACLE_FX,

@@ -42,11 +42,18 @@ def band_join(
             cond = (left[k] == right[k]) & cond
         return left.join(right, on=cond, how=how)
 
-    # log-bucket equi-key: bucket width ln(1+tol) guarantees any pair
-    # within ±tol spans at most adjacent buckets.
+    # log-bucket equi-key: any pair within the band spans at most
+    # adjacent buckets IF the width covers the band's log-space radius.
+    # The band is asymmetric in log space: r ∈ [l·(1−tol), l·(1+tol)]
+    # means Δln ∈ [ln(1−tol), ln(1+tol)], and |ln(1−tol)| > ln(1+tol) —
+    # a width of ln(1+tol) silently drops low-side pairs (caught by the
+    # weight_band_join oracle).  Width = −ln(1−tol), plus a 0.1% margin
+    # against float rounding of floor(log(v)/w) at bucket edges.  The
+    # band predicate below stays exact, so results are identical to the
+    # plain join — the bucket only gates candidate generation.
     import math
 
-    w = math.log(1.0 + tol)
+    w = -math.log(1.0 - tol) * 1.001
     lb = F.floor(F.log(lv) / F.lit(w))
     rb = F.floor(F.log(rv) / F.lit(w))
     lx = left.withColumn("__b", F.explode(F.array(lb - 1, lb, lb + 1)))

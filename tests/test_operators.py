@@ -103,6 +103,19 @@ def test_band_join_plain_vs_bucketed(spark):
     assert sorted((r["lid"], r["rid"]) for r in bucketed.collect()) == [(1, 10), (2, 11)]
 
 
+def test_band_join_bucketed_low_side_adjacency(spark):
+    # regression: the band is asymmetric in log space (|ln(1-tol)| >
+    # ln(1+tol)); with bucket width ln(1+tol) this in-band low-side pair
+    # (ratio 0.9513, buckets 2 apart under the narrow width) was dropped
+    left = spark.createDataFrame([(1, "A", 979.3)], "lid long, k string, lv double")
+    right = spark.createDataFrame([(10, "A", 931.6)], "rid long, k string, rv double")
+    for bucketed in (False, True):
+        got = range_join.band_join(
+            left, right, ["k"], "lv", "rv", tol=0.05, bucketed=bucketed
+        ).count()
+        assert got == 1, f"bucketed={bucketed}"
+
+
 def test_infer_unknown_models_deterministic_winner(spark):
     df = spark.createDataFrame(
         [
