@@ -511,6 +511,64 @@ FROM documents
 """
 
 
+_SRP_PLANES = 4
+_SRP_SEED = 7
+_SRP_DIM = 64
+
+
+def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate nearest neighbors: bucket by sign-random-
+    projection signature (md5-derived deterministic hyperplanes — any
+    engine reproduces them), score cosine only within the query's
+    bucket, top-5 per query.  The oracle inlines the SAME plane
+    constants and replays bucketing + scoring exactly, so this checks
+    the full ANN path, not just the brute-force baseline."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_knn(
+        emb, q, id_col="vec_id", vec_col="embedding",
+        k=5, num_planes=_SRP_PLANES, dim=_SRP_DIM, seed=_SRP_SEED,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+def _oracle_ann_srp() -> str:
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.similarity import (
+        _det_plane,
+    )
+
+    planes = [_det_plane(_SRP_SEED, i, _SRP_DIM) for i in range(_SRP_PLANES)]
+    bucket_terms = " + ".join(
+        f"CASE WHEN list_dot_product(embedding::DOUBLE[], {p!r}::DOUBLE[]) >= 0 "
+        f"THEN {2**i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({bucket_terms}) AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.qv::DOUBLE[], c.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+          sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+           AS cosine_sim
+  FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+  ) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine_sim, 6) AS cosine_sim
+FROM ranked WHERE rn <= 5
+"""
+
+
 def q_weight_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 bucketed band join: for each part, count same-brand parts
     whose retail price lies within ±5% (self included).  Runs the
@@ -3883,7 +3941,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_doc_sample": q_weighted_doc_sample,
         "domain_mix_sample": q_domain_mix_sample,
         "bigram_pmi": q_bigram_pmi,
-        "table_profile": q_table_profile,
         "resampled_series": q_resampled_series,
         "event_deltas": q_event_deltas,
         "scd2_user_type": q_scd2_user_type,
@@ -3906,6 +3963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "media_frames": q_media_frames,
         "weight_band_join": q_weight_band_join,
+        "ann_srp": q_ann_srp,
         "type_intervals": q_type_intervals,
         "model_despace_capacity": q_model_despace_capacity,
         # -- changed this round (need fresh verification) ---------------
@@ -3914,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_props_json": q_parse_props_json,
         "sessionized_events": q_sessionized_events,
         # -- round-1 unverified, lower-risk plain-SQL analysis ops ------
+        "table_profile": q_table_profile,
         "dq_audit": q_dq_audit,
         "dedup_canonical": q_dedup_canonical,
         "variant_props": q_variant_props,
@@ -4009,6 +4068,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_strip": ORACLE_BOILERPLATE,
         "media_frames": ORACLE_MEDIA_FRAMES,
         "weight_band_join": ORACLE_WEIGHT_BAND,
+        "ann_srp": _oracle_ann_srp(),
         "type_intervals": ORACLE_TYPE_INTERVALS,
         "model_despace_capacity": ORACLE_DESPACE_CAP,
         "regex_kb_match": ORACLE_REGEX_KB,

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "minhash_pairs_fast",
     "simhash",
     "embedding_knn",
+    "ann_srp",
     "text_stats",
     "rollup_pricing",
     "asof_rate_join",
