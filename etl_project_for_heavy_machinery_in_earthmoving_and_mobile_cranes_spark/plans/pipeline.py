@@ -87,7 +87,9 @@ def normalize(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def match_catalog(df: DataFrame, model_ref: DataFrame) -> DataFrame:
+def match_catalog(
+    df: DataFrame, model_ref: DataFrame, despace_variant: bool = True
+) -> DataFrame:
     ref = model_ref.withColumn("model_ref", T.despace(F.upper(F.col("model"))))
 
     # J1: first brand (by ref table order) contained in description2 OR
@@ -116,16 +118,32 @@ def match_catalog(df: DataFrame, model_ref: DataFrame) -> DataFrame:
         F.col("type").alias("m_type"),
         F.col("hp").alias("m_hp"),
     )
-    # containment on the raw text OR on the de-spaced text: the catalog
-    # key is de-spaced, so 'MODEL 330 GC' in the description must still
-    # hit catalog model '330GC' (the reference matched spaced catalog
-    # models against spaced text — same semantics, space-insensitive)
-    m_hit = (F.instr(F.col("description2"), F.col("model_ref")) > 0) | (
-        F.instr(T.despace(F.col("description2")), F.col("model_ref")) > 0
-    )
+    # containment on the raw text, plus a space-insensitive variant for
+    # catalog keys that carry no spaces while the description spells the
+    # model spaced ('MODEL 330 GC' vs key '330GC') — needed when the
+    # catalog is reconstructed from de-spaced export values.  The
+    # variant is TOKEN-ANCHORED: the key must be a prefix of the
+    # space-stripped text starting at some token boundary.  Naively
+    # de-spacing the whole text would manufacture cross-token
+    # candidates ('305' inside 'MODEL 313 05B' → '…31305B…'), which the
+    # reference (plain substring on spaced text, prog.py:93-95) never
+    # produces — caught against golden rows labeled 313.
+    m_hit = F.instr(F.col("description2"), F.col("model_ref")) > 0
+    fact_cols = [ID, "description2", "brand"]
+    base = out.filter(F.col("brand").isNotNull())
+    if despace_variant:
+        toks = F.split(F.col("description2"), " ")
+        sufjoin = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+            lambda i: F.concat_ws("", F.slice(toks, i, 1_000_000)),
+        )
+        base = base.select(*fact_cols).withColumn("__sufjoin", sufjoin)
+        m_hit = m_hit | F.exists(
+            F.col("__sufjoin"), lambda s: s.startswith(F.col("model_ref"))
+        )
+        fact_cols = fact_cols + ["__sufjoin"]
     m_matched = (
-        out.filter(F.col("brand").isNotNull())
-        .select(ID, "description2", "brand")
+        base.select(*fact_cols)
         .join(
             F.broadcast(refm),
             on=(F.col("brand") == F.col("m_brand")) & m_hit,
@@ -280,9 +298,11 @@ def infer_models(df: DataFrame, tol: float = 0.05) -> DataFrame:
 
 
 def mark_price_outliers(df: DataFrame) -> DataFrame:
-    unknown_if = (
-        F.col("model").isNull() | F.col("capacity").isNull() | (F.col("new_used") == "used")
-    )
+    # prog.py:302 also bails when capacity is unknown, but the golden
+    # output judges every capacity-UNKNOWN model-known new row ('no' ×9
+    # in the batch) — the published run used model-unknown-or-used only
+    # (COMPAT.md #15)
+    unknown_if = F.col("model").isNull() | (F.col("new_used") == "used")
     # golden output (Output/Indonesia_excavator_2022_2024.07.xlsx) uses
     # lowercase 'unknown' in the outliers column — unlike the 'UNKNOWN'
     # sentinel everywhere else (COMPAT.md)

@@ -47,7 +47,10 @@ EXPECTED = {
     18: ("KOMATSU", "PC200", "EXCAVATOR", 20.5, pipeline.R_INFERRED, "new", "no"),
     19: ("KOMATSU", "PC200-8", "EXCAVATOR", 20.0, pipeline.R_FULL, "new", "no"),
     20: ("KOMATSU", "PC200-8", "EXCAVATOR", 20.0, pipeline.R_FULL, "new", "yes"),
-    21: ("KOBELCO", "SK200", "EXCAVATOR", None, pipeline.R_RX_NB_UNIQUE, "new", "unknown"),
+    # capacity unknown but model known + new → judged vs median (the
+    # golden output ignores capacity in the outlier unknown-rule,
+    # COMPAT.md #15); singleton group ⇒ price == own median ⇒ 'no'
+    21: ("KOBELCO", "SK200", "EXCAVATOR", None, pipeline.R_RX_NB_UNIQUE, "new", "no"),
     22: ("ZOOMLION", "QUY550", "CRAWLER CRANE", 0.0, pipeline.R_RX_NB_UNIQUE, "new", "no"),
     23: ("KOMATSU", "PC30", "EXCAVATOR", 3.0, pipeline.R_RX_UNIQUE, "new", "no"),
     24: ("KOMATSU", "PC200", "EXCAVATOR", 20.0, pipeline.R_FULL, "new", "unknown"),

@@ -166,28 +166,81 @@ def main() -> None:
         else:
             # no remark (history exports) — provenance unknown
             unknown_prov.setdefault(key, (cap, t, None))
-    # fold unknown-provenance pairs into the catalog UNLESS a
-    # containment-witnessed model of the same brand is a proper
-    # substring: the original catalog cannot contain the superstring,
-    # or J2 longest-match would have picked it in the witnessed rows
-    # (e.g. golden 'Fully match' rows label CLG952EHD text as CLG952E)
+    # fold unknown-provenance pairs into the catalog unless a golden row
+    # WITNESSES that the original catalog cannot have contained them:
+    # 1. superstring of a witnessed same-brand model ('CLG952EHD' vs
+    #    'Fully match'-labeled CLG952E) — J2 longest-match would have
+    #    picked the superstring;
+    # 2. the candidate matches the description of a brand-scoped
+    #    regex-remark row of the same brand — the reference only reaches
+    #    the regex stage when the catalog stage found NO model
+    #    ('E635H' inside serial 'VLGE635H…' of an E6350H regex row);
+    # 3. the candidate matches a 'Fully match' row's description of the
+    #    same brand and is LONGER than that row's golden model — it
+    #    would have beaten the recorded winner ('305.5E2' vs 305);
+    # 4. the candidate's brand has zero witnessed rows and the brand
+    #    string hits the description/supplier of a no-brand-witnessed
+    #    row (phantom brand 'WORLD' vs golden 'No match' rows).
     cat_models_by_brand: dict = defaultdict(set)
     for (b, m) in list(cat_seen) + list(rx_seen):
         cat_models_by_brand[b].add(m)
+
+    def _tok_anchored(needle, text):
+        if needle in text:
+            return True
+        toks = text.split(" ")
+        return any(
+            "".join(toks[i:]).startswith(needle) for i in range(len(toks))
+        )
+
+    nb_witness_remarks = {
+        r for r in rx_remarks if "No brand" in r or "未找到对应品牌" in r
+    } | {"No match", "无品牌匹配"}
+    brand_scoped_rx = rx_remarks - nb_witness_remarks
+    rx_row_witness = []   # (brand, d2) where catalog found no model
+    full_row_witness = []  # (brand, d2, winning model)
+    nobrand_witness = []  # (d2, supplier)
+    # brand detection uses CATALOG brands only — a brand witnessed
+    # solely in the regex table (BOMAC) must not enter the catalog via
+    # unknown-provenance pairs when no-brand rows contradict it
+    witnessed_brands = {b for b, _ in cat_seen}
+    for r in golden:
+        remark = str(r.get("remark") or "")
+        d2 = str(r.get("description2") or "")
+        if remark in brand_scoped_rx:
+            rx_row_witness.append((str(r.get("brand")), d2))
+        elif remark in containment_remarks:
+            b, m = str(r.get("brand")), str(r.get("model"))
+            if m and m != "UNKNOWN":
+                full_row_witness.append((b, d2, m))
+        elif remark in nb_witness_remarks:
+            nobrand_witness.append((d2, str(r.get("supplier") or "")))
+
     for (b, m), payload in unknown_prov.items():
         if (b, m) in cat_seen or (b, m) in rx_seen:
             continue
         if any(m2 != m and m2 in m for m2 in cat_models_by_brand[b]):
             continue
+        if any(wb == b and _tok_anchored(m, d2) for wb, d2 in rx_row_witness):
+            continue
+        if any(
+            wb == b and len(m) > len(wm) and _tok_anchored(m, d2)
+            for wb, d2, wm in full_row_witness
+        ):
+            continue
+        if b not in witnessed_brands and any(
+            b in d2 or b in sup for d2, sup in nobrand_witness
+        ):
+            continue
         cat_seen[(b, m)] = payload
-    # J1 breaks ties by catalog order: frequency prior (most-traded
-    # model first) approximates the unpublished original order better
-    # than the alphabetical fallback
+    # J1 breaks ties by catalog order.  The golden outcomes identify the
+    # original order as plain alphabetical (brand, model): supplier
+    # 'DOOSAN BOBCAT KOREA' resolves to BOBCAT (B before D), and the
+    # 915E/906C longest-match tie resolves to 906C (first in brand-model
+    # order) — both contradict a frequency prior.
     cat_rows = [
         (i + 1, b, m, cap, t, hp)
-        for i, ((b, m), (cap, t, hp)) in enumerate(
-            sorted(cat_seen.items(), key=lambda kv: (-cat_count[kv[0]], kv[0]))
-        )
+        for i, ((b, m), (cap, t, hp)) in enumerate(sorted(cat_seen.items()))
     ]
     model_ref = spark.createDataFrame(cat_rows, MODEL_REF_SCHEMA)
 
@@ -209,14 +262,65 @@ def main() -> None:
                 return "([0-9]+)", -2
         return "([0-9]+)", 2
 
-    # last-match-wins: order by golden frequency ascending so the most
-    # frequently-produced pattern sits LAST and takes contested rows —
-    # the ordering that reproduces both observed tie outcomes (XE60G
-    # over XE60; R215 over FR215F)
+    # last-match-wins: the original table order is hand-curated and
+    # follows no single rule (golden ties resolve to the LONGER pattern
+    # for XE60GA/E6350H but the SHORTER for R215-over-FR215F).  The
+    # golden rows witness the pairwise order directly: on every
+    # regex-labeled row, each pattern that ALSO matches but lost must
+    # precede the winner.  Collect those majority-weighted constraints
+    # and topologically sort (Kahn; freq-asc/len/name among free nodes;
+    # cyclic leftovers keep the fallback key), so contested rows
+    # reproduce the golden winner exactly.
+    nb_remarks = {r for r in rx_remarks if "No brand" in r or "未找到对应品牌" in r}
+    win_count: Counter = Counter()
+    for r in golden:
+        remark = str(r.get("remark") or "")
+        if remark not in rx_remarks:
+            continue
+        b, m = str(r.get("brand")), str(r.get("model"))
+        if (b, m) not in rx_seen:
+            continue
+        text = str(r.get("description2") or "")
+        scope_all = remark in nb_remarks
+        for key in rx_seen:
+            if key == (b, m) or key[1] not in text:
+                continue
+            if not scope_all and key[0] != b:
+                continue  # pass 1 is brand-scoped
+            win_count[(key, (b, m))] += 1  # key lost to (b, m)
+    edges = {
+        (l, w)
+        for (l, w), n in win_count.items()
+        if n > win_count.get((w, l), 0)
+    }
+    fallback = {
+        k: (rx_count[k], len(k[1]), k)
+        for k in rx_seen
+    }
+    succ: dict = defaultdict(set)
+    indeg: Counter = Counter({k: 0 for k in rx_seen})
+    for l, w in edges:
+        if w not in succ[l]:
+            succ[l].add(w)
+            indeg[w] += 1
+    ordered, free = [], sorted(
+        [k for k in rx_seen if indeg[k] == 0], key=fallback.get
+    )
+    while free:
+        n = free.pop(0)
+        ordered.append(n)
+        newly = []
+        for w in succ[n]:
+            indeg[w] -= 1
+            if indeg[w] == 0:
+                newly.append(w)
+        if newly:
+            free = sorted(free + newly, key=fallback.get)
+    ordered += sorted((k for k in rx_seen if k not in set(ordered)), key=fallback.get)
+
     rx_rows = []
-    for i, ((b, m), (cap, t)) in enumerate(
-        sorted(rx_seen.items(), key=lambda kv: (rx_count[kv[0]], len(kv[0][1]), kv[0]))
-    ):
+    for i, (b, m) in enumerate(ordered):
+        cap, t = rx_seen[(b, m)]
         cap_rx, sp = fit_capacity_rule(m, cap)
         rx_rows.append((i + 1, b, _re.escape(m), cap_rx, t, sp))
     regex_kb = spark.createDataFrame(rx_rows, REGEX_KB_SCHEMA)
