@@ -64,6 +64,14 @@ PROBE_QUERIES = [
     "distinctive_terms",
     "minhash_pairs_fast",
     "weighted_doc_sample",
+    # round-2 additions
+    "containment_token",
+    "session_window_stats",
+    "upsert_latest",
+    "boilerplate_strip",
+    "weight_band_join",
+    "ann_srp",
+    "ngram_jaccard",
 ]
 
 
