@@ -511,6 +511,113 @@ FROM documents
 """
 
 
+def q_label_cascades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 excavator rules (incl. the preserved unconditional 'tire'
+    overwrite), C2 crane rules, C4 parts flag — exercised over
+    deterministic keyword-injected text derived from the part table so
+    the oracle replays every rule branch closed-form."""
+    tune(spark)
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
+    ex_kw = (
+        F.when(F.col("p_partkey") % 6 == 0, " CRAWLER EXCAVATOR")
+        .when(F.col("p_partkey") % 6 == 1, " WHEEL EXCAVATOR")
+        .when(F.col("p_partkey") % 6 == 2, " AMPHIBIOUS")
+        .when(F.col("p_partkey") % 6 == 3, " TIRE")
+        .when(F.col("p_partkey") % 6 == 4, " CKD")
+        .otherwise("")
+    )
+    crane_kw = (
+        F.when(F.col("p_size") % 5 == 0, " CRAWLER TELESCOPIC")
+        .when(F.col("p_size") % 5 == 1, " WHEEL")
+        .when(F.col("p_size") % 5 == 2, " ROUGH")
+        .when(F.col("p_size") % 5 == 3, " CRAWLER")
+        .otherwise(" TIRE")
+    )
+    cur = F.when(F.col("p_partkey") % 4 == 0, F.lit("EXCAVATOR")).otherwise(
+        F.lit(None).cast("string")
+    )
+    ex_desc = F.concat(F.upper("p_name"), ex_kw)
+    cr_desc = F.concat(F.upper("p_name"), crane_kw)
+    return p.select(
+        "p_partkey",
+        labels.excavator_type(ex_desc, cur).alias("ex_type"),
+        labels.crane_type(cr_desc, cur).alias("crane_type"),
+        labels.is_parts(ex_desc).alias("parts_flag"),
+    )
+
+
+ORACLE_LABEL_CASCADES = """
+WITH b AS (
+  SELECT p_partkey,
+         upper(p_name) || CASE p_partkey % 6
+             WHEN 0 THEN ' CRAWLER EXCAVATOR' WHEN 1 THEN ' WHEEL EXCAVATOR'
+             WHEN 2 THEN ' AMPHIBIOUS' WHEN 3 THEN ' TIRE'
+             WHEN 4 THEN ' CKD' ELSE '' END AS ex_desc,
+         upper(p_name) || CASE p_size % 5
+             WHEN 0 THEN ' CRAWLER TELESCOPIC' WHEN 1 THEN ' WHEEL'
+             WHEN 2 THEN ' ROUGH' WHEN 3 THEN ' CRAWLER'
+             ELSE ' TIRE' END AS cr_desc,
+         CASE WHEN p_partkey % 4 = 0 THEN 'EXCAVATOR' END AS cur
+  FROM part
+)
+SELECT p_partkey,
+       CASE WHEN contains(ex_desc, 'TIRE') THEN 'WHEEL EXCAVATOR'
+            WHEN cur IS NOT NULL AND cur <> 'UNKNOWN' THEN cur
+            WHEN contains(ex_desc, 'CRAWLER EXCAVATOR') THEN 'EXCAVATOR'
+            WHEN contains(ex_desc, 'WHEEL EXCAVATOR') THEN 'WHEEL EXCAVATOR'
+            WHEN contains(ex_desc, 'AMPHIBIOUS') THEN 'AMPHIBIOUS EXCAVATOR'
+            ELSE cur END AS ex_type,
+       CASE WHEN contains(cr_desc, 'CRAWLER') AND contains(cr_desc, 'TELESCOPIC')
+                 THEN 'CRAWLER CRANE (TELESCOPIC_BOOM)'
+            WHEN cur IS NOT NULL AND cur <> 'UNKNOWN' THEN cur
+            WHEN contains(cr_desc, 'WHEEL') OR contains(cr_desc, 'TIRE')
+                 THEN 'WHEELED CRANE'
+            WHEN contains(cr_desc, 'ROUGH') THEN 'ROUGH-TERRAIN CRANE'
+            WHEN contains(cr_desc, 'CRAWLER') THEN 'CRAWLER CRANE'
+            ELSE cur END AS crane_type,
+       regexp_matches(ex_desc, 'CKD|SKD|PARTIAL') AS parts_flag
+FROM b
+"""
+
+
+def q_brand_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 special-brand aliasing (incl. the Turkish dotted-İ entry and
+    the token-exact CAT rule) over deterministic alias-injected text:
+    positive hits, a token-exact negative ('CAT5'), and a
+    canon-already-present no-op ('CATERPILLAR CAT')."""
+    tune(spark)
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    kw = (
+        F.when(F.col("p_partkey") % 8 == 0, " CAT")
+        .when(F.col("p_partkey") % 8 == 1, " CAT5")
+        .when(F.col("p_partkey") % 8 == 2, " MANITOWOC")
+        .when(F.col("p_partkey") % 8 == 3, " MARUBENI")
+        .when(F.col("p_partkey") % 8 == 4, " HİDROMEK")
+        .when(F.col("p_partkey") % 8 == 5, " XUZHOU CONSTRUCTION MACHINERY")
+        .when(F.col("p_partkey") % 8 == 6, " CATERPILLAR CAT")
+        .otherwise("")
+    )
+    txt = F.concat(F.upper("p_name"), kw)
+    return p.select(
+        "p_partkey", text_fns.apply_brand_aliases(txt).alias("aliased")
+    )
+
+
+ORACLE_BRAND_ALIASES = """
+SELECT p_partkey,
+       CASE p_partkey % 8
+           WHEN 0 THEN 'CATERPILLAR ' || upper(p_name) || ' CAT'
+           WHEN 1 THEN upper(p_name) || ' CAT5'
+           WHEN 2 THEN 'GROVE ' || upper(p_name) || ' MANITOWOC'
+           WHEN 3 THEN 'KOMATSU ' || upper(p_name) || ' MARUBENI'
+           WHEN 4 THEN 'HIDROMEK ' || upper(p_name) || ' HİDROMEK'
+           WHEN 5 THEN 'XCMG ' || upper(p_name) || ' XUZHOU CONSTRUCTION MACHINERY'
+           WHEN 6 THEN upper(p_name) || ' CATERPILLAR CAT'
+           ELSE upper(p_name) END AS aliased
+FROM part
+"""
+
+
 _SRP_PLANES = 4
 _SRP_SEED = 7
 _SRP_DIM = 64
@@ -3942,7 +4049,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_sample": q_domain_mix_sample,
         "bigram_pmi": q_bigram_pmi,
         "resampled_series": q_resampled_series,
-        "event_deltas": q_event_deltas,
         "scd2_user_type": q_scd2_user_type,
         "rolling_value_stats": q_rolling_value_stats,
         "rolling_median_value": q_rolling_median,
@@ -3954,7 +4060,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "cohort_retention": q_cohort_retention,
         "conversion_lag": q_conversion_lag,
-        "event_calendar_heatmap": q_event_calendar_heatmap,
         "session_burst_overlap": q_session_burst_overlap,
         # -- new this round ---------------------------------------------
         "containment_token": q_containment_token,
@@ -3966,12 +4071,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp": q_ann_srp,
         "type_intervals": q_type_intervals,
         "model_despace_capacity": q_model_despace_capacity,
+        "label_cascades": q_label_cascades,
+        "brand_aliases": q_brand_aliases,
         # -- changed this round (need fresh verification) ---------------
         "minhash_pairs_fast": q_minhash_pairs_fast,
         "ngram_jaccard": q_ngram_jaccard,
         "parse_props_json": q_parse_props_json,
         "sessionized_events": q_sessionized_events,
         # -- round-1 unverified, lower-risk plain-SQL analysis ops ------
+        "event_deltas": q_event_deltas,
+        "event_calendar_heatmap": q_event_calendar_heatmap,
         "table_profile": q_table_profile,
         "dq_audit": q_dq_audit,
         "dedup_canonical": q_dedup_canonical,
@@ -4071,6 +4180,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_srp": _oracle_ann_srp(),
         "type_intervals": ORACLE_TYPE_INTERVALS,
         "model_despace_capacity": ORACLE_DESPACE_CAP,
+        "label_cascades": ORACLE_LABEL_CASCADES,
+        "brand_aliases": ORACLE_BRAND_ALIASES,
         "regex_kb_match": ORACLE_REGEX_KB,
         "acctbal_band_join": ORACLE_BAND_JOIN,
         "events_fx_convert": ORACLE_FX,
