@@ -855,6 +855,36 @@ FROM vids
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (mapInPandas, JVM-side kind filter before
+    any Arrow transfer): the stubbed codec is deterministic, so the
+    checked projection — id routing, target dims, re-encoded byte size
+    (width*height/64) — is closed-form for the oracle."""
+    tune(spark)
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        multimodal,
+    )
+
+    media = multimodal.synthetic_media(spark, 64)
+    out = multimodal.resize_images(media, width=32, height=16)
+    return out.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.length("content").cast("bigint").alias("n_bytes"),
+    )
+
+
+ORACLE_MEDIA_RESIZE = """
+SELECT i::BIGINT AS media_id, 'image' AS kind,
+       32 AS width, 16 AS height,
+       greatest(1, (32 * 16) // 64)::BIGINT AS n_bytes
+FROM generate_series(0, 63) t(i)
+WHERE i % 3 = 0
+"""
+
+
 def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming session-window job: runs the SAME
     operator code (`streaming.jobs.user_sessions`, native
@@ -4051,7 +4081,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resampled_series": q_resampled_series,
         "scd2_user_type": q_scd2_user_type,
         "rolling_value_stats": q_rolling_value_stats,
-        "rolling_median_value": q_rolling_median,
         "sliding_event_windows": q_sliding_event_windows,
         "ewma_user_value": q_ewma_user_value,
         "user_value_twap": q_user_value_twap,
@@ -4073,12 +4102,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_despace_capacity": q_model_despace_capacity,
         "label_cascades": q_label_cascades,
         "brand_aliases": q_brand_aliases,
+        "media_resize": q_media_resize,
         # -- changed this round (need fresh verification) ---------------
         "minhash_pairs_fast": q_minhash_pairs_fast,
         "ngram_jaccard": q_ngram_jaccard,
         "parse_props_json": q_parse_props_json,
         "sessionized_events": q_sessionized_events,
         # -- round-1 unverified, lower-risk plain-SQL analysis ops ------
+        "rolling_median_value": q_rolling_median,
         "event_deltas": q_event_deltas,
         "event_calendar_heatmap": q_event_calendar_heatmap,
         "table_profile": q_table_profile,
@@ -4182,6 +4213,7 @@ def oracle_sql() -> dict[str, str]:
         "model_despace_capacity": ORACLE_DESPACE_CAP,
         "label_cascades": ORACLE_LABEL_CASCADES,
         "brand_aliases": ORACLE_BRAND_ALIASES,
+        "media_resize": ORACLE_MEDIA_RESIZE,
         "regex_kb_match": ORACLE_REGEX_KB,
         "acctbal_band_join": ORACLE_BAND_JOIN,
         "events_fx_convert": ORACLE_FX,
