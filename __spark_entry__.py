@@ -2409,11 +2409,12 @@ def q_asof_rate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_asof() -> str:
     rows = ", ".join(f"(TIMESTAMP '{t}', {r})" for t, r in _RATE_CHANGES)
     return f"""
-WITH rates(rts, rate) AS (VALUES {rows})
+WITH rates(rts, rate0) AS (VALUES {rows}),
+     r AS (SELECT rts, CAST(rate0 AS DOUBLE) AS rate FROM rates)
 SELECT event_id, rate,
        CAST(round(CAST(value AS DECIMAL(18,4)) * CAST(rate AS DECIMAL(8,4)), 4) AS DOUBLE)
            AS value_converted
-FROM events ASOF LEFT JOIN rates ON events.ts >= rates.rts
+FROM events ASOF LEFT JOIN r ON events.ts >= r.rts
 """
 
 
@@ -2698,9 +2699,26 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sampling.stratified_hash_sample(
         d, "doc_id", "source", _MIX_FRACS, default_fraction=_MIX_DEFAULT, seed=0
     )
+    # Explicit BIGINT on both engines: DuckDB widens sum(int) to HUGEINT,
+    # whose canonical driver-side hash differs from Spark's BIGINT even
+    # when values agree (the round-2 hash-red root cause).
     return s.groupBy("source").agg(
-        F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+def _sql_md5_bucket(key_expr: str, seed: int = 0) -> str:
+    """DuckDB replay of dedup.md5_hash64: first 8 hex chars of the md5
+    digest decoded arithmetically (strpos per nibble) — equivalent to
+    Spark ``conv(substr(md5(..),1,8),16,10)`` without the
+    DuckDB-version-sensitive ``('0x'||..)::BIGINT`` hex-literal cast."""
+    h = f"substr(md5('{seed}:' || CAST({key_expr} AS VARCHAR)), 1, 8)"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
 
 
 def _oracle_domain_mix() -> str:
@@ -2709,9 +2727,10 @@ def _oracle_domain_mix() -> str:
         for v, f in sorted(_MIX_FRACS.items())
     )
     return f"""
-SELECT source, count(*) AS n, sum(n_chars) AS sum_chars
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
-WHERE ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+WHERE {_sql_md5_bucket('doc_id')}
       < CASE {cases} ELSE {int(_MIX_DEFAULT * (1 << 32))} END
 GROUP BY source
 """
@@ -3612,7 +3631,7 @@ SELECT l_returnflag,
        round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
        round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
        round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-       regr_count(l_extendedprice, l_quantity) AS n
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
 FROM lineitem GROUP BY 1
 """
 
