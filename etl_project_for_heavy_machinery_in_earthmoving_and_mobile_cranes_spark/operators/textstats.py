@@ -215,6 +215,10 @@ def tfidf_top_terms(
     hash join otherwise), and the top-k window compiles to a partial
     WindowGroupLimit before the doc-key shuffle, so only ~k rows per doc
     cross the wire.  Deterministic tie-break: score desc, term asc.
+
+    The corpus size N rides in as a broadcast scalar aggregate
+    (crossJoin of a 1-row countDistinct), keeping the operator ONE lazy
+    plan — no driver-side ``count()`` barrier job mid-build.
     """
     toks = F.filter(
         F.split(normalize_for_dedup(F.col(text_col)), " "), lambda x: x != ""
@@ -226,7 +230,9 @@ def tfidf_top_terms(
         # forks into the df table + join-back: run the explode once
         .persist()
     )
-    n_docs = dt.select(id_col).distinct().count()
+    n_docs = dt.agg(
+        F.countDistinct(id_col).cast("double").alias("__n_docs")
+    )
     docfreq = dt.groupBy("term").agg(F.count("*").alias("df"))
     from pyspark.sql import Window
 
@@ -236,9 +242,10 @@ def tfidf_top_terms(
     )
     return (
         dt.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+            F.round(F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 4),
         )
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)

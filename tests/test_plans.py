@@ -211,6 +211,22 @@ def test_tfidf_partial_topk_before_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_tfidf_no_midplan_action(spark, sf_dir):
+    """Building the tfidf plan must not launch a Spark job: the corpus
+    size N rides in as a broadcast scalar aggregate, not a driver-side
+    ``count()`` barrier (a full extra job at 100 TB)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        textstats,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")  # schema job here
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    textstats.tfidf_top_terms(df, "doc_id", "text", k=3)  # construct only
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, "plan construction ran a job"
+
+
 def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
     """A selective filter on the build side of a shuffle join is
     rewritten into a bloom filter evaluated at the probe side's scan —
