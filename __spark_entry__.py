@@ -1029,6 +1029,10 @@ def q_containment_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         [-F.length("needle"), F.col("ref_idx"), F.col("needle")],
         strategy="token",
         exclude_equal=True,
+        # the dim IS fact-cardinality here (full name+word vocabulary):
+        # let AQE pick the join — forcing a broadcast would make the
+        # broadcast build, not the join shape, the scale limit
+        broadcast_dim=False,
     )
     return out.filter(F.col("needle").isNotNull()).select(
         "p_partkey",

@@ -478,24 +478,32 @@ def exact_jaccard_of_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("__common"))
     )
+    # sizes join LEFT + coalesce 0: a doc with < n tokens produces zero
+    # shingles and hence no size row — such pairs must still come out
+    # with jaccard 0.0 (not silently vanish on an inner join)
+    c = F.coalesce(F.col("__common"), F.lit(0))
+    den = (
+        F.coalesce(F.col("__sza"), F.lit(0))
+        + F.coalesce(F.col("__szb"), F.lit(0))
+        - c
+    )
     return (
         pairs.select("id_a", "id_b")
         .join(common, ["id_a", "id_b"], "left")
         .join(
             sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sz", "__sza"),
             "id_a",
+            "left",
         )
         .join(
             sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sz", "__szb"),
             "id_b",
+            "left",
         )
         .select(
             "id_a",
             "id_b",
-            (
-                F.coalesce(F.col("__common"), F.lit(0))
-                / (F.col("__sza") + F.col("__szb") - F.coalesce(F.col("__common"), F.lit(0)))
-            ).alias("jaccard"),
+            F.when(den > 0, c / den).otherwise(F.lit(0.0)).alias("jaccard"),
         )
     )
 

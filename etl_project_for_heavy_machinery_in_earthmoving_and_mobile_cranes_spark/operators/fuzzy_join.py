@@ -66,6 +66,7 @@ def containment_lookup(
     priority: Sequence[Column],
     strategy: str = "broadcast",
     exclude_equal: bool = False,
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """J1/J2: for each fact row, find dim rows whose ``needle_col`` string
     is contained in any of the fact's ``text_cols``; keep the best match
@@ -88,6 +89,13 @@ def containment_lookup(
     ``exclude_equal``: drop matches where the needle equals the text
     column it matched (proper containment — for self-joins such as
     name-subsumption detection).
+
+    ``broadcast_dim`` (token strategy only): hint the dim side for
+    broadcast.  Set False when the dim is fact-cardinality (e.g. a full
+    name-vocabulary self-join) so AQE/stats pick a shuffled hash join
+    instead of forcing an over-sized broadcast.  The broadcast strategy
+    ignores it — a containment theta join without a broadcast hint
+    would fall back to a cartesian nested loop.
     """
     needle = F.col(needle_col)
     contains_pred = None
@@ -108,7 +116,8 @@ def containment_lookup(
                 )
             ).alias("__tok"),
         )
-        matched = factx.join(F.broadcast(dimx), on="__tok").filter(contains_pred)
+        dim_side = F.broadcast(dimx) if broadcast_dim else dimx
+        matched = factx.join(dim_side, on="__tok").filter(contains_pred)
     else:
         matched = fact.select(fact_id, *text_cols).join(
             F.broadcast(dim), on=contains_pred, how="inner"

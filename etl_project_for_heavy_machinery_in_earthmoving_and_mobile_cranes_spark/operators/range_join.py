@@ -29,10 +29,20 @@ def band_join(
     tol: float = 0.05,
     how: str = "inner",
     bucketed: bool = False,
+    max_per_group: int | None = None,
 ) -> DataFrame:
     """left ⋈ right on equi_keys AND right_val ∈ [left_val·(1-tol), left_val·(1+tol)].
 
     Right-side columns must be pre-renamed to avoid collisions.
+
+    ``max_per_group`` (bucketed path only) bounds the RIGHT-side rows
+    admitted per (equi_keys…, bucket) group — the skew guard mirroring
+    dedup's ``max_bucket``/``max_df``: when one equi-group dominates
+    (a single brand holding most of the catalogue), per-group pair
+    fan-out is otherwise quadratic in that group.  Kept rows are the
+    ``max_per_group`` smallest by (right_val, row content-hash), so the
+    cap is deterministic; results become an under-approximation of the
+    exact join on over-full groups (the same contract as the LSH caps).
     """
     lv, rv = F.col(left_val), F.col(right_val)
     band = rv.between(lv * (1 - tol), lv * (1 + tol))
@@ -49,15 +59,37 @@ def band_join(
     # a width of ln(1+tol) silently drops low-side pairs (caught by the
     # weight_band_join oracle).  Width = −ln(1−tol), plus a 0.1% margin
     # against float rounding of floor(log(v)/w) at bucket edges.  The
-    # band predicate below stays exact, so results are identical to the
-    # plain join — the bucket only gates candidate generation.
+    # band predicate below stays exact, so uncapped results are
+    # identical to the plain join for POSITIVE values — the bucket only
+    # gates candidate generation.  Values <= 0 (or NULL) have no
+    # logarithm; they go to a shared sentinel bucket so pairs the plain
+    # join can still match (e.g. lv = rv = 0 satisfies between(0, 0))
+    # survive candidate generation and are decided by the exact band
+    # predicate, keeping both paths in exact agreement.
     import math
 
     w = -math.log(1.0 - tol) * 1.001
-    lb = F.floor(F.log(lv) / F.lit(w))
-    rb = F.floor(F.log(rv) / F.lit(w))
+    sentinel = F.lit(-(1 << 61)).cast("long")
+
+    def bkt(v: Column) -> Column:
+        return F.coalesce(
+            F.when(v > 0, F.floor(F.log(v) / F.lit(w))), sentinel
+        )
+
+    lb, rb = bkt(lv), bkt(rv)
     lx = left.withColumn("__b", F.explode(F.array(lb - 1, lb, lb + 1)))
     rx = right.withColumn("__b", rb)
+    if max_per_group is not None:
+        # content-hash tiebreak: deterministic across partitionings and
+        # retries (monotonically_increasing_id is neither)
+        wcap = Window.partitionBy(*equi_keys, "__b").orderBy(
+            rv.asc_nulls_last(), F.xxhash64(*[F.col(c) for c in right.columns])
+        )
+        rx = (
+            rx.withColumn("__rn", F.row_number().over(wcap))
+            .filter(F.col("__rn") <= max_per_group)
+            .drop("__rn")
+        )
     cond = lx["__b"] == rx["__b"]
     for k in equi_keys:
         cond = (lx[k] == rx[k]) & cond

@@ -116,6 +116,52 @@ def test_band_join_bucketed_low_side_adjacency(spark):
         assert got == 1, f"bucketed={bucketed}"
 
 
+def test_band_join_bucketed_nonpositive_values_agree_with_plain(spark):
+    # values <= 0 have no logarithm; the bucketed path routes them to a
+    # sentinel bucket so pairs the plain join admits (lv = rv = 0) still
+    # come out, and negatives/NULLs still match nothing on either path
+    left = spark.createDataFrame(
+        [(1, "A", 0.0), (2, "A", -5.0), (3, "A", None), (4, "A", 100.0)],
+        "lid long, k string, lv double",
+    )
+    right = spark.createDataFrame(
+        [(10, "A", 0.0), (11, "A", -5.0), (12, "A", None), (13, "A", 99.0)],
+        "rid long, k string, rv double",
+    )
+    want = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join.band_join(left, right, ["k"], "lv", "rv", tol=0.05).collect()
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join.band_join(
+            left, right, ["k"], "lv", "rv", tol=0.05, bucketed=True
+        ).collect()
+    )
+    assert want == got == [(1, 10), (4, 13)]
+
+
+def test_band_join_max_per_group_caps_fanout(spark):
+    # one dominant equi-group: the cap bounds right-side candidates per
+    # (key, bucket), keeping the smallest right values deterministically
+    left = spark.createDataFrame([(1, "A", 100.0)], "lid long, k string, lv double")
+    right = spark.createDataFrame(
+        [(10 + i, "A", 100.0 + i * 0.01) for i in range(50)],
+        "rid long, k string, rv double",
+    )
+    full = range_join.band_join(
+        left, right, ["k"], "lv", "rv", tol=0.05, bucketed=True
+    )
+    assert full.count() == 50
+    capped = range_join.band_join(
+        left, right, ["k"], "lv", "rv", tol=0.05, bucketed=True, max_per_group=5
+    )
+    rows = capped.collect()
+    assert len(rows) == 5
+    # deterministic: the 5 smallest rv values survive
+    assert sorted(r["rid"] for r in rows) == [10, 11, 12, 13, 14]
+
+
 def test_infer_unknown_models_deterministic_winner(spark):
     df = spark.createDataFrame(
         [
@@ -311,6 +357,19 @@ def test_exact_jaccard_of_pairs_zero_overlap(spark):
            dedup.exact_jaccard_of_pairs(df, pairs, "doc_id", "text").collect()}
     assert got[(1, 2)] == pytest.approx(1.0)
     assert got[(1, 3)] == pytest.approx(0.0)  # candidate with no shared shingle
+
+
+def test_exact_jaccard_of_pairs_shingleless_doc(spark):
+    # a doc with < n tokens yields ZERO shingles and no size row; pairs
+    # touching it must still emit jaccard 0.0, not vanish (ADVICE r2)
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "too short"), (3, "x")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.exact_jaccard_of_pairs(df, pairs, "doc_id", "text").collect()}
+    assert got == {(1, 2): 0.0, (2, 3): 0.0}
 
 
 def test_simhash_similarity_order(spark):
@@ -601,6 +660,36 @@ def test_interval_overlap_join_halfopen_and_dedup(spark):
     # (2,11): [40,50) x [35,45) overlap
     # (2,12): touch at 50 -> NO overlap
     assert pairs == [(1, 10), (2, 10), (2, 11)]
+
+
+def test_interval_overlap_join_space_named_columns(spark):
+    # the reference's own schema has space-bearing names ('price in usd');
+    # interval bounds with spaces must pass through the backticked exprs
+    def ts(s):
+        return F.timestamp_seconds(F.col(s))
+
+    left = spark.createDataFrame([(1, 5, 35)], "lid long, s long, e long").select(
+        "lid", ts("s").alias("session start"), ts("e").alias("session end")
+    )
+    right = spark.createDataFrame([(10, 30, 45)], "rid long, s long, e long").select(
+        "rid", ts("s").alias("window start"), ts("e").alias("window end")
+    )
+    out = range_join.interval_overlap_join(
+        left, right, "session start", "session end",
+        "window start", "window end", grain_seconds=10,
+    )
+    assert [(r["lid"], r["rid"]) for r in out.collect()] == [(1, 10)]
+
+
+def test_interval_overlap_join_rejects_non_timestamp(spark):
+    left = spark.createDataFrame([(1, 5, 35)], "lid long, s long, e long")
+    right = spark.createDataFrame([(10, 30, 45)], "rid long, rs long, re long")
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="must be a timestamp"):
+        range_join.interval_overlap_join(
+            left, right, "s", "e", "rs", "re", grain_seconds=10
+        )
 
 
 def test_session_intervals_bounds(spark):
