@@ -676,6 +676,70 @@ FROM ranked WHERE rn <= 5
 """
 
 
+_IVF_CELLS = 8
+_IVF_SEED = 11
+_IVF_NPROBE = 2
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the driver gate: cell-scoped cosine top-5 with
+    deterministic unit-norm md5 centroids (similarity.det_centroids) so
+    the oracle can inline the SAME literals and replay nearest-cell
+    assignment + nprobe probing + scoring — the full inverted-file path,
+    never an all-pairs scan.  Production swaps in k-means centroids
+    (train_ivf_centroids); the join shape is identical."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.det_centroids(_IVF_SEED, _IVF_CELLS, _SRP_DIM)
+    q = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_knn(
+        emb, q, id_col="vec_id", vec_col="embedding",
+        k=5, nprobe=_IVF_NPROBE, centroids=cents,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+def _oracle_ann_ivf() -> str:
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.similarity import (
+        det_centroids,
+    )
+
+    cents = det_centroids(_IVF_SEED, _IVF_CELLS, _SRP_DIM)
+    rows = ", ".join(f"({i}, {c!r}::DOUBLE[])" for i, c in enumerate(cents))
+    return f"""
+WITH cent(cell, cv) AS (VALUES {rows}),
+d AS (
+  SELECT e.vec_id, e.embedding, cent.cell,
+         list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+         - 2 * list_dot_product(e.embedding::DOUBLE[], cent.cv)
+         + list_dot_product(cent.cv, cent.cv) AS dist,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                                     - 2 * list_dot_product(e.embedding::DOUBLE[], cent.cv)
+                                     + list_dot_product(cent.cv, cent.cv), cent.cell) AS rn
+  FROM embeddings e CROSS JOIN cent
+),
+corpus AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell FROM d WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM d
+      WHERE rn <= {_IVF_NPROBE} AND vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[]) /
+         (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+          sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))) AS cosine_sim
+  FROM corpus c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine_sim, 6) AS cosine_sim
+FROM ranked WHERE rn <= 5
+"""
+
+
 def q_weight_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 bucketed band join: for each part, count same-brand parts
     whose retail price lies within ±5% (self included).  Runs the
@@ -4061,6 +4125,179 @@ GROUP BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# Round-3 closures: the last pytest-only §2 operators get driver rows —
+# C7 export rendering, O4 report ordering, O5 schema guard, S1/S4 xlsx
+# ---------------------------------------------------------------------------
+
+
+def q_export_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 sentinel rendering at the export boundary (labels.render_unknown;
+    reference fills 'UNKNOWN' on write, nb cell 57 L~1015): internal
+    representation stays typed NULL — here the J1 containment match —
+    and 'UNKNOWN' appears only in the rendered output column."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    dim = spark.createDataFrame(_J1_NEEDLES, "prio int, needle string")
+    out = fuzzy_join.containment_lookup(
+        d.select("doc_id", "text"),
+        "doc_id",
+        ["text"],
+        dim,
+        "needle",
+        ["needle"],
+        [F.col("prio")],
+    )
+    return out.select(
+        "doc_id",
+        labels.render_unknown(F.col("needle")).alias("brand_rendered"),
+    )
+
+
+ORACLE_EXPORT_RENDER = """
+SELECT doc_id,
+       coalesce(CASE WHEN contains(text, 'vector') THEN 'vector'
+                     WHEN contains(text, 'stream') THEN 'stream'
+                     WHEN contains(text, 'merge')  THEN 'merge'
+                     WHEN contains(text, 'hash')   THEN 'hash'
+                     WHEN contains(text, 'window') THEN 'window' END,
+                'UNKNOWN') AS brand_rendered
+FROM documents
+"""
+
+
+def q_report_order_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 report row re-ordering (analysis.report_position; reference
+    moves OTHERS/UNKNOWN to the bottom, prog.py:638-643) materialized as
+    a 1-based position column so the order-insensitive driver compare
+    can check the ordering itself."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    g = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(_disc_price()).alias("amount"))
+    )
+    shares = analysis.group_share_pre_agg(g, "brand")
+    folded = analysis.fold_others(shares, "brand", threshold=20.0)
+    folded = folded.select(
+        "brand", F.round(F.col("amount"), 2).cast("double").alias("amount")
+    )
+    return analysis.report_position(folded, "brand", "amount")
+
+
+ORACLE_REPORT_ORDER_POS = f"""
+WITH g AS (
+  SELECT p_brand AS brand, sum({SQL_DISC_PRICE}) AS amount
+  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
+), s AS (
+  SELECT brand, amount,
+         CAST(amount AS DOUBLE) / CAST(sum(amount) OVER () AS DOUBLE) * 100 AS prop
+  FROM g
+), c AS (
+  SELECT brand, amount, prop,
+         sum(prop) OVER (ORDER BY prop ASC, brand ASC ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+), f AS (
+  SELECT CASE WHEN cum < 20 THEN 'OTHERS' ELSE brand END AS brand, amount FROM c
+), agg AS (
+  SELECT brand, CAST(round(sum(amount), 2) AS DOUBLE) AS amount FROM f GROUP BY brand
+)
+SELECT brand, amount,
+       CAST(row_number() OVER (
+           ORDER BY CASE WHEN brand = 'OTHERS' THEN 1
+                         WHEN brand = 'UNKNOWN' THEN 2 ELSE 0 END,
+                    amount DESC, brand ASC) AS INT) AS report_pos
+FROM agg
+"""
+
+
+def q_schema_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 schema set-diff check at the history-append boundary
+    (history.check_col_names; reference compares column-name sets before
+    concat, prog.py:450-468): a conforming batch appends, a batch with a
+    renamed column is rejected — both outcomes recorded as data, with
+    the post-append history row count carried on every row."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        history,
+    )
+
+    tune(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    hist = o.filter(F.year("o_orderdate") <= 1999)
+    good = o.filter(F.year("o_orderdate") == 2000)
+    bad = o.filter(F.year("o_orderdate") == 2001).withColumnRenamed(
+        "o_totalprice", "total_price"
+    )
+    cur = hist
+    outcomes = []
+    for name, batch in (("batch_2000", good), ("batch_2001_renamed", bad)):
+        try:
+            cur = history.append_history(cur, batch)
+            outcomes.append((name, "accepted"))
+        except history.SchemaMismatch:
+            outcomes.append((name, "rejected"))
+    st = spark.createDataFrame(outcomes, "batch string, status string")
+    n = cur.agg(F.count("*").cast("bigint").alias("n_history"))
+    return st.crossJoin(F.broadcast(n))
+
+
+ORACLE_SCHEMA_GUARD = """
+WITH n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_history
+  FROM orders WHERE year(o_orderdate) <= 2000
+)
+SELECT 'batch_2000' AS batch, 'accepted' AS status, n_history FROM n
+UNION ALL
+SELECT 'batch_2001_renamed' AS batch, 'rejected' AS status, n_history FROM n
+"""
+
+
+def q_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S4 xlsx edge, end to end: the nation dim is written through
+    the xlsx sink (sources.xlsx_lite.write_xlsx_rows — the reference's
+    export edge, nb cell 83 L~1666) and read back through the
+    format('xlsx') Python Data Source (sources.xlsx_datasource, the S1
+    ingest edge, nb cell 4 L~48).  Driver-side collect of 25 dim rows
+    is the xlsx contract by design: workbooks are small batch extracts;
+    bulk data arrives as Parquet (SURVEY §1.3)."""
+    import os
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        xlsx_lite,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources.xlsx_datasource import (
+        XlsxDataSource,
+    )
+
+    tune(spark)
+    n = (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+    rows = [["n_nationkey", "n_name", "n_regionkey"]] + [
+        [r[0], r[1], r[2]] for r in n.collect()
+    ]
+    path = os.path.join(tempfile.mkdtemp(prefix="xlsx_rt_"), "nation.xlsx")
+    xlsx_lite.write_xlsx_rows(path, rows)
+    spark.dataSource.register(XlsxDataSource)
+    return spark.read.format("xlsx").schema(
+        "n_nationkey bigint, n_name string, n_regionkey bigint"
+    ).load(path)
+
+
+ORACLE_XLSX_ROUNDTRIP = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -4072,66 +4309,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's verification order (the per-round
-    correctness pass covers a prefix of this dict).  Round 2 ordering:
-    queries WITHOUT a green CORRECTNESS_r01 row come first, followed by
-    the four queries whose semantics/oracles changed this round, then
-    the round-1-verified remainder.  All 110 pass the full local gate
-    (tools/check_oracle.py) at sf0.01."""
+    correctness pass covers a prefix of this dict).  Round 3 ordering
+    policy (never-driver-verified first): (1) the 26 queries with no
+    CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
+    hash-red, canonicalization fixed), (3) queries new this round,
+    (4) queries whose operators/oracles changed this round, then the
+    already-green remainder (round-2 set before round-1 set).  All 127
+    pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
-        # -- unverified in round 1 (registry positions 51-110) ----------
-        "dedup_clusters": q_dedup_clusters,
-        "decontaminate_docs": q_decontaminate_docs,
-        "asof_rate_join": q_asof_rate_join,
-        "tfidf_terms": q_tfidf_terms,
-        "supplier_chain": q_supplier_chain,
-        "snapshot_diff": q_snapshot_diff,
-        "rollup_pricing": q_rollup_pricing,
-        "media_features": q_media_features,
-        "incremental_dedup": q_incremental_dedup,
-        "fuzzy_part_names": q_fuzzy_part_names,
-        "near_dup_triangles": q_near_dup_triangles,
-        "embedding_clusters": q_embedding_clusters,
-        "pii_redaction": q_pii_redaction,
-        "doc_unigram_logprob": q_doc_unigram_logprob,
-        "packed_chunks": q_packed_chunks,
-        "overlapping_chunks": q_overlapping_chunks,
-        "quality_filter": q_quality_filter,
-        "token_entropy": q_token_entropy,
-        "distinctive_terms": q_distinctive_terms,
-        "weighted_doc_sample": q_weighted_doc_sample,
-        "domain_mix_sample": q_domain_mix_sample,
-        "bigram_pmi": q_bigram_pmi,
-        "resampled_series": q_resampled_series,
-        "scd2_user_type": q_scd2_user_type,
-        "rolling_value_stats": q_rolling_value_stats,
-        "sliding_event_windows": q_sliding_event_windows,
-        "ewma_user_value": q_ewma_user_value,
-        "user_value_twap": q_user_value_twap,
-        "user_streaks": q_user_streaks,
-        "event_funnel": q_event_funnel,
-        "event_transitions": q_event_transitions,
-        "cohort_retention": q_cohort_retention,
-        "conversion_lag": q_conversion_lag,
-        "session_burst_overlap": q_session_burst_overlap,
-        # -- new this round ---------------------------------------------
-        "containment_token": q_containment_token,
-        "session_window_stats": q_session_window_stats,
-        "upsert_latest": q_upsert_latest,
-        "boilerplate_strip": q_boilerplate_strip,
-        "media_frames": q_media_frames,
-        "weight_band_join": q_weight_band_join,
-        "ann_srp": q_ann_srp,
-        "type_intervals": q_type_intervals,
-        "model_despace_capacity": q_model_despace_capacity,
-        "label_cascades": q_label_cascades,
-        "brand_aliases": q_brand_aliases,
-        "media_resize": q_media_resize,
-        # -- changed this round (need fresh verification) ---------------
-        "minhash_pairs_fast": q_minhash_pairs_fast,
-        "ngram_jaccard": q_ngram_jaccard,
-        "parse_props_json": q_parse_props_json,
-        "sessionized_events": q_sessionized_events,
-        # -- round-1 unverified, lower-risk plain-SQL analysis ops ------
+        # -- (1) no driver CORRECTNESS row in either prior round --------
         "rolling_median_value": q_rolling_median,
         "event_deltas": q_event_deltas,
         "event_calendar_heatmap": q_event_calendar_heatmap,
@@ -4158,6 +4344,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pairs": q_event_type_pairs,
         "pareto_parts": q_pareto_parts,
         "winsorized_prices": q_winsorized_prices,
+        # -- (2) round-2 hash-red, BIGINT/hex canonicalization fixed ----
+        "domain_mix_sample": q_domain_mix_sample,
+        # -- (3) new this round -----------------------------------------
+        "export_render": q_export_render,
+        "report_order_pos": q_report_order_pos,
+        "schema_guard": q_schema_guard,
+        "xlsx_roundtrip": q_xlsx_roundtrip,
+        "ann_ivf": q_ann_ivf,
+        # -- (4) operator/oracle touched this round ---------------------
+        "asof_rate_join": q_asof_rate_join,
+        "tfidf_terms": q_tfidf_terms,
+        "containment_token": q_containment_token,
+        "weight_band_join": q_weight_band_join,
+        "acctbal_band_join": q_acctbal_band_join,
+        "minhash_pairs_fast": q_minhash_pairs_fast,
+        "ngram_jaccard": q_ngram_jaccard,
+        "session_burst_overlap": q_session_burst_overlap,
+        # -- green in CORRECTNESS_r02 (unchanged since) -----------------
+        "dedup_clusters": q_dedup_clusters,
+        "decontaminate_docs": q_decontaminate_docs,
+        "supplier_chain": q_supplier_chain,
+        "snapshot_diff": q_snapshot_diff,
+        "rollup_pricing": q_rollup_pricing,
+        "media_features": q_media_features,
+        "incremental_dedup": q_incremental_dedup,
+        "fuzzy_part_names": q_fuzzy_part_names,
+        "near_dup_triangles": q_near_dup_triangles,
+        "embedding_clusters": q_embedding_clusters,
+        "pii_redaction": q_pii_redaction,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "packed_chunks": q_packed_chunks,
+        "overlapping_chunks": q_overlapping_chunks,
+        "quality_filter": q_quality_filter,
+        "token_entropy": q_token_entropy,
+        "distinctive_terms": q_distinctive_terms,
+        "weighted_doc_sample": q_weighted_doc_sample,
+        "bigram_pmi": q_bigram_pmi,
+        "resampled_series": q_resampled_series,
+        "scd2_user_type": q_scd2_user_type,
+        "rolling_value_stats": q_rolling_value_stats,
+        "sliding_event_windows": q_sliding_event_windows,
+        "ewma_user_value": q_ewma_user_value,
+        "user_value_twap": q_user_value_twap,
+        "user_streaks": q_user_streaks,
+        "event_funnel": q_event_funnel,
+        "event_transitions": q_event_transitions,
+        "cohort_retention": q_cohort_retention,
+        "conversion_lag": q_conversion_lag,
+        "session_window_stats": q_session_window_stats,
+        "upsert_latest": q_upsert_latest,
+        "boilerplate_strip": q_boilerplate_strip,
+        "media_frames": q_media_frames,
+        "ann_srp": q_ann_srp,
+        "type_intervals": q_type_intervals,
+        "model_despace_capacity": q_model_despace_capacity,
+        "label_cascades": q_label_cascades,
+        "brand_aliases": q_brand_aliases,
+        "media_resize": q_media_resize,
+        "parse_props_json": q_parse_props_json,
+        "sessionized_events": q_sessionized_events,
         # -- green in CORRECTNESS_r01 (unchanged since) -----------------
         "pricing_summary": q_pricing_summary,
         "shipping_priority_top10": q_shipping_priority,
@@ -4175,7 +4421,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_first": q_containment_first,
         "containment_longest": q_containment_longest,
         "regex_kb_match": q_regex_kb_match,
-        "acctbal_band_join": q_acctbal_band_join,
         "events_fx_convert": q_events_fx_convert,
         "orders_label_cascade": q_orders_label_cascade,
         "documents_new_used": q_documents_new_used,
@@ -4210,6 +4455,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "export_render": ORACLE_EXPORT_RENDER,
+        "report_order_pos": ORACLE_REPORT_ORDER_POS,
+        "schema_guard": ORACLE_SCHEMA_GUARD,
+        "xlsx_roundtrip": ORACLE_XLSX_ROUNDTRIP,
+        "ann_ivf": _oracle_ann_ivf(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

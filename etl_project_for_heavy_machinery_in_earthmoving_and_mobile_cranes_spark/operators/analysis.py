@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -73,14 +73,30 @@ def fold_others(
     return folded.groupBy(key).agg(*[F.sum(c).alias(c) for c in value_cols])
 
 
-def report_order(df: DataFrame, key: str, amount_col: str = "amount") -> DataFrame:
-    """O4: OTHERS then UNKNOWN forced to the bottom, rest by amount desc."""
-    rank = (
+def _report_rank(key: str) -> Column:
+    return (
         F.when(F.col(key) == "OTHERS", 1)
         .when(F.col(key) == "UNKNOWN", 2)
         .otherwise(0)
     )
-    return df.orderBy(rank, F.col(amount_col).desc())
+
+
+def report_order(df: DataFrame, key: str, amount_col: str = "amount") -> DataFrame:
+    """O4: OTHERS then UNKNOWN forced to the bottom, rest by amount desc."""
+    return df.orderBy(_report_rank(key), F.col(amount_col).desc())
+
+
+def report_position(
+    df: DataFrame, key: str, amount_col: str = "amount", pos_col: str = "report_pos"
+) -> DataFrame:
+    """O4 ordering materialized as a 1-based position column — for
+    order-insensitive compare layers (the driver gate canonicalizes row
+    order, so ORDER BY alone is unobservable there).  Deterministic
+    tie-break: report rank, amount desc, key asc.  Single-partition
+    window: only ever applied to the final report table (10¹–10² rows
+    after W1 folding), never to fact-sized data."""
+    w = Window.orderBy(_report_rank(key), F.col(amount_col).desc(), F.col(key).asc())
+    return df.withColumn(pos_col, F.row_number().over(w))
 
 
 def top_k(df: DataFrame, order_col: str, k: int = 3) -> DataFrame:

@@ -10,6 +10,7 @@ cross product.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -108,6 +109,23 @@ def _det_plane(seed: int, plane: int, dim: int) -> list[float]:
     for j in range(dim):
         h = hashlib.md5(f"{seed}:{plane}:{j}".encode()).hexdigest()[:8]
         out.append((int(h, 16) / 0xFFFFFFFF) * 2.0 - 1.0)
+    return out
+
+
+def det_centroids(seed: int, n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic unit-norm centroids from the md5 plane family —
+    engine-portable IVF coarse quantizer for verification paths (any
+    engine can inline the same literals and replay cell assignment).
+    Unit-normalized so they sit on the same sphere as normalized
+    embeddings (raw ±1 planes have norm ~√(dim/3) and would collapse
+    assignment into one cell); rounded to 6 dp so the Spark literal and
+    a SQL literal are the identical double.  Production paths train
+    data-adaptive centroids with ``train_ivf_centroids`` instead."""
+    out = []
+    for i in range(n_cells):
+        p = _det_plane(seed, i, dim)
+        n = math.sqrt(sum(x * x for x in p))
+        out.append([round(x / n, 6) for x in p])
     return out
 
 
