@@ -2532,6 +2532,33 @@ FROM generate_series(0, 63) t(i)
 """
 
 
+def q_media_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-byte image decode through the mapInPandas plumbing: the
+    synthetic table holds genuine binary-PPM (even ids) and 24-bit BMP
+    (odd ids) payloads; multimodal.decode_image_header parses the actual
+    bytes for format/width/height.  The oracle replays the generator's
+    closed-form dims — a header-parse bug (endianness, PPM whitespace,
+    BMP bottom-up height sign) breaks the match.  Heavier codecs stay
+    declared stubs; this is the one capability decoding real bytes."""
+    tune(spark)
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        multimodal,
+    )
+
+    media = multimodal.synthetic_images(spark, 60)
+    return multimodal.image_dims(media)
+
+
+ORACLE_MEDIA_DECODE_DIMS = """
+SELECT i::BIGINT AS media_id,
+       CASE WHEN i % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+       (4 + i % 13)::INT AS width,
+       (3 + i % 7)::INT AS height,
+       ((4 + i % 13) * (3 + i % 7))::BIGINT AS n_pixels
+FROM generate_series(0, 59) t(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Time-series: resample + gap-fill, deltas/spikes, SCD2 intervals;
 # quantile bucketing; TF-IDF terms
@@ -4352,6 +4379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_guard": q_schema_guard,
         "xlsx_roundtrip": q_xlsx_roundtrip,
         "ann_ivf": q_ann_ivf,
+        "media_decode_dims": q_media_decode_dims,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -4460,6 +4488,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_guard": ORACLE_SCHEMA_GUARD,
         "xlsx_roundtrip": ORACLE_XLSX_ROUNDTRIP,
         "ann_ivf": _oracle_ann_ivf(),
+        "media_decode_dims": ORACLE_MEDIA_DECODE_DIMS,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -2,10 +2,12 @@
 
 Media are opaque ``binary`` columns with typed metadata structs; decode /
 feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages.  The actual codec calls are STUBBED (image/audio
-libraries are not in this environment) behind ``decoder=`` hooks — a
-deterministic fake decoder keeps the Spark-side plumbing (schema,
-batching, partitioning) real and testable.
+``mapInPandas`` stages.  Heavy codec calls (JPEG/PNG/audio/video) are
+STUBBED (the libraries are not in this environment) behind ``decoder=``
+hooks with a deterministic fake keeping the Spark-side plumbing (schema,
+batching, partitioning) real and testable — EXCEPT the stdlib image path
+(``decode_image_header``: PPM P6 + 24-bit BMP), which parses real bytes
+end to end through the same plumbing.
 """
 
 from __future__ import annotations
@@ -159,6 +161,122 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
         )
         .select("media_id", "mime", "frame_no", n_frames.alias("n_frames"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Real-byte image decode (PPM / BMP): the one codec path that is NOT a
+# stub.  Pure stdlib parsing of actual image bytes — the minimal formats
+# every toolchain can produce — behind the same mapInPandas plumbing a
+# PIL/libvips decoder would use.  JPEG/PNG/audio/video stay behind
+# ``real_decode`` (libraries absent in this environment by design).
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255).  ``pixels`` must be 3·w·h bytes."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixels must be exactly 3*width*height bytes")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER, 4-byte row padding).
+    ``pixels`` is 3·w·h bytes, row-major top-down (stored bottom-up as
+    the positive-height convention requires)."""
+    import struct
+
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixels must be exactly 3*width*height bytes")
+    row = 3 * width
+    pad = (4 - row % 4) % 4
+    body = b"".join(
+        pixels[r * row : (r + 1) * row] + b"\x00" * pad
+        for r in range(height - 1, -1, -1)
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + body
+
+
+def decode_image_header(content: bytes) -> tuple[str, int, int]:
+    """Parse REAL image bytes → (format, width, height).  Supports the
+    two stdlib-decodable formats (PPM P6, 24-bit BMP); anything else
+    raises NotImplementedError — the honest boundary where PIL/libvips
+    would plug in."""
+    import re
+    import struct
+
+    if content[:2] == b"P6":
+        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", content)
+        if not m:
+            raise ValueError("malformed PPM header")
+        return "ppm", int(m.group(1)), int(m.group(2))
+    if content[:2] == b"BM":
+        width, height = struct.unpack_from("<ii", content, 18)
+        return "bmp", width, abs(height)
+    raise NotImplementedError(
+        f"no stdlib decoder for magic {content[:2]!r}; wire PIL/libvips here"
+    )
+
+
+IMAGE_DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+    ]
+)
+
+
+def image_dims(media: DataFrame) -> DataFrame:
+    """mapInPandas decode of REAL image bytes → typed dimensions.  Same
+    contract as ``extract_features``: JVM-side kind filter before any
+    Arrow transfer, Python only touches rows it must decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs = [], [], []
+            for c in pdf["content"]:
+                fmt, w, h = decode_image_header(bytes(c))
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fmt": fmts,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_pixels": pd.Series(
+                        [w * h for w, h in zip(ws, hs)], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=IMAGE_DIMS_SCHEMA
+    )
+
+
+def synthetic_images(spark, n: int = 60) -> DataFrame:
+    """Media table of REAL decodable images: even ids are binary PPMs,
+    odd ids are 24-bit BMPs; dims are closed-form in the id
+    (w = 4 + i%13, h = 3 + i%7) so an external oracle can replay the
+    expected decode output; pixel bytes are md5-derived."""
+    rows = []
+    for i in range(n):
+        w, h = 4 + i % 13, 3 + i % 7
+        need = 3 * w * h
+        seed = hashlib.md5(f"img:{i}".encode()).digest()
+        pixels = (seed * (need // len(seed) + 1))[:need]
+        content = encode_ppm(w, h, pixels) if i % 2 == 0 else encode_bmp(w, h, pixels)
+        mime = "image/x-portable-pixmap" if i % 2 == 0 else "image/bmp"
+        rows.append((i, "image", mime, bytearray(content), {"idx": str(i)}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:

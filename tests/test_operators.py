@@ -440,6 +440,33 @@ def test_multimodal_real_decoder_is_stubbed():
         multimodal.real_decode(b"x", "image/png")
 
 
+def test_image_codec_roundtrip_real_bytes():
+    # the one NON-stub codec path: encode real PPM/BMP bytes, decode the
+    # actual headers back
+    pixels = bytes(range(60))  # 3 * 5 * 4
+    ppm = multimodal.encode_ppm(5, 4, pixels)
+    assert multimodal.decode_image_header(ppm) == ("ppm", 5, 4)
+    bmp = multimodal.encode_bmp(5, 4, pixels)
+    assert multimodal.decode_image_header(bmp) == ("bmp", 5, 4)
+    # width 5 rows need 1 pad byte: 14 + 40 + 4*(15+1)
+    assert len(bmp) == 54 + 4 * 16
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_header(b"\x89PNG\r\n")
+    with pytest.raises(ValueError):
+        multimodal.decode_image_header(b"P6 garbage")
+
+
+def test_image_dims_decodes_real_bytes(spark):
+    media = multimodal.synthetic_images(spark, 10)
+    got = {r["media_id"]: (r["fmt"], r["width"], r["height"], r["n_pixels"])
+           for r in multimodal.image_dims(media).collect()}
+    assert len(got) == 10
+    for i in range(10):
+        w, h = 4 + i % 13, 3 + i % 7
+        fmt = "ppm" if i % 2 == 0 else "bmp"
+        assert got[i] == (fmt, w, h, w * h)
+
+
 def test_media_stats_jvm_only(spark):
     media = multimodal.synthetic_media(spark, 12)
     got = {r["kind"]: r["n"] for r in multimodal.media_stats(media).collect()}
