@@ -72,6 +72,12 @@ PROBE_QUERIES = [
     "weight_band_join",
     "ann_srp",
     "ngram_jaccard",
+    # round-3 additions
+    "export_render",
+    "report_order_pos",
+    "schema_guard",
+    "ann_ivf",
+    "tfidf_terms",
 ]
 
 
@@ -98,9 +104,9 @@ def replicate(spark, n: int, out_dir: str) -> None:
         )
 
 
-def time_queries(spark, qs, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, qs, sf_dir: str, names=None) -> dict[str, float]:
     out = {}
-    for name in PROBE_QUERIES:
+    for name in names or PROBE_QUERIES:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 3)
@@ -110,6 +116,7 @@ def time_queries(spark, qs, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/spark_graft_sf0.1x{n}"
+    only = [q for q in sys.argv[3:]] or None
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
@@ -121,17 +128,17 @@ def main() -> None:
     # in-session replication write otherwise pays a huge one-off GC /
     # page-cache penalty that has nothing to do with the query shape
     # (observed 108s -> 5s for the same query once warmed).
-    time_queries(spark, qs, BASE)
-    time_queries(spark, qs, out_dir)
-    base = time_queries(spark, qs, BASE)
-    scaled = time_queries(spark, qs, out_dir)
+    time_queries(spark, qs, BASE, only)
+    time_queries(spark, qs, out_dir, only)
+    base = time_queries(spark, qs, BASE, only)
+    scaled = time_queries(spark, qs, out_dir, only)
     report = {
         q: {
             "sf0.1_s": base[q],
             f"x{n}_s": scaled[q],
             "ratio": round(scaled[q] / base[q], 2) if base[q] else None,
         }
-        for q in PROBE_QUERIES
+        for q in (only or PROBE_QUERIES)
     }
     print(json.dumps({"replicas": n, "queries": report}))
     spark.stop()
