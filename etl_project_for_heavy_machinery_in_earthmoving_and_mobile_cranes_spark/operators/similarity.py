@@ -129,6 +129,27 @@ def det_centroids(seed: int, n_cells: int, dim: int) -> list[list[float]]:
     return out
 
 
+def det_codebooks(
+    seed: int, m: int, k: int, sub: int
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks from the md5 plane family — the
+    engine-portable analog of ``det_centroids`` for the product
+    quantizer: m subspace books of k centroids each (dim ``sub``),
+    scaled to norm 1/√m so they sit where subvectors of unit-norm
+    embeddings live; rounded to 6 dp so Spark and SQL literals are the
+    identical doubles.  Production trains ``train_pq_codebooks``."""
+    scale = 1.0 / math.sqrt(m)
+    books = []
+    for s in range(m):
+        book = []
+        for j in range(k):
+            p = _det_plane(seed + 1000 * (s + 1), j, sub)
+            n = math.sqrt(sum(x * x for x in p))
+            book.append([round(x / n * scale, 6) for x in p])
+        books.append(book)
+    return books
+
+
 def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-random-projection bucket id: one bit per hyperplane."""
     bits = []
