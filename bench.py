@@ -79,6 +79,15 @@ BENCH_QUERIES = [
     "session_window_stats",
     "upsert_latest",
     "boilerplate_strip",
+    # round-3 additions (excluded like the other synthetic/edge
+    # queries: xlsx_roundtrip is the driver-side ingest edge by
+    # contract, media_* run on constant-size synthetic tables, and
+    # ann_ivf_pq's cost is literal-tree compile time, not data —
+    # see SCALE.md)
+    "export_render",
+    "report_order_pos",
+    "schema_guard",
+    "ann_ivf",
 ]
 
 
