@@ -2939,6 +2939,80 @@ GROUP BY source
 """
 
 
+_SHUF_BUCKETS = 64
+
+
+def q_corpus_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train-order shuffle with explicit global rank
+    (sampling.shuffle_rank): two-pass bucket construction — per-bucket
+    window ranks in parallel, a 64-row cumulative-offset table broadcast
+    back — never a single-partition global window.  Oracle replays the
+    identical total order (bucket, in-bucket hash, key) with one
+    row_number, which DuckDB can afford at gate scale."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.shuffle_rank(
+        d, "doc_id", seed=0, n_buckets=_SHUF_BUCKETS
+    ).select("doc_id", "shuffle_rank")
+
+
+def _oracle_shuffle_rank() -> str:
+    h0 = _sql_md5_bucket("doc_id", seed=0)
+    h1 = _sql_md5_bucket("doc_id", seed=1)
+    return f"""
+SELECT doc_id,
+       row_number() OVER (
+           ORDER BY {h0} % {_SHUF_BUCKETS}, {h1}, doc_id
+       ) AS shuffle_rank
+FROM documents
+"""
+
+
+_TEMP_ALPHA = 0.7
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (p^alpha mix flattening,
+    sampling.temperature_mix): per-source keep fraction
+    n_s^(a-1)/max n^(a-1), membership by md5 hash — the standard
+    multilingual-corpus reweighting.  Audited per source so the oracle
+    checks both the threshold arithmetic and the hash membership."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    s = sampling.temperature_mix(d, "doc_id", "source", alpha=_TEMP_ALPHA, seed=0)
+    return s.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+def _oracle_temperature_mix() -> str:
+    return f"""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), fracs AS (
+  SELECT source,
+         round(pow(CAST(n AS DOUBLE), {_TEMP_ALPHA} - 1.0)
+               / max(pow(CAST(n AS DOUBLE), {_TEMP_ALPHA} - 1.0)) OVER (),
+               9) AS keep_f
+  FROM counts
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d JOIN fracs f ON d.source = f.source
+WHERE {_sql_md5_bucket('d.doc_id')} < CAST(floor(f.keep_f * 4294967296) AS BIGINT)
+GROUP BY d.source
+"""
+
+
 def q_rolling_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-row mean + trailing 1-hour range sum/count per user."""
     tune(spark)
@@ -4449,7 +4523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 129
+    already-green remainder (round-2 set before round-1 set).  All 131
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -4489,6 +4563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_pq": q_ann_ivf_pq,
         "media_decode_dims": q_media_decode_dims,
+        "corpus_shuffle_rank": q_corpus_shuffle_rank,
+        "temperature_mix": q_temperature_mix,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -4599,6 +4675,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _oracle_ann_ivf(),
         "ann_ivf_pq": _oracle_ann_ivf_pq(),
         "media_decode_dims": ORACLE_MEDIA_DECODE_DIMS,
+        "corpus_shuffle_rank": _oracle_shuffle_rank(),
+        "temperature_mix": _oracle_temperature_mix(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "report_order_pos",
     "schema_guard",
     "ann_ivf",
+    "corpus_shuffle_rank",
+    "temperature_mix",
 ]
 
 

@@ -77,6 +77,98 @@ def split_train_holdout(
     return df.filter(b >= cut), df.filter(b < cut)
 
 
+def shuffle_rank(
+    df: DataFrame,
+    key_col: str,
+    seed: int = 0,
+    n_buckets: int = 1024,
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic global shuffle order with an explicit 1-based rank —
+    the train-order randomization step of a corpus pipeline, as a pure
+    function of the key (reruns, backfills, and other engines produce
+    the identical order).
+
+    A naive ``row_number() OVER (ORDER BY hash)`` is a single-partition
+    sort — the classic global-window scale trap.  This is the two-pass
+    shape that distributes: (1) rows land in ``n_buckets`` hash buckets;
+    per-bucket ranks come from a window partitioned BY BUCKET (parallel
+    across buckets); (2) bucket row-counts (a ``n_buckets``-row table)
+    turn into cumulative offsets with one tiny window, broadcast back,
+    and ``rank = offset + within-bucket rank``.  Total order =
+    (bucket asc, in-bucket hash asc, key asc) — fully deterministic.
+    At 100 TB raise ``n_buckets`` so each bucket's window sort fits an
+    executor (rows/n_buckets per task).
+    """
+    from pyspark.sql import Window
+
+    b = (hash_bucket(F.col(key_col), seed) % n_buckets).alias("__sb")
+    # independent second hash orders rows WITHIN a bucket (using the
+    # bucket hash itself would sort each bucket by residue class)
+    h2 = hash_bucket(F.col(key_col), seed + 1)
+    w_in = Window.partitionBy("__sb").orderBy(h2.asc(), F.col(key_col).asc())
+    ranked = df.withColumn("__sb", b).withColumn(
+        "__in_rank", F.row_number().over(w_in)
+    )
+    counts = ranked.groupBy("__sb").agg(F.count("*").alias("__n"))
+    w_off = (
+        Window.orderBy("__sb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select("__sb", "__off")
+    return (
+        ranked.join(F.broadcast(offsets), "__sb")
+        .withColumn(rank_col, (F.col("__off") + F.col("__in_rank")).cast("bigint"))
+        .drop("__sb", "__in_rank", "__off")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.7,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-corpus
+    p^α reweighting of Conneau & Lample 2019): target share of stratum
+    s ∝ p_s^α.  Keeping stratum s with probability f_s ∝ p_s^(α−1)
+    achieves it (kept counts n_s·f_s ∝ p_s^α); f is normalized by its
+    largest value so every keep fraction is ≤ 1 with no rejection —
+    for α<1 the reference is the SMALLEST stratum (kept whole, common
+    strata down-sampled toward it), for α>1 the largest.  α=1 keeps
+    everything.
+
+    Membership is the md5 hash filter (row-pure, engine-portable).
+    Two-pass but fully distributed: pass 1 is one tiny groupBy for
+    stratum counts; the per-stratum thresholds ride back via a
+    broadcast join; pass 2 is the narrow hash filter.  No driver-side
+    data dependency — the threshold table is |strata| rows.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    # f_s = n_s^(alpha-1) / max_t n_t^(alpha-1); rounded so Spark and a
+    # SQL replay compute the identical double threshold.  The scalar max
+    # rides in as a broadcast 1-row aggregate (house pattern — no global
+    # window, no driver action).
+    g = F.pow(F.col("__n").cast("double"), F.lit(alpha - 1.0))
+    gmax = counts.agg(F.max(g).alias("__gmax"))
+    fracs = (
+        counts.crossJoin(F.broadcast(gmax))
+        .withColumn("__keep", F.round(g / F.col("__gmax"), 9))
+        .select(strata_col, "__keep")
+    )
+    # explicit floor: Spark's double->bigint cast truncates but SQL
+    # engines round, so the boundary must be pinned on both sides
+    thresh = F.floor(F.col("__keep") * _BUCKETS).cast("bigint")
+    return (
+        df.join(F.broadcast(fracs), strata_col)
+        .filter(hash_bucket(F.col(key_col), seed) < thresh)
+        .drop("__keep")
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     key_col: str,

@@ -78,6 +78,49 @@ def test_stratified_hash_sample_rates(spark):
     assert "2" not in by  # default fraction 0 drops the stratum
 
 
+def test_shuffle_rank_is_permutation_and_partition_stable(spark):
+    df = spark.range(0, 3000).withColumnRenamed("id", "k")
+    out = sampling.shuffle_rank(df, "k", seed=0, n_buckets=16)
+    rows = out.collect()
+    ranks = sorted(r["shuffle_rank"] for r in rows)
+    assert ranks == list(range(1, 3001))  # exact 1..n permutation
+    # order is a pure function of the key: repartitioning changes nothing
+    again = {
+        r["k"]: r["shuffle_rank"]
+        for r in sampling.shuffle_rank(
+            df.repartition(13), "k", seed=0, n_buckets=16
+        ).collect()
+    }
+    assert {r["k"]: r["shuffle_rank"] for r in rows} == again
+    # bucket construction is an implementation detail: a different
+    # bucket count permutes differently but is still a permutation
+    other = sampling.shuffle_rank(df, "k", seed=0, n_buckets=64).collect()
+    assert sorted(r["shuffle_rank"] for r in other) == ranks
+    # seed changes the order
+    seeded = {
+        r["k"]: r["shuffle_rank"]
+        for r in sampling.shuffle_rank(df, "k", seed=9, n_buckets=16).collect()
+    }
+    assert seeded != {r["k"]: r["shuffle_rank"] for r in rows}
+
+
+def test_temperature_mix_flattens_toward_small_strata(spark):
+    # 4000 'big' vs 400 'small': alpha<1 must keep 'small' whole and
+    # down-sample 'big' by ~(10)^(alpha-1)
+    df = spark.range(0, 4400).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 4000, "big").otherwise("small").alias("s"),
+    )
+    out = sampling.temperature_mix(df, "k", "s", alpha=0.5, seed=0)
+    by = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert by["small"] == 400  # reference stratum kept in full
+    expect_big = 4000 * (4000 / 400) ** (0.5 - 1.0)  # ≈ 1265
+    assert abs(by["big"] - expect_big) / expect_big < 0.15
+    # alpha=1 is the identity mix
+    ident = sampling.temperature_mix(df, "k", "s", alpha=1.0, seed=0)
+    assert ident.count() == 4400
+
+
 def test_split_train_holdout_disjoint_exhaustive(spark):
     df = spark.range(0, 2000).withColumnRenamed("id", "k")
     train, hold = sampling.split_train_holdout(df, "k", holdout_fraction=0.1)

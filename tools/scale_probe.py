@@ -78,6 +78,8 @@ PROBE_QUERIES = [
     "schema_guard",
     "ann_ivf",
     "tfidf_terms",
+    "corpus_shuffle_rank",
+    "temperature_mix",
 ]
 
 
