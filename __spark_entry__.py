@@ -4491,7 +4491,10 @@ def q_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [["n_nationkey", "n_name", "n_regionkey"]] + [
         [r[0], r[1], r[2]] for r in n.collect()
     ]
-    path = os.path.join(tempfile.mkdtemp(prefix="xlsx_rt_"), "nation.xlsx")
+    # fixed, overwritten path: mkdtemp would leak one dir per gate run
+    out_dir = os.path.join(tempfile.gettempdir(), "xlsx_rt_cache")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "nation.xlsx")
     xlsx_lite.write_xlsx_rows(path, rows)
     spark.dataSource.register(XlsxDataSource)
     return spark.read.format("xlsx").schema(

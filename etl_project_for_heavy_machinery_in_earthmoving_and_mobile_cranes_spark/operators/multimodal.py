@@ -200,20 +200,46 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     return header + info + body
 
 
+def _ppm_header_fields(content: bytes, n: int = 3) -> list[int]:
+    """First ``n`` integer fields after the P6 magic, honoring the PPM
+    spec's whitespace rules and ``#`` comment lines (netpbm/ImageMagick
+    emit '# CREATOR' comments between magic and dimensions)."""
+    fields: list[int] = []
+    i = 2
+    while len(fields) < n and i < len(content):
+        c = content[i : i + 1]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == b"#":
+            j = content.find(b"\n", i)
+            i = len(content) if j < 0 else j + 1
+        elif c.isdigit():
+            j = i
+            while j < len(content) and content[j : j + 1].isdigit():
+                j += 1
+            fields.append(int(content[i:j]))
+            i = j
+        else:
+            raise ValueError("malformed PPM header")
+    if len(fields) < n:
+        raise ValueError("malformed PPM header")
+    return fields
+
+
 def decode_image_header(content: bytes) -> tuple[str, int, int]:
     """Parse REAL image bytes → (format, width, height).  Supports the
-    two stdlib-decodable formats (PPM P6, 24-bit BMP); anything else
-    raises NotImplementedError — the honest boundary where PIL/libvips
-    would plug in."""
-    import re
+    two stdlib-decodable formats (PPM P6 incl. comment lines, 24-bit
+    BMP); anything else raises NotImplementedError — the honest
+    boundary where PIL/libvips would plug in.  Malformed/truncated
+    payloads of a recognized format raise ValueError."""
     import struct
 
     if content[:2] == b"P6":
-        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", content)
-        if not m:
-            raise ValueError("malformed PPM header")
-        return "ppm", int(m.group(1)), int(m.group(2))
+        width, height, _maxval = _ppm_header_fields(content)
+        return "ppm", width, height
     if content[:2] == b"BM":
+        if len(content) < 26:
+            raise ValueError("truncated BMP header")
         width, height = struct.unpack_from("<ii", content, 18)
         return "bmp", width, abs(height)
     raise NotImplementedError(

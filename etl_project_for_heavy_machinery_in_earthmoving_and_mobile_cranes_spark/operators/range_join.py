@@ -52,6 +52,16 @@ def band_join(
             cond = (left[k] == right[k]) & cond
         return left.join(right, on=cond, how=how)
 
+    if how != "inner":
+        # the left side is about to be exploded into 3 bucket replicas;
+        # an outer join would null-extend each replica independently
+        # (3 spurious rows per unmatched left row) — reject rather than
+        # silently diverge from the plain path
+        raise ValueError(
+            "bucketed band_join supports how='inner' only; run the plain "
+            "path for outer joins or left-join the inner result back"
+        )
+
     # log-bucket equi-key: any pair within the band spans at most
     # adjacent buckets IF the width covers the band's log-space radius.
     # The band is asymmetric in log space: r ∈ [l·(1−tol), l·(1+tol)]

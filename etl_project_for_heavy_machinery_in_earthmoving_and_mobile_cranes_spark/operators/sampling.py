@@ -110,7 +110,12 @@ def shuffle_rank(
     ranked = df.withColumn("__sb", b).withColumn(
         "__in_rank", F.row_number().over(w_in)
     )
-    counts = ranked.groupBy("__sb").agg(F.count("*").alias("__n"))
+    # counts branch reads the SOURCE, not `ranked`: a deliberate second
+    # scan that column-prunes to the key and skips the window sort —
+    # cheaper at scale than persisting the full-width ranked rows just
+    # to count 64 buckets (both branches produce identical bucket ids
+    # because the bucket is a pure function of the key)
+    counts = df.select(b).groupBy("__sb").agg(F.count("*").alias("__n"))
     w_off = (
         Window.orderBy("__sb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
@@ -157,15 +162,22 @@ def temperature_mix(
     fracs = (
         counts.crossJoin(F.broadcast(gmax))
         .withColumn("__keep", F.round(g / F.col("__gmax"), 9))
-        .select(strata_col, "__keep")
+        .select(F.col(strata_col).alias("__stratum"), "__keep")
     )
     # explicit floor: Spark's double->bigint cast truncates but SQL
     # engines round, so the boundary must be pinned on both sides
     thresh = F.floor(F.col("__keep") * _BUCKETS).cast("bigint")
+    # null-safe join: a NULL stratum is a stratum like any other (its
+    # count already participates in the normalization above) — a plain
+    # equi join would silently drop those rows and break the alpha=1
+    # identity contract
     return (
-        df.join(F.broadcast(fracs), strata_col)
+        df.join(
+            F.broadcast(fracs),
+            on=df[strata_col].eqNullSafe(fracs["__stratum"]),
+        )
         .filter(hash_bucket(F.col(key_col), seed) < thresh)
-        .drop("__keep")
+        .drop("__stratum", "__keep")
     )
 
 

@@ -162,6 +162,19 @@ def test_band_join_max_per_group_caps_fanout(spark):
     assert sorted(r["rid"] for r in rows) == [10, 11, 12, 13, 14]
 
 
+def test_band_join_bucketed_rejects_outer_join(spark):
+    # the exploded-replica bucketed path would null-extend each replica
+    # independently; outer joins must be rejected, not silently wrong
+    left = spark.createDataFrame([(1, "A", 100.0)], "lid long, k string, lv double")
+    right = spark.createDataFrame([(10, "A", 99.0)], "rid long, k string, rv double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner"):
+        range_join.band_join(
+            left, right, ["k"], "lv", "rv", how="left", bucketed=True
+        )
+
+
 def test_infer_unknown_models_deterministic_winner(spark):
     df = spark.createDataFrame(
         [
@@ -454,6 +467,11 @@ def test_image_codec_roundtrip_real_bytes():
         multimodal.decode_image_header(b"\x89PNG\r\n")
     with pytest.raises(ValueError):
         multimodal.decode_image_header(b"P6 garbage")
+    # PPM comment lines between magic and dims are legal (netpbm spec)
+    commented = b"P6\n# CREATOR: netpbm\n5 4\n# another\n255\n" + pixels
+    assert multimodal.decode_image_header(commented) == ("ppm", 5, 4)
+    with pytest.raises(ValueError):  # truncated BMP, not struct.error
+        multimodal.decode_image_header(b"BM\x00\x00")
 
 
 def test_image_dims_decodes_real_bytes(spark):

@@ -121,6 +121,23 @@ def test_temperature_mix_flattens_toward_small_strata(spark):
     assert ident.count() == 4400
 
 
+def test_temperature_mix_null_stratum_is_a_stratum(spark):
+    # NULL strata must flow through the null-safe join, not vanish —
+    # and the alpha=1 identity must hold with NULLs present
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 200, "a").otherwise(F.lit(None)).alias("s"),
+    )
+    assert sampling.temperature_mix(df, "k", "s", alpha=1.0).count() == 300
+    out = sampling.temperature_mix(df, "k", "s", alpha=0.5, seed=0)
+    by = {
+        r["s"]: r["n"]
+        for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()
+    }
+    assert by[None] == 100  # smallest stratum (NULL) kept whole
+    assert 0 < by["a"] < 200  # larger stratum down-sampled
+
+
 def test_split_train_holdout_disjoint_exhaustive(spark):
     df = spark.range(0, 2000).withColumnRenamed("id", "k")
     train, hold = sampling.split_train_holdout(df, "k", holdout_fraction=0.1)

@@ -23,10 +23,9 @@ from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sess
     get_spark,
 )
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+# single source of truth for the table registry (adding a table there
+# covers this audit too)
+from tools.check_oracle import TABLES  # noqa: E402
 
 # type-class buckets: mismatch across buckets (or HUGEINT/DECIMAL on the
 # duck side vs non-decimal spark side) is a hash risk.
