@@ -3013,6 +3013,71 @@ GROUP BY d.source
 """
 
 
+_TIER_DIM = [
+    ("click", "engagement"), ("view", "engagement"),
+    ("signup", "conversion"), ("purchase", "conversion"),
+    ("error", "ops"),
+]
+
+
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi join (skew.salted_join): the fact side salts on
+    a stable column hash, the dim side replicates num_salts× — a hot
+    join key spreads over num_salts reducers.  Semantics are EXACTLY
+    the plain join (the salt only partitions), so the oracle is the
+    unsalted SQL join; the salted plan shape is pinned by
+    tests/test_plans.py."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        skew,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast(DEC).alias("v")
+    )
+    dim = spark.createDataFrame(_TIER_DIM, "event_type string, tier string")
+    j = skew.salted_join(e, dim, "event_type", num_salts=8, salt_source="event_id")
+    return j.groupBy("tier").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dround(F.sum("v")).alias("sum_value"),
+    )
+
+
+def _oracle_salted_join() -> str:
+    rows = ", ".join(f"('{k}', '{t}')" for k, t in _TIER_DIM)
+    return f"""
+WITH dim(event_type, tier) AS (VALUES {rows})
+SELECT tier, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events JOIN dim USING (event_type)
+GROUP BY tier
+"""
+
+
+def q_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct users via skew.two_phase_count_distinct: the
+    (key, value) dedup spreads across partitions before the per-key
+    count, so no single reducer holds a hot key's full value set —
+    exact, unlike the HLL sketch path, and shuffle-bounded unlike a
+    naive count(DISTINCT) at 100 TB."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        skew,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    out = skew.two_phase_count_distinct(e, "event_type", "user_id")
+    return out.select(
+        "event_type", F.col("n_distinct_user_id").cast("bigint").alias("n_users")
+    )
+
+
+ORACLE_TWO_PHASE_DISTINCT = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_rolling_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-row mean + trailing 1-hour range sum/count per user."""
     tune(spark)
@@ -4526,7 +4591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 131
+    already-green remainder (round-2 set before round-1 set).  All 133
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -4568,6 +4633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_dims": q_media_decode_dims,
         "corpus_shuffle_rank": q_corpus_shuffle_rank,
         "temperature_mix": q_temperature_mix,
+        "salted_skew_join": q_salted_skew_join,
+        "two_phase_distinct": q_two_phase_distinct,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -4680,6 +4747,8 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_dims": ORACLE_MEDIA_DECODE_DIMS,
         "corpus_shuffle_rank": _oracle_shuffle_rank(),
         "temperature_mix": _oracle_temperature_mix(),
+        "salted_skew_join": _oracle_salted_join(),
+        "two_phase_distinct": ORACLE_TWO_PHASE_DISTINCT,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

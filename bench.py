@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "ann_ivf",
     "corpus_shuffle_rank",
     "temperature_mix",
+    "salted_skew_join",
+    "two_phase_distinct",
 ]
 
 

@@ -80,6 +80,8 @@ PROBE_QUERIES = [
     "tfidf_terms",
     "corpus_shuffle_rank",
     "temperature_mix",
+    "salted_skew_join",
+    "two_phase_distinct",
 ]
 
 
