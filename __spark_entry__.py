@@ -3078,6 +3078,64 @@ FROM events GROUP BY event_type
 """
 
 
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase joins the
+    user's most recent click/view at-or-before it — a per-key as-of
+    join via the union-and-carry-forward strategy (asof.asof_join_union,
+    the large-large shape where neither side broadcasts; one window
+    over the keyed union, no range join).  Touches are pre-deduped to
+    one row per (user, ts) with a max_by tie-break so the carried
+    payload is deterministic; lag is exact integer micros arithmetic.
+    Oracle: DuckDB keyed ASOF LEFT JOIN."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        asof,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    touches = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", F.col("ts").alias("tts"))
+        .agg(F.max_by("event_type", "event_id").alias("touch_type"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof.asof_join_union(
+        purchases, touches, "ts", "tts",
+        payload=("touch_type", "tts"), on=("user_id",),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "touch_type",
+        # NTZ-safe: unix_micros takes TIMESTAMP only; session tz is UTC
+        F.expr(
+            "(unix_micros(cast(ts as timestamp))"
+            " - unix_micros(cast(tts as timestamp))) div 1000000"
+        )
+        .cast("bigint")
+        .alias("lag_s"),
+    )
+
+
+ORACLE_LAST_TOUCH = """
+WITH dedup AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type IN ('click', 'view')
+), t AS (
+  SELECT user_id, ts AS tts, event_type AS touch_type FROM dedup WHERE rn = 1
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, t.touch_type,
+       CAST((epoch_us(p.ts) - epoch_us(t.tts)) // 1000000 AS BIGINT) AS lag_s
+FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.tts
+"""
+
+
 def q_rolling_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-row mean + trailing 1-hour range sum/count per user."""
     tune(spark)
@@ -4591,7 +4649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 133
+    already-green remainder (round-2 set before round-1 set).  All 134
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -4635,6 +4693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "salted_skew_join": q_salted_skew_join,
         "two_phase_distinct": q_two_phase_distinct,
+        "last_touch_attribution": q_last_touch_attribution,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -4749,6 +4808,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": _oracle_temperature_mix(),
         "salted_skew_join": _oracle_salted_join(),
         "two_phase_distinct": ORACLE_TWO_PHASE_DISTINCT,
+        "last_touch_attribution": ORACLE_LAST_TOUCH,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "temperature_mix",
     "salted_skew_join",
     "two_phase_distinct",
+    "last_touch_attribution",
 ]
 
 

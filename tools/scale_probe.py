@@ -82,6 +82,7 @@ PROBE_QUERIES = [
     "temperature_mix",
     "salted_skew_join",
     "two_phase_distinct",
+    "last_touch_attribution",
 ]
 
 
