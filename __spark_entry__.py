@@ -3078,6 +3078,55 @@ FROM events GROUP BY event_type
 """
 
 
+_MASK_RATE = 0.15
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style deterministic span corruption (augment.span_corruption):
+    ~15% of tokens masked by md5 bucket of (doc, position) — pure
+    map-pass expression work, no shuffle, no UDF.  Oracle replays the
+    same per-position hash with the arithmetic md5 decode."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        augment,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return augment.span_corruption(
+        d, "doc_id", "text", mask_rate=_MASK_RATE, seed=0
+    )
+
+
+def _oracle_span_corruption() -> str:
+    norm = _NORM_SQL.format(col="text")
+    cut = int(_MASK_RATE * (1 << 32))
+    b = _sql_md5_bucket(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split({norm}, ' '), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(generate_series(1, len(t)),
+                        i -> CASE WHEN {b} < {cut}
+                                  THEN '<extra_id>' ELSE t[i] END),
+         ' ') AS corrupted,
+       coalesce(array_to_string(
+         list_filter(list_transform(generate_series(1, len(t)),
+                                    i -> CASE WHEN {b} < {cut}
+                                              THEN t[i] END),
+                     x -> x IS NOT NULL),
+         ' '), '') AS target,
+       CAST(len(t) AS INT) AS n_tokens,
+       CAST(len(list_filter(generate_series(1, len(t)),
+                            i -> {b} < {cut})) AS INT) AS n_masked
+FROM toks
+"""
+
+
 def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marketing-style last-touch attribution: each purchase joins the
     user's most recent click/view at-or-before it — a per-key as-of
@@ -4649,7 +4698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 134
+    already-green remainder (round-2 set before round-1 set).  All 135
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -4694,6 +4743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_skew_join": q_salted_skew_join,
         "two_phase_distinct": q_two_phase_distinct,
         "last_touch_attribution": q_last_touch_attribution,
+        "span_corruption": q_span_corruption,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -4809,6 +4859,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_skew_join": _oracle_salted_join(),
         "two_phase_distinct": ORACLE_TWO_PHASE_DISTINCT,
         "last_touch_attribution": ORACLE_LAST_TOUCH,
+        "span_corruption": _oracle_span_corruption(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "salted_skew_join",
     "two_phase_distinct",
     "last_touch_attribution",
+    "span_corruption",
 ]
 
 

@@ -138,6 +138,36 @@ def test_temperature_mix_null_stratum_is_a_stratum(spark):
     assert 0 < by["a"] < 200  # larger stratum down-sampled
 
 
+def test_span_corruption_deterministic(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        augment,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 25), (2, "one two")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r.asDict() for r in
+         augment.span_corruption(df, "doc_id", "text", mask_rate=0.3).collect()}
+    b = {r["doc_id"]: r.asDict() for r in
+         augment.span_corruption(df.repartition(7), "doc_id", "text", mask_rate=0.3).collect()}
+    assert a == b  # mask is a pure function of (doc, position)
+    r1 = a[1]
+    assert r1["n_tokens"] == 100
+    assert 10 <= r1["n_masked"] <= 55  # ~30 of 100
+    assert r1["corrupted"].split(" ").count("<extra_id>") == r1["n_masked"]
+    # targets are the masked tokens, in order
+    orig = ("alpha beta gamma delta " * 25).split()
+    corr = r1["corrupted"].split(" ")
+    expect_targets = [o for o, c in zip(orig, corr) if c == "<extra_id>"]
+    assert r1["target"].split(" ") == expect_targets
+    # rate 0 masks nothing, rate 1 masks everything
+    z = augment.span_corruption(df, "doc_id", "text", mask_rate=0.0).collect()
+    assert all(r["n_masked"] == 0 for r in z)
+    full = augment.span_corruption(df, "doc_id", "text", mask_rate=1.0).collect()
+    assert all(r["n_masked"] == r["n_tokens"] for r in full)
+
+
 def test_split_train_holdout_disjoint_exhaustive(spark):
     df = spark.range(0, 2000).withColumnRenamed("id", "k")
     train, hold = sampling.split_train_holdout(df, "k", holdout_fraction=0.1)

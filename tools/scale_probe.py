@@ -83,6 +83,7 @@ PROBE_QUERIES = [
     "salted_skew_join",
     "two_phase_distinct",
     "last_touch_attribution",
+    "span_corruption",
 ]
 
 
