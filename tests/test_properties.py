@@ -83,6 +83,88 @@ def test_minhash_estimates_bounded_and_symmetric_inputs(spark):
         assert r["id_a"] < r["id_b"]
 
 
+def test_band_join_bucketed_equals_plain_random(spark):
+    """The bucketed band join must agree with the plain theta join on
+    random data including zeros, negatives, near-boundary ratios, and
+    NULLs — for several tolerances."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        range_join,
+    )
+
+    rng = random.Random(7)
+    def val(i):
+        r = rng.random()
+        if r < 0.05:
+            return None
+        if r < 0.10:
+            return 0.0
+        if r < 0.15:
+            return -round(rng.uniform(0.1, 50), 3)
+        return round(10 ** rng.uniform(-2, 4), 6)
+
+    left = spark.createDataFrame(
+        [(i, rng.choice("AB"), val(i)) for i in range(150)],
+        "lid long, k string, lv double",
+    )
+    right = spark.createDataFrame(
+        [(i, rng.choice("AB"), val(i)) for i in range(150)],
+        "rid long, k string, rv double",
+    )
+    for tol in (0.01, 0.05, 0.2):
+        plain = sorted(
+            (r["lid"], r["rid"])
+            for r in range_join.band_join(left, right, ["k"], "lv", "rv", tol=tol).collect()
+        )
+        bucketed = sorted(
+            (r["lid"], r["rid"])
+            for r in range_join.band_join(
+                left, right, ["k"], "lv", "rv", tol=tol, bucketed=True
+            ).collect()
+        )
+        assert plain == bucketed, f"tol={tol}"
+
+
+def test_exact_jaccard_matches_python_reference(spark):
+    """Pair-scoped exact Jaccard agrees with a brute-force Python
+    computation on random texts (incl. shingle-less docs)."""
+    rng = random.Random(8)
+    texts = [" ".join(rng.choices(WORDS, k=rng.randint(1, 15))) for _ in range(40)]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    pairs = [(a, b) for a in range(0, 40, 3) for b in range(a + 1, min(a + 5, 40))]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.exact_jaccard_of_pairs(df, pdf, "doc_id", "text", shingle_n=3).collect()}
+
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    assert set(got) == set(pairs)
+    for a, b in pairs:
+        sa, sb = sh(texts[a]), sh(texts[b])
+        want = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+        assert got[(a, b)] == pytest.approx(want), (a, b)
+
+
+def test_shuffle_rank_matches_single_window_reference(spark):
+    """The two-pass bucket+offset construction produces the identical
+    total order as the (non-scalable) single global row_number."""
+    from pyspark.sql import Window
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    fast = {r["k"]: r["shuffle_rank"] for r in
+            sampling.shuffle_rank(df, "k", seed=3, n_buckets=32).collect()}
+    b = (sampling.hash_bucket(F.col("k"), 3) % 32).alias("__b")
+    h2 = sampling.hash_bucket(F.col("k"), 4)
+    w = Window.orderBy(F.col("__b").asc(), h2.asc(), F.col("k").asc())
+    ref = {r["k"]: r["rn"] for r in
+           df.withColumn("__b", b).withColumn("rn", F.row_number().over(w)).collect()}
+    assert fast == ref
+
+
 def test_dedup_exact_idempotent(spark):
     texts = _random_texts(100, 6)
     df = spark.createDataFrame(
