@@ -3074,7 +3074,7 @@ def q_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TWO_PHASE_DISTINCT = """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-FROM events GROUP BY event_type
+FROM events WHERE user_id IS NOT NULL GROUP BY event_type
 """
 
 
@@ -3141,7 +3141,10 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune(spark)
-    e = _t(spark, sf_dir, "events")
+    # NULL users carry no attribution identity: excluded on BOTH sides
+    # (Spark's window partitioning groups NULL keys together but SQL's
+    # ASOF equality join never matches them — pin the semantics)
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     touches = (
         e.filter(F.col("event_type").isin("click", "view"))
         .groupBy("user_id", F.col("ts").alias("tts"))
@@ -3173,11 +3176,13 @@ WITH dedup AS (
   SELECT user_id, ts, event_type,
          row_number() OVER (PARTITION BY user_id, ts
                             ORDER BY event_id DESC) AS rn
-  FROM events WHERE event_type IN ('click', 'view')
+  FROM events
+  WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
 ), t AS (
   SELECT user_id, ts AS tts, event_type AS touch_type FROM dedup WHERE rn = 1
 ), p AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
 )
 SELECT p.event_id, p.user_id, t.touch_type,
        CAST((epoch_us(p.ts) - epoch_us(t.tts)) // 1000000 AS BIGINT) AS lag_s

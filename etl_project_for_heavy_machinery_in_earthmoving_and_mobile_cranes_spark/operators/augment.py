@@ -19,22 +19,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalize_for_dedup
-
-_BUCKETS = 1 << 32
+from .dedup import md5_hash64, normalize_for_dedup
+from .sampling import _BUCKETS
 
 
 def _pos_bucket(id_col: Column, pos: Column, seed: int) -> Column:
-    """32-bit md5 bucket of (seed, doc id, token position) — the
-    per-position analog of dedup.md5_hash64."""
-    key = F.concat(
-        F.lit(f"{seed}:"),
-        id_col.cast("string"),
-        F.lit(":"),
-        pos.cast("string"),
-    )
-    return F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast(
-        "bigint"
+    """32-bit md5 bucket of (seed, doc id, token position) — the shared
+    hash family (dedup.md5_hash64) keyed on 'doc:pos'."""
+    return md5_hash64(
+        F.concat(id_col.cast("string"), F.lit(":"), pos.cast("string")), seed
     )
 
 
@@ -50,25 +43,43 @@ def span_corruption(
     doc d is masked iff md5-bucket(seed, d, i) < rate — deterministic,
     position-independent Bernoulli.  Returns the corrupted text, the
     masked tokens (space-joined, in order — the denoising target), and
-    audit counts."""
+    audit counts.
+
+    The boolean mask array is MATERIALIZED as a projected column before
+    the three outputs derive from it, so each token's md5 evaluates
+    once per row — inlining the mask into transform/filter lambdas
+    would re-evaluate it per consumer (Spark's subexpression
+    elimination skips lambda-variable expressions, and CollapseProject
+    keeps non-cheap multi-use aliases materialized)."""
     cut = int(mask_rate * _BUCKETS)
     idc = F.col(id_col)
     toks = F.filter(
         F.split(normalize_for_dedup(F.col(text_col)), " "), lambda x: x != ""
     )
-
-    def masked(x: Column, i: Column) -> Column:
-        return _pos_bucket(idc, i, seed) < cut
+    mask = F.transform(toks, lambda x, i: _pos_bucket(idc, i, seed) < cut)
+    t = df.select(idc, toks.alias("__t"), mask.alias("__m"))
 
     corrupted = F.array_join(
-        F.transform(toks, lambda x, i: F.when(masked(x, i), sentinel).otherwise(x)),
+        F.zip_with(
+            F.col("__t"), F.col("__m"),
+            lambda x, m: F.when(m, sentinel).otherwise(x),
+        ),
         " ",
     )
-    targets = F.filter(toks, masked)
-    return df.select(
+    targets = F.transform(
+        F.filter(
+            F.zip_with(
+                F.col("__t"), F.col("__m"),
+                lambda x, m: F.struct(x.alias("x"), m.alias("m")),
+            ),
+            lambda p: p.getField("m"),
+        ),
+        lambda p: p.getField("x"),
+    )
+    return t.select(
         idc,
         corrupted.alias("corrupted"),
         F.array_join(targets, " ").alias("target"),
-        F.size(toks).cast("int").alias("n_tokens"),
-        F.size(targets).cast("int").alias("n_masked"),
+        F.size("__t").cast("int").alias("n_tokens"),
+        F.size(F.filter(F.col("__m"), lambda m: m)).cast("int").alias("n_masked"),
     )

@@ -47,9 +47,12 @@ def two_phase_count_distinct(
 ) -> DataFrame:
     """count(DISTINCT x) per group without funnelling each group's full
     value set through one reducer: phase 1 dedups on (key, value) —
-    spread across partitions — phase 2 counts per key."""
+    spread across partitions — phase 2 counts per key.  NULL values are
+    excluded, matching SQL ``count(DISTINCT x)`` (a NULL-counting
+    variant would silently disagree with every SQL engine)."""
     return (
         df.select(group_key, distinct_col)
+        .filter(F.col(distinct_col).isNotNull())
         .dropDuplicates([group_key, distinct_col])
         .groupBy(group_key)
         .agg(F.count("*").alias(f"n_distinct_{distinct_col}"))

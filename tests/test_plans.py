@@ -227,6 +227,28 @@ def test_tfidf_no_midplan_action(spark, sf_dir):
     assert after == before, "plan construction ran a job"
 
 
+def test_salted_join_plan_shape(spark):
+    """Plan contract for skew.salted_join: the join key set includes the
+    salt column (hot keys spread across num_salts hash partitions) and
+    the dim side explodes — never a plain single-key join and never a
+    nested-loop fallback."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        skew,
+    )
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 10_000).select(
+        (F.col("id") % 5).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.createDataFrame(
+        [(str(i), f"d{i}") for i in range(5)], "k string, payload string"
+    )
+    out = skew.salted_join(fact, dim, "k", num_salts=8, salt_source="v")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
     """A selective filter on the build side of a shuffle join is
     rewritten into a bloom filter evaluated at the probe side's scan —
