@@ -23,27 +23,9 @@ from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sess
     get_spark,
 )
 
-# single source of truth for the table registry (adding a table there
-# covers this audit too)
-from tools.check_oracle import TABLES  # noqa: E402
-
-# type-class buckets: mismatch across buckets (or HUGEINT/DECIMAL on the
-# duck side vs non-decimal spark side) is a hash risk.
-def bucket(t: str) -> str:
-    t = t.lower()
-    if "hugeint" in t:
-        return "HUGEINT"
-    if t.startswith("decimal"):
-        return "decimal"
-    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
-        return "int"
-    if t in ("float", "double", "real", "double precision"):
-        return "float"
-    if t.startswith("timestamp"):
-        return "timestamp"
-    if t in ("string", "varchar", "text"):
-        return "str"
-    return t
+# single source of truth for the table registry and the type-class
+# buckets (the gate checker runs the same audit inline per query)
+from tools.check_oracle import TABLES, type_bucket as bucket  # noqa: E402
 
 
 def main() -> None:

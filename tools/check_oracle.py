@@ -41,6 +41,25 @@ def norm_val(v):
     return v
 
 
+def type_bucket(t: str) -> str:
+    """Coarse type classes for the Spark-vs-DuckDB result audit."""
+    t = t.lower()
+    if "hugeint" in t:
+        return "HUGEINT"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long",
+             "uinteger", "ubigint", "usmallint", "utinyint"):
+        return "int" if not t.startswith("u") else "uint"
+    if t in ("float", "double", "real", "double precision"):
+        return "float"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t in ("string", "varchar", "text"):
+        return "str"
+    return t
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_val(r[i]) for i in order) for r in rows]
@@ -70,6 +89,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = dict(sdf.dtypes)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
@@ -79,6 +99,8 @@ def main():
             print(f"SKIP-ORACLE {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
             continue
         try:
+            rel = con.sql(f"SELECT * FROM ({oracles[name]}) LIMIT 0")
+            dtypes = dict(zip(rel.columns, (str(t) for t in rel.types)))
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
@@ -94,6 +116,19 @@ def main():
         if sorted(scols) != sorted(dcols):
             ok = False
             msgs.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if ok:
+            # type-class audit: the driver hashes TYPED values, so a
+            # value-equal result can still hash-red when DuckDB widens a
+            # type Spark does not (sum(BIGINT) -> HUGEINT was the round-2
+            # domain_mix_sample failure; regr_count -> UINTEGER etc.)
+            tmism = [
+                f"{c}: spark {stypes[c]} vs duck {dtypes.get(c)}"
+                for c in scols
+                if c in dtypes and type_bucket(stypes[c]) != type_bucket(dtypes[c])
+            ]
+            if tmism:
+                ok = False
+                msgs.append("type-class mismatch (driver hash risk): " + "; ".join(tmism))
         if ok:
             cs, cd = canon(srows, scols), canon(drows, dcols)
             mismatch = [
