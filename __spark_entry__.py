@@ -1644,6 +1644,82 @@ WHERE c / (sa.sz + sb.sz - c) >= {_FAST_DUP_THRESHOLD}
 """
 
 
+def q_near_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL — the composition a corpus
+    pipeline actually ships: xxhash64 LSH candidates → exact-Jaccard
+    verify (≥ 0.8) → connected components → drop every non-minimum
+    cluster member → per-source audit of the surviving corpus.  Each
+    stage is the individually-gate-verified operator (minhash_pairs_fast
+    edges, dedup_clusters components); the oracle recomputes the same
+    fixpoint from exact all-pairs Jaccard via a recursive closure."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        d, "doc_id", "text",
+        num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE, hash_fn="xxhash64",
+    ).localCheckpoint(eager=True)
+    cand = dedup.lsh_similar_pairs(
+        sigs, "doc_id", num_hashes=_MH_HASHES, bands=_MH_HASHES
+    ).filter(F.col("est_jaccard") >= 3.0 / _MH_HASHES).localCheckpoint(eager=True)
+    exact = dedup.exact_jaccard_of_pairs(
+        d, cand, "doc_id", "text", shingle_n=_MH_SHINGLE
+    )
+    pairs = exact.filter(F.col("jaccard") >= _FAST_DUP_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    comps = dedup.connected_components(pairs)
+    drops = comps.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = d.join(drops, "doc_id", "left_anti")
+    return kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+def _oracle_near_dup_removal() -> str:
+    norm = _NORM_SQL.format(col="text")
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM sh_raw
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c / (sa.sz + sb.sz - c) >= {_FAST_DUP_THRESHOLD}
+), bidir AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), nodes AS (SELECT DISTINCT src AS n FROM bidir),
+reach(a, b) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN bidir e ON e.src = r.b
+),
+lab AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY 1),
+drops AS (SELECT node FROM lab WHERE node <> label)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d LEFT JOIN drops ON d.doc_id = drops.node
+WHERE drops.node IS NULL
+GROUP BY d.source
+"""
+
+
 def _oracle_minhash_pairs() -> str:
     eqs = " OR ".join(f"a.mh_{i} = b.mh_{i}" for i in range(_MH_HASHES))
     matches = " + ".join(
@@ -4703,7 +4779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 135
+    already-green remainder (round-2 set before round-1 set).  All 136
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -4749,6 +4825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_phase_distinct": q_two_phase_distinct,
         "last_touch_attribution": q_last_touch_attribution,
         "span_corruption": q_span_corruption,
+        "near_dup_removal": q_near_dup_removal,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -4865,6 +4942,7 @@ def oracle_sql() -> dict[str, str]:
         "two_phase_distinct": ORACLE_TWO_PHASE_DISTINCT,
         "last_touch_attribution": ORACLE_LAST_TOUCH,
         "span_corruption": _oracle_span_corruption(),
+        "near_dup_removal": _oracle_near_dup_removal(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "two_phase_distinct",
     "last_touch_attribution",
     "span_corruption",
+    "near_dup_removal",
 ]
 
 

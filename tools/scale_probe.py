@@ -84,6 +84,7 @@ PROBE_QUERIES = [
     "two_phase_distinct",
     "last_touch_attribution",
     "span_corruption",
+    "near_dup_removal",
 ]
 
 
