@@ -36,6 +36,33 @@ def test_asof_union_matches_broadcast(spark):
     assert {r["id"]: r["rate"] for r in out.collect()} == want
 
 
+def test_asof_strategies_agree_on_random_keyed_data(spark):
+    """Cross-strategy property: the broadcast and union-merge as-of
+    implementations must produce identical results on random keyed
+    data — two independent algorithms checking each other."""
+    import random
+
+    rng = random.Random(42)
+    left = spark.createDataFrame(
+        [(i, rng.choice("XYZ"), rng.randint(0, 10_000)) for i in range(300)],
+        "id long, k string, t long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("t"))).drop("t")
+    right = spark.createDataFrame(
+        [(rng.choice("XYZ"), rng.randint(0, 10_000), round(rng.uniform(0, 9), 3))
+         for _ in range(60)],
+        "k string, rt long, rate double",
+    ).withColumn("rts", F.timestamp_seconds(F.col("rt"))).drop("rt")
+    # dedup (k, rts) so the carried payload is unambiguous for both
+    right = right.groupBy("k", "rts").agg(F.max("rate").alias("rate"))
+
+    a = {r["id"]: r["rate"] for r in asof.asof_join_broadcast(
+        left, right, "ts", "rts", payload=["rate"], on=("k",)).collect()}
+    b = {r["id"]: r["rate"] for r in asof.asof_join_union(
+        left, right, "ts", "rts", payload=["rate"], on=("k",)).collect()}
+    assert a == b
+    assert len(a) == 300
+
+
 def test_connected_components(spark):
     # two chains and an isolated pair: {1,2,3,4} {10,11} {20,21,22}
     pairs = spark.createDataFrame(
