@@ -165,6 +165,83 @@ def test_shuffle_rank_matches_single_window_reference(spark):
     assert fast == ref
 
 
+def test_interval_overlap_matches_brute_force(spark):
+    """Bucketed interval-overlap join agrees with the O(n·m) cross-join
+    reference on random half-open intervals, across grain choices."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        range_join,
+    )
+
+    rng = random.Random(11)
+
+    def intervals(n, prefix):
+        rows = []
+        for i in range(n):
+            s = rng.randint(0, 5000)
+            rows.append((i, s, s + rng.randint(1, 400)))
+        return rows
+
+    left = spark.createDataFrame(intervals(80, "l"), "lid long, s long, e long").select(
+        "lid",
+        F.timestamp_seconds(F.col("s")).alias("ls"),
+        F.timestamp_seconds(F.col("e")).alias("le"),
+    )
+    right = spark.createDataFrame(intervals(80, "r"), "rid long, s long, e long").select(
+        "rid",
+        F.timestamp_seconds(F.col("s")).alias("rs"),
+        F.timestamp_seconds(F.col("e")).alias("re"),
+    )
+    brute = sorted(
+        (r["lid"], r["rid"])
+        for r in left.crossJoin(right)
+        .filter((F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le")))
+        .collect()
+    )
+    for grain in (60, 300, 1000):
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in range_join.interval_overlap_join(
+                left, right, "ls", "le", "rs", "re", grain_seconds=grain
+            ).collect()
+        )
+        assert got == brute, f"grain={grain}"
+
+
+def test_containment_strategies_agree_on_random_tokens(spark):
+    """broadcast and token containment strategies agree whenever the
+    needles are token-anchored (single words here) — random data."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        fuzzy_join,
+    )
+
+    rng = random.Random(12)
+    fact = spark.createDataFrame(
+        [(i, " ".join(rng.choices(WORDS, k=rng.randint(2, 8)))) for i in range(120)],
+        "fid long, txt string",
+    )
+    # needles must be token-anchored AND not substrings of other vocab
+    # words ('X' ⊂ 'EXCAVATOR', 'USED' ⊂ 'UNUSED' would legitimately
+    # diverge: broadcast is substring containment, token is anchored)
+    anchored = [
+        w for w in WORDS if not any(w in o and w != o for o in WORDS)
+    ]
+    dim = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(rng.sample(anchored, 8))],
+        "prio int, needle string",
+    )
+
+    def run(**kw):
+        out = fuzzy_join.containment_lookup(
+            fact, "fid", ["txt"], dim, "needle", ["needle"], [F.col("prio")], **kw
+        )
+        return sorted((r["fid"], r["needle"]) for r in out.collect())
+
+    a = run()
+    b = run(strategy="token")
+    c = run(strategy="token", broadcast_dim=False)
+    assert a == b == c
+
+
 def test_dedup_exact_idempotent(spark):
     texts = _random_texts(100, 6)
     df = spark.createDataFrame(
