@@ -197,6 +197,63 @@ def test_xlsx_lite_writer_roundtrip(tmp_path):
     assert xlsx_lite.read_xlsx_rows(p) == rows
 
 
+def test_xlsx_lite_roundtrip_fuzz(tmp_path):
+    """Random payload fuzz of the xlsx codec: unicode (incl. the
+    Turkish dotted-İ the reference data contains), xml-escapables,
+    whitespace preservation, booleans, negative/large floats, Nones."""
+    import random
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        xlsx_lite,
+    )
+
+    rng = random.Random(99)
+    pool = ["VİNCE", "a<&>'\"b", "  lead/trail  ", "plain", "çöğüş", "漢字",
+            "line1 line2", "#", "=SUM(A1)"]
+
+    def cell(r, c):
+        kind = rng.randint(0, 5)
+        if kind == 0:
+            return None
+        if kind == 1:
+            return rng.randint(-10**12, 10**12)
+        if kind == 2:
+            return round(rng.uniform(-1e6, 1e6), 6)
+        if kind == 3:
+            return rng.random() < 0.5
+        return rng.choice(pool)
+
+    header = [f"c{i}" for i in range(6)]
+    rows = [header] + [[cell(r, c) for c in range(6)] for r in range(40)]
+    p = str(tmp_path / "fuzz.xlsx")
+    xlsx_lite.write_xlsx_rows(p, rows)
+    got = xlsx_lite.read_xlsx_rows(p)
+    assert got == rows
+
+
+def test_image_codec_roundtrip_fuzz():
+    """Random-dimension PPM/BMP round-trips, incl. widths that exercise
+    every BMP row-padding residue (w%4 in 0..3) and 1-pixel images."""
+    import random
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        multimodal,
+    )
+
+    rng = random.Random(100)
+    dims = [(1, 1), (2, 1), (3, 2), (4, 3), (5, 4)] + [
+        (rng.randint(1, 40), rng.randint(1, 40)) for _ in range(10)
+    ]
+    for w, h in dims:
+        pixels = bytes(rng.randrange(256) for _ in range(3 * w * h))
+        assert multimodal.decode_image_header(
+            multimodal.encode_ppm(w, h, pixels)
+        ) == ("ppm", w, h)
+        assert multimodal.decode_image_header(
+            multimodal.encode_bmp(w, h, pixels)
+        ) == ("bmp", w, h)
+
+
 def test_xlsx_python_datasource(spark, tmp_path):
     """format('xlsx') via the Spark 4 Python Data Source API: per-file
     partitions, typed schema, header handling — no openpyxl anywhere."""
