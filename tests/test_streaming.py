@@ -179,6 +179,65 @@ def test_upsert_stream_latest_per_key(spark, event_dir, tmp_path):
     assert got == want
 
 
+def test_watermark_append_finalizes_once_and_drops_post_eviction_stragglers(
+    spark, tmp_path
+):
+    """The watermark guarantees streaming actually makes (asserted as
+    micro-batches via maxFilesPerTrigger=1, append mode):
+    1. a window is emitted EXACTLY ONCE, after the watermark passes its
+       end — never re-emitted, never resurrected by a straggler whose
+       window was already finalized and its state evicted;
+    2. windows the watermark has not yet passed are withheld.
+    (Spark's documented guarantee is one-directional: data within the
+    delay is never dropped; data later than the delay MAY still be
+    aggregated while the window's state is live — so the assertable
+    contract is finalize-once + no-resurrection, not eager dropping.)"""
+    import datetime as dt
+    import os
+    import time
+
+    from pyspark.sql import Row
+
+    in_dir = tmp_path / "late_in"
+    in_dir.mkdir()
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            [Row(event_id=i, ts=t, user_id=1, event_type="click",
+                 value=1.0, props=None) for i, t in rows],
+            jobs.EVENTS_SCHEMA,
+        ).coalesce(1)
+        p = str(in_dir / name)
+        df.write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (mtime, mtime))
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    now = time.time()
+    # batch 0: hours 02 and 09 -> watermark afterwards = 08:00
+    write_file("f1", [(1, ts(2, 15)), (2, ts(9, 0))], now - 100)
+    # batch 1: 10:30 -> watermark 09:30 passes window 02's end, so the
+    # 02:00 window finalizes (emitted once, n=1) and its state evicts
+    write_file("f2", [(4, ts(10, 30))], now - 50)
+    # batch 2: a 02:45 straggler aimed at the FINALIZED window + 14:00
+    # to push the watermark past windows 09 and 10
+    write_file("f3", [(5, ts(2, 45)), (6, ts(14, 0))], now - 20)
+
+    stream = jobs.read_event_stream(spark, str(in_dir / "*"), max_files_per_trigger=1)
+    got = jobs.run_available_now(
+        jobs.hourly_type_counts(stream, watermark="1 hour"),
+        str(tmp_path / "cp_late"),
+        output_mode="append",
+    )
+    emissions = sorted((r["wstart"].hour, r["n"]) for r in got)
+    # finalize-once: window 02 appears exactly once with the pre-eviction
+    # count; the post-eviction straggler neither duplicated nor
+    # resurrected it.  Window 14 is withheld (watermark never passed it).
+    assert emissions == [(2, 1), (9, 1), (10, 1)]
+
+
 def test_eventgen_streaming_source_deterministic(spark, tmp_path):
     """Spark 4 Python streaming Data Source: bounded drain produces the
     exact deterministic rows, split across multiple microbatches."""
