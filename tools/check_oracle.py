@@ -3,6 +3,12 @@
 row count, column-name set, and order-insensitive values.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --exact [sf_dir] [query ...]
+
+``--exact`` compares floats bit-for-bit (no 9-dp rounding tolerance) —
+the driver hashes exact typed values, so this is the honest local
+stand-in; the default tolerance exists only for quick triage of WHERE
+a mismatch comes from.  As of round 3 all queries pass --exact.
 """
 
 from __future__ import annotations
@@ -27,13 +33,16 @@ TABLES = [
 ]
 
 
+EXACT = False
+
+
 def norm_val(v):
     if isinstance(v, Decimal):
         v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        return v if EXACT else round(v, 9)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
@@ -68,8 +77,13 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global EXACT
+    args = sys.argv[1:]
+    if args and args[0] == "--exact":
+        EXACT = True
+        args = args[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
