@@ -848,6 +848,60 @@ FROM ranked WHERE rn <= 5
 """
 
 
+_SEMDEDUP_TAU = 0.4
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup embedding-space dedup through the driver gate: nearest-
+    centroid cell assignment (deterministic md5 centroids so the oracle
+    can inline the SAME literals), then within each cell drop vectors
+    with a lower-id cell-mate at cosine >= tau.  Exercises the full
+    cell-scoped candidate join — sum(|cell|^2) work, never N^2 — plus
+    the keep-lowest-id survivor rule.  tau matches the corpus's
+    near-dup band (embedding_near_dup) so both kept branches appear.
+    Reference has no embedding ops (prog.py is pandas-only); this is
+    training-data surface."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.det_centroids(_IVF_SEED, _IVF_CELLS, _SRP_DIM)
+    out = similarity.semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=cents, tau=_SEMDEDUP_TAU,
+    )
+    return out.select("vec_id", "cell", "kept")
+
+
+def _oracle_semantic_dedup() -> str:
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.similarity import (
+        det_centroids,
+    )
+
+    cents = det_centroids(_IVF_SEED, _IVF_CELLS, _SRP_DIM)
+    rows = ", ".join(f"({i}, {c!r}::DOUBLE[])" for i, c in enumerate(cents))
+    return f"""
+WITH cent(cell, cv) AS (VALUES {rows}),
+d AS (
+  SELECT e.vec_id, e.embedding, cent.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                      - 2 * list_dot_product(e.embedding::DOUBLE[], cent.cv)
+                      + list_dot_product(cent.cv, cent.cv), cent.cell) AS rn
+  FROM embeddings e CROSS JOIN cent
+),
+cells AS (SELECT vec_id, embedding, cell FROM d WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT r.vec_id
+  FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id
+  WHERE list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) /
+        (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[])) *
+         sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[])))
+        >= {_SEMDEDUP_TAU}
+)
+SELECT c.vec_id, c.cell, (dr.vec_id IS NULL) AS kept
+FROM cells c LEFT JOIN dropped dr ON c.vec_id = dr.vec_id
+"""
+
+
 def q_weight_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 bucketed band join: for each part, count same-brand parts
     whose retail price lies within ±5% (self included).  Runs the
@@ -3528,6 +3582,55 @@ SELECT doc_id, lang_guess, quality, q_rank FROM r WHERE q_rank >= 0.5
 """
 
 
+_QLOGIT_THRESHOLD = 1.5  # splits this corpus (logit range 0.03..2.45)
+
+
+def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality classification: a fastText-style LINEAR
+    scorer (literal weights standing in for a trained model) over five
+    JVM-computed features — one whole-stage-codegen map pass, the way
+    production pipelines run first-pass quality models over 100 TB.
+    The oracle replays featurize → logit → sigmoid → threshold with the
+    same literals and the same evaluation order (bit-exact doubles)."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    out = textstats.with_quality_logit(d, "text", threshold=_QLOGIT_THRESHOLD)
+    return out.select("doc_id", "logit", "p_keep", "keep")
+
+
+def _oracle_quality_logit() -> str:
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.textstats import (
+        QUALITY_LOGIT_WEIGHTS as W,
+        STOPWORDS,
+    )
+
+    sw = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    return rf"""
+WITH f AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_tok,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> list_contains({sw}, x))) AS s_en,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+         length(text) AS n_len
+  FROM documents
+), z AS (
+  SELECT doc_id,
+         {W['bias']} + {W['len_score']} * least(n_tok / 50.0, 1.0)
+                     + {W['stopword_ratio']} * (s_en / greatest(n_tok, 1))
+                     + {W['punct_ratio']} * (n_punct / greatest(n_len, 1))
+                     + {W['digit_ratio']} * (n_digit / greatest(n_len, 1))
+                     + {W['mean_word_len']} * (n_nonws / greatest(n_tok, 1)) AS zv
+  FROM f
+)
+SELECT doc_id, round(zv, 6) AS logit,
+       round(1.0 / (1.0 + exp(-zv)), 6) AS p_keep,
+       zv >= {_QLOGIT_THRESHOLD} AS keep
+FROM z
+"""
+
+
 def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated top-2 orders per customer via Spark 4 lateralJoin
     (CROSS APPLY): the per-row subquery shape window functions can't
@@ -4779,7 +4882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 136
+    already-green remainder (round-2 set before round-1 set).  All 138
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -4826,6 +4929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_touch_attribution": q_last_touch_attribution,
         "span_corruption": q_span_corruption,
         "near_dup_removal": q_near_dup_removal,
+        "semantic_dedup": q_semantic_dedup,
+        "quality_logit": q_quality_logit,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -4943,6 +5048,8 @@ def oracle_sql() -> dict[str, str]:
         "last_touch_attribution": ORACLE_LAST_TOUCH,
         "span_corruption": _oracle_span_corruption(),
         "near_dup_removal": _oracle_near_dup_removal(),
+        "semantic_dedup": _oracle_semantic_dedup(),
+        "quality_logit": _oracle_quality_logit(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

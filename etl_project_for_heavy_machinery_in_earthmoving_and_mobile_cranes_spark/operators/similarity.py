@@ -588,3 +588,82 @@ def assign_to_nearest(
         .withColumn(sim_out, F.col("__best.s"))
         .drop("__vnorm", "__best")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 16,
+    tau: float = 0.97,
+    seed: int = 7,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style embedding-space deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its nearest-centroid cell,
+    then within each cell drop any vector whose cosine similarity to a
+    LOWER-ID cell-mate is >= ``tau``.  The lowest id in every semantic
+    near-duplicate neighborhood survives, so the rule is deterministic,
+    order-independent, and replayable in plain SQL (the driver oracle
+    inlines the centroid literals and reproduces cell assignment +
+    pairwise scoring exactly).
+
+    Returns the input rows with two added columns: ``cell`` (int, the
+    coarse-quantizer cell) and ``kept`` (boolean, false for dropped
+    semantic duplicates).
+
+    Scale design (the reason this beats pairwise cosine dedup at
+    100 TB): the candidate self-join is an equi hash join on cell id —
+    cost sum(|cell|^2) instead of N^2 — and cell assignment is the
+    shuffle-free literal-argmax map pass from ``assign_cells`` (no
+    model broadcast, no crossJoin).  Centroids train on a tiny sample
+    (``train_ivf_centroids``); more cells => smaller cells => cheaper
+    pairs at a small recall cost, the same dial SemDeDup exposes.
+    ``max_cell`` mirrors ``lsh_similar_pairs(max_bucket=...)`` /
+    ``ngram_jaccard_pairs(max_df=...)``: cells larger than the cap skip
+    pairwise comparison entirely (all rows kept) — a giant cell means
+    the quantizer failed to discriminate there, and a quadratic
+    comparison inside it is cost without signal; re-train with more
+    cells instead of melting the join.
+
+    Reference scope note: the reference pipeline has no embedding ops
+    at all (single-process pandas, prog.py) — this operator is part of
+    the training-data surface layered on top of its query semantics.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, n_cells=n_cells, seed=seed)
+    cells = assign_cells(
+        df.select(F.col(id_col), F.col(vec_col)), vec_col, centroids, nprobe=1
+    )
+    pairable = cells
+    if max_cell is not None:
+        sizes = cells.groupBy("__cell").agg(F.count("*").alias("__csize"))
+        pairable = (
+            cells.join(F.broadcast(sizes), on="__cell")
+            .filter(F.col("__csize") <= F.lit(max_cell))
+            .drop("__csize")
+        )
+    left = pairable.select(
+        F.col(id_col).alias("__lid"), F.col(vec_col).alias("__lv"), "__cell"
+    )
+    right = pairable.select(
+        F.col(id_col).alias("__rid"), F.col(vec_col).alias("__rv"), "__cell"
+    )
+    dropped = (
+        left.join(right, on="__cell")
+        .filter(F.col("__lid") < F.col("__rid"))
+        .filter(cosine(F.col("__lv"), F.col("__rv")) >= F.lit(tau))
+        .select(F.col("__rid").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        cells.join(dropped, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__cell").alias("cell"),
+            F.col("__dup").isNull().alias("kept"),
+        )
+    )

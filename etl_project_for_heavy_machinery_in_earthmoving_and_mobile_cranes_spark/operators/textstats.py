@@ -433,3 +433,76 @@ def bigram_pmi(
     return joined.select(
         "x", "y", "c_xy", F.round(F.log(ratio), 6).alias("pmi")
     )
+
+
+# ---------------------------------------------------------------------------
+# model-based quality classification (fastText-style linear scorer)
+# ---------------------------------------------------------------------------
+
+# Default weights for the linear quality classifier.  In production these
+# come from a trained model (fastText / logistic regression on labeled
+# pages, the CCNet/LLaMA recipe); here they are literals because the
+# ENGINE side of that recipe is the interesting part: featurize + score +
+# threshold must be one JVM map pass over the corpus, no model server,
+# no Python.  Insertion order is the evaluation order on both engines
+# (bit-for-bit reproducible logit).
+QUALITY_LOGIT_WEIGHTS: dict[str, float] = {
+    "bias": -1.0,
+    "len_score": 2.2,        # least(n_tokens/50, 1): reward substance
+    "stopword_ratio": 4.0,   # natural-language-ness
+    "punct_ratio": -6.0,     # punctuation soup
+    "digit_ratio": -2.0,     # tables/serial dumps
+    "mean_word_len": 0.15,   # mild reward for real words vs single chars
+}
+
+
+def digit_ratio(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, r"[^0-9]", "")) / F.greatest(
+        F.length(col), F.lit(1)
+    )
+
+
+def mean_word_len(col: Column) -> Column:
+    """Mean non-whitespace chars per whitespace token."""
+    return F.length(F.regexp_replace(col, r"\s", "")) / F.greatest(
+        token_count(col), F.lit(1)
+    )
+
+
+def quality_logit(col: Column, weights: dict[str, float] | None = None) -> Column:
+    """Linear quality score (the pre-sigmoid logit) over cheap JVM-side
+    features.  Whole-stage-codegen'd expression — a 100 TB corpus scores
+    in one map-only pass, which is exactly why production pipelines
+    distill big quality models into linear scorers for the first pass."""
+    w = weights or QUALITY_LOGIT_WEIGHTS
+    n_tok = token_count(col)
+    feats = {
+        "len_score": F.least(n_tok / F.lit(50.0), F.lit(1.0)),
+        "stopword_ratio": stopword_ratio(col, "en"),
+        "punct_ratio": punct_ratio(col),
+        "digit_ratio": digit_ratio(col),
+        "mean_word_len": mean_word_len(col),
+    }
+    z: Column = F.lit(float(w["bias"]))
+    for name, feat in feats.items():
+        z = z + F.lit(float(w[name])) * feat
+    return z
+
+
+def with_quality_logit(
+    df: DataFrame,
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Attach ``logit``, ``p_keep`` (sigmoid, 6 dp) and ``keep``
+    (logit >= threshold — thresholded on the raw logit, not the rounded
+    probability, so the decision boundary is exact)."""
+    z = quality_logit(F.col(text_col), weights)
+    return (
+        df.withColumn("__z", z)
+        .withColumn("p_keep", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z"))), 6))
+        .withColumn("keep", F.col("__z") >= F.lit(float(threshold)))
+        .withColumn("logit", F.round("__z", 6))
+        .drop("__z")
+    )

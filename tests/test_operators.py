@@ -411,6 +411,28 @@ def test_brute_force_vs_lsh_knn(spark, sf_dir):
     assert len(er & ar) >= 3
 
 
+def test_semantic_dedup_keeps_lowest_id_per_neighborhood(spark):
+    # cell 0 centroid (1,0); cell 1 centroid (0,1).  ids 1/2 are semantic
+    # twins in cell 0 (cos≈0.99), id 3 shares the cell but sits below tau,
+    # ids 4/5 are twins in cell 1.  Lowest id of each twin pair survives.
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.14]), (3, [0.6, -0.8]),
+         (4, [0.1, 1.0]), (5, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = {r["vec_id"]: (r["cell"], r["kept"]) for r in
+           similarity.semantic_dedup(df, centroids=cents, tau=0.9).collect()}
+    assert got == {1: (0, True), 2: (0, False), 3: (0, True),
+                   4: (1, True), 5: (1, False)}
+    # max_cell cap: every cell exceeds the cap → pairwise stage is skipped
+    # entirely and all rows are kept (the documented giant-cell escape)
+    capped = {r["vec_id"]: r["kept"] for r in
+              similarity.semantic_dedup(
+                  df, centroids=cents, tau=0.9, max_cell=1).collect()}
+    assert all(capped.values())
+
+
 def test_textstats_columns(spark):
     df = spark.createDataFrame(
         [(1, "the quick fox is in the yard for a while")], "doc_id long, text string"
@@ -421,6 +443,22 @@ def test_textstats_columns(spark):
     assert r["lang_guess"] == "en"
     assert len(r["fingerprint"]) == 32
     assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_quality_logit_orders_prose_above_junk(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox is in the yard and it waits for a meal"),
+         (2, "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( )))"),
+         (3, "123456 789012 345678 901234 567890")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           textstats.with_quality_logit(df, threshold=0.0).collect()}
+    assert out[1]["logit"] > out[2]["logit"]
+    assert out[1]["logit"] > out[3]["logit"]
+    assert out[1]["keep"] and not out[2]["keep"]
+    # p_keep is a probability and monotone in the logit
+    assert 0.0 <= out[2]["p_keep"] <= out[1]["p_keep"] <= 1.0
 
 
 def test_lang_id_tie_and_unknown(spark):
