@@ -3143,6 +3143,56 @@ GROUP BY d.source
 """
 
 
+_EPOCHS = {"src0": 2.0, "src1": 1.5, "src2": 0.3, "src3": 0.0}
+_EPOCHS_DEFAULT = 1.0
+_EPOCH_BUCKETS = 1 << 32
+
+
+def q_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted mixture replication (sampling.epoch_replicate):
+    the "N epochs per source" training-mix recipe — src0 seen twice,
+    src1 1.5x (every doc once, a deterministic hash-chosen half twice),
+    src2 down to 0.3 of an epoch, src3 excluded, everything else one
+    epoch.  One narrow map + explode, no shuffle; the oracle replays
+    the per-stratum (base, fractional-threshold) CASE and the md5
+    membership, then regenerates copy indexes with generate_series."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = sampling.epoch_replicate(
+        d, "doc_id", "source", _EPOCHS, default_epochs=_EPOCHS_DEFAULT, seed=0
+    )
+    return out.select("doc_id", "source", "copy")
+
+
+def _oracle_epoch_mixture() -> str:
+    def split(e: float) -> tuple[int, int]:
+        return int(e), int(round((e - int(e)) * _EPOCH_BUCKETS))
+
+    base_cases = " ".join(
+        f"WHEN source = '{s}' THEN {split(e)[0]}" for s, e in sorted(_EPOCHS.items())
+    )
+    cut_cases = " ".join(
+        f"WHEN source = '{s}' THEN {split(e)[1]}" for s, e in sorted(_EPOCHS.items())
+    )
+    dbase, dcut = split(_EPOCHS_DEFAULT)
+    return f"""
+WITH n_per AS (
+  SELECT doc_id, source,
+         (CASE {base_cases} ELSE {dbase} END)
+         + (CASE WHEN {_sql_md5_bucket('doc_id')}
+                      < (CASE {cut_cases} ELSE {dcut} END)
+                 THEN 1 ELSE 0 END) AS n
+  FROM documents
+)
+SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS INT) AS copy
+FROM n_per
+"""
+
+
 _TIER_DIM = [
     ("click", "engagement"), ("view", "engagement"),
     ("signup", "conversion"), ("purchase", "conversion"),
@@ -4882,7 +4932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 138
+    already-green remainder (round-2 set before round-1 set).  All 139
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -4931,6 +4981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_removal": q_near_dup_removal,
         "semantic_dedup": q_semantic_dedup,
         "quality_logit": q_quality_logit,
+        "epoch_mixture": q_epoch_mixture,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -5050,6 +5101,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_removal": _oracle_near_dup_removal(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "quality_logit": _oracle_quality_logit(),
+        "epoch_mixture": _oracle_epoch_mixture(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -212,3 +212,48 @@ def weighted_sample_topk(
         .orderBy(F.col(score_col).desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def epoch_replicate(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+    seed: int = 0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Epoch-weighted corpus replication — the "N epochs per source"
+    data-mixture recipe (2 epochs of the curated source, 0.3 of the
+    bulk crawl, ...).  Every row of stratum s is emitted floor(e_s) or
+    ceil(e_s) times so the EXPECTED replication is exactly e_s; the
+    fractional extra copy is granted by the row-pure md5 hash, so
+    membership of the "partial epoch" is deterministic across reruns,
+    repartitionings, and engines (same contract as ``hash_sample``).
+    Output rows carry ``copy`` = 1..n; e_s < 1 strata become a plain
+    deterministic subsample (some rows emit zero copies).
+
+    Scale design: per-stratum (base, fractional-threshold) pairs are
+    computed driver-side from the literal ``epochs`` dict and compiled
+    into two flat CASE expressions — the whole operator is one narrow
+    map + explode, no shuffle, no join, no aggregate; output size is
+    sum_s e_s * n_s by construction.  NULL strata take the default
+    epoch count.
+    """
+    def split(e: float) -> tuple[int, int]:
+        base = int(e)
+        return base, int(round((e - base) * _BUCKETS))
+
+    dbase, dcut = split(float(default_epochs))
+    base_col: Column = F.lit(dbase)
+    cut_col: Column = F.lit(dcut)
+    for s, e in sorted(epochs.items()):
+        b, c = split(float(e))
+        base_col = F.when(F.col(strata_col) == F.lit(s), F.lit(b)).otherwise(base_col)
+        cut_col = F.when(F.col(strata_col) == F.lit(s), F.lit(c)).otherwise(cut_col)
+    extra = (hash_bucket(F.col(key_col), seed) < cut_col.cast("bigint")).cast("int")
+    n = (base_col + extra).alias("__n")
+    copies = F.when(
+        n >= 1, F.sequence(F.lit(1), n)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(copy_col, F.explode(copies))

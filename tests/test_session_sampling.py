@@ -138,6 +138,32 @@ def test_temperature_mix_null_stratum_is_a_stratum(spark):
     assert 0 < by["a"] < 200  # larger stratum down-sampled
 
 
+def test_epoch_replicate_counts_and_determinism(spark):
+    rows = [(i, "a" if i < 100 else "b" if i < 200 else "c")
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.epoch_replicate(
+        df, "doc_id", "source", {"a": 2.0, "b": 0.5, "c": 0.0},
+        default_epochs=1.0, seed=0,
+    )
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["a"] == 200                  # exactly 2 epochs, copies 1 and 2
+    assert 30 <= per["b"] <= 70             # ~half an epoch, hash-chosen
+    assert "c" not in per                   # excluded source emits nothing
+    # integer epochs replicate EVERY row: copy indexes are exactly {1,2}
+    copies = {r["copy"] for r in out.filter("source = 'a'").collect()}
+    assert copies == {1, 2}
+    # membership is a pure function of the key: repartitioning agrees
+    again = sampling.epoch_replicate(
+        df.repartition(7), "doc_id", "source", {"a": 2.0, "b": 0.5, "c": 0.0},
+        default_epochs=1.0, seed=0,
+    )
+    k1 = {(r["doc_id"], r["copy"]) for r in out.collect()}
+    k2 = {(r["doc_id"], r["copy"]) for r in again.collect()}
+    assert k1 == k2
+
+
 def test_span_corruption_deterministic(spark):
     from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
         augment,
