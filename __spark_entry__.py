@@ -848,6 +848,66 @@ FROM ranked WHERE rn <= 5
 """
 
 
+_HN_LO, _HN_HI = 0.2, 0.4
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining through the driver gate: per anchor, top-5
+    cell-scoped candidates with cosine in [0.2, 0.4) — the contrastive-
+    training band just below near-duplicates.  Same IVF join shape as
+    ann_ivf (deterministic centroids inlined into the oracle); the band
+    filter runs before the per-anchor top-k window."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.det_centroids(_IVF_SEED, _IVF_CELLS, _SRP_DIM)
+    q = emb.filter(F.col("vec_id") < 10)
+    out = similarity.hard_negative_mining(
+        emb, q, id_col="vec_id", vec_col="embedding",
+        k=5, lo=_HN_LO, hi=_HN_HI, nprobe=_IVF_NPROBE, centroids=cents,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+def _oracle_hard_negatives() -> str:
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.similarity import (
+        det_centroids,
+    )
+
+    cents = det_centroids(_IVF_SEED, _IVF_CELLS, _SRP_DIM)
+    rows = ", ".join(f"({i}, {c!r}::DOUBLE[])" for i, c in enumerate(cents))
+    return f"""
+WITH cent(cell, cv) AS (VALUES {rows}),
+d AS (
+  SELECT e.vec_id, e.embedding, cent.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                      - 2 * list_dot_product(e.embedding::DOUBLE[], cent.cv)
+                      + list_dot_product(cent.cv, cent.cv), cent.cell) AS rn
+  FROM embeddings e CROSS JOIN cent
+),
+corpus AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell FROM d WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM d
+      WHERE rn <= {_IVF_NPROBE} AND vec_id < 10),
+scored AS (
+  SELECT DISTINCT q.query_id, c.neighbor_id,
+         list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[]) /
+         (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+          sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))) AS cosine_sim
+  FROM corpus c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+), banded AS (
+  SELECT * FROM scored WHERE cosine_sim >= {_HN_LO} AND cosine_sim < {_HN_HI}
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM banded
+)
+SELECT query_id, neighbor_id, round(cosine_sim, 6) AS cosine_sim
+FROM ranked WHERE rn <= 5
+"""
+
+
 _SEMDEDUP_TAU = 0.4
 
 
@@ -4932,7 +4992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 139
+    already-green remainder (round-2 set before round-1 set).  All 140
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -4982,6 +5042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "quality_logit": q_quality_logit,
         "epoch_mixture": q_epoch_mixture,
+        "hard_negatives": q_hard_negatives,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -5102,6 +5163,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _oracle_semantic_dedup(),
         "quality_logit": _oracle_quality_logit(),
         "epoch_mixture": _oracle_epoch_mixture(),
+        "hard_negatives": _oracle_hard_negatives(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -667,3 +667,65 @@ def semantic_dedup(
             F.col("__dup").isNull().alias("kept"),
         )
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lo: float = 0.2,
+    hi: float = 0.4,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    seed: int = 7,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor,
+    the top-k most-similar corpus vectors whose cosine falls in
+    [``lo``, ``hi``) — similar enough to be informative negatives,
+    below the positive/near-duplicate band (which starts at ``hi``;
+    pair with ``semantic_dedup``/``near_dup_pairs`` for that band).
+
+    Scale design: identical join shape to ``ivf_knn`` — candidates are
+    cell-scoped (equi join on nearest-centroid cell id, anchors probe
+    ``nprobe`` cells), the band predicate filters BEFORE the per-anchor
+    top-k window, and the window input is already down to
+    |corpus|·nprobe/n_cells candidates per anchor.  Never an all-pairs
+    scan; centroids are plan literals (no model broadcast).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_cells=n_cells, seed=seed)
+    cb = assign_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv",
+        centroids,
+        nprobe=1,
+    )
+    qb = assign_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "__qv",
+        centroids,
+        nprobe=nprobe,
+    )
+    scored = (
+        cb.join(F.broadcast(qb), on="__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        )
+        # an (anchor, candidate) pair can meet in several probed cells
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .filter((F.col("cosine_sim") >= F.lit(lo)) & (F.col("cosine_sim") < F.lit(hi)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -411,6 +411,37 @@ def test_brute_force_vs_lsh_knn(spark, sf_dir):
     assert len(er & ar) >= 3
 
 
+def test_hard_negative_mining_matches_banded_brute_force(spark, sf_dir):
+    import math
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.det_centroids(7, 4, 64)
+    q = emb.filter("vec_id < 3")
+    # nprobe == n_cells degenerates to exact search over every cell
+    got = similarity.hard_negative_mining(
+        emb, q, k=4, lo=0.1, hi=0.5, nprobe=4, centroids=cents
+    ).collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    for qid in range(3):
+        mine = sorted(
+            (r["neighbor_id"], round(r["cosine_sim"], 9))
+            for r in got if r["query_id"] == qid
+        )
+        band = [(cos(vecs[qid], v), nid) for nid, v in vecs.items() if nid != qid]
+        band = [(c, nid) for c, nid in band if 0.1 <= c < 0.5]
+        want = sorted(
+            (nid, round(c, 9))
+            for c, nid in sorted(band, key=lambda t: (-t[0], t[1]))[:4]
+        )
+        assert mine == want
+        assert all(0.1 <= c < 0.5 for _, c in mine)
+
+
 def test_semantic_dedup_keeps_lowest_id_per_neighborhood(spark):
     # cell 0 centroid (1,0); cell 1 centroid (0,1).  ids 1/2 are semantic
     # twins in cell 0 (cos≈0.99), id 3 shares the cell but sits below tau,
