@@ -909,6 +909,10 @@ FROM ranked WHERE rn <= 5
 
 
 _SEMDEDUP_TAU = 0.4
+# the pair stage costs sum(|cell|^2): 16 cells is the measured sweet
+# spot at bench scale (2k vectors) — 32 pays more in literal-argmax
+# plan compile than it saves in pairs (see SCALE.md, Dedup section)
+_SD_CELLS = 16
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -923,7 +927,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data surface."""
     tune(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    cents = similarity.det_centroids(_IVF_SEED, _IVF_CELLS, _SRP_DIM)
+    cents = similarity.det_centroids(_IVF_SEED, _SD_CELLS, _SRP_DIM)
     out = similarity.semantic_dedup(
         emb, id_col="vec_id", vec_col="embedding",
         centroids=cents, tau=_SEMDEDUP_TAU,
@@ -936,7 +940,7 @@ def _oracle_semantic_dedup() -> str:
         det_centroids,
     )
 
-    cents = det_centroids(_IVF_SEED, _IVF_CELLS, _SRP_DIM)
+    cents = det_centroids(_IVF_SEED, _SD_CELLS, _SRP_DIM)
     rows = ", ".join(f"({i}, {c!r}::DOUBLE[])" for i, c in enumerate(cents))
     return f"""
 WITH cent(cell, cv) AS (VALUES {rows}),
