@@ -3745,6 +3745,153 @@ FROM z
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation in ONE lazy plan — the composition a
+    training-data user actually runs, chaining five oracle-proven
+    stages: (1) model-based quality gate (quality_logit >= threshold),
+    (2) exact dedup on the normalized-content fingerprint (lowest id
+    wins), (3) SemDeDup semantic dedup over the survivors' embeddings
+    (vec_id == doc_id), (4) epoch-weighted mixture replication, and
+    (5) deterministic train-order shuffle rank over (doc, copy).
+    Every stage is a narrow/equi-join/cell-scoped shape (no stage
+    introduces a cross product or a global sort), so the whole
+    pipeline is one DAG Catalyst schedules end to end — no
+    intermediate materialization.  The oracle replays all five stages
+    as one CTE chain."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qd = (
+        textstats.with_quality_logit(d, "text", threshold=_QLOGIT_THRESHOLD)
+        .filter(F.col("keep"))
+        .select("doc_id", "source", "text")
+    )
+    kept = dedup.dedup_exact(qd, "doc_id", "text").select("doc_id", "source")
+    cand = kept.join(emb, kept.doc_id == emb.vec_id, "inner").select(
+        "doc_id", "source", "embedding"
+    )
+    cents = similarity.det_centroids(_IVF_SEED, _SD_CELLS, _SRP_DIM)
+    sem = similarity.semantic_dedup(
+        cand, id_col="doc_id", vec_col="embedding",
+        centroids=cents, tau=_SEMDEDUP_TAU,
+    )
+    surv = (
+        sem.filter(F.col("kept"))
+        .select("doc_id")
+        .join(cand.select("doc_id", "source"), "doc_id")
+    )
+    rep = sampling.epoch_replicate(
+        surv, "doc_id", "source", _EPOCHS, default_epochs=_EPOCHS_DEFAULT, seed=0
+    )
+    keyed = rep.withColumn(
+        "train_key",
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("copy").cast("string")),
+    )
+    out = sampling.shuffle_rank(keyed, "train_key", seed=0, n_buckets=_SHUF_BUCKETS)
+    return out.select("doc_id", "source", "copy", "shuffle_rank")
+
+
+def _oracle_curation_pipeline() -> str:
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.similarity import (
+        det_centroids,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.textstats import (
+        QUALITY_LOGIT_WEIGHTS as W,
+        STOPWORDS,
+    )
+
+    sw = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    norm = _NORM_SQL.format(col="d.text")
+    cents = det_centroids(_IVF_SEED, _SD_CELLS, _SRP_DIM)
+    cent_rows = ", ".join(f"({i}, {c!r}::DOUBLE[])" for i, c in enumerate(cents))
+
+    def esplit(e: float) -> tuple[int, int]:
+        return int(e), int(round((e - int(e)) * _EPOCH_BUCKETS))
+
+    base_cases = " ".join(
+        f"WHEN source = '{s}' THEN {esplit(e)[0]}" for s, e in sorted(_EPOCHS.items())
+    )
+    cut_cases = " ".join(
+        f"WHEN source = '{s}' THEN {esplit(e)[1]}" for s, e in sorted(_EPOCHS.items())
+    )
+    dbase, dcut = esplit(_EPOCHS_DEFAULT)
+    h0 = _sql_md5_bucket("train_key", seed=0)
+    h1 = _sql_md5_bucket("train_key", seed=1)
+    return rf"""
+WITH feats AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_tok,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> list_contains({sw}, x))) AS s_en,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+         length(text) AS n_len
+  FROM documents
+), ql AS (
+  SELECT doc_id FROM feats
+  WHERE {W['bias']} + {W['len_score']} * least(n_tok / 50.0, 1.0)
+                    + {W['stopword_ratio']} * (s_en / greatest(n_tok, 1))
+                    + {W['punct_ratio']} * (n_punct / greatest(n_len, 1))
+                    + {W['digit_ratio']} * (n_digit / greatest(n_len, 1))
+                    + {W['mean_word_len']} * (n_nonws / greatest(n_tok, 1))
+        >= {_QLOGIT_THRESHOLD}
+), fp AS (
+  SELECT d.doc_id, d.source, md5({norm}) AS fpr
+  FROM documents d JOIN ql USING (doc_id)
+), kept AS (
+  SELECT min(doc_id) AS doc_id FROM fp GROUP BY fpr
+), cand AS (
+  SELECT f.doc_id, f.source, e.embedding
+  FROM kept k JOIN fp f USING (doc_id)
+  JOIN embeddings e ON e.vec_id = k.doc_id
+), cent(cell, cv) AS (VALUES {cent_rows}),
+asn AS (
+  SELECT c.doc_id, c.source, c.embedding, cent.cell,
+         row_number() OVER (PARTITION BY c.doc_id
+             ORDER BY list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                      - 2 * list_dot_product(c.embedding::DOUBLE[], cent.cv)
+                      + list_dot_product(cent.cv, cent.cv), cent.cell) AS rn
+  FROM cand c CROSS JOIN cent
+), cells AS (
+  SELECT doc_id, source, embedding, cell FROM asn WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT r.doc_id
+  FROM cells l JOIN cells r ON l.cell = r.cell AND l.doc_id < r.doc_id
+  WHERE list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) /
+        (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[])) *
+         sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[])))
+        >= {_SEMDEDUP_TAU}
+), surv AS (
+  SELECT c.doc_id, c.source
+  FROM cells c LEFT JOIN dropped dr ON c.doc_id = dr.doc_id
+  WHERE dr.doc_id IS NULL
+), rep AS (
+  SELECT doc_id, source,
+         (CASE {base_cases} ELSE {dbase} END)
+         + (CASE WHEN {_sql_md5_bucket('doc_id')}
+                      < (CASE {cut_cases} ELSE {dcut} END)
+                 THEN 1 ELSE 0 END) AS n
+  FROM surv
+), expl AS (
+  SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS INT) AS copy
+  FROM rep
+), keyed AS (
+  SELECT doc_id, source, copy,
+         CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR) AS train_key
+  FROM expl
+)
+SELECT doc_id, source, copy,
+       row_number() OVER (
+           ORDER BY {h0} % {_SHUF_BUCKETS}, {h1}, train_key
+       ) AS shuffle_rank
+FROM keyed
+"""
+
+
 def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated top-2 orders per customer via Spark 4 lateralJoin
     (CROSS APPLY): the per-row subquery shape window functions can't
@@ -4996,7 +5143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 140
+    already-green remainder (round-2 set before round-1 set).  All 141
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -5047,6 +5194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_logit": q_quality_logit,
         "epoch_mixture": q_epoch_mixture,
         "hard_negatives": q_hard_negatives,
+        "curation_pipeline": q_curation_pipeline,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -5168,6 +5316,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_logit": _oracle_quality_logit(),
         "epoch_mixture": _oracle_epoch_mixture(),
         "hard_negatives": _oracle_hard_negatives(),
+        "curation_pipeline": _oracle_curation_pipeline(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     "quality_logit",
     "epoch_mixture",
     "hard_negatives",
+    # the five-stage curation composition (quality gate -> exact dedup
+    # -> semantic dedup -> epoch mixture -> shuffle rank) as ONE plan
+    "curation_pipeline",
 ]
 
 
