@@ -1686,6 +1686,61 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+_WIN_K = 4
+_WIN_W = 4
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (dedup.rolling_fingerprints):
+    word-k-gram Rabin-Karp rolling hashes, keep grams that are the
+    minimum of their trailing w-window — the MOSS near-copy sketch.
+    The oracle replays word hash → literal-power polynomial (integer
+    arithmetic, associativity-exact under the per-term mod) →
+    window-min selection."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.rolling_fingerprints(
+        d, "doc_id", "text", k=_WIN_K, window=_WIN_W
+    )
+    return out.select("doc_id", "pos", "fp_hash")
+
+
+def _oracle_winnow_fingerprints() -> str:
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.dedup import (
+        WINNOW_BASE,
+        WINNOW_MOD,
+    )
+
+    norm = _NORM_SQL.format(col="text")
+    pows = [pow(WINNOW_BASE, _WIN_K - 1 - i, WINNOW_MOD) for i in range(_WIN_K)]
+    terms = [f"(wh * {pows[0]}) % {WINNOW_MOD}"] + [
+        f"(lead(wh, {i}) OVER (PARTITION BY doc_id ORDER BY pos) * {pows[i]}) % {WINNOW_MOD}"
+        for i in range(1, _WIN_K)
+    ]
+    poly = "(" + " + ".join(terms) + f") % {WINNOW_MOD}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), words AS (
+  SELECT doc_id, unnest(t) AS w,
+         CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos
+  FROM toks
+), wh AS (
+  SELECT doc_id, pos, ({_sql_md5_bucket('w')}) % {WINNOW_MOD} AS wh FROM words
+), g AS (
+  SELECT doc_id, pos, {poly} AS gh FROM wh
+), grams AS (
+  SELECT * FROM g WHERE gh IS NOT NULL
+), winnowed AS (
+  SELECT doc_id, pos, gh,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS wmin
+  FROM grams
+)
+SELECT doc_id, pos, gh AS fp_hash FROM winnowed WHERE gh = wmin
+"""
+
+
 _FAST_DUP_THRESHOLD = 0.8
 
 
@@ -5143,7 +5198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 141
+    already-green remainder (round-2 set before round-1 set).  All 142
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -5195,6 +5250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_mixture": q_epoch_mixture,
         "hard_negatives": q_hard_negatives,
         "curation_pipeline": q_curation_pipeline,
+        "winnow_fingerprints": q_winnow_fingerprints,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -5317,6 +5373,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_mixture": _oracle_epoch_mixture(),
         "hard_negatives": _oracle_hard_negatives(),
         "curation_pipeline": _oracle_curation_pipeline(),
+        "winnow_fingerprints": _oracle_winnow_fingerprints(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

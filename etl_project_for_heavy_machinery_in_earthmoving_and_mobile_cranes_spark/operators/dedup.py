@@ -647,3 +647,66 @@ def fuzzy_name_pairs(
         .filter(F.col("edit_dist") <= max_dist)
         .select("name_a", "name_b", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling hash)
+# ---------------------------------------------------------------------------
+
+WINNOW_BASE = 1_000_003
+WINNOW_MOD = (1 << 31) - 1
+
+
+def rolling_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    window: int = 4,
+    base: int = WINNOW_BASE,
+    mod: int = WINNOW_MOD,
+) -> DataFrame:
+    """Winnowing document fingerprints (the Schleimer/Wilkerson/Aiken
+    MOSS scheme, trailing-window variant): per-word md5 hashes roll
+    into word-k-gram Rabin-Karp polynomial hashes, and a gram is a
+    fingerprint iff its hash is the MINIMUM of the trailing ``window``
+    grams — ~n/window fingerprints per document, position-robust (a
+    local edit perturbs only the k+window-1 grams that overlap it, so
+    the rest of the fingerprint set survives — the property that makes
+    winnowing the standard near-copy/plagiarism sketch).
+
+    Output: (id, pos, fp_hash) — ``pos`` is the 1-based word position
+    of the selected k-gram's start.
+
+    Scale design: posexplode + three window functions over the SAME
+    (id, pos) ordering — Spark clusters them on one exchange keyed by
+    the document id; everything else is a narrow projection.  The
+    polynomial uses literal power-of-base constants with a per-term
+    mod, so every intermediate stays under 2^62 in plain BIGINT
+    arithmetic (no decimal, no overflow, engine-portable — the driver
+    oracle replays word hash → polynomial → window-min in SQL).
+    """
+    toks = tokens(F.col(text_col))
+    words = df.select(F.col(id_col), F.posexplode(toks).alias("__p0", "__w"))
+    words = words.select(
+        F.col(id_col),
+        (F.col("__p0") + 1).cast("bigint").alias("pos"),
+        (md5_hash64(F.col("__w")) % F.lit(mod)).alias("__wh"),
+    )
+    wspec = Window.partitionBy(id_col).orderBy("pos")
+    pows = [pow(base, k - 1 - i, mod) for i in range(k)]
+    acc: Column = (F.col("__wh") * F.lit(pows[0])) % F.lit(mod)
+    for i in range(1, k):
+        acc = (acc + (F.lead("__wh", i).over(wspec) * F.lit(pows[i])) % F.lit(mod)) % F.lit(mod)
+    grams = (
+        words.withColumn("__gh", acc)
+        # lead() past the last gram is NULL -> the whole polynomial is
+        # NULL: exactly the tail positions with no full k-gram
+        .filter(F.col("__gh").isNotNull())
+    )
+    wmin = F.min("__gh").over(wspec.rowsBetween(-(window - 1), 0))
+    return (
+        grams.withColumn("__wmin", wmin)
+        .filter(F.col("__gh") == F.col("__wmin"))
+        .select(F.col(id_col), "pos", F.col("__gh").alias("fp_hash"))
+    )

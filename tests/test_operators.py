@@ -385,6 +385,31 @@ def test_exact_jaccard_of_pairs_shingleless_doc(spark):
     assert got == {(1, 2): 0.0, (2, 3): 0.0}
 
 
+def test_rolling_fingerprints_local_edit_robustness(spark):
+    words = [f"w{i}" for i in range(30)]
+    edited = list(words)
+    edited[15] = "CHANGED"
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(edited))], "doc_id long, text string"
+    )
+    fps = dedup.rolling_fingerprints(df, "doc_id", "text", k=4, window=4)
+    got = {1: set(), 2: set()}
+    for r in fps.collect():
+        got[r["doc_id"]].add((r["pos"], r["fp_hash"]))
+    # selection rate ~1/window of the 27 grams, and never empty
+    assert 3 <= len(got[1]) <= 15
+    # a single-word edit at position 16 changes gram CONTENT for starts
+    # in [16-k+1, 16] = [13, 16], and can flip window-min SELECTION for
+    # positions whose trailing w-window touches one of those grams:
+    # p in [13, 16+w-1] = [13, 19].  Fingerprints outside that band
+    # must be IDENTICAL — the winnowing locality guarantee
+    far1 = {(p, h) for p, h in got[1] if p < 13 or p > 19}
+    far2 = {(p, h) for p, h in got[2] if p < 13 or p > 19}
+    assert far1 == far2
+    # the edit IS visible: the two docs' full fingerprint sets differ
+    assert got[1] != got[2]
+
+
 def test_simhash_similarity_order(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta"),
