@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     # the five-stage curation composition (quality gate -> exact dedup
     # -> semantic dedup -> epoch mixture -> shuffle rank) as ONE plan
     "curation_pipeline",
+    "winnow_fingerprints",
 ]
 
 

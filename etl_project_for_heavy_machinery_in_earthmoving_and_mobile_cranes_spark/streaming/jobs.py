@@ -226,3 +226,43 @@ def upsert_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_document_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of document parquet files landing in a
+    directory — the ingest edge of a streaming curation pipeline."""
+    return spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
+
+
+def curated_documents(docs: DataFrame, threshold: float = 0.0) -> DataFrame:
+    """Streaming corpus curation: the model-based quality gate
+    (textstats.with_quality_logit — a pure map pass, so it streams with
+    zero state) followed by exact content dedup on the normalized
+    fingerprint.  First-seen wins within the stream (arrival order),
+    versus the batch pipeline's lowest-id rule — the usual
+    batch-vs-stream canonicalization difference, asserted equivalent at
+    the fingerprint-set level by the stream/batch twin test.
+
+    State note: plain ``dropDuplicates`` state grows with distinct
+    fingerprints; production ingest bounds it with
+    ``withWatermark + dropDuplicatesWithinWatermark`` on the ingest-time
+    column (same pattern as ``deduped_events``) once documents carry an
+    arrival timestamp.
+    """
+    from ..operators.textstats import fingerprint, with_quality_logit
+
+    kept = with_quality_logit(docs, "text", threshold=threshold).filter(F.col("keep"))
+    return kept.withColumn("fingerprint", fingerprint(F.col("text"))).dropDuplicates(
+        ["fingerprint"]
+    )

@@ -238,6 +238,36 @@ def test_watermark_append_finalizes_once_and_drops_post_eviction_stragglers(
     assert emissions == [(2, 1), (9, 1), (10, 1)]
 
 
+def test_curated_document_stream_matches_batch(spark, sf_dir, tmp_path):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.textstats import (
+        fingerprint,
+        with_quality_logit,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    indir = str(tmp_path / "docs_in")
+    # two landing files so the stream sees multiple micro-batch inputs
+    docs.filter("doc_id % 2 = 0").write.parquet(indir)
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(indir)
+
+    stream = jobs.read_document_stream(spark, indir)
+    got = jobs.run_available_now(
+        jobs.curated_documents(stream, threshold=1.5).select("doc_id", "fingerprint"),
+        str(tmp_path / "cp_cur"),
+    )
+    batch = (
+        with_quality_logit(docs, "text", threshold=1.5)
+        .filter("keep")
+        .select(fingerprint(F.col("text")).alias("fingerprint"))
+        .distinct()
+        .collect()
+    )
+    # stream keeps first-seen per fingerprint, batch keeps lowest-id —
+    # the kept fingerprint SET (and hence corpus content) is identical
+    assert {r["fingerprint"] for r in got} == {r["fingerprint"] for r in batch}
+    assert len(got) == len(batch)
+
+
 def test_eventgen_streaming_source_deterministic(spark, tmp_path):
     """Spark 4 Python streaming Data Source: bounded drain produces the
     exact deterministic rows, split across multiple microbatches."""
