@@ -2916,6 +2916,65 @@ FROM generate_series(0, 59) t(i)
 """
 
 
+def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over REAL decoded image bytes: the mapInPandas
+    stage decodes full PPM/BMP pixel data (multimodal.
+    decode_image_pixels — header parse, bottom-up BMP row
+    reassembly, padding strip) and computes the 56-bit grayscale
+    gradient hash.  The oracle replays the generator's closed-form
+    pixels (md5-digest bytes repeated) through the SAME
+    sample-grid/gradient arithmetic in SQL — a decode bug anywhere in
+    the byte path (offset, stride, row order) flips hash bits and
+    breaks the match."""
+    tune(spark)
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        multimodal,
+    )
+
+    media = multimodal.synthetic_images(spark, 60)
+    return multimodal.image_dhash(media)
+
+
+def _oracle_media_dhash() -> str:
+    # hexbyte(hx, k): byte k (0-based) of the md5 digest, decoded from
+    # hex chars 2k+1, 2k+2 arithmetically (same discipline as
+    # _sql_md5_bucket — no version-sensitive hex-literal cast).
+    # Generator closed form (multimodal.synthetic_images): pixel byte j
+    # of image i = digest(md5('img:'||i))[j % 16].
+    def hb(k_expr: str) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substr(hx, 2*({k_expr}) + 1, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(hx, 2*({k_expr}) + 2, 1)) - 1))"
+        )
+
+    def gray_at(c0: str) -> str:
+        return (
+            f"({hb(f'({c0}) % 16')} + {hb(f'({c0} + 1) % 16')}"
+            f" + {hb(f'({c0} + 2) % 16')}) // 3"
+        )
+
+    pix = "3 * (((gy * h) // 8) * w + ((gx * w) // 8))"
+    return f"""
+WITH imgs AS (
+  SELECT i::BIGINT AS media_id, (4 + i % 13) AS w, (3 + i % 7) AS h,
+         md5('img:' || i) AS hx
+  FROM generate_series(0, 59) t(i)
+), gray AS (
+  SELECT media_id, gy.gy, gx.gx, {gray_at(pix)} AS g
+  FROM imgs, generate_series(0, 7) gy(gy), generate_series(0, 7) gx(gx)
+), bits AS (
+  SELECT media_id, gy, gx, g,
+         lead(g) OVER (PARTITION BY media_id, gy ORDER BY gx) AS gn
+  FROM gray
+)
+SELECT media_id,
+       CAST(sum(CASE WHEN g > gn THEN (1::BIGINT << (gy * 7 + gx))
+                     ELSE 0 END) AS BIGINT) AS dhash
+FROM bits WHERE gx < 7
+GROUP BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Time-series: resample + gap-fill, deltas/spikes, SCD2 intervals;
 # quantile bucketing; TF-IDF terms
@@ -5198,7 +5257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 142
+    already-green remainder (round-2 set before round-1 set).  All 143
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -5251,6 +5310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "curation_pipeline": q_curation_pipeline,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "media_dhash": q_media_dhash,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -5374,6 +5434,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _oracle_hard_negatives(),
         "curation_pipeline": _oracle_curation_pipeline(),
         "winnow_fingerprints": _oracle_winnow_fingerprints(),
+        "media_dhash": _oracle_media_dhash(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

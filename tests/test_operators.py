@@ -579,6 +579,43 @@ def test_image_dims_decodes_real_bytes(spark):
         assert got[i] == (fmt, w, h, w * h)
 
 
+def test_image_dhash_codec_invariant_and_perceptual(spark):
+    import hashlib
+
+    w, h = 16, 12
+    seed = hashlib.md5(b"dhash-test").digest()
+    pixels = (seed * (3 * w * h // 16 + 1))[: 3 * w * h]
+    # one perturbed pixel block; one unrelated image
+    near = bytearray(pixels)
+    near[0:3] = b"\xff\xff\xff"
+    other = hashlib.md5(b"other").digest() * (3 * w * h // 16 + 1)
+    rows = [
+        (0, "image", "image/x-portable-pixmap",
+         bytearray(multimodal.encode_ppm(w, h, pixels)), {}),
+        (1, "image", "image/bmp",
+         bytearray(multimodal.encode_bmp(w, h, pixels)), {}),
+        (2, "image", "image/x-portable-pixmap",
+         bytearray(multimodal.encode_ppm(w, h, bytes(near))), {}),
+        (3, "image", "image/x-portable-pixmap",
+         bytearray(multimodal.encode_ppm(w, h, other[: 3 * w * h])), {}),
+        (4, "audio", "audio/x-fake", bytearray(b"not an image"), {}),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r["dhash"] for r in
+           multimodal.image_dhash(media).collect()}
+    assert set(got) == {0, 1, 2, 3}  # audio row never reaches Python
+    # the SAME pixels hash identically across encodings (PPM vs BMP
+    # round-trips through bottom-up rows + padding)
+    assert got[0] == got[1]
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    # one-pixel edit: a few gradient bits; unrelated image: many
+    assert 0 < ham(got[0], got[2]) <= 6
+    assert ham(got[0], got[3]) > 10
+
+
 def test_media_stats_jvm_only(spark):
     media = multimodal.synthetic_media(spark, 12)
     got = {r["kind"]: r["n"] for r in multimodal.media_stats(media).collect()}
