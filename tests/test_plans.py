@@ -329,3 +329,33 @@ def test_activity_streaks_single_exchange(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert len(re.findall(r"(?<!Broadcast)Exchange ", plan)) == 1
+
+
+def test_semantic_dedup_cell_equi_join_no_cartesian(spark, sf_dir):
+    p = plan_of(spark, "semantic_dedup", sf_dir)
+    # the pairwise stage must be an equi join on the cell id, never an
+    # all-pairs nested loop — the whole point of the quantizer
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hard_negatives_cell_equi_join_no_cartesian(spark, sf_dir):
+    p = plan_of(spark, "hard_negatives", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # per-anchor top-k goes through WindowGroupLimit partial pruning
+    assert "WindowGroupLimit" in p
+
+
+def test_curation_pipeline_one_dag_no_cartesian(spark, sf_dir):
+    p = plan_of(spark, "curation_pipeline", sf_dir)
+    # five stages, one DAG: no cartesian anywhere, no Python UDF stage
+    # outside the (absent here) multimodal boundary, and no global
+    # single-partition sort (the rank is the two-pass bucket shape)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the global train-order rank must be the two-pass bucket shape —
+    # never an Exchange SinglePartition feeding a full-data Sort
+    import re
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Sort ", p)
