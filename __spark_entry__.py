@@ -1741,6 +1741,78 @@ SELECT doc_id, pos, gh AS fp_hash FROM winnowed WHERE gh = wmin
 """
 
 
+_SPAN_K = 8
+
+
+def q_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans (dedup.duplicate_spans): every
+    word-8-gram occurring verbatim in >= 2 distinct documents, merged
+    into maximal per-doc spans — the substring-level dedup pass that
+    catches boilerplate paragraphs doc-level MinHash misses.  The
+    oracle replays word hash → dual Rabin-Karp polynomials →
+    distinct-doc gram filter → interval-merge islands in SQL."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(d, "doc_id", "text", k=_SPAN_K)
+
+
+def _oracle_dup_span_detect() -> str:
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.dedup import (
+        WINNOW_BASE,
+        WINNOW_MOD,
+    )
+
+    norm = _NORM_SQL.format(col="text")
+    pows = [pow(WINNOW_BASE, _SPAN_K - 1 - i, WINNOW_MOD) for i in range(_SPAN_K)]
+
+    def poly(col: str) -> str:
+        terms = [f"({col} * {pows[0]}) % {WINNOW_MOD}"] + [
+            f"(lead({col}, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
+            f" * {pows[i]}) % {WINNOW_MOD}"
+            for i in range(1, _SPAN_K)
+        ]
+        return "(" + " + ".join(terms) + f") % {WINNOW_MOD}"
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), words AS (
+  SELECT doc_id, unnest(t) AS w,
+         CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos
+  FROM toks
+), wh AS (
+  SELECT doc_id, pos,
+         ({_sql_md5_bucket('w', seed=0)}) % {WINNOW_MOD} AS wh0,
+         ({_sql_md5_bucket('w', seed=1)}) % {WINNOW_MOD} AS wh1
+  FROM words
+), g AS (
+  SELECT doc_id, pos, {poly('wh0')} AS gh0, {poly('wh1')} AS gh1 FROM wh
+), grams AS (
+  SELECT * FROM g WHERE gh0 IS NOT NULL
+), dup AS (
+  SELECT gh0, gh1 FROM grams GROUP BY 1, 2
+  HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh0, gh1)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_SPAN_K - 1}
+              THEN 0 ELSE 1 END AS f
+  FROM hits
+), grp AS (
+  SELECT doc_id, pos,
+         sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) + {_SPAN_K - 1} AS span_end,
+       max(pos) + {_SPAN_K - 1} - min(pos) + 1 AS span_tokens
+FROM grp GROUP BY doc_id, grp
+"""
+
+
 _FAST_DUP_THRESHOLD = 0.8
 
 
@@ -5311,6 +5383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "winnow_fingerprints": q_winnow_fingerprints,
         "media_dhash": q_media_dhash,
+        "dup_span_detect": q_dup_span_detect,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -5435,6 +5508,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _oracle_curation_pipeline(),
         "winnow_fingerprints": _oracle_winnow_fingerprints(),
         "media_dhash": _oracle_media_dhash(),
+        "dup_span_detect": _oracle_dup_span_detect(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

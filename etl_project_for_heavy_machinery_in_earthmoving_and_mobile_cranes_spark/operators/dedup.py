@@ -657,6 +657,57 @@ WINNOW_BASE = 1_000_003
 WINNOW_MOD = (1 << 31) - 1
 
 
+def positional_gram_hashes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    base: int = WINNOW_BASE,
+    mod: int = WINNOW_MOD,
+    seeds: tuple[int, ...] = (0,),
+) -> DataFrame:
+    """Positional word-k-gram Rabin-Karp rolling hashes: one row per
+    full k-gram, ``(id, pos, gh0[, gh1, ...])`` with ``pos`` the
+    1-based word position of the gram's start and one hash column per
+    seed (independent word-hash seeds -> independent gram hashes, so a
+    pair of seeds drops the cross-gram collision probability from
+    ~1/mod to ~1/mod² without a second pass: all polynomials roll over
+    the SAME posexplode + one window exchange keyed by the doc id).
+
+    The polynomial uses literal power-of-base constants with a per-term
+    mod, so every intermediate stays under 2^62 in plain BIGINT
+    arithmetic (no decimal, no overflow, engine-portable — the driver
+    oracle replays word hash → polynomial in SQL).
+    """
+    toks = tokens(F.col(text_col))
+    words = df.select(F.col(id_col), F.posexplode(toks).alias("__p0", "__w"))
+    words = words.select(
+        F.col(id_col),
+        (F.col("__p0") + 1).cast("bigint").alias("pos"),
+        *[
+            (md5_hash64(F.col("__w"), seed=s) % F.lit(mod)).alias(f"__wh{s}")
+            for s in seeds
+        ],
+    )
+    wspec = Window.partitionBy(id_col).orderBy("pos")
+    pows = [pow(base, k - 1 - i, mod) for i in range(k)]
+    out = words
+    for s in seeds:
+        acc: Column = (F.col(f"__wh{s}") * F.lit(pows[0])) % F.lit(mod)
+        for i in range(1, k):
+            acc = (
+                acc + (F.lead(f"__wh{s}", i).over(wspec) * F.lit(pows[i])) % F.lit(mod)
+            ) % F.lit(mod)
+        out = out.withColumn(f"gh{s}", acc)
+    return (
+        # lead() past the last gram is NULL -> the whole polynomial is
+        # NULL: exactly the tail positions with no full k-gram
+        out.filter(F.col(f"gh{seeds[0]}").isNotNull()).select(
+            F.col(id_col), "pos", *[f"gh{s}" for s in seeds]
+        )
+    )
+
+
 def rolling_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -680,33 +731,81 @@ def rolling_fingerprints(
 
     Scale design: posexplode + three window functions over the SAME
     (id, pos) ordering — Spark clusters them on one exchange keyed by
-    the document id; everything else is a narrow projection.  The
-    polynomial uses literal power-of-base constants with a per-term
-    mod, so every intermediate stays under 2^62 in plain BIGINT
-    arithmetic (no decimal, no overflow, engine-portable — the driver
-    oracle replays word hash → polynomial → window-min in SQL).
+    the document id; everything else is a narrow projection.  See
+    ``positional_gram_hashes`` for the overflow-safe BIGINT polynomial.
     """
-    toks = tokens(F.col(text_col))
-    words = df.select(F.col(id_col), F.posexplode(toks).alias("__p0", "__w"))
-    words = words.select(
-        F.col(id_col),
-        (F.col("__p0") + 1).cast("bigint").alias("pos"),
-        (md5_hash64(F.col("__w")) % F.lit(mod)).alias("__wh"),
-    )
+    grams = positional_gram_hashes(df, id_col, text_col, k, base=base, mod=mod)
     wspec = Window.partitionBy(id_col).orderBy("pos")
-    pows = [pow(base, k - 1 - i, mod) for i in range(k)]
-    acc: Column = (F.col("__wh") * F.lit(pows[0])) % F.lit(mod)
-    for i in range(1, k):
-        acc = (acc + (F.lead("__wh", i).over(wspec) * F.lit(pows[i])) % F.lit(mod)) % F.lit(mod)
-    grams = (
-        words.withColumn("__gh", acc)
-        # lead() past the last gram is NULL -> the whole polynomial is
-        # NULL: exactly the tail positions with no full k-gram
-        .filter(F.col("__gh").isNotNull())
-    )
-    wmin = F.min("__gh").over(wspec.rowsBetween(-(window - 1), 0))
+    wmin = F.min("gh0").over(wspec.rowsBetween(-(window - 1), 0))
     return (
         grams.withColumn("__wmin", wmin)
-        .filter(F.col("__gh") == F.col("__wmin"))
-        .select(F.col(id_col), "pos", F.col("__gh").alias("fp_hash"))
+        .filter(F.col("gh0") == F.col("__wmin"))
+        .select(F.col(id_col), "pos", F.col("gh0").alias("fp_hash"))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    base: int = WINNOW_BASE,
+    mod: int = WINNOW_MOD,
+) -> DataFrame:
+    """Exact duplicate-substring spans across documents — the
+    substring-level dedup pass (find every word-k-gram that occurs
+    verbatim in >= ``min_docs`` DISTINCT documents, then merge
+    overlapping duplicated grams into maximal spans per document).
+    This is the span-removal primitive for training corpora: unlike
+    doc-level MinHash it catches boilerplate paragraphs embedded in
+    otherwise-unique pages.
+
+    Output: ``(id, span_start, span_end, span_tokens)`` — 1-based word
+    positions, inclusive; a span covers words ``span_start..span_end``.
+
+    Semantics: grams at positions p < q overlap in text iff
+    ``q - p <= k - 1``, so islands break only on gaps > k-1 (interval
+    merge, not consecutive-integer islands).
+
+    Scale design: ONE positional-gram pass (doc-keyed window exchange),
+    a hash aggregate on the gram hash pair for the distinct-doc count,
+    a semi join back (no fan-out — the dup set is one row per hash
+    pair, hot boilerplate grams included), and one more doc-keyed
+    window for the interval merge.  Two independent 31-bit gram hashes
+    make a cross-doc false collision ~1/mod² (~2e-19 per pair) — no
+    need to shuffle the gram STRINGS, which is what keeps the shuffle
+    payload at 24 bytes/gram at the 100 TB design point.
+    """
+    grams = positional_gram_hashes(
+        df, id_col, text_col, k, base=base, mod=mod, seeds=(0, 1)
+    )
+    dup = (
+        grams.groupBy("gh0", "gh1")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("gh0", "gh1")
+    )
+    hits = grams.join(dup, ["gh0", "gh1"], "left_semi")
+    wspec = Window.partitionBy(id_col).orderBy("pos")
+    # interval-merge islands: a new island starts where the gap to the
+    # previous duplicated gram exceeds k-1 (first row: lag is NULL ->
+    # otherwise-branch -> starts island 1)
+    new_island = (
+        F.when(F.col("pos") - F.lag("pos").over(wspec) <= k - 1, F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    isl = hits.withColumn("__new", new_island).withColumn(
+        "__grp", F.sum("__new").over(wspec.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        isl.groupBy(F.col(id_col), F.col("__grp"))
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .withColumn(
+            "span_tokens", F.col("span_end") - F.col("span_start") + F.lit(1)
+        )
+        .select(F.col(id_col), "span_start", "span_end", "span_tokens")
     )

@@ -410,6 +410,51 @@ def test_rolling_fingerprints_local_edit_robustness(spark):
     assert got[1] != got[2]
 
 
+def test_duplicate_spans_hand_computed(spark):
+    # pair A shares exactly ONE 8-gram (a..h); pair B shares a 9-token
+    # run -> two overlapping duplicated 8-grams that must MERGE into a
+    # single maximal span (interval merge, not integer islands)
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x y a b c d e f g h q r s"),
+            (3, "k l m n o p q r s t u v"),  # no 8-gram shared with any
+            (4, "aa bb cc dd ee ff gg hh ii zz"),
+            (5, "pp qq aa bb cc dd ee ff gg hh ii"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dedup.duplicate_spans(df, "doc_id", "text", k=8).collect()
+    }
+    assert got == {
+        (1, 1, 8, 8),   # gram at pos 1 only
+        (2, 3, 10, 8),  # same gram at pos 3
+        (4, 1, 9, 9),   # grams at pos 1,2 merge -> 9-token span
+        (5, 3, 11, 9),  # grams at pos 3,4 merge
+    }
+
+
+def test_duplicate_spans_gap_does_not_merge(spark):
+    # two shared 8-grams separated by a gap > k-1 stay separate spans
+    shared1 = "a b c d e f g h"
+    shared2 = "q r s t u v w x"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared1} one two three four five six seven eight {shared2}"),
+            (2, f"{shared1} uno dos tres cuatro cinco seis siete ocho {shared2}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(df, "doc_id", "text", k=8).collect()
+    }
+    # doc layout: shared1 at pos 1-8, 8 filler words at 9-16, shared2 at 17-24
+    assert got == {(1, 1, 8), (1, 17, 24), (2, 1, 8), (2, 17, 24)}
+
+
 def test_simhash_similarity_order(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta"),
