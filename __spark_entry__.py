@@ -4618,6 +4618,72 @@ JOIN edges e3 ON e3.u = e1.u AND e3.w = e2.w
 """
 
 
+_PR_DAMPING = 0.85
+_PR_ITER = 2
+
+
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-iteration PageRank (graph.pagerank) over the undirected
+    part<->supplier supply graph from lineitem (each distinct
+    (partkey, suppkey) pair contributes both directed edges).  The
+    oracle unrolls the power iteration into CTEs with the same double
+    arithmetic; 10-dp rounding absorbs summation-order ulps."""
+    tune(spark)
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = graph.pagerank(
+        edges, iterations=_PR_ITER, damping=_PR_DAMPING
+    )
+    return pr.select("v", F.round("rank", 10).alias("rank"))
+
+
+def _oracle_pagerank_parts() -> str:
+    d = _PR_DAMPING
+    base = 1.0 - d
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS s,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS d
+  FROM lineitem
+), e AS (
+  SELECT s, d FROM pairs UNION ALL SELECT d AS s, s AS d FROM pairs
+), v AS (
+  SELECT DISTINCT v FROM (SELECT s AS v FROM e UNION ALL SELECT d FROM e)
+), n AS (
+  SELECT count(*) AS n FROM v
+), outdeg AS (
+  SELECT s, count(*) AS deg FROM e GROUP BY 1
+), r0 AS (
+  SELECT v.v, CAST(1.0 AS DOUBLE) / n.n AS rank FROM v CROSS JOIN n
+), c1 AS (
+  SELECT e.d AS v, sum(r0.rank / outdeg.deg) AS m
+  FROM e JOIN outdeg USING (s) JOIN r0 ON r0.v = e.s GROUP BY 1
+), r1 AS (
+  SELECT v.v,
+         CAST({base!r} AS DOUBLE) / n.n
+           + CAST({d!r} AS DOUBLE) * coalesce(c1.m, CAST(0.0 AS DOUBLE)) AS rank
+  FROM v CROSS JOIN n LEFT JOIN c1 ON c1.v = v.v
+), c2 AS (
+  SELECT e.d AS v, sum(r1.rank / outdeg.deg) AS m
+  FROM e JOIN outdeg USING (s) JOIN r1 ON r1.v = e.s GROUP BY 1
+), r2 AS (
+  SELECT v.v,
+         CAST({base!r} AS DOUBLE) / n.n
+           + CAST({d!r} AS DOUBLE) * coalesce(c2.m, CAST(0.0 AS DOUBLE)) AS rank
+  FROM v CROSS JOIN n LEFT JOIN c2 ON c2.v = v.v
+)
+SELECT v, round(rank, 10) AS rank FROM r2
+"""
+
+
 _PROFILE_COLS = [
     "o_orderkey",
     "o_custkey",
@@ -5384,6 +5450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "media_dhash": q_media_dhash,
         "dup_span_detect": q_dup_span_detect,
+        "pagerank_parts": q_pagerank_parts,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -5509,6 +5576,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _oracle_winnow_fingerprints(),
         "media_dhash": _oracle_media_dhash(),
         "dup_span_detect": _oracle_dup_span_detect(),
+        "pagerank_parts": _oracle_pagerank_parts(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

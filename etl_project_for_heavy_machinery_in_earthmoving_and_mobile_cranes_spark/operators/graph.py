@@ -22,6 +22,65 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list:
+
+        r_{t+1}(v) = (1-d)/N + d * sum_{u->v} r_t(u) / outdeg(u)
+
+    starting from the uniform vector r_0 = 1/N.  This is the simple
+    power-iteration variant WITHOUT dangling-mass redistribution (a
+    vertex with no out-edges lets its mass decay) — deterministic,
+    closed-form per iteration, and therefore replayable by the SQL
+    oracle with unrolled CTEs.
+
+    Output: ``(v, rank)`` for every vertex.
+
+    Scale design: the iteration count is a compile-time constant, so
+    the loop UNROLLS into one lazy DAG — per iteration one shuffle
+    join (edges x ranks on the source vertex) and one hash aggregate
+    on the destination; N and the (1-d)/N base term come from a
+    broadcast scalar-aggregate cross join (no driver-side count()
+    action, AQE-friendly).  Degree skew on popular vertices is
+    map-side-combined by the partial aggregation; for power-law graphs
+    cap super-nodes upstream like ``triangle_enumerate`` does.
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    verts = (
+        e.select(F.col("__s").alias("v"))
+        .unionAll(e.select(F.col("__d").alias("v")))
+        .distinct()
+    )
+    n1 = verts.agg(F.count("*").alias("__n"))
+    verts_n = verts.crossJoin(F.broadcast(n1))
+    outdeg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
+    ranks = verts_n.select("v", (F.lit(1.0) / F.col("__n")).alias("rank"))
+    base = 1.0 - damping
+    for _ in range(iterations):
+        contrib = (
+            e.join(outdeg, "__s")
+            .join(ranks.withColumnRenamed("v", "__s"), "__s")
+            .select(
+                F.col("__d").alias("v"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )
+        )
+        summed = contrib.groupBy("v").agg(F.sum("__c").alias("__in"))
+        ranks = verts_n.join(summed, "v", "left").select(
+            "v",
+            (
+                F.lit(base) / F.col("__n")
+                + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks
+
+
 def triangle_enumerate(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_degree: int | None = None
 ) -> DataFrame:

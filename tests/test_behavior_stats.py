@@ -176,6 +176,38 @@ def test_triangle_enumerate_and_degree_cap(spark):
     assert capped == []
 
 
+def test_pagerank_matches_python_power_iteration(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import graph
+
+    # directed graph with a dangling vertex (d has no out-edges) and a
+    # vertex with no in-edges (a) — both boundary cases of the recurrence
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("b", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["v"]: r["rank"]
+        for r in graph.pagerank(df, iterations=3, damping=0.85).collect()
+    }
+
+    # pure-Python replay of the exact same recurrence
+    verts = sorted({v for e in edges for v in e})
+    n, d = len(verts), 0.85
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in verts}
+    for _ in range(3):
+        inc = {v: 0.0 for v in verts}
+        for s, t in edges:
+            inc[t] += rank[s] / outdeg[s]
+        rank = {v: (1.0 - d) / n + d * inc[v] for v in verts}
+
+    assert set(got) == set(verts)
+    for v in verts:
+        assert abs(got[v] - rank[v]) < 1e-12, (v, got[v], rank[v])
+    # sanity: mass decays through the dangling vertex, so total < 1
+    assert sum(got.values()) < 1.0
+
+
 def test_column_profile_counts(spark):
     from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
 
