@@ -3047,6 +3047,61 @@ GROUP BY media_id
 """
 
 
+def q_media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-byte audio decode (multimodal.audio_stats): the synthetic
+    table holds genuine RIFF/WAVE 16-bit PCM payloads; the mapInPandas
+    stage walks the chunk list and unpacks the samples.  The oracle
+    replays the generator's closed-form PCM (md5-digest bytes as
+    little-endian int16) through the same rate/duration/peak/mean-abs
+    arithmetic — a container-parse bug (chunk offsets, alignment,
+    sign decode) breaks the match."""
+    tune(spark)
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        multimodal,
+    )
+
+    media = multimodal.synthetic_audio(spark, 48)
+    out = multimodal.audio_stats(media)
+    return out.select(
+        "media_id", "sample_rate", "n_samples", "duration_ms", "peak",
+        F.round("mean_abs", 6).alias("mean_abs"),
+    )
+
+
+def _oracle_media_wav_stats() -> str:
+    # hexbyte(hx, k): byte k of the md5 digest, decoded arithmetically
+    # (same discipline as the dhash oracle / _sql_md5_bucket)
+    def hb(k_expr: str) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substr(hx, 2*({k_expr}) + 1, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(hx, 2*({k_expr}) + 2, 1)) - 1))"
+        )
+
+    return f"""
+WITH auds AS (
+  SELECT i::BIGINT AS media_id, 8000 + (i % 4) * 4000 AS rate,
+         16 + (i % 9) * 4 AS n, md5('aud:' || i) AS hx
+  FROM generate_series(0, 47) t(i)
+), samp AS (
+  SELECT media_id, rate, n, unnest(range(0, n)) AS j, hx FROM auds
+), s16 AS (
+  SELECT media_id, rate, n,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+  FROM (
+    SELECT media_id, rate, n,
+           {hb('(2*j) % 16')} + 256 * {hb('(2*j + 1) % 16')} AS u
+    FROM samp
+  )
+)
+SELECT media_id, CAST(rate AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(max(abs(s)) AS INT) AS peak,
+       round(CAST(sum(abs(s)) AS DOUBLE) / n, 6) AS mean_abs
+FROM s16 GROUP BY media_id, rate, n
+"""
+
+
 # ---------------------------------------------------------------------------
 # Time-series: resample + gap-fill, deltas/spikes, SCD2 intervals;
 # quantile bucketing; TF-IDF terms
@@ -5451,6 +5506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dhash": q_media_dhash,
         "dup_span_detect": q_dup_span_detect,
         "pagerank_parts": q_pagerank_parts,
+        "media_wav_stats": q_media_wav_stats,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -5577,6 +5633,7 @@ def oracle_sql() -> dict[str, str]:
         "media_dhash": _oracle_media_dhash(),
         "dup_span_detect": _oracle_dup_span_detect(),
         "pagerank_parts": _oracle_pagerank_parts(),
+        "media_wav_stats": _oracle_media_wav_stats(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -385,6 +385,146 @@ def decode_image_pixels(content: bytes) -> tuple[str, int, int, bytes]:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real-byte audio decode (RIFF/WAVE, 16-bit PCM): the audio analog of the
+# PPM/BMP path — pure stdlib parsing of actual WAV bytes through the same
+# mapInPandas plumbing.  Compressed codecs (MP3/AAC/FLAC) stay behind
+# ``real_decode``.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Minimal RIFF/WAVE container, 16-bit PCM mono little-endian."""
+    import struct
+
+    data = struct.pack("<%dh" % len(samples), *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(content: bytes) -> tuple[int, int, list[int]]:
+    """Parse REAL RIFF/WAVE bytes → (sample_rate, n_channels,
+    samples[int16]).  Walks the chunk list (so files with LIST/INFO or
+    other extra chunks decode correctly, and word-aligned odd-size
+    chunks are skipped per the RIFF spec); 16-bit integer PCM only —
+    anything else raises NotImplementedError at the same honest
+    soundfile/pyav boundary as the image path."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"no stdlib decoder for magic {content[:4]!r}; wire soundfile here"
+        )
+    i = 12
+    rate = channels = None
+    data = None
+    while i + 8 <= len(content):
+        cid = content[i : i + 4]
+        (sz,) = struct.unpack_from("<I", content, i + 4)
+        body = content[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt_code, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError("only 16-bit integer PCM is supported")
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # RIFF chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(data) // 2
+    return rate, channels, list(struct.unpack_from("<%dh" % n, data, 0))
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("mean_abs", T.DoubleType()),
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """mapInPandas decode of REAL WAV bytes → typed per-clip stats
+    (rate, sample count, duration, peak / mean absolute amplitude).
+    Same contract as the image stages: the ``kind == 'audio'`` filter
+    is JVM-side so only decodable rows cross the Arrow boundary, and
+    the output is narrow typed columns — downstream filtering
+    (silence/clipping gates in a corpus pipeline) stays pure JVM.
+    ``mean_abs`` is one int/int IEEE division — correctly rounded and
+    bit-identical in any engine; decimal rounding for display is left
+    to the caller (JVM-side ``F.round``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "sample_rate": [], "n_samples": [],
+                "duration_ms": [], "peak": [], "mean_abs": [],
+            }
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                rate, _ch, samples = decode_wav(bytes(c))
+                n = len(samples)
+                sum_abs = sum(abs(s) for s in samples)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["peak"].append(max((abs(s) for s in samples), default=0))
+                out["mean_abs"].append(sum_abs / n if n else 0.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "duration_ms": pd.Series(out["duration_ms"], dtype="int64"),
+                    "peak": pd.Series(out["peak"], dtype="int32"),
+                    "mean_abs": pd.Series(out["mean_abs"], dtype="float64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=AUDIO_STATS_SCHEMA
+    )
+
+
+def synthetic_audio(spark, n: int = 48) -> DataFrame:
+    """Media table of REAL decodable WAV clips: closed-form in the id
+    (rate = 8000 + (i%4)·4000, n_samples = 16 + (i%9)·4) so an
+    external oracle can replay the decode; PCM bytes are the md5
+    digest of ``aud:i`` repeated (sample j = little-endian int16 of
+    digest bytes 2j%16, (2j+1)%16)."""
+    import struct
+
+    rows = []
+    for i in range(n):
+        rate = 8000 + (i % 4) * 4000
+        ns = 16 + (i % 9) * 4
+        seed = hashlib.md5(f"aud:{i}".encode()).digest()
+        pcm = (seed * (2 * ns // len(seed) + 1))[: 2 * ns]
+        samples = list(struct.unpack("<%dh" % ns, pcm))
+        rows.append(
+            (i, "audio", "audio/wav", bytearray(encode_wav(rate, samples)), {"idx": str(i)})
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 DHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

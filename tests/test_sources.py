@@ -254,6 +254,66 @@ def test_image_codec_roundtrip_fuzz():
         ) == ("bmp", w, h)
 
 
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """WAV encode→decode round-trips across rates/lengths incl. the
+    int16 boundary values; the decoder must walk past extra RIFF
+    chunks (LIST before data) and honor odd-size chunk word alignment."""
+    import random
+    import struct
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        multimodal,
+    )
+
+    rng = random.Random(7)
+    for rate, n in [(8000, 1), (44100, 17), (16000, 64)]:
+        samples = [rng.randint(-32768, 32767) for _ in range(n)]
+        samples[:2] = [-32768, 32767][: len(samples)]
+        got_rate, got_ch, got = multimodal.decode_wav(
+            multimodal.encode_wav(rate, samples)
+        )
+        assert (got_rate, got_ch, got) == (rate, 1, samples)
+
+    # inject a LIST chunk with an ODD size between fmt and data: the
+    # walker must skip it plus its alignment pad
+    wav = multimodal.encode_wav(8000, [1, -2, 3])
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # 5 bytes + pad
+    patched = wav[:fmt_end] + extra + wav[fmt_end:]
+    assert multimodal.decode_wav(patched)[2] == [1, -2, 3]
+
+    # honest boundaries: non-RIFF magic / non-PCM fmt
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_wav(b"fLaC" + b"\x00" * 64)
+    bad_fmt = bytearray(wav)
+    bad_fmt[20] = 3  # fmt code 3 = IEEE float
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_wav(bytes(bad_fmt))
+
+
+def test_audio_stats_hand_computed(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        multimodal,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", "audio/wav",
+             bytearray(multimodal.encode_wav(8000, [100, -200, 300, -400])), {}),
+            (2, "video", "video/x-fake", bytearray(b"\x00" * 8), {}),  # filtered out
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.audio_stats(media).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["media_id"], r["sample_rate"], r["n_samples"]) == (1, 8000, 4)
+    assert r["duration_ms"] == 0 and r["peak"] == 400
+    assert r["mean_abs"] == (100 + 200 + 300 + 400) / 4
+
+
 def test_xlsx_python_datasource(spark, tmp_path):
     """format('xlsx') via the Spark 4 Python Data Source API: per-file
     partitions, typed schema, header handling — no openpyxl anywhere."""
