@@ -103,6 +103,10 @@ BENCH_QUERIES = [
     # -> semantic dedup -> epoch mixture -> shuffle rank) as ONE plan
     "curation_pipeline",
     "winnow_fingerprints",
+    "dup_span_detect",
+    "pagerank_parts",
+    # media_wav_stats excluded like the other media_* queries
+    # (constant-size synthetic table — not a data-scaled measurement)
 ]
 
 

@@ -28,6 +28,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 2,
     damping: float = 0.85,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list:
 
@@ -49,16 +50,30 @@ def pagerank(
     action, AQE-friendly).  Degree skew on popular vertices is
     map-side-combined by the partial aggregation; for power-law graphs
     cap super-nodes upstream like ``triangle_enumerate`` does.
+
+    ``materialize`` (default True) lazily checkpoints the iteration
+    invariants — edge list, vertex set, out-degrees — so each is
+    computed ONCE instead of once per unrolled iteration leg (the
+    standard persist-the-graph discipline of iterative algorithms;
+    without it the edge-list derivation re-executes ~2x per iteration
+    and the plan tree grows multiplicatively).  Lazy checkpoints run
+    no job at plan-construction time.
     """
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    if materialize:
+        e = e.localCheckpoint(eager=False)
     verts = (
         e.select(F.col("__s").alias("v"))
         .unionAll(e.select(F.col("__d").alias("v")))
         .distinct()
     )
+    if materialize:
+        verts = verts.localCheckpoint(eager=False)
     n1 = verts.agg(F.count("*").alias("__n"))
     verts_n = verts.crossJoin(F.broadcast(n1))
     outdeg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
+    if materialize:
+        outdeg = outdeg.localCheckpoint(eager=False)
     ranks = verts_n.select("v", (F.lit(1.0) / F.col("__n")).alias("rank"))
     base = 1.0 - damping
     for _ in range(iterations):

@@ -347,6 +347,26 @@ def test_hard_negatives_cell_equi_join_no_cartesian(spark, sf_dir):
     assert "WindowGroupLimit" in p
 
 
+def test_dup_span_detect_plan_shape(spark, sf_dir):
+    p = plan_of(spark, "dup_span_detect", sf_dir)
+    # duplicated-gram membership must be a semi join on the hash pair
+    # (one row per hash in the dup set -> no fan-out), never a nested
+    # loop; the whole pipeline stays JVM-side
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pagerank_plan_shape(spark, sf_dir):
+    p = plan_of(spark, "pagerank_parts", sf_dir)
+    # unrolled power iteration: equi joins + hash aggregates only; the
+    # N scalar rides a broadcast (1-row nested loop is fine), but a
+    # true cartesian or a Python stage is a regression
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "HashAggregate" in p
+
+
 def test_curation_pipeline_one_dag_no_cartesian(spark, sf_dir):
     p = plan_of(spark, "curation_pipeline", sf_dir)
     # five stages, one DAG: no cartesian anywhere, no Python UDF stage
