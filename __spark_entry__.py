@@ -5433,6 +5433,59 @@ FROM nation
 """
 
 
+def q_csv_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed CSV and JSONL sink→source round-trips in one query:
+    the supplier dim is written through BOTH text sinks
+    (sources.readers.write_csv / write_jsonl — executor-parallel, not
+    a driver collect), read back with explicit schemas (no inference
+    pass), and the two read paths are equi-joined to prove every
+    value — including DOUBLE acctbal, which must survive the
+    shortest-round-trip text encoding bit-for-bit — came back intact
+    on both.  Oracle: the supplier view itself."""
+    import os
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        readers,
+    )
+
+    tune(spark)
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    schema = "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+    base = os.path.join(tempfile.gettempdir(), "csv_jsonl_rt_cache")
+    csv_path, jsonl_path = os.path.join(base, "csv"), os.path.join(base, "jsonl")
+    readers.write_csv(sup, csv_path)
+    readers.write_jsonl(sup, jsonl_path)
+    from pyspark.sql.types import _parse_datatype_string
+
+    c = readers.read_csv(spark, csv_path, _parse_datatype_string(schema))
+    j = readers.read_jsonl(spark, jsonl_path, _parse_datatype_string(schema))
+    jj = j.select(
+        F.col("s_suppkey"),
+        F.col("s_name").alias("j_name"),
+        F.col("s_nationkey").alias("j_nationkey"),
+        F.col("s_acctbal").alias("j_acctbal"),
+    )
+    return c.join(jj, "s_suppkey").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal",
+        (
+            (F.col("s_name") == F.col("j_name"))
+            & (F.col("s_nationkey") == F.col("j_nationkey"))
+            & (F.col("s_acctbal") == F.col("j_acctbal"))
+        ).alias("paths_agree"),
+    )
+
+
+ORACLE_CSV_JSONL_ROUNDTRIP = """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(s_nationkey AS INT) AS s_nationkey, s_acctbal,
+       TRUE AS paths_agree
+FROM supplier
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -5507,6 +5560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_detect": q_dup_span_detect,
         "pagerank_parts": q_pagerank_parts,
         "media_wav_stats": q_media_wav_stats,
+        "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -5634,6 +5688,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_detect": _oracle_dup_span_detect(),
         "pagerank_parts": _oracle_pagerank_parts(),
         "media_wav_stats": _oracle_media_wav_stats(),
+        "csv_jsonl_roundtrip": ORACLE_CSV_JSONL_ROUNDTRIP,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,
