@@ -1813,6 +1813,73 @@ FROM grp GROUP BY doc_id, grp
 """
 
 
+def q_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring REMOVAL (dedup.strip_duplicate_spans):
+    positions covered by cross-doc duplicated 8-grams are cut from all
+    but the lowest-id keeper document, and the surviving normalized
+    token stream is rebuilt per doc.  The oracle replays hash → keeper
+    selection → position expansion → anti join → ordered string_agg."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.strip_duplicate_spans(d, "doc_id", "text", k=_SPAN_K)
+
+
+def _oracle_dup_span_strip() -> str:
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.dedup import (
+        WINNOW_BASE,
+        WINNOW_MOD,
+    )
+
+    norm = _NORM_SQL.format(col="text")
+    pows = [pow(WINNOW_BASE, _SPAN_K - 1 - i, WINNOW_MOD) for i in range(_SPAN_K)]
+
+    def poly(col: str) -> str:
+        terms = [f"({col} * {pows[0]}) % {WINNOW_MOD}"] + [
+            f"(lead({col}, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
+            f" * {pows[i]}) % {WINNOW_MOD}"
+            for i in range(1, _SPAN_K)
+        ]
+        return "(" + " + ".join(terms) + f") % {WINNOW_MOD}"
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), words AS (
+  SELECT doc_id, unnest(t) AS w,
+         CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos
+  FROM toks
+), wh AS (
+  SELECT doc_id, pos,
+         ({_sql_md5_bucket('w', seed=0)}) % {WINNOW_MOD} AS wh0,
+         ({_sql_md5_bucket('w', seed=1)}) % {WINNOW_MOD} AS wh1
+  FROM words
+), g AS (
+  SELECT doc_id, pos, {poly('wh0')} AS gh0, {poly('wh1')} AS gh1 FROM wh
+), grams AS (
+  SELECT * FROM g WHERE gh0 IS NOT NULL
+), keep AS (
+  SELECT gh0, gh1, min(doc_id) AS keeper FROM grams GROUP BY 1, 2
+  HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN keep USING (gh0, gh1)
+  WHERE g.doc_id <> keep.keeper
+), rem AS (
+  SELECT DISTINCT doc_id, pos + j.j AS pos
+  FROM hits, generate_series(0, {_SPAN_K - 1}) j(j)
+), kept AS (
+  SELECT w2.doc_id, w2.pos, w2.w FROM words w2
+  ANTI JOIN rem ON rem.doc_id = w2.doc_id AND rem.pos = w2.pos
+), agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 _FAST_DUP_THRESHOLD = 0.8
 
 
@@ -5503,7 +5570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 143
+    already-green remainder (round-2 set before round-1 set).  All 147
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -5561,6 +5628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_parts": q_pagerank_parts,
         "media_wav_stats": q_media_wav_stats,
         "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
+        "dup_span_strip": q_dup_span_strip,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -5689,6 +5757,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_parts": _oracle_pagerank_parts(),
         "media_wav_stats": _oracle_media_wav_stats(),
         "csv_jsonl_roundtrip": ORACLE_CSV_JSONL_ROUNDTRIP,
+        "dup_span_strip": _oracle_dup_span_strip(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -809,3 +809,78 @@ def duplicate_spans(
         )
         .select(F.col(id_col), "span_start", "span_end", "span_tokens")
     )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    base: int = WINNOW_BASE,
+    mod: int = WINNOW_MOD,
+) -> DataFrame:
+    """Exact duplicate-substring REMOVAL — the second half of the
+    substring-dedup pass: every word position covered by a duplicated
+    k-gram is dropped from all documents EXCEPT the gram's canonical
+    keeper (the lowest id containing it), and the surviving normalized
+    token stream is rebuilt.  One verbatim copy of each boilerplate
+    run survives corpus-wide; every other copy is cut.
+
+    Output: ``(id, clean_text, n_kept)`` for EVERY input document —
+    ``clean_text`` is the normalized (lowercased, punctuation-stripped)
+    token stream with duplicated positions removed, ``n_kept`` the
+    surviving token count.  Documents shorter than ``k`` tokens carry
+    no grams and pass through untouched.
+
+    Scale design: the gram table is computed once (doc-keyed window
+    exchange); keepers are one hash aggregate (min-id rides the same
+    pass as the distinct-doc count); the removable-position expansion
+    fans out k rows ONLY for duplicated grams in non-keeper docs; the
+    rebuild is an anti join on (id, pos) plus one collect_list per doc
+    — all clustered on the id, so the corpus crosses the wire a
+    constant number of times regardless of duplication rate.
+    """
+    grams = positional_gram_hashes(
+        df, id_col, text_col, k, base=base, mod=mod, seeds=(0, 1)
+    )
+    keepers = (
+        grams.groupBy("gh0", "gh1")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("__nd"),
+            F.min(F.col(id_col)).alias("__keeper"),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .select("gh0", "gh1", "__keeper")
+    )
+    hits = grams.join(keepers, ["gh0", "gh1"]).filter(
+        F.col(id_col) != F.col("__keeper")
+    )
+    removable = hits.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("pos"),
+    ).dropDuplicates([id_col, "pos"])
+    toks = tokens(F.col(text_col))
+    words = df.select(F.col(id_col), F.posexplode(toks).alias("__p0", "__w")).select(
+        F.col(id_col), (F.col("__p0") + 1).cast("bigint").alias("pos"), "__w"
+    )
+    kept = words.join(removable, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__w"))),
+                lambda s: s["__w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )

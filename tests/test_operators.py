@@ -455,6 +455,28 @@ def test_duplicate_spans_gap_does_not_merge(spark):
     assert got == {(1, 1, 8), (1, 17, 24), (2, 1, 8), (2, 17, 24)}
 
 
+def test_strip_duplicate_spans_keeps_lowest_id_copy(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x y a b c d e f g h q r s"),
+            (3, "short doc"),  # < k tokens: passes through untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in dedup.strip_duplicate_spans(df, "doc_id", "text", k=8).collect()
+    }
+    # doc 1 is the keeper of the shared gram -> intact; doc 2 loses
+    # positions 3..10; doc 3 has no grams at all
+    assert got == {
+        1: ("a b c d e f g h i j", 10),
+        2: ("x y q r s", 5),
+        3: ("short doc", 2),
+    }
+
+
 def test_simhash_similarity_order(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta"),

@@ -85,6 +85,8 @@ PROBE_QUERIES = [
     "last_touch_attribution",
     "span_corruption",
     "near_dup_removal",
+    "dup_span_detect",
+    "pagerank_parts",
 ]
 
 
