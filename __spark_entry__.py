@@ -3474,6 +3474,64 @@ FROM documents
 """
 
 
+_SHARD_BUDGET = 4096
+
+
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus sharding (sampling.token_budget_shards):
+    documents in the deterministic train order are assigned to
+    fixed-token-budget shards via an exact global cumulative token
+    count — computed with the two-pass bucket shape (parallel
+    per-bucket window cumsums + a broadcast 64-row offset table),
+    never a single-partition running sum.  Output is the per-shard
+    manifest; the oracle replays the identical total order and
+    cumulative sum with one global window, which DuckDB can afford at
+    gate scale."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    s = sampling.token_budget_shards(
+        d, "doc_id", "n_tok", _SHARD_BUDGET, seed=0, n_buckets=_SHUF_BUCKETS
+    )
+    return s.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("shard_tokens"),
+        F.min("shuffle_rank").alias("first_rank"),
+        F.max("shuffle_rank").alias("last_rank"),
+    )
+
+
+def _oracle_token_shards() -> str:
+    h0 = _sql_md5_bucket("doc_id", seed=0)
+    h1 = _sql_md5_bucket("doc_id", seed=1)
+    order = f"{h0} % {_SHUF_BUCKETS}, {h1}, doc_id"
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x != '')) AS BIGINT) AS n_tok
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tok,
+         row_number() OVER (ORDER BY {order}) AS rk,
+         coalesce(sum(n_tok) OVER (
+             ORDER BY {order}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+  FROM d
+)
+SELECT CAST(tb // {_SHARD_BUDGET} AS BIGINT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+       min(rk) AS first_rank, max(rk) AS last_rank
+FROM r GROUP BY 1
+"""
+
+
 _TEMP_ALPHA = 0.7
 
 
@@ -5570,7 +5628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 147
+    already-green remainder (round-2 set before round-1 set).  All 149
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -5629,6 +5687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_stats": q_media_wav_stats,
         "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
         "dup_span_strip": q_dup_span_strip,
+        "token_shards": q_token_shards,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -5758,6 +5817,7 @@ def oracle_sql() -> dict[str, str]:
         "media_wav_stats": _oracle_media_wav_stats(),
         "csv_jsonl_roundtrip": ORACLE_CSV_JSONL_ROUNDTRIP,
         "dup_span_strip": _oracle_dup_span_strip(),
+        "token_shards": _oracle_token_shards(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

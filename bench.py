@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "dup_span_detect",
     "pagerank_parts",
+    "dup_span_strip",
+    "token_shards",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

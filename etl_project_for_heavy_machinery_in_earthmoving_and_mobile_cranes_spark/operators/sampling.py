@@ -130,6 +130,82 @@ def shuffle_rank(
     )
 
 
+def token_budget_shards(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    budget: int,
+    seed: int = 0,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Assign rows — in the deterministic ``shuffle_rank`` train order —
+    to fixed-token-budget output shards: the manifest-building step of
+    a pretraining-data writer (~1B-token shards at the 100 TB design
+    point).  ``shard_id = floor(tokens_before / budget)`` where
+    ``tokens_before`` is the exact global cumulative token count of all
+    rows ordered before this one, so a shard boundary never splits a
+    document and every shard except the last holds >= ``budget`` minus
+    one document of tokens.
+
+    ``tokens_col`` must be an integer column (exact cumulative sums).
+    Output: input columns + ``shuffle_rank``, ``tokens_before``,
+    ``shard_id``.
+
+    Scale design: a global running sum is the same single-partition
+    trap as a global row_number — this reuses the two-pass bucket
+    shape of ``shuffle_rank``, with the per-bucket offset table
+    carrying BOTH row-count and token subtotals: per-bucket window
+    cumsums run in parallel across buckets, the ``n_buckets``-row
+    offset table gets one tiny window, and a broadcast join stitches
+    the global order.  One corpus-wide exchange total.
+    """
+    from pyspark.sql import Window
+
+    b = (hash_bucket(F.col(key_col), seed) % n_buckets).alias("__sb")
+    h2 = hash_bucket(F.col(key_col), seed + 1)
+    w_in = Window.partitionBy("__sb").orderBy(h2.asc(), F.col(key_col).asc())
+    ranked = (
+        df.withColumn("__sb", b)
+        .withColumn("__in_rank", F.row_number().over(w_in))
+        .withColumn(
+            "__in_tok",
+            F.coalesce(
+                F.sum(tokens_col).over(
+                    w_in.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    counts = (
+        df.select(b, F.col(tokens_col).alias("__t"))
+        .groupBy("__sb")
+        .agg(F.count("*").alias("__n"), F.sum("__t").alias("__tk"))
+    )
+    w_off = Window.orderBy("__sb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = counts.select(
+        "__sb",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+        F.coalesce(F.sum("__tk").over(w_off), F.lit(0)).alias("__tok_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__sb")
+        .withColumn(
+            "shuffle_rank", (F.col("__off") + F.col("__in_rank")).cast("bigint")
+        )
+        .withColumn(
+            "tokens_before", (F.col("__tok_off") + F.col("__in_tok")).cast("bigint")
+        )
+        .withColumn(
+            "shard_id",
+            F.floor(F.col("tokens_before") / F.lit(budget)).cast("bigint"),
+        )
+        .drop("__sb", "__in_rank", "__in_tok", "__off", "__tok_off")
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     key_col: str,

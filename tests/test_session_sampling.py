@@ -104,6 +104,42 @@ def test_shuffle_rank_is_permutation_and_partition_stable(spark):
     assert seeded != {r["k"]: r["shuffle_rank"] for r in rows}
 
 
+def test_token_budget_shards_matches_python_replay(spark):
+    import hashlib
+
+    df = (
+        spark.range(0, 500)
+        .withColumnRenamed("id", "k")
+        .withColumn("n_tok", (F.col("k") % 97 + 1).cast("bigint"))
+    )
+    out = sampling.token_budget_shards(
+        df, "k", "n_tok", budget=1000, seed=0, n_buckets=16
+    ).collect()
+
+    # python replay of the exact contract: shuffle_rank order, exact
+    # cumulative token prefix, floor-division shard assignment
+    def h(key, seed):
+        return int(hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:8], 16)
+
+    rows = [(k, k % 97 + 1) for k in range(500)]
+    ordered = sorted(rows, key=lambda r: (h(r[0], 0) % 16, h(r[0], 1), r[0]))
+    tb, expect = 0, {}
+    for rank, (k, t) in enumerate(ordered, start=1):
+        expect[k] = (rank, tb, tb // 1000)
+        tb += t
+
+    got = {r["k"]: (r["shuffle_rank"], r["tokens_before"], r["shard_id"]) for r in out}
+    assert got == expect
+    # shard boundaries never split a row: every shard's token span is
+    # contiguous and (except the last) crosses the budget only once
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for sid, members in by_shard.items():
+        lo = min(m["tokens_before"] for m in members)
+        assert lo // 1000 == sid
+
+
 def test_temperature_mix_flattens_toward_small_strata(spark):
     # 4000 'big' vs 400 'small': alpha<1 must keep 'small' whole and
     # down-sample 'big' by ~(10)^(alpha-1)
