@@ -2687,6 +2687,62 @@ GROUP BY doc_id
 """
 
 
+_BIGRAM_LAM = 0.7
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score (textstats.bigram_logprob,
+    Jelinek-Mercer smoothing): mean ln(lam*P(w|v) + (1-lam)*P(w)) per
+    doc under the corpus's own bigram/unigram distributions — the
+    sharper perplexity-proxy filter.  4-dp rounding absorbs
+    summation-order ulps (same discipline as the unigram score)."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return textstats.bigram_logprob(d, "doc_id", "text", lam=_BIGRAM_LAM)
+
+
+def _oracle_bigram_logprob() -> str:
+    lam = _BIGRAM_LAM
+    norm = _NORM_SQL.format(col="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split({norm}, ' '), x -> x != '') AS tk
+  FROM documents
+), db AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(2, len(tk)),
+                               i -> struct_pack(v := tk[i-1], w := tk[i]))) AS bg
+  FROM t
+), dbc AS (
+  SELECT doc_id, bg.v AS v, bg.w AS w, count(*) AS k
+  FROM db GROUP BY 1, 2, 3
+), bgc AS (
+  SELECT v, w, sum(k) AS cvw FROM dbc GROUP BY 1, 2
+), vc AS (
+  SELECT v, sum(cvw) AS cv FROM bgc GROUP BY 1
+), uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS t FROM uni
+), scored AS (
+  SELECT dbc.doc_id,
+         CAST(sum(k) AS BIGINT) AS n_bigrams,
+         round(sum(k * ln(CAST({lam!r} AS DOUBLE) * (CAST(cvw AS DOUBLE) / cv)
+                          + CAST({1.0 - lam!r} AS DOUBLE) * (CAST(c AS DOUBLE) / tot.t)))
+               / sum(k), 4) AS avg_logprob
+  FROM dbc JOIN bgc USING (v, w) JOIN vc USING (v)
+  JOIN uni ON uni.w = dbc.w CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(scored.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       scored.avg_logprob
+FROM documents d LEFT JOIN scored USING (doc_id)
+"""
+
+
 def q_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (pre-training batching): documents
     hash-bucketed into 8 parallel streams, each stream offset-packed
@@ -5628,7 +5684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 149
+    already-green remainder (round-2 set before round-1 set).  All 150
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -5688,6 +5744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
         "dup_span_strip": q_dup_span_strip,
         "token_shards": q_token_shards,
+        "bigram_logprob": q_bigram_logprob,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -5818,6 +5875,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_jsonl_roundtrip": ORACLE_CSV_JSONL_ROUNDTRIP,
         "dup_span_strip": _oracle_dup_span_strip(),
         "token_shards": _oracle_token_shards(),
+        "bigram_logprob": _oracle_bigram_logprob(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "pagerank_parts",
     "dup_span_strip",
     "token_shards",
+    "bigram_logprob",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

@@ -166,6 +166,91 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, lam: float = 0.7
+) -> DataFrame:
+    """Interpolated bigram language-model score per document
+    (Jelinek-Mercer smoothing): mean over token positions i >= 2 of
+
+        ln( lam * P(w_i | w_{i-1}) + (1 - lam) * P(w_i) )
+
+    with both distributions estimated from the corpus itself —
+    P(w|v) = c(v,w)/c(v,·), P(w) = c(w)/T.  A sharper gibberish /
+    machine-spam filter than the unigram score: scrambled word salads
+    keep their unigram mass but lose all bigram mass.  Documents with
+    fewer than 2 tokens return n_bigrams = 0 and NULL score.
+
+    Shape: per-doc bigram counts (explode of an index-transform
+    projection — no window, no doc-keyed exchange) → global bigram /
+    context / unigram frequency tables → three equi joins keyed on the
+    bigram/word → weighted mean.  The frequency tables are
+    vocabulary²-bounded; AQE broadcasts them when small and
+    shuffle-joins on the token key at scale, same as word count.  The
+    interpolation guarantees a nonzero probability for every observed
+    bigram (cvw >= 1), so no log(0) guard is needed."""
+    toks = F.filter(
+        F.split(normalize_for_dedup(F.col(text_col)), " "), lambda x: x != ""
+    )
+    t = df.select(F.col(id_col), toks.alias("__t"))
+    pairs = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("__t")),
+            lambda i: F.struct(
+                F.element_at(F.col("__t"), i - 1).alias("v"),
+                F.element_at(F.col("__t"), i).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<v:string,w:string>>"))
+    dbc = (
+        t.select(F.col(id_col), F.explode(pairs).alias("bg"))
+        .select(F.col(id_col), F.col("bg.v").alias("v"), F.col("bg.w").alias("w"))
+        .groupBy(id_col, "v", "w")
+        .agg(F.count("*").alias("k"))
+        # dbc forks (global bigram table + join-back): persist so the
+        # explode+aggregate runs once, not once per branch
+        .persist()
+    )
+    bgc = dbc.groupBy("v", "w").agg(F.sum("k").alias("cvw"))
+    vc = bgc.groupBy("v").agg(F.sum("cvw").alias("cv"))
+    uni = (
+        t.select(F.col(id_col), F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("t"))
+    scored = (
+        dbc.join(bgc, ["v", "w"])
+        .join(vc, "v")
+        .join(uni, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("k")
+                    * F.log(
+                        F.lit(lam) * (F.col("cvw") / F.col("cv"))
+                        + F.lit(1.0 - lam) * (F.col("c") / F.col("t"))
+                    )
+                )
+                / F.sum("k"),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

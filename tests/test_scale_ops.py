@@ -142,6 +142,52 @@ def test_unigram_logprob_hand_computed(spark):
     assert 3 not in got  # empty doc has no tokens -> absent, both engines
 
 
+def test_bigram_logprob_hand_computed_and_orders_scrambled_below(spark):
+    import math
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import textstats
+
+    # 3 pattern docs share every bigram; the scrambled doc has the same
+    # UNIGRAMS but one-off bigrams -> must score strictly lower
+    pattern = "the cat sat on the mat"
+    df = spark.createDataFrame(
+        [(1, pattern), (2, pattern), (3, pattern),
+         (4, "mat the on cat the sat"),
+         (5, "x")],  # single token: no bigrams
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in textstats.bigram_logprob(df, "doc_id", "text", lam=0.7).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1] == got[2] == got[3]
+    assert got[1][0] == 5 and got[4][0] == 5
+    assert got[4][1] < got[1][1]
+    assert got[5] == (0, None)
+
+    # hand-check one term of doc 1: bigram ('the','cat') has c=3,
+    # context 'the' appears as v in 3*2=6 bigrams; unigram 'cat' c=4
+    # of T=25 tokens (4 docs * 6 + 1)
+    # full replay:
+    docs = [pattern.split()] * 3 + ["mat the on cat the sat".split(), ["x"]]
+    from collections import Counter
+    bg = Counter()
+    uni = Counter()
+    for d in docs:
+        uni.update(d)
+        bg.update(zip(d, d[1:]))
+    cv = Counter()
+    for (v, _w), c in bg.items():
+        cv[v] += c
+    T = sum(uni.values())
+    terms = [
+        math.log(0.7 * (bg[(v, w)] / cv[v]) + 0.3 * (uni[w] / T))
+        for v, w in zip(docs[0], docs[0][1:])
+    ]
+    assert got[1][1] == round(sum(terms) / len(terms), 4)
+
+
 def test_pack_documents_offset_rule(spark):
     from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import packing
 
