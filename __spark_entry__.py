@@ -2996,6 +2996,59 @@ SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity')} AS sum_qty, count(*)
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
+
+def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (history.merge_rollups): the
+    orders table is split into a 'historical' partial rollup
+    (pre-1997) and a 'new batch' partial (1997+, NULL-date rows
+    included so the split is exhaustive), then the partials are merged
+    by re-aggregating their union — sum/count/min/max are mergeable,
+    avg is DERIVED from merged sum and count.  The oracle computes the
+    rollup over the full table in one pass; equality proves the merge
+    reconstructs it exactly (decimal sums stay unrounded until the
+    final render, so merge order cannot perturb cents)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        history as history_ops,
+    )
+
+    tune(spark)
+    o = _t(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    cutoff = F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+
+    def partial(part: DataFrame) -> DataFrame:
+        return part.groupBy(*keys).agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("amt"),
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    hist = partial(o.filter(cutoff))
+    inc = partial(o.filter(~cutoff | F.isnull("o_orderdate")))
+    merged = history_ops.merge_rollups(
+        [hist, inc], keys,
+        sum_cols=("amt",), count_col="n",
+        min_cols=("min_price",), max_cols=("max_price",),
+    )
+    return merged.select(
+        *keys,
+        dround(F.col("amt")).alias("amt"),
+        F.col("n"),
+        "min_price", "max_price",
+    ).withColumn("avg_price", F.round(F.col("amt") / F.col("n"), 4))
+
+
+ORACLE_ROLLUP_MERGE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       {sql_dsum('o_totalprice')} AS amt,
+       count(*) AS n,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       round({sql_dsum('o_totalprice')} / count(*), 4) AS avg_price
+FROM orders GROUP BY 1, 2
+"""
+
 # rate-change feed: 40 changes through January (events span Jan 2024)
 _RATE_CHANGES = [
     (f"2024-01-{d:02d} {h:02d}:00:00", round(7.0 + (d * 7 + h) % 13 * 0.01, 2))
@@ -5684,7 +5737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 150
+    already-green remainder (round-2 set before round-1 set).  All 151
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -5745,6 +5798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_strip": q_dup_span_strip,
         "token_shards": q_token_shards,
         "bigram_logprob": q_bigram_logprob,
+        "rollup_merge": q_rollup_merge,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -5876,6 +5930,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_strip": _oracle_dup_span_strip(),
         "token_shards": _oracle_token_shards(),
         "bigram_logprob": _oracle_bigram_logprob(),
+        "rollup_merge": ORACLE_ROLLUP_MERGE,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "dup_span_strip",
     "token_shards",
     "bigram_logprob",
+    "rollup_merge",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

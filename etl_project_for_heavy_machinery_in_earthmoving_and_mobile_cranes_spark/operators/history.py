@@ -70,6 +70,35 @@ def merge_upsert(
     return keep.unionByName(updates)
 
 
+def merge_rollups(
+    parts: list[DataFrame],
+    keys: list[str],
+    sum_cols: tuple[str, ...] = (),
+    count_col: str | None = None,
+    min_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Incremental rollup maintenance: combine PARTIAL rollups by
+    re-aggregating their union.  sum / count / min / max are mergeable
+    aggregates, so maintaining a rollup over an append-only history
+    costs O(|new batch| + |existing rollup|) per refresh — the full
+    history is never rescanned (the difference between a tolerable
+    nightly job and a 100 TB rescan).  Non-mergeable stats (avg,
+    stddev) must be DERIVED downstream from merged sums and counts;
+    a count column in a partial rollup merges by SUM, which is why
+    ``count_col`` is summed here, never re-counted.
+    """
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    aggs = [F.sum(c).alias(c) for c in sum_cols]
+    if count_col is not None:
+        aggs.append(F.sum(count_col).alias(count_col))
+    aggs += [F.min(c).alias(c) for c in min_cols]
+    aggs += [F.max(c).alias(c) for c in max_cols]
+    return u.groupBy(*keys).agg(*aggs)
+
+
 def read_with_schema_evolution(spark, paths: list[str]) -> DataFrame:
     """Read history batches whose schemas drifted (columns added over
     time): mergeSchema unions the parquet footers; missing columns read

@@ -694,6 +694,38 @@ def test_media_stats_jvm_only(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_merge_rollups_reconstructs_direct_aggregate(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import history
+
+    rows = [("a", 10.0), ("a", 20.0), ("b", 5.0), ("b", 7.0), ("c", 1.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+
+    def partial(part):
+        return part.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count("*").alias("n"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        )
+
+    # three partials; key 'c' appears in only one of them
+    parts = [
+        partial(df.filter(F.col("v") < 6)),
+        partial(df.filter((F.col("v") >= 6) & (F.col("v") < 15))),
+        partial(df.filter(F.col("v") >= 15)),
+    ]
+    merged = {
+        r["k"]: (r["s"], r["n"], r["lo"], r["hi"])
+        for r in history.merge_rollups(
+            parts, ["k"], sum_cols=("s",), count_col="n",
+            min_cols=("lo",), max_cols=("hi",),
+        ).collect()
+    }
+    direct = {
+        r["k"]: (r["s"], r["n"], r["lo"], r["hi"])
+        for r in partial(df).collect()
+    }
+    assert merged == direct
+
+
 def test_history_union_and_schema_check(spark, tmp_path):
     a = spark.createDataFrame([(1, "x", 202401)], "id long, v string, month int")
     b = spark.createDataFrame([(2, "y", 202402)], "id long, v string, month int")
