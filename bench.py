@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "token_shards",
     "bigram_logprob",
     "rollup_merge",
+    "sentence_chunks",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

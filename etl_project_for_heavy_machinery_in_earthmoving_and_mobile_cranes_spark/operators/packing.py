@@ -70,6 +70,65 @@ def chunk_stats(packed: DataFrame, tokens_col: str) -> DataFrame:
     )
 
 
+# sentence = maximal run of non-terminals plus its terminal run, OR the
+# trailing terminator-less fragment.  Deliberately lookaround-free so
+# both Java regex (Spark) and RE2 (the DuckDB oracle) evaluate it
+# identically.
+SENTENCE_RE = r"[^.!?]*[.!?]+|[^.!?]+$"
+
+
+def sentence_chunks(
+    df: DataFrame, id_col: str, text_col: str, budget: int
+) -> DataFrame:
+    """Sentence-boundary-aware chunking — the RAG-indexing variant that
+    never cuts mid-sentence: the text splits into sentences on
+    terminal-punctuation runs, and CONSECUTIVE sentences pack into
+    ~``budget``-token chunks by the same offset-aligned rule as
+    ``pack_documents``, applied within the document (a sentence belongs
+    to the chunk where its token-stream offset starts; a chunk can
+    overflow by one sentence tail but boundaries stay aligned).
+
+    Output: (id, chunk_idx, n_sentences, n_tokens, chunk_text) —
+    ``chunk_text`` re-joins the trimmed sentences in order.
+
+    Scale shape: sentence extraction is a narrow posexplode; ONE
+    doc-keyed window computes running token offsets; the (id, chunk)
+    re-aggregation groups on a superset of the window key, so the
+    corpus shuffles once.  Documents with no sentences (empty text)
+    produce no rows.
+    """
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_RE), F.lit(0)),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    rows = df.select(F.col(id_col), F.posexplode(sents).alias("__sidx", "__sent"))
+    stoks = F.size(F.filter(F.split(F.col("__sent"), r"\s+"), lambda t: t != ""))
+    rows = rows.withColumn("__stoks", stoks)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__sidx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("__stoks").over(w), F.lit(0))
+    chunked = rows.withColumn(
+        "chunk_idx", F.floor(prior / F.lit(budget)).cast("bigint")
+    )
+    return chunked.groupBy(F.col(id_col), F.col("chunk_idx")).agg(
+        F.count("*").cast("bigint").alias("n_sentences"),
+        F.sum("__stoks").cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__sidx", "__sent"))),
+                lambda s: s["__sent"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
 def chunk_with_overlap(
     df: DataFrame,
     id_col: str,

@@ -188,6 +188,26 @@ def test_bigram_logprob_hand_computed_and_orders_scrambled_below(spark):
     assert got[1][1] == round(sum(terms) / len(terms), 4)
 
 
+def test_sentence_chunks_respects_boundaries(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import packing
+
+    # sentences of 3, 4, 2, 5 tokens; budget 6:
+    # offsets 0, 3, 7, 9 -> chunks 0, 0, 1, 1
+    text = "one two three. four five six seven! eight nine? ten eleven twelve thirteen fourteen"
+    df = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_sentences"], r["n_tokens"], r["chunk_text"])
+        for r in packing.sentence_chunks(df, "doc_id", "text", budget=6).collect()
+    }
+    assert got == {
+        (1, 0): (2, 7, "one two three. four five six seven!"),
+        (1, 1): (2, 7, "eight nine? ten eleven twelve thirteen fourteen"),
+    }
+    # no mid-sentence cut: every chunk_text is whole sentences
+    # empty doc produces no rows
+    assert not any(k[0] == 2 for k in got)
+
+
 def test_pack_documents_offset_rule(spark):
     from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import packing
 
