@@ -367,6 +367,35 @@ def test_pagerank_plan_shape(spark, sf_dir):
     assert "HashAggregate" in p
 
 
+def test_token_shards_plan_shape(spark, sf_dir):
+    p = plan_of(spark, "token_shards", sf_dir)
+    # global cumsum must be the two-pass bucket shape: offsets ride a
+    # broadcast join back to the corpus (never a second corpus-side
+    # shuffle on the bucket key), no cartesian, no Python stage
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_sentence_chunks_single_corpus_exchange(spark, sf_dir):
+    """Sentence window + (id, chunk) re-agg share ONE doc-keyed
+    exchange — grouping on a superset of the window partition key
+    preserves clustering."""
+    import re
+
+    p = plan_of(spark, "sentence_chunks", sf_dir)
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bigram_logprob_no_cartesian_no_python(spark, sf_dir):
+    p = plan_of(spark, "bigram_logprob", sf_dir)
+    # frequency joins are keyed equi joins; the only nested-loop is the
+    # 1-row broadcast scalar total
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_curation_pipeline_one_dag_no_cartesian(spark, sf_dir):
     p = plan_of(spark, "curation_pipeline", sf_dir)
     # five stages, one DAG: no cartesian anywhere, no Python UDF stage

@@ -87,6 +87,11 @@ PROBE_QUERIES = [
     "near_dup_removal",
     "dup_span_detect",
     "pagerank_parts",
+    "dup_span_strip",
+    "token_shards",
+    "bigram_logprob",
+    "rollup_merge",
+    "sentence_chunks",
 ]
 
 
