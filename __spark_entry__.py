@@ -3049,6 +3049,62 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders GROUP BY 1, 2
 """
 
+
+def q_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit (quality.reconcile_child_sums):
+    each order's STORED o_totalprice vs the revenue summed from its
+    lineitem children (extendedprice·(1-disc)·(1+tax), exact DECIMAL),
+    reported per order status — the invoice-header-vs-line-items
+    consistency check every warehouse runs.  The child aggregates to
+    one row per key BEFORE the join, so raw lineitems never join the
+    parent."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    tune(spark)
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    rec = quality.reconcile_child_sums(
+        o.withColumn("o_totalprice", F.col("o_totalprice").cast(DEC)),
+        li,
+        "o_orderkey",
+        "o_totalprice",
+        F.sum(_charge()),
+        tol=0.01,
+    )
+    return (
+        rec.join(o.select("o_orderkey", "o_orderstatus"), "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count(F.when(F.col("reconciled"), F.lit(1))).alias("n_reconciled"),
+            dround(F.sum(F.abs(F.col("diff")))).alias("sum_abs_diff"),
+            F.round(F.max(F.abs(F.col("diff"))), 2).cast("double").alias(
+                "max_abs_diff"
+            ),
+        )
+    )
+
+
+ORACLE_ORDER_RECONCILE = f"""
+WITH s AS (
+  SELECT l_orderkey AS o_orderkey, sum({SQL_CHARGE}) AS cs
+  FROM lineitem GROUP BY 1
+), rec AS (
+  SELECT o.o_orderkey, o.o_orderstatus,
+         CAST(o.o_totalprice AS DECIMAL(18,4))
+           - coalesce(cs, CAST(0 AS DECIMAL(18,4))) AS diff
+  FROM orders o LEFT JOIN s USING (o_orderkey)
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       count(*) FILTER (WHERE abs(diff) <= 0.01) AS n_reconciled,
+       CAST(round(sum(abs(diff)), 2) AS DOUBLE) AS sum_abs_diff,
+       CAST(round(max(abs(diff)), 2) AS DOUBLE) AS max_abs_diff
+FROM rec GROUP BY 1
+"""
+
 # rate-change feed: 40 changes through January (events span Jan 2024)
 _RATE_CHANGES = [
     (f"2024-01-{d:02d} {h:02d}:00:00", round(7.0 + (d * 7 + h) % 13 * 0.01, 2))
@@ -5788,7 +5844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 152
+    already-green remainder (round-2 set before round-1 set).  All 153
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -5851,6 +5907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "rollup_merge": q_rollup_merge,
         "sentence_chunks": q_sentence_chunks,
+        "order_reconcile": q_order_reconcile,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -5984,6 +6041,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": _oracle_bigram_logprob(),
         "rollup_merge": ORACLE_ROLLUP_MERGE,
         "sentence_chunks": _oracle_sentence_chunks(),
+        "order_reconcile": ORACLE_ORDER_RECONCILE,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

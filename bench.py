@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "bigram_logprob",
     "rollup_merge",
     "sentence_chunks",
+    "order_reconcile",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

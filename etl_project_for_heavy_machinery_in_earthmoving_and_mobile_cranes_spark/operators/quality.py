@@ -51,6 +51,45 @@ def fk_orphan_count(
     return orphans.agg(F.count("*").alias("n_violations"))
 
 
+def reconcile_child_sums(
+    parent: DataFrame,
+    child: DataFrame,
+    key: str,
+    parent_val: str,
+    child_sum: Column,
+    tol: float = 0.01,
+) -> DataFrame:
+    """Cross-table reconciliation: the parent's STORED total vs the SUM
+    aggregated from its child rows (orders.o_totalprice vs Σ lineitem
+    revenue, invoice header vs line items, …).  Returns one row per
+    parent key with both values, the signed difference, and a
+    ``reconciled`` flag (|diff| <= tol).  Parents with no child rows
+    compare against 0 — a missing-children mismatch, not a silent skip.
+
+    Scale shape: the child aggregates FIRST (map-side partial combine
+    to one row per key) and only then joins the parent on the key —
+    the join input is |parents| + |parents| rows, never raw child
+    rows.  Sum in DECIMAL when the value is money so reconciliation
+    isn't poisoned by float accumulation order.
+    """
+    sums = child.groupBy(F.col(key)).agg(child_sum.alias("__child_sum"))
+    # zero literal in the CHILD SUM's own type: a bare 0.0 would promote
+    # a decimal sum to double and poison money exactness
+    zero = F.lit(0).cast(dict(sums.dtypes)["__child_sum"])
+    ct = F.coalesce(F.col("__child_sum"), zero)
+    return (
+        parent.select(F.col(key), F.col(parent_val).alias("parent_total"))
+        .join(sums, key, "left")
+        .select(
+            F.col(key),
+            "parent_total",
+            ct.alias("child_total"),
+            (F.col("parent_total") - ct).alias("diff"),
+        )
+        .withColumn("reconciled", F.abs(F.col("diff")) <= tol)
+    )
+
+
 def with_observed_metrics(
     df: DataFrame, name: str, metrics: dict[str, Column]
 ):

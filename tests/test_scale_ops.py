@@ -188,6 +188,27 @@ def test_bigram_logprob_hand_computed_and_orders_scrambled_below(spark):
     assert got[1][1] == round(sum(terms) / len(terms), 4)
 
 
+def test_reconcile_child_sums_flags_and_missing_children(spark):
+    from pyspark.sql import functions as FF
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    parent = spark.createDataFrame(
+        [(1, 30.0), (2, 10.0), (3, 5.0)], "k long, total double"
+    )
+    child = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 9.0)], "k long, v double"
+    )
+    got = {
+        r["k"]: (r["child_total"], r["diff"], r["reconciled"])
+        for r in quality.reconcile_child_sums(
+            parent, child, "k", "total", FF.sum("v"), tol=0.01
+        ).collect()
+    }
+    assert got[1] == (30.0, 0.0, True)        # exact match
+    assert got[2] == (9.0, 1.0, False)        # off by 1
+    assert got[3] == (0.0, 5.0, False)        # no children -> vs 0, flagged
+
+
 def test_sentence_chunks_respects_boundaries(spark):
     from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import packing
 
