@@ -3087,6 +3087,45 @@ def q_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-profile anomaly detection (timeseries.seasonal_anomalies):
+    expected value = (day-of-week, hour) calendar-cell mean; a row is
+    anomalous when its residual exceeds 3 cell standard deviations.
+    The 168-cell profile is one hash aggregate broadcast back — the
+    event table never shuffles.  Cell sums accumulate in DECIMAL so
+    mean/variance are identical arithmetic in both engines."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    out = timeseries.seasonal_anomalies(e, "ts", "value", sigma=3.0)
+    return out.select(
+        "event_id", "expected", "residual", "cell_std",
+        F.col("is_anomaly").cast("int").alias("is_anomaly"),
+    )
+
+
+ORACLE_SEASONAL = """
+WITH k AS (
+  SELECT event_id, value, dayofweek(ts) AS dw, hour(ts) AS hr FROM events
+), prof AS (
+  SELECT dw, hr, count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,4))) AS s,
+         sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS ss
+  FROM k GROUP BY 1, 2
+), p2 AS (
+  SELECT dw, hr,
+         CAST(s AS DOUBLE) / n AS mean,
+         sqrt(greatest(CAST(ss AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0)) AS std
+  FROM prof
+)
+SELECT event_id, round(mean, 4) AS expected,
+       round(value - mean, 4) AS residual,
+       round(std, 4) AS cell_std,
+       CAST(abs(value - mean) > 3.0 * std AS INT) AS is_anomaly
+FROM k JOIN p2 USING (dw, hr)
+"""
+
+
 ORACLE_ORDER_RECONCILE = f"""
 WITH s AS (
   SELECT l_orderkey AS o_orderkey, sum({SQL_CHARGE}) AS cs
@@ -5844,7 +5883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 153
+    already-green remainder (round-2 set before round-1 set).  All 154
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -5908,6 +5947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_merge": q_rollup_merge,
         "sentence_chunks": q_sentence_chunks,
         "order_reconcile": q_order_reconcile,
+        "seasonal_anomalies": q_seasonal_anomalies,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6042,6 +6082,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_merge": ORACLE_ROLLUP_MERGE,
         "sentence_chunks": _oracle_sentence_chunks(),
         "order_reconcile": ORACLE_ORDER_RECONCILE,
+        "seasonal_anomalies": ORACLE_SEASONAL,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

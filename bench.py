@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "rollup_merge",
     "sentence_chunks",
     "order_reconcile",
+    "seasonal_anomalies",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

@@ -332,3 +332,66 @@ def rolling_median(
         (F.element_at(arr, (n / 2).cast("int")) + F.element_at(arr, hi_i)) / 2
     )
     return df.withColumn(out_col, F.round(med, 4))
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    sigma: float = 3.0,
+    dec: str = "decimal(18,4)",
+) -> DataFrame:
+    """Seasonal-profile anomaly detection: the expected value for a
+    timestamp is the mean over its (day-of-week, hour) calendar cell —
+    the weekly seasonality profile — and a row is anomalous when its
+    residual exceeds ``sigma`` cell standard deviations.  The
+    profile-join-back shape (the additive seasonal component of an
+    STL-style decomposition, computed declaratively).
+
+    Output: input rows + ``expected``, ``residual``, ``cell_std``,
+    ``is_anomaly``.
+
+    Scale shape: one hash aggregate over (dow, hour) — 168 cells
+    regardless of data size, always broadcastable back; the fact table
+    never shuffles.  Cross-engine determinism: cell sums accumulate in
+    DECIMAL (sum and sum-of-squares exact, so mean and variance are
+    identical arithmetic on identical inputs in any engine); variance
+    uses the E[x²]−E[x]² form clamped at 0 for the pure-roundoff
+    negatives.  The profile quantizes values to ``dec``'s scale (4 dp
+    by default) so the squared sums stay inside precision-38 decimals
+    in every engine — a documented, deterministic quantization, not
+    float noise.
+    """
+    vdec = F.col(value_col).cast(dec)
+    keyed = df.withColumn("__dow", F.dayofweek(F.col(ts_col))).withColumn(
+        "__hr", F.hour(F.col(ts_col))
+    )
+    prof = (
+        keyed.groupBy("__dow", "__hr")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(vdec).alias("__s"),
+            F.sum(vdec * vdec).alias("__ss"),
+        )
+        .select(
+            "__dow", "__hr",
+            (F.col("__s").cast("double") / F.col("__n")).alias("__mean"),
+            F.sqrt(
+                F.greatest(
+                    F.col("__ss").cast("double") / F.col("__n")
+                    - (F.col("__s").cast("double") / F.col("__n"))
+                    * (F.col("__s").cast("double") / F.col("__n")),
+                    F.lit(0.0),
+                )
+            ).alias("__std"),
+        )
+    )
+    out = keyed.join(F.broadcast(prof), ["__dow", "__hr"])
+    resid = F.col(value_col) - F.col("__mean")
+    return (
+        out.withColumn("expected", F.round(F.col("__mean"), 4))
+        .withColumn("residual", F.round(resid, 4))
+        .withColumn("cell_std", F.round(F.col("__std"), 4))
+        .withColumn("is_anomaly", F.abs(resid) > F.lit(sigma) * F.col("__std"))
+        .drop("__dow", "__hr", "__mean", "__std")
+    )

@@ -232,3 +232,26 @@ def test_rolling_median_interpolation_and_warmup(spark):
     got = {r["i"]: r["rmed"] for r in out.collect()}
     # warmup: [5] -> 5; [5,1] -> 3 (interpolated); then 3-row medians
     assert got == {0: 5.0, 1: 3.0, 2: 5.0, 3: 3.0, 4: 7.0}
+
+
+def test_seasonal_anomalies_flags_cell_outlier(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import timeseries
+    from pyspark.sql import functions as F
+
+    # cell A (Mon 10:00): 19 values of 10 + one 100 -> mean 14.5,
+    # sigma ~19.6, |100-14.5| = 85.5 > 3*sigma -> anomaly; the 10s are
+    # within. cell B (Mon 11:00): constant -> sigma 0, residual 0, not
+    # anomalous (strict >).
+    rows = [(i, f"2024-01-01 10:00:{i:02d}", 10.0) for i in range(19)]
+    rows.append((19, "2024-01-01 10:00:30", 100.0))
+    rows += [(20 + i, f"2024-01-01 11:00:{i:02d}", 7.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "event_id long, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        r["event_id"]: (r["is_anomaly"], r["expected"])
+        for r in timeseries.seasonal_anomalies(df, "ts", "value").collect()
+    }
+    assert got[19] == (True, 14.5)
+    assert all(not got[i][0] for i in range(19))
+    assert all(got[20 + i] == (False, 7.0) for i in range(4))
