@@ -4181,6 +4181,36 @@ FROM events GROUP BY 1
 """
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QC (similarity.embedding_dim_stats):
+    count/mean/std for every (label, dimension) cell — dead-dimension
+    and encoder-bias detection.  One (group, dim)-keyed hash aggregate
+    with decimal sums; the oracle replays the same quantized
+    arithmetic."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_dim_stats(emb, "embedding", group_cols=("label",))
+
+
+ORACLE_EMB_DIM_STATS = """
+WITH ex AS (
+  SELECT label, unnest(embedding) AS v,
+         CAST(unnest(range(0, len(embedding))) AS INT) AS dim
+  FROM embeddings
+), agg AS (
+  SELECT label, dim, count(*) AS n,
+         sum(CAST(v AS DECIMAL(18,8))) AS s,
+         sum(CAST(v AS DECIMAL(18,8)) * CAST(v AS DECIMAL(18,8))) AS ss
+  FROM ex GROUP BY 1, 2
+)
+SELECT label, dim, n,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean,
+       round(sqrt(greatest(CAST(ss AS DOUBLE) / n
+             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0)), 6) AS std
+FROM agg
+"""
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means assignment step: every vector labeled with its nearest
     of 4 seed centroids (vec_id 0..3), as a shuffle-free literal
@@ -5883,7 +5913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 154
+    already-green remainder (round-2 set before round-1 set).  All 155
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -5948,6 +5978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_chunks": q_sentence_chunks,
         "order_reconcile": q_order_reconcile,
         "seasonal_anomalies": q_seasonal_anomalies,
+        "embedding_dim_stats": q_embedding_dim_stats,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6083,6 +6114,7 @@ def oracle_sql() -> dict[str, str]:
         "sentence_chunks": _oracle_sentence_chunks(),
         "order_reconcile": ORACLE_ORDER_RECONCILE,
         "seasonal_anomalies": ORACLE_SEASONAL,
+        "embedding_dim_stats": ORACLE_EMB_DIM_STATS,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

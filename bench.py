@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "sentence_chunks",
     "order_reconcile",
     "seasonal_anomalies",
+    "embedding_dim_stats",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

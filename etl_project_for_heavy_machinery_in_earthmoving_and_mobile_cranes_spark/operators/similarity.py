@@ -729,3 +729,44 @@ def hard_negative_mining(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str,
+    group_cols: tuple[str, ...] = (),
+    dec: str = "decimal(18,8)",
+) -> DataFrame:
+    """Per-dimension embedding statistics (count, mean, std) — the
+    embedding-QC pass that catches dead dimensions (std ~ 0), biased
+    encoders (|mean| >> 0), and train/serve drift when run per group
+    (source, snapshot, model version).
+
+    Shape: posexplode to (group, dim, value) rows — N·D narrow rows —
+    then ONE hash aggregate keyed (group, dim): map-side partial
+    combine reduces each task to |groups|·D cells before the shuffle,
+    so the wire carries aggregates, not values.  Sums accumulate in
+    DECIMAL; a binary float can never sit exactly on a decimal
+    half-way point (10^-s is not dyadic), so the float→decimal
+    quantization is deterministic in every engine.  Variance uses
+    E[x²]−E[x]² clamped at 0.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    ex = df.select(*gcols, F.posexplode(F.col(vec_col)).alias("dim", "__v"))
+    vdec = F.col("__v").cast(dec)
+    agg = ex.groupBy(*gcols, F.col("dim")).agg(
+        F.count("*").alias("n"),
+        F.sum(vdec).alias("__s"),
+        F.sum(vdec * vdec).alias("__ss"),
+    )
+    mean = F.col("__s").cast("double") / F.col("n")
+    var = F.greatest(
+        F.col("__ss").cast("double") / F.col("n") - mean * mean, F.lit(0.0)
+    )
+    return agg.select(
+        *[F.col(c) for c in group_cols],
+        "dim",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("std"),
+    )

@@ -131,3 +131,20 @@ def test_ivf_pq_knn_mechanics_and_recall(spark, sf_dir):
     # full-probe (nprobe = n_cells) means loss comes only from the PQ
     # codes; must far exceed the ~0.02 random floor
     assert len(exact & pairs) / len(exact) >= 0.08
+
+
+def test_embedding_dim_stats_dead_dim_and_mean(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import similarity
+
+    # dim 0 constant (dead: std 0), dim 1 symmetric around 0
+    df = spark.createDataFrame(
+        [(1, [0.5, -2.0]), (2, [0.5, 2.0]), (3, [0.5, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["dim"]: (r["n"], r["mean"], r["std"])
+        for r in similarity.embedding_dim_stats(df, "embedding").collect()
+    }
+    assert got[0] == (3, 0.5, 0.0)
+    import math
+    assert got[1] == (3, 0.0, round(math.sqrt(8.0 / 3.0), 6))
