@@ -257,3 +257,52 @@ def test_dedup_exact_idempotent(spark):
     for i in range(100):
         by_text.setdefault(texts[i % 40], []).append(i)
     assert kept == {min(ids) for ids in by_text.values()}
+
+
+def test_duplicate_spans_matches_brute_force_random(spark):
+    """Semantic ground truth, independent of the Rabin-Karp hashing:
+    compute duplicated k-grams by their actual TOKEN TUPLES in Python,
+    merge overlapping intervals, and require the Spark operator (which
+    never shuffles gram strings, only dual hashes) to agree exactly."""
+    rng = random.Random(77)
+    k = 4
+    vocab = [f"w{i}" for i in range(12)]  # small vocab -> real collisions
+    docs = {}
+    for d in range(8):
+        n = rng.randint(2, 30)
+        docs[d] = [rng.choice(vocab) for _ in range(n)]
+    # inject one guaranteed shared run
+    shared = [rng.choice(vocab) for _ in range(6)]
+    docs[1][2:2] = shared
+    docs[5][0:0] = shared
+
+    # brute force: gram tuple -> set of docs
+    from collections import defaultdict
+    where = defaultdict(set)
+    for d, toks in docs.items():
+        for i in range(len(toks) - k + 1):
+            where[tuple(toks[i:i + k])].add(d)
+    expect = set()
+    for d, toks in docs.items():
+        hits = sorted(
+            i + 1  # 1-based
+            for i in range(len(toks) - k + 1)
+            if len(where[tuple(toks[i:i + k])]) >= 2
+        )
+        spans = []
+        for p in hits:
+            if spans and p - spans[-1][1] <= k - 1:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        for s, e in spans:
+            expect.add((d, s, e + k - 1, e + k - 1 - s + 1))
+
+    df = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dedup.duplicate_spans(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == expect
