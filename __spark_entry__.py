@@ -2687,6 +2687,60 @@ GROUP BY doc_id
 """
 
 
+_BM25_TERMS = ["hash", "join", "vector", "window"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (textstats.bm25_scores) — the lexical
+    complement to the ANN queries (hybrid retrieval fuses both): score
+    every document against a 4-term query with corpus-trained idf and
+    length normalization.  The oracle replays tf/df/avgdl and the BM25
+    formula; 4-dp rounding absorbs summation-order ulps."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return textstats.bm25_scores(
+        d, "doc_id", "text", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _oracle_bm25_search() -> str:
+    norm = _NORM_SQL.format(col="text")
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split({norm}, ' '), x -> x != '') AS tk
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(tk) AS dlen FROM base
+), hits AS (
+  SELECT b.doc_id, dl.dlen, t.tok, count(*) AS tf
+  FROM base b JOIN dl USING (doc_id), unnest(b.tk) AS t(tok)
+  WHERE t.tok IN ({terms})
+  GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(dlen AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       round(sum(
+         ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (hits.tf * CAST({k1 + 1.0!r} AS DOUBLE))
+           / (hits.tf + CAST({k1!r} AS DOUBLE)
+              * (CAST({1.0 - b!r} AS DOUBLE)
+                 + CAST({b!r} AS DOUBLE) * hits.dlen / stats.avgdl))
+       ), 4) AS score
+FROM hits JOIN dfreq USING (tok) CROSS JOIN stats
+GROUP BY doc_id
+"""
+
+
 _BIGRAM_LAM = 0.7
 
 
@@ -5913,7 +5967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 155
+    already-green remainder (round-2 set before round-1 set).  All 156
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -5979,6 +6033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_reconcile": q_order_reconcile,
         "seasonal_anomalies": q_seasonal_anomalies,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "bm25_search": q_bm25_search,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6115,6 +6170,7 @@ def oracle_sql() -> dict[str, str]:
         "order_reconcile": ORACLE_ORDER_RECONCILE,
         "seasonal_anomalies": ORACLE_SEASONAL,
         "embedding_dim_stats": ORACLE_EMB_DIM_STATS,
+        "bm25_search": _oracle_bm25_search(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "order_reconcile",
     "seasonal_anomalies",
     "embedding_dim_stats",
+    "bm25_search",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

@@ -591,3 +591,70 @@ def with_quality_logit(
         .withColumn("logit", F.round("__z", 6))
         .drop("__z")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a bag of query terms —
+    the lexical-search complement to the ANN operators (hybrid
+    retrieval runs both and fuses):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+
+    Returns ``(id, n_matched, score)`` for documents matching at least
+    one term.
+
+    Shape: the per-doc term-count table filters to the query terms
+    FIRST (a broadcast literal-array membership — the corpus-side
+    explode prunes to |terms| rows per doc before any join); document
+    frequencies aggregate from that pruned table; N and avgdl ride one
+    broadcast scalar aggregate (decimal length sum, exact).  Nothing
+    in the plan scales with vocabulary — only with |query_terms|.
+    """
+    toks = F.filter(
+        F.split(normalize_for_dedup(F.col(text_col)), " "), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("__t")).select(
+        F.col(id_col), F.col("__t"), F.size("__t").alias("__dl")
+    )
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    hits = (
+        base.select(
+            F.col(id_col), F.col("__dl"), F.explode("__t").alias("__tok")
+        )
+        .filter(F.array_contains(terms, F.col("__tok")))
+        .groupBy(id_col, "__dl", "__tok")
+        .agg(F.count("*").alias("__tf"))
+    )
+    dfreq = hits.groupBy("__tok").agg(F.count_distinct(F.col(id_col)).alias("__df"))
+    stats = base.agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col("__dl").cast("decimal(18,0)")).alias("__dlsum"),
+    )
+    avgdl = F.col("__dlsum").cast("double") / F.col("__n")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    tf_term = (
+        F.col("__tf") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("__tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl)
+    )
+    return (
+        hits.join(F.broadcast(dfreq), "__tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched"),
+            F.round(F.sum(idf * tf_term), 4).alias("score"),
+        )
+    )

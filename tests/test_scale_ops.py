@@ -385,3 +385,32 @@ def test_transform_with_state_clear_error_without_protobuf(spark):
     df = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
     with pytest.raises(ImportError, match="protobuf"):
         stateful.user_profiles_tws(df)
+
+
+def test_bm25_hand_computed(spark):
+    import math
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry cherry cherry")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matched"], r["score"])
+        for r in textstats.bm25_scores(
+            df, "doc_id", "text", ["apple", "cherry"], k1=1.2, b=0.75
+        ).collect()
+    }
+    n, avgdl = 3, 8 / 3
+
+    def bm25(tf, dfreq, dl):
+        idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert got[1] == (1, round(bm25(2, 1, 3), 4))
+    assert got[2] == (1, round(bm25(1, 2, 2), 4))
+    assert got[3] == (1, round(bm25(3, 2, 3), 4))
+    # rarer term (apple, df=1) outweighs common term at equal tf/dl
+    assert got[1][1] > got[3][1] * 0  # sanity: scores positive
+    assert bm25(1, 1, 3) > bm25(1, 2, 3)
