@@ -2741,6 +2741,85 @@ GROUP BY doc_id
 """
 
 
+_RRF_K = 60
+_HYBRID_TOPK = 100
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical candidates fused with exact
+    cosine semantic candidates by reciprocal-rank fusion
+    (similarity.rrf_fuse) — the standard two-tower search combiner.
+    Both retrievers emit top-100 lists (TakeOrderedAndProject, never a
+    global sort); ranking windows run over the 100-row candidate sets;
+    the fused top-25 comes out.  The oracle replays both retrievers,
+    both rank orders, and the fusion arithmetic."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    lex = (
+        textstats.bm25_scores(d, "doc_id", "text", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_HYBRID_TOPK)
+    )
+    wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lexr = lex.withColumn("rank", F.row_number().over(wl)).select(
+        F.col("doc_id").alias("id"), "rank"
+    )
+
+    sem = similarity.brute_force_knn(
+        emb, emb.filter(F.col("vec_id") == 0), id_col="vec_id",
+        vec_col="embedding", k=_HYBRID_TOPK,
+    )
+    ws = Window.orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    semr = sem.withColumn("rank", F.row_number().over(ws)).select(
+        F.col("neighbor_id").alias("id"), "rank"
+    )
+
+    fused = similarity.rrf_fuse(lexr, semr, id_col="id", rank_col="rank", k=_RRF_K)
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("id"))
+        .limit(25)
+        .select("id", "rank_a", "rank_b", F.round("rrf", 6).alias("rrf"))
+    )
+
+
+def _oracle_hybrid_retrieval() -> str:
+    bm25 = _oracle_bm25_search().strip().rstrip()
+    return f"""
+WITH lex_scores AS ({bm25}),
+lexr AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM lex_scores
+  QUALIFY r <= {_HYBRID_TOPK}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sem_scores AS (
+  SELECT e.vec_id AS id,
+         list_dot_product(qv::DOUBLE[], embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != 0
+),
+semr AS (
+  SELECT id, row_number() OVER (ORDER BY sim DESC, id ASC) AS r
+  FROM sem_scores
+  QUALIFY r <= {_HYBRID_TOPK}
+),
+fused AS (
+  SELECT coalesce(lexr.id, semr.id) AS id,
+         lexr.r AS rank_a, semr.r AS rank_b,
+         coalesce(1.0 / ({_RRF_K} + lexr.r), 0.0)
+           + coalesce(1.0 / ({_RRF_K} + semr.r), 0.0) AS rrf
+  FROM lexr FULL OUTER JOIN semr ON lexr.id = semr.id
+)
+SELECT id, rank_a, rank_b, round(rrf, 6) AS rrf
+FROM fused ORDER BY rrf DESC, id ASC LIMIT 25
+"""
+
+
 _BIGRAM_LAM = 0.7
 
 
@@ -5967,7 +6046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 156
+    already-green remainder (round-2 set before round-1 set).  All 157
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -6034,6 +6113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomalies": q_seasonal_anomalies,
         "embedding_dim_stats": q_embedding_dim_stats,
         "bm25_search": q_bm25_search,
+        "hybrid_retrieval": q_hybrid_retrieval,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6171,6 +6251,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_anomalies": ORACLE_SEASONAL,
         "embedding_dim_stats": ORACLE_EMB_DIM_STATS,
         "bm25_search": _oracle_bm25_search(),
+        "hybrid_retrieval": _oracle_hybrid_retrieval(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

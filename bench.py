@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "seasonal_anomalies",
     "embedding_dim_stats",
     "bm25_search",
+    "hybrid_retrieval",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

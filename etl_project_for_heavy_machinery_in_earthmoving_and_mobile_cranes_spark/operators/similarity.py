@@ -770,3 +770,35 @@ def embedding_dim_stats(
         F.round(mean, 6).alias("mean"),
         F.round(F.sqrt(var), 6).alias("std"),
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists (the
+    standard hybrid-retrieval combiner for a lexical list and a
+    semantic list):
+
+        rrf(d) = Σ_lists 1 / (k + rank_list(d))
+
+    Full outer join on the id — a document present in only one list
+    contributes that list's term alone.  Output:
+    ``(id, rank_a, rank_b, rrf)`` with NULL ranks for absent lists.
+
+    Scale shape: both inputs are already top-k candidate lists (small
+    by construction — never fuse unranked corpora), so this is a tiny
+    keyed join; the expensive work stays in the upstream retrievers.
+    """
+    ra = ranked_a.select(F.col(id_col), F.col(rank_col).alias("rank_a"))
+    rb = ranked_b.select(F.col(id_col), F.col(rank_col).alias("rank_b"))
+    term = lambda c: F.coalesce(F.lit(1.0) / (F.lit(k) + F.col(c)), F.lit(0.0))  # noqa: E731
+    return ra.join(rb, id_col, "full_outer").select(
+        F.col(id_col),
+        "rank_a",
+        "rank_b",
+        (term("rank_a") + term("rank_b")).alias("rrf"),
+    )

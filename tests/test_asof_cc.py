@@ -148,3 +148,20 @@ def test_embedding_dim_stats_dead_dim_and_mean(spark):
     assert got[0] == (3, 0.5, 0.0)
     import math
     assert got[1] == (3, 0.0, round(math.sqrt(8.0 / 3.0), 6))
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import similarity
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "id long, rank int")
+    got = {
+        r["id"]: (r["rank_a"], r["rank_b"], round(r["rrf"], 9))
+        for r in similarity.rrf_fuse(a, b, k=60).collect()
+    }
+    assert got[1] == (1, None, round(1 / 61, 9))
+    assert got[2] == (2, 1, round(1 / 62 + 1 / 61, 9))
+    assert got[3] == (3, None, round(1 / 63, 9))
+    assert got[4] == (None, 2, round(1 / 62, 9))
+    # doc in both lists outranks a doc leading only one list
+    assert got[2][2] > got[1][2]
