@@ -4822,6 +4822,32 @@ FROM p WHERE src IS NOT NULL GROUP BY 1, 2
 """
 
 
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining (behavior.sequence_ngrams, n=3):
+    corpus-wide counts of every consecutive event-type trigram within
+    user streams — longer behavioral motifs than the transition
+    matrix, from ONE window (both leads share the WindowSpec)."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    return behavior.sequence_ngrams(
+        e, "user_id", ["ts", "event_id"], "event_type", n=3
+    )
+
+
+ORACLE_EVENT_TRIGRAMS = """
+WITH g AS (
+  SELECT user_id, event_type AS s0,
+         lead(event_type, 1) OVER w AS s1,
+         lead(event_type, 2) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT s0, s1, s2, count(*) AS n_occurrences,
+       count(DISTINCT user_id) AS n_keys
+FROM g WHERE s2 IS NOT NULL GROUP BY 1, 2, 3
+"""
+
+
 EWMA_ALPHA, EWMA_DEPTH = 0.5, 8
 
 
@@ -6046,7 +6072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 157
+    already-green remainder (round-2 set before round-1 set).  All 158
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -6114,6 +6140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": q_embedding_dim_stats,
         "bm25_search": q_bm25_search,
         "hybrid_retrieval": q_hybrid_retrieval,
+        "event_trigrams": q_event_trigrams,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6252,6 +6279,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_stats": ORACLE_EMB_DIM_STATS,
         "bm25_search": _oracle_bm25_search(),
         "hybrid_retrieval": _oracle_hybrid_retrieval(),
+        "event_trigrams": ORACLE_EVENT_TRIGRAMS,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "embedding_dim_stats",
     "bm25_search",
     "hybrid_retrieval",
+    "event_trigrams",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

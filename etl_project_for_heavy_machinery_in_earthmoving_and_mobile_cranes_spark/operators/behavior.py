@@ -175,3 +175,36 @@ def conversion_lag_stats(
         F.round(F.percentile("lag_s", 0.9), 4).alias("p90_lag_s"),
         F.max("lag_s").alias("max_lag_s"),
     )
+
+
+def sequence_ngrams(
+    events: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    state_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Sequential pattern mining: count every length-``n`` run of
+    consecutive states within each key's ordered stream, corpus-wide —
+    the generalization of ``transition_counts`` (n = 2) to longer
+    behavioral motifs.  Returns one row per distinct n-gram:
+    ``(s0..s{n-1}, n_occurrences, n_keys)``.
+
+    Shape: ONE key-partitioned window provides all n−1 leads (a single
+    Window node, one shuffle — same cost as one lag), rows whose
+    lookahead crosses the key boundary drop via the NULL lead, and the
+    count is a hash aggregate on the n-gram columns.  State
+    vocabularies are small, so the aggregate output is at most
+    |states|^n rows however large the event stream.
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    cols = [F.col(state_col).alias("s0")] + [
+        F.lead(F.col(state_col), i).over(w).alias(f"s{i}") for i in range(1, n)
+    ]
+    grams = events.select(F.col(key_col), *cols).filter(
+        F.col(f"s{n-1}").isNotNull()
+    )
+    return grams.groupBy(*[f"s{i}" for i in range(n)]).agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct(F.col(key_col)).alias("n_keys"),
+    )

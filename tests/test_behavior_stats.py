@@ -272,3 +272,22 @@ def test_chunk_with_overlap_windows(spark):
     ]
     with _pytest.raises(ValueError):
         packing.chunk_with_overlap(df, "doc_id", "toks", chunk_tokens=4, overlap=4)
+
+
+def test_sequence_ngrams_hand_computed(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import behavior
+
+    # user 1: A B A B -> trigrams ABA, BAB; user 2: A B A -> ABA
+    rows = [
+        (1, 1, "A"), (1, 2, "B"), (1, 3, "A"), (1, 4, "B"),
+        (2, 1, "A"), (2, 2, "B"), (2, 3, "A"),
+        (3, 1, "A"), (3, 2, "B"),  # too short for a trigram
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {
+        (r["s0"], r["s1"], r["s2"]): (r["n_occurrences"], r["n_keys"])
+        for r in behavior.sequence_ngrams(
+            df, "user_id", ["ts"], "event_type", n=3
+        ).collect()
+    }
+    assert got == {("A", "B", "A"): (2, 2), ("B", "A", "B"): (1, 1)}
