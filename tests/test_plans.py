@@ -396,6 +396,42 @@ def test_bigram_logprob_no_cartesian_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_bm25_broadcasts_freq_tables(spark, sf_dir):
+    p = plan_of(spark, "bm25_search", sf_dir)
+    # document frequencies and the N/avgdl scalar ride broadcasts — the
+    # corpus-side term stream is never shuffled for the score join
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_seasonal_anomalies_profile_broadcast_fact_not_shuffled(spark, sf_dir):
+    import re
+
+    p = plan_of(spark, "seasonal_anomalies", sf_dir)
+    # the 168-cell profile broadcasts back; the only non-broadcast
+    # exchange feeds the profile aggregate, never the event stream
+    assert "BroadcastHashJoin" in p
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 1
+
+
+def test_event_trigrams_single_window_exchange(spark, sf_dir):
+    import re
+
+    p = plan_of(spark, "event_trigrams", sf_dir)
+    # one Window node (both leads share the spec) + the gram aggregate
+    assert p.count("Window (") == 1
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) <= 2
+
+
+def test_order_reconcile_child_aggregates_before_join(spark, sf_dir):
+    p = plan_of(spark, "order_reconcile", sf_dir)
+    # the lineitem side must reach the parent join as an aggregate
+    # (HashAggregate below the join), never as raw child rows
+    assert "HashAggregate" in p.split("SortMergeJoin")[0] + p.split("ShuffledHashJoin")[0]
+    assert "CartesianProduct" not in p
+
+
 def test_curation_pipeline_one_dag_no_cartesian(spark, sf_dir):
     p = plan_of(spark, "curation_pipeline", sf_dir)
     # five stages, one DAG: no cartesian anywhere, no Python UDF stage

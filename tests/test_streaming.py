@@ -298,3 +298,34 @@ def test_eventgen_streaming_source_deterministic(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     expect = sorted(_row(i) for i in range(100))
     assert got == expect
+
+
+def test_streaming_rollup_maintenance_matches_batch(spark, event_dir, tmp_path):
+    """Micro-batches maintain a per-type rollup by merging partial
+    aggregates (jobs.maintain_rollup_stream -> history.merge_rollups);
+    the final stored rollup must equal the one-pass batch rollup over
+    all data — the incremental-refresh contract, on a stream."""
+    from pyspark.sql import functions as F
+
+    rollup = tmp_path / "rollup"
+    q = jobs.maintain_rollup_stream(
+        jobs.read_event_stream(spark, event_dir),
+        str(rollup), str(tmp_path / "cp_roll"),
+    )
+    q.awaitTermination()
+
+    got = {
+        r["event_type"]: (r["n"], float(r["sum_value"]))
+        for r in spark.read.parquet(str(rollup)).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], float(r["s"]))
+        for r in spark.read.parquet(event_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
