@@ -92,6 +92,12 @@ PROBE_QUERIES = [
     "bigram_logprob",
     "rollup_merge",
     "sentence_chunks",
+    "order_reconcile",
+    "seasonal_anomalies",
+    "embedding_dim_stats",
+    "bm25_search",
+    "hybrid_retrieval",
+    "event_trigrams",
 ]
 
 
