@@ -3245,10 +3245,16 @@ WITH k AS (
          sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS ss
   FROM k GROUP BY 1, 2
 ), p2 AS (
+  -- 4-dp-quantized mean via pure BIGINT round-half-up (engine-exact;
+  -- an unquantized mean puts residuals on .00005 knife edges — see the
+  -- operator docstring)
   SELECT dw, hr,
-         CAST(s AS DOUBLE) / n AS mean,
-         sqrt(greatest(CAST(ss AS DOUBLE) / n
-              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0)) AS std
+         CAST((2 * CAST(s * 10000 AS BIGINT) + n) // (2 * n) AS DOUBLE)
+           / 10000.0 AS mean,
+         sqrt(greatest(
+           CAST(CAST(round(ss, 4) * 10000 AS BIGINT) AS DOUBLE) / (n * 10000.0)
+           - (CAST((2 * CAST(s * 10000 AS BIGINT) + n) // (2 * n) AS DOUBLE) / 10000.0)
+             * (CAST((2 * CAST(s * 10000 AS BIGINT) + n) // (2 * n) AS DOUBLE) / 10000.0), 0)) AS std
   FROM prof
 )
 SELECT event_id, round(mean, 4) AS expected,

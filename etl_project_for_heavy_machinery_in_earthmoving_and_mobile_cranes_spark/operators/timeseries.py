@@ -360,11 +360,29 @@ def seasonal_anomalies(
     negatives.  The profile quantizes values to ``dec``'s scale (4 dp
     by default) so the squared sums stay inside precision-38 decimals
     in every engine — a documented, deterministic quantization, not
-    float noise.
+    float noise.  The cell MEAN is itself quantized to the same scale
+    by pure integer arithmetic (round-half-up of s·10⁴/n, computed with
+    BIGINT ops that are identical in every engine): an unquantized mean
+    puts residuals EXACTLY on .00005 rounding boundaries whenever n is
+    even and the scaled sum is odd — a systematic knife edge where
+    Spark's HALF_UP and other engines' double rounding disagree
+    (observed 13/100k rows at sf0.1).  With a 4-dp mean against 4-dp
+    data, residuals are 4-dp multiples and never sit on a boundary.
+    Requires non-negative values (integer div is engine-portable only
+    for positives).
     """
     vdec = F.col(value_col).cast(dec)
     keyed = df.withColumn("__dow", F.dayofweek(F.col(ts_col))).withColumn(
         "__hr", F.hour(F.col(ts_col))
+    )
+    # s has scale 4 -> s*10^4 is an exact integer; mean in 1e-4 units =
+    # round-half-up(s_int / n) via (2*s_int + n) div (2*n)
+    s_int = (F.col("__s") * 10000).cast("bigint")
+    mean = (
+        F.expr("(2 * __s_int + __n) div (2 * __n)").cast("double") / F.lit(10000.0)
+    )
+    ex2 = (F.round(F.col("__ss"), 4) * 10000).cast("bigint").cast("double") / (
+        F.col("__n") * F.lit(10000.0)
     )
     prof = (
         keyed.groupBy("__dow", "__hr")
@@ -373,17 +391,11 @@ def seasonal_anomalies(
             F.sum(vdec).alias("__s"),
             F.sum(vdec * vdec).alias("__ss"),
         )
+        .withColumn("__s_int", s_int)
         .select(
             "__dow", "__hr",
-            (F.col("__s").cast("double") / F.col("__n")).alias("__mean"),
-            F.sqrt(
-                F.greatest(
-                    F.col("__ss").cast("double") / F.col("__n")
-                    - (F.col("__s").cast("double") / F.col("__n"))
-                    * (F.col("__s").cast("double") / F.col("__n")),
-                    F.lit(0.0),
-                )
-            ).alias("__std"),
+            mean.alias("__mean"),
+            F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0))).alias("__std"),
         )
     )
     out = keyed.join(F.broadcast(prof), ["__dow", "__hr"])
