@@ -2741,6 +2741,61 @@ GROUP BY doc_id
 """
 
 
+def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic data-dependent filtering: the keep threshold is the
+    corpus's own 25th percentile of the quality score, computed as an
+    exact interpolated percentile and broadcast as a scalar aggregate
+    (no driver action) — the 'drop the worst quartile' corpus gate
+    where the cutoff moves with the data.  Counts per source come out;
+    the threshold itself is not emitted (interpolated doubles are
+    formula-ulp-sensitive across engines; comparisons against 6-dp
+    scores are not)."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "q", textstats.quality_score(F.col("text"))
+    )
+    thr = d.agg(F.percentile(F.col("q"), F.lit(0.25)).alias("__thr"))
+    return (
+        d.crossJoin(F.broadcast(thr))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.count(F.when(F.col("q") >= F.col("__thr"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+def _oracle_quality_percentile_gate() -> str:
+    # replay of textstats.quality_score with the SAME base expressions
+    # the proven text_stats oracle uses
+    en = "['the','a','an','of','and','to','in','is','it','for']"
+    return rf"""
+WITH base AS (
+  SELECT source,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_tokens,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+             / greatest(length(text), 1) AS punct_ratio_raw,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> list_contains({en}, x))) AS stop_hits
+  FROM documents
+), d AS (
+  SELECT source,
+         round((least(n_tokens / 50.0, 1.0)
+              + least(stop_hits * 1.0 / greatest(n_tokens, 1) * 5.0, 1.0)
+              + greatest(1.0 - punct_ratio_raw * 4.0, 0.0)) / 3.0, 6) AS q
+  FROM base
+), thr AS (
+  SELECT quantile_cont(q, 0.25) AS t FROM d
+)
+SELECT source, count(*) AS n_total,
+       count(*) FILTER (WHERE q >= thr.t) AS n_kept
+FROM d CROSS JOIN thr
+GROUP BY source
+"""
+
+
 _RRF_K = 60
 _HYBRID_TOPK = 100
 
@@ -6078,7 +6133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 158
+    already-green remainder (round-2 set before round-1 set).  All 159
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -6147,6 +6202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "hybrid_retrieval": q_hybrid_retrieval,
         "event_trigrams": q_event_trigrams,
+        "quality_percentile_gate": q_quality_percentile_gate,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6286,6 +6342,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _oracle_bm25_search(),
         "hybrid_retrieval": _oracle_hybrid_retrieval(),
         "event_trigrams": ORACLE_EVENT_TRIGRAMS,
+        "quality_percentile_gate": _oracle_quality_percentile_gate(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

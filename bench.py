@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "hybrid_retrieval",
     "event_trigrams",
+    "quality_percentile_gate",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

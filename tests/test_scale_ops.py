@@ -414,3 +414,22 @@ def test_bm25_hand_computed(spark):
     # rarer term (apple, df=1) outweighs common term at equal tf/dl
     assert got[1][1] > got[3][1] * 0  # sanity: scores positive
     assert bm25(1, 1, 3) > bm25(1, 2, 3)
+
+
+def test_quality_percentile_gate_counts(spark):
+    """Dynamic percentile threshold: with scores 1..8 (distinct), the
+    25th percentile keeps the top ~75%."""
+    from pyspark.sql import functions as FF
+
+    df = spark.createDataFrame(
+        [(i, "s", float(i)) for i in range(1, 9)], "id int, source string, q double"
+    )
+    thr = df.agg(FF.percentile(FF.col("q"), FF.lit(0.25)).alias("t"))
+    out = (
+        df.crossJoin(FF.broadcast(thr))
+        .groupBy("source")
+        .agg(FF.count(FF.when(FF.col("q") >= FF.col("t"), 1)).alias("n_kept"))
+        .collect()[0]
+    )
+    # percentile(0.25) of 1..8 = 2.75 -> keeps 3..8 = 6 rows
+    assert out["n_kept"] == 6
