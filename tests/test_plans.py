@@ -396,6 +396,15 @@ def test_bigram_logprob_no_cartesian_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_dup_span_strip_plan_shape(spark, sf_dir):
+    p = plan_of(spark, "dup_span_strip", sf_dir)
+    # keeper membership joins on the hash pair; surviving words leave
+    # via an anti join on (id, pos); everything JVM-side
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_bm25_broadcasts_freq_tables(spark, sf_dir):
     p = plan_of(spark, "bm25_search", sf_dir)
     # document frequencies and the N/avgdl scalar ride broadcasts — the
