@@ -2741,6 +2741,65 @@ GROUP BY doc_id
 """
 
 
+_DECAY_HL = 86400.0
+
+
+def q_time_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user value (timeseries.time_decayed_sum,
+    1-day half-life): the feature-store freshness aggregate.  t_ref is
+    a broadcast scalar max; 4-dp rounding absorbs summation-order and
+    cross-engine libm pow ulps."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts_s", F.unix_timestamp("ts")
+    )
+    return timeseries.time_decayed_sum(e, "user_id", "ts_s", "value", _DECAY_HL)
+
+
+ORACLE_TIME_DECAYED = f"""
+WITH e AS (
+  SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+), r AS (
+  SELECT max(s) AS ref FROM e
+)
+SELECT user_id, count(*) AS n,
+       round(sum(power(0.5, (r.ref - s) / {_DECAY_HL!r}) * value), 4) AS decayed_sum,
+       round(sum(power(0.5, (r.ref - s) / {_DECAY_HL!r})), 4) AS decayed_weight
+FROM e CROSS JOIN r GROUP BY user_id
+"""
+
+
+_KANON_K = 5
+
+
+def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (quality.k_anonymize): (lang, source)
+    combinations with fewer than 5 documents fold into OTHER before
+    release; output is the released per-group count table.  The group
+    cardinality table broadcasts back — the corpus never shuffles for
+    the fold."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    anon = quality.k_anonymize(d, ["lang", "source"], k=_KANON_K)
+    return anon.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+ORACLE_K_ANONYMIZE = f"""
+WITH g AS (
+  SELECT lang, source, count(*) AS gn FROM documents GROUP BY 1, 2
+), d AS (
+  SELECT CASE WHEN g.gn < {_KANON_K} THEN 'OTHER' ELSE doc.lang END AS lang,
+         CASE WHEN g.gn < {_KANON_K} THEN 'OTHER' ELSE doc.source END AS source
+  FROM documents doc JOIN g USING (lang, source)
+)
+SELECT lang, source, count(*) AS n FROM d GROUP BY 1, 2
+"""
+
+
 def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic data-dependent filtering: the keep threshold is the
     corpus's own 25th percentile of the quality score, computed as an
@@ -6133,7 +6192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 159
+    already-green remainder (round-2 set before round-1 set).  All 161
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -6203,6 +6262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval": q_hybrid_retrieval,
         "event_trigrams": q_event_trigrams,
         "quality_percentile_gate": q_quality_percentile_gate,
+        "k_anonymized_release": q_k_anonymize,
+        "time_decayed_value": q_time_decayed_value,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6343,6 +6404,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_retrieval": _oracle_hybrid_retrieval(),
         "event_trigrams": ORACLE_EVENT_TRIGRAMS,
         "quality_percentile_gate": _oracle_quality_percentile_gate(),
+        "k_anonymized_release": ORACLE_K_ANONYMIZE,
+        "time_decayed_value": ORACLE_TIME_DECAYED,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "hybrid_retrieval",
     "event_trigrams",
     "quality_percentile_gate",
+    "k_anonymized_release",
+    "time_decayed_value",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

@@ -131,3 +131,39 @@ def column_profile(df: DataFrame, cols: "Sequence[str] | None" = None) -> DataFr
     return one.selectExpr(
         f"stack({len(cols)}, {stack_args}) as (column_name, n, n_null, n_distinct)"
     )
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: "Sequence[str]",
+    k: int,
+    other: str = "OTHER",
+) -> DataFrame:
+    """k-anonymity suppression for data release: any combination of
+    quasi-identifier values shared by fewer than ``k`` rows is folded
+    into the ``other`` sentinel (all quasi columns at once — partial
+    generalization hierarchies are the caller's concern).  After the
+    fold every surviving ORIGINAL group has >= k members.  The OTHER
+    bucket aggregates every rare combination; if the corpus has fewer
+    than k rare rows in total, OTHER itself can be < k — callers
+    releasing data must drop an undersized OTHER bucket (one extra
+    filter on the released aggregate).
+
+    Scale shape: one hash aggregate over the quasi columns (group
+    cardinality table, far smaller than the data), broadcast back as a
+    membership join — the fact table never shuffles.  The fold itself
+    is a when/otherwise projection.
+    """
+    qcols = [F.col(c) for c in quasi_cols]
+    small = (
+        df.groupBy(*qcols)
+        .agg(F.count("*").alias("__gn"))
+        .filter(F.col("__gn") < k)
+        .select(*qcols, F.lit(True).alias("__fold"))
+    )
+    out = df.join(F.broadcast(small), list(quasi_cols), "left")
+    for c in quasi_cols:
+        out = out.withColumn(
+            c, F.when(F.col("__fold"), F.lit(other)).otherwise(F.col(c))
+        )
+    return out.drop("__gn", "__fold")

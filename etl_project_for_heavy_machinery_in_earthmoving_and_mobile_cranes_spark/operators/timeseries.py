@@ -407,3 +407,40 @@ def seasonal_anomalies(
         .withColumn("is_anomaly", F.abs(resid) > F.lit(sigma) * F.col("__std"))
         .drop("__dow", "__hr", "__mean", "__std")
     )
+
+
+def time_decayed_sum(
+    df: DataFrame,
+    key_col: str,
+    ts_sec_col: str,
+    value_col: str,
+    half_life_s: float,
+) -> DataFrame:
+    """Recency-weighted aggregates per key with an exponential
+    half-life: each observation contributes
+    ``value · 0.5^((t_ref − t)/half_life)`` where ``t_ref`` is the
+    corpus's latest timestamp — the standard feature-store freshness
+    weighting (a purchase yesterday counts ~2× one a half-life ago).
+
+    Output: ``(key, n, decayed_sum, decayed_weight)``; divide sum by
+    weight downstream for a decayed average.
+
+    Scale shape: ``t_ref`` rides a broadcast scalar aggregate (no
+    driver action); the weighting is a narrow projection; ONE hash
+    aggregate per key with map-side combine.  4-dp rounding absorbs
+    both summation-order ulps and cross-engine libm ``pow`` ulps.
+    """
+    ref = df.agg(F.max(F.col(ts_sec_col)).alias("__ref"))
+    w = F.pow(
+        F.lit(0.5),
+        (F.col("__ref") - F.col(ts_sec_col)) / F.lit(float(half_life_s)),
+    )
+    return (
+        df.crossJoin(F.broadcast(ref))
+        .groupBy(F.col(key_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum(w * F.col(value_col)), 4).alias("decayed_sum"),
+            F.round(F.sum(w), 4).alias("decayed_weight"),
+        )
+    )

@@ -433,3 +433,20 @@ def test_quality_percentile_gate_counts(spark):
     )
     # percentile(0.25) of 1..8 = 2.75 -> keeps 3..8 = 6 rows
     assert out["n_kept"] == 6
+
+
+def test_k_anonymize_folds_rare_combos(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    rows = [("en", "web")] * 5 + [("en", "rare")] * 2 + [("fr", "web")] * 1
+    df = spark.createDataFrame(
+        [(i, l, s) for i, (l, s) in enumerate(rows)], "id int, lang string, source string"
+    )
+    out = quality.k_anonymize(df, ["lang", "source"], k=3)
+    by = {(r["lang"], r["source"]): 0 for r in out.collect()}
+    for r in out.collect():
+        by[(r["lang"], r["source"])] += 1
+    # big group survives; both rare combos fold into one OTHER bucket
+    assert by == {("en", "web"): 5, ("OTHER", "OTHER"): 3}
+    # non-quasi columns untouched
+    assert sorted(r["id"] for r in out.collect()) == list(range(8))

@@ -255,3 +255,17 @@ def test_seasonal_anomalies_flags_cell_outlier(spark):
     assert got[19] == (True, 14.5)
     assert all(not got[i][0] for i in range(19))
     assert all(got[20 + i] == (False, 7.0) for i in range(4))
+
+
+def test_time_decayed_sum_hand_computed(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import timeseries
+
+    # key 'a': value 10 at t_ref, value 10 one half-life earlier
+    rows = [("a", 1000, 10.0), ("a", 900, 10.0), ("b", 1000, 4.0)]
+    df = spark.createDataFrame(rows, "k string, s long, v double")
+    got = {
+        r["k"]: (r["n"], r["decayed_sum"], r["decayed_weight"])
+        for r in timeseries.time_decayed_sum(df, "k", "s", "v", 100.0).collect()
+    }
+    assert got["a"] == (2, 15.0, 1.5)   # 10*1 + 10*0.5
+    assert got["b"] == (1, 4.0, 1.0)
