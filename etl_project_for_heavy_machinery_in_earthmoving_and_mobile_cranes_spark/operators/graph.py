@@ -59,7 +59,10 @@ def pagerank(
     and the plan tree grows multiplicatively).  Lazy checkpoints run
     no job at plan-construction time.
     """
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    # NULL endpoints can never receive or contribute mass (joins skip
+    # them) but WOULD otherwise surface as a phantom NULL vertex in the
+    # output — drop them up front
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).dropna()
     if materialize:
         e = e.localCheckpoint(eager=False)
     verts = (

@@ -88,6 +88,8 @@ def merge_rollups(
     a count column in a partial rollup merges by SUM, which is why
     ``count_col`` is summed here, never re-counted.
     """
+    if not parts:
+        raise ValueError("merge_rollups needs at least one partial rollup")
     from functools import reduce
 
     u = reduce(lambda a, b: a.unionByName(b), parts)

@@ -70,7 +70,10 @@ def reconcile_child_sums(
     to one row per key) and only then joins the parent on the key —
     the join input is |parents| + |parents| rows, never raw child
     rows.  Sum in DECIMAL when the value is money so reconciliation
-    isn't poisoned by float accumulation order.
+    isn't poisoned by float accumulation order.  Child rows with a
+    NULL key aggregate to a NULL-key group that matches no parent and
+    silently drops (standard FK semantics) — count them separately
+    with a nullability rule if unwanted.
     """
     sums = child.groupBy(F.col(key)).agg(child_sum.alias("__child_sum"))
     # zero literal in the CHILD SUM's own type: a bare 0.0 would promote
@@ -152,18 +155,29 @@ def k_anonymize(
     Scale shape: one hash aggregate over the quasi columns (group
     cardinality table, far smaller than the data), broadcast back as a
     membership join — the fact table never shuffles.  The fold itself
-    is a when/otherwise projection.
+    is a when/otherwise projection.  The membership join is NULL-SAFE:
+    a rare combination containing NULL quasi values must fold like any
+    other (a plain equi join would silently let it through, because
+    NULL never equals NULL — exactly the re-identifiable leak this
+    operator exists to prevent).
     """
     qcols = [F.col(c) for c in quasi_cols]
     small = (
         df.groupBy(*qcols)
         .agg(F.count("*").alias("__gn"))
         .filter(F.col("__gn") < k)
-        .select(*qcols, F.lit(True).alias("__fold"))
+        .select(
+            *[F.col(c).alias(f"__q_{c}") for c in quasi_cols],
+            F.lit(True).alias("__fold"),
+        )
     )
-    out = df.join(F.broadcast(small), list(quasi_cols), "left")
+    cond = None
+    for c in quasi_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__q_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    out = df.join(F.broadcast(small), cond, "left")
     for c in quasi_cols:
         out = out.withColumn(
             c, F.when(F.col("__fold"), F.lit(other)).otherwise(F.col(c))
         )
-    return out.drop("__gn", "__fold")
+    return out.drop("__fold", *[f"__q_{c}" for c in quasi_cols])

@@ -147,7 +147,8 @@ def token_budget_shards(
     document and every shard except the last holds >= ``budget`` minus
     one document of tokens.
 
-    ``tokens_col`` must be an integer column (exact cumulative sums).
+    ``tokens_col`` must be a NON-NULL integer column (exact cumulative
+    sums; a NULL would silently contribute 0 to every prefix).
     Output: input columns + ``shuffle_rank``, ``tokens_before``,
     ``shard_id``.
 

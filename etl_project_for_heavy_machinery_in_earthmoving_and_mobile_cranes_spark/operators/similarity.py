@@ -792,6 +792,8 @@ def rrf_fuse(
     Scale shape: both inputs are already top-k candidate lists (small
     by construction — never fuse unranked corpora), so this is a tiny
     keyed join; the expensive work stays in the upstream retrievers.
+    Each input must carry at most one row per id (a duplicated id
+    would fan out in the outer join).
     """
     ra = ranked_a.select(F.col(id_col), F.col(rank_col).alias("rank_a"))
     rb = ranked_b.select(F.col(id_col), F.col(rank_col).alias("rank_b"))

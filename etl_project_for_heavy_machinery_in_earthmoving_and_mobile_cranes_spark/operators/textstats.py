@@ -618,6 +618,8 @@ def bm25_scores(
     broadcast scalar aggregate (decimal length sum, exact).  Nothing
     in the plan scales with vocabulary — only with |query_terms|.
     """
+    if not query_terms:
+        raise ValueError("bm25_scores needs at least one query term")
     toks = F.filter(
         F.split(normalize_for_dedup(F.col(text_col)), " "), lambda x: x != ""
     )

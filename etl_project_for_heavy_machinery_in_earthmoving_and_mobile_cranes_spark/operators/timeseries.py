@@ -369,7 +369,8 @@ def seasonal_anomalies(
     (observed 13/100k rows at sf0.1).  With a 4-dp mean against 4-dp
     data, residuals are 4-dp multiples and never sit on a boundary.
     Requires non-negative values (integer div is engine-portable only
-    for positives).
+    for positives).  Rows with a NULL timestamp have no calendar cell
+    and are dropped from the output (document or pre-filter them).
     """
     vdec = F.col(value_col).cast(dec)
     keyed = df.withColumn("__dow", F.dayofweek(F.col(ts_col))).withColumn(

@@ -438,15 +438,16 @@ def test_quality_percentile_gate_counts(spark):
 def test_k_anonymize_folds_rare_combos(spark):
     from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
 
-    rows = [("en", "web")] * 5 + [("en", "rare")] * 2 + [("fr", "web")] * 1
+    rows = [("en", "web")] * 5 + [("en", "rare")] * 2 + [("fr", "web")] * 1 + [(None, "web")] * 1
     df = spark.createDataFrame(
         [(i, l, s) for i, (l, s) in enumerate(rows)], "id int, lang string, source string"
     )
     out = quality.k_anonymize(df, ["lang", "source"], k=3)
-    by = {(r["lang"], r["source"]): 0 for r in out.collect()}
+    by = {}
     for r in out.collect():
-        by[(r["lang"], r["source"])] += 1
-    # big group survives; both rare combos fold into one OTHER bucket
-    assert by == {("en", "web"): 5, ("OTHER", "OTHER"): 3}
+        by[(r["lang"], r["source"])] = by.get((r["lang"], r["source"]), 0) + 1
+    # big group survives; rare combos INCLUDING the NULL-lang one fold
+    # (null-safe membership join — a plain equi join would leak it)
+    assert by == {("en", "web"): 5, ("OTHER", "OTHER"): 4}
     # non-quasi columns untouched
-    assert sorted(r["id"] for r in out.collect()) == list(range(8))
+    assert sorted(r["id"] for r in out.collect()) == list(range(9))
