@@ -5623,6 +5623,64 @@ FROM ch GROUP BY 1, 2
 """
 
 
+def q_rag_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG indexing composition, ONE lazy plan: sentence-
+    boundary chunking (packing.sentence_chunks) → exact chunk dedup by
+    normalized content fingerprint (keep the lowest (doc, chunk)) →
+    per-source index statistics.  The cross-doc chunk dedup is what an
+    indexer actually needs: boilerplate paragraphs shared across pages
+    become ONE index entry.  The oracle replays chunking → fingerprint
+    → min-winner → join-back → aggregate as one CTE chain."""
+    tune(spark)
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = packing.sentence_chunks(d, "doc_id", "text", budget=_SENT_BUDGET)
+    fp = F.md5(dedup.normalize_for_dedup(F.col("chunk_text")))
+    chunks = chunks.withColumn("__fp", fp)
+    keep = chunks.groupBy("__fp").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("__w")
+    )
+    kept = chunks.join(keep, "__fp").filter(
+        (F.col("doc_id") == F.col("__w.doc_id"))
+        & (F.col("chunk_idx") == F.col("__w.chunk_idx"))
+    )
+    src = d.select("doc_id", "source")
+    return (
+        kept.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_index_chunks"),
+            F.sum("n_tokens").cast("bigint").alias("index_tokens"),
+            F.sum("n_sentences").cast("bigint").alias("index_sentences"),
+        )
+    )
+
+
+def _oracle_rag_index_pipeline() -> str:
+    chunks_sql = _oracle_sentence_chunks().strip()
+    return f"""
+WITH chunks AS ({chunks_sql}),
+fp AS (
+  SELECT doc_id, chunk_idx, n_sentences, n_tokens,
+         md5({_NORM_SQL.format(col='chunk_text')}) AS f
+  FROM chunks
+), keep AS (
+  SELECT f, min(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx)) AS w
+  FROM fp GROUP BY f
+), kept AS (
+  SELECT fp.* FROM fp JOIN keep ON fp.f = keep.f
+  WHERE fp.doc_id = keep.w.doc_id AND fp.chunk_idx = keep.w.chunk_idx
+)
+SELECT d.source,
+       count(*) AS n_index_chunks,
+       CAST(sum(kept.n_tokens) AS BIGINT) AS index_tokens,
+       CAST(sum(kept.n_sentences) AS BIGINT) AS index_sentences
+FROM kept JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
 def _oracle_dedup_clusters() -> str:
     """Connected components as SQL: Spark runs iterative min-label
     propagation; the oracle computes the same fixpoint via a recursive
@@ -6192,7 +6250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 161
+    already-green remainder (round-2 set before round-1 set).  All 162
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -6264,6 +6322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile_gate": q_quality_percentile_gate,
         "k_anonymized_release": q_k_anonymize,
         "time_decayed_value": q_time_decayed_value,
+        "rag_index_pipeline": q_rag_index_pipeline,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6406,6 +6465,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_percentile_gate": _oracle_quality_percentile_gate(),
         "k_anonymized_release": ORACLE_K_ANONYMIZE,
         "time_decayed_value": ORACLE_TIME_DECAYED,
+        "rag_index_pipeline": _oracle_rag_index_pipeline(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "quality_percentile_gate",
     "k_anonymized_release",
     "time_decayed_value",
+    "rag_index_pipeline",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]
