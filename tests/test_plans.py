@@ -396,6 +396,12 @@ def test_bigram_logprob_no_cartesian_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_rag_index_pipeline_one_dag(spark, sf_dir):
+    p = plan_of(spark, "rag_index_pipeline", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_dup_span_strip_plan_shape(spark, sf_dir):
     p = plan_of(spark, "dup_span_strip", sf_dir)
     # keeper membership joins on the hash pair; surviving words leave
