@@ -2587,6 +2587,57 @@ GROUP BY t ORDER BY n DESC, token LIMIT 20
 """
 
 
+_ZIPF_TOPK = 100
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-law QC: the Zipf exponent — OLS slope of ln(freq) on
+    ln(rank) over the top-100 token frequency ranking (natural corpora
+    sit near −1; machine-generated or template-heavy corpora drift).
+    Top-k via TakeOrderedAndProject; the rank window runs over the
+    100-row candidate set; the regression is the single-pass co-moment
+    aggregate (regr_slope/intercept/r2)."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(dedup.normalize_for_dedup(F.col("text")), " "), lambda x: x != ""
+    )
+    top = (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(_ZIPF_TOPK)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    lx, ly = F.log(F.col("rank").cast("double")), F.log(F.col("n").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(ly, lx), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(ly, lx), 4).alias("intercept"),
+        F.round(F.regr_r2(ly, lx), 6).alias("r2"),
+        F.regr_count(ly, lx).alias("n_terms"),
+    )
+
+
+ORACLE_ZIPF = f"""
+WITH freq AS (
+  SELECT t AS token, count(*) AS n
+  FROM (SELECT unnest(list_filter(string_split({_NORM_SQL.format(col='text')}, ' '),
+                                  x -> x != '')) AS t
+        FROM documents)
+  GROUP BY t ORDER BY n DESC, token LIMIT {_ZIPF_TOPK}
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank FROM freq
+)
+SELECT round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope,
+       round(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS intercept,
+       round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS r2,
+       CAST(regr_count(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS BIGINT) AS n_terms
+FROM ranked
+"""
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition metrics (duplicate token / bigram
     fractions) — Gopher-style corpus quality filters."""
@@ -6250,7 +6301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 162
+    already-green remainder (round-2 set before round-1 set).  All 163
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -6323,6 +6374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymized_release": q_k_anonymize,
         "time_decayed_value": q_time_decayed_value,
         "rag_index_pipeline": q_rag_index_pipeline,
+        "zipf_slope": q_zipf_slope,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6466,6 +6518,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymized_release": ORACLE_K_ANONYMIZE,
         "time_decayed_value": ORACLE_TIME_DECAYED,
         "rag_index_pipeline": _oracle_rag_index_pipeline(),
+        "zipf_slope": ORACLE_ZIPF,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

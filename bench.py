@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "k_anonymized_release",
     "time_decayed_value",
     "rag_index_pipeline",
+    "zipf_slope",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]
