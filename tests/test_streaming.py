@@ -304,15 +304,19 @@ def test_streaming_rollup_maintenance_matches_batch(spark, event_dir, tmp_path):
     """Micro-batches maintain a per-type rollup by merging partial
     aggregates (jobs.maintain_rollup_stream -> history.merge_rollups);
     the final stored rollup must equal the one-pass batch rollup over
-    all data — the incremental-refresh contract, on a stream."""
+    all data — the incremental-refresh contract, on a stream.
+    maxFilesPerTrigger=1 forces one micro-batch per landing file (4
+    here), so the read-existing-and-merge branch runs three times —
+    not just the first-batch bootstrap."""
     from pyspark.sql import functions as F
 
     rollup = tmp_path / "rollup"
     q = jobs.maintain_rollup_stream(
-        jobs.read_event_stream(spark, event_dir),
+        jobs.read_event_stream(spark, event_dir, max_files_per_trigger=1),
         str(rollup), str(tmp_path / "cp_roll"),
     )
     q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 3  # genuinely multi-batch
 
     got = {
         r["event_type"]: (r["n"], float(r["sum_value"]))
