@@ -2638,6 +2638,69 @@ FROM ranked
 """
 
 
+_DRIFT_BINS = 10
+_DRIFT_ALPHA = 0.5
+_DRIFT_BASE = "src0"
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift of document length vs the src0
+    baseline (quality.distribution_drift): PSI + Jensen-Shannon over 10
+    equi-width bins with add-1/2 smoothing — the corpus-snapshot QC
+    gate a crawl admission pipeline runs.  The oracle replays bounds,
+    binning, the smoothed proportions, and both divergences closed-form."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        quality,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return quality.distribution_drift(
+        d, "source", "n_chars", _DRIFT_BASE,
+        n_bins=_DRIFT_BINS, alpha=_DRIFT_ALPHA,
+    )
+
+
+ORACLE_SOURCE_DRIFT = f"""
+WITH data AS (
+  SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL
+), bounds AS (
+  SELECT min(v) AS lo, max(v) AS hi FROM data
+), binned AS (
+  SELECT g,
+         CASE WHEN bounds.hi = bounds.lo THEN 0
+              ELSE CAST(least(floor((v - bounds.lo)
+                                    / ((bounds.hi - bounds.lo) / {float(_DRIFT_BINS)!r})),
+                              {_DRIFT_BINS - 1}) AS INT) END AS bin
+  FROM data CROSS JOIN bounds
+), counts AS (
+  SELECT g, bin, count(*) AS c FROM binned GROUP BY 1, 2
+), grid AS (
+  SELECT g, bin
+  FROM (SELECT DISTINCT g FROM counts)
+  CROSS JOIN (SELECT unnest(generate_series(0, {_DRIFT_BINS - 1})) AS bin)
+), full_g AS (
+  SELECT grid.g, grid.bin, coalesce(counts.c, 0) AS c
+  FROM grid LEFT JOIN counts USING (g, bin)
+), totals AS (
+  SELECT g, sum(c) AS tot FROM full_g GROUP BY 1
+), props AS (
+  SELECT f.g, f.bin, t.tot,
+         (f.c + {_DRIFT_ALPHA!r}) / (t.tot + {_DRIFT_ALPHA * _DRIFT_BINS!r}) AS p
+  FROM full_g f JOIN totals t USING (g)
+), base AS (
+  SELECT bin, p AS q FROM props WHERE g = '{_DRIFT_BASE}'
+)
+SELECT props.g AS source, CAST(props.tot AS BIGINT) AS n,
+       round(sum((p - q) * ln(p / q)), 4) AS psi,
+       round(0.5 * sum(p * ln(p / ((p + q) / 2.0)))
+             + 0.5 * sum(q * ln(q / ((p + q) / 2.0))), 4) AS jsd
+FROM props JOIN base USING (bin)
+GROUP BY 1, 2
+"""
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition metrics (duplicate token / bigram
     fractions) — Gopher-style corpus quality filters."""
@@ -6375,6 +6438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_decayed_value": q_time_decayed_value,
         "rag_index_pipeline": q_rag_index_pipeline,
         "zipf_slope": q_zipf_slope,
+        "source_drift": q_source_drift,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6519,6 +6583,7 @@ def oracle_sql() -> dict[str, str]:
         "time_decayed_value": ORACLE_TIME_DECAYED,
         "rag_index_pipeline": _oracle_rag_index_pipeline(),
         "zipf_slope": ORACLE_ZIPF,
+        "source_drift": ORACLE_SOURCE_DRIFT,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -136,6 +136,103 @@ def column_profile(df: DataFrame, cols: "Sequence[str] | None" = None) -> DataFr
     )
 
 
+def distribution_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    baseline: str,
+    n_bins: int = 10,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Distribution drift of a numeric column per group vs a baseline
+    group: Population Stability Index and Jensen-Shannon divergence
+    over ``n_bins`` equi-width bins — the corpus-snapshot / source-mix
+    QC check a training-data pipeline runs before admitting a new crawl
+    (is src3's length distribution still the one the mixture weights
+    were tuned on?).
+
+    Proportions use add-``alpha`` smoothing over the FULL bin grid
+    (``(count + alpha) / (total + alpha * n_bins)``), so empty bins are
+    well-defined and the formulas are closed-form — deterministic and
+    replayable by any engine, with no epsilon-clamp branches.  NULL
+    values are excluded; a degenerate column (global min == max) puts
+    every value in bin 0.
+
+    Returns one row per group (baseline included, drifting from itself
+    by 0): ``(group_col, n, psi, jsd)``.
+
+    Scale shape: one broadcast scalar min/max agg over the values, one
+    hash aggregate to (group × bin) counts — the only shuffle, with
+    map-side combine, output |groups|·n_bins rows — then tiny-table
+    grid/baseline joins.  The fact table is scanned twice (bounds +
+    counts) which at 100 TB is the price of exact global bounds; use a
+    stored profile for the bounds to make it one scan.
+    """
+    v = F.col(value_col).cast("double")
+    data = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+    bounds = data.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    binned = data.crossJoin(F.broadcast(bounds)).select(
+        "__g",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("__v") - F.col("__lo")) / width),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("int")
+        .alias("__bin"),
+    )
+    counts = binned.groupBy("__g", "__bin").agg(F.count("*").alias("__c"))
+    # full (group x bin) grid so empty bins smooth instead of vanish
+    grid = (
+        counts.select("__g")
+        .distinct()
+        .crossJoin(
+            counts.sparkSession.range(n_bins).select(
+                F.col("id").cast("int").alias("__bin")
+            )
+        )
+    )
+    full = grid.join(counts, ["__g", "__bin"], "left").select(
+        "__g", "__bin", F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
+    )
+    totals = full.groupBy("__g").agg(F.sum("__c").alias("__tot"))
+    smooth_tot = F.col("__tot") + F.lit(alpha * n_bins)
+    props = full.join(totals, "__g").select(
+        "__g",
+        "__bin",
+        "__tot",
+        ((F.col("__c") + F.lit(alpha)) / smooth_tot).alias("__p"),
+    )
+    base = props.filter(F.col("__g") == baseline).select(
+        "__bin", F.col("__p").alias("__q")
+    )
+    joined = props.join(F.broadcast(base), "__bin")
+    p, q = F.col("__p"), F.col("__q")
+    m = (p + q) / F.lit(2.0)
+    return (
+        joined.groupBy("__g", "__tot")
+        .agg(
+            F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
+            F.round(
+                F.lit(0.5) * F.sum(p * F.log(p / m))
+                + F.lit(0.5) * F.sum(q * F.log(q / m)),
+                4,
+            ).alias("jsd"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__tot").cast("bigint").alias("n"),
+            "psi",
+            "jsd",
+        )
+    )
+
+
 def k_anonymize(
     df: DataFrame,
     quasi_cols: "Sequence[str]",

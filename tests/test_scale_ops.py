@@ -451,3 +451,52 @@ def test_k_anonymize_folds_rare_combos(spark):
     assert by == {("en", "web"): 5, ("OTHER", "OTHER"): 4}
     # non-quasi columns untouched
     assert sorted(r["id"] for r in out.collect()) == list(range(9))
+
+
+def test_distribution_drift_hand_computed(spark):
+    import math
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    # baseline 'a': values 0,0,10,10 -> bins {0:2, 1:2} (2 bins, width 5)
+    # group 'b': values 0,10,10,10 -> bins {0:1, 1:3}
+    rows = [("a", 0.0), ("a", 0.0), ("a", 10.0), ("a", 10.0),
+            ("b", 0.0), ("b", 10.0), ("b", 10.0), ("b", 10.0),
+            ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["g"]: r
+        for r in quality.distribution_drift(
+            df, "g", "v", baseline="a", n_bins=2, alpha=0.5
+        ).collect()
+    }
+    # NULL excluded from n
+    assert out["a"]["n"] == 4 and out["b"]["n"] == 4
+    # baseline drifts from itself by exactly 0
+    assert out["a"]["psi"] == 0.0 and out["a"]["jsd"] == 0.0
+    # hand replay: smoothed p = (c + .5) / (4 + 1)
+    q = [(2 + 0.5) / 5, (2 + 0.5) / 5]
+    p = [(1 + 0.5) / 5, (3 + 0.5) / 5]
+    psi = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
+    jsd = 0.5 * sum(pi * math.log(pi / ((pi + qi) / 2)) for pi, qi in zip(p, q)) \
+        + 0.5 * sum(qi * math.log(qi / ((pi + qi) / 2)) for pi, qi in zip(p, q))
+    assert out["b"]["psi"] == round(psi, 4)
+    assert out["b"]["jsd"] == round(jsd, 4)
+    # jsd is bounded by ln 2
+    assert 0.0 <= out["b"]["jsd"] <= math.log(2.0)
+
+
+def test_distribution_drift_degenerate_and_empty_bins(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    # constant column: everything lands in bin 0.  Equal group sizes ->
+    # identical smoothed proportions -> exactly zero drift (empty bins
+    # are smoothed, not dropped; with unequal sizes the add-alpha
+    # smoothing itself contributes a small positive psi by design)
+    df = spark.createDataFrame(
+        [("a", 7.0)] * 3 + [("b", 7.0)] * 3, "g string, v double"
+    )
+    out = {r["g"]: r for r in quality.distribution_drift(
+        df, "g", "v", baseline="a", n_bins=4).collect()}
+    assert out["a"]["psi"] == 0.0
+    assert out["b"]["psi"] == 0.0 and out["b"]["jsd"] == 0.0
