@@ -2701,6 +2701,64 @@ GROUP BY 1, 2
 """
 
 
+_BPE_STEPS = 3
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: the first 3 BPE merges learned from the
+    corpus (textstats.bpe_merge_steps) — word-frequency table once,
+    then per-step pair counting + argmax + merge application, all one
+    unrolled DAG.  The oracle replays the identical chain as CTEs
+    (doubled-space replace trick keeps left-to-right non-overlapping
+    merge semantics engine-portable)."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return textstats.bpe_merge_steps(d, "text", n_merges=_BPE_STEPS)
+
+
+def _oracle_bpe_merges() -> str:
+    norm = _NORM_SQL.format(col="text")
+    parts = [
+        f"""
+WITH vocab AS (
+  SELECT w, count(*) AS n FROM (
+    SELECT unnest(list_filter(string_split({norm}, ' '), x -> x != '')) AS w
+    FROM documents) GROUP BY w
+), s0 AS (
+  SELECT n, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq FROM vocab
+)"""
+    ]
+    for k in range(1, _BPE_STEPS + 1):
+        parts.append(
+            f""", c{k} AS (
+  SELECT p, sum(n) AS c FROM (
+    SELECT n, unnest(list_transform(generate_series(1, len(tk) - 1),
+                                    i -> tk[i] || ' ' || tk[i + 1])) AS p
+    FROM (SELECT n, string_split(seq, ' ') AS tk FROM s{k - 1})
+  ) GROUP BY p
+), b{k} AS (
+  SELECT p, c FROM c{k} ORDER BY c DESC, p LIMIT 1
+)"""
+        )
+        if k < _BPE_STEPS:
+            parts.append(
+                f""", s{k} AS (
+  SELECT n, trim(regexp_replace(
+    replace(' ' || replace(seq, ' ', '  ') || ' ',
+            ' ' || replace(b{k}.p, ' ', '  ') || ' ',
+            ' ' || replace(b{k}.p, ' ', '') || ' '),
+    ' +', ' ', 'g')) AS seq
+  FROM s{k - 1} CROSS JOIN b{k}
+)"""
+            )
+    selects = [
+        f"SELECT {k} AS step, p AS pair, replace(p, ' ', '') AS merged,"
+        f" CAST(c AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, _BPE_STEPS + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition metrics (duplicate token / bigram
     fractions) — Gopher-style corpus quality filters."""
@@ -6439,6 +6497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_index_pipeline": q_rag_index_pipeline,
         "zipf_slope": q_zipf_slope,
         "source_drift": q_source_drift,
+        "bpe_merges": q_bpe_merges,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6584,6 +6643,7 @@ def oracle_sql() -> dict[str, str]:
         "rag_index_pipeline": _oracle_rag_index_pipeline(),
         "zipf_slope": ORACLE_ZIPF,
         "source_drift": ORACLE_SOURCE_DRIFT,
+        "bpe_merges": _oracle_bpe_merges(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

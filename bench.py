@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "time_decayed_value",
     "rag_index_pipeline",
     "zipf_slope",
+    "source_drift",
+    "bpe_merges",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

@@ -660,3 +660,113 @@ def bm25_scores(
             F.round(F.sum(idf * tf_term), 4).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (tokenizer training)
+# ---------------------------------------------------------------------------
+
+
+def bpe_merge_steps(df: DataFrame, text_col: str, n_merges: int = 3) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus — the
+    statistics step of tokenizer training (Sennrich et al., "Neural
+    Machine Translation of Rare Words with Subword Units"), expressed
+    as ONE unrolled Spark DAG.
+
+    Classic BPE trains on the WORD-FREQUENCY table, not the raw corpus:
+    the corpus is tokenized once into ``(word, n)`` (the only
+    corpus-sized shuffle, with map-side combine), after which every
+    merge iteration runs over the vocabulary — millions of rows at
+    100 TB corpus scale, not trillions.  Per iteration: adjacent
+    symbol-pair counts (index-transform projection + explode, weighted
+    by word frequency), the argmax pair via TakeOrderedAndProject
+    (count desc, pair asc — deterministic tiebreak), then a broadcast
+    scalar join applies the merge to every vocabulary entry with pure
+    string expressions.
+
+    The merge application mirrors reference BPE exactly: pairs merge
+    left-to-right, non-overlapping.  Implemented engine-portably with
+    plain ``replace`` on a DOUBLED-space symbol string (every token
+    keeps its own boundary spaces, so consecutive matches don't consume
+    each other's delimiter), then whitespace re-collapse.
+
+    Each iteration's vocabulary frame is lazily ``persist()``-ed:
+    iteration k+1 references iteration k twice (pair counting + merge
+    application), so without the cache the plan re-derives the corpus
+    tokenization per step.  No action is triggered here — the caches
+    populate on the caller's first action.  ``spark.catalog.clearCache()``
+    releases them.
+
+    Returns one row per merge: ``(step, pair, merged, pair_count)``.
+    """
+    toks = F.filter(
+        F.split(normalize_for_dedup(F.col(text_col)), " "), lambda t: t != ""
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count("*").cast("bigint").alias("__n"))
+    )
+    # "h e l l o": one symbol per char, space-separated
+    cur = vocab.select(
+        "__n",
+        F.trim(F.regexp_replace(F.col("__w"), r"(.)", r"$1 ")).alias("__seq"),
+    ).persist()
+
+    step_frames = []
+    for step in range(1, n_merges + 1):
+        with_tk = cur.withColumn("__tk", F.split(F.col("__seq"), " "))
+        pairs = (
+            # guard size>=2: Spark's sequence(0, -1) steps BACKWARD
+            with_tk.filter(F.size(F.col("__tk")) >= 2)
+            .select(
+                "__n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(__tk) - 2),"
+                        " i -> concat(__tk[i], ' ', __tk[i + 1]))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("__n").alias("pair_count"))
+        )
+        best = pairs.orderBy(F.desc("pair_count"), F.asc("pair")).limit(1)
+        step_frames.append(
+            best.select(
+                F.lit(step).alias("step"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                F.col("pair_count").cast("bigint"),
+            )
+        )
+        if step < n_merges:
+            bp = F.col("__bp")
+            doubled = F.concat(
+                F.lit(" "),
+                F.replace(F.col("__seq"), F.lit(" "), F.lit("  ")),
+                F.lit(" "),
+            )
+            pat = F.concat(
+                F.lit(" "), F.replace(bp, F.lit(" "), F.lit("  ")), F.lit(" ")
+            )
+            rep = F.concat(
+                F.lit(" "), F.replace(bp, F.lit(" "), F.lit("")), F.lit(" ")
+            )
+            cur = (
+                cur.crossJoin(
+                    F.broadcast(best.select(F.col("pair").alias("__bp")))
+                )
+                .select(
+                    "__n",
+                    F.trim(
+                        F.regexp_replace(F.replace(doubled, pat, rep), " +", " ")
+                    ).alias("__seq"),
+                )
+                .persist()
+            )
+
+    out = step_frames[0]
+    for f in step_frames[1:]:
+        out = out.unionAll(f)
+    return out

@@ -500,3 +500,35 @@ def test_distribution_drift_degenerate_and_empty_bins(spark):
         df, "g", "v", baseline="a", n_bins=4).collect()}
     assert out["a"]["psi"] == 0.0
     assert out["b"]["psi"] == 0.0 and out["b"]["jsd"] == 0.0
+
+
+def test_bpe_merge_steps_sennrich_example(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import textstats
+
+    # the classic BPE paper vocabulary: low:5 lower:2 newest:6 widest:3
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)], "id int, text string")
+    out = [tuple(r) for r in textstats.bpe_merge_steps(df, "text", n_merges=3)
+           .orderBy("step").collect()]
+    # step1: 'e s' and 's t' tie at 9; lexicographic tiebreak -> 'e s'
+    # step2: 'es t' = 9; step3: 'l o' and 'o w' tie at 7 -> 'l o'
+    assert out == [
+        (1, "e s", "es", 9),
+        (2, "es t", "est", 9),
+        (3, "l o", "lo", 7),
+    ]
+    spark.catalog.clearCache()
+
+
+def test_bpe_merge_handles_repeated_symbols(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import textstats
+
+    # 'aaaa': pairs (a,a) x3 (overlapping counts, like reference BPE);
+    # merge applies left-to-right non-overlapping: a a a a -> aa aa,
+    # so step2's top pair is (aa, aa)
+    df = spark.createDataFrame([(0, "aaaa bb")], "id int, text string")
+    out = [tuple(r) for r in textstats.bpe_merge_steps(df, "text", n_merges=2)
+           .orderBy("step").collect()]
+    assert out[0] == (1, "a a", "aa", 3)
+    assert out[1] == (2, "aa aa", "aaaa", 1)
+    spark.catalog.clearCache()
