@@ -2701,6 +2701,53 @@ GROUP BY 1, 2
 """
 
 
+def q_scaled_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML feature prep: per-brand scaling of part retail price three
+    ways in one operator (outliers.feature_scale) — z-score, robust
+    (median/IQR), percent-rank.  The stats table broadcasts back; only
+    percent_rank pays a per-group sort.  Oracle replays all three with
+    stddev_samp / quantile_cont / percent_rank."""
+    tune(spark)
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    out = outliers.feature_scale(
+        p, ["p_brand"], "p_retailprice", round_to=4,
+        moments_decimal="decimal(18,2)",
+    )
+    return out.select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_retailprice_z").alias("z"),
+        F.col("p_retailprice_robust").alias("robust"),
+        F.col("p_retailprice_pct").alias("pct"),
+    )
+
+
+ORACLE_SCALED_PRICES = """
+WITH raw AS (
+  SELECT p_brand,
+         CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS ss,
+         CAST(count(p_retailprice) AS DOUBLE) AS n,
+         quantile_cont(p_retailprice, 0.5) AS med,
+         quantile_cont(p_retailprice, 0.25) AS q1,
+         quantile_cont(p_retailprice, 0.75) AS q3
+  FROM part GROUP BY 1
+), s AS (
+  SELECT p_brand, s / n AS m,
+         CASE WHEN n > 1 AND (ss - s * s / n) / (n - 1.0) > 0
+              THEN sqrt((ss - s * s / n) / (n - 1.0)) END AS sd,
+         med, q1, q3
+  FROM raw
+)
+SELECT p_partkey, p.p_brand,
+       floor(CASE WHEN sd > 0 THEN (p_retailprice - m) / sd END * 1e4 + 0.5) / 1e4 AS z,
+       floor(CASE WHEN q3 > q1 THEN (p_retailprice - med) / (q3 - q1) END * 1e4 + 0.5) / 1e4 AS robust,
+       floor(percent_rank() OVER (PARTITION BY p.p_brand ORDER BY p_retailprice) * 1e4 + 0.5) / 1e4 AS pct
+FROM part p JOIN s ON p.p_brand = s.p_brand
+"""
+
+
 _BPE_STEPS = 3
 
 
@@ -6498,6 +6545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         "source_drift": q_source_drift,
         "bpe_merges": q_bpe_merges,
+        "scaled_prices": q_scaled_prices,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6644,6 +6692,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_slope": ORACLE_ZIPF,
         "source_drift": ORACLE_SOURCE_DRIFT,
         "bpe_merges": _oracle_bpe_merges(),
+        "scaled_prices": ORACLE_SCALED_PRICES,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "zipf_slope",
     "source_drift",
     "bpe_merges",
+    "scaled_prices",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -179,4 +179,96 @@ def winsorize(
     return out.withColumn(
         out_col or f"{val}_wins",
         F.least(F.greatest(v, F.col("_w_lo")), F.col("_w_hi")),
+    )
+
+
+def feature_scale(
+    df: DataFrame,
+    keys: Sequence[str],
+    val: str,
+    round_to: int | None = None,
+    moments_decimal: str | None = None,
+) -> DataFrame:
+    """Per-group feature scaling for ML feature prep, three variants in
+    one operator: z-score ((v-mean)/stddev), robust score
+    ((v-median)/IQR — outlier-insensitive), and percent-rank (the ECDF
+    position in [0,1] — distribution-free).  Degenerate groups yield
+    NULL for z (stddev 0) and robust (IQR 0); percent_rank is always
+    defined.
+
+    Scale shape: one hash aggregate produces the per-group moment table
+    (|groups| rows, broadcast joined back — the fact table never
+    shuffles for z/robust); percent_rank is the one genuinely
+    order-dependent variant and costs a per-group sort window.  Exact
+    percentiles sort each group; at 100 TB swap approx_percentile into
+    the stats agg and the rest survives unchanged.
+
+    ``round_to`` rounds all three outputs — with the PORTABLE
+    floor-based formula ``floor(x·10^n + 0.5)/10^n`` (pure IEEE double
+    ops, bit-identical in any engine) rather than the engine's
+    ``round``: Spark rounds the double's exact binary expansion
+    HALF_UP while DuckDB rounds via a multiply, and a z-score landing
+    on a .5-ulp boundary flips the last digit between them (observed
+    at sf0.1).  Half-way values round toward +inf; the point is
+    determinism, not decimal etiquette.
+
+    ``moments_decimal``: when the values are decimal-representable
+    (money, counts), compute mean/stddev from EXACT decimal sums
+    (Σv, Σv²) instead of the engine's streaming stddev — decimal
+    aggregation is order-independent and bit-identical across engines,
+    where native stddev implementations differ by enough ulps to flip
+    a rounded 4th decimal (observed at sf0.1).  The textbook-formula
+    cancellation ((Σv² − (Σv)²/n)/(n−1)) is benign when sd/mean ≳ 1e-6,
+    which money columns satisfy.
+    """
+    v = F.col(val)
+    if moments_decimal is not None:
+        dv = v.cast(moments_decimal)
+        moment_aggs = [
+            F.sum(dv).alias("_fs_s"),
+            F.sum(dv * dv).alias("_fs_ss"),
+            F.count(v).alias("_fs_n"),
+        ]
+    else:
+        moment_aggs = [F.avg(v).alias("_fs_mean"), F.stddev(v).alias("_fs_sd")]
+    stats = df.groupBy(*keys).agg(
+        *moment_aggs,
+        F.median(v).alias("_fs_med"),
+        F.percentile(v, 0.25).alias("_fs_q1"),
+        F.percentile(v, 0.75).alias("_fs_q3"),
+    )
+    if moments_decimal is not None:
+        n = F.col("_fs_n").cast("double")
+        s = F.col("_fs_s").cast("double")
+        ss = F.col("_fs_ss").cast("double")
+        mean = s / n
+        var = F.when(
+            F.col("_fs_n") > 1, (ss - s * s / n) / (n - F.lit(1.0))
+        )
+        stats = stats.select(
+            *keys,
+            mean.alias("_fs_mean"),
+            F.when(var > 0, F.sqrt(var)).alias("_fs_sd"),
+            "_fs_med",
+            "_fs_q1",
+            "_fs_q3",
+        )
+    z = F.when(
+        F.col("_fs_sd") > 0, (v - F.col("_fs_mean")) / F.col("_fs_sd")
+    )
+    iqr = F.col("_fs_q3") - F.col("_fs_q1")
+    robust = F.when(iqr > 0, (v - F.col("_fs_med")) / iqr)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(v)
+    pct = F.percent_rank().over(w)
+    if round_to is not None:
+        scale = F.lit(float(10 ** round_to))
+        z, robust, pct = (
+            F.floor(c * scale + F.lit(0.5)) / scale for c in (z, robust, pct)
+        )
+    return (
+        df.join(F.broadcast(stats), list(keys))
+        .withColumn(f"{val}_z", z)
+        .withColumn(f"{val}_robust", robust)
+        .withColumn(f"{val}_pct", pct)
+        .drop("_fs_mean", "_fs_sd", "_fs_med", "_fs_q1", "_fs_q3")
     )

@@ -532,3 +532,24 @@ def test_bpe_merge_handles_repeated_symbols(spark):
     assert out[0] == (1, "a a", "aa", 3)
     assert out[1] == (2, "aa aa", "aaaa", 1)
     spark.catalog.clearCache()
+
+
+def test_feature_scale_hand_computed(spark):
+    import math
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import outliers
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0),
+         ("h", 5.0), ("h", 5.0)],
+        "k string, v double",
+    )
+    out = outliers.feature_scale(df, ["k"], "v", round_to=4)
+    got = {(r["k"], r["v"]): (r["v_z"], r["v_robust"], r["v_pct"])
+           for r in out.collect()}
+    sd = math.sqrt(5.0 / 3.0)  # sample stddev of 1..4
+    assert got[("g", 1.0)] == (round((1 - 2.5) / sd, 4), -1.0, 0.0)
+    assert got[("g", 4.0)] == (round((4 - 2.5) / sd, 4), 1.0, 1.0)
+    assert got[("g", 2.0)][2] == round(1 / 3, 4)
+    # degenerate group: stddev 0 and IQR 0 -> NULL scores, pct defined
+    assert got[("h", 5.0)] == (None, None, 0.0)

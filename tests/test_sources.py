@@ -420,3 +420,35 @@ def test_csv_permissive_preserves_corrupt_rows(spark, tmp_path):
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     assert sorted((r["k"], r["v"]) for r in good.collect()) == [(1, 10.5), (3, 7.25)]
     assert [r["_corrupt_record"] for r in bad.collect()] == ["bad,not_a_number"]
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
+    """Star-schema scan contract at scale: a partitioned fact joined to
+    a FILTERED dim must prune fact partitions at RUNTIME via dynamic
+    partition pruning (the dim filter can't be pushed statically — the
+    fact partition keys that survive are only known after the dim
+    scan).  At 100 TB this is the difference between scanning one
+    shard and scanning the whole table."""
+    fact = spark.range(0, 2000).selectExpr(
+        "id", "CAST(id % 8 AS LONG) AS shard_key", "id * 2 AS v"
+    )
+    p = str(tmp_path / "fact_parts")
+    sources.write_parquet(fact, p, partition_by=("shard_key",))
+    dim = spark.createDataFrame(
+        [(k, "keep" if k < 2 else "drop") for k in range(8)],
+        "shard_key long, tag string",
+    )
+    # disable broadcast to force the DPP subquery shape a big dim
+    # would take; restore after
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.read.parquet(p)
+            .join(dim.filter("tag = 'keep'"), "shard_key")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        assert j.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
