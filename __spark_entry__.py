@@ -2701,6 +2701,48 @@ GROUP BY 1, 2
 """
 
 
+def q_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level validate-and-quarantine (quality.validate_split): one
+    codegen'd projection tags every lineitem row with the names of the
+    rules it violates; the audit aggregates rows per failure
+    combination plus the money at stake.  The same tagged frame feeds
+    clean/quarantine sinks in production — this query is its audit
+    twin.  Oracle replays the CASE-array + list_filter combination."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        quality,
+    )
+
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    tagged = quality.validate_split(
+        li,
+        {
+            "excessive_discount": F.col("l_discount") > 0.08,
+            "bulk_quantity": F.col("l_quantity") > 45,
+            "tax_out_of_band": F.col("l_tax") > 0.07,
+        },
+    )
+    return tagged.groupBy(
+        F.array_join("failed_checks", ",").alias("failed")
+    ).agg(
+        F.count("*").alias("n"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+ORACLE_QUARANTINE = f"""
+SELECT coalesce(array_to_string(list_filter([
+         CASE WHEN l_discount > 0.08 THEN 'excessive_discount' END,
+         CASE WHEN l_quantity > 45 THEN 'bulk_quantity' END,
+         CASE WHEN l_tax > 0.07 THEN 'tax_out_of_band' END
+       ], x -> x IS NOT NULL), ','), '') AS failed,
+       count(*) AS n,
+       {sql_dsum('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY 1
+"""
+
+
 def q_scaled_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML feature prep: per-brand scaling of part retail price three
     ways in one operator (outliers.feature_scale) — z-score, robust
@@ -6546,6 +6588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift": q_source_drift,
         "bpe_merges": q_bpe_merges,
         "scaled_prices": q_scaled_prices,
+        "quarantine_audit": q_quarantine_audit,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6693,6 +6736,7 @@ def oracle_sql() -> dict[str, str]:
         "source_drift": ORACLE_SOURCE_DRIFT,
         "bpe_merges": _oracle_bpe_merges(),
         "scaled_prices": ORACLE_SCALED_PRICES,
+        "quarantine_audit": ORACLE_QUARANTINE,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

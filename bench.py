@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "source_drift",
     "bpe_merges",
     "scaled_prices",
+    "quarantine_audit",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

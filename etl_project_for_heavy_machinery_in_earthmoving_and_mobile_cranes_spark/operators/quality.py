@@ -278,3 +278,28 @@ def k_anonymize(
             c, F.when(F.col("__fold"), F.lit(other)).otherwise(F.col(c))
         )
     return out.drop("__fold", *[f"__q_{c}" for c in quasi_cols])
+
+
+def validate_split(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Row-level validate-and-quarantine: adds ``failed_checks``
+    (array<string> of the rule names the row violates, in rule
+    declaration order) so ONE scan feeds both the clean sink
+    (``size(failed_checks) = 0``) and the quarantine sink (everything
+    else, with its reasons attached) — the row-content companion of
+    ``violation_counts``, which only counts.
+
+    ``rules`` maps check name → Column that is TRUE when the row
+    VIOLATES the check (same contract as ``violation_counts``).  A
+    NULL predicate result counts as not-violated; write an explicit
+    ``isNull`` rule when nullness itself is the violation.
+
+    Scale shape: a pure projection (array-of-conditionals + filter),
+    no shuffle, fully codegen'd; writing clean and quarantine as two
+    filters of the same cached/persisted frame keeps it one scan.
+    """
+    marks = F.array(
+        *[F.when(cond, F.lit(name)) for name, cond in rules.items()]
+    )
+    return df.withColumn(
+        "failed_checks", F.filter(marks, lambda x: x.isNotNull())
+    )

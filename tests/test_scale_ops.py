@@ -553,3 +553,31 @@ def test_feature_scale_hand_computed(spark):
     assert got[("g", 2.0)][2] == round(1 / 3, 4)
     # degenerate group: stddev 0 and IQR 0 -> NULL scores, pct defined
     assert got[("h", 5.0)] == (None, None, 0.0)
+
+
+def test_validate_split_reasons_and_partition(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "x"), (2, -1.0, "x"), (3, 50.0, None), (4, -2.0, None)],
+        "id long, v double, s string",
+    )
+    out = quality.validate_split(
+        df,
+        {
+            "negative_v": F.col("v") < 0,
+            "v_too_big": F.col("v") > 10,
+            "null_s": F.col("s").isNull(),
+        },
+    )
+    got = {r["id"]: list(r["failed_checks"]) for r in out.collect()}
+    assert got == {
+        1: [],
+        2: ["negative_v"],
+        3: ["v_too_big", "null_s"],
+        4: ["negative_v", "null_s"],
+    }
+    # one frame partitions cleanly into the two sinks
+    clean = out.filter(F.size("failed_checks") == 0)
+    quarantine = out.filter(F.size("failed_checks") > 0)
+    assert clean.count() + quarantine.count() == df.count()
