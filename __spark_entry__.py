@@ -2701,6 +2701,41 @@ GROUP BY 1, 2
 """
 
 
+_BAL_PER_CLASS = 20
+
+
+def q_balanced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling (sampling.balanced_sample): cap each
+    language at 20 documents by deterministic (md5, key) rank — the
+    majority-class undersampling step of classifier prep.  Spark
+    compiles the rank filter to WindowGroupLimit (map-side partial
+    top-k), so the skewed majority class never ships whole.  Oracle
+    replays the hash ranking with row_number."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.balanced_sample(d, "lang", "doc_id", per_class=_BAL_PER_CLASS)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+ORACLE_BALANCED_DOCS = f"""
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {_BAL_PER_CLASS}
+"""
+
+
 def q_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level validate-and-quarantine (quality.validate_split): one
     codegen'd projection tags every lineitem row with the names of the
@@ -6589,6 +6624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "scaled_prices": q_scaled_prices,
         "quarantine_audit": q_quarantine_audit,
+        "balanced_docs": q_balanced_docs,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6737,6 +6773,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _oracle_bpe_merges(),
         "scaled_prices": ORACLE_SCALED_PRICES,
         "quarantine_audit": ORACLE_QUARANTINE,
+        "balanced_docs": ORACLE_BALANCED_DOCS,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "scaled_prices",
     "quarantine_audit",
+    "balanced_docs",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

@@ -18,7 +18,7 @@ more than a few thousand rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import md5_hash64
@@ -334,3 +334,34 @@ def epoch_replicate(
         n >= 1, F.sequence(F.lit(1), n)
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn(copy_col, F.explode(copies))
+
+
+def balanced_sample(
+    df: DataFrame,
+    class_col: str,
+    key_col: str,
+    per_class: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Class-balanced downsampling: keep exactly ``per_class`` rows per
+    class (fewer when the class is smaller) — the majority-class
+    undersampling step of classifier training prep, with the same
+    determinism contract as the rest of the family: membership is a
+    pure function of (row key, seed), so reruns, backfills, and other
+    engines select the identical sample.
+
+    Selection: per class, the ``per_class`` smallest by (md5 bucket,
+    key).  Implemented as a rank window, which Spark 3.5+ compiles to
+    WindowGroupLimit — a per-map-side partial top-k before the class
+    shuffle, so a skewed majority class ships ~per_class rows per map
+    task, not its whole population.
+    """
+    h = hash_bucket(F.col(key_col), seed)
+    w = Window.partitionBy(F.col(class_col)).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_class)
+        .drop("__rn")
+    )

@@ -293,3 +293,36 @@ def test_cms_heavy_hitter_error_bound(spark):
         true = 200 - int(tok[3:])
         assert e >= true  # CMS never undercounts
         assert e <= true + eps * total
+
+
+def test_balanced_sample_exact_counts_and_determinism(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import sampling
+
+    rows = [(i, "big" if i < 80 else ("mid" if i < 95 else "tiny"))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    out = sampling.balanced_sample(df, "cls", "id", per_class=10)
+    by = out.groupBy("cls").count().collect()
+    got = {r["cls"]: r["count"] for r in by}
+    # majority classes capped at 10; the 5-row tiny class kept whole
+    assert got == {"big": 10, "mid": 10, "tiny": 5}
+    # deterministic: same rows on rerun
+    ids1 = sorted(r["id"] for r in out.collect())
+    ids2 = sorted(r["id"] for r in
+                  sampling.balanced_sample(df, "cls", "id", per_class=10).collect())
+    assert ids1 == ids2
+    # different seed -> (almost surely) different member set for big
+    ids3 = sorted(r["id"] for r in
+                  sampling.balanced_sample(df, "cls", "id", per_class=10, seed=1)
+                  .filter("cls = 'big'").collect())
+    assert ids3 != sorted(i for i in ids1 if i < 80)
+
+
+def test_balanced_sample_plan_uses_window_group_limit(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import sampling
+
+    df = spark.range(0, 1000).selectExpr("id", "CAST(id % 3 AS STRING) AS cls")
+    out = sampling.balanced_sample(df, "cls", "id", per_class=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # map-side partial top-k before the class shuffle: the skew guard
+    assert "WindowGroupLimit" in plan
