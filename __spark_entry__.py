@@ -2701,6 +2701,52 @@ GROUP BY 1, 2
 """
 
 
+_NOVELTY_N = 8
+
+
+def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk scoring (textstats.novelty_score): per doc,
+    the fraction of its distinct 8-gram shingles that appear in at
+    least one other document.  Spark runs the xxhash64 int64-gram scale
+    path; the oracle replays support counting over the gram STRINGS —
+    identical semantics (hashing only relabels grams; a collision
+    would need ~2^32 grams to matter)."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return textstats.novelty_score(d, "doc_id", "text", n=_NOVELTY_N)
+
+
+ORACLE_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split({_NORM_SQL.format(col='text')}, ' '),
+                             x -> x != '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {_NOVELTY_N}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(t) - {_NOVELTY_N - 1}),
+                     i -> array_to_string(t[i:i + {_NOVELTY_N - 1}], ' ')))
+              ELSE [] END AS grams
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), s AS (
+  SELECT gram, count(DISTINCT doc_id) AS docs FROM e GROUP BY 1
+), p AS (
+  SELECT e.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN s.docs >= 2 THEN 1 ELSE 0 END) AS nd
+  FROM e JOIN s USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.nd, 0) AS BIGINT) AS n_dup_grams,
+       CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN CAST(p.nd AS DOUBLE) / p.n_grams END AS dup_gram_frac
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+
 _BAL_PER_CLASS = 20
 
 
@@ -6625,6 +6671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scaled_prices": q_scaled_prices,
         "quarantine_audit": q_quarantine_audit,
         "balanced_docs": q_balanced_docs,
+        "novelty_scores": q_novelty_scores,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6774,6 +6821,7 @@ def oracle_sql() -> dict[str, str]:
         "scaled_prices": ORACLE_SCALED_PRICES,
         "quarantine_audit": ORACLE_QUARANTINE,
         "balanced_docs": ORACLE_BALANCED_DOCS,
+        "novelty_scores": ORACLE_NOVELTY,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

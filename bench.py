@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "scaled_prices",
     "quarantine_audit",
     "balanced_docs",
+    "novelty_scores",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

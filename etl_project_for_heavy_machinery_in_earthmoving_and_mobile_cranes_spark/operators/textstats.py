@@ -770,3 +770,87 @@ def bpe_merge_steps(df: DataFrame, text_col: str, n_merges: int = 3) -> DataFram
     for f in step_frames[1:]:
         out = out.unionAll(f)
     return out
+
+
+def novelty_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Memorization-risk / novelty scoring: per document, the fraction
+    of its distinct word ``n``-grams that occur in at least one OTHER
+    document (``dup_gram_frac``; ``novelty = 1 − dup_gram_frac``) — the
+    per-doc aggregate view of what the duplicate-span family locates
+    positionally.  High dup_gram_frac docs are near-copies or heavy
+    quoters; training on them raises verbatim-recall risk.
+
+    Cross-doc support counts distinct DOCS per gram (a gram repeated
+    within one doc is that doc's own text, not cross-doc duplication).
+    Docs shorter than ``n`` tokens emit ``n_grams = 0`` with NULL
+    fractions rather than dropping.
+
+    Scale shape: grams hash to int64 (``xxhash64`` JVM-intrinsic by
+    default; ``"md5"`` for cross-engine oracle parity, same contract as
+    the MinHash family) so the two shuffles (per-gram doc counts;
+    per-doc fraction agg) move longs, not strings.  Within-doc
+    ``array_distinct`` happens before explode — fan-out is bounded by
+    distinct grams.  No all-pairs anything: cost is corpus-gram-linear,
+    the same envelope as word count.
+    """
+    toks = F.filter(
+        F.split(normalize_for_dedup(F.col(text_col)), " "), lambda t: t != ""
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("__tk")) - n),
+            lambda i: F.array_join(F.slice(F.col("__tk"), i + 1, n), " "),
+        )
+    )
+    base = df.select(F.col(id_col), toks.alias("__tk")).select(
+        id_col,
+        F.when(F.size(F.col("__tk")) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        ).alias("__grams"),
+    )
+    if hash_fn == "xxhash64":
+        ghash = F.xxhash64(F.col("__g"))
+    elif hash_fn == "md5":
+        from .dedup import md5_hash64
+
+        ghash = md5_hash64(F.col("__g"))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    exploded = base.select(
+        id_col, F.explode("__grams").alias("__g")
+    ).select(id_col, ghash.alias("__h"))
+    support = exploded.groupBy("__h").agg(
+        F.count_distinct(F.col(id_col)).alias("__docs")
+    )
+    per_doc = (
+        exploded.join(support, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("__docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+        )
+    )
+    # left join so short docs (no grams) stay present with n_grams 0
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("bigint")).alias(
+                "n_dup_grams"
+            ),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.col("n_dup_grams") / F.col("n_grams"),
+            ).alias("dup_gram_frac"),
+        )
+    )

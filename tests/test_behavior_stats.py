@@ -291,3 +291,39 @@ def test_sequence_ngrams_hand_computed(spark):
         ).collect()
     }
     assert got == {("A", "B", "A"): (2, 2), ("B", "A", "B"): (1, 1)}
+
+
+def test_novelty_score_hand_computed(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "z z z"), (4, "q w")],
+        "doc_id long, text string",
+    )
+    for hash_fn in ("xxhash64", "md5"):
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_gram_frac"])
+            for r in textstats.novelty_score(
+                df, "doc_id", "text", n=3, hash_fn=hash_fn
+            ).collect()
+        }
+        # docs 1/2 share 'a b c' and 'b c d' -> 2 of 3 grams cross-doc
+        assert got[1] == (3, 2, 2 / 3)
+        assert got[2] == (3, 2, 2 / 3)
+        assert got[3] == (1, 0, 0.0)
+        # shorter than n tokens: present with zero grams, NULL fraction
+        assert got[4] == (0, 0, None)
+
+
+def test_novelty_score_within_doc_repeat_not_cross_doc(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import textstats
+
+    # the same gram repeated INSIDE one doc is not cross-doc duplication
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "c d e f")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["dup_gram_frac"]
+        for r in textstats.novelty_score(df, "doc_id", "text", n=2).collect()
+    }
+    assert got[1] == 0.0 and got[2] == 0.0
