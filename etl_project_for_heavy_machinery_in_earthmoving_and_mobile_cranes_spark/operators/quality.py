@@ -136,57 +136,54 @@ def column_profile(df: DataFrame, cols: "Sequence[str] | None" = None) -> DataFr
     )
 
 
-def distribution_drift(
+def bin_counts(
     df: DataFrame,
     group_col: str,
     value_col: str,
-    baseline: str,
+    lo: float,
+    hi: float,
     n_bins: int = 10,
-    alpha: float = 0.5,
 ) -> DataFrame:
-    """Distribution drift of a numeric column per group vs a baseline
-    group: Population Stability Index and Jensen-Shannon divergence
-    over ``n_bins`` equi-width bins — the corpus-snapshot / source-mix
-    QC check a training-data pipeline runs before admitting a new crawl
-    (is src3's length distribution still the one the mixture weights
-    were tuned on?).
-
-    Proportions use add-``alpha`` smoothing over the FULL bin grid
-    (``(count + alpha) / (total + alpha * n_bins)``), so empty bins are
-    well-defined and the formulas are closed-form — deterministic and
-    replayable by any engine, with no epsilon-clamp branches.  NULL
-    values are excluded; a degenerate column (global min == max) puts
-    every value in bin 0.
-
-    Returns one row per group (baseline included, drifting from itself
-    by 0): ``(group_col, n, psi, jsd)``.
-
-    Scale shape: one broadcast scalar min/max agg over the values, one
-    hash aggregate to (group × bin) counts — the only shuffle, with
-    map-side combine, output |groups|·n_bins rows — then tiny-table
-    grid/baseline joins.  The fact table is scanned twice (bounds +
-    counts) which at 100 TB is the price of exact global bounds; use a
-    stored profile for the bounds to make it one scan.
+    """Per-(group, bin) counts of a numeric column over FIXED
+    equi-width bounds — the mergeable partial underneath
+    ``distribution_drift``: counts from disjoint slices (micro-batches,
+    partitions, snapshots) sum to the counts of their union, so drift
+    can be maintained incrementally without rescanning history.
+    Values outside [lo, hi] clamp into the edge bins (a drifted tail
+    should SHOW UP in the edge bin, not vanish).  Returns
+    ``(__g, __bin, __c)``.
     """
     v = F.col(value_col).cast("double")
     data = df.filter(v.isNotNull()).select(
         F.col(group_col).alias("__g"), v.alias("__v")
     )
-    bounds = data.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
-    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
-    binned = data.crossJoin(F.broadcast(bounds)).select(
-        "__g",
-        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
-        .otherwise(
+    if hi == lo:
+        b = F.lit(0)
+    else:
+        width = F.lit((hi - lo) / float(n_bins))
+        b = F.greatest(
             F.least(
-                F.floor((F.col("__v") - F.col("__lo")) / width),
-                F.lit(n_bins - 1),
-            )
+                F.floor((F.col("__v") - F.lit(lo)) / width), F.lit(n_bins - 1)
+            ),
+            F.lit(0),
         )
-        .cast("int")
-        .alias("__bin"),
+    return (
+        data.select("__g", b.cast("int").alias("__bin"))
+        .groupBy("__g", "__bin")
+        .agg(F.count("*").alias("__c"))
     )
-    counts = binned.groupBy("__g", "__bin").agg(F.count("*").alias("__c"))
+
+
+def drift_from_counts(
+    counts: DataFrame,
+    group_col: str,
+    baseline: str,
+    n_bins: int = 10,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """PSI + Jensen-Shannon per group vs the baseline group, computed
+    from a ``(__g, __bin, __c)`` counts table (see ``bin_counts``) —
+    tiny-table arithmetic only, |groups|·n_bins rows in."""
     # full (group x bin) grid so empty bins smooth instead of vanish
     grid = (
         counts.select("__g")
@@ -231,6 +228,71 @@ def distribution_drift(
             "jsd",
         )
     )
+
+
+def distribution_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    baseline: str,
+    n_bins: int = 10,
+    alpha: float = 0.5,
+    bounds: "tuple[float, float] | None" = None,
+) -> DataFrame:
+    """Distribution drift of a numeric column per group vs a baseline
+    group: Population Stability Index and Jensen-Shannon divergence
+    over ``n_bins`` equi-width bins — the corpus-snapshot / source-mix
+    QC check a training-data pipeline runs before admitting a new crawl
+    (is src3's length distribution still the one the mixture weights
+    were tuned on?).
+
+    Proportions use add-``alpha`` smoothing over the FULL bin grid
+    (``(count + alpha) / (total + alpha * n_bins)``), so empty bins are
+    well-defined and the formulas are closed-form — deterministic and
+    replayable by any engine, with no epsilon-clamp branches.  NULL
+    values are excluded; a degenerate column (global min == max) puts
+    every value in bin 0.
+
+    Returns one row per group (baseline included, drifting from itself
+    by 0): ``(group_col, n, psi, jsd)``.
+
+    Scale shape: one broadcast scalar min/max agg over the values, one
+    hash aggregate to (group × bin) counts — the only shuffle, with
+    map-side combine, output |groups|·n_bins rows — then tiny-table
+    grid/baseline joins (``drift_from_counts``).  With data-derived
+    bounds the fact table is scanned twice (bounds + counts) — the
+    price of exact global bounds; pass ``bounds=(lo, hi)`` from a
+    stored profile to make it one scan (values outside clamp to edge
+    bins), which is also the contract the incremental/streaming
+    maintenance path (``bin_counts`` partials) requires.
+    """
+    if bounds is not None:
+        counts = bin_counts(
+            df, group_col, value_col, bounds[0], bounds[1], n_bins
+        )
+        return drift_from_counts(counts, group_col, baseline, n_bins, alpha)
+    v = F.col(value_col).cast("double")
+    data = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+    scan_bounds = data.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    binned = data.crossJoin(F.broadcast(scan_bounds)).select(
+        "__g",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("__v") - F.col("__lo")) / width),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("int")
+        .alias("__bin"),
+    )
+    counts = binned.groupBy("__g", "__bin").agg(F.count("*").alias("__c"))
+    return drift_from_counts(counts, group_col, baseline, n_bins, alpha)
 
 
 def k_anonymize(

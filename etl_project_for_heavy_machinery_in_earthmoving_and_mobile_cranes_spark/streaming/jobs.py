@@ -316,3 +316,52 @@ def maintain_rollup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintain_drift_counts_stream(
+    events: DataFrame,
+    counts_path: str,
+    checkpoint_dir: str,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+):
+    """Incremental distribution-drift maintenance on a stream: each
+    micro-batch's per-(group, bin) counts (``quality.bin_counts`` over
+    FIXED profile bounds — the property that makes the partials
+    mergeable) sum into the stored counts table; the monitor computes
+    PSI/JSD on demand from the stored table via
+    ``quality.drift_from_counts`` without ever rescanning history.
+    Same atomic rewrite-per-batch contract as
+    ``maintain_rollup_stream`` (the counts table is
+    |groups|·n_bins-sized)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.quality import (
+        bin_counts,
+    )
+
+    spark = events.sparkSession
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        inc = bin_counts(batch_df, group_col, value_col, lo, hi, n_bins)
+        try:
+            existing = spark.read.parquet(counts_path)
+            merged = (
+                existing.unionByName(inc)
+                .groupBy("__g", "__bin")
+                .agg(F.sum("__c").alias("__c"))
+            )
+        except Exception:
+            merged = inc
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(counts_path)
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

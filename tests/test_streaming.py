@@ -333,3 +333,39 @@ def test_streaming_rollup_maintenance_matches_batch(spark, event_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_drift_maintenance_matches_batch(spark, event_dir, tmp_path):
+    """Micro-batches maintain (group, bin) counts over fixed profile
+    bounds; drift computed from the final stored counts must equal the
+    batch operator run with the same bounds over all data — the
+    mergeable-partials contract, on a stream.  maxFilesPerTrigger=1
+    forces genuine multi-batch merging."""
+    from pyspark.sql import functions as F
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    counts = tmp_path / "drift_counts"
+    q = jobs.maintain_drift_counts_stream(
+        jobs.read_event_stream(spark, event_dir, max_files_per_trigger=1),
+        str(counts), str(tmp_path / "cp_drift"),
+        group_col="event_type", value_col="value", lo=0.0, hi=200.0, n_bins=8,
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 3
+
+    stored = spark.read.parquet(str(counts))
+    got = {
+        r["event_type"]: (r["n"], r["psi"], r["jsd"])
+        for r in quality.drift_from_counts(
+            stored, "event_type", baseline="click", n_bins=8
+        ).collect()
+    }
+    batch = spark.read.parquet(event_dir)
+    want = {
+        r["event_type"]: (r["n"], r["psi"], r["jsd"])
+        for r in quality.distribution_drift(
+            batch, "event_type", "value", baseline="click",
+            n_bins=8, bounds=(0.0, 200.0),
+        ).collect()
+    }
+    assert got == want and len(got) >= 3
