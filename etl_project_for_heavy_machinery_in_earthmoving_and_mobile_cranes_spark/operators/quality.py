@@ -365,3 +365,48 @@ def validate_split(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     return df.withColumn(
         "failed_checks", F.filter(marks, lambda x: x.isNotNull())
     )
+
+
+def guarded_m1_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: "Sequence[str] | str",
+    how: str = "left",
+) -> DataFrame:
+    """Equi join that ENFORCES the right side is unique on the join key
+    (an m:1 join): any duplicate right-side key raises at execution
+    time, instead of silently fanning out rows and double-counting
+    every downstream aggregate — the single most common silent-wrong
+    answer in star-schema pipelines.
+
+    Implemented lazily: a windowless count per key on the right side
+    rides along the join, and a ``raise_error`` fires on the first
+    violating row.  The guard is folded INTO the first join-key column
+    (an expression the join itself consumes), so Catalyst cannot
+    column-prune it away.  Zero extra scans of the LEFT side; the right
+    side pays one hash aggregate of its keys (it is the dim side — by
+    contract the small one).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    dup = (
+        right.groupBy(*[F.col(k) for k in keys])
+        .agg(F.count("*").alias("__kn"))
+    )
+    guard_key = keys[0]
+    guarded = F.when(
+        F.col("__kn") > 1,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"guarded_m1_join: right side not unique on {keys}; "
+                    "offending key: "
+                ),
+                F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+            )
+        ).cast(dict(right.dtypes)[guard_key]),
+    ).otherwise(F.col(guard_key))
+    checked = (
+        right.join(F.broadcast(dup), keys)
+        .withColumn(guard_key, guarded)
+    )
+    return left.join(checked, keys, how).drop("__kn")

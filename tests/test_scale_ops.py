@@ -581,3 +581,19 @@ def test_validate_split_reasons_and_partition(spark):
     clean = out.filter(F.size("failed_checks") == 0)
     quarantine = out.filter(F.size("failed_checks") > 0)
     assert clean.count() + quarantine.count() == df.count()
+
+
+def test_guarded_m1_join_passes_unique_and_raises_on_dup(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, x string")
+    dim_ok = spark.createDataFrame([(1, "p"), (2, "q")], "k long, payload string")
+    out = quality.guarded_m1_join(left, dim_ok, "k").orderBy("k").collect()
+    assert [(r["k"], r["payload"]) for r in out] == [(1, "p"), (2, "q"), (3, None)]
+
+    dim_dup = spark.createDataFrame(
+        [(1, "p"), (1, "p2"), (2, "q")], "k long, payload string"
+    )
+    with pytest.raises(Exception) as ei:
+        quality.guarded_m1_join(left, dim_dup, "k").collect()
+    assert "not unique" in str(ei.value)
