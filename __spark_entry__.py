@@ -2701,6 +2701,61 @@ GROUP BY 1, 2
 """
 
 
+def q_source_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-bin PSI (scorecard-industry form): bin edges are the
+    src0 baseline's interpolated deciles, so the statistic ignores
+    outlier-stretched ranges.  Same drift arithmetic as source_drift
+    downstream of binning; oracle replays quantile_cont edges + the
+    edges-passed count binning."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        quality,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return quality.distribution_drift(
+        d, "source", "n_chars", _DRIFT_BASE,
+        n_bins=_DRIFT_BINS, alpha=_DRIFT_ALPHA, strategy="quantile",
+    )
+
+
+ORACLE_SOURCE_DRIFT_Q = f"""
+WITH data AS (
+  SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL
+), edges AS (
+  SELECT quantile_cont(v, [{", ".join(repr(i / _DRIFT_BINS) for i in range(1, _DRIFT_BINS))}]) AS ed
+  FROM data WHERE g = '{_DRIFT_BASE}'
+), binned AS (
+  SELECT g, CAST(len(list_filter(edges.ed, e -> v >= e)) AS INT) AS bin
+  FROM data CROSS JOIN edges
+), counts AS (
+  SELECT g, bin, count(*) AS c FROM binned GROUP BY 1, 2
+), grid AS (
+  SELECT g, bin
+  FROM (SELECT DISTINCT g FROM counts)
+  CROSS JOIN (SELECT unnest(generate_series(0, {_DRIFT_BINS - 1})) AS bin)
+), full_g AS (
+  SELECT grid.g, grid.bin, coalesce(counts.c, 0) AS c
+  FROM grid LEFT JOIN counts USING (g, bin)
+), totals AS (
+  SELECT g, sum(c) AS tot FROM full_g GROUP BY 1
+), props AS (
+  SELECT f.g, f.bin, t.tot,
+         (f.c + {_DRIFT_ALPHA!r}) / (t.tot + {_DRIFT_ALPHA * _DRIFT_BINS!r}) AS p
+  FROM full_g f JOIN totals t USING (g)
+), base AS (
+  SELECT bin, p AS q FROM props WHERE g = '{_DRIFT_BASE}'
+)
+SELECT props.g AS source, CAST(props.tot AS BIGINT) AS n,
+       round(sum((p - q) * ln(p / q)), 4) AS psi,
+       round(0.5 * sum(p * ln(p / ((p + q) / 2.0)))
+             + 0.5 * sum(q * ln(q / ((p + q) / 2.0))), 4) AS jsd
+FROM props JOIN base USING (bin)
+GROUP BY 1, 2
+"""
+
+
 _NOVELTY_N = 8
 
 
@@ -6592,7 +6647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 163
+    already-green remainder (round-2 set before round-1 set).  All 169
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -6672,6 +6727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine_audit": q_quarantine_audit,
         "balanced_docs": q_balanced_docs,
         "novelty_scores": q_novelty_scores,
+        "source_drift_q": q_source_drift_q,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6822,6 +6878,7 @@ def oracle_sql() -> dict[str, str]:
         "quarantine_audit": ORACLE_QUARANTINE,
         "balanced_docs": ORACLE_BALANCED_DOCS,
         "novelty_scores": ORACLE_NOVELTY,
+        "source_drift_q": ORACLE_SOURCE_DRIFT_Q,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

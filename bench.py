@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "quarantine_audit",
     "balanced_docs",
     "novelty_scores",
+    "source_drift_q",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

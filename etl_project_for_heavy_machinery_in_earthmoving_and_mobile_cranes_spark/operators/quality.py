@@ -238,13 +238,23 @@ def distribution_drift(
     n_bins: int = 10,
     alpha: float = 0.5,
     bounds: "tuple[float, float] | None" = None,
+    strategy: str = "width",
 ) -> DataFrame:
     """Distribution drift of a numeric column per group vs a baseline
     group: Population Stability Index and Jensen-Shannon divergence
-    over ``n_bins`` equi-width bins — the corpus-snapshot / source-mix
-    QC check a training-data pipeline runs before admitting a new crawl
-    (is src3's length distribution still the one the mixture weights
-    were tuned on?).
+    over ``n_bins`` bins — the corpus-snapshot / source-mix QC check a
+    training-data pipeline runs before admitting a new crawl (is
+    src3's length distribution still the one the mixture weights were
+    tuned on?).
+
+    ``strategy='width'`` (default) bins equi-width over the global (or
+    given) [lo, hi].  ``strategy='quantile'`` is the scorecard-industry
+    PSI form: bin edges are the BASELINE group's interpolated
+    ``1/n … (n−1)/n`` quantiles, so the baseline occupies every bin
+    ~equally and the statistic is insensitive to outlier-stretched
+    ranges; ``bounds`` is ignored there, and the edge table (n_bins−1
+    doubles from one baseline percentile agg) broadcasts — still two
+    scans, one of them baseline-only.
 
     Proportions use add-``alpha`` smoothing over the FULL bin grid
     (``(count + alpha) / (total + alpha * n_bins)``), so empty bins are
@@ -266,7 +276,9 @@ def distribution_drift(
     bins), which is also the contract the incremental/streaming
     maintenance path (``bin_counts`` partials) requires.
     """
-    if bounds is not None:
+    if strategy not in ("width", "quantile"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    if strategy == "width" and bounds is not None:
         counts = bin_counts(
             df, group_col, value_col, bounds[0], bounds[1], n_bins
         )
@@ -275,6 +287,23 @@ def distribution_drift(
     data = df.filter(v.isNotNull()).select(
         F.col(group_col).alias("__g"), v.alias("__v")
     )
+    if strategy == "quantile":
+        probs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+        edges = data.filter(F.col("__g") == baseline).agg(
+            F.expr(f"percentile(__v, array({probs}))").alias("__edges")
+        )
+        binned = data.crossJoin(F.broadcast(edges)).select(
+            "__g",
+            F.size(
+                F.filter(F.col("__edges"), lambda e: F.col("__v") >= e)
+            )
+            .cast("int")
+            .alias("__bin"),
+        )
+        counts = binned.groupBy("__g", "__bin").agg(
+            F.count("*").alias("__c")
+        )
+        return drift_from_counts(counts, group_col, baseline, n_bins, alpha)
     scan_bounds = data.agg(
         F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
     )

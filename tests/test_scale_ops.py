@@ -597,3 +597,20 @@ def test_guarded_m1_join_passes_unique_and_raises_on_dup(spark):
     with pytest.raises(Exception) as ei:
         quality.guarded_m1_join(left, dim_dup, "k").collect()
     assert "not unique" in str(ei.value)
+
+
+def test_distribution_drift_quantile_strategy(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    rows = [("a", float(i)) for i in range(1, 101)]
+    rows += [("same", float(i)) for i in range(1, 101)]
+    rows += [("shift", float(i)) for i in range(51, 151)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in quality.distribution_drift(
+        df, "g", "v", baseline="a", n_bins=4, strategy="quantile"
+    ).collect()}
+    # identical distribution -> zero drift; baseline quartile-bins itself
+    assert out["a"]["psi"] == 0.0 and out["same"]["psi"] == 0.0
+    # a half-range shift must register clearly
+    assert out["shift"]["psi"] > 0.5 and out["shift"]["jsd"] > 0.1
+    assert out["shift"]["n"] == 100
