@@ -7,7 +7,7 @@ arrays) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalize_for_dedup
@@ -793,11 +793,18 @@ def novelty_score(
 
     Scale shape: grams hash to int64 (``xxhash64`` JVM-intrinsic by
     default; ``"md5"`` for cross-engine oracle parity, same contract as
-    the MinHash family) so the two shuffles (per-gram doc counts;
+    the MinHash family) so the two shuffles (per-gram support window;
     per-doc fraction agg) move longs, not strings.  Within-doc
-    ``array_distinct`` happens before explode — fan-out is bounded by
-    distinct grams.  No all-pairs anything: cost is corpus-gram-linear,
-    the same envelope as word count.
+    ``array_distinct`` happens before explode — which both bounds
+    fan-out AND makes cross-doc support a plain ``count(*)`` window
+    over the gram hash (each doc contributes a gram at most once), so
+    there is no count_distinct and no join-back: the exploded gram
+    stream is derived exactly once.  The doc rows are hash-spread
+    before gram construction — the gram explosion is the expensive
+    narrow stage, and without the pre-spread a small input file count
+    serializes it onto a few cores (one 5000-row shuffle vs 10× wall
+    clock at sf0.1).  No all-pairs anything: cost is
+    corpus-gram-linear, the same envelope as word count.
     """
     toks = F.filter(
         F.split(normalize_for_dedup(F.col(text_col)), " "), lambda t: t != ""
@@ -808,11 +815,23 @@ def novelty_score(
             lambda i: F.array_join(F.slice(F.col("__tk"), i + 1, n), " "),
         )
     )
-    base = df.select(F.col(id_col), toks.alias("__tk")).select(
-        id_col,
-        F.when(F.size(F.col("__tk")) >= n, grams).otherwise(
-            F.array().cast("array<string>")
-        ).alias("__grams"),
+    base = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
+        .select(F.col(id_col), toks.alias("__tk"))
+        .select(
+            id_col,
+            F.when(F.size(F.col("__tk")) >= n, grams).otherwise(
+                F.array().cast("array<string>")
+            ).alias("__grams"),
+        )
+        # persist BEFORE the explode: Catalyst collapses the gram
+        # projection into Generate, which re-evaluates the whole
+        # transform/slice array once per EMITTED row — an O(grams²)
+        # per-doc blowup (measured 4.6 s -> 0.1 s at sf0.1).  The
+        # cache materializes the arrays once; populated lazily on the
+        # caller's first action.
+        .persist()
     )
     if hash_fn == "xxhash64":
         ghash = F.xxhash64(F.col("__g"))
@@ -825,11 +844,11 @@ def novelty_score(
     exploded = base.select(
         id_col, F.explode("__grams").alias("__g")
     ).select(id_col, ghash.alias("__h"))
-    support = exploded.groupBy("__h").agg(
-        F.count_distinct(F.col(id_col)).alias("__docs")
-    )
+    # per-doc-distinct grams => count(*) over the hash IS the distinct
+    # doc support; one window shuffle replaces count_distinct + join
+    support_w = Window.partitionBy("__h")
     per_doc = (
-        exploded.join(support, "__h")
+        exploded.withColumn("__docs", F.count("*").over(support_w))
         .groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_grams"),
