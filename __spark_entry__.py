@@ -2984,6 +2984,46 @@ WITH vocab AS (
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+_BPE_ENC_MERGES = ["e r", "s t", "a n"]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer inference (textstats.bpe_encode_counts): apply a fixed
+    learned-merge list to every document and report word / symbol /
+    subword counts — one narrow lambda projection, no explode, no
+    shuffle.  Oracle replays the per-word doubled-space replace chain
+    inside list_transform."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return textstats.bpe_encode_counts(d, "doc_id", "text", _BPE_ENC_MERGES)
+
+
+def _oracle_bpe_encode() -> str:
+    norm = _NORM_SQL.format(col="text")
+    enc = "trim(regexp_replace(t, '(.)', '\\1 ', 'g'))"
+    for m in _BPE_ENC_MERGES:
+        dm, mm = m.replace(" ", "  "), m.replace(" ", "")
+        enc = (
+            "trim(regexp_replace(replace(' ' || replace(" + enc
+            + ", ' ', '  ') || ' ', ' " + dm + " ', ' " + mm
+            + " '), ' +', ' ', 'g'))"
+        )
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split({norm}, ' '), x -> x != '') AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(coalesce(list_sum(list_transform(w, t -> len(t))), 0) AS BIGINT)
+         AS n_chars_sym,
+       CAST(coalesce(list_sum(list_transform(w,
+              t -> len(string_split({enc}, ' ')))), 0) AS BIGINT)
+         AS n_subwords
+FROM base
+"""
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition metrics (duplicate token / bigram
     fractions) — Gopher-style corpus quality filters."""
@@ -6728,6 +6768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_docs": q_balanced_docs,
         "novelty_scores": q_novelty_scores,
         "source_drift_q": q_source_drift_q,
+        "bpe_encode": q_bpe_encode,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6879,6 +6920,7 @@ def oracle_sql() -> dict[str, str]:
         "balanced_docs": ORACLE_BALANCED_DOCS,
         "novelty_scores": ORACLE_NOVELTY,
         "source_drift_q": ORACLE_SOURCE_DRIFT_Q,
+        "bpe_encode": _oracle_bpe_encode(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

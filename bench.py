@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "balanced_docs",
     "novelty_scores",
     "source_drift_q",
+    "bpe_encode",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

@@ -873,3 +873,62 @@ def novelty_score(
             ).alias("dup_gram_frac"),
         )
     )
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: "list[str]",
+) -> DataFrame:
+    """Apply LEARNED BPE merges (see ``bpe_merge_steps``) to encode
+    every document, returning per-doc subword statistics — the
+    inference half of tokenizer training, and the honest way to count
+    "tokens" for budget/packing decisions once a tokenizer exists.
+
+    ``merges`` is the ordered merge list (each a space-separated symbol
+    pair, e.g. ``["e s", "es t"]``); they apply in order, per word,
+    left-to-right non-overlapping — the same doubled-space ``replace``
+    construction the trainer uses, so train and encode agree exactly.
+
+    Output: ``(id, n_words, n_chars_sym, n_subwords)`` where
+    ``n_chars_sym`` is the pre-merge symbol count (alnum chars) and
+    ``n_subwords`` the post-merge token count; their ratio is the
+    tokenizer's compression on that doc.
+
+    Scale shape: one narrow projection — per-word expression work
+    inside ``transform``/``aggregate`` lambdas, no explode, no shuffle,
+    no UDF.  Cost is O(corpus chars × merges).
+    """
+    toks = F.filter(
+        F.split(normalize_for_dedup(F.col(text_col)), " "), lambda t: t != ""
+    )
+
+    def encode(w):
+        seq = F.trim(F.regexp_replace(w, r"(.)", r"$1 "))
+        for m in merges:
+            doubled = F.concat(
+                F.lit(" "), F.replace(seq, F.lit(" "), F.lit("  ")), F.lit(" ")
+            )
+            pat = F.lit(" " + m.replace(" ", "  ") + " ")
+            rep = F.lit(" " + m.replace(" ", "") + " ")
+            seq = F.trim(
+                F.regexp_replace(F.replace(doubled, pat, rep), " +", " ")
+            )
+        return seq
+
+    enc = F.transform(F.col("__w"), encode)
+    n_sub = F.aggregate(
+        enc,
+        F.lit(0),
+        lambda acc, e: acc + F.size(F.split(e, " ")),
+    )
+    n_chars_sym = F.aggregate(
+        F.col("__w"), F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    return df.select(F.col(id_col), toks.alias("__w")).select(
+        id_col,
+        F.size("__w").cast("bigint").alias("n_words"),
+        n_chars_sym.cast("bigint").alias("n_chars_sym"),
+        n_sub.cast("bigint").alias("n_subwords"),
+    )

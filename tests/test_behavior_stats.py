@@ -327,3 +327,25 @@ def test_novelty_score_within_doc_repeat_not_cross_doc(spark):
         for r in textstats.novelty_score(df, "doc_id", "text", n=2).collect()
     }
     assert got[1] == 0.0 and got[2] == 0.0
+
+
+def test_bpe_encode_counts_applies_merges_in_order(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "newest"), (2, "low lower"), (3, ""), (4, "xyz")],
+        "doc_id long, text string",
+    )
+    merges = ["e s", "es t", "l o"]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars_sym"], r["n_subwords"])
+        for r in textstats.bpe_encode_counts(df, "doc_id", "text", merges).collect()
+    }
+    # newest: n e w e s t -> n e w es t -> n e w est  (4 subwords)
+    assert got[1] == (1, 6, 4)
+    # low -> lo w (2), lower -> lo w e r (4)
+    assert got[2] == (2, 8, 6)
+    # empty doc: zero everything (aggregate over empty array)
+    assert got[3] == (0, 0, 0)
+    # no merge applies: one subword per char
+    assert got[4] == (1, 3, 3)
