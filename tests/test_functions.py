@@ -104,3 +104,35 @@ def test_type_interval(spark):
     df = spark.createDataFrame(vals, "v double")
     got = [r["r"] for r in df.select(L.excavator_type_interval(F.col("v")).alias("r")).collect()]
     assert got == ["UNKNOWN", "UNKNOWN", "<5T", "5-10T", "10-30T", "30-70T", "70-90T", "≥90T"]
+
+
+def test_python_udtf_lateral_sentence_split(spark):
+    """Spark 4 Python UDTF at the Python boundary: a table function
+    usable in SQL LATERAL position.  The engine's hot paths stay JVM
+    (sentence chunking has a pure-SQL operator, packing.sentence_chunks);
+    the UDTF is the escape hatch for imperative row-to-rows logic the
+    expression language can't state — registered and exercised here so
+    the pattern is covered."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, s in enumerate(re.split(r"(?<=[.!?])\s+", text or "")):
+                if s:
+                    yield i, s
+
+    spark.udtf.register("split_sentences_py", SplitSentences)
+    rows = spark.sql(
+        "SELECT t.doc_id, s.idx, s.sentence "
+        "FROM VALUES (1, 'One two. Three! Four?'), (2, '') AS t(doc_id, txt), "
+        "LATERAL split_sentences_py(t.txt) s "
+        "ORDER BY t.doc_id, s.idx"
+    ).collect()
+    assert [(r["doc_id"], r["idx"], r["sentence"]) for r in rows] == [
+        (1, 0, "One two."),
+        (1, 1, "Three!"),
+        (1, 2, "Four?"),
+    ]
