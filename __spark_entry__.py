@@ -4901,6 +4901,50 @@ FROM agg
 """
 
 
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding centroid drift (similarity.centroid_drift): per label,
+    cosine + L2 between the even-id and odd-id slice centroids — the
+    encoder-observability check between snapshots/model versions.
+    Decimal per-dim sums make the centroids engine-exact; the oracle
+    replays slice means, the (group, dim) join, and the fold."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "half", (F.col("vec_id") % 2).cast("int")
+    )
+    return similarity.centroid_drift(
+        emb, "embedding", "label", "half", 0, 1
+    )
+
+
+ORACLE_CENTROID_DRIFT = """
+WITH ex AS (
+  SELECT label AS g, CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS s,
+         unnest(embedding) AS v,
+         CAST(unnest(range(0, len(embedding))) AS INT) AS dim
+  FROM embeddings
+), agg AS (
+  SELECT g, s, dim, count(*) AS n, sum(CAST(v AS DECIMAL(18,8))) AS sm
+  FROM ex GROUP BY 1, 2, 3
+), a AS (
+  SELECT g, dim, n AS na, CAST(sm AS DOUBLE) / n AS ma FROM agg WHERE s = 'a'
+), b AS (
+  SELECT g, dim, n AS nb, CAST(sm AS DOUBLE) / n AS mb FROM agg WHERE s = 'b'
+), j AS (
+  SELECT a.g, a.na, b.nb, a.ma, b.mb FROM a JOIN b USING (g, dim)
+), folded AS (
+  SELECT g, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+         sum(ma * mb) AS dot, sum(ma * ma) AS aa, sum(mb * mb) AS bb,
+         sum((ma - mb) * (ma - mb)) AS d2
+  FROM j GROUP BY 1
+)
+SELECT g AS label, n_a, n_b,
+       round(CASE WHEN sqrt(aa) * sqrt(bb) > 0
+                  THEN dot / (sqrt(aa) * sqrt(bb)) END, 6) AS cosine,
+       round(sqrt(d2), 6) AS l2
+FROM folded
+"""
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means assignment step: every vector labeled with its nearest
     of 4 seed centroids (vec_id 0..3), as a shuffle-free literal
@@ -6769,6 +6813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_scores": q_novelty_scores,
         "source_drift_q": q_source_drift_q,
         "bpe_encode": q_bpe_encode,
+        "centroid_drift": q_centroid_drift,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6921,6 +6966,7 @@ def oracle_sql() -> dict[str, str]:
         "novelty_scores": ORACLE_NOVELTY,
         "source_drift_q": ORACLE_SOURCE_DRIFT_Q,
         "bpe_encode": _oracle_bpe_encode(),
+        "centroid_drift": ORACLE_CENTROID_DRIFT,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "novelty_scores",
     "source_drift_q",
     "bpe_encode",
+    "centroid_drift",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

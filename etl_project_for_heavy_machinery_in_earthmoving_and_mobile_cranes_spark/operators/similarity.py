@@ -804,3 +804,67 @@ def rrf_fuse(
         "rank_b",
         (term("rank_a") + term("rank_b")).alias("rrf"),
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+    split_col: str,
+    split_a,
+    split_b,
+    dec: str = "decimal(18,8)",
+) -> DataFrame:
+    """Embedding-distribution drift between two slices (snapshots,
+    model versions, time windows): per group, the cosine similarity of
+    the slice-A and slice-B mean vectors, plus the Euclidean distance
+    between them — the encoder-observability check that catches a
+    retrained/degraded embedding model shifting a group's centroid
+    while per-dim std stays plausible.
+
+    Shape: the same posexplode + (group, split, dim) decimal-sum hash
+    aggregate as ``embedding_dim_stats`` (deterministic in any engine),
+    then the two slices join on (group, dim) — |groups|·D rows — and
+    one final aggregate folds dims into cosine/distance per group.
+    Groups missing either slice drop (no centroid to compare).
+
+    Returns ``(group_col, n_a, n_b, cosine, l2)`` (cosine NULL when a
+    centroid is all-zero).
+    """
+    sc = F.col(split_col)
+    ex = df.filter(sc.isin([split_a, split_b])).select(
+        F.col(group_col).alias("__g"),
+        F.when(sc == split_a, F.lit("a")).otherwise(F.lit("b")).alias("__s"),
+        F.posexplode(F.col(vec_col)).alias("__dim", "__v"),
+    )
+    vdec = F.col("__v").cast(dec)
+    agg = ex.groupBy("__g", "__s", "__dim").agg(
+        F.count("*").alias("__n"), F.sum(vdec).alias("__sum")
+    )
+    mean = (F.col("__sum").cast("double") / F.col("__n")).alias("__m")
+    a = agg.filter(F.col("__s") == "a").select(
+        "__g", "__dim", F.col("__n").alias("__na"), mean.alias("__ma")
+    )
+    b = agg.filter(F.col("__s") == "b").select(
+        "__g", "__dim", F.col("__n").alias("__nb"), mean.alias("__mb")
+    )
+    j = a.join(b, ["__g", "__dim"])
+    ma, mb = F.col("__ma"), F.col("__mb")
+    folded = j.groupBy("__g").agg(
+        F.max("__na").cast("bigint").alias("n_a"),
+        F.max("__nb").cast("bigint").alias("n_b"),
+        F.sum(ma * mb).alias("__dot"),
+        F.sum(ma * ma).alias("__aa"),
+        F.sum(mb * mb).alias("__bb"),
+        F.sum((ma - mb) * (ma - mb)).alias("__d2"),
+    )
+    norm = F.sqrt(F.col("__aa")) * F.sqrt(F.col("__bb"))
+    return folded.select(
+        F.col("__g").alias(group_col),
+        "n_a",
+        "n_b",
+        F.round(
+            F.when(norm > 0, F.col("__dot") / norm), 6
+        ).alias("cosine"),
+        F.round(F.sqrt(F.col("__d2")), 6).alias("l2"),
+    )

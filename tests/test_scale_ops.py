@@ -614,3 +614,27 @@ def test_distribution_drift_quantile_strategy(spark):
     # a half-range shift must register clearly
     assert out["shift"]["psi"] > 0.5 and out["shift"]["jsd"] > 0.1
     assert out["shift"]["n"] == 100
+
+
+def test_centroid_drift_hand_computed(spark):
+    import math
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import similarity
+
+    rows = [
+        ("g1", "a", [1.0, 0.0]), ("g1", "a", [1.0, 0.0]), ("g1", "b", [0.0, 1.0]),
+        ("g2", "a", [1.0, 1.0]), ("g2", "b", [2.0, 2.0]),
+        ("g3", "a", [1.0, 0.0]),  # missing slice b -> dropped
+    ]
+    df = spark.createDataFrame(rows, "g string, s string, embedding array<double>")
+    got = {
+        r["g"]: (r["n_a"], r["n_b"], r["cosine"], r["l2"])
+        for r in similarity.centroid_drift(
+            df, "embedding", "g", "s", "a", "b"
+        ).collect()
+    }
+    # g1: centroids (1,0) vs (0,1): orthogonal
+    assert got["g1"] == (2, 1, 0.0, round(math.sqrt(2.0), 6))
+    # g2: parallel centroids, distance sqrt(2)
+    assert got["g2"] == (1, 1, 1.0, round(math.sqrt(2.0), 6))
+    assert "g3" not in got
