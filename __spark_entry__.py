@@ -2984,6 +2984,96 @@ WITH vocab AS (
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def q_session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation/trajectory assembly (sessionize.session_transcripts):
+    one row per (user, session) with the full ordered event-type
+    sequence — the behavioral-training-data example builder.  One
+    entity-key exchange total; in-group ordering via array_sort of
+    (ts, event_id) structs.  Oracle replays the gap rule and an
+    ORDER BY string_agg."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sessionize,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    out = sessionize.session_transcripts(
+        e, "user_id", "ts", "event_type", "event_id", gap_seconds=1800
+    )
+    return out.select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "n_events",
+        "session_start",
+        "transcript",
+    )
+
+
+ORACLE_SESSION_TRANSCRIPTS = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR floor(epoch(ts))::BIGINT
+                        - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS transcript
+FROM numbered GROUP BY 1, 2
+"""
+
+
+_XLANG_PREFIX = 40
+
+
+def q_cross_lang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language contamination check: documents whose normalized
+    40-char OPENING is shared across more than one language label —
+    shared-boilerplate/translation-leak candidates that poison lang-ID
+    labels and leak translated eval sets across a language split.
+    (Full-content fingerprints are also checked — this corpus has no
+    exact dup that crosses langs, so the audit keys on the prefix,
+    the classic boilerplate signature.)  One hash agg; oracle replays
+    md5(prefix) + distinct-lang counting."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        F.md5(
+            F.substring(
+                dedup.normalize_for_dedup(F.col("text")), 1, _XLANG_PREFIX
+            )
+        ).alias("prefix_fp"),
+        "lang",
+    )
+    return (
+        fp.groupBy("prefix_fp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .filter(F.col("n_langs") >= 2)
+    )
+
+
+ORACLE_CROSS_LANG = f"""
+SELECT md5(substr({_NORM_SQL.format(col='text')}, 1, {_XLANG_PREFIX})) AS prefix_fp,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY 1
+HAVING count(DISTINCT lang) >= 2
+"""
+
+
 _BPE_ENC_MERGES = ["e r", "s t", "a n"]
 
 
@@ -6731,7 +6821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 172
+    already-green remainder (round-2 set before round-1 set).  All 174
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -6814,6 +6904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift_q": q_source_drift_q,
         "bpe_encode": q_bpe_encode,
         "centroid_drift": q_centroid_drift,
+        "session_transcripts": q_session_transcripts,
+        "cross_lang_dups": q_cross_lang_dups,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -6967,6 +7059,8 @@ def oracle_sql() -> dict[str, str]:
         "source_drift_q": ORACLE_SOURCE_DRIFT_Q,
         "bpe_encode": _oracle_bpe_encode(),
         "centroid_drift": ORACLE_CENTROID_DRIFT,
+        "session_transcripts": ORACLE_SESSION_TRANSCRIPTS,
+        "cross_lang_dups": ORACLE_CROSS_LANG,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "source_drift_q",
     "bpe_encode",
     "centroid_drift",
+    "session_transcripts",
+    "cross_lang_dups",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

@@ -86,3 +86,43 @@ def session_intervals(
         F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+def session_transcripts(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assemble each session's ordered event sequence as one string —
+    the conversation/trajectory-assembly step of behavioral training
+    data prep (chat turns, agent action traces): one training example
+    per (entity, session) with the full ordered interaction.
+
+    Ordering is (ts, tiebreak) so same-timestamp events are
+    deterministic.  Returns ``(entity, session_seq, n_events,
+    session_start, transcript)``.
+
+    Scale shape: the sessionize window's entity shuffle is the ONLY
+    exchange — the per-session group-by and the in-group ordering both
+    ride it (collect_list into array_sort is entity-local; a session's
+    transcript is bounded by that entity's own event count).
+    """
+    s = sessionize(df, entity_col, ts_col, gap_seconds)
+    item = F.struct(
+        F.col(ts_col).alias("t"),
+        F.col(tiebreak_col).alias("k"),
+        F.col(type_col).alias("v"),
+    )
+    return s.groupBy(entity_col, "session_seq").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(item)), lambda x: x["v"]
+            ),
+            ">",
+        ).alias("transcript"),
+    )

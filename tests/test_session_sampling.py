@@ -326,3 +326,33 @@ def test_balanced_sample_plan_uses_window_group_limit(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # map-side partial top-k before the class shuffle: the skew guard
     assert "WindowGroupLimit" in plan
+
+
+def test_session_transcripts_order_and_gap(spark):
+    import datetime as dt
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10, "view"),
+        (1, t0 + dt.timedelta(seconds=60), 11, "click"),
+        # same-timestamp pair: event_id tiebreak orders 12 before 13
+        (1, t0 + dt.timedelta(seconds=120), 13, "purchase"),
+        (1, t0 + dt.timedelta(seconds=120), 12, "view"),
+        # > gap: new session
+        (1, t0 + dt.timedelta(seconds=4000), 14, "click"),
+        (2, t0, 20, "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["transcript"])
+        for r in sessionize.session_transcripts(
+            df, "user_id", "ts", "event_type", "event_id", gap_seconds=1800
+        ).collect()
+    }
+    assert got[(1, 1)] == (4, "view>click>view>purchase")
+    assert got[(1, 2)] == (1, "click")
+    assert got[(2, 1)] == (1, "error")
