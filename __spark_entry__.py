@@ -2984,6 +2984,92 @@ WITH vocab AS (
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card: the one-glance release summary (docs, token
+    mass, language/source spread, exact-dup fraction, quality and
+    length landmarks) as a stable tall (metric, value) table — every
+    metric from ONE aggregate pass over documents, stacked; adding a
+    metric never changes the output schema.  Oracle replays the same
+    aggregates as a UNION ALL of scalars."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(dedup.normalize_for_dedup(F.col("text")), " "), lambda t: t != ""
+    )
+    fp = F.md5(dedup.normalize_for_dedup(F.col("text")))
+    wide = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.size(toks)).cast("double").alias("total_tokens"),
+        F.count_distinct("lang").cast("double").alias("n_langs"),
+        F.count_distinct("source").cast("double").alias("n_sources"),
+        (
+            F.lit(1.0)
+            - F.count_distinct(fp) / F.count("*")
+        ).alias("exact_dup_frac"),
+        # per-doc quality is 6-dp rounded -> exact in DECIMAL(18,6);
+        # decimal sum / count is order-independent and engine-identical
+        # (a double avg would expose summation-order ulps at 6 dp)
+        F.round(
+            F.sum(
+                textstats.quality_score(F.col("text")).cast("decimal(18,6)")
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_quality"),
+        F.percentile(F.col("n_chars").cast("double"), 0.5).alias("p50_chars"),
+        F.percentile(F.col("n_chars").cast("double"), 0.95).alias("p95_chars"),
+    )
+    names = [
+        "n_docs", "total_tokens", "n_langs", "n_sources",
+        "exact_dup_frac", "mean_quality", "p50_chars", "p95_chars",
+    ]
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack}) AS (metric, value)"
+    )
+
+
+def _oracle_datacard() -> str:
+    norm = _NORM_SQL.format(col="text")
+    return rf"""
+WITH base AS (
+  SELECT lang, source, n_chars,
+         len(list_filter(string_split({norm}, ' '), x -> x != '')) AS norm_tokens,
+         md5({norm}) AS fp,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_tokens,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+             / greatest(length(text), 1) AS punct_ratio_raw,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x))) AS stop_hits
+  FROM documents
+), q AS (
+  SELECT *, round((least(n_tokens / 50.0, 1.0)
+            + least(stop_hits * 1.0 / greatest(n_tokens, 1) * 5.0, 1.0)
+            + greatest(1.0 - punct_ratio_raw * 4.0, 0.0)) / 3.0, 6) AS quality
+  FROM base
+), w AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(norm_tokens) AS DOUBLE) AS total_tokens,
+         CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+         CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+         1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*) AS exact_dup_frac,
+         round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+           AS mean_quality,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p95_chars
+  FROM q
+)
+SELECT 'n_docs' AS metric, n_docs AS value FROM w
+UNION ALL SELECT 'total_tokens', total_tokens FROM w
+UNION ALL SELECT 'n_langs', n_langs FROM w
+UNION ALL SELECT 'n_sources', n_sources FROM w
+UNION ALL SELECT 'exact_dup_frac', exact_dup_frac FROM w
+UNION ALL SELECT 'mean_quality', mean_quality FROM w
+UNION ALL SELECT 'p50_chars', p50_chars FROM w
+UNION ALL SELECT 'p95_chars', p95_chars FROM w
+"""
+
+
 def q_session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation/trajectory assembly (sessionize.session_transcripts):
     one row per (user, session) with the full ordered event-type
@@ -6821,7 +6907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 174
+    already-green remainder (round-2 set before round-1 set).  All 175
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -6906,6 +6992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_drift": q_centroid_drift,
         "session_transcripts": q_session_transcripts,
         "cross_lang_dups": q_cross_lang_dups,
+        "corpus_datacard": q_corpus_datacard,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -7061,6 +7148,7 @@ def oracle_sql() -> dict[str, str]:
         "centroid_drift": ORACLE_CENTROID_DRIFT,
         "session_transcripts": ORACLE_SESSION_TRANSCRIPTS,
         "cross_lang_dups": ORACLE_CROSS_LANG,
+        "corpus_datacard": _oracle_datacard(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "centroid_drift",
     "session_transcripts",
     "cross_lang_dups",
+    "corpus_datacard",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]
