@@ -459,3 +459,29 @@ def test_curation_pipeline_one_dag_no_cartesian(spark, sf_dir):
     # never an Exchange SinglePartition feeding a full-data Sort
     import re
     assert not re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Sort ", p)
+
+
+def test_no_python_udfs_anywhere_in_registry(spark, sf_dir):
+    """The repo-wide anti-pattern sweep as a plan contract: EVERY
+    registered query's physical plan must be Python-free except the
+    declared Python-boundary set (multimodal codecs via mapInPandas).
+    Compiles all plans; executes none."""
+    python_boundary = {
+        "media_features", "media_frames", "media_resize",
+        "media_decode_dims", "media_wav_stats", "media_dhash",
+    }
+    bad = []
+    for name in entry.queries():
+        if name in python_boundary:
+            continue
+        try:
+            p = plan_of(spark, name, sf_dir)
+        except Exception as e:  # pragma: no cover - fail loudly below
+            bad.append((name, f"plan failed: {e}"))
+            continue
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                       "FlatMapGroupsInPandas"):
+            if marker in p:
+                bad.append((name, marker))
+    assert not bad, bad
+    spark.catalog.clearCache()
