@@ -2984,6 +2984,45 @@ WITH vocab AS (
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+_CUSUM_TARGET = 100.0
+_CUSUM_SLACK = 10.0
+_CUSUM_H = 500.0
+
+
+def q_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per user (timeseries.cusum_flags): the
+    sequential-looking recurrence S_i = max(0, S_{i-1} + x_i − t − k)
+    in its closed windowable form (cumsum − running min) — one
+    entity exchange, two window passes, no recursion.  Oracle replays
+    both windows and the portable rounding."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    out = timeseries.cusum_flags(
+        e, "user_id", "ts", "value",
+        target=_CUSUM_TARGET, slack=_CUSUM_SLACK, threshold=_CUSUM_H,
+    )
+    return out.select("user_id", "event_id", "cusum", "alarm")
+
+
+ORACLE_CUSUM = f"""
+WITH c1 AS (
+  SELECT user_id, event_id, ts,
+         sum(value - {_CUSUM_TARGET + _CUSUM_SLACK!r}) OVER
+           (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS c
+  FROM events
+), c2 AS (
+  SELECT user_id, event_id,
+         c - least(0.0, min(c) OVER
+           (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)) AS s
+  FROM c1
+)
+SELECT user_id, event_id,
+       floor(s * 1e6 + 0.5) / 1e6 AS cusum,
+       s > {_CUSUM_H!r} AS alarm
+FROM c2
+"""
+
+
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card: the one-glance release summary (docs, token
     mass, language/source spread, exact-dup fraction, quality and
@@ -6907,7 +6946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 175
+    already-green remainder (round-2 set before round-1 set).  All 176
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -6993,6 +7032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_transcripts": q_session_transcripts,
         "cross_lang_dups": q_cross_lang_dups,
         "corpus_datacard": q_corpus_datacard,
+        "cusum_alarms": q_cusum_alarms,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -7149,6 +7189,7 @@ def oracle_sql() -> dict[str, str]:
         "session_transcripts": ORACLE_SESSION_TRANSCRIPTS,
         "cross_lang_dups": ORACLE_CROSS_LANG,
         "corpus_datacard": _oracle_datacard(),
+        "cusum_alarms": ORACLE_CUSUM,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "session_transcripts",
     "cross_lang_dups",
     "corpus_datacard",
+    "cusum_alarms",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

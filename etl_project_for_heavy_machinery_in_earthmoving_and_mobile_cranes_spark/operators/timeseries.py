@@ -445,3 +445,54 @@ def time_decayed_sum(
             F.round(F.sum(w), 4).alias("decayed_weight"),
         )
     )
+
+
+def cusum_flags(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """One-sided CUSUM changepoint detection per key: flag the points
+    where the upper cumulative sum
+
+        S_i = max(0, S_{i-1} + (x_i − target − slack))
+
+    exceeds ``threshold`` — the classic drift detector for a metric
+    stream (error rates, latencies, label fractions) that alerts on a
+    sustained small shift long before any single point looks anomalous.
+
+    The recurrence LOOKS inherently sequential, but has the closed
+    windowable form  S_i = C_i − min(0, min_{j<=i} C_j)  with
+    C = Σ(x − target − slack): one cumulative sum and one running min
+    over the same ordered window — no recursion, no UDF, no iteration.
+    (``target``/``slack``/``threshold`` come from the monitoring
+    profile; at 100 TB they arrive from a stored profile exactly like
+    drift bounds.)
+
+    Scale shape: one shuffle on the key; both window passes ride the
+    same entity-local sort.  Returns every row with ``cusum`` and
+    ``alarm`` (the flag row plus all subsequent rows until the series
+    would be reset by the operator's caller — reset-on-alarm is a
+    monitoring-policy choice, kept out of the pure statistic).
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    dev = F.col(value_col).cast("double") - F.lit(float(target + slack))
+    c = F.sum(dev).over(run)
+    s = c - F.least(F.lit(0.0), F.min(c).over(run))
+    # three window functions, one window spec -> one sort, one exchange.
+    # The alarm compares the UNROUNDED statistic; rounding is display
+    # only (portable floor form — see outliers.feature_scale for why
+    # engine round() diverges at .5-ulp boundaries).
+    if round_to is not None:
+        scale = F.lit(float(10 ** round_to))
+        shown = F.floor(s * scale + F.lit(0.5)) / scale
+    else:
+        shown = s
+    out = df.withColumn("cusum", shown)
+    return out.withColumn("alarm", s > threshold)

@@ -269,3 +269,27 @@ def test_time_decayed_sum_hand_computed(spark):
     }
     assert got["a"] == (2, 15.0, 1.5)   # 10*1 + 10*0.5
     assert got["b"] == (1, 4.0, 1.0)
+
+
+def test_cusum_flags_matches_sequential_recurrence(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import timeseries
+
+    # series with a level shift at index 5
+    xs = [1.0, 0.8, 1.2, 1.0, 0.9, 2.1, 2.2, 2.0, 2.3, 1.9]
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], "k string, i int, x double"
+    )
+    got = {
+        r["i"]: (r["cusum"], r["alarm"])
+        for r in timeseries.cusum_flags(
+            df, "k", "i", "x", target=1.0, slack=0.1, threshold=1.5
+        ).collect()
+    }
+    # sequential replay of S_i = max(0, S_{i-1} + x - target - slack)
+    s = 0.0
+    for i, x in enumerate(xs):
+        s = max(0.0, s + (x - 1.0 - 0.1))
+        assert got[i] == (round(s, 6), s > 1.5), i
+    # the shift is detected (some alarm fires after index 5)
+    assert any(a for _, a in [got[i] for i in range(5, 10)])
+    assert not any(a for _, a in [got[i] for i in range(0, 5)])
