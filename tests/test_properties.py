@@ -306,3 +306,95 @@ def test_duplicate_spans_matches_brute_force_random(spark):
         for r in dedup.duplicate_spans(df, "doc_id", "text", k=k).collect()
     }
     assert got == expect
+
+
+def _python_bpe_merges(texts, n_merges):
+    """Pure-Python reference BPE trainer (Sennrich get_stats/merge),
+    with the engine's tiebreak: max count, then lexicographically
+    smallest pair string."""
+    import collections
+    import re
+
+    vocab = collections.Counter()
+    for t in texts:
+        norm = re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+        for w in norm.split():
+            if w:
+                vocab[" ".join(w)] += 1
+    out = []
+    for step in range(1, n_merges + 1):
+        stats = collections.Counter()
+        for seq, n in vocab.items():
+            syms = seq.split()
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += n
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        (a, b), c = best
+        out.append((step, f"{a} {b}", a + b, c))
+        merged = {}
+        for seq, n in vocab.items():
+            syms = seq.split()
+            res, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            merged[" ".join(res)] = merged.get(" ".join(res), 0) + n
+        vocab = collections.Counter(merged)
+    return out
+
+
+def test_bpe_merges_match_reference_trainer_on_random_corpora(spark):
+    """The Spark trainer's merges equal the classic sequential BPE
+    trainer's on random corpora — including the left-to-right
+    non-overlapping merge application (the doubled-space replace)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import textstats
+
+    rng = random.Random(7)
+    alphabet = "abcde"
+    for trial in range(4):
+        texts = [
+            " ".join(
+                "".join(rng.choices(alphabet, k=rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 8))
+            )
+            for _ in range(30)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id int, text string"
+        )
+        got = [tuple(r) for r in textstats.bpe_merge_steps(df, "text", n_merges=3)
+               .orderBy("step").collect()]
+        want = _python_bpe_merges(texts, 3)
+        assert got == want, (trial, texts[:3])
+        spark.catalog.clearCache()
+
+
+def test_cusum_closed_form_equals_recurrence_on_random_series(spark):
+    """cumsum − running-min IS the CUSUM recurrence, on random series
+    with many resets."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import timeseries
+
+    rng = random.Random(13)
+    rows = []
+    want = {}
+    for key in range(6):
+        s = 0.0
+        for i in range(40):
+            x = round(rng.uniform(0.0, 2.4), 2)
+            rows.append((str(key), i, x))
+            s = max(0.0, s + (x - 1.0 - 0.1))
+            want[(str(key), i)] = s
+    df = spark.createDataFrame(rows, "k string, i int, x double")
+    out = timeseries.cusum_flags(
+        df, "k", "i", "x", target=1.0, slack=0.1, threshold=3.0, round_to=None
+    )
+    for r in out.collect():
+        assert abs(r["cusum"] - want[(r["k"], r["i"])]) < 1e-9
+        assert r["alarm"] == (want[(r["k"], r["i"])] > 3.0) or \
+            abs(want[(r["k"], r["i"])] - 3.0) < 1e-9
