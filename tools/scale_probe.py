@@ -98,6 +98,20 @@ PROBE_QUERIES = [
     "bm25_search",
     "hybrid_retrieval",
     "event_trigrams",
+    # round-3 continuation additions
+    "source_drift",
+    "source_drift_q",
+    "bpe_merges",
+    "bpe_encode",
+    "scaled_prices",
+    "quarantine_audit",
+    "balanced_docs",
+    "novelty_scores",
+    "centroid_drift",
+    "session_transcripts",
+    "cross_lang_dups",
+    "corpus_datacard",
+    "cusum_alarms",
 ]
 
 
