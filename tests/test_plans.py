@@ -485,3 +485,22 @@ def test_no_python_udfs_anywhere_in_registry(spark, sf_dir):
                 bad.append((name, marker))
     assert not bad, bad
     spark.catalog.clearCache()
+
+
+def test_session_transcripts_single_exchange(spark, sf_dir):
+    """Transcript assembly must ride the sessionize window's entity
+    exchange: lag window + session numbering + per-session ordered
+    collect all share ONE hash partitioning on user_id."""
+    import re
+
+    p = plan_of(spark, "session_transcripts", sf_dir)
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 1
+
+
+def test_cusum_single_exchange_two_windows(spark, sf_dir):
+    """Both CUSUM window passes (cumsum + running min) share one
+    entity-key exchange and one sort."""
+    import re
+
+    p = plan_of(spark, "cusum_alarms", sf_dir)
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 1
