@@ -398,3 +398,64 @@ def test_cusum_closed_form_equals_recurrence_on_random_series(spark):
         assert abs(r["cusum"] - want[(r["k"], r["i"])]) < 1e-9
         assert r["alarm"] == (want[(r["k"], r["i"])] > 3.0) or \
             abs(want[(r["k"], r["i"])] - 3.0) < 1e-9
+
+
+def test_distribution_drift_matches_python_replay_on_random_data(spark):
+    """PSI/JSD equal a pure-Python replay of the binned, smoothed
+    formulas on random grouped data — both strategies."""
+    import math
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    rng = random.Random(17)
+    rows = [(g, round(rng.uniform(0, 100) + (30 if g == "c" else 0), 3))
+            for g in ["a", "b", "c"] for _ in range(80)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    n_bins, alpha = 5, 0.5
+
+    def replay(bin_of):
+        data = {}
+        for g, v in rows:
+            data.setdefault(g, []).append(v)
+        props = {}
+        for g, vs in data.items():
+            cnt = [0] * n_bins
+            for v in vs:
+                cnt[bin_of(v)] += 1
+            tot = len(vs)
+            props[g] = [(c + alpha) / (tot + alpha * n_bins) for c in cnt]
+        out = {}
+        for g, p in props.items():
+            q = props["a"]
+            psi = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
+            m = [(pi + qi) / 2 for pi, qi in zip(p, q)]
+            jsd = 0.5 * sum(pi * math.log(pi / mi) for pi, mi in zip(p, m)) \
+                + 0.5 * sum(qi * math.log(qi / mi) for qi, mi in zip(q, m))
+            out[g] = (len(data[g]), round(psi, 4), round(jsd, 4))
+        return out
+
+    # width strategy
+    lo = min(v for _, v in rows)
+    hi = max(v for _, v in rows)
+    w = (hi - lo) / n_bins
+    want = replay(lambda v: min(int((v - lo) // w), n_bins - 1))
+    got = {r["g"]: (r["n"], r["psi"], r["jsd"]) for r in
+           quality.distribution_drift(df, "g", "v", "a", n_bins=n_bins).collect()}
+    assert got == want
+
+    # quantile strategy (edges = baseline interpolated quantiles)
+    base = sorted(v for g, v in rows if g == "a")
+
+    def qc(p):
+        pos = (len(base) - 1) * p
+        i = int(pos)
+        frac = pos - i
+        return base[i] + frac * (base[i + 1] - base[i]) if frac else base[i]
+
+    edges = [qc(i / n_bins) for i in range(1, n_bins)]
+    want_q = replay(lambda v: sum(1 for e in edges if v >= e))
+    got_q = {r["g"]: (r["n"], r["psi"], r["jsd"]) for r in
+             quality.distribution_drift(
+                 df, "g", "v", "a", n_bins=n_bins, strategy="quantile"
+             ).collect()}
+    assert got_q == want_q
