@@ -4641,6 +4641,69 @@ FROM r GROUP BY 1
 """
 
 
+def q_bpe_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer→writer composition: subword counts from
+    the APPLIED BPE merges (textstats.bpe_encode_counts, the honest
+    token count a trainer bills against) feed the token-budget shard
+    manifest (sampling.token_budget_shards) — tokenize + shard as ONE
+    lazy plan, one corpus exchange.  Oracle replays the encode chain
+    inside the shard cumsum CTE."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    enc = textstats.bpe_encode_counts(
+        d, "doc_id", "text", _BPE_ENC_MERGES
+    ).select("doc_id", F.col("n_subwords").alias("n_tok"))
+    s = sampling.token_budget_shards(
+        enc, "doc_id", "n_tok", _SHARD_BUDGET, seed=0, n_buckets=_SHUF_BUCKETS
+    )
+    return s.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("shard_tokens"),
+        F.min("shuffle_rank").alias("first_rank"),
+        F.max("shuffle_rank").alias("last_rank"),
+    )
+
+
+def _oracle_bpe_token_shards() -> str:
+    h0 = _sql_md5_bucket("doc_id", seed=0)
+    h1 = _sql_md5_bucket("doc_id", seed=1)
+    order = f"{h0} % {_SHUF_BUCKETS}, {h1}, doc_id"
+    norm = _NORM_SQL.format(col="text")
+    enc = "trim(regexp_replace(t, '(.)', '\\1 ', 'g'))"
+    for m in _BPE_ENC_MERGES:
+        dm, mm = m.replace(" ", "  "), m.replace(" ", "")
+        enc = (
+            "trim(regexp_replace(replace(' ' || replace(" + enc
+            + ", ' ', '  ') || ' ', ' " + dm + " ', ' " + mm
+            + " '), ' +', ' ', 'g'))"
+        )
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(coalesce(list_sum(list_transform(
+             list_filter(string_split({norm}, ' '), x -> x != ''),
+             t -> len(string_split({enc}, ' ')))), 0) AS BIGINT) AS n_tok
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tok,
+         row_number() OVER (ORDER BY {order}) AS rk,
+         coalesce(sum(n_tok) OVER (
+             ORDER BY {order}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+  FROM d
+)
+SELECT CAST(tb // {_SHARD_BUDGET} AS BIGINT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+       min(rk) AS first_rank, max(rk) AS last_rank
+FROM r GROUP BY 1
+"""
+
+
 _TEMP_ALPHA = 0.7
 
 
@@ -6946,7 +7009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 176
+    already-green remainder (round-2 set before round-1 set).  All 177
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -7033,6 +7096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_lang_dups": q_cross_lang_dups,
         "corpus_datacard": q_corpus_datacard,
         "cusum_alarms": q_cusum_alarms,
+        "bpe_token_shards": q_bpe_token_shards,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -7190,6 +7254,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_lang_dups": ORACLE_CROSS_LANG,
         "corpus_datacard": _oracle_datacard(),
         "cusum_alarms": ORACLE_CUSUM,
+        "bpe_token_shards": _oracle_bpe_token_shards(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "cross_lang_dups",
     "corpus_datacard",
     "cusum_alarms",
+    "bpe_token_shards",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]
