@@ -4108,6 +4108,61 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-family report: the cluster-SIZE histogram (how many
+    near-dup families of each size exist, plus docs trapped in them) —
+    the one-line answer to "how much of the corpus is duplicated, and
+    in what shape?".  Same components fixpoint as dedup_clusters; two
+    extra tiny aggregates."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        d, "doc_id", "text", num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE
+    )
+    sigs = sigs.localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=_MH_HASHES, bands=_MH_HASHES
+    )
+    comps = dedup.connected_components(pairs, "id_a", "id_b")
+    sizes = comps.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )
+
+
+def _oracle_dedup_cluster_histogram() -> str:
+    eqs = " OR ".join(f"a.mh_{i} = b.mh_{i}" for i in range(_MH_HASHES))
+    return f"""
+WITH RECURSIVE sigs AS ({_oracle_minhash()}),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({eqs})
+),
+bidir AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+nodes AS (SELECT DISTINCT src AS n FROM bidir),
+reach(a, b) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN bidir e ON e.src = r.b
+),
+lab AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY 1),
+sizes AS (SELECT label, count(*) AS cluster_size FROM lab GROUP BY 1)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (no SQL oracle — mapInPandas stage; rows-only check)
 # ---------------------------------------------------------------------------
@@ -7009,7 +7064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 177
+    already-green remainder (round-2 set before round-1 set).  All 178
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -7097,6 +7152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": q_corpus_datacard,
         "cusum_alarms": q_cusum_alarms,
         "bpe_token_shards": q_bpe_token_shards,
+        "dedup_cluster_histogram": q_dedup_cluster_histogram,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -7255,6 +7311,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_datacard": _oracle_datacard(),
         "cusum_alarms": ORACLE_CUSUM,
         "bpe_token_shards": _oracle_bpe_token_shards(),
+        "dedup_cluster_histogram": _oracle_dedup_cluster_histogram(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,
