@@ -27,3 +27,33 @@ def test_selected_queries_run(spark, sf_dir):
     qs = entry.queries()
     for name in ["pricing_summary", "containment_first", "minhash_signatures"]:
         assert qs[name](spark, sf_dir).count() > 0
+
+
+def test_driver_contract_under_vanilla_session():
+    """The external driver builds a BARE SparkSession (ANSI on, no
+    nanosAsLong): entry() and a sample of queries spanning the risky
+    contracts (events timestamp scan, division/cast discipline, persist
+    paths, window ops) must run there.  Runs in a subprocess so the
+    vanilla session can't collide with the tuned test session."""
+    import subprocess
+    import sys
+
+    code = """
+import sys
+sys.path.insert(0, ".")
+from pyspark.sql import SparkSession
+import __spark_entry__ as e
+spark = SparkSession.builder.master("local[4]").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+assert e.entry(spark).count() > 0
+qs = e.queries()
+for name in ["resampled_series", "lineitem_derived", "novelty_scores",
+             "cusum_alarms", "bpe_merges"]:
+    assert qs[name](spark, "/root/testdata/sf0.001").count() >= 0, name
+print("VANILLA_OK")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert "VANILLA_OK" in r.stdout, r.stdout[-2000:] + r.stderr[-2000:]
