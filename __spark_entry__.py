@@ -4108,6 +4108,50 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUP_HOLDOUT_FRAC = 0.20
+
+
+def q_grouped_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP-aware holdout: the split is keyed on the
+    SOURCE (sampling.split_train_holdout with the group column as the
+    key), so every document of a source lands on the same side —
+    near-dups and boilerplate inside one source can never straddle the
+    train/eval boundary, the leak a row-keyed split permits.  Output
+    proves both the membership and the coherence (each side's distinct
+    source count; sides partition the corpus).  Oracle replays the md5
+    bucket rule on the source key."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    train, hold = sampling.split_train_holdout(
+        d, "source", holdout_fraction=_GROUP_HOLDOUT_FRAC, seed=0
+    )
+    lab = train.withColumn("split", F.lit("train")).unionByName(
+        hold.withColumn("split", F.lit("holdout"))
+    )
+    return lab.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+_GH_CUT = int(_GROUP_HOLDOUT_FRAC * 2**32)
+
+ORACLE_GROUPED_HOLDOUT = f"""
+SELECT CASE WHEN ('0x' || substr(md5('0:' || source), 1, 8))::BIGINT < {_GH_CUT}
+            THEN 'holdout' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+"""
+
+
 def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-family report: the cluster-SIZE histogram (how many
     near-dup families of each size exist, plus docs trapped in them) —
@@ -7064,7 +7108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 178
+    already-green remainder (round-2 set before round-1 set).  All 179
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -7153,6 +7197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_alarms": q_cusum_alarms,
         "bpe_token_shards": q_bpe_token_shards,
         "dedup_cluster_histogram": q_dedup_cluster_histogram,
+        "grouped_holdout": q_grouped_holdout,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -7312,6 +7357,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_alarms": ORACLE_CUSUM,
         "bpe_token_shards": _oracle_bpe_token_shards(),
         "dedup_cluster_histogram": _oracle_dedup_cluster_histogram(),
+        "grouped_holdout": ORACLE_GROUPED_HOLDOUT,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "corpus_datacard",
     "cusum_alarms",
     "bpe_token_shards",
+    "grouped_holdout",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]
