@@ -4108,6 +4108,83 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware eval split: the holdout is keyed on the NEAR-DUP
+    FAMILY label (connected components over LSH pairs; singleton docs
+    are their own family), so two near-duplicate documents can never
+    land on opposite sides of the train/eval boundary — the
+    contamination a row-keyed split invites and a source-keyed split
+    only partially prevents.  Output: per side, docs and family
+    counts.  Oracle replays the recursive-closure labels + the md5
+    bucket rule on the label."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        d, "doc_id", "text", num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE
+    )
+    sigs = sigs.localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=_MH_HASHES, bands=_MH_HASHES
+    )
+    comps = dedup.connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "label"
+    )
+    lab = d.join(F.broadcast(comps), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("family"),
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    cut = int(_GROUP_HOLDOUT_FRAC * 2**32)
+    split = F.when(
+        hash_bucket(F.col("family").cast("string"), seed=0) < cut,
+        F.lit("holdout"),
+    ).otherwise(F.lit("train"))
+    return (
+        lab.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("family").cast("bigint").alias("n_families"),
+        )
+    )
+
+
+def _oracle_cluster_safe_split() -> str:
+    eqs = " OR ".join(f"a.mh_{i} = b.mh_{i}" for i in range(_MH_HASHES))
+    cut = int(_GROUP_HOLDOUT_FRAC * 2**32)
+    return f"""
+WITH RECURSIVE sigs AS ({_oracle_minhash()}),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({eqs})
+),
+bidir AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+nodes AS (SELECT DISTINCT src AS n FROM bidir),
+reach(a, b) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN bidir e ON e.src = r.b
+),
+lab AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY 1),
+fam AS (
+  SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS family
+  FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
+)
+SELECT CASE WHEN ('0x' || substr(md5('0:' || CAST(family AS VARCHAR)), 1, 8))::BIGINT
+                 < {cut}
+            THEN 'holdout' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       count(DISTINCT family) AS n_families
+FROM fam
+GROUP BY 1
+"""
+
+
 _GROUP_HOLDOUT_FRAC = 0.20
 
 
@@ -7108,7 +7185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 179
+    already-green remainder (round-2 set before round-1 set).  All 180
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -7198,6 +7275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_shards": q_bpe_token_shards,
         "dedup_cluster_histogram": q_dedup_cluster_histogram,
         "grouped_holdout": q_grouped_holdout,
+        "cluster_safe_split": q_cluster_safe_split,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -7358,6 +7436,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_shards": _oracle_bpe_token_shards(),
         "dedup_cluster_histogram": _oracle_dedup_cluster_histogram(),
         "grouped_holdout": ORACLE_GROUPED_HOLDOUT,
+        "cluster_safe_split": _oracle_cluster_safe_split(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,
