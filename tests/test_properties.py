@@ -459,3 +459,28 @@ def test_distribution_drift_matches_python_replay_on_random_data(spark):
                  df, "g", "v", "a", n_bins=n_bins, strategy="quantile"
              ).collect()}
     assert got_q == want_q
+
+
+def test_feature_scale_invariants_on_random_groups(spark):
+    """percent-rank lies in [0,1] (0 for each group minimum, 1 for each
+    maximum), robust score is 0 at the group median, and per-group
+    z-scores sum to ~0."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import outliers as O
+
+    rng = random.Random(23)
+    rows = [(g, round(rng.uniform(1, 1000), 2))
+            for g in "abc" for _ in range(51)]  # odd count: median is a datum
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = O.feature_scale(df, ["k"], "v").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["k"], []).append(r)
+    for g, rs in by_g.items():
+        pcts = [r["v_pct"] for r in rs]
+        assert min(pcts) == 0.0 and max(pcts) == 1.0
+        assert all(0.0 <= p <= 1.0 for p in pcts)
+        zsum = sum(r["v_z"] for r in rs)
+        assert abs(zsum) < 1e-6
+        vmed = sorted(r["v"] for r in rs)[len(rs) // 2]
+        robust_at_med = [r["v_robust"] for r in rs if r["v"] == vmed]
+        assert robust_at_med and all(x == 0.0 for x in robust_at_med)
