@@ -4108,6 +4108,116 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HBOW_DIM = 128
+
+
+def q_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing bag-of-words (textstats.hashed_bow): fixed
+    128-wide sparse token-count vectors with md5-derived indices — the
+    vocabulary-free featurization step.  The driver's comparator hashes
+    scalar columns, so the sparse vector ships as its canonical
+    "i:c,i:c" string plus nnz/total scalars.  Oracle replays the hash
+    % dim indexing and the ordered sparse packing."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    bow = textstats.hashed_bow(d, "doc_id", "text", dim=_HBOW_DIM)
+    pair = F.zip_with(
+        F.col("indices"),
+        F.col("values"),
+        lambda i, c: F.concat(i.cast("string"), F.lit(":"), c.cast("string")),
+    )
+    return bow.select(
+        "doc_id",
+        F.size("indices").cast("bigint").alias("nnz"),
+        F.aggregate(
+            F.col("values"), F.lit(0).cast("bigint"), lambda a, c: a + c
+        ).alias("total_count"),
+        F.array_join(pair, ",").alias("svec"),
+    )
+
+
+ORACLE_HASHED_BOW = f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split({_NORM_SQL.format(col='text')}, ' '),
+                            x -> x != '')) AS tok
+  FROM documents
+), i AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('0:' || tok), 1, 8))::BIGINT % {_HBOW_DIM}
+              AS INT) AS ix
+  FROM t
+), c AS (
+  SELECT doc_id, ix, count(*) AS n FROM i GROUP BY 1, 2
+), p AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz,
+         CAST(sum(n) AS BIGINT) AS total_count,
+         array_to_string(list(ix || ':' || n ORDER BY ix), ',') AS svec
+  FROM c GROUP BY 1
+)
+SELECT d.doc_id, coalesce(p.nnz, 0) AS nnz,
+       coalesce(p.total_count, 0) AS total_count,
+       coalesce(p.svec, '') AS svec
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+
+_BPN_TOPK = 20
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template mining: the top 20 8-gram shingles by cross-doc
+    support — the diagnostic twin of the ``max_df`` hot-shingle caps
+    (WHAT is the boilerplate those caps drop?).  Per-doc-distinct
+    grams make support a count; top-k via TakeOrderedAndProject
+    (df desc, gram asc).  Gram STRINGS survive to the output because a
+    human reads this report; the cap bounds what ships."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(dedup.normalize_for_dedup(F.col("text")), " "), lambda t: t != ""
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("__tk")) - _NOVELTY_N),
+            lambda i: F.array_join(F.slice(F.col("__tk"), i + 1, _NOVELTY_N), " "),
+        )
+    )
+    base = (
+        d.select("doc_id", toks.alias("__tk"))
+        .filter(F.size(F.col("__tk")) >= _NOVELTY_N)
+        .select("doc_id", grams.alias("__g"))
+        .persist()
+    )
+    return (
+        base.select(F.explode("__g").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .filter(F.col("df") >= 2)
+        .orderBy(F.desc("df"), F.asc("gram"))
+        .limit(_BPN_TOPK)
+    )
+
+
+def _oracle_boilerplate_ngrams() -> str:
+    norm = _NORM_SQL.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split({norm}, ' '), x -> x != '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - {_NOVELTY_N - 1}),
+           i -> array_to_string(t[i:i + {_NOVELTY_N - 1}], ' ')))) AS gram
+  FROM toks WHERE len(t) >= {_NOVELTY_N}
+)
+SELECT gram, count(*) AS df FROM g GROUP BY 1
+HAVING count(*) >= 2
+ORDER BY df DESC, gram ASC LIMIT {_BPN_TOPK}
+"""
+
+
 def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware eval split: the holdout is keyed on the NEAR-DUP
     FAMILY label (connected components over LSH pairs; singleton docs
@@ -7185,7 +7295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 180
+    already-green remainder (round-2 set before round-1 set).  All 183
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -7276,6 +7386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_histogram": q_dedup_cluster_histogram,
         "grouped_holdout": q_grouped_holdout,
         "cluster_safe_split": q_cluster_safe_split,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "hashed_bow": q_hashed_bow,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -7437,6 +7549,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_histogram": _oracle_dedup_cluster_histogram(),
         "grouped_holdout": ORACLE_GROUPED_HOLDOUT,
         "cluster_safe_split": _oracle_cluster_safe_split(),
+        "boilerplate_ngrams": _oracle_boilerplate_ngrams(),
+        "hashed_bow": ORACLE_HASHED_BOW,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

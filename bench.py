@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "cusum_alarms",
     "bpe_token_shards",
     "grouped_holdout",
+    "boilerplate_ngrams",
+    "hashed_bow",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

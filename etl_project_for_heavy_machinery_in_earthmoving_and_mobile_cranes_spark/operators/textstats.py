@@ -932,3 +932,59 @@ def bpe_encode_counts(
         n_chars_sym.cast("bigint").alias("n_chars_sym"),
         n_sub.cast("bigint").alias("n_subwords"),
     )
+
+
+def hashed_bow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 128,
+    seed: int = 0,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") bag-of-words: each token maps
+    to index ``md5(token) % dim``; per-doc counts aggregate per index —
+    the fixed-width sparse featurization that feeds linear classifiers
+    and cheap nearest-neighbor without a vocabulary table (no fit step,
+    no dictionary broadcast, new tokens never break the width).
+
+    md5-derived indices keep the featurization a pure row function —
+    identical on any engine/rerun (the same contract as the sampling
+    family).  Output: ``(id, indices array<int>, values array<bigint>)``
+    with indices ascending; docs with no tokens get empty arrays.
+
+    Scale shape: explode → one (doc, index) hash aggregate (map-side
+    combine) → per-doc sorted collect (bounded by dim entries per doc).
+    """
+    from .dedup import md5_hash64
+
+    toks = F.filter(
+        F.split(normalize_for_dedup(F.col(text_col)), " "), lambda t: t != ""
+    )
+    idx = (md5_hash64(F.col("__t"), seed) % dim).cast("int")
+    per_idx = (
+        df.select(F.col(id_col), F.explode(toks).alias("__t"))
+        .select(id_col, idx.alias("__i"))
+        .groupBy(id_col, "__i")
+        .agg(F.count("*").cast("bigint").alias("__c"))
+    )
+    packed = per_idx.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__i"), F.col("__c")))
+        ).alias("__p")
+    )
+    out = packed.select(
+        id_col,
+        F.transform(F.col("__p"), lambda x: x["__i"]).alias("indices"),
+        F.transform(F.col("__p"), lambda x: x["__c"]).alias("values"),
+    )
+    empty_i = F.array().cast("array<int>")
+    empty_v = F.array().cast("array<bigint>")
+    return (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("indices"), empty_i).alias("indices"),
+            F.coalesce(F.col("values"), empty_v).alias("values"),
+        )
+    )

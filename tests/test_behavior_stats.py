@@ -349,3 +349,24 @@ def test_bpe_encode_counts_applies_merges_in_order(spark):
     assert got[3] == (0, 0, 0)
     # no merge applies: one subword per char
     assert got[4] == (1, 3, 3)
+
+
+def test_hashed_bow_fixed_width_and_counts(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, ""), (3, "zzz")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (list(r["indices"]), list(r["values"]))
+           for r in textstats.hashed_bow(df, "doc_id", "text", dim=16).collect()}
+    # doc 1: two distinct tokens (unless they collide), total count 3
+    idx1, val1 = got[1]
+    assert sorted(idx1) == idx1 and all(0 <= i < 16 for i in idx1)
+    assert sum(val1) == 3
+    # empty doc keeps its row with empty arrays
+    assert got[2] == ([], [])
+    assert sum(got[3][1]) == 1
+    # determinism across calls
+    again = {r["doc_id"]: (list(r["indices"]), list(r["values"]))
+             for r in textstats.hashed_bow(df, "doc_id", "text", dim=16).collect()}
+    assert again == got
