@@ -112,6 +112,12 @@ PROBE_QUERIES = [
     "cross_lang_dups",
     "corpus_datacard",
     "cusum_alarms",
+    "bpe_token_shards",
+    "grouped_holdout",
+    "cluster_safe_split",
+    "dedup_cluster_histogram",
+    "boilerplate_ngrams",
+    "hashed_bow",
 ]
 
 
