@@ -365,3 +365,37 @@ def maintain_drift_counts_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_transcripts_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of the batch transcript assembler: native
+    session windows per user, the ordered event sequence collected as
+    one string per closed session — conversation/trajectory training
+    examples built AT THE INGEST EDGE.  The in-session ordering is the
+    same (ts, event_id) struct sort as the batch operator; state per
+    (user, open session) is bounded by that user's own event rate and
+    evicted at the watermark."""
+    item = F.struct(
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("k"),
+        F.col("event_type").alias("v"),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(item)), lambda x: x["v"]),
+                ">",
+            ).alias("transcript"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "transcript",
+        )
+    )

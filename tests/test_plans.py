@@ -504,3 +504,34 @@ def test_cusum_single_exchange_two_windows(spark, sf_dir):
 
     p = plan_of(spark, "cusum_alarms", sf_dir)
     assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 1
+
+
+def test_cbo_column_stats_shrink_filtered_estimate(spark):
+    """Cost-based optimization contract: with column statistics
+    (ANALYZE ... FOR COLUMNS) and CBO on, a selective filter's size
+    estimate shrinks by orders of magnitude (file-size ≈ 52 MB → KBs
+    here) — which is what lets Catalyst broadcast a FILTERED slice of
+    a big dim at compile time instead of shuffling the fact table.
+    At 100 TB, collecting stats on dim tables is how the star joins
+    stay broadcast even behind selective predicates."""
+    spark.sql("DROP TABLE IF EXISTS cbo_dim")
+    old_cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+        spark.range(0, 1_500_000).selectExpr(
+            "id", "md5(CAST(id AS STRING)) AS pad"
+        ).write.mode("overwrite").saveAsTable("cbo_dim")
+
+        def est(df):
+            return int(
+                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+
+        before = est(spark.table("cbo_dim").filter("id < 500"))
+        spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS FOR COLUMNS id")
+        after = est(spark.table("cbo_dim").filter("id < 500"))
+        assert after * 100 < before, (before, after)
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+        spark.sql("DROP TABLE IF EXISTS cbo_dim")

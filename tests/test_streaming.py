@@ -369,3 +369,28 @@ def test_streaming_drift_maintenance_matches_batch(spark, event_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) >= 3
+
+
+def test_streaming_session_transcripts_match_batch(spark, event_dir, tmp_path):
+    """The streaming transcript assembler (native session windows +
+    ordered collect) produces the same (user, session_start, n_events,
+    transcript) set as the batch gap-rule operator over the same log."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import sessionize
+
+    stream = jobs.read_event_stream(spark, event_dir)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"], r["transcript"])
+        for r in jobs.run_available_now(
+            jobs.session_transcripts_stream(stream),
+            str(tmp_path / "cp_tr"), output_mode="complete",
+        )
+    }
+    batch = sessionize.session_transcripts(
+        spark.read.parquet(event_dir),
+        "user_id", "ts", "event_type", "event_id", gap_seconds=1800,
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"], r["transcript"])
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 100
