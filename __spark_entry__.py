@@ -4108,6 +4108,43 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RP_OUT = 8
+_RP_SEED = 7
+_RP_DIM = 64
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss reduction (similarity.random_projection):
+    64-d embeddings to 8 md5-deterministic components — the
+    model-free dimensionality reducer in front of ANN/clustering.
+    Pure narrow projection; oracle replays the identical scaled-plane
+    dot products and portable rounding."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.random_projection(
+        emb, "vec_id", "embedding", out_dim=_RP_OUT, dim=_RP_DIM, seed=_RP_SEED
+    )
+
+
+def _oracle_random_projection() -> str:
+    import math as _m
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.similarity import (
+        _det_plane,
+    )
+
+    scale = 1.0 / _m.sqrt(_RP_OUT)
+    comps = []
+    for i in range(_RP_OUT):
+        p = [x * scale for x in _det_plane(_RP_SEED + 9000, i, _RP_DIM)]
+        comps.append(
+            f"floor(list_dot_product(embedding::DOUBLE[], {p!r}::DOUBLE[])"
+            f" * 1e6 + 0.5) / 1e6 AS rp_{i}"
+        )
+    cols = ",\n       ".join(comps)
+    return f"SELECT vec_id,\n       {cols}\nFROM embeddings"
+
+
 _HBOW_DIM = 128
 
 
@@ -7295,7 +7332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 182
+    already-green remainder (round-2 set before round-1 set).  All 183
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -7388,6 +7425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split": q_cluster_safe_split,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "hashed_bow": q_hashed_bow,
+        "random_projection": q_random_projection,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -7551,6 +7589,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_safe_split": _oracle_cluster_safe_split(),
         "boilerplate_ngrams": _oracle_boilerplate_ngrams(),
         "hashed_bow": ORACLE_HASHED_BOW,
+        "random_projection": _oracle_random_projection(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

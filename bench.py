@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "grouped_holdout",
     "boilerplate_ngrams",
     "hashed_bow",
+    "random_projection",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

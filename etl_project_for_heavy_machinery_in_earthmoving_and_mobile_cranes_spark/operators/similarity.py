@@ -868,3 +868,40 @@ def centroid_drift(
         ).alias("cosine"),
         F.round(F.sqrt(F.col("__d2")), 6).alias("l2"),
     )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int,
+    dim: int,
+    seed: int = 7,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce ``dim``-d
+    embeddings to ``out_dim`` components with md5-deterministic
+    Gaussian-ish planes scaled 1/√out_dim — the storage/compute
+    reducer in front of ANN indexing and clustering when full
+    dimensionality is overkill (pairwise distances are preserved to
+    within the JL distortion bound w.h.p.).
+
+    Planes come from the same md5 family as the SRP/IVF quantizers, so
+    any engine (and any rerun) derives the identical projection — no
+    fitted model artifact to ship.  Output: ``(id, rp_0..rp_{k-1})``
+    scalar columns, portably floor-rounded.
+
+    Scale shape: a pure narrow projection — out_dim literal dot
+    products per row, no shuffle, no UDF, whole-stage codegen.
+    """
+    scale = 1.0 / math.sqrt(out_dim)
+    cols = [F.col(id_col)]
+    for i in range(out_dim):
+        p = _det_plane(seed + 9000, i, dim)
+        plane = F.array(*[F.lit(x * scale) for x in p])
+        c = dot(F.col(vec_col), plane)
+        if round_to is not None:
+            s = F.lit(float(10 ** round_to))
+            c = F.floor(c * s + F.lit(0.5)) / s
+        cols.append(c.alias(f"rp_{i}"))
+    return df.select(*cols)

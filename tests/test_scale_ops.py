@@ -638,3 +638,32 @@ def test_centroid_drift_hand_computed(spark):
     # g2: parallel centroids, distance sqrt(2)
     assert got["g2"] == (1, 1, 1.0, round(math.sqrt(2.0), 6))
     assert "g3" not in got
+
+
+def test_random_projection_preserves_relative_distances(spark):
+    """JL sanity: the projection is deterministic, linear, and keeps
+    near pairs nearer than far pairs (statistically, checked on a
+    crafted triple where the gap is large)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import similarity
+
+    import random as _r
+    rng = _r.Random(3)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [x + rng.uniform(-0.01, 0.01) for x in base]
+    far = [rng.uniform(-1, 1) for _ in range(64)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: [r[f"rp_{i}"] for i in range(16)]
+           for r in similarity.random_projection(
+               df, "vec_id", "embedding", out_dim=16, dim=64).collect()}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    assert d2(out[0], out[1]) < d2(out[0], out[2]) / 10
+    # deterministic across calls
+    again = {r["vec_id"]: [r[f"rp_{i}"] for i in range(16)]
+             for r in similarity.random_projection(
+                 df, "vec_id", "embedding", out_dim=16, dim=64).collect()}
+    assert again == out
