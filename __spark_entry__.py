@@ -4108,6 +4108,47 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINATTR_WIN = 3600
+
+
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (behavior.linear_attribution):
+    every click/view within the hour before a purchase gets an equal
+    share of its value — the credit-splitting counterpart of the
+    as-of last-touch query.  User-keyed banded pair join + one
+    conversion-keyed count window; oracle replays both."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        behavior,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return behavior.linear_attribution(
+        e, "purchase", ["click", "view"], window_seconds=_LINATTR_WIN
+    )
+
+
+ORACLE_LINEAR_ATTR = f"""
+WITH conv AS (
+  SELECT user_id, event_id AS conversion_id, ts AS cts, value
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+), touch AS (
+  SELECT user_id, event_id AS touch_id, event_type AS touch_type, ts AS tts
+  FROM events WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
+), pairs AS (
+  SELECT c.conversion_id, c.user_id, t.touch_id, t.touch_type, c.value
+  FROM conv c JOIN touch t
+    ON c.user_id = t.user_id
+   AND t.tts <= c.cts
+   AND floor(epoch(t.tts))::BIGINT >= floor(epoch(c.cts))::BIGINT - {_LINATTR_WIN}
+)
+SELECT conversion_id, user_id, touch_id, touch_type,
+       CAST(count(*) OVER (PARTITION BY conversion_id) AS BIGINT) AS n_touches,
+       value / count(*) OVER (PARTITION BY conversion_id) AS credit
+FROM pairs
+"""
+
+
 _RP_OUT = 8
 _RP_SEED = 7
 _RP_DIM = 64
@@ -7332,7 +7373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 183
+    already-green remainder (round-2 set before round-1 set).  All 184
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -7426,6 +7467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "hashed_bow": q_hashed_bow,
         "random_projection": q_random_projection,
+        "linear_attribution": q_linear_attribution,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -7590,6 +7632,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": _oracle_boilerplate_ngrams(),
         "hashed_bow": ORACLE_HASHED_BOW,
         "random_projection": _oracle_random_projection(),
+        "linear_attribution": ORACLE_LINEAR_ATTR,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

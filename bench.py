@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "boilerplate_ngrams",
     "hashed_bow",
     "random_projection",
+    "linear_attribution",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

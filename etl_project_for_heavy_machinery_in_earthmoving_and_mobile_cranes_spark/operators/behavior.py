@@ -208,3 +208,63 @@ def sequence_ngrams(
         F.count("*").alias("n_occurrences"),
         F.count_distinct(F.col(key_col)).alias("n_keys"),
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    convert_type: str,
+    touch_types: "Sequence[str]",
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear multi-touch attribution: every qualifying touch (same
+    user, within ``window_seconds`` at-or-before the conversion) gets
+    an EQUAL share of the conversion value — the credit-splitting
+    counterpart of last-touch (which the as-of join implements).
+    Conversions with no qualifying touch attribute nothing.
+
+    Returns one row per (conversion, touch) with the credit share,
+    plus the per-conversion touch count — callers aggregate credits by
+    touch/channel downstream.
+
+    Scale shape: the time-banded pair join is a user-keyed equi join
+    with the window predicate as a residual filter; per-conversion
+    fan-out is bounded by the user's own touch rate inside the window
+    (the same envelope as the stream-stream attribution join).  The
+    share divides by a count window keyed on the conversion id —
+    rides the join's user clustering? No: it re-keys on the
+    conversion, the minimal second exchange for exact splitting.
+    """
+    u, t = F.col(user_col), F.col(ts_col)
+    conv = events.filter(F.col("event_type") == convert_type).select(
+        u.alias("__cu"),
+        F.col(id_col).alias("conversion_id"),
+        t.alias("__cts"),
+        F.col(value_col).alias("__cv"),
+    )
+    touches = events.filter(F.col("event_type").isin(list(touch_types))).select(
+        u.alias("__tu"),
+        F.col(id_col).alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        t.alias("__tts"),
+    )
+    sec = lambda c: F.unix_timestamp(c)  # noqa: E731
+    pairs = conv.join(
+        touches,
+        (F.col("__cu") == F.col("__tu"))
+        & (F.col("__tts") <= F.col("__cts"))
+        & (sec(F.col("__tts")) >= sec(F.col("__cts")) - window_seconds),
+    )
+    w = Window.partitionBy("conversion_id")
+    n = F.count("*").over(w)
+    return pairs.select(
+        "conversion_id",
+        F.col("__cu").alias(user_col),
+        "touch_id",
+        "touch_type",
+        n.cast("bigint").alias("n_touches"),
+        (F.col("__cv") / n).alias("credit"),
+    )

@@ -370,3 +370,29 @@ def test_hashed_bow_fixed_width_and_counts(spark):
     again = {r["doc_id"]: (list(r["indices"]), list(r["values"]))
              for r in textstats.hashed_bow(df, "doc_id", "text", dim=16).collect()}
     assert again == got
+
+
+def test_linear_attribution_splits_credit_equally(spark):
+    import datetime as dt
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import behavior
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two clicks inside the window, one outside -> 2-way split
+        (10, t0 - dt.timedelta(seconds=7200), 1, "click", 0.0),
+        (11, t0 - dt.timedelta(seconds=600), 1, "click", 0.0),
+        (12, t0 - dt.timedelta(seconds=60), 1, "view", 0.0),
+        (13, t0, 1, "purchase", 30.0),
+        # user 2: no qualifying touch -> purchase attributes nothing
+        (20, t0, 2, "purchase", 99.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = behavior.linear_attribution(
+        df, "purchase", ["click", "view"], window_seconds=3600
+    ).collect()
+    by = {(r["conversion_id"], r["touch_id"]): (r["n_touches"], r["credit"])
+          for r in got}
+    assert by == {(13, 11): (2, 15.0), (13, 12): (2, 15.0)}
