@@ -118,6 +118,8 @@ PROBE_QUERIES = [
     "dedup_cluster_histogram",
     "boilerplate_ngrams",
     "hashed_bow",
+    "random_projection",
+    "linear_attribution",
 ]
 
 
