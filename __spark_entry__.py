@@ -4108,6 +4108,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUC_WIN = 7
+
+
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU per observed day (behavior.active_user_counts): the
+    trailing-7-day distinct turned into a plain per-day distinct via
+    the bounded pair explode.  Oracle replays the cover-day expansion
+    with generate_series."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        behavior,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    return behavior.active_user_counts(e, window_days=_AUC_WIN)
+
+
+ORACLE_ACTIVE_USERS = f"""
+WITH pairs AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+  FROM events WHERE user_id IS NOT NULL
+), dau AS (
+  SELECT d, count(DISTINCT u) AS dau FROM pairs GROUP BY 1
+), cover AS (
+  SELECT u, d + CAST(i.i AS INT) AS d
+  FROM pairs, (SELECT unnest(generate_series(0, {_AUC_WIN - 1})) AS i) i
+), wau AS (
+  SELECT d, count(DISTINCT u) AS wau FROM cover GROUP BY 1
+)
+SELECT dau.d AS day, dau.dau, wau.wau
+FROM dau JOIN wau ON dau.d = wau.d
+"""
+
+
 _LINATTR_WIN = 3600
 
 
@@ -7373,7 +7407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 184
+    already-green remainder (round-2 set before round-1 set).  All 185
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -7468,6 +7502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_bow": q_hashed_bow,
         "random_projection": q_random_projection,
         "linear_attribution": q_linear_attribution,
+        "active_users": q_active_users,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -7633,6 +7668,7 @@ def oracle_sql() -> dict[str, str]:
         "hashed_bow": ORACLE_HASHED_BOW,
         "random_projection": _oracle_random_projection(),
         "linear_attribution": ORACLE_LINEAR_ATTR,
+        "active_users": ORACLE_ACTIVE_USERS,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

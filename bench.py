@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "hashed_bow",
     "random_projection",
     "linear_attribution",
+    "active_users",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

@@ -268,3 +268,44 @@ def linear_attribution(
         n.cast("bigint").alias("n_touches"),
         (F.col("__cv") / n).alias("credit"),
     )
+
+
+def active_user_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU + trailing-window active users (WAU for window_days=7) per
+    observed day — the product-analytics staple, with the distinct
+    count done RIGHT at scale: COUNT(DISTINCT) over a sliding range
+    window isn't directly supported, so each (user, active-day) pair
+    is exploded to the ``window_days`` future days it keeps the user
+    active for, turning the trailing-window distinct into a plain
+    per-day distinct count.
+
+    Scale shape: one (user, day) dedup aggregate (corpus → activity
+    pairs), a bounded ×window_days explode of the PAIRS (not raw
+    events), and two per-day distinct aggregates.  Output days are
+    clipped to the observed range (no phantom trailing days).
+    """
+    u, d = F.col(user_col), F.to_date(F.col(ts_col)).alias("__d")
+    pairs = events.filter(u.isNotNull()).select(u.alias("__u"), d).distinct()
+    dau = pairs.groupBy("__d").agg(
+        F.count_distinct("__u").cast("bigint").alias("dau")
+    )
+    cover = pairs.select(
+        "__u",
+        F.explode(
+            F.sequence(
+                F.col("__d"), F.date_add(F.col("__d"), window_days - 1)
+            )
+        ).alias("__d"),
+    )
+    wau = cover.groupBy("__d").agg(
+        F.count_distinct("__u").cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, "__d")
+        .select(F.col("__d").alias("day"), "dau", "wau")
+    )

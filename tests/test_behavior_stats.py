@@ -396,3 +396,32 @@ def test_linear_attribution_splits_credit_equally(spark):
     by = {(r["conversion_id"], r["touch_id"]): (r["n_touches"], r["credit"])
           for r in got}
     assert by == {(13, 11): (2, 15.0), (13, 12): (2, 15.0)}
+
+
+def test_active_user_counts_dau_wau(spark):
+    import datetime as dt
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import behavior
+
+    def t(day, h=12):
+        return dt.datetime(2024, 1, day, h, 0, 0)
+
+    rows = [
+        (1, t(1)), (1, t(1, 13)),   # user 1 active day 1 (twice)
+        (2, t(1)),                  # user 2 active day 1
+        (1, t(3)),                  # user 1 again day 3
+        (3, t(9)),                  # user 3 day 9 (outside 7d of day 1)
+    ]
+    df = spark.createDataFrame(
+        [(i, u, ts, "click", 0.0, "{}") for i, (u, ts) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+    )
+    got = {str(r["day"]): (r["dau"], r["wau"])
+           for r in behavior.active_user_counts(df, window_days=7).collect()}
+    # day 1: users {1,2}; trailing 7d window at day 1 covers day 1 only
+    assert got["2024-01-01"] == (2, 2)
+    # day 3: dau {1}; active within (day -6..day) = days 1,3 -> {1,2}
+    assert got["2024-01-03"] == (1, 2)
+    # day 9: user 3 only; days 3..9 include day 3 activity of user 1
+    assert got["2024-01-09"] == (1, 2)
+    assert set(got) == {"2024-01-01", "2024-01-03", "2024-01-09"}

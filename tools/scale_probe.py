@@ -120,6 +120,7 @@ PROBE_QUERIES = [
     "hashed_bow",
     "random_projection",
     "linear_attribution",
+    "active_users",
 ]
 
 
