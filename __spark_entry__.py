@@ -4108,6 +4108,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic (skew.key_skew_report) on the events
+    user key: the heaviest 10 keys with row share and
+    ×-uniform-expectation — the pre-join report that decides salting.
+    Oracle replays counts + deterministic top-k + the scalar totals."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        skew,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    return skew.key_skew_report(e, "user_id", top_k=10)
+
+
+ORACLE_KEY_SKEW = """
+WITH c AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+  FROM events GROUP BY 1
+), t AS (
+  SELECT sum(n) AS rws, count(*) AS ks FROM c
+)
+SELECT key, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / rws AS share,
+       CAST(n AS DOUBLE) * ks / rws AS x_uniform,
+       CAST(rws AS BIGINT) AS total_rows,
+       CAST(ks AS BIGINT) AS n_keys
+FROM c CROSS JOIN t
+ORDER BY n DESC, key ASC LIMIT 10
+"""
+
+
 _AUC_WIN = 7
 
 
@@ -7407,7 +7438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 185
+    already-green remainder (round-2 set before round-1 set).  All 186
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -7503,6 +7534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "linear_attribution": q_linear_attribution,
         "active_users": q_active_users,
+        "key_skew": q_key_skew,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -7669,6 +7701,7 @@ def oracle_sql() -> dict[str, str]:
         "random_projection": _oracle_random_projection(),
         "linear_attribution": ORACLE_LINEAR_ATTR,
         "active_users": ORACLE_ACTIVE_USERS,
+        "key_skew": ORACLE_KEY_SKEW,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

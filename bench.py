@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "random_projection",
     "linear_attribution",
     "active_users",
+    "key_skew",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

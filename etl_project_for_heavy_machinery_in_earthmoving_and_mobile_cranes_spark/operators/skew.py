@@ -57,3 +57,39 @@ def two_phase_count_distinct(
         .groupBy(group_key)
         .agg(F.count("*").alias(f"n_distinct_{distinct_col}"))
     )
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Shuffle-skew diagnostic for a prospective join/group key: the
+    ``top_k`` heaviest key values with their row share, plus the
+    global key count and the share of a perfectly uniform key — the
+    numbers that decide whether a key needs ``salted_join`` or an AQE
+    skew hint BEFORE the 100 TB shuffle melts a reducer.
+
+    One hash aggregate (map-side combined) + TakeOrderedAndProject;
+    the global totals ride a broadcast scalar aggregate.  Determinism:
+    ties order by key string ascending.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("__rows"), F.count("*").alias("__keys")
+    )
+    return (
+        counts.orderBy(F.desc("n"), F.asc("key"))
+        .limit(top_k)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n") / F.col("__rows")).alias("share"),
+            (F.col("n") * F.col("__keys") / F.col("__rows")).alias(
+                "x_uniform"
+            ),
+            F.col("__rows").cast("bigint").alias("total_rows"),
+            F.col("__keys").cast("bigint").alias("n_keys"),
+        )
+    )

@@ -667,3 +667,18 @@ def test_random_projection_preserves_relative_distances(spark):
              for r in similarity.random_projection(
                  df, "vec_id", "embedding", out_dim=16, dim=64).collect()}
     assert again == out
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import skew
+
+    rows = [("HOT",)] * 80 + [(k,) for k in "abcdefghij" for _ in range(2)]
+    df = spark.createDataFrame(rows, "k string")
+    got = skew.key_skew_report(df, "k", top_k=3).collect()
+    assert got[0]["key"] == "HOT" and got[0]["n"] == 80
+    assert got[0]["total_rows"] == 100 and got[0]["n_keys"] == 11
+    assert abs(got[0]["share"] - 0.8) < 1e-12
+    # 11 keys uniform would each hold 1/11 -> HOT is 8.8x uniform
+    assert abs(got[0]["x_uniform"] - 8.8) < 1e-9
+    # deterministic tie order among the 2-row keys
+    assert [r["key"] for r in got[1:]] == ["a", "b"]

@@ -121,6 +121,7 @@ PROBE_QUERIES = [
     "random_projection",
     "linear_attribution",
     "active_users",
+    "key_skew",
 ]
 
 
