@@ -452,3 +452,25 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
         assert j.count() == 500
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_clustered_layout_skips_files_on_range_predicate(spark, tmp_path):
+    """Zone-map evidence: after a clustered write, a narrow range
+    predicate physically reads a small subset of the files (parquet
+    min/max footer stats prune the rest) — the scan-cost claim behind
+    write_clustered_parquet, asserted on actual files touched."""
+    df = spark.range(0, 200_000).selectExpr("id", "id * 2 AS v")
+    p = str(tmp_path / "clustered")
+    sources.write_clustered_parquet(df, p, ("id",), num_files=16)
+    import glob
+
+    n_files = len(glob.glob(p + "/part-*.parquet"))
+    assert n_files >= 8
+    narrow = spark.read.parquet(p).filter("id >= 1000 AND id < 2000")
+    touched = {
+        r[0]
+        for r in narrow.select(F.input_file_name()).distinct().collect()
+    }
+    assert narrow.count() == 1000
+    # a 0.5% range must not touch more than a couple of files
+    assert len(touched) <= 2, (len(touched), n_files)
