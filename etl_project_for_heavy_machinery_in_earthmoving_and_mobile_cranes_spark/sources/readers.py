@@ -68,8 +68,16 @@ def write_parquet(
     path: str,
     partition_by: tuple[str, ...] = (),
     mode: str = "overwrite",
+    compression: str | None = None,
 ) -> None:
+    """``compression``: parquet codec override ("zstd", "snappy",
+    "gzip", "none"); default None keeps the session codec.  At 100 TB
+    the codec is a first-order storage/scan-cost knob — zstd typically
+    reads smaller AND decompresses faster than gzip; text-heavy corpus
+    tables compress several-fold."""
     w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)

@@ -474,3 +474,24 @@ def test_clustered_layout_skips_files_on_range_predicate(spark, tmp_path):
     assert narrow.count() == 1000
     # a 0.5% range must not touch more than a couple of files
     assert len(touched) <= 2, (len(touched), n_files)
+
+
+def test_parquet_compression_codec_roundtrip_and_size(spark, tmp_path):
+    """Codec knob: zstd output is materially smaller than uncompressed
+    on compressible text, and both round-trip identically."""
+    import glob
+    import os
+
+    df = spark.range(0, 20_000).selectExpr(
+        "id", "repeat('the quick brown fox ', 20) AS text"
+    )
+
+    def size(p):
+        return sum(os.path.getsize(f) for f in glob.glob(p + "/part-*.parquet"))
+
+    pz = str(tmp_path / "zstd")
+    pn = str(tmp_path / "none")
+    sources.write_parquet(df.coalesce(1), pz, compression="zstd")
+    sources.write_parquet(df.coalesce(1), pn, compression="none")
+    assert size(pz) * 3 < size(pn)
+    assert spark.read.parquet(pz).count() == spark.read.parquet(pn).count() == 20_000
