@@ -394,3 +394,45 @@ def test_streaming_session_transcripts_match_batch(spark, event_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) > 100
+
+
+def test_streaming_scd2_maintenance_matches_batch(spark, event_dir, tmp_path):
+    """Three time-ordered deliveries maintain the SCD2 dimension
+    incrementally; the final stored interval table must equal the
+    one-pass batch collapse over the full log — including runs that
+    SPAN delivery boundaries (the open-interval extension branch)."""
+    from pyspark.sql import functions as F
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import timeseries
+
+    src = spark.read.parquet(event_dir)
+    cuts = src.select(F.unix_timestamp("ts").alias("s")).approxQuantile(
+        "s", [0.33, 0.66], 0.0
+    )
+    chunks = [
+        src.filter(F.unix_timestamp("ts") <= cuts[0]),
+        src.filter(
+            (F.unix_timestamp("ts") > cuts[0]) & (F.unix_timestamp("ts") <= cuts[1])
+        ),
+        src.filter(F.unix_timestamp("ts") > cuts[1]),
+    ]
+    land = str(tmp_path / "scd_land")
+    table, cp = str(tmp_path / "scd_tbl"), str(tmp_path / "scd_cp")
+    for i, ch in enumerate(chunks):
+        ch.write.mode("append").parquet(land)
+        q = jobs.maintain_scd2_stream(
+            jobs.read_event_stream(spark, land), table, cp,
+            key_col="user_id", ts_col="ts", attr_cols=["event_type"],
+        )
+        q.awaitTermination()
+
+    got = {
+        (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in spark.read.parquet(table).collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in timeseries.scd2_from_events(
+            src.select("user_id", "ts", "event_type"), "user_id", "ts", ["event_type"]
+        ).collect()
+    }
+    assert got == want and len(want) > 500
