@@ -4108,6 +4108,50 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TMIX = {"en": 0.4, "es": 0.3, "fr": 0.3}
+
+
+def q_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit target-mixture rebalancing (sampling.target_mix_sample):
+    keep the largest corpus whose language proportions match the target
+    40/30/30 without upsampling — binding stratum keeps all, others
+    hash-downsample.  Oracle replays the binding-ratio arithmetic and
+    the md5 membership cut."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    kept = sampling.target_mix_sample(d, "lang", "doc_id", _TMIX)
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+def _oracle_target_mix() -> str:
+    pairs = ", ".join(f"('{k}', {v!r})" for k, v in sorted(_TMIX.items()))
+    return f"""
+WITH tgt(lang, share) AS (VALUES {pairs}),
+c AS (
+  SELECT d.lang, count(*) AS n, any_value(t.share) AS share
+  FROM documents d JOIN tgt t ON d.lang = t.lang
+  GROUP BY 1
+), b AS (
+  SELECT min(n / share) AS t FROM c
+), r AS (
+  SELECT c.lang, least(c.share * b.t / c.n, 1.0) AS rate
+  FROM c CROSS JOIN b
+)
+SELECT d.lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+GROUP BY 1
+"""
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-skew diagnostic (skew.key_skew_report) on the events
     user key: the heaviest 10 keys with row share and
@@ -7438,7 +7482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 186
+    already-green remainder (round-2 set before round-1 set).  All 187
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -7535,6 +7579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_attribution": q_linear_attribution,
         "active_users": q_active_users,
         "key_skew": q_key_skew,
+        "target_mix": q_target_mix,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -7702,6 +7747,7 @@ def oracle_sql() -> dict[str, str]:
         "linear_attribution": ORACLE_LINEAR_ATTR,
         "active_users": ORACLE_ACTIVE_USERS,
         "key_skew": ORACLE_KEY_SKEW,
+        "target_mix": _oracle_target_mix(),
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

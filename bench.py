@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "linear_attribution",
     "active_users",
     "key_skew",
+    "target_mix",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

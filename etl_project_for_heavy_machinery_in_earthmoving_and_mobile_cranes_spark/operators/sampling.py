@@ -365,3 +365,58 @@ def balanced_sample(
         .filter(F.col("__rn") <= per_class)
         .drop("__rn")
     )
+
+
+def target_mix_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    target_shares: "dict[str, float]",
+    seed: int = 0,
+) -> DataFrame:
+    """Downsample strata to hit an EXPLICIT target mixture (the
+    complement of ``temperature_mix``, which only flattens): given
+    target shares per stratum, each stratum keeps the deterministic
+    hash-fraction that brings the kept corpus as close to the target
+    proportions as possible WITHOUT upsampling — the binding stratum
+    (largest target/current ratio) keeps everything, every other
+    stratum downsamples to match.
+
+    Rates are computed from the target dict and the per-stratum counts
+    (one tiny agg, broadcast back); membership is the md5-bucket
+    filter, so the sample is a pure row function.  Strata absent from
+    ``target_shares`` get share 0 (dropped).  Returns the kept rows.
+    """
+    shares = [
+        (k, float(v)) for k, v in sorted(target_shares.items())
+    ]
+    share_col = F.create_map(
+        *[F.lit(x) for kv in shares for x in kv]
+    )[F.col(stratum_col)]
+    counts = df.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.count("*").alias("__n")
+    )
+    # binding ratio r* = min over strata of (n_s / share_s): the kept
+    # total T = r* makes kept_s = share_s * T <= n_s for every stratum
+    with_share = counts.withColumn(
+        "__share",
+        F.create_map(*[F.lit(x) for kv in shares for x in kv])[F.col("__s")],
+    ).filter(F.col("__share").isNotNull() & (F.col("__share") > 0))
+    binding = with_share.agg(
+        F.min(F.col("__n") / F.col("__share")).alias("__t")
+    )
+    rates = (
+        with_share.crossJoin(F.broadcast(binding))
+        .select(
+            "__s",
+            F.least(
+                F.col("__share") * F.col("__t") / F.col("__n"), F.lit(1.0)
+            ).alias("__rate"),
+        )
+    )
+    out = df.join(
+        F.broadcast(rates), F.col(stratum_col) == F.col("__s"), "inner"
+    )
+    cut = (F.col("__rate") * F.lit(float(_BUCKETS))).cast("bigint")
+    kept = out.filter(hash_bucket(F.col(key_col), seed) < cut)
+    return kept.drop("__s", "__rate")

@@ -356,3 +356,31 @@ def test_session_transcripts_order_and_gap(spark):
     assert got[(1, 1)] == (4, "view>click>view>purchase")
     assert got[(1, 2)] == (1, "click")
     assert got[(2, 1)] == (1, "error")
+
+
+def test_target_mix_sample_hits_proportions(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import sampling
+
+    # current mix: a=800, b=150, c=50; target 50/25/25 -> binding stratum
+    # is c? ratios n/share: a 1600, b 600, c 200 -> T=200:
+    # kept a=100, b=50, c=50 (c keeps all)
+    rows = [(i, "a") for i in range(800)] + \
+           [(1000 + i, "b") for i in range(150)] + \
+           [(2000 + i, "c") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    kept = sampling.target_mix_sample(
+        df, "src", "id", {"a": 0.5, "b": 0.25, "c": 0.25}
+    )
+    got = {r["src"]: r["count"] for r in kept.groupBy("src").count().collect()}
+    # hash membership is binomial-ish around the exact rate; c exact
+    assert got["c"] == 50
+    assert abs(got["a"] - 100) <= 25 and abs(got["b"] - 50) <= 18
+    # deterministic
+    again = {r["src"]: r["count"] for r in sampling.target_mix_sample(
+        df, "src", "id", {"a": 0.5, "b": 0.25, "c": 0.25}
+    ).groupBy("src").count().collect()}
+    assert again == got
+    # stratum not in target vanishes
+    df2 = df.union(spark.createDataFrame([(3000, "junk")], "id long, src string"))
+    kept2 = sampling.target_mix_sample(df2, "src", "id", {"a": 0.5, "b": 0.25, "c": 0.25})
+    assert kept2.filter("src = 'junk'").count() == 0

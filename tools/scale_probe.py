@@ -122,6 +122,7 @@ PROBE_QUERIES = [
     "linear_attribution",
     "active_users",
     "key_skew",
+    "target_mix",
 ]
 
 
