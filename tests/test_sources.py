@@ -495,3 +495,33 @@ def test_parquet_compression_codec_roundtrip_and_size(spark, tmp_path):
     sources.write_parquet(df.coalesce(1), pn, compression="none")
     assert size(pz) * 3 < size(pn)
     assert spark.read.parquet(pz).count() == spark.read.parquet(pn).count() == 20_000
+
+
+def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
+    """Robust corpus ingest: PERMISSIVE mode with a _corrupt_record
+    column keeps malformed lines AS DATA (null fields + raw line), so
+    the ingest job can split clean rows from a quarantine sink instead
+    of dying mid-100-TB (FAILFAST) or silently dropping (DROPMALFORMED)."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        'not json at all\n'
+        '{"doc_id": 2, "text": "also ok"}\n'
+        '{"doc_id": "NaN-ish", "text": 3}\n'
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    df = sources.read_jsonl(spark, str(p), schema).cache()
+    clean = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert clean.count() == 2
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    assert bad.count() == 2
+    raws = {r["_corrupt_record"] for r in bad.collect()}
+    assert "not json at all" in raws
+    df.unpersist()
