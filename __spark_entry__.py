@@ -4108,6 +4108,49 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (quality.categorical_drift): each source's
+    LANGUAGE mix vs the src0 baseline — PSI/JSD over category bins
+    with the same smoothing as the numeric drift family.  Oracle
+    replays the union grid, smoothed proportions, and divergences."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        quality,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return quality.categorical_drift(d, "source", "lang", _DRIFT_BASE)
+
+
+ORACLE_LANG_MIX_DRIFT = f"""
+WITH counts AS (
+  SELECT source AS g, lang AS c_val, count(*) AS c
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2
+), grid AS (
+  SELECT g, c_val
+  FROM (SELECT DISTINCT g FROM counts)
+  CROSS JOIN (SELECT DISTINCT c_val FROM counts)
+), full_g AS (
+  SELECT grid.g, grid.c_val, coalesce(counts.c, 0) AS c
+  FROM grid LEFT JOIN counts USING (g, c_val)
+), totals AS (
+  SELECT g, sum(c) AS tot, count(*) AS ncat FROM full_g GROUP BY 1
+), props AS (
+  SELECT f.g, f.c_val, t.tot,
+         (f.c + {_DRIFT_ALPHA!r}) / (t.tot + {_DRIFT_ALPHA!r} * t.ncat) AS p
+  FROM full_g f JOIN totals t USING (g)
+), base AS (
+  SELECT c_val, p AS q FROM props WHERE g = '{_DRIFT_BASE}'
+)
+SELECT props.g AS source, CAST(props.tot AS BIGINT) AS n,
+       round(sum((p - q) * ln(p / q)), 4) AS psi,
+       round(0.5 * sum(p * ln(p / ((p + q) / 2.0)))
+             + 0.5 * sum(q * ln(q / ((p + q) / 2.0))), 4) AS jsd
+FROM props JOIN base USING (c_val)
+GROUP BY 1, 2
+"""
+
+
 _TMIX = {"en": 0.4, "es": 0.3, "fr": 0.3}
 
 
@@ -7482,7 +7525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 187
+    already-green remainder (round-2 set before round-1 set).  All 188
     pass the full local gate (tools/check_oracle.py) at sf0.01."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
@@ -7580,6 +7623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users": q_active_users,
         "key_skew": q_key_skew,
         "target_mix": q_target_mix,
+        "lang_mix_drift": q_lang_mix_drift,
         # -- (4) operator/oracle touched this round ---------------------
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
@@ -7748,6 +7792,7 @@ def oracle_sql() -> dict[str, str]:
         "active_users": ORACLE_ACTIVE_USERS,
         "key_skew": ORACLE_KEY_SKEW,
         "target_mix": _oracle_target_mix(),
+        "lang_mix_drift": ORACLE_LANG_MIX_DRIFT,
         "pricing_summary": ORACLE_PRICING,
         "shipping_priority_top10": ORACLE_SHIPPING,
         "nation_revenue": ORACLE_NATION_REVENUE,

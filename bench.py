@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "active_users",
     "key_skew",
     "target_mix",
+    "lang_mix_drift",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
 ]

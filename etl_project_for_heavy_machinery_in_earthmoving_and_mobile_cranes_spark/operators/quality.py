@@ -439,3 +439,70 @@ def guarded_m1_join(
         .withColumn(guard_key, guarded)
     )
     return left.join(checked, keys, how).drop("__kn")
+
+
+def categorical_drift(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    baseline: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Distribution drift over a CATEGORICAL column (category values
+    are the bins): PSI + Jensen-Shannon per group vs the baseline
+    group with the same add-alpha smoothing as the numeric form — the
+    mix monitor for label/language/source composition where equi-width
+    bins make no sense.
+
+    The bin grid is the UNION of categories observed anywhere (so a
+    category present only in one side still contributes, smoothed on
+    the other).  Returns ``(group_col, n, psi, jsd)``.
+
+    Scale shape: one (group × category) hash aggregate; the grid and
+    proportion arithmetic run on the |groups|·|cats| table.
+    """
+    counts = (
+        df.filter(F.col(cat_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("__g"), F.col(cat_col).alias("__c_val")
+        )
+        .agg(F.count("*").alias("__c"))
+    )
+    cats = counts.select("__c_val").distinct()
+    grid = counts.select("__g").distinct().crossJoin(cats)
+    full = grid.join(counts, ["__g", "__c_val"], "left").select(
+        "__g", "__c_val", F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
+    )
+    # each group holds exactly |categories| grid rows, so the category
+    # count rides the totals aggregate — no driver-side action
+    totals = full.groupBy("__g").agg(
+        F.sum("__c").alias("__tot"), F.count("*").alias("__ncat")
+    )
+    smooth_tot = F.col("__tot") + F.lit(alpha) * F.col("__ncat")
+    props = full.join(totals, "__g").select(
+        "__g", "__c_val", "__tot",
+        ((F.col("__c") + F.lit(alpha)) / smooth_tot).alias("__p"),
+    )
+    base = props.filter(F.col("__g") == baseline).select(
+        "__c_val", F.col("__p").alias("__q")
+    )
+    joined = props.join(F.broadcast(base), "__c_val")
+    p, q = F.col("__p"), F.col("__q")
+    m = (p + q) / F.lit(2.0)
+    return (
+        joined.groupBy("__g", "__tot")
+        .agg(
+            F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
+            F.round(
+                F.lit(0.5) * F.sum(p * F.log(p / m))
+                + F.lit(0.5) * F.sum(q * F.log(q / m)),
+                4,
+            ).alias("jsd"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__tot").cast("bigint").alias("n"),
+            "psi",
+            "jsd",
+        )
+    )

@@ -682,3 +682,22 @@ def test_key_skew_report_flags_hot_key(spark):
     assert abs(got[0]["x_uniform"] - 8.8) < 1e-9
     # deterministic tie order among the 2-row keys
     assert [r["key"] for r in got[1:]] == ["a", "b"]
+
+
+def test_categorical_drift_hand_computed(spark):
+    import math
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    rows = [("a", "x")] * 3 + [("a", "y")] * 1 + \
+           [("b", "x")] * 1 + [("b", "y")] * 3 + [("b", None)]
+    df = spark.createDataFrame(rows, "g string, c string")
+    out = {r["g"]: r for r in quality.categorical_drift(
+        df, "g", "c", baseline="a").collect()}
+    assert out["a"]["psi"] == 0.0 and out["a"]["n"] == 4
+    # NULL categories excluded
+    assert out["b"]["n"] == 4
+    q = [(3 + 0.5) / 5, (1 + 0.5) / 5]
+    p = [(1 + 0.5) / 5, (3 + 0.5) / 5]
+    psi = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
+    assert out["b"]["psi"] == round(psi, 4)
