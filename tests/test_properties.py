@@ -484,3 +484,33 @@ def test_feature_scale_invariants_on_random_groups(spark):
         vmed = sorted(r["v"] for r in rs)[len(rs) // 2]
         robust_at_med = [r["v_robust"] for r in rs if r["v"] == vmed]
         assert robust_at_med and all(x == 0.0 for x in robust_at_med)
+
+
+def test_validate_split_consistent_with_violation_counts(spark):
+    """The two audit forms must agree: summing per-rule tags from
+    validate_split equals violation_counts' per-rule totals, on random
+    data with NULLs."""
+    from pyspark.sql import functions as FF
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    rng = random.Random(31)
+    rows = [(i,
+             rng.choice([None, -5.0, 0.5, 3.0, 42.0]),
+             rng.choice([None, "ok", "bad"]))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+    rules = {
+        "neg_v": FF.col("v") < 0,
+        "big_v": FF.col("v") > 10,
+        "null_s": FF.col("s").isNull(),
+    }
+    vc = {r["check_name"]: r["n_violations"]
+          for r in quality.violation_counts(df, rules).collect()}
+    tagged = quality.validate_split(df, rules)
+    vs = {name: tagged.filter(FF.array_contains("failed_checks", name)).count()
+          for name in rules}
+    assert vs == vc
+    # rows partition exactly into clean + quarantine
+    n_clean = tagged.filter(FF.size("failed_checks") == 0).count()
+    n_bad = tagged.filter(FF.size("failed_checks") > 0).count()
+    assert n_clean + n_bad == 400
