@@ -123,6 +123,7 @@ PROBE_QUERIES = [
     "active_users",
     "key_skew",
     "target_mix",
+    "lang_mix_drift",
 ]
 
 
