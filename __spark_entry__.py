@@ -4254,9 +4254,15 @@ WITH pairs AS (
   FROM pairs, (SELECT unnest(generate_series(0, {_AUC_WIN - 1})) AS i) i
 ), wau AS (
   SELECT d, count(DISTINCT u) AS wau FROM cover GROUP BY 1
+), spine AS (
+  SELECT unnest(generate_series(min(d), max(d), INTERVAL 1 DAY))::DATE AS d
+  FROM pairs
 )
-SELECT dau.d AS day, dau.dau, wau.wau
-FROM dau JOIN wau ON dau.d = wau.d
+SELECT spine.d AS day,
+       coalesce(dau.dau, 0) AS dau,
+       coalesce(wau.wau, 0) AS wau
+FROM spine LEFT JOIN dau ON spine.d = dau.d
+LEFT JOIN wau ON spine.d = wau.d
 """
 
 
@@ -4404,23 +4410,9 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     human reads this report; the cap bounds what ships."""
     tune(spark)
     d = _t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(dedup.normalize_for_dedup(F.col("text")), " "), lambda t: t != ""
-    )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(F.col("__tk")) - _NOVELTY_N),
-            lambda i: F.array_join(F.slice(F.col("__tk"), i + 1, _NOVELTY_N), " "),
-        )
-    )
-    base = (
-        d.select("doc_id", toks.alias("__tk"))
-        .filter(F.size(F.col("__tk")) >= _NOVELTY_N)
-        .select("doc_id", grams.alias("__g"))
-        .persist()
-    )
+    base = textstats.doc_distinct_grams(d, "doc_id", "text", _NOVELTY_N)
     return (
-        base.select(F.explode("__g").alias("gram"))
+        base.select(F.explode("__grams").alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").cast("bigint").alias("df"))
         .filter(F.col("df") >= 2)

@@ -286,8 +286,12 @@ def active_user_counts(
 
     Scale shape: one (user, day) dedup aggregate (corpus → activity
     pairs), a bounded ×window_days explode of the PAIRS (not raw
-    events), and two per-day distinct aggregates.  Output days are
-    clipped to the observed range (no phantom trailing days).
+    events), and two per-day distinct aggregates.  The output covers
+    EVERY day in [first, last] observed — a zero-event day (outage,
+    weekend) reports ``dau = 0`` with its true trailing WAU instead of
+    silently vanishing, which is exactly when the dashboard matters;
+    days beyond the observed range are clipped (no phantom trailing
+    days).  The day spine rides a broadcast scalar min/max aggregate.
     """
     u, d = F.col(user_col), F.to_date(F.col(ts_col)).alias("__d")
     pairs = events.filter(u.isNotNull()).select(u.alias("__u"), d).distinct()
@@ -305,7 +309,18 @@ def active_user_counts(
     wau = cover.groupBy("__d").agg(
         F.count_distinct("__u").cast("bigint").alias("wau")
     )
+    spine = (
+        pairs.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
+        .select(
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__d")
+        )
+    )
     return (
-        dau.join(wau, "__d")
-        .select(F.col("__d").alias("day"), "dau", "wau")
+        spine.join(dau, "__d", "left")
+        .join(wau, "__d", "left")
+        .select(
+            F.col("__d").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0).cast("bigint")).alias("dau"),
+            F.coalesce(F.col("wau"), F.lit(0).cast("bigint")).alias("wau"),
+        )
     )

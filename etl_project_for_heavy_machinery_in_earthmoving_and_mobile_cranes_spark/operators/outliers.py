@@ -265,10 +265,24 @@ def feature_scale(
         z, robust, pct = (
             F.floor(c * scale + F.lit(0.5)) / scale for c in (z, robust, pct)
         )
+    # NULL-SAFE stats join: groupBy emits a NULL-key stats row, but a
+    # plain equi join can never match it — rows in a NULL group would
+    # silently vanish from a row-preserving feature operator
+    stats_a = stats.select(
+        *[F.col(k).alias(f"_fs_k_{k}") for k in keys],
+        "_fs_mean", "_fs_sd", "_fs_med", "_fs_q1", "_fs_q3",
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(k).eqNullSafe(F.col(f"_fs_k_{k}"))
+        cond = eq if cond is None else (cond & eq)
     return (
-        df.join(F.broadcast(stats), list(keys))
+        df.join(F.broadcast(stats_a), cond)
         .withColumn(f"{val}_z", z)
         .withColumn(f"{val}_robust", robust)
         .withColumn(f"{val}_pct", pct)
-        .drop("_fs_mean", "_fs_sd", "_fs_med", "_fs_q1", "_fs_q3")
+        .drop(
+            "_fs_mean", "_fs_sd", "_fs_med", "_fs_q1", "_fs_q3",
+            *[f"_fs_k_{k}" for k in keys],
+        )
     )

@@ -208,8 +208,17 @@ def drift_from_counts(
     base = props.filter(F.col("__g") == baseline).select(
         "__bin", F.col("__p").alias("__q")
     )
-    joined = props.join(F.broadcast(base), "__bin")
-    p, q = F.col("__p"), F.col("__q")
+    # LEFT join + raise: a missing/misnamed baseline must fail LOUDLY —
+    # an inner join would return an empty frame and the QC gate built
+    # on this would vacuously pass
+    joined = props.join(F.broadcast(base), "__bin", "left")
+    p = F.col("__p")
+    q = F.coalesce(
+        F.col("__q"),
+        F.raise_error(
+            F.lit(f"drift: baseline group {baseline!r} has no rows")
+        ).cast("double"),
+    )
     m = (p + q) / F.lit(2.0)
     return (
         joined.groupBy("__g", "__tot")
@@ -486,8 +495,16 @@ def categorical_drift(
     base = props.filter(F.col("__g") == baseline).select(
         "__c_val", F.col("__p").alias("__q")
     )
-    joined = props.join(F.broadcast(base), "__c_val")
-    p, q = F.col("__p"), F.col("__q")
+    # LEFT join + raise: missing baseline fails loudly (see
+    # drift_from_counts)
+    joined = props.join(F.broadcast(base), "__c_val", "left")
+    p = F.col("__p")
+    q = F.coalesce(
+        F.col("__q"),
+        F.raise_error(
+            F.lit(f"categorical_drift: baseline group {baseline!r} has no rows")
+        ).cast("double"),
+    )
     m = (p + q) / F.lit(2.0)
     return (
         joined.groupBy("__g", "__tot")

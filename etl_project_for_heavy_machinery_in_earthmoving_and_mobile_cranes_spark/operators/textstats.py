@@ -772,6 +772,46 @@ def bpe_merge_steps(df: DataFrame, text_col: str, n_merges: int = 3) -> DataFram
     return out
 
 
+def doc_distinct_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """``(id, __grams)`` with each document's DISTINCT word ``n``-gram
+    shingles — the shared base of ``novelty_score`` and the
+    boilerplate template report.  Docs shorter than ``n`` tokens get
+    an empty array (kept, not dropped).
+
+    Two perf contracts live here so callers can't regress them
+    separately: (1) doc rows are hash-spread before gram construction
+    (a small input file count would otherwise serialize the expensive
+    narrow stage onto one core), and (2) the frame is lazily
+    ``persist()``-ed BEFORE any explode — Catalyst collapses the gram
+    projection into Generate, which re-evaluates the whole
+    transform/slice array once per EMITTED row, an O(grams²) per-doc
+    blowup (measured 4.6 s → 0.1 s at sf0.1).
+    """
+    toks = F.filter(
+        F.split(normalize_for_dedup(F.col(text_col)), " "), lambda t: t != ""
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("__tk")) - n),
+            lambda i: F.array_join(F.slice(F.col("__tk"), i + 1, n), " "),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
+        .select(F.col(id_col), toks.alias("__tk"))
+        .select(
+            id_col,
+            F.when(F.size(F.col("__tk")) >= n, grams).otherwise(
+                F.array().cast("array<string>")
+            ).alias("__grams"),
+        )
+        .persist()
+    )
+
+
 def novelty_score(
     df: DataFrame,
     id_col: str,
@@ -806,33 +846,7 @@ def novelty_score(
     clock at sf0.1).  No all-pairs anything: cost is
     corpus-gram-linear, the same envelope as word count.
     """
-    toks = F.filter(
-        F.split(normalize_for_dedup(F.col(text_col)), " "), lambda t: t != ""
-    )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(F.col("__tk")) - n),
-            lambda i: F.array_join(F.slice(F.col("__tk"), i + 1, n), " "),
-        )
-    )
-    base = (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(F.col(id_col))
-        .select(F.col(id_col), toks.alias("__tk"))
-        .select(
-            id_col,
-            F.when(F.size(F.col("__tk")) >= n, grams).otherwise(
-                F.array().cast("array<string>")
-            ).alias("__grams"),
-        )
-        # persist BEFORE the explode: Catalyst collapses the gram
-        # projection into Generate, which re-evaluates the whole
-        # transform/slice array once per EMITTED row — an O(grams²)
-        # per-doc blowup (measured 4.6 s -> 0.1 s at sf0.1).  The
-        # cache materializes the arrays once; populated lazily on the
-        # caller's first action.
-        .persist()
-    )
+    base = doc_distinct_grams(df, id_col, text_col, n)
     if hash_fn == "xxhash64":
         ghash = F.xxhash64(F.col("__g"))
     elif hash_fn == "md5":

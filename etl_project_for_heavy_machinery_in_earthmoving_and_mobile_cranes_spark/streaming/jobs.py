@@ -268,6 +268,35 @@ def curated_documents(docs: DataFrame, threshold: float = 0.0) -> DataFrame:
     )
 
 
+def _read_maintained_table(spark, path: str):
+    """Read a foreachBatch-maintained table; None ONLY when the path
+    does not exist yet (first batch).  Any other failure — corrupt
+    footer, permission, transient FS error — propagates: a bare
+    except here would silently reset months of accumulated state to
+    the current batch."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
+_BATCH_MARK = "__last_batch_id"
+
+
+def _already_applied(stored, batch_id: int) -> bool:
+    """Exactly-once guard for foreachBatch maintainers: the stored
+    table carries the last applied batch id IN THE SAME atomic
+    overwrite, so a crash between the table write and the checkpoint
+    commit (at-least-once replay) is detected and the replayed batch
+    becomes a no-op instead of double-applying."""
+    if stored is None or _BATCH_MARK not in stored.columns:
+        return False
+    last = stored.agg(F.max(_BATCH_MARK)).first()[0]
+    return last is not None and last >= batch_id
+
+
 def maintain_rollup_stream(
     events: DataFrame,
     rollup_path: str,
@@ -296,15 +325,19 @@ def maintain_rollup_stream(
         )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stored = _read_maintained_table(spark, rollup_path)
+        if _already_applied(stored, batch_id):
+            return  # at-least-once replay of an applied batch: no-op
         inc = partial(batch_df)
-        try:
-            existing = spark.read.parquet(rollup_path)
+        if stored is not None:
             merged = merge_rollups(
-                [existing, inc], [key_col], sum_cols=("sum_value",), count_col="n"
+                [stored.drop(_BATCH_MARK), inc],
+                [key_col], sum_cols=("sum_value",), count_col="n",
             )
-        except Exception:
+        else:
             merged = inc
         # collect-and-rewrite: the rollup is |keys|-sized by contract
+        merged = merged.withColumn(_BATCH_MARK, F.lit(batch_id))
         rows = merged.collect()
         spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
             "overwrite"
@@ -344,16 +377,20 @@ def maintain_drift_counts_stream(
     spark = events.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stored = _read_maintained_table(spark, counts_path)
+        if _already_applied(stored, batch_id):
+            return  # at-least-once replay of an applied batch: no-op
         inc = bin_counts(batch_df, group_col, value_col, lo, hi, n_bins)
-        try:
-            existing = spark.read.parquet(counts_path)
+        if stored is not None:
             merged = (
-                existing.unionByName(inc)
+                stored.drop(_BATCH_MARK)
+                .unionByName(inc)
                 .groupBy("__g", "__bin")
                 .agg(F.sum("__c").alias("__c"))
             )
-        except Exception:
+        else:
             merged = inc
+        merged = merged.withColumn(_BATCH_MARK, F.lit(batch_id))
         rows = merged.collect()
         spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
             "overwrite"
@@ -436,11 +473,17 @@ def maintain_scd2_stream(
     spark = events.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stored_raw = _read_maintained_table(spark, table_path)
+        if _already_applied(stored_raw, batch_id):
+            # at-least-once replay of an applied batch: without this
+            # guard the replayed events would regenerate closed
+            # intervals that already exist (overlapping rows)
+            return
         obs = batch_df.select(
             F.col(key_col), F.col(ts_col), *[F.col(a) for a in attr_cols]
         )
-        try:
-            stored = spark.read.parquet(table_path)
+        if stored_raw is not None:
+            stored = stored_raw.drop(_BATCH_MARK)
             affected = obs.select(key_col).distinct()
             open_iv = stored.filter(F.col("is_current")).join(
                 affected, key_col, "left_semi"
@@ -459,8 +502,9 @@ def maintain_scd2_stream(
             merged = keep_closed.unionByName(keep_other_open).unionByName(
                 recomputed
             )
-        except Exception:
+        else:
             merged = scd2_from_events(obs, key_col, ts_col, attr_cols)
+        merged = merged.withColumn(_BATCH_MARK, F.lit(batch_id))
         rows = merged.collect()
         spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
             "overwrite"

@@ -418,10 +418,15 @@ def test_active_user_counts_dau_wau(spark):
     )
     got = {str(r["day"]): (r["dau"], r["wau"])
            for r in behavior.active_user_counts(df, window_days=7).collect()}
+    # every day of the observed range reports — zero-event days included
+    assert set(got) == {f"2024-01-0{i}" for i in range(1, 10)}
     # day 1: users {1,2}; trailing 7d window at day 1 covers day 1 only
     assert got["2024-01-01"] == (2, 2)
+    # day 2: no events, but users {1,2} active within trailing 7 days
+    assert got["2024-01-02"] == (0, 2)
     # day 3: dau {1}; active within (day -6..day) = days 1,3 -> {1,2}
     assert got["2024-01-03"] == (1, 2)
-    # day 9: user 3 only; days 3..9 include day 3 activity of user 1
+    # day 8: day-1 activity aged out of the window; only day-3 user 1
+    assert got["2024-01-08"] == (0, 1)
+    # day 9: user 3 plus day-3 activity of user 1 still in window
     assert got["2024-01-09"] == (1, 2)
-    assert set(got) == {"2024-01-01", "2024-01-03", "2024-01-09"}

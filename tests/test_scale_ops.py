@@ -701,3 +701,30 @@ def test_categorical_drift_hand_computed(spark):
     p = [(1 + 0.5) / 5, (3 + 0.5) / 5]
     psi = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
     assert out["b"]["psi"] == round(psi, 4)
+
+
+def test_feature_scale_keeps_null_group_rows(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import outliers
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 5.0), (None, 7.0)],
+        "k string, v double",
+    )
+    out = outliers.feature_scale(df, ["k"], "v", round_to=4)
+    # row-preserving: the NULL group scales against its own stats
+    assert out.count() == 4
+    nulls = {r["v"]: r["v_pct"] for r in out.filter("k IS NULL").collect()}
+    assert nulls == {5.0: 0.0, 7.0: 1.0}
+
+
+def test_drift_raises_loudly_on_missing_baseline(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    with pytest.raises(Exception) as ei:
+        quality.distribution_drift(df, "g", "v", baseline="TYPO").collect()
+    assert "baseline" in str(ei.value)
+    with pytest.raises(Exception):
+        quality.categorical_drift(df, "g", "g", baseline="TYPO").collect()

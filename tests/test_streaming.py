@@ -436,3 +436,35 @@ def test_streaming_scd2_maintenance_matches_batch(spark, event_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 500
+
+
+def test_foreach_batch_replay_guard_helpers(spark, tmp_path):
+    """The exactly-once guard: _already_applied skips batch ids at or
+    below the stored mark (the at-least-once replay case) and admits
+    new ones; _read_maintained_table returns None only for a missing
+    path and PROPAGATES real read errors instead of silently resetting
+    state."""
+    import pytest as _pt
+
+    stored = spark.createDataFrame(
+        [("click", 5, 3), ("view", 2, 3)],
+        "event_type string, n long, __last_batch_id long",
+    )
+    assert jobs._already_applied(stored, 3) is True   # replay
+    assert jobs._already_applied(stored, 2) is True   # older replay
+    assert jobs._already_applied(stored, 4) is False  # new batch
+    assert jobs._already_applied(None, 0) is False    # first batch
+    # legacy table without the mark: treated as not-applied
+    legacy = stored.drop("__last_batch_id")
+    assert jobs._already_applied(legacy, 0) is False
+
+    missing = jobs._read_maintained_table(spark, str(tmp_path / "nope"))
+    assert missing is None
+    # a CORRUPT table must raise, not silently become "first batch"
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with _pt.raises(Exception):
+        df = jobs._read_maintained_table(spark, str(bad))
+        if df is not None:  # force the read if lazily deferred
+            df.collect()
