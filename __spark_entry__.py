@@ -7518,7 +7518,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hash-red, canonicalization fixed), (3) queries new this round,
     (4) queries whose operators/oracles changed this round, then the
     already-green remainder (round-2 set before round-1 set).  All 188
-    pass the full local gate (tools/check_oracle.py) at sf0.01."""
+    pass the full local gate (tools/check_oracle.py) at sf0.01 AND
+    sf0.1.  ROUND-4 REORDER NOTE: the per-round driver gate covers a
+    ~50-entry prefix; section (3) below has grown past that, so the
+    next round should move section (3)'s tail (everything after
+    ~position 50 that has no CORRECTNESS_r03 row) to the front,
+    before the already-green sets — same policy as this round."""
     return {
         # -- (1) no driver CORRECTNESS row in either prior round --------
         "rolling_median_value": q_rolling_median,
