@@ -728,3 +728,13 @@ def test_drift_raises_loudly_on_missing_baseline(spark):
     assert "baseline" in str(ei.value)
     with pytest.raises(Exception):
         quality.categorical_drift(df, "g", "g", baseline="TYPO").collect()
+
+
+def test_bpe_merge_steps_pairless_corpus_returns_no_merges(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import textstats
+
+    # single-char words only: no adjacent symbol pairs exist anywhere
+    df = spark.createDataFrame([(0, "a b c a")], "id int, text string")
+    out = textstats.bpe_merge_steps(df, "text", n_merges=2).collect()
+    assert out == []
+    spark.catalog.clearCache()
