@@ -384,3 +384,22 @@ def test_target_mix_sample_hits_proportions(spark):
     df2 = df.union(spark.createDataFrame([(3000, "junk")], "id long, src string"))
     kept2 = sampling.target_mix_sample(df2, "src", "id", {"a": 0.5, "b": 0.25, "c": 0.25})
     assert kept2.filter("src = 'junk'").count() == 0
+
+
+def test_target_mix_sample_tolerates_absent_target_stratum(spark):
+    """A target stratum with NO rows in the data can't be represented:
+    the sampler keeps the best achievable mix over present strata and
+    does not crash (the absent stratum is simply missing)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(100)] + [(200 + i, "b") for i in range(100)],
+        "id long, src string",
+    )
+    kept = sampling.target_mix_sample(
+        df, "src", "id", {"a": 0.4, "b": 0.4, "ghost": 0.2}
+    )
+    got = {r["src"] for r in kept.select("src").distinct().collect()}
+    assert got == {"a", "b"}
+    # equal targets over equal strata: binding keeps everything
+    assert kept.count() == 200
