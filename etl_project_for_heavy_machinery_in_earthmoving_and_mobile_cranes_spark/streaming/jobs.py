@@ -297,6 +297,43 @@ def _already_applied(stored, batch_id: int) -> bool:
     return last is not None and last >= batch_id
 
 
+def apply_rollup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    rollup_path: str,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> None:
+    """One micro-batch of rollup maintenance, exposed at module level
+    so the at-least-once replay contract is directly testable: calling
+    it twice with the same ``batch_id`` applies once."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.history import (
+        merge_rollups,
+    )
+
+    spark = batch_df.sparkSession
+    stored = _read_maintained_table(spark, rollup_path)
+    if _already_applied(stored, batch_id):
+        return  # at-least-once replay of an applied batch: no-op
+    inc = batch_df.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("sum_value"),
+    )
+    if stored is not None:
+        merged = merge_rollups(
+            [stored.drop(_BATCH_MARK), inc],
+            [key_col], sum_cols=("sum_value",), count_col="n",
+        )
+    else:
+        merged = inc
+    # collect-and-rewrite: the rollup is |keys|-sized by contract
+    merged = merged.withColumn(_BATCH_MARK, F.lit(batch_id))
+    rows = merged.collect()
+    spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(rollup_path)
+
+
 def maintain_rollup_stream(
     events: DataFrame,
     rollup_path: str,
@@ -310,38 +347,11 @@ def maintain_rollup_stream(
     O(batch + rollup), the history is never rescanned.  The rollup
     table is rewritten atomically per batch (version-and-rename cost
     of plain parquet; a Delta/Iceberg target would reduce it to a
-    MERGE) and the checkpoint makes the whole loop idempotent per
-    micro-batch."""
-    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.history import (
-        merge_rollups,
-    )
-
-    spark = events.sparkSession
-
-    def partial(df: DataFrame) -> DataFrame:
-        return df.groupBy(key_col).agg(
-            F.count("*").alias("n"),
-            F.sum(F.col(value_col).cast("decimal(28,6)")).alias("sum_value"),
-        )
+    MERGE); the checkpoint plus the ``__last_batch_id`` guard make the
+    loop exactly-once per micro-batch even under replay."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        stored = _read_maintained_table(spark, rollup_path)
-        if _already_applied(stored, batch_id):
-            return  # at-least-once replay of an applied batch: no-op
-        inc = partial(batch_df)
-        if stored is not None:
-            merged = merge_rollups(
-                [stored.drop(_BATCH_MARK), inc],
-                [key_col], sum_cols=("sum_value",), count_col="n",
-            )
-        else:
-            merged = inc
-        # collect-and-rewrite: the rollup is |keys|-sized by contract
-        merged = merged.withColumn(_BATCH_MARK, F.lit(batch_id))
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(rollup_path)
+        apply_rollup_batch(batch_df, batch_id, rollup_path, key_col, value_col)
 
     return (
         events.writeStream.foreachBatch(write_batch)

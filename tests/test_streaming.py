@@ -468,3 +468,38 @@ def test_foreach_batch_replay_guard_helpers(spark, tmp_path):
         df = jobs._read_maintained_table(spark, str(bad))
         if df is not None:  # force the read if lazily deferred
             df.collect()
+
+def test_rollup_batch_replay_is_idempotent(spark, event_dir, tmp_path):
+    """The at-least-once replay contract, exercised on the real apply
+    path: re-delivering an already-applied micro-batch (same batch_id —
+    what Structured Streaming does after a crash between the table
+    write and the checkpoint commit) must be a no-op, while the next
+    batch id still applies."""
+    from pyspark.sql import functions as F
+
+    rollup = str(tmp_path / "r_idem")
+    src = spark.read.parquet(event_dir)
+    b0 = src.filter("user_id % 2 = 0")
+    b1 = src.filter("user_id % 2 = 1")
+
+    jobs.apply_rollup_batch(b0, 0, rollup)
+    first = {r["event_type"]: (r["n"], float(r["sum_value"]))
+             for r in spark.read.parquet(rollup).collect()}
+    # crash-replay of batch 0: same id re-delivered -> no double count
+    jobs.apply_rollup_batch(b0, 0, rollup)
+    assert {r["event_type"]: (r["n"], float(r["sum_value"]))
+            for r in spark.read.parquet(rollup).collect()} == first
+    # the NEXT batch still applies on top
+    jobs.apply_rollup_batch(b1, 1, rollup)
+    got = {r["event_type"]: (r["n"], float(r["sum_value"]))
+           for r in spark.read.parquet(rollup).collect()}
+    want = {r["event_type"]: (r["n"], float(r["s"]))
+            for r in src.groupBy("event_type").agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+            ).collect()}
+    assert got == want
+    # and replaying batch 1 after the fact is also a no-op
+    jobs.apply_rollup_batch(b1, 1, rollup)
+    assert {r["event_type"]: (r["n"], float(r["sum_value"]))
+            for r in spark.read.parquet(rollup).collect()} == want
