@@ -503,3 +503,27 @@ def test_rollup_batch_replay_is_idempotent(spark, event_dir, tmp_path):
     jobs.apply_rollup_batch(b1, 1, rollup)
     assert {r["event_type"]: (r["n"], float(r["sum_value"]))
             for r in spark.read.parquet(rollup).collect()} == want
+
+
+def test_rollup_batch_migrates_legacy_table_without_mark(spark, tmp_path):
+    """A rollup table written before the replay guard existed (no
+    __last_batch_id column) must merge cleanly and come out upgraded
+    with the mark."""
+    from pyspark.sql import functions as F
+
+    rollup = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [("click", 10, 100.0)], "event_type string, n long, sum_value double"
+    ).select(
+        "event_type", "n", F.col("sum_value").cast("decimal(28,6)").alias("sum_value")
+    ).write.parquet(rollup)
+
+    batch = spark.createDataFrame(
+        [(1, "click", 5.0), (2, "view", 7.0)],
+        "event_id long, event_type string, value double",
+    )
+    jobs.apply_rollup_batch(batch, 0, rollup)
+    out = spark.read.parquet(rollup)
+    assert "__last_batch_id" in out.columns
+    got = {r["event_type"]: (r["n"], float(r["sum_value"])) for r in out.collect()}
+    assert got == {"click": (11, 105.0), "view": (1, 7.0)}
