@@ -7512,72 +7512,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's verification order (the per-round
-    correctness pass covers a prefix of this dict).  Round 3 ordering
-    policy (never-driver-verified first): (1) the 26 queries with no
-    CORRECTNESS row in rounds 1-2, (2) domain_mix_sample (the round-2
-    hash-red, canonicalization fixed), (3) queries new this round,
-    (4) queries whose operators/oracles changed this round, then the
-    already-green remainder (round-2 set before round-1 set).  All 188
-    pass the full local gate (tools/check_oracle.py) at sf0.01 AND
-    sf0.1.  ROUND-4 REORDER NOTE: the per-round driver gate covers a
-    ~50-entry prefix; section (3) below has grown past that, so the
-    next round should move section (3)'s tail (everything after
-    ~position 50 that has no CORRECTNESS_r03 row) to the front,
-    before the already-green sets — same policy as this round."""
+    correctness pass covers a ~50-entry prefix of this dict).
+
+    STRUCTURAL ORDERING POLICY (round 4 onward): entries are kept in
+    three sections -- (A) never-driver-verified queries, oldest debt
+    first; (B) queries added THIS round (new queries are inserted at
+    the TOP of section B by default, ahead of re-verified greens);
+    (C) queries with a green CORRECTNESS row in some prior round,
+    most-recently-verified last.  Round 4: section A = the 43
+    round-3 additions with no driver row in r1-r3 (VERDICT round 3,
+    What's missing #1).  All registered queries additionally pass
+    the local gate (tools/check_oracle.py --exact) at sf0.01 AND
+    sf0.1 before every round ends."""
     return {
-        # -- (1) no driver CORRECTNESS row in either prior round --------
-        "rolling_median_value": q_rolling_median,
-        "event_deltas": q_event_deltas,
-        "event_calendar_heatmap": q_event_calendar_heatmap,
-        "table_profile": q_table_profile,
-        "dq_audit": q_dq_audit,
-        "dedup_canonical": q_dedup_canonical,
-        "variant_props": q_variant_props,
-        "grouping_sets_pricing": q_grouping_sets_pricing,
-        "price_iqr_outliers": q_price_iqr_outliers,
-        "mad_price_outliers": q_mad_price_outliers,
-        "price_qty_regression": q_price_qty_regression,
-        "supplier_rank_stats": q_supplier_rank_stats,
-        "customers_no_orders": q_customers_no_orders,
-        "suppliers_with_returns": q_suppliers_with_returns,
-        "running_monthly_revenue": q_running_monthly_revenue,
-        "acctbal_quartiles": q_acctbal_quartiles,
-        "lateral_top_orders": q_lateral_top_orders,
-        "price_histogram": q_price_histogram,
-        "corr_quantity_price": q_corr_quantity_price,
-        "unpivot_nation_measures": q_unpivot_nation_measures,
-        "mode_event_type": q_mode_event_type,
-        "nation_segments": q_nation_segments,
-        "market_share_year": q_market_share_year,
-        "event_type_pairs": q_event_type_pairs,
-        "pareto_parts": q_pareto_parts,
-        "winsorized_prices": q_winsorized_prices,
-        # -- (2) round-2 hash-red, BIGINT/hex canonicalization fixed ----
-        "domain_mix_sample": q_domain_mix_sample,
-        # -- (3) new this round -----------------------------------------
-        "export_render": q_export_render,
-        "report_order_pos": q_report_order_pos,
-        "schema_guard": q_schema_guard,
-        "xlsx_roundtrip": q_xlsx_roundtrip,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_pq": q_ann_ivf_pq,
-        "media_decode_dims": q_media_decode_dims,
-        "corpus_shuffle_rank": q_corpus_shuffle_rank,
-        "temperature_mix": q_temperature_mix,
-        "salted_skew_join": q_salted_skew_join,
-        "two_phase_distinct": q_two_phase_distinct,
-        "last_touch_attribution": q_last_touch_attribution,
-        "span_corruption": q_span_corruption,
-        "near_dup_removal": q_near_dup_removal,
-        "semantic_dedup": q_semantic_dedup,
-        "quality_logit": q_quality_logit,
-        "epoch_mixture": q_epoch_mixture,
-        "hard_negatives": q_hard_negatives,
-        "curation_pipeline": q_curation_pipeline,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "media_dhash": q_media_dhash,
-        "dup_span_detect": q_dup_span_detect,
-        "pagerank_parts": q_pagerank_parts,
+        # -- (A) driver-verification backlog: no CORRECTNESS row in
+        # r1-r3 (the 43 round-3 additions; VERDICT r3 list) ----------
         "media_wav_stats": q_media_wav_stats,
         "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
         "dup_span_strip": q_dup_span_strip,
@@ -7621,7 +7570,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "target_mix": q_target_mix,
         "lang_mix_drift": q_lang_mix_drift,
-        # -- (4) operator/oracle touched this round ---------------------
+        # -- (B) new in round 4 (insert new queries HERE, at top) ----
+        # -- (C) driver-green in a prior round -----------------------
+        "rolling_median_value": q_rolling_median,
+        "event_deltas": q_event_deltas,
+        "event_calendar_heatmap": q_event_calendar_heatmap,
+        "table_profile": q_table_profile,
+        "dq_audit": q_dq_audit,
+        "dedup_canonical": q_dedup_canonical,
+        "variant_props": q_variant_props,
+        "grouping_sets_pricing": q_grouping_sets_pricing,
+        "price_iqr_outliers": q_price_iqr_outliers,
+        "mad_price_outliers": q_mad_price_outliers,
+        "price_qty_regression": q_price_qty_regression,
+        "supplier_rank_stats": q_supplier_rank_stats,
+        "customers_no_orders": q_customers_no_orders,
+        "suppliers_with_returns": q_suppliers_with_returns,
+        "running_monthly_revenue": q_running_monthly_revenue,
+        "acctbal_quartiles": q_acctbal_quartiles,
+        "lateral_top_orders": q_lateral_top_orders,
+        "price_histogram": q_price_histogram,
+        "corr_quantity_price": q_corr_quantity_price,
+        "unpivot_nation_measures": q_unpivot_nation_measures,
+        "mode_event_type": q_mode_event_type,
+        "nation_segments": q_nation_segments,
+        "market_share_year": q_market_share_year,
+        "event_type_pairs": q_event_type_pairs,
+        "pareto_parts": q_pareto_parts,
+        "winsorized_prices": q_winsorized_prices,
+        "domain_mix_sample": q_domain_mix_sample,
+        "export_render": q_export_render,
+        "report_order_pos": q_report_order_pos,
+        "schema_guard": q_schema_guard,
+        "xlsx_roundtrip": q_xlsx_roundtrip,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "media_decode_dims": q_media_decode_dims,
+        "corpus_shuffle_rank": q_corpus_shuffle_rank,
+        "temperature_mix": q_temperature_mix,
+        "salted_skew_join": q_salted_skew_join,
+        "two_phase_distinct": q_two_phase_distinct,
+        "last_touch_attribution": q_last_touch_attribution,
+        "span_corruption": q_span_corruption,
+        "near_dup_removal": q_near_dup_removal,
+        "semantic_dedup": q_semantic_dedup,
+        "quality_logit": q_quality_logit,
+        "epoch_mixture": q_epoch_mixture,
+        "hard_negatives": q_hard_negatives,
+        "curation_pipeline": q_curation_pipeline,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "media_dhash": q_media_dhash,
+        "dup_span_detect": q_dup_span_detect,
+        "pagerank_parts": q_pagerank_parts,
         "asof_rate_join": q_asof_rate_join,
         "tfidf_terms": q_tfidf_terms,
         "containment_token": q_containment_token,
@@ -7630,7 +7630,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_fast": q_minhash_pairs_fast,
         "ngram_jaccard": q_ngram_jaccard,
         "session_burst_overlap": q_session_burst_overlap,
-        # -- green in CORRECTNESS_r02 (unchanged since) -----------------
         "dedup_clusters": q_dedup_clusters,
         "decontaminate_docs": q_decontaminate_docs,
         "supplier_chain": q_supplier_chain,
@@ -7673,7 +7672,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "parse_props_json": q_parse_props_json,
         "sessionized_events": q_sessionized_events,
-        # -- green in CORRECTNESS_r01 (unchanged since) -----------------
         "pricing_summary": q_pricing_summary,
         "shipping_priority_top10": q_shipping_priority,
         "nation_revenue": q_nation_revenue,
@@ -7720,7 +7718,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_frequency": q_token_frequency,
         "doc_repetition": q_doc_repetition,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     return {
