@@ -190,15 +190,14 @@ def upsert_stream(
     key wins, within-batch latest picked by ts).
 
     Plain parquet has no transactional MERGE, so a batch writes the
-    merged table to a new versioned directory and atomically renames it
-    over the old one — correct single-writer semantics, full-table
-    rewrite cost.  At production scale the same ``write_batch`` body
-    targets a table format (Delta/Iceberg MERGE INTO) that rewrites
-    only the files containing matched keys; the streaming plumbing
-    (checkpoint, availableNow, per-batch idempotence) is unchanged."""
-    import os
-    import shutil
-
+    merged table to a new versioned directory executor-side and
+    atomically publishes it via the shared symlink-swap protocol
+    (``_commit_maintained_table``) — correct single-writer semantics,
+    full-table rewrite cost.  At production scale the same
+    ``write_batch`` body targets a table format (Delta/Iceberg MERGE
+    INTO) that rewrites only the files containing matched keys; the
+    streaming plumbing (checkpoint, availableNow, per-batch
+    idempotence) is unchanged."""
     from ..operators.history import merge_upsert
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -209,16 +208,12 @@ def upsert_stream(
         dedup = (
             batch_df.groupBy(*key_cols).agg(latest).select(*key_cols, "__rest.*")
         )
-        if os.path.exists(table_path):
-            current = spark.read.parquet(table_path)
+        current = _read_maintained_table(spark, table_path)
+        if current is not None:
             merged = merge_upsert(current, dedup.select(*current.columns), key_cols)
         else:
             merged = dedup
-        tmp = f"{table_path}.v{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(table_path):
-            shutil.rmtree(table_path)
-        os.rename(tmp, table_path)
+        _commit_maintained_table(merged, table_path, batch_id)
 
     return (
         events.writeStream.foreachBatch(write_batch)
@@ -271,15 +266,97 @@ def curated_documents(docs: DataFrame, threshold: float = 0.0) -> DataFrame:
 def _read_maintained_table(spark, path: str):
     """Read a foreachBatch-maintained table; None ONLY when the path
     does not exist yet (first batch).  Any other failure — corrupt
-    footer, permission, transient FS error — propagates: a bare
-    except here would silently reset months of accumulated state to
-    the current batch."""
+    footer, schema-inference failure on a half-written/empty dir,
+    permission, transient FS error — propagates: a broad except here
+    would silently reset months of accumulated state to the current
+    batch."""
+    import os
+
     from pyspark.errors import AnalysisException
 
+    if not os.path.lexists(path):
+        return None
     try:
         return spark.read.parquet(path)
-    except AnalysisException:
-        return None
+    except AnalysisException as e:
+        cond = None
+        for meth in ("getCondition", "getErrorClass"):
+            fn = getattr(e, meth, None)
+            if fn is not None:
+                try:
+                    cond = fn()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        if cond and "PATH_NOT_FOUND" in cond:
+            return None  # raced away between lexists and read
+        raise
+
+
+def _commit_maintained_table(
+    merged: DataFrame, path: str, batch_id: int, n_files: int | None = None
+) -> None:
+    """Executor-side write + atomic publish of a foreachBatch-maintained
+    table.
+
+    The live table at ``path`` is a SYMLINK to an immutable versioned
+    directory ``{path}.versions/v{batch_id}``.  Publishing a batch is:
+
+    1. write the new version dir executor-side (plain distributed
+       parquet write — the table never routes through driver memory,
+       so an O(table)-sized dimension costs a rewrite, not a driver
+       OOM);
+    2. atomically swap the symlink (``os.symlink`` to a temp name +
+       ``os.replace`` onto ``path`` — a single atomic rename on POSIX).
+
+    A crash at ANY point leaves the previously published version live
+    and readable: before the swap the old symlink still points at the
+    old version dir; a replayed batch rewrites ``v{batch_id}`` (mode
+    overwrite) and swaps again.  This replaces the earlier
+    delete-then-write ``mode("overwrite")`` on the live path, whose
+    crash window left an empty dir that a lenient reader would have
+    treated as "first batch" (silent state reset).
+
+    Versioned dirs also break the read-write cycle: ``merged`` is a
+    lazy plan over the CURRENT version, and the write targets a NEW
+    directory, so no driver-side materialization is needed to avoid
+    overwriting the plan's own input.
+
+    Legacy layout (a real directory at ``path`` from before this
+    protocol): the directory is renamed into the versions dir once,
+    then the symlink protocol takes over.  The one-time migration has
+    a sub-millisecond window where ``path`` is absent (between the
+    rename-away and the symlink publish) — acceptable for a
+    single-writer maintainer and gone after the first post-upgrade
+    batch.  Old versions are garbage-collected best-effort, keeping
+    the live one and its predecessor (crash-replay safety margin).
+    """
+    import os
+    import shutil
+
+    vroot = f"{path}.versions"
+    vdir = os.path.join(vroot, f"v{batch_id:020d}")
+    writer = merged.coalesce(n_files) if n_files else merged
+    writer.write.mode("overwrite").parquet(vdir)
+
+    if os.path.lexists(path) and not os.path.islink(path):
+        legacy = os.path.join(vroot, "v" + "0" * 19 + "_legacy")
+        if os.path.lexists(legacy):
+            shutil.rmtree(legacy, ignore_errors=True)
+        os.rename(path, legacy)
+    tmp_link = f"{path}.publish.{batch_id}"
+    if os.path.lexists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(os.path.abspath(vdir), tmp_link)
+    os.replace(tmp_link, path)
+
+    try:  # GC: keep the live version and one predecessor
+        versions = sorted(d for d in os.listdir(vroot) if d.startswith("v"))
+        for stale in versions[:-2]:
+            shutil.rmtree(os.path.join(vroot, stale), ignore_errors=True)
+    except OSError:
+        pass
 
 
 _BATCH_MARK = "__last_batch_id"
@@ -326,12 +403,9 @@ def apply_rollup_batch(
         )
     else:
         merged = inc
-    # collect-and-rewrite: the rollup is |keys|-sized by contract
+    # the rollup is |keys|-sized by contract -> one output file
     merged = merged.withColumn(_BATCH_MARK, F.lit(batch_id))
-    rows = merged.collect()
-    spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(rollup_path)
+    _commit_maintained_table(merged, rollup_path, batch_id, n_files=1)
 
 
 def maintain_rollup_stream(
@@ -401,10 +475,8 @@ def maintain_drift_counts_stream(
         else:
             merged = inc
         merged = merged.withColumn(_BATCH_MARK, F.lit(batch_id))
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(counts_path)
+        # |groups|*n_bins-sized by contract -> one output file
+        _commit_maintained_table(merged, counts_path, batch_id, n_files=1)
 
     return (
         events.writeStream.foreachBatch(write_batch)
@@ -472,8 +544,10 @@ def maintain_scd2_stream(
 
     Contract: events arrive in event-time order ACROSS batches per key
     (the standard CDC ingestion assumption); within a batch any order
-    is fine.  Same atomic rewrite-per-batch parquet cost as the other
-    foreachBatch maintainers; a Delta/Iceberg MERGE shrinks it to
+    is fine.  The O(table) rewrite is a distributed executor-side
+    parquet write published by the shared atomic symlink swap
+    (``_commit_maintained_table``) — the table never routes through
+    driver memory; a Delta/Iceberg MERGE shrinks the rewrite to
     touched files.
     """
     from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.timeseries import (
@@ -515,10 +589,10 @@ def maintain_scd2_stream(
         else:
             merged = scd2_from_events(obs, key_col, ts_col, attr_cols)
         merged = merged.withColumn(_BATCH_MARK, F.lit(batch_id))
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(table_path)
+        # executor-side distributed write + atomic symlink publish: the
+        # O(table) rewrite never routes through driver memory, so a
+        # 100x-scale dimension costs IO, not a driver OOM
+        _commit_maintained_table(merged, table_path, batch_id)
 
     return (
         events.writeStream.foreachBatch(write_batch)

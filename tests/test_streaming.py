@@ -527,3 +527,54 @@ def test_rollup_batch_migrates_legacy_table_without_mark(spark, tmp_path):
     assert "__last_batch_id" in out.columns
     got = {r["event_type"]: (r["n"], float(r["sum_value"])) for r in out.collect()}
     assert got == {"click": (11, 105.0), "view": (1, 7.0)}
+
+
+def test_commit_maintained_table_atomic_symlink_protocol(spark, tmp_path):
+    """The maintained-table publish protocol: the live path is a
+    symlink atomically retargeted per batch; a crash BEFORE the swap
+    (simulated: version dir written, no publish) leaves the previous
+    version live; leftover temp links from a crashed publish are
+    tolerated on replay; old versions are garbage-collected down to
+    live + predecessor."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    v0 = spark.createDataFrame([(1, "a")], "k long, v string")
+    v1 = spark.createDataFrame([(1, "b"), (2, "c")], "k long, v string")
+
+    jobs._commit_maintained_table(v0, path, 0, n_files=1)
+    assert os.path.islink(path)
+    assert [tuple(r) for r in spark.read.parquet(path).collect()] == [(1, "a")]
+
+    # crash before swap: a new version dir exists but the live symlink
+    # still serves the old data
+    stale = os.path.join(f"{path}.versions", f"v{1:020d}")
+    v1.coalesce(1).write.mode("overwrite").parquet(stale)
+    assert [tuple(r) for r in spark.read.parquet(path).collect()] == [(1, "a")]
+    # ... and a leftover temp link from the crashed publish is replaced
+    os.symlink(stale, f"{path}.publish.1")
+    jobs._commit_maintained_table(v1, path, 1, n_files=1)
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "b"), (2, "c")]
+
+    # GC keeps at most live + predecessor
+    jobs._commit_maintained_table(v1, path, 2, n_files=1)
+    jobs._commit_maintained_table(v1, path, 3, n_files=1)
+    kept = sorted(os.listdir(f"{path}.versions"))
+    assert kept == [f"v{2:020d}", f"v{3:020d}"]
+
+
+def test_commit_maintained_table_migrates_real_directory(spark, tmp_path):
+    """A pre-protocol table (a REAL parquet directory at the live
+    path) is renamed into the versions dir once and the symlink
+    protocol takes over, preserving readability throughout."""
+    import os
+
+    path = str(tmp_path / "legacy_tbl")
+    spark.createDataFrame([(9, "z")], "k long, v string").write.parquet(path)
+    assert os.path.isdir(path) and not os.path.islink(path)
+
+    nxt = spark.createDataFrame([(9, "y")], "k long, v string")
+    jobs._commit_maintained_table(nxt, path, 0, n_files=1)
+    assert os.path.islink(path)
+    assert [tuple(r) for r in spark.read.parquet(path).collect()] == [(9, "y")]
