@@ -57,3 +57,20 @@ print("VANILLA_OK")
         capture_output=True, text=True, timeout=420, cwd="/root/repo",
     )
     assert "VANILLA_OK" in r.stdout, r.stdout[-2000:] + r.stderr[-2000:]
+
+
+def test_lsh_prefilter_flag_gates_candidate_trim(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_LSH_PREFILTER=1 (the bench scale path) may only ever
+    TRIM candidates ahead of the exact-Jaccard verify: the final
+    verified pair set must be identical with and without the flag on
+    the test corpus, and the gate-default (flag unset) path must be
+    recall-exact by construction (no est_jaccard filter in the plan)."""
+    qs = entry.queries()
+
+    monkeypatch.delenv("SPARK_GRAFT_LSH_PREFILTER", raising=False)
+    gate = {tuple(r) for r in qs["minhash_pairs_fast"](spark, sf_dir).collect()}
+
+    monkeypatch.setenv("SPARK_GRAFT_LSH_PREFILTER", "1")
+    bench = {tuple(r) for r in qs["minhash_pairs_fast"](spark, sf_dir).collect()}
+
+    assert gate == bench and len(gate) > 0
