@@ -3017,13 +3017,16 @@ def q_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM drift detection per user (timeseries.cusum_flags): the
     sequential-looking recurrence S_i = max(0, S_{i-1} + x_i − t − k)
     in its closed windowable form (cumsum − running min) — one
-    entity exchange, two window passes, no recursion.  Oracle replays
-    both windows and the portable rounding."""
+    entity exchange, two window passes, no recursion.  Ordered by
+    (ts, event_id) so duplicate timestamps can't make the cumulative
+    statistic nondeterministic across runs/engines.  Oracle replays
+    both windows, the tiebreak, and the portable rounding."""
     tune(spark)
     e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     out = timeseries.cusum_flags(
         e, "user_id", "ts", "value",
         target=_CUSUM_TARGET, slack=_CUSUM_SLACK, threshold=_CUSUM_H,
+        tiebreak_col="event_id",
     )
     return out.select("user_id", "event_id", "cusum", "alarm")
 
@@ -3032,12 +3035,12 @@ ORACLE_CUSUM = f"""
 WITH c1 AS (
   SELECT user_id, event_id, ts,
          sum(value - {_CUSUM_TARGET + _CUSUM_SLACK!r}) OVER
-           (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS c
+           (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS c
   FROM events
 ), c2 AS (
   SELECT user_id, event_id,
          c - least(0.0, min(c) OVER
-           (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)) AS s
+           (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) AS s
   FROM c1
 )
 SELECT user_id, event_id,

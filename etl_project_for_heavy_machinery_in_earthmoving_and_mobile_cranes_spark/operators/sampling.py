@@ -390,9 +390,6 @@ def target_mix_sample(
     shares = [
         (k, float(v)) for k, v in sorted(target_shares.items())
     ]
-    share_col = F.create_map(
-        *[F.lit(x) for kv in shares for x in kv]
-    )[F.col(stratum_col)]
     counts = df.groupBy(F.col(stratum_col).alias("__s")).agg(
         F.count("*").alias("__n")
     )

@@ -690,14 +690,19 @@ def bpe_merge_steps(df: DataFrame, text_col: str, n_merges: int = 3) -> DataFram
     keeps its own boundary spaces, so consecutive matches don't consume
     each other's delimiter), then whitespace re-collapse.
 
-    Each iteration's vocabulary frame is lazily ``persist()``-ed:
-    iteration k+1 references iteration k twice (pair counting + merge
-    application), so without the cache the plan re-derives the corpus
-    tokenization per step.  No action is triggered here — the caches
-    populate on the caller's first action.  ``spark.catalog.clearCache()``
-    releases them.
+    Cache discipline: exactly ONE vocabulary frame is cached at any
+    moment.  Each step materializes the next frame from the live
+    cache, then unpersists the superseded one (the earlier lazy
+    unrolled-DAG form leaked every iteration's cache until executor
+    storage evicted them).  The per-step argmax is a 1-row driver
+    action (TakeOrderedAndProject with a deterministic count-desc,
+    pair-asc tiebreak) — the same bounded-collect contract as the
+    k-means centroid seeds; the vocabulary itself never leaves the
+    executors.
 
-    Returns one row per merge: ``(step, pair, merged, pair_count)``.
+    Returns one row per merge: ``(step, pair, merged, pair_count)``;
+    fewer than ``n_merges`` rows when the vocabulary runs out of
+    adjacent pairs.
     """
     toks = F.filter(
         F.split(normalize_for_dedup(F.col(text_col)), " "), lambda t: t != ""
@@ -713,63 +718,52 @@ def bpe_merge_steps(df: DataFrame, text_col: str, n_merges: int = 3) -> DataFram
         F.trim(F.regexp_replace(F.col("__w"), r"(.)", r"$1 ")).alias("__seq"),
     ).persist()
 
-    step_frames = []
-    for step in range(1, n_merges + 1):
-        with_tk = cur.withColumn("__tk", F.split(F.col("__seq"), " "))
-        pairs = (
-            # guard size>=2: Spark's sequence(0, -1) steps BACKWARD
-            with_tk.filter(F.size(F.col("__tk")) >= 2)
-            .select(
-                "__n",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(__tk) - 2),"
-                        " i -> concat(__tk[i], ' ', __tk[i + 1]))"
-                    )
-                ).alias("pair"),
-            )
-            .groupBy("pair")
-            .agg(F.sum("__n").alias("pair_count"))
-        )
-        best = pairs.orderBy(F.desc("pair_count"), F.asc("pair")).limit(1)
-        step_frames.append(
-            best.select(
-                F.lit(step).alias("step"),
-                "pair",
-                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
-                F.col("pair_count").cast("bigint"),
-            )
-        )
-        if step < n_merges:
-            bp = F.col("__bp")
-            doubled = F.concat(
-                F.lit(" "),
-                F.replace(F.col("__seq"), F.lit(" "), F.lit("  ")),
-                F.lit(" "),
-            )
-            pat = F.concat(
-                F.lit(" "), F.replace(bp, F.lit(" "), F.lit("  ")), F.lit(" ")
-            )
-            rep = F.concat(
-                F.lit(" "), F.replace(bp, F.lit(" "), F.lit("")), F.lit(" ")
-            )
-            cur = (
-                cur.crossJoin(
-                    F.broadcast(best.select(F.col("pair").alias("__bp")))
-                )
+    rows: list[tuple] = []
+    try:
+        for step in range(1, n_merges + 1):
+            with_tk = cur.withColumn("__tk", F.split(F.col("__seq"), " "))
+            pairs = (
+                # guard size>=2: Spark's sequence(0, -1) steps BACKWARD
+                with_tk.filter(F.size(F.col("__tk")) >= 2)
                 .select(
+                    "__n",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(__tk) - 2),"
+                            " i -> concat(__tk[i], ' ', __tk[i + 1]))"
+                        )
+                    ).alias("pair"),
+                )
+                .groupBy("pair")
+                .agg(F.sum("__n").alias("pair_count"))
+            )
+            best = pairs.orderBy(F.desc("pair_count"), F.asc("pair")).limit(1).first()
+            if best is None:
+                break  # no adjacent pairs left anywhere in the vocab
+            bp = best["pair"]
+            rows.append((step, bp, bp.replace(" ", ""), int(best["pair_count"])))
+            if step < n_merges:
+                doubled = F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("__seq"), F.lit(" "), F.lit("  ")),
+                    F.lit(" "),
+                )
+                pat = F.lit(" " + bp.replace(" ", "  ") + " ")
+                rep = F.lit(" " + bp.replace(" ", "") + " ")
+                nxt = cur.select(
                     "__n",
                     F.trim(
                         F.regexp_replace(F.replace(doubled, pat, rep), " +", " ")
                     ).alias("__seq"),
-                )
-                .persist()
-            )
-
-    out = step_frames[0]
-    for f in step_frames[1:]:
-        out = out.unionAll(f)
-    return out
+                ).persist()
+                nxt.count()  # populate from the live cache BEFORE dropping it
+                cur.unpersist()
+                cur = nxt
+    finally:
+        cur.unpersist()
+    return df.sparkSession.createDataFrame(
+        rows, "step int, pair string, merged string, pair_count bigint"
+    )
 
 
 def doc_distinct_grams(
@@ -788,6 +782,14 @@ def doc_distinct_grams(
     projection into Generate, which re-evaluates the whole
     transform/slice array once per EMITTED row, an O(grams²) per-doc
     blowup (measured 4.6 s → 0.1 s at sf0.1).
+
+    Cache ownership: the returned frame is ``persist()``-ed and the
+    CALLER owns its release — the cache is part of the caller's final
+    plan (novelty_score's short-doc left join re-reads it), so it
+    cannot be dropped here.  Call ``.unpersist()`` on the returned
+    frame after the terminal action when composing several gram-based
+    queries in one long-lived session; a leaked cache degrades to
+    LRU-evicted storage, never wrong answers.
     """
     toks = F.filter(
         F.split(normalize_for_dedup(F.col(text_col)), " "), lambda t: t != ""

@@ -456,6 +456,7 @@ def cusum_flags(
     slack: float,
     threshold: float,
     round_to: int | None = 6,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """One-sided CUSUM changepoint detection per key: flag the points
     where the upper cumulative sum
@@ -479,8 +480,16 @@ def cusum_flags(
     ``alarm`` (the flag row plus all subsequent rows until the series
     would be reset by the operator's caller — reset-on-alarm is a
     monitoring-policy choice, kept out of the pure statistic).
+
+    Determinism: a cumulative sum is order-sensitive, so duplicate
+    (key, order_col) rows make cusum/alarm nondeterministic across
+    runs and engines; pass ``tiebreak_col`` (e.g. an event id) to pin
+    a total order — same contract as ``session_transcripts``.
     """
-    w = Window.partitionBy(key_col).orderBy(order_col)
+    order = [F.col(order_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     dev = F.col(value_col).cast("double") - F.lit(float(target + slack))
     c = F.sum(dev).over(run)
