@@ -326,7 +326,10 @@ def connected_components(
     id) by iterative min-label propagation — each iteration is one
     join + one aggregate, lineage cut per iteration, early stop on
     convergence.  Diameter of dup clusters is tiny in practice, so
-    few iterations suffice; ``max_iter`` bounds pathological chains.
+    few iterations suffice; ``max_iter`` bounds pathological chains —
+    and hitting the bound without converging warns LOUDLY (a
+    partially-converged labeling silently under-merges clusters, so
+    a pathological chain must fail loud, not quiet).
 
     Returns (node, label) — docs to DROP are rows with node != label.
     """
@@ -368,6 +371,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "iterations; returned labels may under-merge long chains. "
+            "Raise max_iter (label propagation needs ~graph diameter "
+            "rounds) or pre-cut giant components.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

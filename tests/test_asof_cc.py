@@ -165,3 +165,26 @@ def test_rrf_fuse_hand_computed(spark):
     assert got[4] == (None, 2, round(1 / 62, 9))
     # doc in both lists outranks a doc leading only one list
     assert got[2][2] > got[1][2]
+
+
+def test_connected_components_warns_on_max_iter_exceeded(spark):
+    """A chain longer than max_iter propagation rounds must warn loudly
+    instead of returning a partially-converged labeling silently."""
+    import warnings
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup.connected_components(chain, max_iter=2)
+    assert any("did not converge" in str(w.message) for w in caught)
+
+    # and a converged run does NOT warn
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = dedup.connected_components(chain, max_iter=20)
+    assert not any("did not converge" in str(w.message) for w in caught)
+    assert out.filter("label = 0").count() == 9  # one component, min id 0
