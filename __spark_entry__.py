@@ -7528,6 +7528,374 @@ FROM supplier
 
 
 # ---------------------------------------------------------------------------
+# Round-4 additions: corpus-curation operators a 100 TB training-data
+# pipeline still reaches for after dedup/quality/mixing are in place —
+# per-domain caps, DSIR importance weighting, tail-vocabulary retention,
+# contamination attribution, embedding label audits, quality-aware
+# canonical selection.
+# ---------------------------------------------------------------------------
+
+
+_DOMAIN_CAP = 12
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (sampling.per_group_cap): every source
+    keeps its 12 smallest (md5 bucket, doc_id) docs — the uniform,
+    rerun-stable per-domain limit of web-corpus curation.  Oracle
+    replays the md5 rank."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    kept = sampling.per_group_cap(d, "source", "doc_id", cap=_DOMAIN_CAP)
+    return kept.select("doc_id", "source")
+
+
+def _oracle_domain_cap() -> str:
+    b = _sql_md5_bucket("doc_id")
+    return f"""
+WITH rk AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY {b}, doc_id) AS r
+  FROM documents
+)
+SELECT doc_id, source FROM rk WHERE r <= {_DOMAIN_CAP}
+"""
+
+
+_TAIL_MAX_DF = 2
+
+
+def q_tail_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-vocabulary retention (textstats.tail_token_coverage): per
+    doc, the fraction of its distinct tokens with corpus df <= 2 — what
+    aggressive filtering erases.  All-integer until one exact IEEE
+    division; oracle replays the df window."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return textstats.tail_token_coverage(d, "doc_id", "text", max_tail_df=_TAIL_MAX_DF)
+
+
+def _oracle_tail_token_coverage() -> str:
+    norm = _NORM_SQL.format(col="text")
+    return f"""
+WITH p AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split({norm}, ' '), x -> x != '')) AS t
+  FROM documents
+), w AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY t) AS df FROM p
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+         CAST(sum(CASE WHEN df <= {_TAIL_MAX_DF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tail_tokens
+  FROM w GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.n_distinct_tokens, 0) AS n_distinct_tokens,
+       coalesce(a.n_tail_tokens, 0) AS n_tail_tokens,
+       CASE WHEN a.n_distinct_tokens > 0
+            THEN CAST(a.n_tail_tokens AS DOUBLE) / a.n_distinct_tokens
+       END AS tail_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+_DSIR_DIM = 256
+_DSIR_TARGET_SRC = "src0"
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (sampling.dsir_importance, Xie et al.
+    2023): per-doc mean log p_target/p_raw over hashed-bigram buckets,
+    target = the src0 slice.  Hashed sufficient statistics are the
+    model — no classifier, no vocabulary, one corpus shuffle.  Oracle
+    replays buckets, add-1 smoothing, and the portable 4-dp floor."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "__is_tgt", F.col("source") == _DSIR_TARGET_SRC
+    )
+    return sampling.dsir_importance(
+        d, "doc_id", "text", "__is_tgt", dim=_DSIR_DIM
+    )
+
+
+def _oracle_dsir_weights() -> str:
+    norm = _NORM_SQL.format(col="text")
+    b = _sql_md5_bucket("bg")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split({norm}, ' '), x -> x != '') AS tk
+  FROM documents
+), bg AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(2, len(tk)),
+                               i -> tk[i-1] || ' ' || tk[i])) AS bg
+  FROM t WHERE len(tk) >= 2
+), db AS (
+  SELECT doc_id, source, {b} % {_DSIR_DIM} AS bkt, count(*) AS c
+  FROM bg GROUP BY 1, 2, 3
+), stats AS (
+  SELECT bkt, sum(c) AS cr,
+         sum(CASE WHEN source = '{_DSIR_TARGET_SRC}' THEN c ELSE 0 END) AS ct
+  FROM db GROUP BY 1
+), tot AS (
+  SELECT sum(cr) AS tr, sum(ct) AS tt FROM stats
+), lr AS (
+  SELECT bkt,
+         ln(CAST(ct + 1 AS DOUBLE)) - ln(CAST(tt + {_DSIR_DIM} AS DOUBLE))
+         - ln(CAST(cr + 1 AS DOUBLE)) + ln(CAST(tr + {_DSIR_DIM} AS DOUBLE)) AS lr
+  FROM stats CROSS JOIN tot
+), per_doc AS (
+  SELECT db.doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+         floor(sum(c * lr) / sum(c) * 1e4 + 0.5) / 1e4 AS log_w
+  FROM db JOIN lr USING (bkt) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(p.n_feats, 0) AS n_feats, p.log_w
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+_CO_THRESHOLD = 0.5
+
+
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding label audit (similarity.centroid_outliers): each
+    vector's cosine to its OWN label centroid, outlier when the
+    ROUNDED cosine falls under 0.5 (comparing the 6-dp value keeps the
+    flag engine-exact).  Decimal per-dim sums make centroids exact;
+    oracle replays the (label, dim) join and the fold."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.centroid_outliers(
+        emb, "vec_id", "embedding", "label", threshold=_CO_THRESHOLD
+    )
+    # flag from the ROUNDED cosine so both engines compare identical values
+    return out.select(
+        "vec_id",
+        "label",
+        "cosine",
+        F.when(F.col("cosine").isNotNull(), F.col("cosine") < _CO_THRESHOLD).alias(
+            "is_outlier"
+        ),
+    )
+
+
+ORACLE_CENTROID_OUTLIERS = f"""
+WITH ex AS (
+  SELECT vec_id, label, unnest(embedding) AS v,
+         CAST(unnest(range(0, len(embedding))) AS INT) AS dim
+  FROM embeddings
+), cent AS (
+  SELECT label, dim,
+         CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+           / count(*) AS m
+  FROM ex GROUP BY 1, 2
+), folded AS (
+  SELECT vec_id, ex.label,
+         sum(CAST(CAST(v AS DOUBLE) * m AS DECIMAL(38,18))) AS dot,
+         sum(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(38,18))) AS vv,
+         sum(CAST(m * m AS DECIMAL(38,18))) AS mm
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+  GROUP BY 1, 2
+), scored AS (
+  SELECT vec_id, label,
+         CASE WHEN sqrt(CAST(vv AS DOUBLE)) * sqrt(CAST(mm AS DOUBLE)) > 0
+              THEN floor(CAST(dot AS DOUBLE) /
+                         (sqrt(CAST(vv AS DOUBLE)) * sqrt(CAST(mm AS DOUBLE)))
+                         * 1e6 + 0.5) / 1e6
+         END AS cosine
+  FROM folded
+)
+SELECT vec_id, label, cosine,
+       CASE WHEN cosine IS NOT NULL THEN cosine < {_CO_THRESHOLD} END AS is_outlier
+FROM scored
+"""
+
+
+_CONTAM_N = 5
+
+
+def q_contamination_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination ATTRIBUTION: for every held-out benchmark doc
+    (doc_id%20==0) that shares at least one word-5-gram with the
+    training corpus, the single corpus doc sharing the MOST distinct
+    5-grams (ties → smallest doc id) — the report a leakage audit
+    actually files, naming the offending training doc per benchmark
+    item.  Winner selection is a min_by hash aggregate over the
+    shared-gram counts (the W2 discipline — no sort window); the
+    inverted-index gram join is bounded by shared-gram mass, never
+    all-pairs."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    grams = dedup.shingle_rows(d, "doc_id", "text", _CONTAM_N).distinct()
+    bench = grams.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), F.col("__sh")
+    )
+    corpus = grams.filter(F.col("doc_id") % 20 != 0).select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("__sh")
+    )
+    shared = (
+        bench.join(corpus, "__sh")
+        .groupBy("bench_doc_id", "corpus_doc_id")
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    return shared.groupBy("bench_doc_id").agg(
+        F.min_by(
+            F.col("corpus_doc_id"), F.struct(-F.col("shared"), F.col("corpus_doc_id"))
+        ).alias("top_corpus_doc"),
+        F.max("shared").alias("shared_grams"),
+    )
+
+
+def _oracle_contamination_attr() -> str:
+    norm = _NORM_SQL.format(col="text")
+    gram = " || ' ' || ".join(
+        f"t[i+{j}]" if j else "t[i]" for j in range(_CONTAM_N)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {_CONTAM_N - 1}),
+                               i -> {gram})) AS sh
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM sh_raw
+), shared AS (
+  SELECT b.doc_id AS bench_doc_id, c.doc_id AS corpus_doc_id,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM sh b JOIN sh c ON b.sh = c.sh
+  WHERE b.doc_id % 20 = 0 AND c.doc_id % 20 <> 0
+  GROUP BY 1, 2
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY bench_doc_id
+                               ORDER BY shared DESC, corpus_doc_id ASC) AS r
+  FROM shared
+)
+SELECT bench_doc_id, corpus_doc_id AS top_corpus_doc, shared AS shared_grams
+FROM rk WHERE r = 1
+"""
+
+
+def q_best_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters (the same
+    recall-exact LSH→verify→components chain as near_dup_removal) keep
+    their HIGHEST-quality-logit member (ties → smallest doc id)
+    instead of the smallest id — the keep-policy production dedup
+    actually ships, because the best-written copy should represent the
+    cluster.  Output is one row per multi-member cluster; winner via
+    min_by hash agg on (−logit, doc_id).  Oracle recomputes the
+    closure recursively and replays the logit."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        d, "doc_id", "text",
+        num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE, hash_fn="xxhash64",
+    ).localCheckpoint(eager=True)
+    cand = _lsh_prefilter(
+        dedup.lsh_similar_pairs(sigs, "doc_id", num_hashes=_MH_HASHES, bands=_MH_HASHES)
+    ).localCheckpoint(eager=True)
+    exact = dedup.exact_jaccard_of_pairs(d, cand, "doc_id", "text", shingle_n=_MH_SHINGLE)
+    pairs = exact.filter(F.col("jaccard") >= _FAST_DUP_THRESHOLD).select("id_a", "id_b")
+    comps = dedup.connected_components(pairs)
+    q = textstats.with_quality_logit(d, "text").select(
+        F.col("doc_id").alias("node"), F.col("logit")
+    )
+    return (
+        comps.join(q, "node")
+        .groupBy(F.col("label").alias("cluster"))
+        .agg(
+            F.min_by(F.col("node"), F.struct(-F.col("logit"), F.col("node"))).alias(
+                "kept_doc"
+            ),
+            F.count("*").cast("bigint").alias("cluster_size"),
+            F.max("logit").alias("best_logit"),
+        )
+    )
+
+
+def _oracle_best_quality_canonical() -> str:
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.textstats import (
+        QUALITY_LOGIT_WEIGHTS as W,
+        STOPWORDS,
+    )
+
+    norm = _NORM_SQL.format(col="text")
+    sw = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    return rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM sh_raw
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c / (sa.sz + sb.sz - c) >= {_FAST_DUP_THRESHOLD}
+), bidir AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), nodes AS (SELECT DISTINCT src AS n FROM bidir),
+reach(a, b) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN bidir e ON e.src = r.b
+),
+lab AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY 1),
+f AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_tok,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> list_contains({sw}, x))) AS s_en,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+         length(text) AS n_len
+  FROM documents
+), z AS (
+  SELECT doc_id,
+         round({W['bias']} + {W['len_score']} * least(n_tok / 50.0, 1.0)
+                     + {W['stopword_ratio']} * (s_en / greatest(n_tok, 1))
+                     + {W['punct_ratio']} * (n_punct / greatest(n_len, 1))
+                     + {W['digit_ratio']} * (n_digit / greatest(n_len, 1))
+                     + {W['mean_word_len']} * (n_nonws / greatest(n_tok, 1)), 6) AS logit
+  FROM f
+), scored AS (
+  SELECT lab.label AS cluster, lab.node, z.logit FROM lab JOIN z ON lab.node = z.doc_id
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster
+                               ORDER BY logit DESC, node ASC) AS r
+  FROM scored
+)
+SELECT cluster,
+       max(CASE WHEN r = 1 THEN node END) AS kept_doc,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       max(logit) AS best_logit
+FROM rk GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -7598,6 +7966,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_mix": q_target_mix,
         "lang_mix_drift": q_lang_mix_drift,
         # -- (B) new in round 4 (insert new queries HERE, at top) ----
+        "domain_cap": q_domain_cap,
+        "tail_token_coverage": q_tail_token_coverage,
+        "dsir_weights": q_dsir_weights,
+        "centroid_outliers": q_centroid_outliers,
+        "contamination_attr": q_contamination_attr,
+        "best_quality_canonical": q_best_quality_canonical,
         # -- (C) driver-green in a prior round -----------------------
         "rolling_median_value": q_rolling_median,
         "event_deltas": q_event_deltas,
@@ -7748,6 +8122,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "domain_cap": _oracle_domain_cap(),
+        "tail_token_coverage": _oracle_tail_token_coverage(),
+        "dsir_weights": _oracle_dsir_weights(),
+        "centroid_outliers": ORACLE_CENTROID_OUTLIERS,
+        "contamination_attr": _oracle_contamination_attr(),
+        "best_quality_canonical": _oracle_best_quality_canonical(),
         "export_render": ORACLE_EXPORT_RENDER,
         "report_order_pos": ORACLE_REPORT_ORDER_POS,
         "schema_guard": ORACLE_SCHEMA_GUARD,

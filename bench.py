@@ -146,6 +146,13 @@ BENCH_QUERIES = [
     "lang_mix_drift",
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
+    # round-4 additions
+    "domain_cap",
+    "tail_token_coverage",
+    "dsir_weights",
+    "centroid_outliers",
+    "contamination_attr",
+    "best_quality_canonical",
 ]
 
 

@@ -417,3 +417,142 @@ def target_mix_sample(
     cut = (F.col("__rate") * F.lit(float(_BUCKETS))).cast("bigint")
     kept = out.filter(hash_bucket(F.col(key_col), seed) < cut)
     return kept.drop("__s", "__rate")
+
+
+def per_group_cap(
+    df: DataFrame, group_col: str, key_col: str, cap: int, seed: int = 0
+) -> DataFrame:
+    """Cap every group at ``cap`` rows, selection deterministic in the
+    key — the per-domain document limit of web-corpus curation (one
+    domain may not dominate the training mix no matter how large its
+    crawl is).
+
+    Selection is the ``cap`` smallest (md5 bucket, key) pairs per
+    group: a pure function of the data, so reruns, backfills, and the
+    DuckDB oracle agree row-for-row; the hash order makes the kept
+    subset a uniform sample of the group rather than whatever the scan
+    order happened to be.
+
+    Scale shape: one window shuffle on the group key.  Group skew is
+    the usual caveat — a giant domain sorts its whole partition to
+    rank it; at 100 TB, pre-filter obvious giants with an approximate
+    count and the two-phase rank trick (rank only rows whose bucket
+    falls under cap/approx_count * slack), which this operator's
+    hash-order selection makes sound because membership depends only
+    on the bucket, not on which rows rank near the boundary.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    dim: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023): score every document by how target-like its hashed n-gram
+    profile is, so sampling by the score shifts the corpus mix toward
+    a target domain WITHOUT training a classifier.
+
+    Features are hashed word BIGRAMS (md5 % dim — the same
+    engine-portable construction as ``hashed_bow``).  With add-1
+    smoothed bucket distributions p_t (rows where ``target_col`` is
+    true) and p_r (all rows), a doc's log importance weight is
+
+        log w(doc) = sum_g c_g * ( ln p_t(g) − ln p_r(g) )
+
+    normalized per-feature (mean, not sum) so short and long docs are
+    comparable.  Rounded to 4 dp with the portable floor form — the
+    same ulp-absorbing discipline as the bigram LM score.
+
+    Scale shape: one explode → (doc, bucket) hash aggregate with
+    map-side combine (the only corpus-sized shuffle; persisted because
+    both distributions and the per-doc fold read it), a dim-sized
+    bucket-stats table broadcast back, one per-doc aggregate.  No
+    vocabulary table, no model broadcast, no driver loop — the hashed
+    sufficient statistics ARE the model.
+
+    Output: ``(id, n_feats, log_w)`` for every input row; docs with no
+    bigrams carry n_feats = 0 and NULL log_w.
+    """
+    from .textstats import normalize_for_dedup
+
+    toks = F.filter(
+        F.split(normalize_for_dedup(F.col(text_col)), " "), lambda t: t != ""
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(__tk) - 1),"
+        " i -> concat(__tk[i - 1], ' ', __tk[i]))"
+    )
+    doc_bucket = (
+        df.select(
+            F.col(id_col),
+            F.col(target_col).cast("boolean").alias("__tgt"),
+            toks.alias("__tk"),
+        )
+        .select(
+            id_col,
+            "__tgt",
+            F.explode(
+                F.when(F.size("__tk") >= 2, bigrams).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("__g"),
+        )
+        .select(
+            id_col, "__tgt", (md5_hash64(F.col("__g"), seed) % dim).cast("int").alias("__b")
+        )
+        .groupBy(id_col, "__tgt", "__b")
+        .agg(F.count("*").cast("bigint").alias("__c"))
+        .persist()
+    )
+    stats = doc_bucket.groupBy("__b").agg(
+        F.sum("__c").alias("__cr"),
+        F.sum(F.when(F.col("__tgt"), F.col("__c")).otherwise(F.lit(0))).alias("__ct"),
+    )
+    totals = stats.agg(
+        F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt")
+    )
+    # ln p_t − ln p_r with add-1 smoothing, bucket table is dim-sized
+    ratio = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            (
+                F.log((F.col("__ct") + 1).cast("double"))
+                - F.log((F.col("__tt") + dim).cast("double"))
+                - F.log((F.col("__cr") + 1).cast("double"))
+                + F.log((F.col("__tr") + dim).cast("double"))
+            ).alias("__lr"),
+        )
+    )
+    per_doc = (
+        doc_bucket.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_feats"),
+            F.sum(F.col("__c") * F.col("__lr")).alias("__sw"),
+        )
+    )
+    scale = F.lit(1e4)
+    log_w = F.floor(F.col("__sw") / F.col("n_feats") * scale + F.lit(0.5)) / scale
+    scored = per_doc.select(id_col, "n_feats", log_w.alias("log_w"))
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_feats"), F.lit(0).cast("bigint")).alias("n_feats"),
+            F.col("log_w"),
+        )
+    )

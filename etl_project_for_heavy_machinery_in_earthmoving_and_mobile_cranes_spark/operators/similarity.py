@@ -905,3 +905,81 @@ def random_projection(
             c = F.floor(c * s + F.lit(0.5)) / s
         cols.append(c.alias(f"rp_{i}"))
     return df.select(*cols)
+
+
+def centroid_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str,
+    threshold: float = 0.5,
+    dec: str = "decimal(38,18)",
+) -> DataFrame:
+    """Label-consistency audit in embedding space: each vector's cosine
+    to its OWN group's centroid, flagged when it falls under
+    ``threshold`` — the cheap mislabel / out-of-distribution detector
+    run before training on labeled corpora (a vector far from its own
+    class centroid is a labeling error, an outlier, or a class that
+    needs splitting).
+
+    Shape: per-(group, dim) DECIMAL sums build the centroids
+    order-independently, then each vector posexplodes once and
+    equi-joins the |groups|·D centroid table on (group, dim); one
+    per-vector fold produces the cosine.  Two exchanges total, no
+    all-pairs, cost linear in N·D.
+
+    Determinism: floats are cast to DOUBLE (exact, identical on any
+    engine) BEFORE any decimal cast — engines disagree on float→
+    decimal directly (exact-binary-expansion vs shortest-string
+    rounding, observed 1e-8 per element), while double→decimal(38,18)
+    differs by at most one unit of the 18th digit.  All sums
+    (centroid and cosine folds) run in DECIMAL so partition order
+    can't perturb them; the final 6-dp floor-round absorbs the
+    residual ~1e-17 cast noise.
+
+    Returns ``(id, group_col, cosine, is_outlier)``; cosine NULL (and
+    is_outlier NULL) when either norm is zero.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("__g"),
+        F.posexplode(F.col(vec_col)).alias("__dim", "__v"),
+    )
+    cent = (
+        ex.groupBy("__g", "__dim")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col("__v").cast("double").cast(dec)).alias("__sum"),
+        )
+        .select(
+            "__g",
+            "__dim",
+            (F.col("__sum").cast("double") / F.col("__n")).alias("__m"),
+        )
+    )
+    # order-independent fold: the per-term double products are
+    # deterministic scalars, but SUMMING them in double is
+    # partition-order-dependent (observed ulp flips at 6-dp rounding
+    # boundaries); summing their DECIMAL(38,18) casts is exact and
+    # engine-identical, then one double division/sqrt at the end
+    v, m = F.col("__v").cast("double"), F.col("__m")
+    pdec = "decimal(38,18)"
+    folded = (
+        ex.join(cent, ["__g", "__dim"])
+        .groupBy(id_col, "__g")
+        .agg(
+            F.sum((v * m).cast(pdec)).alias("__dot"),
+            F.sum((v * v).cast(pdec)).alias("__vv"),
+            F.sum((m * m).cast(pdec)).alias("__mm"),
+        )
+    )
+    norm = F.sqrt(F.col("__vv").cast("double")) * F.sqrt(F.col("__mm").cast("double"))
+    cos = F.when(norm > 0, F.col("__dot").cast("double") / norm)
+    # portable floor-round (engine round() diverges at .5-ulp boundaries)
+    shown = F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return folded.select(
+        F.col(id_col),
+        F.col("__g").alias(group_col),
+        shown.alias("cosine"),
+        F.when(cos.isNotNull(), cos < threshold).alias("is_outlier"),
+    )

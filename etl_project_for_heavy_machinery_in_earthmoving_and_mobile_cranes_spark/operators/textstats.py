@@ -1004,3 +1004,60 @@ def hashed_bow(
             F.coalesce(F.col("values"), empty_v).alias("values"),
         )
     )
+
+
+def tail_token_coverage(
+    df: DataFrame, id_col: str, text_col: str, max_tail_df: int = 2
+) -> DataFrame:
+    """Per-document coverage of the vocabulary TAIL: the fraction of a
+    doc's distinct tokens whose corpus document-frequency is at most
+    ``max_tail_df`` — the retention diagnostic for rare knowledge.
+    Aggressive dedup/quality filtering tends to strip exactly the docs
+    that carry tail vocabulary; tracking tail coverage before/after a
+    curation pass shows what the pipeline is erasing.
+
+    Scale shape: distinct (doc, token) pairs once (explode +
+    array_distinct before the explode bounds fan-out), token df as one
+    hash aggregate over the pairs, a window on the token re-annotates
+    each pair with its df (no join-back), one per-doc aggregate.
+    All-integer arithmetic; the output fraction is a single exact
+    IEEE division (bigint/bigint), deterministic on any engine.
+
+    Output: ``(id, n_distinct_tokens, n_tail_tokens, tail_frac)`` for
+    every input row; token-less docs carry zeros and NULL tail_frac.
+    """
+    toks = F.array_distinct(
+        F.filter(
+            F.split(normalize_for_dedup(F.col(text_col)), " "), lambda t: t != ""
+        )
+    )
+    pairs = df.select(F.col(id_col), F.explode(toks).alias("__t"))
+    # per-doc-distinct tokens => count(*) over the token IS its df
+    df_w = Window.partitionBy("__t")
+    per_doc = (
+        pairs.withColumn("__df", F.count("*").over(df_w))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_tokens"),
+            F.sum(
+                F.when(F.col("__df") <= max_tail_df, 1).otherwise(0)
+            ).cast("bigint").alias("n_tail_tokens"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_distinct_tokens"), F.lit(0).cast("bigint")).alias(
+                "n_distinct_tokens"
+            ),
+            F.coalesce(F.col("n_tail_tokens"), F.lit(0).cast("bigint")).alias(
+                "n_tail_tokens"
+            ),
+            F.when(
+                F.coalesce(F.col("n_distinct_tokens"), F.lit(0)) > 0,
+                F.col("n_tail_tokens") / F.col("n_distinct_tokens"),
+            ).alias("tail_frac"),
+        )
+    )
