@@ -430,3 +430,54 @@ def test_active_user_counts_dau_wau(spark):
     assert got["2024-01-08"] == (0, 1)
     # day 9: user 3 plus day-3 activity of user 1 still in window
     assert got["2024-01-09"] == (1, 2)
+
+
+def test_tail_token_coverage_hand_example(spark):
+    """df counts docs (not occurrences): a token repeated within one doc
+    is df=1 and therefore tail; a token in 3 docs with max_tail_df=2 is
+    not.  Token-less docs keep zeros and NULL fraction."""
+    df = spark.createDataFrame(
+        [
+            (1, "common rare1 rare1"),   # 'common' df=3, 'rare1' df=1
+            (2, "common rare2"),
+            (3, "common"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.tail_token_coverage(
+        df, "doc_id", "text", max_tail_df=2
+    ).collect()}
+    assert (out[1]["n_distinct_tokens"], out[1]["n_tail_tokens"]) == (2, 1)
+    assert out[1]["tail_frac"] == 0.5
+    assert (out[3]["n_distinct_tokens"], out[3]["n_tail_tokens"]) == (1, 0)
+    assert out[4]["n_distinct_tokens"] == 0 and out[4]["tail_frac"] is None
+
+
+def test_centroid_outliers_flags_far_vector(spark):
+    """Two tight clusters plus one vector pointing away from its own
+    label's centroid: only the rogue vector is flagged."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [-1.0, 0.0], 0),   # rogue: opposite the label-0 centroid
+        (3, [0.0, 1.0], 1),
+        (4, [0.0, 0.8], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in similarity.centroid_outliers(
+        df, "vec_id", "embedding", "label", threshold=0.5
+    ).collect()}
+    assert out[2]["is_outlier"] is True and out[2]["cosine"] < 0
+    assert out[0]["is_outlier"] is False and out[3]["is_outlier"] is False
+    # zero vector -> NULL cosine and NULL flag
+    z = spark.createDataFrame(
+        [(9, [0.0, 0.0], 0), (10, [1.0, 1.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    zo = {r["vec_id"]: r for r in similarity.centroid_outliers(
+        z, "vec_id", "embedding", "label"
+    ).collect()}
+    assert zo[9]["cosine"] is None and zo[9]["is_outlier"] is None

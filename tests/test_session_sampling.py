@@ -403,3 +403,46 @@ def test_target_mix_sample_tolerates_absent_target_stratum(spark):
     assert got == {"a", "b"}
     # equal targets over equal strata: binding keeps everything
     assert kept.count() == 200
+
+
+def test_per_group_cap_binds_and_is_deterministic(spark):
+    """Every group keeps at most cap rows; selection is a pure function
+    of the key (two runs identical, reordering the input irrelevant)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(60)], "k long, g string"
+    )
+    kept1 = sorted(tuple(r) for r in sampling.per_group_cap(df, "g", "k", 5).collect())
+    kept2 = sorted(
+        tuple(r)
+        for r in sampling.per_group_cap(df.orderBy("g"), "g", "k", 5).collect()
+    )
+    assert kept1 == kept2
+    from collections import Counter
+
+    per_g = Counter(g for _, g in kept1)
+    assert per_g == {"g0": 5, "g1": 5, "g2": 5}
+    # a group smaller than the cap keeps everything
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "k long, g string")
+    assert sampling.per_group_cap(small, "g", "k", 5).count() == 2
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """Docs sharing the target slice's bigrams score higher than docs
+    made of off-target bigrams; token-less docs carry n_feats=0/NULL."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import sampling
+
+    rows = (
+        [(i, "alpha beta gamma delta", True) for i in range(5)]
+        + [(10 + i, "zeta eta theta iota", False) for i in range(5)]
+        + [(20, "alpha beta gamma delta", False)]  # target-like, untagged
+        + [(21, "", False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = {r["doc_id"]: r for r in sampling.dsir_importance(
+        df, "doc_id", "text", "is_t", dim=64
+    ).collect()}
+    assert out[21]["n_feats"] == 0 and out[21]["log_w"] is None
+    assert out[20]["log_w"] > out[10]["log_w"]  # target-like beats off-target
+    assert out[0]["log_w"] == out[20]["log_w"]  # same text, same weight
