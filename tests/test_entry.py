@@ -48,7 +48,8 @@ spark.sparkContext.setLogLevel("ERROR")
 assert e.entry(spark).count() > 0
 qs = e.queries()
 for name in ["resampled_series", "lineitem_derived", "novelty_scores",
-             "cusum_alarms", "bpe_merges"]:
+             "cusum_alarms", "bpe_merges", "dsir_weights",
+             "centroid_outliers", "best_quality_canonical"]:
     assert qs[name](spark, "/root/testdata/sf0.001").count() >= 0, name
 print("VANILLA_OK")
 """
