@@ -75,14 +75,17 @@ def pagerank(
     n1 = verts.agg(F.count("*").alias("__n"))
     verts_n = verts.crossJoin(F.broadcast(n1))
     outdeg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
+    # edges annotated with their source's out-degree are an iteration
+    # INVARIANT — join once outside the loop (and checkpoint it) so
+    # each unrolled iteration pays one join (edges x ranks), not two
+    e_deg = e.join(outdeg, "__s")
     if materialize:
-        outdeg = outdeg.localCheckpoint(eager=False)
+        e_deg = e_deg.localCheckpoint(eager=False)
     ranks = verts_n.select("v", (F.lit(1.0) / F.col("__n")).alias("rank"))
     base = 1.0 - damping
     for _ in range(iterations):
         contrib = (
-            e.join(outdeg, "__s")
-            .join(ranks.withColumnRenamed("v", "__s"), "__s")
+            e_deg.join(ranks.withColumnRenamed("v", "__s"), "__s")
             .select(
                 F.col("__d").alias("v"),
                 (F.col("rank") / F.col("__deg")).alias("__c"),
