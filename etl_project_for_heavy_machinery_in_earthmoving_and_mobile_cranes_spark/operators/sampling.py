@@ -477,10 +477,13 @@ def dsir_importance(
 
     Scale shape: one explode → (doc, bucket) hash aggregate with
     map-side combine (the only corpus-sized shuffle; persisted because
-    both distributions and the per-doc fold read it), a dim-sized
-    bucket-stats table broadcast back, one per-doc aggregate.  No
-    vocabulary table, no model broadcast, no driver loop — the hashed
-    sufficient statistics ARE the model.
+    both distributions and the per-doc fold read it — the cache is
+    part of the returned plan, so the CALLER releases it after the
+    terminal action, same ownership contract as
+    ``textstats.doc_distinct_grams``), a dim-sized bucket-stats table
+    broadcast back, one per-doc aggregate.  No vocabulary table, no
+    model broadcast, no driver loop — the hashed sufficient statistics
+    ARE the model.
 
     Output: ``(id, n_feats, log_w)`` for every input row; docs with no
     bigrams carry n_feats = 0 and NULL log_w.
