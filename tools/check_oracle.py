@@ -4,6 +4,8 @@ row count, column-name set, and order-insensitive values.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
        python tools/check_oracle.py --exact [sf_dir] [query ...]
+       python tools/check_oracle.py --exact --prefix 50 [sf_dir]
+         (pre-run the driver's gate slice: first N registry entries)
 
 ``--exact`` compares floats bit-for-bit (no 9-dp rounding tolerance) —
 the driver hashes exact typed values, so this is the honest local
@@ -82,8 +84,17 @@ def main():
     if args and args[0] == "--exact":
         EXACT = True
         args = args[1:]
+    prefix_n = 0
+    if args and args[0] == "--prefix":
+        # pre-run exactly the driver's gate slice: the first N entries
+        # of queries() in registry order (the driver samples a ~50-entry
+        # prefix each round)
+        prefix_n = int(args[1])
+        args = args[2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    if prefix_n:
+        only = set(list(entrymod.queries())[:prefix_n]) | only
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
