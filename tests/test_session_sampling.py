@@ -446,3 +446,36 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     assert out[21]["n_feats"] == 0 and out[21]["log_w"] is None
     assert out[20]["log_w"] > out[10]["log_w"]  # target-like beats off-target
     assert out[0]["log_w"] == out[20]["log_w"]  # same text, same weight
+
+
+def test_round4_plan_contracts(spark):
+    """Plan shape the round-4 operators promise: per_group_cap is ONE
+    window over one group exchange (no join, no global sort);
+    dsir_importance joins its dim-sized bucket-stats table by
+    BROADCAST, never a shuffle join."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 4}", f"tok{i} tok{i+1} tok{i+2}") for i in range(200)],
+        "k long, g string, text string",
+    )
+    cap_plan = (
+        sampling.per_group_cap(df, "g", "k", 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert cap_plan.count("Window [") == 1
+    assert "SortMergeJoin" not in cap_plan and "BroadcastHashJoin" not in cap_plan
+    # partial sort inside the window partition is fine; a GLOBAL sort
+    # (Exchange rangepartitioning) is not
+    assert "rangepartitioning" not in cap_plan
+
+    dsir_plan = (
+        sampling.dsir_importance(
+            df.withColumn("t", F.col("k") % 2 == 0), "k", "text", "t", dim=32
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the dim-sized bucket-stats ratio table joins by BROADCAST (the
+    # final join-back of per-doc scores to the input may legitimately
+    # shuffle — both sides are corpus-sized)
+    assert "BroadcastHashJoin" in dsir_plan
