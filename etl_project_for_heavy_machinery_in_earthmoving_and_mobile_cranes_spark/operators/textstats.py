@@ -690,15 +690,19 @@ def bpe_merge_steps(df: DataFrame, text_col: str, n_merges: int = 3) -> DataFram
     keeps its own boundary spaces, so consecutive matches don't consume
     each other's delimiter), then whitespace re-collapse.
 
-    Cache discipline: exactly ONE vocabulary frame is cached at any
-    moment.  Each step materializes the next frame from the live
-    cache, then unpersists the superseded one (the earlier lazy
-    unrolled-DAG form leaked every iteration's cache until executor
-    storage evicted them).  The per-step argmax is a 1-row driver
-    action (TakeOrderedAndProject with a deterministic count-desc,
-    pair-asc tiebreak) — the same bounded-collect contract as the
-    k-means centroid seeds; the vocabulary itself never leaves the
-    executors.
+    Cache discipline: at most TWO vocabulary-sized frames are cached
+    at any moment — the live one and its immediate predecessor.  The
+    predecessor is dropped right after the next step's argmax action
+    runs, because that action fully computes (and caches) the live
+    frame, after which the superseded cache is unreachable.  This
+    keeps the per-step job count at exactly one (no extra
+    materialization ``count()``), while still fixing the earlier lazy
+    unrolled-DAG form that leaked every iteration's cache until
+    executor storage evicted them.  The per-step argmax is a 1-row
+    driver action (TakeOrderedAndProject with a deterministic
+    count-desc, pair-asc tiebreak) — the same bounded-collect contract
+    as the k-means centroid seeds; the vocabulary itself never leaves
+    the executors.
 
     Returns one row per merge: ``(step, pair, merged, pair_count)``;
     fewer than ``n_merges`` rows when the vocabulary runs out of
@@ -719,6 +723,7 @@ def bpe_merge_steps(df: DataFrame, text_col: str, n_merges: int = 3) -> DataFram
     ).persist()
 
     rows: list[tuple] = []
+    prev: DataFrame | None = None
     try:
         for step in range(1, n_merges + 1):
             with_tk = cur.withColumn("__tk", F.split(F.col("__seq"), " "))
@@ -738,6 +743,11 @@ def bpe_merge_steps(df: DataFrame, text_col: str, n_merges: int = 3) -> DataFram
                 .agg(F.sum("__n").alias("pair_count"))
             )
             best = pairs.orderBy(F.desc("pair_count"), F.asc("pair")).limit(1).first()
+            # that action fully computed (and cached) `cur`, so the
+            # superseded frame's cache can no longer be read — drop it
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if best is None:
                 break  # no adjacent pairs left anywhere in the vocab
             bp = best["pair"]
@@ -756,10 +766,10 @@ def bpe_merge_steps(df: DataFrame, text_col: str, n_merges: int = 3) -> DataFram
                         F.regexp_replace(F.replace(doubled, pat, rep), " +", " ")
                     ).alias("__seq"),
                 ).persist()
-                nxt.count()  # populate from the live cache BEFORE dropping it
-                cur.unpersist()
-                cur = nxt
+                prev, cur = cur, nxt
     finally:
+        if prev is not None:
+            prev.unpersist()
         cur.unpersist()
     return df.sparkSession.createDataFrame(
         rows, "step int, pair string, merged string, pair_count bigint"
