@@ -2147,6 +2147,57 @@ JOIN sizes sb ON sb.doc_id = id_b
 """
 
 
+def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram set containment (Broder) — quoted/embedded
+    duplication that symmetric Jaccard misses (a short doc reproduced
+    verbatim inside a much longer one scores Jaccard ≈ |A|/|B| but
+    containment 1.0).  Same inverted-index join + hot-shingle max_df
+    cap as ngram_jaccard (dedup.containment_pairs).  Keeps pairs where
+    EITHER direction ≥ 0.5; ratios are floor-rounded to 6 dp with the
+    portable form on both engines."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.containment_pairs(
+        d, "doc_id", "text", shingle_n=3, min_containment=0.5, max_df=NGRAM_MAX_DF
+    )
+    r6 = lambda c: (F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6).alias(c)  # noqa: E731
+    return pairs.select("id_a", "id_b", "common", r6("cont_a_in_b"), r6("cont_b_in_a"))
+
+
+def _oracle_shingle_containment() -> str:
+    norm = _NORM_SQL.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+), sh_all AS (
+  SELECT DISTINCT doc_id, sh FROM sh_raw
+), sh AS (
+  SELECT doc_id, sh FROM sh_all
+  WHERE sh NOT IN (
+    SELECT sh FROM sh_all GROUP BY sh HAVING count(*) > {NGRAM_MAX_DF}
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(c AS BIGINT) AS common,
+       floor(c / sa.sz * 1e6 + 0.5) / 1e6 AS cont_a_in_b,
+       floor(c / sb.sz * 1e6 + 0.5) / 1e6 AS cont_b_in_a
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(c / sa.sz, c / sb.sz) >= 0.5
+"""
+
+
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 5 query vectors."""
     tune(spark)
@@ -7966,6 +8017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_mix": q_target_mix,
         "lang_mix_drift": q_lang_mix_drift,
         # -- (B) new in round 4 (insert new queries HERE, at top) ----
+        "shingle_containment": q_shingle_containment,
         "domain_cap": q_domain_cap,
         "tail_token_coverage": q_tail_token_coverage,
         "dsir_weights": q_dsir_weights,
@@ -8122,6 +8174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "shingle_containment": _oracle_shingle_containment(),
         "domain_cap": _oracle_domain_cap(),
         "tail_token_coverage": _oracle_tail_token_coverage(),
         "dsir_weights": _oracle_dsir_weights(),

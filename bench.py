@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     # media_wav_stats excluded like the other media_* queries
     # (constant-size synthetic table — not a data-scaled measurement)
     # round-4 additions
+    "shingle_containment",
     "domain_cap",
     "tail_token_coverage",
     "dsir_weights",

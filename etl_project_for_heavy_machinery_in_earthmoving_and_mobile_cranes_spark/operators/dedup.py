@@ -445,6 +445,80 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_containment: float = 0.0,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram set containment (Broder, "On the resemblance
+    and containment of documents"): for each unordered pair sharing
+    ≥1 discriminative shingle,
+
+        cont_a_in_b = |A ∩ B| / |A|      cont_b_in_a = |A ∩ B| / |B|
+
+    Containment catches QUOTED/EMBEDDED duplication that symmetric
+    Jaccard misses entirely: a 100-shingle press release reproduced
+    verbatim inside a 10,000-shingle aggregator page scores Jaccard
+    ≈ 0.01 (below any dedup threshold) but containment 1.0.  This is
+    the primitive behind quote/subset filtering in web-corpus curation
+    — drop or down-weight the engulfing copy, keep the original.
+
+    Same scale contract as ``ngram_jaccard_pairs``: pair generation is
+    the inverted-index equi-join on shared shingles (never all-pairs),
+    and ``max_df`` drops boilerplate shingles from BOTH the join and
+    the per-doc set sizes, bounding the self-join fan-out at O(df²)
+    per retained shingle.  ``min_containment`` filters on the larger
+    direction, max(cont_a_in_b, cont_b_in_a) — "either doc is mostly
+    inside the other".
+
+    Returns ``(id_a < id_b, common, cont_a_in_b, cont_b_in_a)``.
+    """
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("__sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("__sh")
+        )
+        sh = sh.join(F.broadcast(hot), "__sh", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "__sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "__sh")
+    common = (
+        a.join(b, on=["__sh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sz", "__sza"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sz", "__szb"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("common").cast("bigint").alias("common"),
+            (F.col("common") / F.col("__sza")).alias("cont_a_in_b"),
+            (F.col("common") / F.col("__szb")).alias("cont_b_in_a"),
+        )
+    )
+    if min_containment > 0:
+        out = out.filter(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+            >= min_containment
+        )
+    return out
+
+
 def exact_jaccard_of_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -270,6 +270,39 @@ def test_ngram_jaccard_identical_docs(spark):
     assert (1, 3) not in pairs
 
 
+def test_containment_pairs_catches_quoted_subset(spark):
+    # doc 1 is reproduced verbatim inside the much longer doc 2:
+    # Jaccard is small (|A|/|B|) but containment(A in B) is exactly 1.0
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote), (3, "x y z q r s")],
+        "doc_id long, text string",
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in
+            dedup.containment_pairs(df, "doc_id", "text").collect()}
+    r12 = rows[(1, 2)]
+    assert r12["cont_a_in_b"] == pytest.approx(1.0)  # A fully inside B
+    assert r12["cont_b_in_a"] < 0.2                  # B mostly NOT in A
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.ngram_jaccard_pairs(df, "doc_id", "text").collect()}
+    assert jac[(1, 2)] < 0.1  # the pair Jaccard-based dedup would miss
+    assert (1, 3) not in rows
+
+
+def test_containment_pairs_min_containment_filters_either_direction(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e f g h"), (3, "p q r s t u")],
+        "doc_id long, text string",
+    )
+    got = dedup.containment_pairs(df, "doc_id", "text", min_containment=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+    # threshold above both directions removes the pair
+    assert dedup.containment_pairs(
+        df, "doc_id", "text", min_containment=1.01
+    ).count() == 0
+
+
 def test_minhash_near_dup_detection(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     df = spark.createDataFrame(
