@@ -652,3 +652,103 @@ def decontaminate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+_HH_EPS = "__eps"
+
+
+def apply_heavy_hitters_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    key_col: str = "event_type",
+    capacity: int = 1000,
+) -> None:
+    """One micro-batch of bounded heavy-hitters maintenance — the
+    Misra–Gries summary merge of Agarwal et al., "Mergeable summaries"
+    (PODS 2012): per-key counts merge additively, then the summary is
+    truncated back to ``capacity`` rows, and the largest TRUNCATED
+    count is added to a global undercount bound ``eps``.
+
+    Guarantee carried in the table: for every surviving key,
+    ``true_count ∈ [n, n + eps]`` — a key may only lose counts by
+    being evicted (each eviction forfeits ≤ that batch's truncation
+    threshold, and eps accumulates those thresholds), never by the
+    merge itself.  Any key whose true count exceeds eps is guaranteed
+    present.  State is O(capacity + batch keys) rows per batch —
+    bounded regardless of how many distinct keys the stream has seen,
+    which is the point: exact per-key counts over an unbounded key
+    universe (URLs, tokens, user agents at 100 TB ingest) is the
+    thing a maintainer must NOT attempt.
+
+    Same exactly-once contract as ``apply_rollup_batch``: the
+    ``__last_batch_id`` mark rides in the same atomic publish, so
+    at-least-once replays are no-ops.  The truncation window sorts
+    only the O(capacity + batch keys) summary, never the stream.
+    """
+    from pyspark.sql import Window
+
+    spark = batch_df.sparkSession
+    stored = _read_maintained_table(spark, path)
+    if _already_applied(stored, batch_id):
+        return
+    inc = batch_df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    eps_prev = 0
+    if stored is not None:
+        eps_prev = stored.agg(F.max(_HH_EPS)).first()[0] or 0
+        prev = stored.select("key", "n")
+        merged = (
+            prev.join(inc, "key", "full_outer")
+            .select(
+                "key",
+                (
+                    F.coalesce(prev["n"], F.lit(0)) + F.coalesce(inc["n"], F.lit(0))
+                ).alias("n"),
+            )
+        )
+    else:
+        merged = inc
+    ranked = merged.withColumn(
+        "__rk",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("key"))),
+    )
+    # largest truncated count = the (capacity+1)-th row, if any: a
+    # 1-row bounded action over the capacity-sized summary
+    thr_row = ranked.filter(F.col("__rk") == capacity + 1).select("n").first()
+    eps_new = eps_prev + (thr_row["n"] if thr_row is not None else 0)
+    kept = (
+        ranked.filter(F.col("__rk") <= capacity)
+        .select("key", "n")
+        .withColumn(_HH_EPS, F.lit(eps_new).cast("bigint"))
+        .withColumn(_BATCH_MARK, F.lit(batch_id))
+    )
+    _commit_maintained_table(kept, path, batch_id, n_files=1)
+
+
+def maintain_heavy_hitters_stream(
+    events: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    capacity: int = 1000,
+):
+    """Streaming heavy hitters (trending keys) with BOUNDED state: each
+    micro-batch's per-key counts merge into a Misra–Gries summary of at
+    most ``capacity`` rows (``apply_heavy_hitters_batch``).  Read the
+    live table and sort by ``n`` for the current top-k; the stored
+    ``__eps`` column is the uniform undercount bound (true count ≤
+    n + eps for every surviving key; keys with true count > eps are
+    guaranteed present).  Exactly-once per micro-batch via the
+    ``__last_batch_id`` mark + atomic symlink publish."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_heavy_hitters_batch(batch_df, batch_id, path, key_col, capacity)
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -623,3 +623,67 @@ def test_decontaminate_stream_matches_batch_and_replays_idempotently(
     )
     q2.awaitTermination()
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == want
+
+
+def test_streaming_heavy_hitters_exact_when_capacity_not_binding(
+    spark, event_dir, tmp_path
+):
+    """With capacity above the distinct-key count the Misra–Gries
+    summary never truncates: the maintained table must equal the exact
+    batch groupBy counts with eps == 0 — the summary degrades to exact
+    counting, on a stream."""
+    hh = str(tmp_path / "hh_exact")
+    q = jobs.maintain_heavy_hitters_stream(
+        jobs.read_event_stream(spark, event_dir, max_files_per_trigger=1),
+        hh, str(tmp_path / "cp_hh"), key_col="event_type", capacity=1000,
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 3  # genuinely multi-batch
+
+    out = spark.read.parquet(hh)
+    got = {r["key"]: r["n"] for r in out.collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(event_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert out.agg(F.max("__eps")).first()[0] == 0
+
+
+def test_heavy_hitters_bound_holds_under_truncation(spark, tmp_path):
+    """Capacity-2 summary over a skewed 4-key stream: surviving keys
+    carry n <= true <= n + eps, the dominant key is always present
+    (true count > eps), and replaying an applied batch is a no-op."""
+    hh = str(tmp_path / "hh_trunc")
+    # batch 0: hot=60, warm=30, cold_a=6, cold_b=4; batch 1 doubles it
+    rows = (
+        [("hot",)] * 60 + [("warm",)] * 30 + [("cold_a",)] * 6 + [("cold_b",)] * 4
+    )
+    batch = spark.createDataFrame(rows, "k string")
+    jobs.apply_heavy_hitters_batch(batch, 0, hh, key_col="k", capacity=2)
+    first = spark.read.parquet(hh)
+    eps0 = first.agg(F.max("__eps")).first()[0]
+    got0 = {r["key"]: r["n"] for r in first.collect()}
+    assert set(got0) == {"hot", "warm"}   # capacity 2 keeps the top 2
+    assert eps0 == 6                       # largest truncated count
+    # replay of batch 0: no-op
+    jobs.apply_heavy_hitters_batch(batch, 0, hh, key_col="k", capacity=2)
+    assert {r["key"]: r["n"] for r in spark.read.parquet(hh).collect()} == got0
+
+    jobs.apply_heavy_hitters_batch(batch, 1, hh, key_col="k", capacity=2)
+    out = spark.read.parquet(hh)
+    eps1 = out.agg(F.max("__eps")).first()[0]
+    got1 = {r["key"]: r["n"] for r in out.collect()}
+    true = {"hot": 120, "warm": 60, "cold_a": 12, "cold_b": 8}
+    # the bound: n <= true <= n + eps for every surviving key
+    for k, n in got1.items():
+        assert n <= true[k] <= n + eps1
+    # the dominant key is guaranteed present (true count > eps)
+    assert "hot" in got1 and got1["hot"] == 120
+    # absent keys have true count <= eps (they only ever lost
+    # threshold-bounded mass)
+    for k in set(true) - set(got1):
+        assert true[k] <= eps1
