@@ -239,6 +239,72 @@ def drift_from_counts(
     )
 
 
+def quantiles_from_counts(
+    counts: DataFrame,
+    group_col: str,
+    probs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-group approximate quantiles read off a ``(__g, __bin, __c)``
+    histogram table (``bin_counts`` / the streaming drift maintainer's
+    stored state) by within-bin linear interpolation.
+
+    The rank arithmetic is EXACT (counts are exact); the only
+    approximation is value resolution — the true quantile lies in the
+    picked bin, so the error is bounded by one bin width
+    ``(hi-lo)/n_bins`` (plus tail clamping: values outside [lo, hi]
+    were clamped into the edge bins by ``bin_counts``, so edge-bin
+    quantiles saturate at the profile bounds).  This is the read side
+    of the maintained-histogram pattern: streaming percentile
+    monitoring with |groups|·n_bins state and no history rescan.
+
+    Cost: |groups|·n_bins·|probs| rows of tiny-table arithmetic — one
+    bin-ordered cumulative window per group, one broadcastable join.
+    Returns ``(group_col, p, n, quantile)``.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / float(n_bins) if hi != lo else 0.0
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("__cum", F.sum("__c").over(w))
+    targets = (
+        counts.groupBy("__g")
+        .agg(F.sum("__c").alias("__n"))
+        .select(
+            "__g",
+            "__n",
+            F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("p"),
+        )
+        .withColumn("__r", F.col("p") * F.col("__n"))
+    )
+    # first bin whose cumulative count reaches the target rank; min of
+    # a (__bin, __c, __cum) struct orders on __bin — deterministic
+    hit = (
+        targets.join(cum, "__g")
+        .filter(F.col("__cum") >= F.col("__r"))
+        .groupBy("__g", "p", "__r", "__n")
+        .agg(F.min(F.struct("__bin", "__c", "__cum")).alias("__s"))
+    )
+    frac = (F.col("__r") - (F.col("__s.__cum") - F.col("__s.__c"))) / F.col(
+        "__s.__c"
+    )
+    return hit.select(
+        F.col("__g").alias(group_col),
+        "p",
+        F.col("__n").cast("bigint").alias("n"),
+        (
+            F.lit(lo)
+            + F.lit(width) * (F.col("__s.__bin") + F.greatest(frac, F.lit(0.0)))
+        ).alias("quantile"),
+    )
+
+
 def distribution_drift(
     df: DataFrame,
     group_col: str,

@@ -481,3 +481,52 @@ def test_centroid_outliers_flags_far_vector(spark):
         z, "vec_id", "embedding", "label"
     ).collect()}
     assert zo[9]["cosine"] is None and zo[9]["is_outlier"] is None
+
+
+def test_quantiles_from_counts_exact_on_uniform_grid(spark):
+    """Uniform 0..99 over [0,100)x10 bins: the interpolated quantiles
+    land exactly on p*100 (rank arithmetic is exact; only value
+    resolution is approximate), and per-group isolation holds."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    rows = [("a", float(v)) for v in range(100)] + [("b", 42.0)] * 10
+    df = spark.createDataFrame(rows, "g string, v double")
+    counts = quality.bin_counts(df, "g", "v", 0.0, 100.0, n_bins=10)
+    got = {
+        (r["g"], r["p"]): (r["n"], r["quantile"])
+        for r in quality.quantiles_from_counts(
+            counts, "g", [0.25, 0.5, 0.9], 0.0, 100.0, n_bins=10
+        ).collect()
+    }
+    assert got[("a", 0.25)] == (100, 25.0)
+    assert got[("a", 0.5)] == (100, 50.0)
+    assert got[("a", 0.9)] == (100, 90.0)
+    # group b sits entirely in bin 4 ([40,50)): all quantiles inside it
+    for p in (0.25, 0.5, 0.9):
+        n, q = got[("b", p)]
+        assert n == 10 and 40.0 <= q <= 50.0
+
+
+def test_quantiles_from_counts_bounded_by_bin_width(spark):
+    """Arbitrary skewed data: every interpolated quantile is within one
+    bin width of the exact in-range percentile — the documented value-
+    resolution bound (ranks are exact, position within a bin is not)."""
+    import numpy as np
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    rng = np.random.RandomState(7)
+    vals = np.clip(rng.lognormal(3.0, 0.6, 500), 0.0, 100.0)
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, v double")
+    n_bins, lo, hi = 20, 0.0, 100.0
+    width = (hi - lo) / n_bins
+    counts = quality.bin_counts(df, "g", "v", lo, hi, n_bins=n_bins)
+    got = {
+        r["p"]: r["quantile"]
+        for r in quality.quantiles_from_counts(
+            counts, "g", [0.1, 0.5, 0.95], lo, hi, n_bins=n_bins
+        ).collect()
+    }
+    for p, q in got.items():
+        exact = float(np.quantile(vals, p))
+        assert abs(q - exact) <= width + 1e-9, (p, q, exact)
