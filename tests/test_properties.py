@@ -514,3 +514,41 @@ def test_validate_split_consistent_with_violation_counts(spark):
     n_clean = tagged.filter(FF.size("failed_checks") == 0).count()
     n_bad = tagged.filter(FF.size("failed_checks") > 0).count()
     assert n_clean + n_bad == 400
+
+
+def test_containment_dominates_jaccard_on_random_corpus(spark):
+    """Mathematical invariant: |A∩B|/min(|A|,|B|) ≥ |A∩B|/|A∪B|, so the
+    larger containment direction dominates Jaccard for EVERY emitted
+    pair — and both operators emit exactly the same pair set (pairs
+    sharing ≥1 shingle) when unthresholded."""
+    docs = [(i, t) for i, t in enumerate(_random_texts(120, 9))]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text").collect()}
+    cont = {(r["id_a"], r["id_b"]): max(r["cont_a_in_b"], r["cont_b_in_a"])
+            for r in dedup.containment_pairs(df, "doc_id", "text").collect()}
+    assert set(jac) == set(cont)
+    assert len(jac) > 0
+    for k, j in jac.items():
+        assert cont[k] >= j - 1e-12, (k, cont[k], j)
+
+
+def test_histogram_quantiles_monotone_in_p(spark):
+    """quantiles_from_counts is non-decreasing in p for every group —
+    the cumulative-rank construction can never invert."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import quality
+
+    rng = random.Random(11)
+    rows = [(f"g{i % 3}", rng.uniform(0, 50) ** 1.5) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    counts = quality.bin_counts(df, "g", "v", 0.0, 360.0, n_bins=12)
+    probs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    got = {}
+    for r in quality.quantiles_from_counts(
+        counts, "g", probs, 0.0, 360.0, n_bins=12
+    ).collect():
+        got.setdefault(r["g"], []).append((r["p"], r["quantile"]))
+    assert set(got) == {"g0", "g1", "g2"}
+    for g, pairs in got.items():
+        qs = [q for _, q in sorted(pairs)]
+        assert qs == sorted(qs), (g, qs)
