@@ -161,8 +161,10 @@ def main() -> None:
     # timed scale path: enable the est-Jaccard LSH prefilter (~100x
     # candidate cut; see __spark_entry__._lsh_prefilter — the driver's
     # correctness gate runs WITHOUT it and is recall-exact vs the
-    # oracle by construction)
-    os.environ.setdefault("SPARK_GRAFT_LSH_PREFILTER", "1")
+    # oracle by construction).  An explicit in-process call, NOT an env
+    # var: plan-build behavior must never depend on ambient process
+    # state the correctness gate could accidentally inherit.
+    entrymod.set_lsh_prefilter(True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -977,9 +977,13 @@ def centroid_outliers(
     cos = F.when(norm > 0, F.col("__dot").cast("double") / norm)
     # portable floor-round (engine round() diverges at .5-ulp boundaries)
     shown = F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    # flag from the ROUNDED value: comparing the unrounded cosine could
+    # contradict the reported column at the threshold boundary and
+    # diverge across engines (the rounded-comparison determinism
+    # discipline every boundary flag in this repo follows)
     return folded.select(
         F.col(id_col),
         F.col("__g").alias(group_col),
         shown.alias("cosine"),
-        F.when(cos.isNotNull(), cos < threshold).alias("is_outlier"),
+        F.when(shown.isNotNull(), shown < threshold).alias("is_outlier"),
     )

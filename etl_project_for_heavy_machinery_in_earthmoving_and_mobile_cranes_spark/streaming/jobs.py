@@ -182,6 +182,33 @@ def clicks_to_purchases(
     ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts", "value")
 
 
+def apply_upsert_batch(
+    batch_df: DataFrame, batch_id: int, table_path: str, key_cols: list[str]
+) -> None:
+    """One micro-batch of keyed upsert maintenance, exposed at module
+    level so the at-least-once replay contract is directly testable
+    (same pattern as ``apply_rollup_batch``): calling it twice with the
+    same ``batch_id`` applies once, and the replay call never touches
+    the published version dir."""
+    from ..operators.history import merge_upsert
+
+    spark = batch_df.sparkSession
+    latest = F.max_by(
+        F.struct(*[c for c in batch_df.columns if c not in key_cols]), F.col("ts")
+    ).alias("__rest")
+    dedup = batch_df.groupBy(*key_cols).agg(latest).select(*key_cols, "__rest.*")
+    stored = _read_maintained_table(spark, table_path)
+    if _already_applied(stored, batch_id):
+        return  # at-least-once replay of an applied batch: no-op
+    if stored is not None:
+        current = stored.drop(_BATCH_MARK)
+        merged = merge_upsert(current, dedup.select(*current.columns), key_cols)
+    else:
+        merged = dedup
+    merged = merged.withColumn(_BATCH_MARK, F.lit(batch_id))
+    _commit_maintained_table(merged, table_path, batch_id)
+
+
 def upsert_stream(
     events: DataFrame, table_path: str, key_cols: list[str], checkpoint_dir: str
 ):
@@ -197,23 +224,17 @@ def upsert_stream(
     ``write_batch`` body targets a table format (Delta/Iceberg MERGE
     INTO) that rewrites only the files containing matched keys; the
     streaming plumbing (checkpoint, availableNow, per-batch
-    idempotence) is unchanged."""
-    from ..operators.history import merge_upsert
+    idempotence) is unchanged.
+
+    Exactly-once: the ``__last_batch_id`` mark rides in the same
+    atomic publish (like the rollup/drift/SCD2 maintainers), so an
+    at-least-once replay of a batch whose commit already landed
+    (crash between publish and checkpoint commit) is a no-op instead
+    of rebuilding ``merged`` as a lazy plan over the very version dir
+    the commit would overwrite."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        latest = F.max_by(
-            F.struct(*[c for c in batch_df.columns if c not in key_cols]), F.col("ts")
-        ).alias("__rest")
-        dedup = (
-            batch_df.groupBy(*key_cols).agg(latest).select(*key_cols, "__rest.*")
-        )
-        current = _read_maintained_table(spark, table_path)
-        if current is not None:
-            merged = merge_upsert(current, dedup.select(*current.columns), key_cols)
-        else:
-            merged = dedup
-        _commit_maintained_table(merged, table_path, batch_id)
+        apply_upsert_batch(batch_df, batch_id, table_path, key_cols)
 
     return (
         events.writeStream.foreachBatch(write_batch)
@@ -263,21 +284,120 @@ def curated_documents(docs: DataFrame, threshold: float = 0.0) -> DataFrame:
     )
 
 
-def _read_maintained_table(spark, path: str):
-    """Read a foreachBatch-maintained table; None ONLY when the path
-    does not exist yet (first batch).  Any other failure — corrupt
-    footer, schema-inference failure on a half-written/empty dir,
-    permission, transient FS error — propagates: a broad except here
-    would silently reset months of accumulated state to the current
+_LEGACY_VERSION = "v" + "0" * 19 + "_legacy"
+_MANIFEST = "_CURRENT"
+
+
+def _version_sort_key(name: str) -> tuple[int, int]:
+    """Total order over version-dir names for GC and newest-version
+    recovery.  The pre-protocol legacy snapshot sorts BEFORE every
+    numeric version (it is by definition the oldest state — a plain
+    lexical sort put its ``_`` suffix after every digit, so GC kept it
+    forever and deleted the true predecessor instead).  Replay-attempt
+    dirs ``v{batch}.r{k}`` sort after their base and before the next
     batch."""
+    if name.endswith("_legacy"):
+        return (-1, 0)
+    base, _, attempt = name[1:].partition(".r")
+    try:
+        return (int(base), int(attempt) if attempt else 0)
+    except ValueError:
+        return (-2, 0)  # unknown junk: oldest, GC'd first
+
+
+def _resolve_current_version(path: str) -> "str | None":
+    """Resolve the live version dir of a maintained table WITHOUT going
+    through the ``path`` symlink: the ``_CURRENT`` manifest if present
+    (pointer-file protocol), else the newest version dir under
+    ``{path}.versions``.  None when neither exists (true first batch).
+
+    This is the crash-recovery read path: any crash window that leaves
+    ``path`` itself absent or stale (legacy-dir migration, a kill
+    between version write and publish) still has the newest fully
+    committed version on disk, and reading THAT instead of returning
+    None is what turns those windows from silent-state-reset into a
+    no-op replay."""
+    import os
+
+    vroot = f"{path}.versions"
+    manifest = os.path.join(vroot, _MANIFEST)
+    if os.path.isfile(manifest):
+        with open(manifest) as fh:
+            name = fh.read().strip()
+        vdir = os.path.join(vroot, name)
+        if name and os.path.isdir(vdir):
+            return vdir
+    if os.path.isdir(vroot):
+        # only fully committed versions count: a crash mid-write leaves
+        # a version dir without Spark's _SUCCESS marker, and recovering
+        # onto THAT would read partial state (the legacy snapshot is
+        # always eligible — it was the committed live table)
+        versions = [
+            d
+            for d in os.listdir(vroot)
+            if d.startswith("v")
+            and os.path.isdir(os.path.join(vroot, d))
+            and (
+                d.endswith("_legacy")
+                or os.path.exists(os.path.join(vroot, d, "_SUCCESS"))
+            )
+        ]
+        if versions:
+            return os.path.join(
+                vroot, max(versions, key=_version_sort_key)
+            )
+    return None
+
+
+def resolve_maintained_table(path: str) -> "str | None":
+    """Public resolver for EXTERNAL readers of a maintained table: the
+    concrete data directory to ``spark.read.parquet``.  Symlink-protocol
+    tables read through ``path`` itself; manifest-protocol tables (no
+    symlink support — object stores) resolve via the ``_CURRENT``
+    pointer file.  None when the table has no committed state yet."""
+    import os
+
+    if os.path.islink(path) and os.path.exists(path):
+        return path
+    resolved = _resolve_current_version(path)
+    if resolved is not None:
+        return resolved
+    if os.path.isdir(path):
+        return path  # pre-protocol legacy directory
+    return None
+
+
+def _read_maintained_table(spark, path: str):
+    """Read a foreachBatch-maintained table; None ONLY when no state
+    exists yet (first batch).  Any other failure — corrupt footer,
+    schema-inference failure on a half-written/empty dir, permission,
+    transient FS error — propagates: a broad except here would
+    silently reset months of accumulated state to the current batch.
+
+    When ``path`` itself is missing but a committed version dir exists
+    (crash between version write and symlink publish, or mid-migration
+    of a legacy table), the newest version is read instead — the
+    publish is repaired by the next successful commit."""
     import os
 
     from pyspark.errors import AnalysisException
 
-    if not os.path.lexists(path):
-        return None
+    target = path
+    if not os.path.lexists(path) or (
+        os.path.islink(path) and not os.path.exists(path)
+    ):
+        recovered = _resolve_current_version(path)
+        if recovered is None:
+            return None
+        target = recovered
+    elif os.path.isdir(path) and not os.path.islink(path):
+        # pointer-file layout keeps no symlink; prefer the manifest if
+        # one exists (a plain legacy dir has none and reads directly)
+        resolved = _resolve_current_version(path)
+        if resolved is not None:
+            target = resolved
     try:
-        return spark.read.parquet(path)
+        return spark.read.parquet(target)
     except AnalysisException as e:
         cond = None
         for meth in ("getCondition", "getErrorClass"):
@@ -295,7 +415,11 @@ def _read_maintained_table(spark, path: str):
 
 
 def _commit_maintained_table(
-    merged: DataFrame, path: str, batch_id: int, n_files: int | None = None
+    merged: DataFrame,
+    path: str,
+    batch_id: int,
+    n_files: int | None = None,
+    protocol: str = "auto",
 ) -> None:
     """Executor-side write + atomic publish of a foreachBatch-maintained
     table.
@@ -323,36 +447,90 @@ def _commit_maintained_table(
     directory, so no driver-side materialization is needed to avoid
     overwriting the plan's own input.
 
+    PORTABILITY BOUNDARY: the symlink swap is POSIX-only (local disk /
+    NFS).  Object stores (S3/GCS/ABFS) have neither symlinks nor atomic
+    directory rename; there ``protocol="manifest"`` publishes by
+    atomically replacing a tiny ``_CURRENT`` pointer file inside the
+    versions dir instead (one small object PUT — atomic and
+    last-writer-wins on every major object store), and readers resolve
+    the pointer (``_resolve_current_version``).  ``protocol="auto"``
+    picks manifest for URI-scheme paths (``s3://…``), symlink
+    otherwise.  The production answer at 100 TB is a table format
+    (Delta/Iceberg), whose commit log is exactly this pointer-file
+    idea generalized.
+
+    Replay safety: if the live table already resolves to this batch's
+    version dir (a replay after crash-between-publish-and-checkpoint),
+    writing ``mode("overwrite")`` into it would delete the very files
+    the lazy ``merged`` plan may still read through ``path`` — the
+    write is diverted to a fresh ``v{batch}.rK`` attempt dir instead.
+    (Guarded maintainers never reach this: ``_already_applied``
+    no-ops the replay first.  The divert protects unguarded callers.)
+
     Legacy layout (a real directory at ``path`` from before this
     protocol): the directory is renamed into the versions dir once,
-    then the symlink protocol takes over.  The one-time migration has
-    a sub-millisecond window where ``path`` is absent (between the
-    rename-away and the symlink publish) — acceptable for a
-    single-writer maintainer and gone after the first post-upgrade
-    batch.  Old versions are garbage-collected best-effort, keeping
-    the live one and its predecessor (crash-replay safety margin).
+    then the symlink protocol takes over.  A crash inside the
+    migration window (``path`` momentarily absent) is NOT a state
+    reset: ``_read_maintained_table`` falls back to the newest
+    committed version dir, and the next successful commit repairs the
+    publish.  Old versions are garbage-collected best-effort, keeping
+    the live one and one predecessor (crash-replay safety margin);
+    the GC sort key orders the legacy snapshot oldest so it is the
+    first to go, never the true predecessor.
     """
     import os
     import shutil
 
     vroot = f"{path}.versions"
     vdir = os.path.join(vroot, f"v{batch_id:020d}")
+    if protocol == "auto":
+        protocol = "manifest" if "://" in path else "symlink"
+
+    # replay-after-publish defense: never overwrite the dir the live
+    # table currently resolves to (it feeds the lazy `merged` plan)
+    live = _resolve_current_version(path)
+    if live is None and os.path.islink(path):
+        live = os.path.realpath(path)
+    if live is not None and os.path.realpath(live) == os.path.abspath(vdir):
+        attempt = 1
+        while os.path.lexists(f"{vdir}.r{attempt}"):
+            attempt += 1
+        vdir = f"{vdir}.r{attempt}"
+
     writer = merged.coalesce(n_files) if n_files else merged
     writer.write.mode("overwrite").parquet(vdir)
 
-    if os.path.lexists(path) and not os.path.islink(path):
-        legacy = os.path.join(vroot, "v" + "0" * 19 + "_legacy")
+    if os.path.lexists(path) and not os.path.islink(path) and protocol == "symlink":
+        legacy = os.path.join(vroot, _LEGACY_VERSION)
         if os.path.lexists(legacy):
             shutil.rmtree(legacy, ignore_errors=True)
         os.rename(path, legacy)
-    tmp_link = f"{path}.publish.{batch_id}"
-    if os.path.lexists(tmp_link):
-        os.remove(tmp_link)
-    os.symlink(os.path.abspath(vdir), tmp_link)
-    os.replace(tmp_link, path)
+
+    if protocol == "manifest":
+        # pointer-file publish: readers resolve _CURRENT; the version
+        # name (not an absolute path) keeps the table relocatable
+        tmp = os.path.join(vroot, f"{_MANIFEST}.tmp.{batch_id}")
+        with open(tmp, "w") as fh:
+            fh.write(os.path.basename(vdir))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(vroot, _MANIFEST))
+    else:
+        tmp_link = f"{path}.publish.{batch_id}"
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(os.path.abspath(vdir), tmp_link)
+        os.replace(tmp_link, path)
 
     try:  # GC: keep the live version and one predecessor
-        versions = sorted(d for d in os.listdir(vroot) if d.startswith("v"))
+        versions = sorted(
+            (
+                d
+                for d in os.listdir(vroot)
+                if d.startswith("v") and os.path.isdir(os.path.join(vroot, d))
+            ),
+            key=_version_sort_key,
+        )
         for stale in versions[:-2]:
             shutil.rmtree(os.path.join(vroot, stale), ignore_errors=True)
     except OSError:

@@ -61,17 +61,24 @@ print("VANILLA_OK")
 
 
 def test_lsh_prefilter_flag_gates_candidate_trim(spark, sf_dir, monkeypatch):
-    """SPARK_GRAFT_LSH_PREFILTER=1 (the bench scale path) may only ever
+    """set_lsh_prefilter(True) (the bench scale path) may only ever
     TRIM candidates ahead of the exact-Jaccard verify: the final
     verified pair set must be identical with and without the flag on
-    the test corpus, and the gate-default (flag unset) path must be
-    recall-exact by construction (no est_jaccard filter in the plan)."""
+    the test corpus; the gate default is off and is recall-exact by
+    construction (no est_jaccard filter in the plan).  The flag is an
+    explicit in-process call — a stray env var must NOT flip it."""
     qs = entry.queries()
 
-    monkeypatch.delenv("SPARK_GRAFT_LSH_PREFILTER", raising=False)
+    assert entry._LSH_PREFILTER_ENABLED is False  # correctness default
+    # ambient process state must not affect plan-build behavior
+    monkeypatch.setenv("SPARK_GRAFT_LSH_PREFILTER", "1")
+    assert entry._LSH_PREFILTER_ENABLED is False
     gate = {tuple(r) for r in qs["minhash_pairs_fast"](spark, sf_dir).collect()}
 
-    monkeypatch.setenv("SPARK_GRAFT_LSH_PREFILTER", "1")
-    bench = {tuple(r) for r in qs["minhash_pairs_fast"](spark, sf_dir).collect()}
+    entry.set_lsh_prefilter(True)
+    try:
+        bench = {tuple(r) for r in qs["minhash_pairs_fast"](spark, sf_dir).collect()}
+    finally:
+        entry.set_lsh_prefilter(False)
 
     assert gate == bench and len(gate) > 0

@@ -687,3 +687,155 @@ def test_heavy_hitters_bound_holds_under_truncation(spark, tmp_path):
     # threshold-bounded mass)
     for k in set(true) - set(got1):
         assert true[k] <= eps1
+
+def test_upsert_batch_replay_is_idempotent_and_keeps_table_live(
+    spark, event_dir, tmp_path
+):
+    """ADVICE r4 (high): replaying an upsert batch whose commit already
+    landed (crash between publish and checkpoint commit) must be a
+    no-op — the pre-fix code rebuilt `merged` lazily over the live
+    version dir and then overwrote that same dir, destroying the table
+    it was reading.  Asserted: same rows, same live version dir, table
+    readable throughout; the NEXT batch still applies."""
+    import os
+
+    src = spark.read.parquet(event_dir)
+    mid = src.select(F.unix_timestamp("ts").alias("s")).approxQuantile(
+        "s", [0.5], 0.0
+    )[0]
+    early = src.filter(F.unix_timestamp("ts") <= mid)
+    late = src.filter(F.unix_timestamp("ts") > mid)
+    table = str(tmp_path / "ups_replay")
+
+    jobs.apply_upsert_batch(early, 0, table, ["user_id"])
+    live0 = os.path.realpath(table)
+    rows0 = {
+        (r["user_id"], r["ts"])
+        for r in spark.read.parquet(table).select("user_id", "ts").collect()
+    }
+    # crash-replay of batch 0: no rewrite, no destroyed version dir
+    jobs.apply_upsert_batch(early, 0, table, ["user_id"])
+    assert os.path.realpath(table) == live0
+    assert {
+        (r["user_id"], r["ts"])
+        for r in spark.read.parquet(table).select("user_id", "ts").collect()
+    } == rows0
+
+    jobs.apply_upsert_batch(late, 1, table, ["user_id"])
+    got = {
+        (r["user_id"], r["ts"])
+        for r in spark.read.parquet(table).select("user_id", "ts").collect()
+    }
+    want = {
+        (r["user_id"], r["ts"])
+        for r in src.groupBy("user_id").agg(F.max("ts").alias("ts")).collect()
+    }
+    assert got == want
+    # and replaying batch 1 after the fact is also a no-op
+    jobs.apply_upsert_batch(late, 1, table, ["user_id"])
+    assert {
+        (r["user_id"], r["ts"])
+        for r in spark.read.parquet(table).select("user_id", "ts").collect()
+    } == want
+
+
+def test_version_sort_key_orders_legacy_oldest():
+    """GC ordering: the legacy snapshot is by definition the OLDEST
+    state, so it must be the first dir GC removes — a plain lexical
+    sort put its `_` suffix after every digit and GC then deleted the
+    true predecessor while keeping the legacy dir forever."""
+    names = [
+        "v" + "0" * 19 + "_legacy",
+        f"v{0:020d}",
+        f"v{0:020d}.r1",
+        f"v{0:020d}.r2",
+        f"v{1:020d}",
+        f"v{12:020d}",
+    ]
+    import random
+
+    shuffled = names[:]
+    random.Random(7).shuffle(shuffled)
+    assert sorted(shuffled, key=jobs._version_sort_key) == names
+
+
+def test_legacy_migration_gc_removes_legacy_not_predecessor(spark, tmp_path):
+    """After migrating a pre-protocol table, two more commits must GC
+    the legacy snapshot (oldest) and keep the true predecessor."""
+    import os
+
+    path = str(tmp_path / "mig_gc")
+    spark.createDataFrame([(1, "old")], "k long, v string").write.parquet(path)
+    d0 = spark.createDataFrame([(1, "b0")], "k long, v string")
+    d1 = spark.createDataFrame([(1, "b1")], "k long, v string")
+
+    jobs._commit_maintained_table(d0, path, 0, n_files=1)
+    vroot = f"{path}.versions"
+    assert jobs._LEGACY_VERSION in os.listdir(vroot)  # kept as predecessor
+    jobs._commit_maintained_table(d1, path, 1, n_files=1)
+    kept = sorted(os.listdir(vroot), key=jobs._version_sort_key)
+    assert jobs._LEGACY_VERSION not in kept  # legacy GC'd first
+    assert kept == [f"v{0:020d}", f"v{1:020d}"]  # true predecessor kept
+    assert [tuple(r) for r in spark.read.parquet(path).collect()] == [(1, "b1")]
+
+
+def test_read_maintained_table_recovers_when_publish_is_missing(spark, tmp_path):
+    """ADVICE r4 (medium): a crash inside the legacy-migration window
+    (or between version write and symlink publish) leaves the live
+    path absent while a fully committed version dir exists — the read
+    side must recover the newest committed version, NOT silently reset
+    to 'first batch'.  Half-written versions (no _SUCCESS) are never
+    recovered onto."""
+    import os
+
+    path = str(tmp_path / "crash_tbl")
+    vroot = f"{path}.versions"
+    # committed version dir, but no symlink at path (crashed publish)
+    spark.createDataFrame([(5, "x")], "k long, v string").coalesce(1).write.parquet(
+        os.path.join(vroot, f"v{3:020d}")
+    )
+    got = jobs._read_maintained_table(spark, path)
+    assert got is not None
+    assert [tuple(r) for r in got.collect()] == [(5, "x")]
+
+    # a NEWER but half-written version (no _SUCCESS) must not win
+    partial = os.path.join(vroot, f"v{4:020d}")
+    os.makedirs(partial)
+    got2 = jobs._read_maintained_table(spark, path)
+    assert [tuple(r) for r in got2.collect()] == [(5, "x")]
+
+    # nothing committed at all -> first batch
+    assert jobs._read_maintained_table(spark, str(tmp_path / "fresh")) is None
+
+
+def test_manifest_protocol_publish_and_crash_window(spark, tmp_path):
+    """Object-store-safe pointer-file publish: no symlink anywhere —
+    the live version is named by an atomically replaced _CURRENT file.
+    A crash between version write and pointer publish leaves the OLD
+    version live and readable (the VERDICT r4 #3 kill test)."""
+    import os
+
+    path = str(tmp_path / "mani_tbl")
+    vroot = f"{path}.versions"
+    d0 = spark.createDataFrame([(1, "a")], "k long, v string")
+    d1 = spark.createDataFrame([(1, "b"), (2, "c")], "k long, v string")
+
+    jobs._commit_maintained_table(d0, path, 0, n_files=1, protocol="manifest")
+    assert not os.path.lexists(path)  # nothing at the live path at all
+    assert os.path.isfile(os.path.join(vroot, "_CURRENT"))
+    got = jobs._read_maintained_table(spark, path)
+    assert [tuple(r) for r in got.collect()] == [(1, "a")]
+    # external readers resolve the same version
+    res = jobs.resolve_maintained_table(path)
+    assert [tuple(r) for r in spark.read.parquet(res).collect()] == [(1, "a")]
+
+    # writer killed between version write and pointer publish: the new
+    # version dir is fully committed but _CURRENT still names v0
+    d1.coalesce(1).write.parquet(os.path.join(vroot, f"v{1:020d}"))
+    got = jobs._read_maintained_table(spark, path)
+    assert [tuple(r) for r in got.collect()] == [(1, "a")]  # old version live
+
+    # the replayed commit publishes the pointer; new data becomes live
+    jobs._commit_maintained_table(d1, path, 1, n_files=1, protocol="manifest")
+    got = sorted(tuple(r) for r in jobs._read_maintained_table(spark, path).collect())
+    assert got == [(1, "b"), (2, "c")]
