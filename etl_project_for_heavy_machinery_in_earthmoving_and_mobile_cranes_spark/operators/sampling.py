@@ -420,7 +420,13 @@ def target_mix_sample(
 
 
 def per_group_cap(
-    df: DataFrame, group_col: str, key_col: str, cap: int, seed: int = 0
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    seed: int = 0,
+    approx_prefilter: bool = False,
+    slack: float = 4.0,
 ) -> DataFrame:
     """Cap every group at ``cap`` rows, selection deterministic in the
     key — the per-domain document limit of web-corpus curation (one
@@ -434,21 +440,64 @@ def per_group_cap(
     order happened to be.
 
     Scale shape: one window shuffle on the group key.  Group skew is
-    the usual caveat — a giant domain sorts its whole partition to
-    rank it; at 100 TB, pre-filter obvious giants with an approximate
-    count and the two-phase rank trick (rank only rows whose bucket
-    falls under cap/approx_count * slack), which this operator's
-    hash-order selection makes sound because membership depends only
-    on the bucket, not on which rows rank near the boundary.
+    the caveat — a giant domain sorts its whole partition to rank it.
+    ``approx_prefilter=True`` is the two-phase rank for that case:
+    phase 1 counts rows per group (a map-side-combined agg whose
+    output is |groups|-sized) and keeps only rows whose hash bucket
+    falls under ``_BUCKETS · cap · slack / n_g`` — sound because kept-
+    set membership depends ONLY on the bucket order, so as long as a
+    group still has ≥ min(cap, n_g) surviving rows, its top-``cap`` by
+    (bucket, key) is unchanged.  Groups where the uniform-hash tail
+    leaves fewer survivors than that (probability ≈ Chernoff tail at
+    ``slack``=4, i.e. negligible, but never assumed) are detected by a
+    per-group recount and re-ranked UNFILTERED, so the result is
+    bit-identical to the one-phase path on every input.  The window
+    then sorts O(cap·slack) rows per giant group instead of n_g.
     """
-    w = Window.partitionBy(group_col).orderBy(
-        hash_bucket(F.col(key_col), seed), F.col(key_col)
-    )
-    return (
-        df.withColumn("__rk", F.row_number().over(w))
+    order = (hash_bucket(F.col(key_col), seed), F.col(key_col))
+    w = Window.partitionBy(group_col).orderBy(*order)
+    ranked_cap = (
+        lambda part: part.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= cap)
         .drop("__rk")
     )
+    if not approx_prefilter:
+        return ranked_cap(df)
+
+    bucket = hash_bucket(F.col(key_col), seed)
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    thr = F.when(F.col("__n") <= F.lit(cap), F.lit(_BUCKETS)).otherwise(
+        F.least(
+            F.lit(_BUCKETS),
+            F.ceil(F.lit(float(_BUCKETS) * cap * slack) / F.col("__n")).cast(
+                "bigint"
+            ),
+        )
+    )
+    thr_tab = counts.select(group_col, thr.alias("__thr"), F.col("__n"))
+    # read twice (survivor recount + the safe-path rank): a deliberate
+    # second scan rather than a persist — the input is typically a
+    # pruned parquet scan, far cheaper than the giant-group sort this
+    # path exists to avoid, and it keeps the operator cache-free (no
+    # ownership contract for callers to honor)
+    pruned = df.join(F.broadcast(thr_tab), group_col).filter(
+        bucket < F.col("__thr")
+    )
+    # soundness check: a group is safe iff it kept >= min(cap, n) rows
+    survivors = pruned.groupBy(group_col).agg(F.count("*").alias("__s"))
+    unsafe = (
+        counts.join(survivors, group_col, "left")
+        .filter(
+            F.coalesce(F.col("__s"), F.lit(0))
+            < F.least(F.lit(cap), F.col("__n"))
+        )
+        .select(group_col)
+    )
+    safe_part = pruned.join(F.broadcast(unsafe), group_col, "left_anti").drop(
+        "__thr", "__n"
+    )
+    rescue_part = df.join(F.broadcast(unsafe), group_col, "left_semi")
+    return ranked_cap(safe_part.unionByName(rescue_part))
 
 
 def dsir_importance(

@@ -1028,3 +1028,43 @@ def test_bigram_pmi_hand_computed(spark):
     exp_ac = round(math.log((1.0 * 8 * 8) / (4.0 * 4 * 1)), 6)
     assert got[("a", "b")] == (3, exp_ab)
     assert got[("a", "c")] == (1, exp_ac)
+
+
+def test_contamination_attribution_max_df_caps_hot_grams(spark):
+    """The hot-gram cap (VERDICT r4 nit #1): a boilerplate 5-gram
+    shared by EVERY doc must not drive attribution — under max_df the
+    gram is anti-joined out of both sides, so a benchmark doc sharing
+    ONLY boilerplate gets no attribution row and a doc sharing a rare
+    gram is attributed on the rare gram alone."""
+    boiler = "all rights reserved legal footer"
+    corpus_rows = [
+        (i, f"u{i}a u{i}b u{i}c u{i}d {boiler}") for i in range(1, 7)
+    ]
+    # corpus doc 2 additionally carries a rare phrase
+    corpus_rows[1] = (2, f"special secret phrase only here u2a u2b u2c u2d {boiler}")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [
+            (100, f"b100a b100b b100c b100d {boiler}"),  # boilerplate only
+            (200, f"special secret phrase only here {boiler}"),  # + rare gram
+        ],
+        "doc_id long, text string",
+    )
+
+    uncapped = {
+        r["bench_id"]: (r["top_corpus_id"], r["shared_grams"])
+        for r in dedup.contamination_attribution(
+            corpus, bench, "doc_id", "text", n=5
+        ).collect()
+    }
+    assert uncapped[100] == (1, 1)  # boilerplate attributed to smallest id
+    assert uncapped[200] == (2, 2)  # rare gram + boilerplate
+
+    capped = {
+        r["bench_id"]: (r["top_corpus_id"], r["shared_grams"])
+        for r in dedup.contamination_attribution(
+            corpus, bench, "doc_id", "text", n=5, max_df=5
+        ).collect()
+    }
+    assert 100 not in capped  # boilerplate-only doc: no meaningless attribution
+    assert capped == {200: (2, 1)}  # attributed on the rare gram alone
