@@ -8124,6 +8124,175 @@ FROM hit WHERE rn = 1
 """
 
 
+_HLL_B = 9
+_HLL_BATCHES = 3
+
+
+def q_hll_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming distinct count, batch-twinned: the
+    events table is delivered as three micro-batches (event_id mod 3)
+    to the REAL HLL maintainer (streaming/jobs.apply_hll_batch), whose
+    cross-batch state is a |groups|·512 register table merged by
+    per-(group, bucket) MAX, then the estimate is read off the live
+    table (sketches.hll_estimate_from_registers).  Because register
+    merge is associative, commutative, and idempotent, the maintained
+    sketch equals the one-pass sketch over the union — exactly what
+    the oracle computes, so the batch plumbing is verified BY the
+    algebraic property that makes it correct.  The harmonic-mean
+    denominator is an exact integer sum (dyadic terms, < 2^53), so
+    the only cross-engine float risk is one ln on the linear-counting
+    branch, absorbed by the 4-dp portable floor-round."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import (
+        jobs,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="hll_twin_")
+    path = os.path.join(tmp, "hll")
+    try:
+        for b in range(_HLL_BATCHES):
+            jobs.apply_hll_batch(
+                e.filter(F.col("event_id") % _HLL_BATCHES == b),
+                b,
+                path,
+                group_col="event_type",
+                key_col="user_id",
+                b=_HLL_B,
+            )
+        reg = spark.read.parquet(path).drop("__last_batch_id")
+        out = hll_estimate_from_registers(reg, "event_type", b=_HLL_B)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _oracle_hll_user_count() -> str:
+    b = _HLL_B
+    m = 1 << b
+    w_bits = 32 - b
+    mask = (1 << w_bits) - 1
+    scale = 1 << (w_bits + 1)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * scale  # same Python double as the Spark lit
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+  FROM events
+), br AS (
+  SELECT event_type, CAST(hv >> {w_bits} AS INT) AS bucket, hv & {mask} AS w
+  FROM h
+), reg AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN w = 0 THEN {w_bits + 1}
+                  ELSE {w_bits} - (length(bin(w)) - 1) END) AS rho
+  FROM br GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS touched,
+         sum((1::BIGINT << ({w_bits + 1} - rho))) AS s_touched
+  FROM reg GROUP BY 1
+), est AS (
+  SELECT event_type, touched, ({m} - touched) AS zeros,
+         {num!r} / CAST(s_touched + ({m} - touched) * {scale} AS DOUBLE) AS e_raw
+  FROM agg
+)
+SELECT event_type, touched,
+       floor((CASE WHEN e_raw <= {2.5 * m} AND zeros > 0
+                   THEN {float(m)} * ln({float(m)} / zeros)
+                   ELSE e_raw END) * 1e4 + 0.5) / 1e4 AS est_distinct
+FROM est
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (textstats.gopher_rules; Rae et al. 2021
+    Table A1): per-doc word-count/mean-word-length bounds, alpha-word
+    fraction, symbol ratio, stop-word floor, and top-2-gram character
+    fraction, plus the conjunctive keep flag — the standard web-corpus
+    admission gate.  Every signal is an array expression except the
+    top-2-gram argmax (one (doc, gram) exchange + min_by).  The keep
+    flag compares ROUNDED signals so both engines decide identically
+    at threshold boundaries."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return textstats.gopher_rules(d, "doc_id", "text")
+
+
+def _oracle_gopher_quality() -> str:
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.textstats import (
+        GOPHER_THRESHOLDS as GT,
+        STOPWORDS,
+    )
+
+    norm = _NORM_SQL.format(col="text")
+    sw = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    return rf"""
+WITH rt AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS r,
+         list_filter(string_split({norm}, ' '), x -> x != '') AS nt
+  FROM documents
+), scal AS (
+  SELECT doc_id,
+         len(r) AS n_words,
+         coalesce(list_sum(list_transform(r, x -> length(x))), 0) AS char_sum,
+         len(list_filter(r, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_n,
+         length(text) - length(replace(text, '#', '')) AS hash_n,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS dots_n,
+         length(text) - length(replace(text, '…', '')) AS uell_n,
+         len(list_filter(nt, x -> list_contains({sw}, x))) AS stop_hits,
+         coalesce(list_sum(list_transform(nt, x -> length(x))), 0) AS nchars
+  FROM rt
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(nt) - 1),
+                               i -> nt[i] || ' ' || nt[i + 1])) AS g
+  FROM rt
+), gc AS (
+  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, c * length(replace(g, ' ', '')) AS topchars,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+  FROM gc
+), sig AS (
+  SELECT s.doc_id,
+         CAST(s.n_words AS INT) AS n_words,
+         floor((CASE WHEN s.n_words > 0
+                     THEN CAST(s.char_sum AS DOUBLE) / s.n_words
+                     ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+         floor((CASE WHEN s.n_words > 0
+                     THEN CAST(s.alpha_n AS DOUBLE) / s.n_words
+                     ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS alpha_word_frac,
+         floor((CASE WHEN s.n_words > 0
+                     THEN CAST(s.hash_n + s.dots_n + s.uell_n AS DOUBLE) / s.n_words
+                     ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS symbol_ratio,
+         CAST(s.stop_hits AS INT) AS stop_hits,
+         floor((CASE WHEN s.nchars > 0
+                     THEN CAST(coalesce(t.topchars, 0) AS DOUBLE) / s.nchars
+                     ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS top2gram_char_frac
+  FROM scal s LEFT JOIN (SELECT doc_id, topchars FROM top WHERE rn = 1) t
+    ON s.doc_id = t.doc_id
+)
+SELECT *,
+       (n_words >= {GT['min_words']} AND n_words <= {GT['max_words']}
+        AND mean_word_len >= {GT['min_mean_word_len']}
+        AND mean_word_len <= {GT['max_mean_word_len']}
+        AND alpha_word_frac >= {GT['min_alpha_word_frac']}
+        AND symbol_ratio <= {GT['max_symbol_ratio']}
+        AND stop_hits >= {GT['min_stop_hits']}
+        AND top2gram_char_frac <= {GT['max_top2gram_char_frac']}) AS keep
+FROM sig
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8153,6 +8322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (B) new in round 5 (insert new queries HERE, at top) ----
         "heavy_hitters_merge": q_heavy_hitters_merge,
         "histogram_quantiles": q_histogram_quantiles,
+        "hll_user_count": q_hll_user_count,
+        "gopher_quality": q_gopher_quality,
         # -- (C) driver-green in a prior round (r4 block first) ------
         "media_wav_stats": q_media_wav_stats,
         "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
@@ -8356,6 +8527,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters_merge": _oracle_heavy_hitters_merge(),
         "histogram_quantiles": _oracle_histogram_quantiles(),
+        "hll_user_count": _oracle_hll_user_count(),
+        "gopher_quality": _oracle_gopher_quality(),
         "shingle_containment": _oracle_shingle_containment(),
         "domain_cap": _oracle_domain_cap(),
         "tail_token_coverage": _oracle_tail_token_coverage(),

@@ -79,3 +79,112 @@ def cms_estimate(spark, sketch_bytes: bytes, items: list) -> dict:
     stream = jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes))
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(stream)
     return {item: cms.estimateCount(item) for item in items}
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (explicit register table)
+# ---------------------------------------------------------------------------
+#
+# Spark's approx_count_distinct is engine-opaque (its sketch bytes and
+# estimate are JVM-specific), so it cannot be cross-engine verified and
+# its state cannot be maintained by a foreachBatch loop.  This explicit
+# construction (Flajolet et al., "HyperLogLog: the analysis of a
+# near-optimal cardinality estimation algorithm", AofA 2007) keeps the
+# register table as DATA — (group, bucket, max rho) rows — which makes
+# it (a) exactly replayable by any engine that has md5 (the repo's
+# portable-hash discipline), (b) mergeable by a plain groupBy-max, the
+# property the streaming maintainer needs, and (c) auditable: the
+# registers themselves can be asserted, not just the estimate.
+
+HLL_B = 9  # 2^9 = 512 registers: ~4.6% relative standard error
+
+
+def hll_register_table(
+    df: DataFrame, group_col: str, key_col: str, b: int = HLL_B, seed: int = 0
+) -> DataFrame:
+    """Per-group HLL register table from a key column.
+
+    Hash is the repo-standard md5-derived 32-bit value; bucket = top
+    ``b`` bits, rho = leading-zero count of the remaining ``32-b`` bits
+    plus one, computed in INTEGER arithmetic (binary-string length, no
+    float log2 whose libm rounding could differ across engines).  Only
+    touched buckets are emitted — untouched registers are implicit
+    zeros, so the table is at most min(|keys|, |groups|·2^b) rows and
+    the per-batch state of the streaming maintainer stays bounded by
+    |groups|·2^b regardless of key cardinality.  Returns
+    ``(group_col, __bucket, __rho)``.
+    """
+    from .dedup import md5_hash64
+
+    w_bits = 32 - b
+    mask = (1 << w_bits) - 1
+    h = md5_hash64(F.col(key_col).cast("string"), seed)
+    tagged = df.select(
+        F.col(group_col), h.alias("__h")
+    ).select(
+        group_col,
+        F.shiftright(F.col("__h"), w_bits).cast("int").alias("__bucket"),
+        F.expr(f"__h & {mask}").alias("__w"),
+    )
+    rho = F.when(F.col("__w") == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - (F.length(F.bin(F.col("__w"))) - F.lit(1))
+    )
+    return (
+        tagged.select(group_col, "__bucket", rho.cast("int").alias("__rho"))
+        .groupBy(group_col, "__bucket")
+        .agg(F.max("__rho").alias("__rho"))
+    )
+
+
+def merge_hll_registers(tables: "list[DataFrame]") -> DataFrame:
+    """Merge register tables: per (group, bucket) max — associative,
+    commutative, idempotent, so batch order and re-delivery cannot
+    change the merged sketch (the mergeable-summaries contract)."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    cols = out.columns
+    group_cols = [c for c in cols if c not in ("__rho",)]
+    return out.groupBy(*group_cols).agg(F.max("__rho").alias("__rho"))
+
+
+def hll_estimate_from_registers(
+    reg: DataFrame, group_col: str, b: int = HLL_B
+) -> DataFrame:
+    """Cardinality estimate per group from a register table.
+
+    Determinism: the harmonic-mean denominator is accumulated as an
+    EXACT integer — sum over registers of 2^(w_bits+1-rho), plus
+    2^(w_bits+1) per untouched register — every term is a dyadic
+    integer and the total stays far under 2^53, so both engines agree
+    bit-for-bit; the only float ops are one division (IEEE-identical)
+    and, on the small-range branch, one ln whose sub-ulp variation the
+    4-dp portable floor-round absorbs.  Small-range (linear counting)
+    correction applies when E <= 2.5m and zero registers exist; the
+    32-bit large-range correction is irrelevant below ~10^8 true
+    cardinality and deliberately omitted (documented boundary).
+
+    Returns ``(group_col, touched, est_distinct)``.
+    """
+    m = 1 << b
+    w_bits = 32 - b
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # valid for m >= 128
+    scale = 1 << (w_bits + 1)  # 2^(w_bits+1): rho=0 term, exact integer
+    per_group = reg.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("touched"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {w_bits + 1} - __rho)")
+        ).alias("__s_touched"),
+    )
+    zeros = F.lit(m) - F.col("touched")
+    s_scaled = F.col("__s_touched") + zeros * F.lit(scale)
+    e_raw = F.lit(alpha * m * m * scale) / s_scaled.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return per_group.select(
+        group_col,
+        "touched",
+        (F.floor(est * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias("est_distinct"),
+    )

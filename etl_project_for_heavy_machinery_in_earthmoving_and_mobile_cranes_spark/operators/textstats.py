@@ -1071,3 +1071,150 @@ def tail_token_coverage(
             ).alias("tail_frac"),
         )
     )
+
+
+# Gopher document-quality thresholds (Rae et al., "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", 2021,
+# Table A1) — the rule set web-corpus curation applies before training.
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "min_alpha_word_frac": 0.8,
+    "max_symbol_ratio": 0.1,
+    "min_stop_hits": 2,
+    "max_top2gram_char_frac": 0.20,
+}
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    thresholds: "dict | None" = None,
+) -> DataFrame:
+    """Gopher quality-rule signals + keep decision per document (Rae et
+    al. 2021): word count bounds, mean word length bounds, fraction of
+    words containing an alphabetic character, symbol-to-word ratio
+    ('#' and ellipses), minimum stop-word hits, and the fraction of
+    characters inside the single most frequent word 2-gram.
+
+    Boundary: the paper's line-based rules (duplicate lines / chars in
+    duplicate lines, bullet- and ellipsis-STARTING line ratios) need
+    line structure the single-line test corpus lacks and are omitted
+    here; duplicated-n-gram character coverage is the dup_span /
+    repetition_stats machinery already in this module.
+
+    Shape: every signal except the top-2-gram is a pure array
+    expression over the projected token arrays (no shuffle); the
+    top-2-gram is the one corpus-sized exchange — non-distinct bigram
+    explode → (doc, gram) count → min_by((−count, gram)) hash argmax
+    per doc, joined back.  All ratios are exact-integer quotients
+    rendered at 6 dp with the portable floor-round.
+    """
+    t = {**GOPHER_THRESHOLDS, **(thresholds or {})}
+    raw = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    norm = F.filter(
+        F.split(normalize_for_dedup(F.col(text_col)), " "), lambda x: x != ""
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__txt"),
+        raw.alias("__rt"),
+        norm.alias("__nt"),
+    )
+
+    n_words = F.size("__rt")
+    char_sum = F.aggregate(
+        "__rt", F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    mean_wl = F.when(
+        n_words > 0, char_sum.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter("__rt", lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    hash_n = F.length("__txt") - F.length(F.replace("__txt", F.lit("#"), F.lit("")))
+    dots_n = (
+        F.length("__txt") - F.length(F.replace("__txt", F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    uell_n = F.length("__txt") - F.length(
+        F.replace("__txt", F.lit("…"), F.lit(""))
+    )
+    symbol_ratio = F.when(
+        n_words > 0, (hash_n + dots_n + uell_n).cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter("__nt", lambda x: F.array_contains(stop_arr, x)))
+    nchars = F.aggregate(
+        "__nt", F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+
+    scalars = base.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_wl.alias("__mwl"),
+        alpha_frac.alias("__alpha"),
+        symbol_ratio.alias("__sym"),
+        stop_hits.alias("stop_hits"),
+        nchars.alias("__nchars"),
+        F.col("__nt"),
+    )
+
+    # the one exchange: most frequent (non-distinct) word 2-gram per doc
+    last = F.size("__nt") - 1
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("__nt", i, 2)))
+    top2 = (
+        scalars.select(id_col, F.explode(bigrams).alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct("__c", "__g"), F.struct(-F.col("__c"), F.col("__g"))
+            ).alias("__top")
+        )
+        .select(
+            id_col,
+            (
+                F.col("__top.__c")
+                * F.length(F.replace(F.col("__top.__g"), F.lit(" "), F.lit("")))
+            ).alias("__topchars"),
+        )
+    )
+
+    rnd = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    top2_frac = F.when(
+        F.col("__nchars") > 0,
+        F.coalesce(F.col("__topchars"), F.lit(0)).cast("double")
+        / F.col("__nchars").cast("double"),
+    ).otherwise(F.lit(0.0))
+    out = scalars.join(top2, id_col, "left").select(
+        id_col,
+        "n_words",
+        rnd(F.col("__mwl")).alias("mean_word_len"),
+        rnd(F.col("__alpha")).alias("alpha_word_frac"),
+        rnd(F.col("__sym")).alias("symbol_ratio"),
+        "stop_hits",
+        rnd(top2_frac).alias("top2gram_char_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= t["min_words"])
+        & (F.col("n_words") <= t["max_words"])
+        & (F.col("mean_word_len") >= t["min_mean_word_len"])
+        & (F.col("mean_word_len") <= t["max_mean_word_len"])
+        & (F.col("alpha_word_frac") >= t["min_alpha_word_frac"])
+        & (F.col("symbol_ratio") <= t["max_symbol_ratio"])
+        & (F.col("stop_hits") >= t["min_stop_hits"])
+        & (F.col("top2gram_char_frac") <= t["max_top2gram_char_frac"])
+    )
+    # keep compares the ROUNDED signals (the repo's rounded-comparison
+    # determinism discipline) so the flag can never contradict the
+    # reported columns
+    return out.withColumn("keep", keep)

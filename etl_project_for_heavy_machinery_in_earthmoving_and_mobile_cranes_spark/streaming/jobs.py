@@ -930,3 +930,67 @@ def maintain_heavy_hitters_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_hll_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    b: int = 9,
+) -> None:
+    """One micro-batch of bounded distinct-count maintenance: the
+    batch's HLL register table (sketches.hll_register_table) merges
+    into the stored one by per-(group, bucket) MAX — associative,
+    commutative, and IDEMPOTENT, so the merged sketch is independent
+    of batch boundaries and re-delivery order (Agarwal et al.,
+    mergeable summaries).  State is at most |groups|·2^b rows no
+    matter how many distinct keys the stream has seen — the exact
+    per-key dedup a maintainer must NOT attempt at 100 TB ingest
+    (distinct users per URL over a year of events).  Same
+    exactly-once contract as the other maintainers: __last_batch_id
+    rides in the same atomic publish.  Read the estimate off the live
+    table with sketches.hll_estimate_from_registers."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.sketches import (
+        hll_register_table,
+        merge_hll_registers,
+    )
+
+    spark = batch_df.sparkSession
+    stored = _read_maintained_table(spark, path)
+    if _already_applied(stored, batch_id):
+        return
+    inc = hll_register_table(batch_df, group_col, key_col, b=b)
+    if stored is not None:
+        merged = merge_hll_registers([stored.drop(_BATCH_MARK), inc])
+    else:
+        merged = inc
+    merged = merged.withColumn(_BATCH_MARK, F.lit(batch_id))
+    # |groups|*2^b-sized by contract -> one output file
+    _commit_maintained_table(merged, path, batch_id, n_files=1)
+
+
+def maintain_hll_stream(
+    events: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    b: int = 9,
+):
+    """Streaming distinct-count maintenance with BOUNDED state: the
+    per-group HLL register table (|groups|·2^b rows) is the entire
+    cross-batch state; estimates read off the live table at any time
+    without touching history.  Exactly-once per micro-batch via the
+    __last_batch_id mark + atomic publish."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_hll_batch(batch_df, batch_id, path, group_col, key_col, b)
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

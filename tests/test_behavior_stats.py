@@ -530,3 +530,29 @@ def test_quantiles_from_counts_bounded_by_bin_width(spark):
     for p, q in got.items():
         exact = float(np.quantile(vals, p))
         assert abs(q - exact) <= width + 1e-9, (p, q, exact)
+
+
+def test_gopher_rules_each_signal_bites(spark):
+    """Each Gopher rule rejects its own pathological doc while a
+    healthy doc passes all of them."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import textstats
+
+    good = "the quick brown fox jumps over a lazy dog and it runs far " * 5
+    rows = [
+        (1, good),                                    # passes everything
+        (2, "short doc the of and"),                  # too few words
+        (3, ("pneumonoultramicroscopic " * 60) + "the of"),  # mean word len > 10
+        (4, ("12345 67890 " * 30) + "the of"),        # alpha fraction < 0.8
+        (5, good + " " + "# # # # # # # # #" * 2),    # symbol ratio > 0.1
+        (6, "alpha beta gamma delta epsilon zeta " * 10),   # no stop words
+        (7, "the fox " * 60),                         # top 2-gram dominates
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.gopher_rules(df, "doc_id", "text").collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_words"] < 50
+    assert out[3]["keep"] is False and out[3]["mean_word_len"] > 10
+    assert out[4]["keep"] is False and out[4]["alpha_word_frac"] < 0.8
+    assert out[5]["keep"] is False and out[5]["symbol_ratio"] > 0.1
+    assert out[6]["keep"] is False and out[6]["stop_hits"] < 2
+    assert out[7]["keep"] is False and out[7]["top2gram_char_frac"] > 0.2

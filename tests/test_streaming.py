@@ -839,3 +839,60 @@ def test_manifest_protocol_publish_and_crash_window(spark, tmp_path):
     jobs._commit_maintained_table(d1, path, 1, n_files=1, protocol="manifest")
     got = sorted(tuple(r) for r in jobs._read_maintained_table(spark, path).collect())
     assert got == [(1, "b"), (2, "c")]
+
+
+def test_streaming_hll_matches_one_pass_sketch_and_bounds_error(
+    spark, event_dir, tmp_path
+):
+    """Bounded-state distinct counting: the maintained register table
+    after a multi-batch stream equals the ONE-PASS register table over
+    the same data (merge is associative+commutative+idempotent), the
+    estimate lands within the HLL error envelope of the exact answer,
+    and replaying an applied batch is a no-op."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import sketches
+
+    hll = str(tmp_path / "hll_tbl")
+    q = jobs.maintain_hll_stream(
+        jobs.read_event_stream(spark, event_dir, max_files_per_trigger=1),
+        hll, str(tmp_path / "cp_hll"), group_col="event_type",
+        key_col="user_id", b=9,
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 3  # genuinely multi-batch
+
+    src = spark.read.parquet(event_dir)
+    maintained = {
+        (r["event_type"], r["__bucket"]): r["__rho"]
+        for r in spark.read.parquet(hll).collect()
+    }
+    one_pass = {
+        (r["event_type"], r["__bucket"]): r["__rho"]
+        for r in sketches.hll_register_table(
+            src, "event_type", "user_id", b=9
+        ).collect()
+    }
+    assert maintained == one_pass  # batch boundaries are invisible
+
+    est = {
+        r["event_type"]: r["est_distinct"]
+        for r in sketches.hll_estimate_from_registers(
+            spark.read.parquet(hll).drop("__last_batch_id"), "event_type", b=9
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in src.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        # 512 registers -> rse ~1.04/sqrt(512) ~ 4.6%; allow 4 sigma
+        assert abs(est[k] - n) <= max(0.20 * n, 4.0), (k, est[k], n)
+
+    # replay of the last applied batch id: no-op
+    last = spark.read.parquet(hll).agg(F.max("__last_batch_id")).first()[0]
+    jobs.apply_hll_batch(src.limit(50), last, hll, "event_type", "user_id", 9)
+    assert {
+        (r["event_type"], r["__bucket"]): r["__rho"]
+        for r in spark.read.parquet(hll).collect()
+    } == maintained

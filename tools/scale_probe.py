@@ -124,6 +124,9 @@ PROBE_QUERIES = [
     "key_skew",
     "target_mix",
     "lang_mix_drift",
+    # round-5 additions
+    "heavy_hitters_merge",
+    "histogram_quantiles",
 ]
 
 
@@ -165,6 +168,9 @@ def main() -> None:
     only = [q for q in sys.argv[3:]] or None
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    # probe the bench scale path (matches how every prior round's
+    # numbers were taken); explicit call since round 5 — no env var
+    entrymod.set_lsh_prefilter(True)
     qs = entrymod.queries()
 
     if not os.path.isdir(out_dir) or not os.listdir(out_dir):
