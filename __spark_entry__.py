@@ -3695,11 +3695,13 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bigram_logprob(d, "doc_id", "text", lam=_BIGRAM_LAM)
 
 
-def _oracle_bigram_logprob() -> str:
+def _bigram_scored_ctes() -> str:
+    """The shared bigram-LM scoring CTE chain (docs → per-doc
+    avg_logprob), reused by the bigram_logprob and ccnet_buckets
+    oracles so both replay the identical arithmetic."""
     lam = _BIGRAM_LAM
     norm = _NORM_SQL.format(col="text")
-    return f"""
-WITH t AS (
+    return f"""t AS (
   SELECT doc_id,
          list_filter(string_split({norm}, ' '), x -> x != '') AS tk
   FROM documents
@@ -3729,7 +3731,12 @@ WITH t AS (
   FROM dbc JOIN bgc USING (v, w) JOIN vc USING (v)
   JOIN uni ON uni.w = dbc.w CROSS JOIN tot
   GROUP BY 1
-)
+)"""
+
+
+def _oracle_bigram_logprob() -> str:
+    return f"""
+WITH {_bigram_scored_ctes()}
 SELECT d.doc_id,
        CAST(coalesce(scored.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        scored.avg_logprob
@@ -8293,6 +8300,108 @@ FROM sig
 """
 
 
+_CF_N = 8
+_CF_THRESHOLD = 0.7
+
+
+def q_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded overlap decontamination
+    (dedup.contamination_fraction; the PaLM-style 8-gram rule): each
+    corpus doc's fraction of distinct 8-grams found anywhere in the
+    held-out benchmark slice (doc_id%20==0), contaminated when the
+    ROUNDED fraction reaches 0.7.  Graded overlap — single-gram
+    collisions don't cost training data, near-copies still trip.  The
+    benchmark gram set broadcasts; corpus side is one explode + two
+    hash aggregates."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.contamination_fraction(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        "doc_id",
+        "text",
+        n=_CF_N,
+        threshold=_CF_THRESHOLD,
+    )
+
+
+def _oracle_contamination_fraction() -> str:
+    norm = _NORM_SQL.format(col="text")
+    gram = " || ' ' || ".join(
+        f"t[i+{j}]" if j else "t[i]" for j in range(_CF_N)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {_CF_N - 1}),
+                               i -> {gram})) AS sh
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM sh_raw
+), bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0
+), corpus AS (
+  SELECT * FROM sh WHERE doc_id % 20 <> 0
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM corpus GROUP BY 1
+), hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlapping
+  FROM corpus SEMI JOIN bench USING (sh) GROUP BY 1
+), j AS (
+  SELECT s.doc_id, s.n_grams, coalesce(h.n_overlapping, 0) AS n_overlapping
+  FROM sizes s LEFT JOIN hits h USING (doc_id)
+)
+SELECT doc_id, n_grams, n_overlapping,
+       floor(CAST(n_overlapping AS DOUBLE) / n_grams * 1e6 + 0.5) / 1e6
+           AS overlap_frac,
+       floor(CAST(n_overlapping AS DOUBLE) / n_grams * 1e6 + 0.5) / 1e6
+           >= {_CF_THRESHOLD} AS contaminated
+FROM j
+"""
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality buckets (Wenzek et al. 2020,
+    textstats.ppl_buckets): per-language thirds by the interpolated
+    bigram-LM score (higher log-prob = lower perplexity = head).
+    Bucket boundaries are INTEGER rank arithmetic over the total order
+    (score desc, doc_id asc) — no quantile interpolation, so the split
+    is engine-exact; docs too short to score bucket as 'unscored'.
+    One window shuffle on lang after the LM scoring."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    scores = textstats.bigram_logprob(d, "doc_id", "text", lam=_BIGRAM_LAM)
+    scored = d.select("doc_id", "lang").join(scores, "doc_id")
+    return textstats.ppl_buckets(
+        scored, "lang", "avg_logprob", "doc_id"
+    ).select("doc_id", "lang", "avg_logprob", "ppl_bucket")
+
+
+def _oracle_ccnet_buckets() -> str:
+    return f"""
+WITH {_bigram_scored_ctes()}, allrows AS (
+  SELECT d.doc_id, d.lang, scored.avg_logprob
+  FROM documents d LEFT JOIN scored USING (doc_id)
+), rk AS (
+  SELECT doc_id, lang, avg_logprob,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY avg_logprob DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM allrows WHERE avg_logprob IS NOT NULL
+)
+SELECT doc_id, lang, avg_logprob,
+       CASE WHEN rn * 3 <= n THEN 'head'
+            WHEN rn * 3 <= n * 2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM rk
+UNION ALL
+SELECT doc_id, lang, avg_logprob, 'unscored' AS ppl_bucket
+FROM allrows WHERE avg_logprob IS NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8324,6 +8433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantiles": q_histogram_quantiles,
         "hll_user_count": q_hll_user_count,
         "gopher_quality": q_gopher_quality,
+        "contamination_fraction": q_contamination_fraction,
+        "ccnet_buckets": q_ccnet_buckets,
         # -- (C) driver-green in a prior round (r4 block first) ------
         "media_wav_stats": q_media_wav_stats,
         "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
@@ -8529,6 +8640,8 @@ def oracle_sql() -> dict[str, str]:
         "histogram_quantiles": _oracle_histogram_quantiles(),
         "hll_user_count": _oracle_hll_user_count(),
         "gopher_quality": _oracle_gopher_quality(),
+        "contamination_fraction": _oracle_contamination_fraction(),
+        "ccnet_buckets": _oracle_ccnet_buckets(),
         "shingle_containment": _oracle_shingle_containment(),
         "domain_cap": _oracle_domain_cap(),
         "tail_token_coverage": _oracle_tail_token_coverage(),

@@ -678,6 +678,62 @@ def decontaminate(
     )
 
 
+def contamination_fraction(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    threshold: float = 0.7,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Thresholded overlap decontamination (the PaLM/GPT-3 family
+    rule): a corpus doc is contaminated when at least ``threshold`` of
+    its distinct word ``n``-grams appear anywhere in the benchmark set
+    — graded overlap instead of ``decontaminate``'s any-shared-gram
+    rule, so incidental single-gram collisions don't cost training
+    data while true eval copies (possibly lightly edited) still trip.
+
+    Scale: the benchmark's distinct gram set broadcasts (tiny next to
+    a 100 TB corpus); the corpus side is one shingle explode + one
+    per-doc aggregate, shuffle-free on the gram join.  The flag
+    compares the ROUNDED fraction (6-dp portable floor) so engines
+    agree at the boundary.
+
+    Returns ``(id, n_grams, n_overlapping, overlap_frac,
+    contaminated)`` for every corpus doc with ≥1 gram.
+    """
+    c = shingle_rows(corpus, id_col, text_col, n).distinct()
+    b = shingle_rows(benchmark, id_col, text_col, n).select("__sh").distinct()
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    hits = c.join(b, "__sh", "left_semi").groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_overlapping")
+    )
+    sizes = c.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_grams"))
+    frac = F.floor(
+        F.col("n_overlapping").cast("double")
+        / F.col("n_grams").cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_overlapping"), F.lit(0)).alias("n_overlapping"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_overlapping",
+            frac.alias("overlap_frac"),
+            (frac >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
 def contamination_attribution(
     corpus: DataFrame,
     benchmark: DataFrame,

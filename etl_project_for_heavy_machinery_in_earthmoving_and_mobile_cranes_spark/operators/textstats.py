@@ -1218,3 +1218,44 @@ def gopher_rules(
     # determinism discipline) so the flag can never contradict the
     # reported columns
     return out.withColumn("keep", keep)
+
+
+def ppl_buckets(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    LREC 2020): within each group (language), rank documents by LM
+    score and split into thirds — head = the best-scoring third (CCNet
+    buckets by Wikipedia-LM perplexity; with a log-prob score, higher
+    is better).  NULL scores (too-short docs) bucket as 'unscored'.
+
+    Determinism: bucket boundaries are INTEGER rank arithmetic
+    (rn·3 ≤ n, rn·3 ≤ 2n) over the total order (score desc, id asc) —
+    no quantile interpolation, no float thresholds, so any engine
+    reproduces the exact same split.  One window shuffle on the group
+    key; rows-between not needed (row_number + per-group count).
+    """
+    scored = df.filter(F.col(score_col).isNotNull())
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    cnt = Window.partitionBy(group_col)
+    bucketed = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(cnt))
+        .withColumn(
+            "ppl_bucket",
+            F.when(F.col("__rn") * 3 <= F.col("__n"), F.lit("head"))
+            .when(F.col("__rn") * 3 <= F.col("__n") * 2, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("__rn", "__n")
+    )
+    rest = df.filter(F.col(score_col).isNull()).withColumn(
+        "ppl_bucket", F.lit("unscored")
+    )
+    return bucketed.unionByName(rest)

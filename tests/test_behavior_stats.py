@@ -556,3 +556,54 @@ def test_gopher_rules_each_signal_bites(spark):
     assert out[5]["keep"] is False and out[5]["symbol_ratio"] > 0.1
     assert out[6]["keep"] is False and out[6]["stop_hits"] < 2
     assert out[7]["keep"] is False and out[7]["top2gram_char_frac"] > 0.2
+
+
+def test_contamination_fraction_grades_overlap(spark):
+    """Graded decontamination: a verbatim benchmark copy scores 1.0
+    and trips the threshold, partial overlap stays under it, and a
+    disjoint doc scores 0.0 — single-gram collisions no longer cost
+    training data (the improvement over any-shared-gram dropping)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import dedup
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text),  # verbatim copy
+            (2, "alpha beta gamma delta epsilon zeta eta theta nine ten "
+                "one two three four five six seven eight"),  # partial
+            (3, "completely different words with no overlap at all here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.contamination_fraction(
+            corpus, bench, "doc_id", "text", n=8, threshold=0.7
+        ).collect()
+    }
+    assert out[1]["overlap_frac"] == 1.0 and out[1]["contaminated"] is True
+    assert 0 < out[2]["overlap_frac"] < 0.7 and out[2]["contaminated"] is False
+    assert out[3]["overlap_frac"] == 0.0 and out[3]["contaminated"] is False
+
+
+def test_ppl_buckets_integer_thirds_and_unscored(spark):
+    """CCNet bucketing: exact integer thirds per group in score order,
+    NULL scores bucket as 'unscored', ties broken by id so the split
+    is deterministic."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import textstats
+
+    rows = [(i, "en", float(100 - i)) for i in range(9)] + [
+        (9, "en", None),
+        (10, "de", 5.0),  # single-doc group: rn*3 > n -> tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    out = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in textstats.ppl_buckets(df, "lang", "score", "doc_id").collect()
+    }
+    assert [out[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    assert out[9] == "unscored"
+    assert out[10] == "tail"
