@@ -8402,6 +8402,67 @@ FROM allrows WHERE avg_logprob IS NULL
 """
 
 
+_I8_K = 5
+
+
+def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized ANN (similarity.ann_int8): top-5 cosine
+    neighbors per query (vec_id%50==0) computed entirely in the
+    quantized domain — symmetric per-vector scale, integer dot/norm
+    folds (exact, order-independent), two sqrt + one division as the
+    only float ops, ranking on the ROUNDED cosine.  The compression
+    leg of the ANN ladder next to ann_srp/ann_ivf/ann_ivf_pq: 4×
+    smaller resident index, int8 MACs in the hot loop.  Query and
+    corpus slices are disjoint, so no self-match filtering needed."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return similarity.ann_int8(corpus, queries, "vec_id", "embedding", k=_I8_K)
+
+
+def _oracle_ann_int8() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0
+             AS scale,
+         embedding
+  FROM embeddings
+), codes AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(embedding, v -> CAST(greatest(least(
+                       floor(CAST(v AS DOUBLE) / scale + 0.5), 127), -127)
+                   AS BIGINT))
+              ELSE list_transform(embedding, v -> CAST(0 AS BIGINT)) END AS qv
+  FROM q
+), normed AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(qv, x -> x * x)) AS qnorm
+  FROM codes
+), pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         list_sum(list_transform(generate_series(1, len(a.qv)),
+                                 i -> a.qv[i] * b.qv[i])) AS dot,
+         a.qnorm AS na, b.qnorm AS nb
+  FROM normed a JOIN normed b
+    ON a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0
+), scored AS (
+  SELECT query_id, vec_id,
+         floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))
+               * sqrt(CAST(nb AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS qcos
+  FROM pairs WHERE na > 0 AND nb > 0
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY qcos DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, qcos, CAST(rk AS INT) AS rk
+FROM rk WHERE rk <= {_I8_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8435,6 +8496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "contamination_fraction": q_contamination_fraction,
         "ccnet_buckets": q_ccnet_buckets,
+        "ann_int8": q_ann_int8,
         # -- (C) driver-green in a prior round (r4 block first) ------
         "media_wav_stats": q_media_wav_stats,
         "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
@@ -8642,6 +8704,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _oracle_gopher_quality(),
         "contamination_fraction": _oracle_contamination_fraction(),
         "ccnet_buckets": _oracle_ccnet_buckets(),
+        "ann_int8": _oracle_ann_int8(),
         "shingle_containment": _oracle_shingle_containment(),
         "domain_cap": _oracle_domain_cap(),
         "tail_token_coverage": _oracle_tail_token_coverage(),
