@@ -8463,6 +8463,45 @@ FROM rk WHERE rk <= {_I8_K}
 """
 
 
+def q_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming stream-stream LEFT OUTER join
+    (streaming/jobs.abandoned_clicks): clicks with NO purchase from
+    the same user within the following hour — the
+    abandonment/no-conversion feed.  Batch form is a left ANTI join on
+    (user, time-band); the streaming form's NULL-padded rows are
+    emitted exactly once after the watermark passes the click's join
+    window (asserted equal to this query in the stream/batch twin
+    test).  Anti join on a band predicate: the purchase side is
+    filtered and projected before the join, the band keeps the state
+    bounded in the streaming twin."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour"))
+    )
+    return c.join(p, cond, "left_anti")
+
+
+ORACLE_ABANDONED_CLICKS = """
+SELECT e.event_id AS click_id, e.user_id, e.ts AS click_ts
+FROM events e
+WHERE e.event_type = 'click' AND NOT EXISTS (
+  SELECT 1 FROM events p
+  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+    AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8497,6 +8536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_fraction": q_contamination_fraction,
         "ccnet_buckets": q_ccnet_buckets,
         "ann_int8": q_ann_int8,
+        "abandoned_clicks": q_abandoned_clicks,
         # -- (C) driver-green in a prior round (r4 block first) ------
         "media_wav_stats": q_media_wav_stats,
         "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
@@ -8705,6 +8745,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_fraction": _oracle_contamination_fraction(),
         "ccnet_buckets": _oracle_ccnet_buckets(),
         "ann_int8": _oracle_ann_int8(),
+        "abandoned_clicks": ORACLE_ABANDONED_CLICKS,
         "shingle_containment": _oracle_shingle_containment(),
         "domain_cap": _oracle_domain_cap(),
         "tail_token_coverage": _oracle_tail_token_coverage(),

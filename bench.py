@@ -154,6 +154,15 @@ BENCH_QUERIES = [
     "centroid_outliers",
     "contamination_attr",
     "best_quality_canonical",
+    # round-5 additions
+    "heavy_hitters_merge",
+    "histogram_quantiles",
+    "hll_user_count",
+    "gopher_quality",
+    "contamination_fraction",
+    "ccnet_buckets",
+    "ann_int8",
+    "abandoned_clicks",
 ]
 
 

@@ -182,6 +182,55 @@ def clicks_to_purchases(
     ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts", "value")
 
 
+def abandoned_clicks(
+    events: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: clicks that saw NO purchase from
+    the same user within ``max_gap`` — the abandonment/no-conversion
+    feed.  The outer side's NULL rows can only be emitted once the
+    watermark passes the click's join window (before that a matching
+    purchase could still arrive), so this job demonstrates the
+    state-timeout semantics inner joins never exercise: every click is
+    emitted EXACTLY once, matched or NULL-padded, and its state is
+    evicted afterwards.  Both sides carry watermarks and the join
+    predicate bounds event time in both directions — the conditions
+    Spark requires to bound outer-join state."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
+        "left_outer",
+    )
+    return joined.select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_id",
+        (F.col("purchase_id").isNull()).alias("abandoned"),
+    )
+
+
 def apply_upsert_batch(
     batch_df: DataFrame, batch_id: int, table_path: str, key_cols: list[str]
 ) -> None:

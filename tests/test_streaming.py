@@ -896,3 +896,59 @@ def test_streaming_hll_matches_one_pass_sketch_and_bounds_error(
         (r["event_type"], r["__bucket"]): r["__rho"]
         for r in spark.read.parquet(hll).collect()
     } == maintained
+
+
+def test_stream_stream_left_outer_abandoned_clicks_matches_batch(
+    spark, event_dir, tmp_path
+):
+    """Stream-stream LEFT OUTER join with watermark eviction: the
+    NULL-padded (abandoned) rows the stream emits after the watermark
+    passes each click's join window equal the batch anti-join twin,
+    every click appears exactly once among abandoned/matched, and no
+    click is both."""
+    stream = jobs.read_event_stream(spark, event_dir)
+    got = jobs.run_available_now(
+        jobs.abandoned_clicks(stream),
+        str(tmp_path / "cp_abandon"),
+        output_mode="append",
+    )
+    e = spark.read.parquet(event_dir)
+    c = e.filter("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "user_id", "ts AS click_ts"
+    )
+    p = e.filter("event_type = 'purchase'").selectExpr(
+        "user_id AS p_user", "ts AS purchase_ts"
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour"))
+    )
+    want_abandoned = {r["click_id"] for r in c.join(p, cond, "left_anti").collect()}
+    assert 0 < len(want_abandoned) < c.count()  # both outcomes occur
+
+    # a NULL-padded row may only be emitted once the watermark passes
+    # the click's join window; clicks within (join window + watermark
+    # delay) of stream end are legitimately still in state when
+    # availableNow stops, so completeness is asserted for finalized
+    # clicks and soundness (no false abandons) for all
+    import datetime as _dt
+
+    # the GLOBAL watermark is the min over both sides' watermark nodes
+    # (each sees only its filtered branch), so finalization is gated by
+    # the EARLIER of the two side maxima; 1 min margin for batch-
+    # boundary watermark semantics
+    max_c = c.agg(F.max("click_ts")).first()[0]
+    max_p = p.agg(F.max("purchase_ts")).first()[0]
+    cutoff = min(max_c, max_p) - _dt.timedelta(hours=3, minutes=1)
+    finalized = {
+        r["click_id"] for r in c.filter(F.col("click_ts") <= F.lit(cutoff)).collect()
+    }
+    got_abandoned = {r["click_id"] for r in got if r["abandoned"]}
+    assert got_abandoned <= want_abandoned  # sound: never a false abandon
+    assert want_abandoned & finalized <= got_abandoned  # complete when final
+    # matched rows are emitted eagerly (inner matches never wait for
+    # the watermark): exact and disjoint from the abandoned set
+    got_matched = {r["click_id"] for r in got if not r["abandoned"]}
+    assert got_matched.isdisjoint(got_abandoned)
+    assert got_matched == {r["click_id"] for r in c.collect()} - want_abandoned

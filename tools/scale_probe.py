@@ -127,6 +127,12 @@ PROBE_QUERIES = [
     # round-5 additions
     "heavy_hitters_merge",
     "histogram_quantiles",
+    "hll_user_count",
+    "gopher_quality",
+    "contamination_fraction",
+    "ccnet_buckets",
+    "ann_int8",
+    "abandoned_clicks",
 ]
 
 
