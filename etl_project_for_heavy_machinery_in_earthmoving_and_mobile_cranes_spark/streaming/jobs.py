@@ -416,6 +416,65 @@ def resolve_maintained_table(path: str) -> "str | None":
     return None
 
 
+def rollback_maintained_table(path: str) -> str:
+    """Repoint a maintained table at its PREDECESSOR version — the
+    GC-kept crash-replay margin doubling as a one-step operational
+    rollback (a maintainer bug published a bad batch; serve the last
+    good state while the bug is fixed).
+
+    Publishes with the same protocol the table currently uses
+    (symlink swap, or _CURRENT pointer replace when a manifest
+    exists).  Raises when there is no committed predecessor.
+
+    Caveat (documented, not hidden): the bad batch's checkpoint
+    commit already happened, so the STREAM will not redeliver it —
+    rollback serves stale-but-good data and must be paired with
+    reprocessing from source (or a checkpoint rewind) to re-ingest
+    the rolled-back interval.  The bad version dir is left in place
+    for forensics until normal GC passes it.
+    """
+    import os
+
+    vroot = f"{path}.versions"
+    current = _resolve_current_version(path)
+    if current is None:
+        raise ValueError(f"rollback: no committed state at {path}")
+    cur_name = os.path.basename(current)
+    versions = sorted(
+        (
+            d
+            for d in os.listdir(vroot)
+            if d.startswith("v")
+            and os.path.isdir(os.path.join(vroot, d))
+            and (
+                d.endswith("_legacy")
+                or os.path.exists(os.path.join(vroot, d, "_SUCCESS"))
+            )
+        ),
+        key=_version_sort_key,
+    )
+    older = [d for d in versions if _version_sort_key(d) < _version_sort_key(cur_name)]
+    if not older:
+        raise ValueError(f"rollback: no predecessor version for {path}")
+    target = os.path.join(vroot, older[-1])
+
+    manifest = os.path.join(vroot, _MANIFEST)
+    if os.path.isfile(manifest):
+        tmp = manifest + ".rollback"
+        with open(tmp, "w") as fh:
+            fh.write(os.path.basename(target))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, manifest)
+    else:
+        tmp_link = f"{path}.publish.rollback"
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(os.path.abspath(target), tmp_link)
+        os.replace(tmp_link, path)
+    return target
+
+
 def _read_maintained_table(spark, path: str):
     """Read a foreachBatch-maintained table; None ONLY when no state
     exists yet (first batch).  Any other failure — corrupt footer,

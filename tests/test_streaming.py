@@ -952,3 +952,32 @@ def test_stream_stream_left_outer_abandoned_clicks_matches_batch(
     got_matched = {r["click_id"] for r in got if not r["abandoned"]}
     assert got_matched.isdisjoint(got_abandoned)
     assert got_matched == {r["click_id"] for r in c.collect()} - want_abandoned
+
+
+def test_rollback_maintained_table_both_protocols(spark, tmp_path):
+    """One-step rollback: the GC-kept predecessor becomes live again
+    under both publish protocols; with no predecessor it refuses."""
+    import pytest as _pt
+
+    d0 = spark.createDataFrame([(1, "v0")], "k long, v string")
+    d1 = spark.createDataFrame([(1, "v1")], "k long, v string")
+
+    sym = str(tmp_path / "sym_tbl")
+    jobs._commit_maintained_table(d0, sym, 0, n_files=1)
+    with _pt.raises(ValueError):
+        jobs.rollback_maintained_table(sym)  # no predecessor yet
+    jobs._commit_maintained_table(d1, sym, 1, n_files=1)
+    assert [tuple(r) for r in spark.read.parquet(sym).collect()] == [(1, "v1")]
+    jobs.rollback_maintained_table(sym)
+    assert [tuple(r) for r in spark.read.parquet(sym).collect()] == [(1, "v0")]
+
+    man = str(tmp_path / "man_tbl")
+    jobs._commit_maintained_table(d0, man, 0, n_files=1, protocol="manifest")
+    jobs._commit_maintained_table(d1, man, 1, n_files=1, protocol="manifest")
+    assert [tuple(r) for r in jobs._read_maintained_table(spark, man).collect()] == [
+        (1, "v1")
+    ]
+    jobs.rollback_maintained_table(man)
+    assert [tuple(r) for r in jobs._read_maintained_table(spark, man).collect()] == [
+        (1, "v0")
+    ]
