@@ -8502,6 +8502,70 @@ WHERE e.event_type = 'click' AND NOT EXISTS (
 """
 
 
+_MIX_WEIGHTS = {f"src{i}": (i % 4 + 1) / 50.0 for i in range(20)}
+_MIX_BUDGET_X = 8.0
+_MIX_MAX_EPOCHS = 4.0
+
+
+def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix budget planner (sampling.mixture_budget): target
+    share per source (weights ∝ 1..4 cycling over the 20 sources),
+    global budget = 8× the corpus's own token count, epochs capped at
+    4 — the closed-form 'how many epochs of each source' table behind
+    every pretraining mixture.  With this shape the heavier shares
+    overshoot the cap (satisfied=false) and the lighter ones don't,
+    so both branches are exercised.  One |sources|-row aggregate plus
+    broadcast-sized arithmetic; all values derive from exact integer
+    token counts by shared-IEEE double ops."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", textstats.token_count(F.col("text"))
+    )
+    total = d.agg(F.sum("n_tokens").cast("bigint")).first()[0]
+    return sampling.mixture_budget(
+        d,
+        "source",
+        "n_tokens",
+        _MIX_WEIGHTS,
+        budget_tokens=float(_MIX_BUDGET_X * total),
+        max_epochs=_MIX_MAX_EPOCHS,
+    )
+
+
+def _oracle_mixture_budget() -> str:
+    srcs = ", ".join(f"'{s}'" for s in sorted(_MIX_WEIGHTS))
+    ws = ", ".join(repr(_MIX_WEIGHTS[s]) for s in sorted(_MIX_WEIGHTS))
+    me = _MIX_MAX_EPOCHS
+    return f"""
+WITH d AS (
+  SELECT source, {_TOKCOUNT_SQL} AS n_tok FROM documents
+), tot AS (
+  SELECT {_MIX_BUDGET_X} * sum(n_tok) AS budget FROM d
+), avail AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS available_tokens
+  FROM d GROUP BY 1
+), w AS (
+  SELECT unnest([{srcs}]) AS source,
+         CAST(unnest([{ws}]) AS DOUBLE) AS weight
+), j AS (
+  SELECT a.source, a.available_tokens, coalesce(w.weight, 0.0) AS weight,
+         tot.budget * coalesce(w.weight, 0.0) AS target_tokens
+  FROM avail a LEFT JOIN w USING (source) CROSS JOIN tot
+)
+SELECT source, available_tokens, weight, target_tokens,
+       floor(least(target_tokens / available_tokens, {me}) * 1e6 + 0.5) / 1e6
+           AS epochs,
+       CAST(floor(least(target_tokens, available_tokens * {me})) AS BIGINT)
+           AS tokens_used,
+       target_tokens / available_tokens <= {me} AS satisfied
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8537,6 +8601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "ann_int8": q_ann_int8,
         "abandoned_clicks": q_abandoned_clicks,
+        "mixture_budget": q_mixture_budget,
         # -- (C) driver-green in a prior round (r4 block first) ------
         "media_wav_stats": q_media_wav_stats,
         "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
@@ -8746,6 +8811,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": _oracle_ccnet_buckets(),
         "ann_int8": _oracle_ann_int8(),
         "abandoned_clicks": ORACLE_ABANDONED_CLICKS,
+        "mixture_budget": _oracle_mixture_budget(),
         "shingle_containment": _oracle_shingle_containment(),
         "domain_cap": _oracle_domain_cap(),
         "tail_token_coverage": _oracle_tail_token_coverage(),

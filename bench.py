@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "ccnet_buckets",
     "ann_int8",
     "abandoned_clicks",
+    "mixture_budget",
 ]
 
 

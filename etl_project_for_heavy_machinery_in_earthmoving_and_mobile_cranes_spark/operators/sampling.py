@@ -608,3 +608,68 @@ def dsir_importance(
             F.col("log_w"),
         )
     )
+
+
+def mixture_budget(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    weights: "dict[str, float]",
+    budget_tokens: "F.Column | int",
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Training-mix budget planner: given target mixture ``weights``
+    per source and a global token ``budget_tokens``, how many epochs
+    of each source fill its share — the closed-form arithmetic behind
+    every "we upsampled Wikipedia 3x" table in a pretraining paper.
+
+    Per source: target = budget·weight; epochs = target/available,
+    capped at ``max_epochs`` (repeating a tiny source forever degrades
+    models faster than under-filling the share — the cap is the
+    standard practice); tokens_used = floor(min(target,
+    available·max_epochs)); ``satisfied`` marks shares the cap left
+    unfilled.  Sources missing from ``weights`` get weight 0.
+
+    One |sources|-row hash aggregate; everything downstream is
+    broadcast-sized arithmetic.  All quantities derive from exact
+    integer token counts by IEEE double ops both engines share;
+    epochs is displayed at the 6-dp portable floor-round.
+
+    Returns ``(source, available_tokens, weight, target_tokens,
+    epochs, tokens_used, satisfied)``.
+    """
+    avail = df.groupBy(source_col).agg(
+        F.sum(token_col).cast("bigint").alias("available_tokens")
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
+    )
+    budget = (
+        budget_tokens
+        if isinstance(budget_tokens, F.Column)
+        else F.lit(float(budget_tokens))
+    )
+    out = avail.select(
+        source_col,
+        "available_tokens",
+        F.coalesce(
+            F.element_at(wmap, F.col(source_col)), F.lit(0.0)
+        ).alias("weight"),
+    ).withColumn("target_tokens", budget * F.col("weight"))
+    epochs_raw = F.col("target_tokens") / F.col("available_tokens")
+    epochs = F.least(epochs_raw, F.lit(float(max_epochs)))
+    used = F.floor(
+        F.least(
+            F.col("target_tokens"),
+            F.col("available_tokens") * F.lit(float(max_epochs)),
+        )
+    ).cast("bigint")
+    return out.select(
+        source_col,
+        "available_tokens",
+        "weight",
+        "target_tokens",
+        (F.floor(epochs * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("epochs"),
+        used.alias("tokens_used"),
+        (epochs_raw <= F.lit(float(max_epochs))).alias("satisfied"),
+    )

@@ -519,3 +519,30 @@ def test_per_group_cap_approx_prefilter_equivalent_and_pruned(spark):
         df, "g", "k", 10, approx_prefilter=True, slack=0.000001
     )
     assert {(r["g"], r["k"]) for r in tight.collect()} == base
+
+
+def test_mixture_budget_caps_and_satisfies(spark):
+    """Mixture budgeter: an over-demanded source caps at max_epochs
+    (satisfied=False, tokens_used = available*cap), an under-demanded
+    one fills its exact share, and an unweighted source plans zero."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 1000), ("c", 500)],
+        "source string, n_tok long",
+    )
+    out = {
+        r["source"]: r
+        for r in sampling.mixture_budget(
+            df, "source", "n_tok",
+            {"a": 0.8, "b": 0.2}, budget_tokens=2000, max_epochs=2.0,
+        ).collect()
+    }
+    # a: target 1600 over 200 available -> capped at 2 epochs, 400 used
+    assert out["a"]["satisfied"] is False and out["a"]["epochs"] == 2.0
+    assert out["a"]["tokens_used"] == 400
+    # b: target 400 of 1000 -> 0.4 epochs, exact fill
+    assert out["b"]["satisfied"] is True and out["b"]["epochs"] == 0.4
+    assert out["b"]["tokens_used"] == 400
+    # c: no weight -> zero plan
+    assert out["c"]["weight"] == 0.0 and out["c"]["tokens_used"] == 0

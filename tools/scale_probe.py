@@ -133,6 +133,7 @@ PROBE_QUERIES = [
     "ccnet_buckets",
     "ann_int8",
     "abandoned_clicks",
+    "mixture_budget",
 ]
 
 
