@@ -563,9 +563,13 @@ def _commit_maintained_table(
     last-writer-wins on every major object store), and readers resolve
     the pointer (``_resolve_current_version``).  ``protocol="auto"``
     picks manifest for URI-scheme paths (``s3://…``), symlink
-    otherwise.  The production answer at 100 TB is a table format
-    (Delta/Iceberg), whose commit log is exactly this pointer-file
-    idea generalized.
+    otherwise.  The local ``open``/``os.replace`` used here STAND IN
+    for the store's single-object PUT — deploying against a real
+    bucket swaps those two calls for the store client; the protocol
+    (immutable version dirs + tiny pointer object) is what carries
+    over unchanged.  The production answer at 100 TB is a table
+    format (Delta/Iceberg), whose commit log is exactly this
+    pointer-file idea generalized.
 
     Replay safety: if the live table already resolves to this batch's
     version dir (a replay after crash-between-publish-and-checkpoint),
