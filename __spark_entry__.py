@@ -8566,6 +8566,80 @@ FROM j
 """
 
 
+_WAIT_DAYS = 60
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog on the available columns: suppliers who were
+    the SOLE late shipper on a multi-supplier order (late = shipped
+    more than 60 days after the order date), counted per supplier —
+    the classic double-correlated EXISTS / NOT EXISTS query.  Instead
+    of two correlated subqueries, one per-order aggregate computes
+    (distinct suppliers, distinct LATE suppliers) and the qualifying
+    pairs fall out of a broadcast join back — two hash aggregates and
+    zero nested-loop re-scans of lineitem, the aggregation rewrite
+    that makes Q21 scale.  NULL ship/order dates never qualify as
+    late (explicit boolean, not sentinel arithmetic)."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {_WAIT_DAYS} DAYS"
+    )
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.coalesce(late, F.lit(False)).alias("__late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("__n_supp"),
+        F.count_distinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+            "__n_late"
+        ),
+    )
+    sole_late = (
+        lines.filter(F.col("__late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("__n_supp") > 1) & (F.col("__n_late") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+    )
+
+
+def _oracle_waiting_suppliers() -> str:
+    return f"""
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         coalesce(l_shipdate > o_orderdate + INTERVAL {_WAIT_DAYS} DAY, FALSE)
+             AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+  FROM lines GROUP BY 1
+), sole AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lines l JOIN per_order p USING (l_orderkey)
+  WHERE l.late AND p.n_supp > 1 AND p.n_late = 1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM sole JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8602,6 +8676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8": q_ann_int8,
         "abandoned_clicks": q_abandoned_clicks,
         "mixture_budget": q_mixture_budget,
+        "waiting_suppliers": q_waiting_suppliers,
         # -- (C) driver-green in a prior round (r4 block first) ------
         "media_wav_stats": q_media_wav_stats,
         "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
@@ -8812,6 +8887,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_int8": _oracle_ann_int8(),
         "abandoned_clicks": ORACLE_ABANDONED_CLICKS,
         "mixture_budget": _oracle_mixture_budget(),
+        "waiting_suppliers": _oracle_waiting_suppliers(),
         "shingle_containment": _oracle_shingle_containment(),
         "domain_cap": _oracle_domain_cap(),
         "tail_token_coverage": _oracle_tail_token_coverage(),

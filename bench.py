@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "ann_int8",
     "abandoned_clicks",
     "mixture_budget",
+    "waiting_suppliers",
 ]
 
 

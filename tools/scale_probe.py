@@ -134,6 +134,7 @@ PROBE_QUERIES = [
     "ann_int8",
     "abandoned_clicks",
     "mixture_budget",
+    "waiting_suppliers",
 ]
 
 
