@@ -552,3 +552,84 @@ def test_histogram_quantiles_monotone_in_p(spark):
     for g, pairs in got.items():
         qs = [q for _, q in sorted(pairs)]
         assert qs == sorted(qs), (g, qs)
+
+
+def test_hll_registers_invariant_under_arbitrary_splits(spark):
+    """Mergeability property on seeded random data: HLL registers of
+    the union equal the groupBy-max merge of registers over ANY
+    partition of the rows — the algebraic fact the streaming
+    maintainer's correctness rests on — and the estimate is within the
+    m=512 error envelope of the exact distinct count."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import sketches
+
+    rng = random.Random(11)
+    rows = [
+        (f"g{i % 3}", rng.randint(0, 4000), rng.randint(0, 2))
+        for i in range(6000)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, split int")
+
+    whole = {
+        (r["g"], r["__bucket"]): r["__rho"]
+        for r in sketches.hll_register_table(df, "g", "k").collect()
+    }
+    parts = [
+        sketches.hll_register_table(df.filter(F.col("split") == s), "g", "k")
+        for s in range(3)
+    ]
+    merged = {
+        (r["g"], r["__bucket"]): r["__rho"]
+        for r in sketches.merge_hll_registers(parts).collect()
+    }
+    assert merged == whole
+
+    est = {
+        r["g"]: r["est_distinct"]
+        for r in sketches.hll_estimate_from_registers(
+            sketches.merge_hll_registers(parts), "g"
+        ).collect()
+    }
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g")
+        .agg(F.countDistinct("k").alias("n"))
+        .collect()
+    }
+    for g, n in exact.items():
+        assert abs(est[g] - n) <= 0.2 * n, (g, est[g], n)
+
+
+def test_misra_gries_bound_on_random_streams(spark):
+    """On seeded random skewed streams cut into arbitrary batches: every
+    surviving key's count obeys n <= true <= n + eps, and every key
+    with true count > eps survives — the two MG guarantees, checked
+    against exact Python counts."""
+    from collections import Counter
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import jobs
+
+    rng = random.Random(23)
+    # zipf-ish skew over 40 keys
+    keys = [f"k{min(int(rng.paretovariate(1.0)), 40)}" for _ in range(4000)]
+    true = Counter(keys)
+    path = f"/tmp/mg_prop_{rng.randint(0, 10**9)}"
+    n_batches = 4
+    for b in range(n_batches):
+        batch = keys[b::n_batches]
+        jobs.apply_heavy_hitters_batch(
+            spark.createDataFrame([(k,) for k in batch], "k string"),
+            b, path, key_col="k", capacity=8,
+        )
+    out = spark.read.parquet(path)
+    eps = out.agg(F.max("__eps")).first()[0]
+    got = {r["key"]: r["n"] for r in out.collect()}
+    assert len(got) <= 8
+    for k, n in got.items():
+        assert n <= true[k] <= n + eps, (k, n, true[k], eps)
+    for k, t in true.items():
+        if t > eps:
+            assert k in got, (k, t, eps)
+    import shutil as _sh
+
+    _sh.rmtree(path, ignore_errors=True)
+    _sh.rmtree(f"{path}.versions", ignore_errors=True)
