@@ -8640,6 +8640,45 @@ GROUP BY 1
 """
 
 
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection at the ingest edge
+    (streaming/jobs.apply_lsh_dedup_batch): the documents table
+    arrives as three micro-batches (doc_id mod 3); each batch is
+    signature-hashed once, band-joined against the accumulated
+    signature+doc index, exact-verified, and appended — cross-batch
+    dup pairs surface exactly once, when their later member arrives,
+    and no batch rescans a corpus it didn't touch.  The union of the
+    per-batch pair feeds equals the one-shot LSH+verify over the whole
+    corpus (the exactly-once union property, asserted by the stream
+    twin test), which is recall-exact ≥0.8 with 8 single-row bands on
+    the test corpora — so the oracle is the same exact-Jaccard pair
+    SQL as minhash_pairs_fast."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import (
+        jobs,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="inc_lsh_")
+    idx, pairs = os.path.join(tmp, "idx"), os.path.join(tmp, "pairs")
+    try:
+        for b in range(3):
+            jobs.apply_lsh_dedup_batch(
+                d.filter(F.col("doc_id") % 3 == b), b, idx, pairs
+            )
+        out = (
+            spark.read.parquet(pairs)
+            .select("id_a", "id_b", "jaccard")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8677,6 +8716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abandoned_clicks": q_abandoned_clicks,
         "mixture_budget": q_mixture_budget,
         "waiting_suppliers": q_waiting_suppliers,
+        "incremental_near_dup": q_incremental_near_dup,
         # -- (C) driver-green in a prior round (r4 block first) ------
         "media_wav_stats": q_media_wav_stats,
         "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
@@ -8888,6 +8928,7 @@ def oracle_sql() -> dict[str, str]:
         "abandoned_clicks": ORACLE_ABANDONED_CLICKS,
         "mixture_budget": _oracle_mixture_budget(),
         "waiting_suppliers": _oracle_waiting_suppliers(),
+        "incremental_near_dup": _oracle_minhash_pairs_fast(),
         "shingle_containment": _oracle_shingle_containment(),
         "domain_cap": _oracle_domain_cap(),
         "tail_token_coverage": _oracle_tail_token_coverage(),

@@ -165,6 +165,11 @@ BENCH_QUERIES = [
     "abandoned_clicks",
     "mixture_budget",
     "waiting_suppliers",
+    # incremental_near_dup excluded from the TIMED set like the other
+    # driver-action-heavy twins: its cost is 3 foreachBatch rounds of
+    # job overhead (the one-shot LSH path is timed as
+    # minhash_pairs_fast); the 30x probe row in SCALE.md records its
+    # scaling instead
 ]
 
 

@@ -1106,3 +1106,125 @@ def maintain_hll_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_lsh_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: "int | None" = None,
+) -> None:
+    """One micro-batch of INCREMENTAL near-dup detection — the 100 TB
+    ingest-edge shape of MinHash-LSH dedup: each arriving batch is
+    signature-hashed once, band-joined against the accumulated
+    signature+doc index, exact-verified, and appended to the index.
+    Cross-batch pairs surface when their LATER member arrives, so the
+    union of per-batch pair outputs equals the one-shot LSH over the
+    whole corpus with each pair reported EXACTLY ONCE (asserted by the
+    stream/batch twin test) — no full-corpus re-dedup, ever.
+
+    Layout: both the index and the pair feed are ``batch=<id>``
+    partition dirs written with mode('overwrite') — an at-least-once
+    replay rewrites its own partition instead of duplicating
+    (the decontaminate_stream idempotence pattern); the index read
+    EXCLUDES the current batch's partition so a replay never pairs a
+    doc against its own half-written earlier write.
+
+    Scale shape: per batch, signatures cost O(batch shingles); the
+    candidate stage is the banded equi join of (batch ∪ index)
+    signatures — at production scale the index side is bucketed by
+    band hash so the lookup prunes instead of rescanning — and the
+    exact verify touches only candidate ids via
+    ``dedup.exact_jaccard_of_pairs``.  ``max_bucket`` carries the
+    usual boilerplate-family cap.
+    """
+    from ..operators import dedup as dedup_ops
+
+    spark = batch_df.sparkSession
+    sigs_new = dedup_ops.minhash_signatures(
+        batch_df, id_col, text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, hash_fn="xxhash64",
+    )
+    new_rows = batch_df.select(id_col, text_col).join(sigs_new, id_col)
+
+    import os
+
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    if os.path.isdir(index_path) and any(
+        d.startswith("batch=") for d in os.listdir(index_path)
+    ):
+        stored = spark.read.parquet(index_path).filter(
+            F.col("batch") != batch_id  # replay: never pair against own write
+        )
+    else:
+        stored = None
+
+    if stored is not None:
+        all_sigs = stored.select(id_col, *mh_cols).unionByName(
+            sigs_new.select(id_col, *mh_cols)
+        )
+        corpus = stored.select(id_col, text_col).unionByName(
+            batch_df.select(id_col, text_col)
+        )
+    else:
+        all_sigs = sigs_new.select(id_col, *mh_cols)
+        corpus = batch_df.select(id_col, text_col)
+
+    cand = dedup_ops.lsh_similar_pairs(
+        all_sigs, id_col, num_hashes=num_hashes, bands=num_hashes,
+        max_bucket=max_bucket,
+    )
+    new_ids = sigs_new.select(F.col(id_col))
+    # keep pairs touching THIS batch: older pairs were already emitted
+    # the batch their later member arrived
+    cand_new = (
+        cand.join(
+            new_ids.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi"
+        )
+        .unionByName(
+            cand.join(
+                new_ids.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi"
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the verify stage three times
+    )
+    exact = dedup_ops.exact_jaccard_of_pairs(
+        corpus, cand_new, id_col, text_col, shingle_n=shingle_n
+    )
+    pairs = exact.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+    pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
+    new_rows.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+
+
+def incremental_lsh_dedup_stream(
+    docs: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """Streaming incremental near-dup detection: every arriving
+    micro-batch of documents is checked against everything ingested
+    before it (apply_lsh_dedup_batch) — the dup-pair feed and the
+    signature index grow per batch, and no batch ever rescans the
+    corpus it didn't touch.  Exactly-once per micro-batch via the
+    checkpoint + per-batch partition overwrite."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_lsh_dedup_batch(batch_df, batch_id, index_path, pairs_path, **kwargs)
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -981,3 +981,61 @@ def test_rollback_maintained_table_both_protocols(spark, tmp_path):
     assert [tuple(r) for r in jobs._read_maintained_table(spark, man).collect()] == [
         (1, "v0")
     ]
+
+
+def test_incremental_lsh_dedup_stream_equals_one_shot(spark, sf_dir, tmp_path):
+    """Ingest-edge near-dup dedup: the union of per-batch pair outputs
+    equals the one-shot LSH candidates+verify over the whole corpus,
+    with every pair reported exactly once (cross-batch pairs surface
+    when their later member arrives); a drained-stream restart on the
+    same checkpoint adds nothing."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    land = str(tmp_path / "docs_land")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(land)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(land)
+
+    idx, pairs, cp = (
+        str(tmp_path / "idx"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "cp_lsh"),
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = jobs.incremental_lsh_dedup_stream(stream, idx, pairs, cp)
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1  # genuinely multi-batch
+
+    got_rows = spark.read.parquet(pairs).select("id_a", "id_b", "jaccard").collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got_rows}
+    assert len(got_rows) == len(got)  # every pair exactly once
+
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingle_n=3, hash_fn="xxhash64"
+    )
+    cand = dedup.lsh_similar_pairs(sigs, "doc_id", num_hashes=8, bands=8)
+    exact = dedup.exact_jaccard_of_pairs(docs, cand, "doc_id", "text", shingle_n=3)
+    want = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in exact.filter(F.col("jaccard") >= 0.8).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # drained restart: no new batches, no new pairs, index unchanged
+    n_idx = spark.read.parquet(idx).count()
+    q2 = jobs.incremental_lsh_dedup_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land),
+        idx, pairs, cp,
+    )
+    q2.awaitTermination()
+    assert {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in spark.read.parquet(pairs).collect()
+    } == want
+    assert spark.read.parquet(idx).count() == n_idx == docs.count()

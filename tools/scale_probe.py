@@ -135,6 +135,7 @@ PROBE_QUERIES = [
     "abandoned_clicks",
     "mixture_budget",
     "waiting_suppliers",
+    "incremental_near_dup",
 ]
 
 
