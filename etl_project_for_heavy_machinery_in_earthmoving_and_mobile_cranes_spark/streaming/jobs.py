@@ -1108,6 +1108,23 @@ def maintain_hll_stream(
     )
 
 
+def _dir_bytes(path: str) -> int:
+    """Total bytes under a local directory tree (0 when absent) — the
+    cheap plan-build-time size signal the adaptive broadcast guard in
+    ``apply_lsh_dedup_batch`` uses; object-store deployments swap this
+    for a listing call."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def apply_lsh_dedup_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -1182,18 +1199,29 @@ def apply_lsh_dedup_batch(
     )
     new_ids = sigs_new.select(F.col(id_col))
     # keep pairs touching THIS batch: older pairs were already emitted
-    # the batch their later member arrived
+    # the batch their later member arrived.  new_ids is batch-bounded,
+    # so ITS broadcast is explicit and safe
     cand_new = (
         cand.join(
-            new_ids.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi"
+            F.broadcast(new_ids.withColumnRenamed(id_col, "id_a")),
+            "id_a",
+            "left_semi",
         )
         .unionByName(
             cand.join(
-                new_ids.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi"
+                F.broadcast(new_ids.withColumnRenamed(id_col, "id_b")),
+                "id_b",
+                "left_semi",
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)  # feeds the verify stage three times
+        # feeds the verify stage three times.  persist(), NOT
+        # localCheckpoint: checkpoint blocks are unrecoverable when
+        # memory pressure drops them (no lineage), and a dup-storm
+        # batch is exactly when pressure happens — persisted blocks
+        # recompute instead (observed at the 30x probe: checkpointed
+        # pair blocks vanished mid-verify and failed the batch)
+        .persist()
     )
     exact = dedup_ops.exact_jaccard_of_pairs(
         corpus, cand_new, id_col, text_col, shingle_n=shingle_n
@@ -1201,8 +1229,29 @@ def apply_lsh_dedup_batch(
     pairs = exact.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
-    pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
-    new_rows.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+    # the pair list, candidate-id projections, and shared-shingle
+    # frames in the verify plan are all ANSWER-sized — unbounded on a
+    # dup-storm batch.  An auto-chosen broadcast of any of them is a
+    # driver OOM waiting for the worst batch (observed at the 30x
+    # probe: a 64 MB-threshold broadcast build OOM'd the 8 GB driver),
+    # so once the accumulated index is big enough that answer frames
+    # CAN be big, auto-broadcast is turned off for the batch apply —
+    # the explicit batch-bounded broadcasts above still apply (a -1
+    # threshold honors explicit hints).  Small indexes keep broadcasts
+    # on: at gate scale every frame is tiny and shuffling them instead
+    # measured 4x slower for nothing.
+    big_index = _dir_bytes(index_path) > 16 * 1024 * 1024
+    thr_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_thr = spark.conf.get(thr_key, None)
+    if big_index:
+        spark.conf.set(thr_key, "-1")
+    try:
+        pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
+        new_rows.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+    finally:
+        if big_index and old_thr is not None:
+            spark.conf.set(thr_key, old_thr)
+        cand_new.unpersist()  # release the checkpointed pair blocks
 
 
 def incremental_lsh_dedup_stream(
