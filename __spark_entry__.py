@@ -8680,6 +8680,209 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H analog pack (round 5): the Q14/Q15/Q17/Q18 decorrelation /
+# rewrite shapes on the available columns.  Each replaces the
+# benchmark's correlated subquery with the hash-aggregate + join-back
+# plan that scales: one pass over lineitem, small side broadcast.
+# ---------------------------------------------------------------------------
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: per-month share of discounted revenue from
+    PROMO-type parts.  lineitem⋈part is a broadcast hash join (part is
+    dim-sized), the conditional revenue is ONE hash aggregate with a
+    decimal CASE sum — no second scan for the denominator.  Money goes
+    through the exact-decimal discipline; the share divides two
+    decimal-rounded doubles (bit-identical in both engines) and is
+    floor-rounded at 6dp."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    zero = F.lit(0).cast(DEC) * F.lit(0).cast(DEC_S)  # decimal type twin
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    out = (
+        j.groupBy(F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month"))
+        .agg(
+            dround(
+                F.sum(F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(zero))
+            ).alias("promo_revenue"),
+            dround(F.sum(_disc_price())).alias("total_revenue"),
+        )
+    )
+    share = F.col("promo_revenue") / F.col("total_revenue")
+    return out.select(
+        "month",
+        "promo_revenue",
+        "total_revenue",
+        (F.floor(share * 1e6 + F.lit(0.5)) / 1e6).alias("promo_share"),
+    )
+
+
+ORACLE_PROMO_REVENUE = f"""
+WITH j AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         CASE WHEN p_type = 'PROMO' THEN {SQL_DISC_PRICE}
+              ELSE CAST(0 AS DECIMAL(18,4)) * CAST(0 AS DECIMAL(8,4)) END AS promo,
+         {SQL_DISC_PRICE} AS disc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), agg AS (
+  SELECT month,
+         CAST(round(sum(promo), 2) AS DOUBLE) AS promo_revenue,
+         CAST(round(sum(disc), 2) AS DOUBLE)  AS total_revenue
+  FROM j GROUP BY 1
+)
+SELECT month, promo_revenue, total_revenue,
+       floor(promo_revenue / total_revenue * 1e6 + 0.5) / 1e6 AS promo_share
+FROM agg
+"""
+
+_TOPSUP_START = "1996-01-01"
+_TOPSUP_END = "1996-04-01"
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog: the supplier(s) with maximum discounted
+    revenue over a 3-month shipdate window.  The benchmark's
+    ``revenue = (SELECT max(...))`` correlated view is rewritten as
+    one hash aggregate over the filtered lineitem plus a rank-1 window
+    over the (supplier-sized) aggregate — ties all surface, per the
+    spec.  Revenue compares as the exact decimal sum (order-
+    independent), so the max/tie semantics are engine-identical; the
+    published column is the decimal-rounded double."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= _TOPSUP_START)
+            & (F.col("l_shipdate") < _TOPSUP_END)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_disc_price()).alias("__rev"))
+    )
+    w = Window.orderBy(F.col("__rev").desc())
+    top = rev.withColumn("__rk", F.rank().over(w)).filter(F.col("__rk") == 1)
+    return (
+        top.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            dround(F.col("__rev")).alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_TOP_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey, sum({SQL_DISC_PRICE}) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_TOPSUP_START} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{_TOPSUP_END} 00:00:00'
+  GROUP BY 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(round(r, 2) AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT max(r) FROM rev)
+"""
+
+_Q17_BRAND = "Brand#1"
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: average yearly revenue lost by only shipping
+    small orders — lineitems of one brand whose quantity is below 20%
+    of that part's average quantity.  The benchmark's correlated
+    ``l_quantity < (SELECT 0.2*avg(..) WHERE same part)`` re-scans
+    lineitem per row; the rewrite computes the per-part threshold in
+    ONE aggregate over the SAME brand-filtered scan and broadcast-joins
+    it back (part-sized frame) — lineitem is read once.  The threshold
+    comparison is exact decimal (0.2·avg as Σqty/5n), so the boundary
+    is engine-identical — no double knife-edge."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == _Q17_BRAND)
+    brand_lines = li.join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    # threshold: qty < 0.2 * avg(qty)  ⇔  5·n·qty < Σqty  (integer-exact)
+    per_part = brand_lines.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sq"),
+        F.count("*").alias("__n"),
+    )
+    qualified = brand_lines.join(
+        F.broadcast(per_part.withColumnRenamed("l_partkey", "__pk")),
+        F.col("l_partkey") == F.col("__pk"),
+    ).filter(
+        F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("__n") < F.col("__sq")
+    )
+    return qualified.agg(
+        (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+ORACLE_SMALL_QTY = f"""
+WITH bl AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{_Q17_BRAND}'
+), pp AS (
+  SELECT l_partkey AS pk,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+         count(*) AS n
+  FROM bl GROUP BY 1
+)
+SELECT {sql_dsum('l_extendedprice')} / 7.0 AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM bl JOIN pp ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n < sq
+"""
+
+_Q18_MIN_QTY = 140
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: customers who placed an order totalling more
+    than ``_Q18_MIN_QTY`` units.  The benchmark's ``o_orderkey IN
+    (SELECT .. HAVING sum > t)`` nests a full lineitem aggregate inside
+    a semi join; the rewrite is the same aggregate ONCE, filtered, then
+    joined to orders — the qualifying-order frame is tiny, so the join
+    back is broadcast.  Quantities are small integers: the decimal sum
+    comparison is exact in both engines."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sq"))
+        .filter(F.col("__sq") > _Q18_MIN_QTY)
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.col("o_totalprice"),
+            F.col("__sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+ORACLE_LARGE_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_MIN_QTY}
+)
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+       CAST(sq AS DOUBLE) AS sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -8706,6 +8909,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new in round 5 (insert new queries HERE, at top) ----
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_orders": q_large_orders,
         "heavy_hitters_merge": q_heavy_hitters_merge,
         "histogram_quantiles": q_histogram_quantiles,
         "hll_user_count": q_hll_user_count,
@@ -8918,6 +9125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "promo_revenue": ORACLE_PROMO_REVENUE,
+        "top_supplier": ORACLE_TOP_SUPPLIER,
+        "small_qty_revenue": ORACLE_SMALL_QTY,
+        "large_orders": ORACLE_LARGE_ORDERS,
         "heavy_hitters_merge": _oracle_heavy_hitters_merge(),
         "histogram_quantiles": _oracle_histogram_quantiles(),
         "hll_user_count": _oracle_hll_user_count(),
