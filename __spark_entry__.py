@@ -8882,6 +8882,169 @@ FROM orders JOIN big ON o_orderkey = l_orderkey
 """
 
 
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (textstats.c4_line_filters): lines
+    are kept only when they end in terminal punctuation, carry ≥5
+    words, and hit no blocklist phrase; docs survive with ≥3 kept
+    lines.  The synthetic corpus is single-line, so the query first
+    synthesizes deterministic line structure — 8-word windows, with a
+    terminal ``.`` and an injected ``javascript`` blocklist hit keyed
+    off the shared md5 hash convention — identically in both engines;
+    the operator itself is the pure array-lambda filter pass."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    n = F.size(words)
+    nl = F.ceil(n.cast("double") / F.lit(8.0)).cast("int")
+    idx = F.when(n > 0, F.sequence(F.lit(0), nl - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def mk_line(i):
+        base = F.array_join(F.slice(words, i * 8 + 1, 8), " ")
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit("0:"), base)), 1, 8), 16, 10
+        ).cast("long")
+        wb = F.when(h % 13 == 0, F.concat(F.lit("javascript "), base)).otherwise(
+            base
+        )
+        return F.when(h % 10 < 7, F.concat(wb, F.lit(" ."))).otherwise(wb)
+
+    lined = d.select("doc_id", F.transform(idx, mk_line).alias("__lines"))
+    return textstats.c4_line_filters(lined, "doc_id", "__lines")
+
+
+ORACLE_C4_FILTERS = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+  FROM documents
+), lined AS (
+  SELECT doc_id,
+    list_transform(
+      range(0, CAST(ceil(len(w) / 8.0) AS INT)),
+      i -> CASE
+        WHEN ('0x' || substr(md5('0:' ||
+               array_to_string(w[i*8+1:i*8+8], ' ')), 1, 8))::BIGINT % 10 < 7
+        THEN (CASE
+          WHEN ('0x' || substr(md5('0:' ||
+                 array_to_string(w[i*8+1:i*8+8], ' ')), 1, 8))::BIGINT % 13 = 0
+          THEN 'javascript ' || array_to_string(w[i*8+1:i*8+8], ' ')
+          ELSE array_to_string(w[i*8+1:i*8+8], ' ') END) || ' .'
+        ELSE (CASE
+          WHEN ('0x' || substr(md5('0:' ||
+                 array_to_string(w[i*8+1:i*8+8], ' ')), 1, 8))::BIGINT % 13 = 0
+          THEN 'javascript ' || array_to_string(w[i*8+1:i*8+8], ' ')
+          ELSE array_to_string(w[i*8+1:i*8+8], ' ') END)
+      END) AS lines
+  FROM base
+), flagged AS (
+  SELECT doc_id, lines,
+    list_filter(lines, l ->
+      NOT (contains(lower(l), 'javascript') OR contains(lower(l), 'lorem ipsum')
+           OR contains(lower(l), 'cookie'))
+      AND regexp_matches(l, '[.!?"]$')
+      AND len(list_filter(string_split_regex(l, '\s+'), x -> x != '')) >= 5
+    ) AS kept,
+    list_filter(lines, l ->
+      contains(lower(l), 'javascript') OR contains(lower(l), 'lorem ipsum')
+      OR contains(lower(l), 'cookie')) AS bl,
+    list_filter(lines, l ->
+      NOT (contains(lower(l), 'javascript') OR contains(lower(l), 'lorem ipsum')
+           OR contains(lower(l), 'cookie'))
+      AND NOT regexp_matches(l, '[.!?"]$')) AS np,
+    list_filter(lines, l ->
+      NOT (contains(lower(l), 'javascript') OR contains(lower(l), 'lorem ipsum')
+           OR contains(lower(l), 'cookie'))
+      AND regexp_matches(l, '[.!?"]$')
+      AND len(list_filter(string_split_regex(l, '\s+'), x -> x != '')) < 5) AS sh
+  FROM lined
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT)  AS n_kept,
+       CAST(len(bl) AS BIGINT)    AS n_blocklist,
+       CAST(len(np) AS BIGINT)    AS n_nopunct,
+       CAST(len(sh) AS BIGINT)    AS n_short,
+       len(kept) >= 3             AS keep,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+FROM flagged
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: encode every document
+    with the learned BPE merge list (textstats.bpe_encode_counts — one
+    narrow lambda projection) and aggregate tokens-per-word (fertility)
+    and symbols-per-token (compression) by lang.  The multilingual-
+    tokenizer health check run before committing to a vocab: a lang
+    whose fertility is 2× the corpus mean is being priced out of the
+    context window.  All counts are exact integers; the two ratios
+    divide identical integers in both engines and floor-round at 6dp."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    enc = textstats.bpe_encode_counts(d, "doc_id", "text", _BPE_ENC_MERGES)
+    j = enc.join(d.select("doc_id", "lang"), "doc_id")
+    rnd = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    agg = j.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("words"),
+        F.sum("n_subwords").cast("bigint").alias("tokens"),
+        F.sum("n_chars_sym").cast("bigint").alias("symbols"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "words",
+        "tokens",
+        rnd(F.col("tokens").cast("double") / F.col("words").cast("double")).alias(
+            "fertility"
+        ),
+        rnd(
+            F.col("symbols").cast("double") / F.col("tokens").cast("double")
+        ).alias("chars_per_token"),
+    )
+
+
+def _oracle_tokenizer_fertility() -> str:
+    norm = _NORM_SQL.format(col="text")
+    enc = "trim(regexp_replace(t, '(.)', '\\1 ', 'g'))"
+    for m in _BPE_ENC_MERGES:
+        dm, mm = m.replace(" ", "  "), m.replace(" ", "")
+        enc = (
+            "trim(regexp_replace(replace(' ' || replace(" + enc
+            + ", ' ', '  ') || ' ', ' " + dm + " ', ' " + mm
+            + " '), ' +', ' ', 'g'))"
+        )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(string_split({norm}, ' '), x -> x != '') AS w
+  FROM documents
+), per_doc AS (
+  SELECT lang,
+         len(w) AS n_words,
+         coalesce(list_sum(list_transform(w, t -> len(t))), 0) AS n_chars_sym,
+         coalesce(list_sum(list_transform(w,
+                t -> len(string_split({enc}, ' ')))), 0) AS n_subwords
+  FROM base
+), agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS words,
+         CAST(sum(n_subwords) AS BIGINT) AS tokens,
+         CAST(sum(n_chars_sym) AS BIGINT) AS symbols
+  FROM per_doc GROUP BY 1
+)
+SELECT lang, n_docs, words, tokens,
+       floor(CAST(tokens AS DOUBLE) / CAST(words AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS fertility,
+       floor(CAST(symbols AS DOUBLE) / CAST(tokens AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS chars_per_token
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8909,6 +9072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new in round 5 (insert new queries HERE, at top) ----
+        "c4_filters": q_c4_filters,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "promo_revenue": q_promo_revenue,
         "top_supplier": q_top_supplier,
         "small_qty_revenue": q_small_qty_revenue,
@@ -9125,6 +9290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "c4_filters": ORACLE_C4_FILTERS,
+        "tokenizer_fertility": _oracle_tokenizer_fertility(),
         "promo_revenue": ORACLE_PROMO_REVENUE,
         "top_supplier": ORACLE_TOP_SUPPLIER,
         "small_qty_revenue": ORACLE_SMALL_QTY,

@@ -1259,3 +1259,74 @@ def ppl_buckets(
         "ppl_bucket", F.lit("unscored")
     )
     return bucketed.unionByName(rest)
+
+
+C4_BLOCKLIST = ("javascript", "lorem ipsum", "cookie")
+
+
+def c4_line_filters(
+    df: DataFrame,
+    id_col: str,
+    lines_col: str,
+    min_words: int = 5,
+    blocklist: "tuple[str, ...]" = C4_BLOCKLIST,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep a
+    line only if it ends in terminal punctuation (``. ! ? "``), has at
+    least ``min_words`` whitespace words, and contains no blocklist
+    phrase; keep the DOCUMENT only if at least ``min_kept_lines`` lines
+    survive.  Reference scope note: the reference pipeline has no web
+    cleaning stage (its corpus is structured listings,
+    ``data_processing_program_20240520.py`` pre_processing), so this is
+    extension surface for the crawl-curation pipeline.
+
+    Input is a ready ``array<string>`` lines column: line structure
+    comes from upstream extraction (HTML → text), which is outside the
+    engine — the same honest boundary as the multimodal codecs.
+
+    Drop counts are reported with rule precedence (blocklist →
+    no-terminal-punct → too-short) so every dropped line is counted
+    exactly once.  ``clean_text`` rejoins surviving lines with
+    newlines.
+
+    Scale shape: pure array-lambda projection — zero shuffles, zero
+    UDFs, linear in corpus characters; the keep decision composes with
+    the quality/dedup stages as one narrow DAG.
+    """
+    lines = F.col(lines_col)
+    block_arr = F.array(*[F.lit(b) for b in blocklist])
+
+    def has_block(l):  # noqa: E741
+        return F.exists(block_arr, lambda b: F.contains(F.lower(l), b))
+
+    def punct_ok(l):  # noqa: E741
+        return l.rlike('[.!?"]$')
+
+    def n_words(l):  # noqa: E741
+        return F.size(F.filter(F.split(l, r"\s+"), lambda x: x != ""))
+
+    keep_line = (
+        lambda l: ~has_block(l) & punct_ok(l) & (n_words(l) >= min_words)
+    )
+    kept = F.filter(lines, keep_line)
+    n_block = F.size(F.filter(lines, has_block))
+    n_nopunct = F.size(
+        F.filter(lines, lambda l: ~has_block(l) & ~punct_ok(l))
+    )
+    n_short = F.size(
+        F.filter(
+            lines,
+            lambda l: ~has_block(l) & punct_ok(l) & (n_words(l) < min_words),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        n_block.cast("bigint").alias("n_blocklist"),
+        n_nopunct.cast("bigint").alias("n_nopunct"),
+        n_short.cast("bigint").alias("n_short"),
+        (F.size(kept) >= min_kept_lines).alias("keep"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )

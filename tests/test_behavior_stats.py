@@ -607,3 +607,53 @@ def test_ppl_buckets_integer_thirds_and_unscored(spark):
     )
     assert out[9] == "unscored"
     assert out[10] == "tail"
+
+
+def test_c4_line_filters_precedence_and_keep(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        textstats,
+    )
+
+    rows = [
+        # doc 1: 3 keepable lines + one of each drop class -> kept
+        (
+            1,
+            [
+                "one two three four five six.",
+                "alpha beta gamma delta epsilon zeta!",
+                'quoted line with five good words"',
+                "short line.",  # punct ok, <5 words
+                "no terminal punctuation here at all",  # >=5 words, no punct
+                "enable javascript to view this page.",  # blocklist wins
+            ],
+        ),
+        # doc 2: only 2 keepable lines -> dropped at doc level
+        (
+            2,
+            [
+                "one two three four five six.",
+                "alpha beta gamma delta epsilon zeta?",
+            ],
+        ),
+        # doc 3: blocklist line that ALSO lacks punct counts once, as blocklist
+        (3, ["please accept our cookie policy terms"]),
+        # doc 4: empty doc
+        (4, []),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lines"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.c4_line_filters(df, "doc_id", "lines").collect()
+    }
+    d1 = out[1]
+    assert (d1["n_kept"], d1["n_blocklist"], d1["n_nopunct"], d1["n_short"]) == (
+        3,
+        1,
+        1,
+        1,
+    )
+    assert d1["keep"] and d1["clean_text"].count("\n") == 2
+    assert out[2]["n_kept"] == 2 and not out[2]["keep"]
+    # precedence: the cookie line is blocklist, NOT no-punct
+    assert (out[3]["n_blocklist"], out[3]["n_nopunct"]) == (1, 0)
+    assert out[4]["n_lines"] == 0 and out[4]["clean_text"] == ""
