@@ -9045,6 +9045,89 @@ FROM agg
 """
 
 
+_KM_K = 4
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable k-means (similarity.kmeans_lloyd): 2 Lloyd
+    rounds over the embeddings, seeded from the first k vectors, then
+    the final assignment.  Map-only E-step with literal centroids
+    (no join), one (cluster, dim) hash aggregate + k·D driver collect
+    per M-step; distances floor-rounded before the argmin and decimal
+    M-step sums make every round's centroids bit-identical across
+    engines — the oracle replays both rounds in SQL.  Input persisted
+    across the three passes."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
+    try:
+        init = [
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in emb.filter(F.col("vec_id") < _KM_K)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        out, _cents = similarity.kmeans_lloyd(
+            emb, "vec_id", "embedding", init, iters=_KM_ITERS
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        emb.unpersist()
+
+
+def _oracle_kmeans_lloyd() -> str:
+    """Replay both Lloyd rounds in SQL.  The argmin packs the
+    floor-rounded distance and the centroid id into one BIGINT
+    (d6·1000 + cid), whose ordering equals Spark's (d, cid) struct
+    ordering; M-step sums use the same DECIMAL(18,8) quantization."""
+    d2 = (
+        "list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (p.e[i] - c.c[i]) * (p.e[i] - c.c[i])))"
+    ).format(dim=_KM_DIM)
+    key = f"CAST(floor({d2} * 1e6 + 0.5) AS BIGINT) * 1000 + c.cid"
+    parts = [
+        f"""pts AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+  FROM embeddings WHERE vec_id < {_KM_K}
+)"""
+    ]
+    for it in range(_KM_ITERS):
+        parts.append(
+            f"""a{it} AS (
+  SELECT p.vec_id, min({key}) % 1000 AS cid
+  FROM pts p CROSS JOIN c{it} c GROUP BY 1
+), m{it} AS (
+  SELECT a.cid, u.dim, count(*) AS n, sum(CAST(u.v AS DECIMAL(18,8))) AS s
+  FROM a{it} a JOIN (
+    SELECT vec_id, unnest(e) AS v,
+           CAST(unnest(range(0, len(e))) AS INT) AS dim
+    FROM pts
+  ) u USING (vec_id)
+  GROUP BY 1, 2
+), c{it + 1} AS (
+  SELECT c.cid,
+         CASE WHEN count(m.n) = 0 THEN min(c.c)
+              ELSE list(floor(CAST(m.s AS DOUBLE) / m.n * 1e6 + 0.5) / 1e6
+                        ORDER BY m.dim)
+         END AS c
+  FROM c{it} c LEFT JOIN m{it} m USING (cid) GROUP BY 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT p.vec_id,
+       CAST(min({key}) % 1000 AS INT) AS cluster_id,
+       CAST(min({key}) // 1000 AS DOUBLE) / 1e6 AS dist2
+FROM pts p CROSS JOIN c{_KM_ITERS} c GROUP BY 1
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -9072,6 +9155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new in round 5 (insert new queries HERE, at top) ----
+        "kmeans_lloyd": q_kmeans_lloyd,
         "c4_filters": q_c4_filters,
         "tokenizer_fertility": q_tokenizer_fertility,
         "promo_revenue": q_promo_revenue,
@@ -9290,6 +9374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kmeans_lloyd": _oracle_kmeans_lloyd(),
         "c4_filters": ORACLE_C4_FILTERS,
         "tokenizer_fertility": _oracle_tokenizer_fertility(),
         "promo_revenue": ORACLE_PROMO_REVENUE,

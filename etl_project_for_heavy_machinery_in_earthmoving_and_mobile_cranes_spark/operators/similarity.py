@@ -1081,3 +1081,104 @@ def ann_int8(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    init_centroids: "list[tuple[int, list[float]]]",
+    iters: int = 2,
+    decimals: int = 6,
+    dec: str = "decimal(18,8)",
+) -> "tuple[DataFrame, list[tuple[int, list[float]]]]":
+    """Distributed k-means (Lloyd's algorithm) for ``iters`` update
+    rounds, returning the final assignment DataFrame and the final
+    centroid list.  Extension surface (the reference has no clustering
+    stage): the embedding-curation primitive behind cluster-balanced
+    sampling, SemDeDup cells, and IVF coarse quantizers.  Complements
+    ``train_ivf_centroids`` (MLlib KMeans — faster driver loop, but
+    RNG-seeded and not engine-replayable): this native Lloyd loop is
+    the verification/audit path whose every step another engine can
+    reproduce bit-for-bit.
+
+    Scale design: the E-step is the ``assign_to_nearest`` shape — k
+    literal centroid arrays baked into ONE whole-stage-codegen
+    expression, no join, no row explosion, so a 100 TB corpus assigns
+    in a map-only pass.  The M-step is one (cluster, dim)-keyed hash
+    aggregate (posexplode → N·D narrow rows, map-side partial combine
+    → k·D cells on the wire) followed by a k·D-row driver collect —
+    centroids are MODEL state, dim-sized by construction, which is the
+    one thing a k-means implementation is allowed to centralize.
+    Nothing else leaves the executors; iterating re-scans the input,
+    so callers persist ``df`` when iters > 1 (the registry query does).
+
+    Engine-portable determinism (the repo's rounded-comparison
+    discipline): squared distances are floor-rounded at ``decimals``
+    BEFORE the argmin and ties break on centroid id, so the winner is
+    a comparison of identical doubles in every engine; M-step sums
+    accumulate in DECIMAL (a binary float never sits on a decimal
+    half-way point, so the quantization is deterministic), and each
+    updated component is floor-rounded at ``decimals`` — the next
+    round's centroids are bit-identical everywhere.  Empty clusters
+    keep their previous centroid.
+    """
+    import math
+
+    scale = float(10**decimals)
+    cents = [(int(cid), [float(x) for x in c]) for cid, c in init_centroids]
+    dim = len(cents[0][1])
+
+    def assign(cur):
+        v = F.col(vec_col)
+        structs = []
+        for cid, c in cur:
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(
+                    v,
+                    carr,
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            rd = F.floor(d2 * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+            structs.append(F.struct(rd.alias("d"), F.lit(int(cid)).alias("cid")))
+        return df.withColumn("__best", F.element_at(F.array_sort(F.array(*structs)), 1))
+
+    for _ in range(iters):
+        ex = assign(cents).select(
+            F.col("__best.cid").alias("__cid"),
+            F.posexplode(F.col(vec_col)).alias("__dim", "__v"),
+        )
+        rows = (
+            ex.groupBy("__cid", "__dim")
+            .agg(F.count("*").alias("__n"), F.sum(F.col("__v").cast(dec)).alias("__s"))
+            .collect()
+        )
+        sums: dict = {}
+        for r in rows:
+            sums.setdefault(int(r["__cid"]), {})[int(r["__dim"])] = (
+                int(r["__n"]),
+                float(r["__s"]),
+            )
+        cents = [
+            (
+                cid,
+                [
+                    math.floor(sums[cid][d][1] / sums[cid][d][0] * scale + 0.5) / scale
+                    for d in range(dim)
+                ]
+                if cid in sums
+                else old,
+            )
+            for cid, old in cents
+        ]
+
+    out = assign(cents).select(
+        F.col(id_col),
+        F.col("__best.cid").alias("cluster_id"),
+        F.col("__best.d").alias("dist2"),
+    )
+    return out, cents

@@ -1068,3 +1068,52 @@ def test_contamination_attribution_max_df_caps_hot_grams(spark):
     }
     assert 100 not in capped  # boilerplate-only doc: no meaningless attribution
     assert capped == {200: (2, 1)}  # attributed on the rare gram alone
+
+
+def test_kmeans_lloyd_converges_and_keeps_empty_cluster(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        similarity,
+    )
+
+    # two tight groups around (0,0) and (10,10); a third seed far away
+    # that captures nothing and must keep its initial centroid
+    rows = [
+        (0, [0.0, 0.1]),
+        (1, [0.1, 0.0]),
+        (2, [0.0, 0.0]),
+        (3, [10.0, 10.1]),
+        (4, [10.1, 10.0]),
+        (5, [10.0, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    init = [(0, [0.0, 0.1]), (1, [10.0, 10.1]), (2, [-100.0, -100.0])]
+    out, cents = similarity.kmeans_lloyd(
+        df, "vec_id", "embedding", init, iters=2
+    )
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    by_id = dict(cents)
+    # group means, floor-rounded at 6dp
+    assert by_id[0] == [
+        pytest.approx(0.1 / 3, abs=1e-6),
+        pytest.approx(0.1 / 3, abs=1e-6),
+    ]
+    assert by_id[1] == [
+        pytest.approx(30.1 / 3, abs=1e-6),
+        pytest.approx(30.1 / 3, abs=1e-6),
+    ]
+    # untouched empty-cluster seed survives verbatim
+    assert by_id[2] == [-100.0, -100.0]
+
+
+def test_kmeans_lloyd_rounded_argmin_tiebreak(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        similarity,
+    )
+
+    # point exactly equidistant from both centroids: lower cid wins
+    df = spark.createDataFrame([(7, [1.0])], ["vec_id", "embedding"])
+    init = [(3, [0.0]), (1, [2.0])]
+    out, _ = similarity.kmeans_lloyd(df, "vec_id", "embedding", init, iters=0)
+    r = out.collect()[0]
+    assert r["cluster_id"] == 1 and r["dist2"] == pytest.approx(1.0)
