@@ -9045,6 +9045,67 @@ FROM agg
 """
 
 
+_RES_K = 5
+_RES_BATCHES = 3
+
+
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the bounded streaming reservoir maintainer
+    (streaming/jobs.apply_reservoir_batch): events arrive as three
+    deterministic micro-batches (event_id mod 3) driven through the
+    REAL maintainer into a scratch table; state after each batch is
+    the k smallest md5-priority rows per event_type.  Because bottom-k
+    sketches merge losslessly (min-k of a union = min-k of min-k's),
+    the oracle needs NO batch replay — it computes the one-shot
+    bottom-k over the whole table, and the hash check proves the
+    incremental maintenance converged to exactly that."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import (
+        jobs,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="res_twin_")
+    path = os.path.join(tmp, "res")
+    try:
+        for b in range(_RES_BATCHES):
+            jobs.apply_reservoir_batch(
+                e.filter(F.col("event_id") % _RES_BATCHES == b),
+                b,
+                path,
+                group_col="event_type",
+                id_col="event_id",
+                k=_RES_K,
+                payload_cols=("value",),
+            )
+        out = (
+            spark.read.parquet(path)
+            .select("event_type", "event_id", "value", F.col("__pri").alias("pri"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE_RESERVOIR = f"""
+WITH pri AS (
+  SELECT event_type, event_id, value,
+         ('0x' || substr(md5('res:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+             AS pri
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY pri, event_id) AS rk
+  FROM pri
+)
+SELECT event_type, event_id, value, pri FROM ranked WHERE rk <= {_RES_K}
+"""
+
+
 _KM_K = 4
 _KM_ITERS = 2
 _KM_DIM = 64
@@ -9155,6 +9216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new in round 5 (insert new queries HERE, at top) ----
+        "reservoir_sample": q_reservoir_sample,
         "kmeans_lloyd": q_kmeans_lloyd,
         "c4_filters": q_c4_filters,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -9374,6 +9436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "reservoir_sample": ORACLE_RESERVOIR,
         "kmeans_lloyd": _oracle_kmeans_lloyd(),
         "c4_filters": ORACLE_C4_FILTERS,
         "tokenizer_fertility": _oracle_tokenizer_fertility(),

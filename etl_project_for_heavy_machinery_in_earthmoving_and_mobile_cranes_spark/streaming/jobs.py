@@ -1108,6 +1108,95 @@ def maintain_hll_stream(
     )
 
 
+def apply_reservoir_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    k: int = 5,
+    payload_cols: "tuple[str, ...]" = (),
+) -> None:
+    """One micro-batch of bounded per-group uniform-sample maintenance
+    — bottom-k sampling by deterministic hash priority (Cohen &
+    Kaplan, "Summarizing data using bottom-k sketches", PODC 2007):
+    every row gets priority ``md5('res:' || id)`` and the reservoir is
+    the k smallest (priority, id) per group.  Because min-k of a union
+    equals min-k of per-part min-k's, the maintained table after any
+    batch split is IDENTICAL to the one-shot bottom-k over everything
+    seen — the mergeability the classic index-based Algorithm R lacks
+    (its sample depends on arrival order and an RNG, so no oracle
+    could replay it).
+
+    State is O(|groups|·k) rows regardless of stream length; per batch
+    the only work is one union + one window over that summary plus the
+    batch's own rows — the stream is never re-scanned or re-sorted.
+    Replays are no-ops via the ``__last_batch_id`` mark, and the merge
+    itself is also idempotent (duplicate (group, id) rows collapse
+    before ranking), so even a torn batch converges.
+
+    Uniformity: md5 priorities are pseudo-uniform and independent of
+    the payload, so each group's k survivors are a uniform-without-
+    replacement sample of its distinct ids — and the SAME ids any
+    other engine computes, which is what makes the sample auditable.
+    """
+    from pyspark.sql import Window
+
+    spark = batch_df.sparkSession
+    stored = _read_maintained_table(spark, path)
+    if _already_applied(stored, batch_id):
+        return
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("res:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keep_cols = [group_col, id_col, *payload_cols]
+    inc = batch_df.select(*keep_cols).withColumn("__pri", pri)
+    if stored is not None:
+        merged = stored.select(*keep_cols, "__pri").unionByName(inc)
+    else:
+        merged = inc
+    w = Window.partitionBy(group_col).orderBy(F.asc("__pri"), F.asc(id_col))
+    kept = (
+        merged.dropDuplicates([group_col, id_col])
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+        .withColumn(_BATCH_MARK, F.lit(batch_id))
+    )
+    _commit_maintained_table(kept, path, batch_id, n_files=1)
+
+
+def maintain_reservoir_stream(
+    events: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    k: int = 5,
+    payload_cols: "tuple[str, ...]" = (),
+):
+    """Streaming per-group uniform sample with BOUNDED state: the
+    |groups|·k bottom-k table is the entire cross-batch state and is
+    readable at any time.  Exactly-once per micro-batch via the
+    __last_batch_id mark + atomic publish."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_reservoir_batch(
+            batch_df, batch_id, path, group_col, id_col, k, payload_cols
+        )
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _dir_bytes(path: str) -> int:
     """Total bytes under a local directory tree (0 when absent) — the
     cheap plan-build-time size signal the adaptive broadcast guard in

@@ -1039,3 +1039,54 @@ def test_incremental_lsh_dedup_stream_equals_one_shot(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(pairs).collect()
     } == want
     assert spark.read.parquet(idx).count() == n_idx == docs.count()
+
+
+def test_reservoir_merge_equals_oneshot_and_replay_noop(spark, tmp_path):
+    """Bottom-k mergeability: any batch split converges to the one-shot
+    bottom-k per group; replaying an applied batch is a no-op; state
+    never exceeds |groups|*k (+ the batch mark)."""
+    res = str(tmp_path / "res")
+    rows = [(i, "g%d" % (i % 2), float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "grp", "v"])
+
+    # one-shot expectation: k smallest md5('res:'||id) per group
+    pri = F.conv(
+        F.substring(F.md5(F.concat(F.lit("res:"), F.col("id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    from pyspark.sql import Window as W
+    w = W.partitionBy("grp").orderBy("p", "id")
+    expected = {
+        (r["grp"], r["id"])
+        for r in df.withColumn("p", pri)
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 3")
+        .collect()
+    }
+
+    # uneven split: 1 row, then 29, then 10
+    splits = [(0, 1), (1, 30), (30, 40)]
+    for b, (lo, hi) in enumerate(splits):
+        jobs.apply_reservoir_batch(
+            df.filter((F.col("id") >= lo) & (F.col("id") < hi)),
+            b,
+            res,
+            group_col="grp",
+            id_col="id",
+            k=3,
+            payload_cols=("v",),
+        )
+    final = spark.read.parquet(res)
+    assert {(r["grp"], r["id"]) for r in final.collect()} == expected
+    assert final.count() == 6  # 2 groups x k=3: bounded state
+
+    # payload rides along with the sampled row
+    assert all(r["v"] == float(r["id"]) for r in final.collect())
+
+    # replay of the last batch: identical table
+    jobs.apply_reservoir_batch(
+        df.filter(F.col("id") >= 30), 2, res, group_col="grp", id_col="id", k=3,
+        payload_cols=("v",),
+    )
+    assert {(r["grp"], r["id"]) for r in spark.read.parquet(res).collect()} == expected
