@@ -9106,6 +9106,95 @@ SELECT event_type, event_id, value, pri FROM ranked WHERE rk <= {_RES_K}
 """
 
 
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_BATCHES = 3
+_CMS_PROBE_MAX = 10
+
+
+def q_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the portable count-min sketch maintainer
+    (streaming/jobs.apply_cms_batch + sketches.cms_register_table):
+    events arrive as three micro-batches whose register increments
+    merge additively into a depth×width grid; the final table answers
+    point frequency queries for a probe watchlist (user_id <
+    {pm}).  CMS merge is exact counter addition, so the oracle needs
+    no batch replay — it builds the one-shot grid in SQL and takes the
+    same min-over-depth estimates; true counts ride along to expose
+    the never-undercount property in the checked rows.""".format(
+        pm=_CMS_PROBE_MAX
+    )
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sketches,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import (
+        jobs,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="cms_twin_")
+    path = os.path.join(tmp, "cms")
+    try:
+        for b in range(_CMS_BATCHES):
+            jobs.apply_cms_batch(
+                e.filter(F.col("event_id") % _CMS_BATCHES == b),
+                b,
+                path,
+                key_col="user_id",
+                depth=_CMS_DEPTH,
+                width=_CMS_WIDTH,
+            )
+        regs = spark.read.parquet(path).select("d", "bucket", "n")
+        probes = (
+            e.filter(F.col("user_id") < _CMS_PROBE_MAX)
+            .select("user_id")
+            .distinct()
+        )
+        est = sketches.cms_point_estimates(
+            regs, probes, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH
+        )
+        true_n = (
+            e.filter(F.col("user_id") < _CMS_PROBE_MAX)
+            .groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("true_n"))
+        )
+        out = est.join(true_n, "user_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _oracle_cms_merge() -> str:
+    h = (
+        "('0x' || substr(md5('0:' || CAST({k} AS VARCHAR)), 1 + 8 * {d}, 8))"
+        f"::BIGINT % {_CMS_WIDTH}"
+    )
+    return f"""
+WITH regs AS (
+  SELECT t.d, {h.format(k='user_id', d='t.d')} AS bucket, count(*) AS n
+  FROM events CROSS JOIN range(0, {_CMS_DEPTH}) t(d)
+  GROUP BY 1, 2
+), probes AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id < {_CMS_PROBE_MAX}
+), est AS (
+  SELECT p.user_id, CAST(min(r.n) AS BIGINT) AS est
+  FROM probes p CROSS JOIN range(0, {_CMS_DEPTH}) t(d)
+  JOIN regs r
+    ON r.d = t.d
+   AND r.bucket = {h.format(k='p.user_id', d='t.d')}
+  GROUP BY 1
+), tru AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
+  FROM events WHERE user_id < {_CMS_PROBE_MAX} GROUP BY 1
+)
+SELECT user_id, est, true_n FROM est JOIN tru USING (user_id)
+"""
+
+
 _KM_K = 4
 _KM_ITERS = 2
 _KM_DIM = 64
@@ -9216,6 +9305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new in round 5 (insert new queries HERE, at top) ----
+        "cms_merge": q_cms_merge,
         "reservoir_sample": q_reservoir_sample,
         "kmeans_lloyd": q_kmeans_lloyd,
         "c4_filters": q_c4_filters,
@@ -9436,6 +9526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cms_merge": _oracle_cms_merge(),
         "reservoir_sample": ORACLE_RESERVOIR,
         "kmeans_lloyd": _oracle_kmeans_lloyd(),
         "c4_filters": ORACLE_C4_FILTERS,

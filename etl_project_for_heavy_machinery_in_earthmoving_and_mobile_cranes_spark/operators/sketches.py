@@ -188,3 +188,86 @@ def hll_estimate_from_registers(
         "touched",
         (F.floor(est * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable count-min sketch (explicit register table)
+# ---------------------------------------------------------------------------
+#
+# Same rationale as the portable HLL above: Spark's count_min_sketch
+# aggregate produces JVM-opaque bytes — unverifiable cross-engine and
+# unusable as foreachBatch-maintained state.  This explicit grid
+# (Cormode & Muthukrishnan, "An improved data stream summary: the
+# count-min sketch and its applications", J. Algorithms 2005) keeps the
+# depth×width counters as DATA rows (d, bucket, n): counters merge by
+# plain addition (groupBy-sum), point estimates are a min over depth
+# rows, and every register is replayable from md5 in any engine.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_register_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build the (d, bucket, n) register table for one pass of keys.
+    Each input row increments ``depth`` counters (bucket = i-th md5
+    hash family mod width); the grid is ≤ depth·width rows no matter
+    how many distinct keys pass through.  One explode + one hash
+    aggregate; map-side partial combine collapses each task to grid
+    cells before the shuffle."""
+    from .dedup import md5_hash_family
+
+    key = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (md5_hash_family(key, d) % width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("__c"))
+        .select("__c.d", "__c.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def cms_point_estimates(
+    registers: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point frequency estimates for a probe-key frame against a
+    register table: est(x) = min over d of register[d][h_d(x)] —
+    never an undercount; overcount ≤ 2N/width with probability
+    1 − 2^-depth.  The probe frame is small by use-case (a watchlist),
+    so the join broadcasts it against the grid-sized register table."""
+    from .dedup import md5_hash_family
+
+    key = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (md5_hash_family(key, d) % width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    pr = probes.select(F.col(key_col), F.explode(cells).alias("__c")).select(
+        key_col, F.col("__c.d").alias("d"), F.col("__c.bucket").alias("bucket")
+    )
+    return (
+        registers.join(F.broadcast(pr), ["d", "bucket"], "right")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("est"))
+    )

@@ -1170,6 +1170,73 @@ def apply_reservoir_batch(
     _commit_maintained_table(kept, path, batch_id, n_files=1)
 
 
+def apply_cms_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+) -> None:
+    """One micro-batch of portable count-min sketch maintenance: the
+    batch's (d, bucket, n) register increments (sketches.
+    cms_register_table) merge ADDITIVELY into the stored grid — CMS
+    merge is exact counter addition, so the maintained table after any
+    batch split is identical to the one-shot sketch over everything
+    seen (the property the batch-twin oracle hash-checks).  State is
+    ≤ depth·width rows forever; per batch the work is the batch's own
+    explode+aggregate plus a grid-sized outer join.  Exactly-once via
+    the shared ``__last_batch_id`` mark + atomic publish."""
+    from ..operators.sketches import cms_register_table
+
+    spark = batch_df.sparkSession
+    stored = _read_maintained_table(spark, path)
+    if _already_applied(stored, batch_id):
+        return
+    inc = cms_register_table(batch_df, key_col, depth, width)
+    if stored is not None:
+        prev = stored.select("d", "bucket", "n")
+        merged = (
+            prev.join(inc, ["d", "bucket"], "full_outer")
+            .select(
+                "d",
+                "bucket",
+                (
+                    F.coalesce(prev["n"], F.lit(0)) + F.coalesce(inc["n"], F.lit(0))
+                ).cast("bigint").alias("n"),
+            )
+        )
+    else:
+        merged = inc
+    _commit_maintained_table(
+        merged.withColumn(_BATCH_MARK, F.lit(batch_id)), path, batch_id, n_files=1
+    )
+
+
+def maintain_cms_stream(
+    events: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+):
+    """Streaming frequency-sketch maintenance with BOUNDED state: the
+    depth×width register grid is the entire cross-batch state; point
+    estimates (sketches.cms_point_estimates) read off the live table
+    at any time without touching history."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cms_batch(batch_df, batch_id, path, key_col, depth, width)
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def maintain_reservoir_stream(
     events: DataFrame,
     path: str,

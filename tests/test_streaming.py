@@ -1090,3 +1090,47 @@ def test_reservoir_merge_equals_oneshot_and_replay_noop(spark, tmp_path):
         payload_cols=("v",),
     )
     assert {(r["grp"], r["id"]) for r in spark.read.parquet(res).collect()} == expected
+
+
+def test_cms_merge_equals_oneshot_and_never_undercounts(spark, tmp_path):
+    """Additive register merge across batches equals the one-shot
+    sketch; estimates never undercount; grid stays depth*width-bounded;
+    replay is a no-op."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sketches,
+    )
+
+    cms = str(tmp_path / "cms")
+    rows = [(i, "k%d" % (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "k"])
+    for b, (lo, hi) in enumerate([(0, 50), (50, 120), (120, 200)]):
+        jobs.apply_cms_batch(
+            df.filter((F.col("id") >= lo) & (F.col("id") < hi)),
+            b, cms, key_col="k", depth=3, width=16,
+        )
+    regs = spark.read.parquet(cms).select("d", "bucket", "n")
+    oneshot = sketches.cms_register_table(df, "k", depth=3, width=16)
+    assert {
+        (r["d"], r["bucket"]): r["n"] for r in regs.collect()
+    } == {(r["d"], r["bucket"]): r["n"] for r in oneshot.collect()}
+    assert regs.count() <= 3 * 16
+
+    probes = df.select("k").distinct()
+    est = {
+        r["k"]: r["est"]
+        for r in sketches.cms_point_estimates(
+            regs, probes, "k", depth=3, width=16
+        ).collect()
+    }
+    true = {"k%d" % j: len([i for i in range(200) if i % 7 == j]) for j in range(7)}
+    for k, t in true.items():
+        assert est[k] >= t  # CMS never undercounts
+
+    # replay of batch 2: registers unchanged
+    jobs.apply_cms_batch(
+        df.filter(F.col("id") >= 120), 2, cms, key_col="k", depth=3, width=16
+    )
+    assert {
+        (r["d"], r["bucket"]): r["n"]
+        for r in spark.read.parquet(cms).select("d", "bucket", "n").collect()
+    } == {(r["d"], r["bucket"]): r["n"] for r in oneshot.collect()}
