@@ -9106,6 +9106,74 @@ SELECT event_type, event_id, value, pri FROM ranked WHERE rk <= {_RES_K}
 """
 
 
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (multimodal.image_near_dup_pairs): the
+    60-image corpus plus the SAME 60 pictures re-encoded in the other
+    container (PPM↔BMP) under new ids — pairs byte-level dedup can
+    never match.  dHash over real decoded pixels → 4×14-bit band LSH →
+    exact hamming verify (recall-exact for d ≤ 3 by pigeonhole).  The
+    oracle replays decode → gradient hash → banding → XOR popcount
+    from the generator's closed form, so every cross-format pair must
+    surface with hamming 0."""
+    tune(spark)
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        multimodal,
+    )
+
+    orig = multimodal.synthetic_images(spark, 60)
+    variants = multimodal.synthetic_images(spark, 60, id_offset=100, flip_codec=True)
+    return multimodal.image_near_dup_pairs(orig.unionByName(variants))
+
+
+def _oracle_image_near_dup() -> str:
+    def hb(k_expr: str) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substr(hx, 2*({k_expr}) + 1, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(hx, 2*({k_expr}) + 2, 1)) - 1))"
+        )
+
+    def gray_at(c0: str) -> str:
+        return (
+            f"({hb(f'({c0}) % 16')} + {hb(f'({c0} + 1) % 16')}"
+            f" + {hb(f'({c0} + 2) % 16')}) // 3"
+        )
+
+    pix = "3 * (((gy * h) // 8) * w + ((gx * w) // 8))"
+    return f"""
+WITH imgs AS (
+  SELECT i::BIGINT AS media_id, (4 + i % 13) AS w, (3 + i % 7) AS h,
+         md5('img:' || i) AS hx
+  FROM generate_series(0, 59) t(i)
+  UNION ALL
+  SELECT (100 + i)::BIGINT, (4 + i % 13), (3 + i % 7), md5('img:' || i)
+  FROM generate_series(0, 59) t(i)
+), gray AS (
+  SELECT media_id, gy.gy, gx.gx, {gray_at(pix)} AS g
+  FROM imgs, generate_series(0, 7) gy(gy), generate_series(0, 7) gx(gx)
+), bits AS (
+  SELECT media_id, gy, gx, g,
+         lead(g) OVER (PARTITION BY media_id, gy ORDER BY gx) AS gn
+  FROM gray
+), dh AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN g > gn THEN (1::BIGINT << (gy * 7 + gx))
+                       ELSE 0 END) AS BIGINT) AS dhash
+  FROM bits WHERE gx < 7
+  GROUP BY media_id
+), bands AS (
+  SELECT media_id, dhash, b.b, (dhash >> (b.b * 14)) & 16383 AS v
+  FROM dh CROSS JOIN generate_series(0, 3) b(b)
+), cand AS (
+  SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+         a.dhash AS ha, c.dhash AS hb
+  FROM bands a JOIN bands c ON a.b = c.b AND a.v = c.v
+                           AND a.media_id < c.media_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
 _CMS_DEPTH = 4
 _CMS_WIDTH = 256
 _CMS_BATCHES = 3
@@ -9305,6 +9373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new in round 5 (insert new queries HERE, at top) ----
+        "image_near_dup": q_image_near_dup,
         "cms_merge": q_cms_merge,
         "reservoir_sample": q_reservoir_sample,
         "kmeans_lloyd": q_kmeans_lloyd,
@@ -9526,6 +9595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "image_near_dup": _oracle_image_near_dup(),
         "cms_merge": _oracle_cms_merge(),
         "reservoir_sample": ORACLE_RESERVOIR,
         "kmeans_lloyd": _oracle_kmeans_lloyd(),

@@ -288,20 +288,32 @@ def image_dims(media: DataFrame) -> DataFrame:
     )
 
 
-def synthetic_images(spark, n: int = 60) -> DataFrame:
+def synthetic_images(
+    spark, n: int = 60, id_offset: int = 0, flip_codec: bool = False
+) -> DataFrame:
     """Media table of REAL decodable images: even ids are binary PPMs,
     odd ids are 24-bit BMPs; dims are closed-form in the id
     (w = 4 + i%13, h = 3 + i%7) so an external oracle can replay the
-    expected decode output; pixel bytes are md5-derived."""
+    expected decode output; pixel bytes are md5-derived.
+
+    ``id_offset`` shifts media_id while keeping pixels keyed on the
+    BASE index i, and ``flip_codec`` swaps the PPM/BMP choice — so
+    ``synthetic_images(n, id_offset=k, flip_codec=True)`` is the same
+    n pictures re-encoded in the other container under new ids: the
+    cross-format duplicate corpus the perceptual-dedup query needs
+    (byte-level exact dedup can never match those pairs)."""
     rows = []
     for i in range(n):
         w, h = 4 + i % 13, 3 + i % 7
         need = 3 * w * h
         seed = hashlib.md5(f"img:{i}".encode()).digest()
         pixels = (seed * (need // len(seed) + 1))[:need]
-        content = encode_ppm(w, h, pixels) if i % 2 == 0 else encode_bmp(w, h, pixels)
-        mime = "image/x-portable-pixmap" if i % 2 == 0 else "image/bmp"
-        rows.append((i, "image", mime, bytearray(content), {"idx": str(i)}))
+        as_ppm = (i % 2 == 0) != flip_codec
+        content = encode_ppm(w, h, pixels) if as_ppm else encode_bmp(w, h, pixels)
+        mime = "image/x-portable-pixmap" if as_ppm else "image/bmp"
+        rows.append(
+            (id_offset + i, "image", mime, bytearray(content), {"idx": str(i)})
+        )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -578,4 +590,69 @@ def image_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, schema=DHASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    bands: int = 4,
+    band_bits: int = 14,
+    max_hamming: int = 3,
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash (the one decode
+    boundary) → banded hamming LSH → exact hamming verify.  Catches
+    same-picture-different-container duplicates (and mild edits) that
+    byte-level exact dedup can never see.
+
+    Recall contract: a pair at hamming distance d differs in at most d
+    bands, so with ``bands > max_hamming`` every qualifying pair shares
+    at least one identical band (pigeonhole) — recall-exact for
+    d ≤ bands−1, the same argument as MinHash banding.
+
+    Scale design: candidates come from an equi hash join on
+    (band, band_value) — never an all-pairs hamming scan; only
+    candidate pairs pay the 2×64-bit XOR verify.  Everything after the
+    dHash is pure JVM bit arithmetic.  At 100 TB the band join is the
+    usual skew-aware LSH join (a dead-gray band value plays the role
+    of a hot shingle; cap or salt it like ``max_bucket`` in the text
+    LSH path)."""
+    from .dedup import hamming64
+
+    mask = (1 << band_bits) - 1
+    h = image_dhash(media, grid=grid)
+    bd = h.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        (
+                            F.shiftright(F.col("dhash"), b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("v"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bd"),
+    ).select("media_id", "dhash", F.col("__bd.b").alias("b"), F.col("__bd.v").alias("v"))
+    left = bd.select(
+        F.col("b"), F.col("v"), F.col("media_id").alias("id_a"), F.col("dhash").alias("__ha")
+    )
+    right = bd.select(
+        F.col("b"), F.col("v"), F.col("media_id").alias("id_b"), F.col("dhash").alias("__hb")
+    )
+    cand = (
+        left.join(right, ["b", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("__ha"), F.col("__hb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )

@@ -1117,3 +1117,21 @@ def test_kmeans_lloyd_rounded_argmin_tiebreak(spark):
     out, _ = similarity.kmeans_lloyd(df, "vec_id", "embedding", init, iters=0)
     r = out.collect()[0]
     assert r["cluster_id"] == 1 and r["dist2"] == pytest.approx(1.0)
+
+
+def test_image_near_dup_catches_cross_codec_pairs_only(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        multimodal,
+    )
+
+    n = 12
+    orig = multimodal.synthetic_images(spark, n)
+    flipped = multimodal.synthetic_images(spark, n, id_offset=100, flip_codec=True)
+    pairs = multimodal.image_near_dup_pairs(orig.unionByName(flipped)).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    # every picture matches its re-encoded twin at hamming 0...
+    assert got == {(i, 100 + i): 0 for i in range(n)}
+    # ...and the flipped corpus really is different bytes (not exact dups)
+    a = {r["media_id"]: bytes(r["content"]) for r in orig.collect()}
+    b = {r["media_id"] - 100: bytes(r["content"]) for r in flipped.collect()}
+    assert all(a[i] != b[i] for i in range(n))

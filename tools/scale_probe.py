@@ -136,6 +136,15 @@ PROBE_QUERIES = [
     "mixture_budget",
     "waiting_suppliers",
     "incremental_near_dup",
+    "promo_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "large_orders",
+    "c4_filters",
+    "tokenizer_fertility",
+    "kmeans_lloyd",
+    "reservoir_sample",
+    "cms_merge",
 ]
 
 
