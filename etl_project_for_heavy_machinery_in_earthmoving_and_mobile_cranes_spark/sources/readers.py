@@ -236,3 +236,31 @@ def write_zordered_parquet(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_bucketed_table(
+    df,
+    table: str,
+    bucket_cols: "list[str]",
+    num_buckets: int = 32,
+    sort_cols: "list[str] | None" = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a Hive-bucketed (optionally sorted) managed table —
+    the co-located-join primitive: two tables bucketed on the same
+    keys with the same bucket count join WITHOUT any shuffle (each
+    task reads bucket i of both sides), and bucket-sorted data skips
+    the sort of a sort-merge join too.  This is THE amortization for
+    a 100 TB fact table that joins on the same key every day: pay the
+    shuffle once at write time, never again at read time.
+
+    Bucketing metadata lives in the catalog, so this goes through
+    ``saveAsTable`` (a plain ``.parquet(path)`` write cannot carry
+    it); readers use ``spark.table(name)``.  The bucket function is
+    Spark's Murmur3 — stable across Spark versions but engine-
+    specific, which is why bucketed layout is a performance contract,
+    not a data-exchange format."""
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -50,15 +50,17 @@ def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
     # ./spark-warehouse (gitignored); dropped at the end
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources.readers import (
+        write_bucketed_table,
+    )
+
     for name in ["b_lineitem", "b_orders"]:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-    (
-        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("b_lineitem")
+    write_bucketed_table(
+        li, "b_lineitem", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"]
     )
-    (
-        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("b_orders")
+    write_bucketed_table(
+        orders, "b_orders", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"]
     )
     j = spark.table("b_lineitem").join(
         spark.table("b_orders"),
