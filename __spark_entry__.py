@@ -9106,6 +9106,79 @@ SELECT event_type, event_id, value, pri FROM ranked WHERE rk <= {_RES_K}
 """
 
 
+_DCM_BATCHES = 3
+
+
+def q_decontaminate_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ingest-edge decontamination (streaming/jobs.
+    apply_decontaminate_batch): the corpus slice arrives as three
+    micro-batches, each anti-joined against the STATIC benchmark
+    5-gram set (broadcast, derived once) into its own partition.
+    Contamination is stateless across batches, so the union of the
+    per-batch clean outputs must equal the one-shot anti join — which
+    is exactly what the oracle computes."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import (
+        jobs,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    bench_sh = (
+        dedup.shingle_rows(bench, "doc_id", "text", 5)
+        .select("__sh")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tmp = tempfile.mkdtemp(prefix="dcm_twin_")
+    out_path = os.path.join(tmp, "clean")
+    try:
+        for b in range(_DCM_BATCHES):
+            jobs.apply_decontaminate_batch(
+                corpus.filter(F.col("doc_id") % _DCM_BATCHES == b),
+                b,
+                bench_sh,
+                out_path,
+                n=5,
+            )
+        out = (
+            spark.read.parquet(out_path)
+            .select("doc_id", "lang", "source", "n_chars")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _oracle_decontaminate_merge() -> str:
+    norm = _NORM_SQL.format(col="text")
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(5))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 4),
+                               i -> {gram})) AS g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0
+), bad AS (
+  SELECT DISTINCT doc_id FROM sh JOIN bench USING (g)
+  WHERE doc_id % 20 <> 0
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id % 20 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup (multimodal.image_near_dup_pairs): the
     60-image corpus plus the SAME 60 pictures re-encoded in the other
@@ -9373,6 +9446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new in round 5 (insert new queries HERE, at top) ----
+        "decontaminate_merge": q_decontaminate_merge,
         "image_near_dup": q_image_near_dup,
         "cms_merge": q_cms_merge,
         "reservoir_sample": q_reservoir_sample,
@@ -9595,6 +9669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "decontaminate_merge": _oracle_decontaminate_merge(),
         "image_near_dup": _oracle_image_near_dup(),
         "cms_merge": _oracle_cms_merge(),
         "reservoir_sample": ORACLE_RESERVOIR,

@@ -927,14 +927,7 @@ def decontaminate_stream(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sh = dedup.shingle_rows(batch_df, "doc_id", "text", n)
-        bad = (
-            sh.join(F.broadcast(bench_sh), "__sh", "left_semi")
-            .select("doc_id")
-            .distinct()
-        )
-        clean = batch_df.join(bad, "doc_id", "left_anti")
-        clean.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+        apply_decontaminate_batch(batch_df, batch_id, bench_sh, out_path, n)
 
     return (
         docs.writeStream.foreachBatch(write_batch)
@@ -942,6 +935,35 @@ def decontaminate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_decontaminate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    bench_sh: DataFrame,
+    out_path: str,
+    n: int = 5,
+) -> None:
+    """One micro-batch of ingest-edge decontamination, module-level so
+    the batch-twin driver query can replay it directly (the pattern of
+    ``apply_lsh_dedup_batch``): drop the batch's docs sharing any word
+    n-gram with the static benchmark gram set (``bench_sh``, one
+    distinct ``__sh`` column, broadcast), write the clean rest to the
+    batch's own ``batch=<id>`` partition.  Stateless across batches —
+    contamination is a pure function of (doc, static benchmark) — so
+    the union of per-batch outputs equals the one-shot anti join."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        dedup,
+    )
+
+    sh = dedup.shingle_rows(batch_df, "doc_id", "text", n)
+    bad = (
+        sh.join(F.broadcast(bench_sh), "__sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = batch_df.join(bad, "doc_id", "left_anti")
+    clean.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 
 
 _HH_EPS = "__eps"

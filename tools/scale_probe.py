@@ -145,6 +145,8 @@ PROBE_QUERIES = [
     "kmeans_lloyd",
     "reservoir_sample",
     "cms_merge",
+    "image_near_dup",
+    "decontaminate_merge",
 ]
 
 
