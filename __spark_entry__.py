@@ -9106,6 +9106,67 @@ SELECT event_type, event_id, value, pri FROM ranked WHERE rk <= {_RES_K}
 """
 
 
+_BTX_K = 4
+_BTX_THRESHOLD = 1.05
+
+
+def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (similarity.margin_bitext_pairs,
+    Artetxe & Schwenk 2019) over two embedding slices standing in for
+    two languages: pair score = cosine normalized by the mean of both
+    sides' top-k neighborhoods, which cancels hubness.  The top-k
+    means aggregate in DECIMAL so the margin is bit-identical across
+    engines; the oracle replays both directional kNN passes and the
+    margin arithmetic."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    x = emb.filter(F.col("vec_id") % 2 == 0)
+    y = emb.filter(F.col("vec_id") % 2 == 1)
+    return similarity.margin_bitext_pairs(
+        x, y, k=_BTX_K, threshold=_BTX_THRESHOLD
+    )
+
+
+ORACLE_BITEXT = f"""
+WITH x AS (
+  SELECT vec_id AS x_id, embedding::DOUBLE[] AS xe
+  FROM embeddings WHERE vec_id % 2 = 0
+), y AS (
+  SELECT vec_id AS y_id, embedding::DOUBLE[] AS ye
+  FROM embeddings WHERE vec_id % 2 = 1
+), sc AS (
+  SELECT x_id, y_id,
+         list_dot_product(xe, ye) /
+         (sqrt(list_dot_product(xe, xe)) * sqrt(list_dot_product(ye, ye)))
+             AS c
+  FROM x CROSS JOIN y
+), fwd AS (
+  SELECT x_id, y_id, c,
+         row_number() OVER (PARTITION BY x_id ORDER BY c DESC, y_id) AS rk
+  FROM sc
+), bwd AS (
+  SELECT x_id, y_id, c,
+         row_number() OVER (PARTITION BY y_id ORDER BY c DESC, x_id) AS rk
+  FROM sc
+), ax AS (
+  SELECT x_id,
+         CAST(sum(CAST(c AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS a
+  FROM fwd WHERE rk <= {_BTX_K} GROUP BY 1
+), ay AS (
+  SELECT y_id,
+         CAST(sum(CAST(c AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS a
+  FROM bwd WHERE rk <= {_BTX_K} GROUP BY 1
+), scored AS (
+  SELECT f.x_id, f.y_id,
+         floor(f.c * 1e6 + 0.5) / 1e6 AS cosine,
+         floor(2.0 * f.c / (ax.a + ay.a) * 1e6 + 0.5) / 1e6 AS margin
+  FROM fwd f JOIN ax USING (x_id) JOIN ay USING (y_id)
+  WHERE f.rk <= {_BTX_K}
+)
+SELECT x_id, y_id, cosine, margin FROM scored WHERE margin >= {_BTX_THRESHOLD}
+"""
+
+
 _DCM_BATCHES = 3
 
 
@@ -9446,6 +9507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new in round 5 (insert new queries HERE, at top) ----
+        "bitext_margin": q_bitext_margin,
         "decontaminate_merge": q_decontaminate_merge,
         "image_near_dup": q_image_near_dup,
         "cms_merge": q_cms_merge,
@@ -9669,6 +9731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bitext_margin": ORACLE_BITEXT,
         "decontaminate_merge": _oracle_decontaminate_merge(),
         "image_near_dup": _oracle_image_near_dup(),
         "cms_merge": _oracle_cms_merge(),

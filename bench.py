@@ -165,6 +165,18 @@ BENCH_QUERIES = [
     "abandoned_clicks",
     "mixture_budget",
     "waiting_suppliers",
+    "promo_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "large_orders",
+    "c4_filters",
+    "tokenizer_fertility",
+    "kmeans_lloyd",
+    "reservoir_sample",
+    "cms_merge",
+    "image_near_dup",
+    "decontaminate_merge",
+    "bitext_margin",
     # incremental_near_dup excluded from the TIMED set like the other
     # driver-action-heavy twins: its cost is 3 foreachBatch rounds of
     # job overhead (the one-shot LSH path is timed as

@@ -1182,3 +1182,62 @@ def kmeans_lloyd(
         F.col("__best.d").alias("dist2"),
     )
     return out, cents
+
+
+def margin_bitext_pairs(
+    x: DataFrame,
+    y: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    threshold: float = 1.05,
+    decimals: int = 6,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
+    parallel corpus mining with multilingual sentence embeddings", ACL
+    2019): candidate pair (x, y) scores cos(x,y) normalized by the
+    mean cosine of each side's k nearest neighbors —
+    ``margin = 2·cos(x,y) / (avgₖ(x→Y) + avgₖ(y→X))`` — which
+    suppresses hubness (a vector globally close to everything gains no
+    margin).  The parallel-data miner for translation corpora, run
+    here over two embedding slices.
+
+    Scale design: candidates come from the two directional kNN passes
+    (brute-force here; at corpus scale swap ``brute_force_knn`` for
+    the IVF/SRP ladder — the margin arithmetic is unchanged, which is
+    the point of composing it from the kNN primitive).  The per-side
+    top-k means aggregate in DECIMAL over the k candidate cosines —
+    order-independent, so the margin is bit-identical in any engine —
+    and the threshold compares the floor-rounded margin.
+
+    Returns (x_id, y_id, cosine, margin), margin ≥ threshold, both
+    rounded at ``decimals``; pairs are drawn from x's top-k list.
+    """
+    scale = float(10**decimals)
+    rnd = lambda c: F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)  # noqa: E731
+    fwd = brute_force_knn(y, x, id_col=id_col, vec_col=vec_col, k=k).select(
+        F.col("query_id").alias("x_id"),
+        F.col("neighbor_id").alias("y_id"),
+        F.col("cosine_sim").alias("__c"),
+    )
+    bwd = brute_force_knn(x, y, id_col=id_col, vec_col=vec_col, k=k).select(
+        F.col("query_id").alias("y_id"), F.col("cosine_sim").alias("__c")
+    )
+    dmean = (
+        lambda df, key: df.groupBy(key).agg(
+            (
+                F.sum(F.col("__c").cast("decimal(18,12)")).cast("double")
+                / F.count("*")
+            ).alias(f"__a_{key}")
+        )
+    )  # noqa: E731
+    ax = dmean(fwd, "x_id")
+    ay = dmean(bwd, "y_id")
+    margin = (F.lit(2.0) * F.col("__c")) / (F.col("__a_x_id") + F.col("__a_y_id"))
+    return (
+        fwd.join(ax, "x_id")
+        .join(ay, "y_id")
+        .withColumn("margin", rnd(margin))
+        .filter(F.col("margin") >= threshold)
+        .select("x_id", "y_id", rnd(F.col("__c")).alias("cosine"), "margin")
+    )

@@ -1135,3 +1135,32 @@ def test_image_near_dup_catches_cross_codec_pairs_only(spark):
     a = {r["media_id"]: bytes(r["content"]) for r in orig.collect()}
     b = {r["media_id"] - 100: bytes(r["content"]) for r in flipped.collect()}
     assert all(a[i] != b[i] for i in range(n))
+
+
+def test_margin_bitext_suppresses_hub(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        similarity,
+    )
+
+    # y100 is an exclusive match for x0; y102 is a hub near every x.
+    x = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0]), (4, [0.6, 0.8])],
+        ["vec_id", "embedding"],
+    )
+    y = spark.createDataFrame(
+        [
+            (100, [0.99, 0.14]),   # near x0 only
+            (101, [0.1, 0.99]),    # near x2 only
+            (102, [0.71, 0.71]),   # hub: decent cosine to everything
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = similarity.margin_bitext_pairs(
+        x, y, k=2, threshold=0.0
+    ).collect()
+    m = {(r["x_id"], r["y_id"]): r["margin"] for r in out}
+    # exclusive matches out-margin the hub for their query...
+    assert m[(0, 100)] > m[(0, 102)]
+    assert m[(2, 101)] > m[(2, 102)]
+    # ...and every exclusive pair clears 1.0 while being its side's best
+    assert m[(0, 100)] > 1.0 and m[(2, 101)] > 1.0
