@@ -535,3 +535,24 @@ def test_cbo_column_stats_shrink_filtered_estimate(spark):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old_cbo)
         spark.sql("DROP TABLE IF EXISTS cbo_dim")
+
+
+def test_tpch_analog_joins_broadcast_single_exchange(spark, sf_dir):
+    """The Q14/Q15/Q17/Q18 rewrites exist to avoid correlated re-scans:
+    every join must be broadcast (dim- or aggregate-sized side) and the
+    only hash exchange is the aggregate's own shuffle."""
+    for name in [
+        "promo_revenue",
+        "top_supplier",
+        "small_qty_revenue",
+        "large_orders",
+    ]:
+        plan = (
+            entry.queries()[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        assert plan.count("Exchange hashpartitioning") <= 1, name
