@@ -264,3 +264,39 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def footer_stats(spark, path: str, cols: "list[str]"):
+    """Min/max/count for ``cols`` computed from parquet FOOTER
+    statistics alone — Spark's DSv2 aggregate pushdown
+    (``PushedAggregation`` in the scan) answers them without reading a
+    single data page.  At 100 TB this is the data-discovery primitive:
+    profiling a lake of cold tables costs footer reads, not scans.
+
+    Pushdown needs the v2 parquet source and no data filters; both
+    confs are set for the build of THIS plan and restored after.  Rows
+    with NULLs are handled by the footers' own null accounting (parquet
+    min/max exclude nulls; count(*) includes them).  Returns one row:
+    ``cnt`` + ``<col>_min`` / ``<col>_max`` per column."""
+    from pyspark.sql import functions as F
+
+    v1_key = "spark.sql.sources.useV1SourceList"
+    agg_key = "spark.sql.parquet.aggregatePushdown"
+    old_v1, old_agg = spark.conf.get(v1_key), spark.conf.get(agg_key)
+    try:
+        spark.conf.set(v1_key, "")
+        spark.conf.set(agg_key, "true")
+        aggs = [F.count("*").alias("cnt")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+        df = spark.read.parquet(path).agg(*aggs)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "PushedAggregation: []" in plan or "PushedAggregation" not in plan:
+            raise ValueError(
+                "aggregate pushdown did not engage for "
+                f"{path} {cols} — column type unsupported by footer stats"
+            )
+        return df.collect()[0]
+    finally:
+        spark.conf.set(v1_key, old_v1)
+        spark.conf.set(agg_key, old_agg)

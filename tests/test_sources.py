@@ -525,3 +525,15 @@ def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
     raws = {r["_corrupt_record"] for r in bad.collect()}
     assert "not json at all" in raws
     df.unpersist()
+
+
+def test_footer_stats_pushes_aggregates_to_parquet_footers(spark, sf_dir):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources.readers import (
+        footer_stats,
+    )
+
+    r = footer_stats(spark, f"{sf_dir}/lineitem.parquet", ["l_quantity"])
+    assert r["l_quantity_min"] == 1.0 and r["l_quantity_max"] == 50.0
+    assert r["cnt"] == spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # session confs restored
+    assert spark.conf.get("spark.sql.sources.useV1SourceList") != ""
