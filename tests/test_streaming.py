@@ -1134,3 +1134,61 @@ def test_cms_merge_equals_oneshot_and_never_undercounts(spark, tmp_path):
         (r["d"], r["bucket"]): r["n"]
         for r in spark.read.parquet(cms).select("d", "bucket", "n").collect()
     } == {(r["d"], r["bucket"]): r["n"] for r in oneshot.collect()}
+
+
+def test_reservoir_and_cms_streams_match_one_shot(spark, event_dir, tmp_path):
+    """The REAL writeStream maintainers (multi-batch availableNow drain)
+    converge to the one-shot bottom-k / one-shot register grid — batch
+    boundaries are invisible for both new bounded-state families."""
+    from pyspark.sql import Window as W
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sketches,
+    )
+
+    res = str(tmp_path / "res_tbl")
+    q = jobs.maintain_reservoir_stream(
+        jobs.read_event_stream(spark, event_dir, max_files_per_trigger=1),
+        res, str(tmp_path / "cp_res"), group_col="event_type",
+        id_col="event_id", k=4,
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 3
+
+    src = spark.read.parquet(event_dir)
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("res:"), F.col("event_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = W.partitionBy("event_type").orderBy("p", "event_id")
+    want = {
+        (r["event_type"], r["event_id"])
+        for r in src.withColumn("p", pri)
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 4")
+        .collect()
+    }
+    got = {
+        (r["event_type"], r["event_id"])
+        for r in spark.read.parquet(res).collect()
+    }
+    assert got == want
+
+    cms = str(tmp_path / "cms_tbl")
+    q2 = jobs.maintain_cms_stream(
+        jobs.read_event_stream(spark, event_dir, max_files_per_trigger=1),
+        cms, str(tmp_path / "cp_cms"), key_col="user_id", depth=3, width=64,
+    )
+    q2.awaitTermination()
+    maintained = {
+        (r["d"], r["bucket"]): r["n"]
+        for r in spark.read.parquet(cms).select("d", "bucket", "n").collect()
+    }
+    one_shot = {
+        (r["d"], r["bucket"]): r["n"]
+        for r in sketches.cms_register_table(src, "user_id", 3, 64).collect()
+    }
+    assert maintained == one_shot
