@@ -9106,6 +9106,146 @@ SELECT event_type, event_id, value, pri FROM ranked WHERE rk <= {_RES_K}
 """
 
 
+_Q4_LATE_DAYS = 30
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog: orders counted per priority when at least one
+    lineitem shipped more than {d} days after the order date — the
+    correlated EXISTS becomes a LEFT SEMI hash join against the late
+    line set, so lineitem is scanned once and never re-probed per
+    order.  NULL dates never qualify.""".format(d=_Q4_LATE_DAYS)
+    tune(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late_orders = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q4_LATE_DAYS} DAYS")
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    return (
+        o.join(late_orders, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+ORACLE_Q4 = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q4_LATE_DAYS} DAY
+)
+GROUP BY 1
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: revenue from an OR-of-ANDs predicate (three
+    brand/size/quantity bands).  The whole disjunction is ONE scan of
+    the broadcast-joined frame with the predicate evaluated in
+    whole-stage codegen — no union of three scans; the shared
+    l_quantity bounds push to the lineitem scan as a sargable
+    range."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5) & q.between(1, 11))
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 15)
+            & q.between(20, 30)
+        )
+    )
+    j = li.filter(q.between(1, 30)).join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return j.filter(cond).agg(
+        dround(F.sum(_disc_price())).alias("revenue"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+ORACLE_Q19 = f"""
+SELECT CAST(round(sum({SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size <= 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+_Q22_CUTOFF = "2000-01-01"
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: per market segment, customers with
+    above-average account balance (among positive balances) and no
+    orders since the cutoff — the lapsed-high-value slice.  Two rewrites in one: the scalar AVG subquery becomes a
+    broadcast one-row aggregate (cross join of a literal frame, not a
+    re-scan per row) and NOT EXISTS becomes a LEFT ANTI hash join.
+    The mean threshold compares multiplied-through (bal·n > Σ) in
+    exact decimal·integer arithmetic, so the boundary carries no
+    engine-specific decimal-division scale."""
+    tune(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _Q22_CUTOFF)
+        .select("o_custkey")
+        .distinct()
+    )
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("__s"),
+        F.count("*").alias("__n"),
+    )
+    # bal > Σ/n  ⇔  bal·n > Σ — exact decimal·integer arithmetic, no
+    # engine-specific decimal-division scale in the comparison
+    qualified = (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal").cast(DEC) * F.col("__n") > F.col("__s"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return qualified.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_custs"),
+        dsum("c_acctbal").alias("total_acctbal"),
+    )
+
+
+ORACLE_Q22 = f"""
+WITH thr AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS s, count(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+       {sql_dsum('c_acctbal')} AS total_acctbal
+FROM customer CROSS JOIN thr
+WHERE CAST(c_acctbal AS DECIMAL(18,4)) * thr.n > thr.s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF} 00:00:00'
+  )
+GROUP BY 1
+"""
+
+
 _BTX_K = 4
 _BTX_THRESHOLD = 1.05
 
@@ -9507,6 +9647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new in round 5 (insert new queries HERE, at top) ----
+        "order_priority_check": q_order_priority_check,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "idle_rich_customers": q_idle_rich_customers,
         "bitext_margin": q_bitext_margin,
         "decontaminate_merge": q_decontaminate_merge,
         "image_near_dup": q_image_near_dup,
@@ -9731,6 +9874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "order_priority_check": ORACLE_Q4,
+        "disjunctive_revenue": ORACLE_Q19,
+        "idle_rich_customers": ORACLE_Q22,
         "bitext_margin": ORACLE_BITEXT,
         "decontaminate_merge": _oracle_decontaminate_merge(),
         "image_near_dup": _oracle_image_near_dup(),

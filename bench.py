@@ -177,6 +177,9 @@ BENCH_QUERIES = [
     "image_near_dup",
     "decontaminate_merge",
     "bitext_margin",
+    "order_priority_check",
+    "disjunctive_revenue",
+    "idle_rich_customers",
     # incremental_near_dup excluded from the TIMED set like the other
     # driver-action-heavy twins: its cost is 3 foreachBatch rounds of
     # job overhead (the one-shot LSH path is timed as

@@ -147,6 +147,9 @@ PROBE_QUERIES = [
     "cms_merge",
     "image_near_dup",
     "decontaminate_merge",
+    "order_priority_check",
+    "disjunctive_revenue",
+    "idle_rich_customers",
 ]
 
 
