@@ -9274,12 +9274,21 @@ WITH x AS (
 ), y AS (
   SELECT vec_id AS y_id, embedding::DOUBLE[] AS ye
   FROM embeddings WHERE vec_id % 2 = 1
+), xn AS (
+  SELECT x_id,
+         CASE WHEN list_dot_product(xe, xe) = 0 THEN xe
+              ELSE list_transform(xe, v -> v / sqrt(list_dot_product(xe, xe)))
+         END AS xv
+  FROM x
+), yn AS (
+  SELECT y_id,
+         CASE WHEN list_dot_product(ye, ye) = 0 THEN ye
+              ELSE list_transform(ye, v -> v / sqrt(list_dot_product(ye, ye)))
+         END AS yv
+  FROM y
 ), sc AS (
-  SELECT x_id, y_id,
-         list_dot_product(xe, ye) /
-         (sqrt(list_dot_product(xe, xe)) * sqrt(list_dot_product(ye, ye)))
-             AS c
-  FROM x CROSS JOIN y
+  SELECT x_id, y_id, list_dot_product(xv, yv) AS c
+  FROM xn CROSS JOIN yn
 ), fwd AS (
   SELECT x_id, y_id, c,
          row_number() OVER (PARTITION BY x_id ORDER BY c DESC, y_id) AS rk
