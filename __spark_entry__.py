@@ -9106,6 +9106,101 @@ SELECT event_type, event_id, value, pri FROM ranked WHERE rk <= {_RES_K}
 """
 
 
+def q_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra (sketches.hll_intersection_estimate):
+    audience overlap of the click and purchase user sets — per-set HLL
+    estimates, the exact register max-merge union sketch, the
+    inclusion–exclusion intersection, and the implied Jaccard; exact
+    distinct counts ride along (one flags aggregate) so the checked
+    row also documents the estimator's error on this corpus.  The two
+    sides never co-shuffle: each folds to its own 512-register
+    sketch."""
+    tune(spark)
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sketches,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    bb = e.filter(F.col("event_type") == "purchase").select("user_id")
+    est = sketches.hll_intersection_estimate(a, bb, "user_id")
+    flags = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("__ca"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("__cb"),
+    )
+    true = flags.agg(
+        F.sum("__ca").cast("bigint").alias("true_a"),
+        F.sum("__cb").cast("bigint").alias("true_b"),
+        F.sum(F.col("__ca") * F.col("__cb")).cast("bigint").alias("true_inter"),
+    )
+    return est.crossJoin(F.broadcast(true))
+
+
+def _oracle_hll_set_algebra() -> str:
+    b = 9
+    m = 1 << b
+    w_bits = 32 - b
+    mask = (1 << w_bits) - 1
+    scale = 1 << (w_bits + 1)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * scale
+    return f"""
+WITH keys AS (
+  SELECT 'a' AS s, user_id FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'b', user_id FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT 'u', user_id FROM events WHERE event_type IN ('click', 'purchase')
+), h AS (
+  SELECT s,
+         ('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+             AS hv
+  FROM keys
+), br AS (
+  SELECT s, CAST(hv >> {w_bits} AS INT) AS bucket, hv & {mask} AS w FROM h
+), reg AS (
+  SELECT s, bucket,
+         max(CASE WHEN w = 0 THEN {w_bits + 1}
+                  ELSE {w_bits} - (length(bin(w)) - 1) END) AS rho
+  FROM br GROUP BY 1, 2
+), agg AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS touched,
+         sum((1::BIGINT << ({w_bits + 1} - rho))) AS s_touched
+  FROM reg GROUP BY 1
+), est AS (
+  SELECT s, touched, ({m} - touched) AS zeros,
+         {num!r} / CAST(s_touched + ({m} - touched) * {scale} AS DOUBLE) AS e_raw
+  FROM agg
+), rounded AS (
+  SELECT s,
+         floor((CASE WHEN e_raw <= {2.5 * m} AND zeros > 0
+                     THEN {float(m)} * ln({float(m)} / zeros)
+                     ELSE e_raw END) * 1e4 + 0.5) / 1e4 AS est_d
+  FROM est
+), wide AS (
+  SELECT max(CASE WHEN s = 'a' THEN est_d END) AS a,
+         max(CASE WHEN s = 'b' THEN est_d END) AS b,
+         max(CASE WHEN s = 'u' THEN est_d END) AS u
+  FROM rounded
+), flags AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+  FROM events GROUP BY 1
+), tru AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS true_a,
+         CAST(sum(cb) AS BIGINT) AS true_b,
+         CAST(sum(ca * cb) AS BIGINT) AS true_inter
+  FROM flags
+)
+SELECT a AS est_a, b AS est_b, u AS est_union,
+       a + b - u AS est_intersection,
+       floor((a + b - u) / u * 1e6 + 0.5) / 1e6 AS jaccard_est,
+       true_a, true_b, true_inter
+FROM wide CROSS JOIN tru
+"""
+
+
 _Q4_LATE_DAYS = 30
 
 
@@ -9656,6 +9751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new in round 5 (insert new queries HERE, at top) ----
+        "hll_set_algebra": q_hll_set_algebra,
         "order_priority_check": q_order_priority_check,
         "disjunctive_revenue": q_disjunctive_revenue,
         "idle_rich_customers": q_idle_rich_customers,
@@ -9883,6 +9979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hll_set_algebra": _oracle_hll_set_algebra(),
         "order_priority_check": ORACLE_Q4,
         "disjunctive_revenue": ORACLE_Q19,
         "idle_rich_customers": ORACLE_Q22,

@@ -271,3 +271,54 @@ def cms_point_estimates(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("est"))
     )
+
+
+def hll_intersection_estimate(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    b: int = HLL_B,
+) -> DataFrame:
+    """Set algebra over portable HLL sketches: estimate |A|, |B|,
+    |A∪B| (register max-merge — exact sketch of the union, not an
+    approximation of one), and |A∩B| by inclusion–exclusion, plus the
+    implied Jaccard.  The audience-overlap primitive: at 100 TB the
+    two inputs never co-shuffle — each side folds to its own
+    2^b-register sketch and the merge is register arithmetic.
+
+    Inclusion–exclusion inherits the absolute error of three
+    estimates, so the intersection's RELATIVE error degrades as the
+    overlap shrinks (standard HLL caveat, stated rather than hidden);
+    for tiny intersections use the registers only to route to an
+    exact count.  All register math is the integer-exact portable
+    construction; the three rounded estimates combine with exact
+    float adds/subtracts, so every engine reports identical values.
+
+    Returns one row: (est_a, est_b, est_union, est_intersection,
+    jaccard_est)."""
+    ra = hll_register_table(
+        df_a.select(F.lit("a").alias("__set"), F.col(key_col)), "__set", key_col, b
+    )
+    rb = hll_register_table(
+        df_b.select(F.lit("b").alias("__set"), F.col(key_col)), "__set", key_col, b
+    )
+    ru = merge_hll_registers(
+        [
+            ra.select(F.lit("u").alias("__set"), "__bucket", "__rho"),
+            rb.select(F.lit("u").alias("__set"), "__bucket", "__rho"),
+        ]
+    )
+    est = hll_estimate_from_registers(
+        ra.unionByName(rb).unionByName(ru), "__set", b
+    )
+    wide = est.groupBy().pivot("__set", ["a", "b", "u"]).sum("est_distinct")
+    inter = F.col("a") + F.col("b") - F.col("u")
+    return wide.select(
+        F.col("a").alias("est_a"),
+        F.col("b").alias("est_b"),
+        F.col("u").alias("est_union"),
+        inter.alias("est_intersection"),
+        (F.floor(inter / F.col("u") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "jaccard_est"
+        ),
+    )

@@ -1164,3 +1164,20 @@ def test_margin_bitext_suppresses_hub(spark):
     assert m[(2, 101)] > m[(2, 102)]
     # ...and every exclusive pair clears 1.0 while being its side's best
     assert m[(0, 100)] > 1.0 and m[(2, 101)] > 1.0
+
+
+def test_hll_intersection_estimate_tracks_true_overlap(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sketches,
+    )
+
+    # A = 0..599, B = 300..899 -> |A|=|B|=600, |A∩B|=300, |A∪B|=900
+    a = spark.createDataFrame([(i,) for i in range(600)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(300, 900)], ["k"])
+    r = sketches.hll_intersection_estimate(a, b, "k").collect()[0]
+    assert abs(r["est_a"] - 600) / 600 < 0.15
+    assert abs(r["est_union"] - 900) / 900 < 0.15
+    assert abs(r["est_intersection"] - 300) / 300 < 0.35
+    assert 0 < r["jaccard_est"] < 1
+    # union sketch dominates both sides (it is the merged registers)
+    assert r["est_union"] >= max(r["est_a"], r["est_b"]) - 1e-9
