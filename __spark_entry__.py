@@ -8882,6 +8882,524 @@ FROM orders JOIN big ON o_orderkey = l_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H analog completion pack (round 5): the remaining benchmark query
+# shapes on the available columns — Q2/Q7/Q9/Q10/Q12/Q13/Q16/Q20.  The
+# tables carry no partsupp, shipmode, or comment columns, so each analog
+# states its substitution up front; the SHAPE being exercised (correlated
+# min, fact-fact nation trade, left-join-with-condition custdist, nested
+# IN → semi-join, ...) is the benchmark's.
+# ---------------------------------------------------------------------------
+
+_Q2_REGION = "EUROPE"
+_Q2_TYPE = "LARGE"
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog (no partsupp — the supply catalog is DERIVED
+    from lineitem history): for parts of one type, the region
+    supplier(s) whose best historical offer (min extendedprice across
+    their lineitems for that part) equals the part-wide minimum.  The
+    benchmark's correlated ``ps_supplycost = (SELECT min(..) ...)``
+    re-scans the catalog per part; the rewrite builds the offer table
+    ONCE (one hash aggregate over the dim-filtered lineitem scan),
+    reduces it to a per-part min (offer-table-sized, broadcast back),
+    and joins on decimal-exact equality.  Every dim join (part type,
+    supplier→nation→region) is broadcast and applied BEFORE the
+    aggregate, so the only shuffle is the offers groupBy.  Costs
+    compare as exact DECIMAL(18,2) (2dp money), so min/tie semantics
+    are engine-identical."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == _Q2_REGION)
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == _Q2_TYPE)
+        .select("p_partkey", "p_name")
+    )
+    rs = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(rs), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "n_name")
+        .agg(
+            F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__cost")
+        )
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("__cost").alias("__best")
+    )
+    return offers.join(
+        F.broadcast(best),
+        (F.col("p_partkey") == F.col("__pk"))
+        & (F.col("__cost") == F.col("__best")),
+    ).select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"),
+        "p_name",
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+        "s_name",
+        "n_name",
+        F.col("__cost").cast("double").alias("best_cost"),
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = f"""
+WITH rs AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{_Q2_REGION}'
+), offers AS (
+  SELECT l_partkey AS pk, p_name, s_suppkey, s_name, n_name,
+         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = '{_Q2_TYPE}'
+  JOIN rs ON l_suppkey = s_suppkey
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT CAST(pk AS BIGINT) AS p_partkey, p_name,
+       CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name,
+       CAST(cost AS DOUBLE) AS best_cost
+FROM offers o
+WHERE cost = (SELECT min(cost) FROM offers o2 WHERE o2.pk = o.pk)
+"""
+
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+_Q7_START, _Q7_END = "1996-01-01", "1998-01-01"
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: discounted revenue shipped between two nations
+    (both directions, kept separate) per shipment year.  The scale
+    property Q7 exists to test: BOTH nation filters are pushed into
+    broadcast dim joins BEFORE the fact-fact lineitem⋈orders shuffle,
+    so each shuffle input is pre-cut to the two nations' rows (~2/25
+    of each fact) instead of joining whole facts and filtering after.
+    Revenue follows the exact-decimal discipline; the year is an int
+    in both engines."""
+    tune(spark)
+    nations = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(_Q7_N1, _Q7_N2))
+        .select("n_nationkey", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _Q7_START) & (F.col("l_shipdate") < _Q7_END)
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    j = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(dround(F.sum(_disc_price())).alias("revenue"))
+
+
+ORACLE_NATION_TRADE_VOLUME = f"""
+WITH s AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('{_Q7_N1}', '{_Q7_N2}')
+), c AS (
+  SELECT c_custkey, n_name AS cust_nation
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name IN ('{_Q7_N1}', '{_Q7_N2}')
+), o AS (
+  SELECT o_orderkey, cust_nation FROM orders JOIN c ON o_custkey = c_custkey
+)
+SELECT supp_nation, cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {sql_dsum(SQL_DISC_PRICE)} AS revenue
+FROM lineitem
+JOIN s ON l_suppkey = s_suppkey
+JOIN o ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{_Q7_START} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{_Q7_END} 00:00:00'
+  AND supp_nation <> cust_nation
+GROUP BY 1, 2, 3
+"""
+
+_Q9_TOKEN = "widget"
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog (no partsupp → the supply cost is modeled as
+    40% of the part's retail price): profit per supplier nation per
+    order year over parts whose name contains a token.  The 0.4·retail
+    double product is cast ONCE to DECIMAL(18,4) — deterministic
+    across engines because no IEEE double sits exactly on a 10^-4
+    midpoint (10^-s is not dyadic) — and every aggregate after that is
+    exact decimal arithmetic, so cross-engine sums are bit-identical.
+    Plan: part/supplier/nation dims broadcast into the lineitem scan,
+    one fact-fact join to orders for the year, one hash aggregate."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(_Q9_TOKEN))
+        .select(
+            "p_partkey",
+            (F.col("p_retailprice") * 0.4).cast(DEC).alias("__unit_cost"),
+        )
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = _disc_price() - F.col("l_quantity").cast("decimal(18,2)") * F.col(
+        "__unit_cost"
+    )
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(dround(F.sum(amount)).alias("sum_profit"))
+
+
+ORACLE_PRODUCT_TYPE_PROFIT = f"""
+WITH p AS (
+  SELECT p_partkey, CAST(p_retailprice * 0.4 AS DECIMAL(18,4)) AS unit_cost
+  FROM part WHERE p_name LIKE '%{_Q9_TOKEN}%'
+), s AS (
+  SELECT s_suppkey, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(round(sum({SQL_DISC_PRICE}
+                       - CAST(l_quantity AS DECIMAL(18,2)) * unit_cost), 2)
+            AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN p ON l_partkey = p_partkey
+JOIN s ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+_Q10_START, _Q10_END = "1996-01-01", "1996-04-01"
+_Q10_TOP = 20
+
+
+def q_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: the customers who lost the most revenue to
+    returned items in one quarter.  lineitem is cut to return-flagged
+    rows, orders to the quarter, BEFORE their fact-fact join; customer
+    and nation ride in as broadcast dims AFTER the per-customer
+    aggregate (so the shuffle carries keys, not names).  The
+    benchmark's LIMIT 20 is rank-with-ties over the EXACT decimal
+    revenue — order-independent and engine-identical, where a row_
+    number-style limit would be nondeterministic under ties."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _Q10_START) & (F.col("o_orderdate") < _Q10_END)
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(_disc_price()).alias("__rev"))
+    )
+    w = Window.orderBy(F.col("__rev").desc())
+    top = rev.withColumn("__rk", F.rank().over(w)).filter(
+        F.col("__rk") <= _Q10_TOP
+    )
+    return (
+        top.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            "n_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            dround(F.col("__rev")).alias("revenue"),
+            F.col("__rk").cast("bigint").alias("rev_rank"),
+        )
+    )
+
+
+ORACLE_RETURNED_ITEM_RANKING = f"""
+WITH rev AS (
+  SELECT o_custkey, sum({SQL_DISC_PRICE}) AS r
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '{_Q10_START} 00:00:00'
+    AND o_orderdate <  TIMESTAMP '{_Q10_END} 00:00:00'
+  GROUP BY 1
+), ranked AS (
+  SELECT o_custkey, r, rank() OVER (ORDER BY r DESC) AS rk FROM rev
+)
+SELECT CAST(o_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+       CAST(round(r, 2) AS DOUBLE) AS revenue,
+       CAST(rk AS BIGINT) AS rev_rank
+FROM ranked
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE rk <= {_Q10_TOP}
+"""
+
+_Q12_DAYS = 60
+_Q12_START, _Q12_END = "1996-01-01", "1997-01-01"
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog (no shipmode column → the grouping dimension
+    is the shipment-delay class: LATE when shipped more than 60 days
+    after ordering): per delay class, how many lineitems belonged to
+    critical-priority orders (URGENT/HIGH) vs the rest, over one ship
+    year.  The benchmark shape — one fact-fact join, a CASE hash
+    aggregate — is preserved; the lineitem side is date-cut before
+    the join.  NULL dates never count as late (explicit coalesce,
+    not sentinel arithmetic)."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _Q12_START) & (F.col("l_shipdate") < _Q12_END)
+    ).select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = F.coalesce(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q12_DAYS} DAYS"),
+        F.lit(False),
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.when(late, "LATE").otherwise("ONTIME").alias("delay_class"))
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(crit, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+ORACLE_LATE_SHIPMENT_PRIORITY = f"""
+SELECT CASE WHEN coalesce(l_shipdate > o_orderdate + INTERVAL {_Q12_DAYS} DAY,
+                          FALSE)
+            THEN 'LATE' ELSE 'ONTIME' END AS delay_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{_Q12_START} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{_Q12_END} 00:00:00'
+GROUP BY 1
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog: the distribution of customers by how many
+    qualifying orders they placed — INCLUDING zero-order customers,
+    which is the point of the query (the filter must act as a join
+    condition, not a WHERE, or the zero bucket vanishes).  Instead of
+    the benchmark's left-join-then-double-aggregate over a
+    (customer×orders)-wide frame, the rewrite aggregates orders to
+    per-customer counts FIRST (one fact-sized shuffle), left-joins
+    customer to the counts (customer-sized), and coalesces the miss to
+    zero — same result, and the wide join never materializes.
+    Qualifying = order status not 'P' (the comment-filter stand-in)."""
+    tune(spark)
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "P")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("__n"))
+    )
+    per_cust = c.join(
+        counts, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
+    return (
+        per_cust.groupBy(F.col("c_count").cast("bigint").alias("c_count"))
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+    )
+
+
+ORACLE_CUSTOMER_ORDER_DISTRIBUTION = """
+WITH counts AS (
+  SELECT o_custkey, count(*) AS n
+  FROM orders WHERE o_orderstatus <> 'P' GROUP BY 1
+), per_cust AS (
+  SELECT coalesce(n, 0) AS c_count
+  FROM customer LEFT JOIN counts ON c_custkey = o_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY 1
+"""
+
+_Q16_BRAND = "Brand#1"
+_Q16_SIZES = (1, 9, 17, 25, 33, 41, 49)
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog (no partsupp → the part-supplier relation is
+    the distinct pairs observed in lineitem): distinct supplier count
+    per (brand, type, size) over selected sizes, excluding one brand
+    and excluding suppliers with negative balances (the complaint
+    stand-in, an anti-join exactly like the benchmark's NOT IN).  The
+    part filters ride a broadcast join INTO the lineitem scan and the
+    count_distinct dedups (partkey,suppkey) inside ONE hash aggregate
+    — no separate pre-distinct shuffle."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != _Q16_BRAND)
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(*_Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+ORACLE_SUPPLIER_PART_COUNTS = f"""
+SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{_Q16_BRAND}' AND p_type <> 'PROMO'
+  AND p_size IN {_Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+_Q20_PREFIX = "red"
+_Q20_NATION = "NATION_3"
+_Q20_START, _Q20_END = "1996-01-01", "1997-01-01"
+
+
+def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog (no partsupp availqty → the stock question
+    becomes a flow question): suppliers from one nation who, for some
+    part with the given name prefix, shipped MORE THAN HALF of that
+    part's total volume in one year.  The benchmark's nested
+    IN (SELECT .. IN (SELECT ..)) chain with a correlated half-sum is
+    rewritten as: one (part,supplier) aggregate over the dim-filtered
+    lineitem scan, a per-part total derived FROM that aggregate (no
+    second lineitem pass), a broadcast join-back, and a final
+    semi-style distinct — the share test ``2·sq > total`` is integer-
+    exact decimal, no division."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _Q20_START) & (F.col("l_shipdate") < _Q20_END)
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(_Q20_PREFIX))
+        .select("p_partkey")
+    )
+    per_ps = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sq"))
+    )
+    per_p = per_ps.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("__sq").alias("__tot")
+    )
+    qual = (
+        per_ps.join(F.broadcast(per_p), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("__sq") * 2 > F.col("__tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == _Q20_NATION
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return qual.join(
+        F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "s_name")
+
+
+ORACLE_EXCESS_SHIPPERS = f"""
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE '{_Q20_PREFIX}%'
+  WHERE l_shipdate >= TIMESTAMP '{_Q20_START} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{_Q20_END} 00:00:00'
+  GROUP BY 1, 2
+), per_p AS (
+  SELECT l_partkey AS pk, sum(sq) AS tot FROM per_ps GROUP BY 1
+), qual AS (
+  SELECT DISTINCT l_suppkey
+  FROM per_ps JOIN per_p ON l_partkey = pk
+  WHERE sq * 2 > tot
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+FROM qual
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{_Q20_NATION}'
+"""
+
+
 def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level cleaning (textstats.c4_line_filters): lines
     are kept only when they end in terminal punctuation, carry ≥5
@@ -9751,6 +10269,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new in round 5 (insert new queries HERE, at top) ----
+        "min_cost_supplier": q_min_cost_supplier,
+        "nation_trade_volume": q_nation_trade_volume,
+        "product_type_profit": q_product_type_profit,
+        "returned_item_ranking": q_returned_item_ranking,
+        "late_shipment_priority": q_late_shipment_priority,
+        "customer_order_distribution": q_customer_order_distribution,
+        "supplier_part_counts": q_supplier_part_counts,
+        "excess_shippers": q_excess_shippers,
         "hll_set_algebra": q_hll_set_algebra,
         "order_priority_check": q_order_priority_check,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -9979,6 +10505,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
+        "nation_trade_volume": ORACLE_NATION_TRADE_VOLUME,
+        "product_type_profit": ORACLE_PRODUCT_TYPE_PROFIT,
+        "returned_item_ranking": ORACLE_RETURNED_ITEM_RANKING,
+        "late_shipment_priority": ORACLE_LATE_SHIPMENT_PRIORITY,
+        "customer_order_distribution": ORACLE_CUSTOMER_ORDER_DISTRIBUTION,
+        "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
+        "excess_shippers": ORACLE_EXCESS_SHIPPERS,
         "hll_set_algebra": _oracle_hll_set_algebra(),
         "order_priority_check": ORACLE_Q4,
         "disjunctive_revenue": ORACLE_Q19,

@@ -180,6 +180,15 @@ BENCH_QUERIES = [
     "order_priority_check",
     "disjunctive_revenue",
     "idle_rich_customers",
+    "hll_set_algebra",
+    "min_cost_supplier",
+    "nation_trade_volume",
+    "product_type_profit",
+    "returned_item_ranking",
+    "late_shipment_priority",
+    "customer_order_distribution",
+    "supplier_part_counts",
+    "excess_shippers",
     # incremental_near_dup excluded from the TIMED set like the other
     # driver-action-heavy twins: its cost is 3 foreachBatch rounds of
     # job overhead (the one-shot LSH path is timed as

@@ -556,3 +556,38 @@ def test_tpch_analog_joins_broadcast_single_exchange(spark, sf_dir):
         assert "SortMergeJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
         assert plan.count("Exchange hashpartitioning") <= 1, name
+
+
+def test_tpch_completion_pack_join_strategy(spark, sf_dir):
+    """The Q2/Q9/Q10/Q12/Q13/Q16/Q20 analogs: every dim join is
+    broadcast, the only sort-merge join allowed in the whole pack is
+    Q7's fact-fact lineitem⋈orders edge (both sides stay fact-sized at
+    scale, so a shuffle join IS the right plan there), and exchange
+    counts stay bounded at each query's aggregate structure."""
+    max_exch = {
+        "min_cost_supplier": 3,  # offers agg + per-part min + final
+        "product_type_profit": 1,
+        "returned_item_ranking": 1,
+        "late_shipment_priority": 1,
+        "customer_order_distribution": 2,  # orders agg + custdist agg
+        "supplier_part_counts": 2,  # two-phase count_distinct
+        "excess_shippers": 4,  # per-ps, per-part, distinct, final
+    }
+    for name, cap in max_exch.items():
+        plan = (
+            entry.queries()[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        assert plan.count("Exchange hashpartitioning") <= cap, name
+    q7 = (
+        entry.queries()["nation_trade_volume"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in q7  # the nation-filtered dims
+    assert q7.count("SortMergeJoin") <= 1  # only the fact-fact edge

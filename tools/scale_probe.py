@@ -150,6 +150,15 @@ PROBE_QUERIES = [
     "order_priority_check",
     "disjunctive_revenue",
     "idle_rich_customers",
+    "hll_set_algebra",
+    "min_cost_supplier",
+    "nation_trade_volume",
+    "product_type_profit",
+    "returned_item_ranking",
+    "late_shipment_priority",
+    "customer_order_distribution",
+    "supplier_part_counts",
+    "excess_shippers",
 ]
 
 
