@@ -9320,6 +9320,75 @@ WHERE p_brand <> '{_Q16_BRAND}' AND p_type <> 'PROMO'
 GROUP BY 1, 2, 3
 """
 
+_Q11_NATION = "NATION_5"
+_Q11_MEAN_MULT = 2  # keep parts with value > 2× the mean part value
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (no partsupp availqty·supplycost → a part's
+    "stock value" is the total extendedprice flowing through one
+    nation's suppliers): parts whose value exceeds twice the MEAN part
+    value — the benchmark's HAVING > (SELECT sum(..)·fraction) global
+    scalar subquery, with the fraction made scale-invariant (Q11's own
+    0.0001/SF scaling does the same job) so the answer is non-trivial
+    at every SF.  The rewrite aggregates once, derives the scalar
+    (total, part count) FROM that aggregate — no second lineitem pass
+    — and broadcast-joins the one-row frame back; the threshold test
+    is ``value·n > 2·total`` in exact decimal/integer arithmetic — no
+    double division, no knife edge.  Output value is the rounded
+    double."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    ns = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == _Q11_NATION
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(ns), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("__val"))
+    )
+    total = per_part.agg(
+        F.sum("__val").alias("__tot"), F.count("*").alias("__n")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("__val") * F.col("__n")
+            > F.col("__tot") * F.lit(_Q11_MEAN_MULT)
+        )
+        .select(
+            F.col("l_partkey").cast("bigint").alias("p_partkey"),
+            dround(F.col("__val")).alias("part_value"),
+        )
+    )
+
+
+ORACLE_IMPORTANT_PARTS = f"""
+WITH ns AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{_Q11_NATION}'
+), per_part AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS val
+  FROM lineitem JOIN ns ON l_suppkey = s_suppkey
+  GROUP BY 1
+), scalar AS (
+  SELECT sum(val) AS tot, count(*) AS n FROM per_part
+)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+       CAST(round(val, 2) AS DOUBLE) AS part_value
+FROM per_part, scalar
+WHERE val * n > tot * {_Q11_MEAN_MULT}
+"""
+
 _Q20_PREFIX = "red"
 _Q20_NATION = "NATION_3"
 _Q20_START, _Q20_END = "1996-01-01", "1997-01-01"
@@ -10277,6 +10346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": q_customer_order_distribution,
         "supplier_part_counts": q_supplier_part_counts,
         "excess_shippers": q_excess_shippers,
+        "important_parts": q_important_parts,
         "hll_set_algebra": q_hll_set_algebra,
         "order_priority_check": q_order_priority_check,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -10513,6 +10583,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_distribution": ORACLE_CUSTOMER_ORDER_DISTRIBUTION,
         "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
         "excess_shippers": ORACLE_EXCESS_SHIPPERS,
+        "important_parts": ORACLE_IMPORTANT_PARTS,
         "hll_set_algebra": _oracle_hll_set_algebra(),
         "order_priority_check": ORACLE_Q4,
         "disjunctive_revenue": ORACLE_Q19,

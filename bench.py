@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "customer_order_distribution",
     "supplier_part_counts",
     "excess_shippers",
+    "important_parts",
     # incremental_near_dup excluded from the TIMED set like the other
     # driver-action-heavy twins: its cost is 3 foreachBatch rounds of
     # job overhead (the one-shot LSH path is timed as

@@ -572,6 +572,7 @@ def test_tpch_completion_pack_join_strategy(spark, sf_dir):
         "customer_order_distribution": 2,  # orders agg + custdist agg
         "supplier_part_counts": 2,  # two-phase count_distinct
         "excess_shippers": 4,  # per-ps, per-part, distinct, final
+        "important_parts": 2,  # per-part agg + one-row scalar
     }
     for name, cap in max_exch.items():
         plan = (

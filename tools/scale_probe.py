@@ -159,6 +159,7 @@ PROBE_QUERIES = [
     "customer_order_distribution",
     "supplier_part_counts",
     "excess_shippers",
+    "important_parts",
 ]
 
 
