@@ -7602,6 +7602,112 @@ FROM supplier
 """
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink→source round-trip (sources.readers.write_orc /
+    read_orc): the customer dim is written PARTITIONED BY market
+    segment — so the read-back exercises partition discovery and the
+    segment filter prunes at the directory level, never touching the
+    other segments' files — and every surviving value (including
+    DOUBLE acctbal, bit-for-bit through ORC's typed columnar encoding)
+    is returned for the oracle hash.  Spark's vectorized ORC reader
+    gives the same pushdown/pruning guarantees as parquet; this query
+    is the gate row proving the format path end-to-end."""
+    import os
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        readers,
+    )
+
+    tune(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    path = os.path.join(tempfile.gettempdir(), "orc_rt_cache")
+    readers.write_orc(cust, path, partition_by=("c_mktsegment",))
+    back = readers.read_orc(spark, path)
+    return back.filter(F.col("c_mktsegment") != "FURNITURE").select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "c_name",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        F.col("c_mktsegment").cast("string").alias("c_mktsegment"),
+    )
+
+
+ORACLE_ORC_ROUNDTRIP = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(c_nationkey AS INT) AS c_nationkey,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+FROM customer WHERE c_mktsegment <> 'FURNITURE'
+"""
+
+_LB_BUCKETS = (16, 32, 64, 128)
+_LB_BATCH = 8
+_LB_SHARDS = 4
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch packing for padded training
+    (sampling.length_bucket_batches): documents drop into the smallest
+    length bucket that holds their whitespace token count, are
+    hash-sharded (md5 of the id — the window parallelism knob), and
+    packed into 8-doc batches in deterministic id order; the output is
+    the per-batch padding economics (real tokens vs padded slots vs
+    waste).  All integer arithmetic end-to-end.  The oracle replays
+    the bucket CASE ladder, the md5 shard, and the same per-(bucket,
+    shard) row_number packing."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        textstats.token_count(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    return sampling.length_bucket_batches(
+        d,
+        "doc_id",
+        "n_tok",
+        batch_size=_LB_BATCH,
+        buckets=_LB_BUCKETS,
+        shards=_LB_SHARDS,
+    )
+
+
+def _oracle_length_buckets() -> str:
+    ladder = " ".join(
+        f"WHEN n_tok <= {b} THEN {b}" for b in _LB_BUCKETS[:-1]
+    )
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x != '')) AS BIGINT) AS n_tok
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tok,
+         CAST(CASE {ladder} ELSE {_LB_BUCKETS[-1]} END AS INT) AS bucket_len,
+         CAST(({_sql_md5_bucket('doc_id')}) % {_LB_SHARDS} AS INT) AS shard
+  FROM d
+), r AS (
+  SELECT *,
+         CAST(floor((row_number() OVER (
+             PARTITION BY bucket_len, shard ORDER BY doc_id) - 1)
+             / {float(_LB_BATCH)}) AS BIGINT) AS batch_id
+  FROM b
+)
+SELECT bucket_len, shard, batch_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(n_tok) AS BIGINT) AS batch_max_len,
+       CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+       CAST(count(*) * max(n_tok) AS BIGINT) AS padded_slots,
+       CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste
+FROM r GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Round-4 additions: corpus-curation operators a 100 TB training-data
 # pipeline still reaches for after dedup/quality/mixing are in place —
@@ -10347,6 +10453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_counts": q_supplier_part_counts,
         "excess_shippers": q_excess_shippers,
         "important_parts": q_important_parts,
+        "orc_roundtrip": q_orc_roundtrip,
+        "length_buckets": q_length_buckets,
         "hll_set_algebra": q_hll_set_algebra,
         "order_priority_check": q_order_priority_check,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -10584,6 +10692,8 @@ def oracle_sql() -> dict[str, str]:
         "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
         "excess_shippers": ORACLE_EXCESS_SHIPPERS,
         "important_parts": ORACLE_IMPORTANT_PARTS,
+        "orc_roundtrip": ORACLE_ORC_ROUNDTRIP,
+        "length_buckets": _oracle_length_buckets(),
         "hll_set_algebra": _oracle_hll_set_algebra(),
         "order_priority_check": ORACLE_Q4,
         "disjunctive_revenue": ORACLE_Q19,

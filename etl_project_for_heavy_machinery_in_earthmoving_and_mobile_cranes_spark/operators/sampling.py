@@ -673,3 +673,65 @@ def mixture_budget(
         used.alias("tokens_used"),
         (epochs_raw <= F.lit(float(max_epochs))).alias("satisfied"),
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    batch_size: int = 8,
+    buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024),
+    shards: int = 8,
+) -> DataFrame:
+    """Length-grouped batch assignment for padded training (dynamic
+    batching): each row lands in the smallest length bucket that holds
+    it (the last bucket also takes overflow), and rows inside a bucket
+    are packed into fixed-size batches in deterministic id order.
+    Grouping near-equal lengths is what makes padded attention cheap —
+    a batch's cost is ``batch_size · max_len_in_batch``, so mixing a
+    20-token doc into a 1024-token batch wastes ~98% of the pad.
+
+    Scale design: a single global sequence per bucket would serialize
+    the window into |buckets| partitions (skew at 100 TB).  Batches do
+    NOT need a global order — only same-bucket locality — so rows are
+    first hash-sharded (md5 of the id, reproducible anywhere) and the
+    row_number window runs per (bucket, shard): parallelism is
+    buckets·shards, and each shard packs its own batch sequence.
+    Raise ``shards`` with cluster size; determinism is unaffected
+    because shard membership is a pure function of the id.
+
+    Returns one row per (bucket, shard, batch) with the padding
+    economics: row count, batch max length, total real tokens, padded
+    slots, and the padding waste.  All integer arithmetic — no float
+    knife edges anywhere.
+    """
+    last = buckets[-1]
+    bucket = F.lit(int(last))
+    for b in reversed(buckets):
+        bucket = F.when(F.col(len_col) <= int(b), int(b)).otherwise(bucket)
+    shard = (hash_bucket(F.col(id_col)) % int(shards)).cast("int")
+    rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(len_col).cast("bigint").alias("__len"),
+        bucket.cast("int").alias("bucket_len"),
+        shard.alias("shard"),
+    )
+    w = Window.partitionBy("bucket_len", "shard").orderBy("__id")
+    batched = rows.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / int(batch_size)).cast("bigint"),
+    )
+    return (
+        batched.groupBy("bucket_len", "shard", "batch_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.max("__len").alias("batch_max_len"),
+            F.sum("__len").alias("real_tokens"),
+        )
+        .withColumn(
+            "padded_slots", F.col("n_rows") * F.col("batch_max_len")
+        )
+        .withColumn(
+            "pad_waste", F.col("padded_slots") - F.col("real_tokens")
+        )
+    )

@@ -546,3 +546,39 @@ def test_mixture_budget_caps_and_satisfies(spark):
     assert out["b"]["tokens_used"] == 400
     # c: no weight -> zero plan
     assert out["c"]["weight"] == 0.0 and out["c"]["tokens_used"] == 0
+
+
+def test_length_bucket_batches_packing_and_waste(spark):
+    """Bucket ladder picks the smallest holding bucket (overflow rides
+    the last), batches pack in id order at the requested size within
+    each (bucket, shard), and the padding arithmetic is exact."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([3, 10, 16, 17, 40, 900])],
+        "id long, n long",
+    )
+    out = sampling.length_bucket_batches(
+        df, "id", "n", batch_size=2, buckets=(16, 32, 64), shards=1
+    ).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket_len"], []).append(r)
+    # 3,10,16 -> bucket 16 (two batches of 2 and 1); 17 -> 32; 40,900 -> 64
+    assert sorted(by_bucket) == [16, 32, 64]
+    b16 = sorted(by_bucket[16], key=lambda r: r["batch_id"])
+    assert [r["n_rows"] for r in b16] == [2, 1]
+    # first 16-bucket batch holds ids 0,1 (len 3,10): max 10, waste 2*10-13
+    assert b16[0]["batch_max_len"] == 10 and b16[0]["pad_waste"] == 7
+    assert b16[1]["batch_max_len"] == 16 and b16[1]["pad_waste"] == 0
+    # overflow doc (900) lands in the last bucket
+    b64 = by_bucket[64][0]
+    assert b64["n_rows"] == 2 and b64["batch_max_len"] == 900
+    assert b64["pad_waste"] == 2 * 900 - 940
+    # shard membership is a pure function of the id: re-running with
+    # more shards re-partitions but total rows and tokens are conserved
+    sharded = sampling.length_bucket_batches(
+        df, "id", "n", batch_size=2, buckets=(16, 32, 64), shards=4
+    ).collect()
+    assert sum(r["real_tokens"] for r in sharded) == 986
+    assert sum(r["n_rows"] for r in sharded) == 6
