@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "supplier_part_counts",
     "excess_shippers",
     "important_parts",
+    "orc_roundtrip",
+    "length_buckets",
     # incremental_near_dup excluded from the TIMED set like the other
     # driver-action-heavy twins: its cost is 3 foreachBatch rounds of
     # job overhead (the one-shot LSH path is timed as

@@ -160,6 +160,8 @@ PROBE_QUERIES = [
     "supplier_part_counts",
     "excess_shippers",
     "important_parts",
+    "orc_roundtrip",
+    "length_buckets",
 ]
 
 
