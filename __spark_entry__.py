@@ -7708,6 +7708,95 @@ FROM r GROUP BY 1, 2, 3
 """
 
 
+_URL_BLOCKLIST = (
+    "example.net",
+    "src3.example.com",
+    "src7.example.com",
+    "cdn.src7.example.com",
+)
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-matching domain blocklist audit (webfilter.blocklist_audit
+    — the C4/RefinedWeb crawl-curation drop rule, and the URL-shaped
+    twin of the reference's keyword anti-filter F2, prog.py:236-240):
+    deterministic URLs are synthesized from (doc_id, source) with
+    varying label depth (cdn./www./bare) and TLD, the host's dot-suffix
+    chain is exploded JVM-side, and a broadcast rule join tags each doc
+    with its most specific (longest) matched rule — ``example.net``
+    blankets one TLD while ``cdn.src7.example.com`` outranks the wider
+    ``src7.example.com`` on the same host.  Output is the per-(source,
+    rule) keep/block census.  The oracle replays host regex → suffix
+    list comprehension → arg_max rule → census in DuckDB."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        webfilter,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("cdn."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("www."))
+        .otherwise(F.lit(""))
+    )
+    # tld keys on doc_id // 20, which varies WITHIN a source (source is
+    # doc_id % 20 in the testdata) — so every source spans both TLDs
+    tld = F.when(
+        F.floor(F.col("doc_id") / 20) % 2 == 0, F.lit("com")
+    ).otherwise(F.lit("net"))
+    docs = d.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), sub, F.col("source"), F.lit(".example."),
+            tld, F.lit("/doc/"), F.col("doc_id").cast("string"),
+        ),
+    )
+    bl = spark.createDataFrame([(r,) for r in _URL_BLOCKLIST], "rule string")
+    out = webfilter.blocklist_audit(docs, "url", bl)
+    return out.groupBy(
+        "source", F.coalesce(F.col("matched_rule"), F.lit("KEPT")).alias("rule")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct("host").cast("bigint").alias("n_hosts"),
+    )
+
+
+def _oracle_url_blocklist() -> str:
+    values = ", ".join(f"('{r}')" for r in _URL_BLOCKLIST)
+    sql = r"""
+WITH u AS (
+  SELECT doc_id, source,
+         'https://'
+         || CASE WHEN doc_id % 3 = 0 THEN 'cdn.'
+                 WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END
+         || source || '.example.'
+         || CASE WHEN (doc_id // 20) % 2 = 0 THEN 'com' ELSE 'net' END
+         || '/doc/' || doc_id AS url
+  FROM documents
+), h AS (
+  SELECT doc_id, source,
+         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+           AS host
+  FROM u
+), s AS (
+  SELECT doc_id,
+         unnest([array_to_string(labels[i:], '.')
+                 for i in generate_series(1, len(labels) - 1)]) AS sfx
+  FROM (SELECT doc_id, string_split(host, '.') AS labels FROM h)
+), bl(rule) AS (VALUES __RULES__),
+m AS (
+  SELECT doc_id, arg_max(rule, len(rule)) AS matched_rule
+  FROM s JOIN bl ON s.sfx = bl.rule GROUP BY doc_id
+)
+SELECT h.source, coalesce(m.matched_rule, 'KEPT') AS rule,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT h.host) AS BIGINT) AS n_hosts
+FROM h LEFT JOIN m USING (doc_id)
+GROUP BY 1, 2
+"""
+    return sql.replace("__RULES__", values)
+
+
 # ---------------------------------------------------------------------------
 # Round-4 additions: corpus-curation operators a 100 TB training-data
 # pipeline still reaches for after dedup/quality/mixing are in place —
@@ -10455,6 +10544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "orc_roundtrip": q_orc_roundtrip,
         "length_buckets": q_length_buckets,
+        "url_blocklist": q_url_blocklist,
         "hll_set_algebra": q_hll_set_algebra,
         "order_priority_check": q_order_priority_check,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -10694,6 +10784,7 @@ def oracle_sql() -> dict[str, str]:
         "important_parts": ORACLE_IMPORTANT_PARTS,
         "orc_roundtrip": ORACLE_ORC_ROUNDTRIP,
         "length_buckets": _oracle_length_buckets(),
+        "url_blocklist": _oracle_url_blocklist(),
         "hll_set_algebra": _oracle_hll_set_algebra(),
         "order_priority_check": ORACLE_Q4,
         "disjunctive_revenue": ORACLE_Q19,

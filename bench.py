@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "important_parts",
     "orc_roundtrip",
     "length_buckets",
+    "url_blocklist",
     # incremental_near_dup excluded from the TIMED set like the other
     # driver-action-heavy twins: its cost is 3 foreachBatch rounds of
     # job overhead (the one-shot LSH path is timed as

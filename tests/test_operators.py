@@ -1181,3 +1181,51 @@ def test_hll_intersection_estimate_tracks_true_overlap(spark):
     assert 0 < r["jaccard_est"] < 1
     # union sketch dominates both sides (it is the merged registers)
     assert r["est_union"] >= max(r["est_a"], r["est_b"]) - 1e-9
+
+
+def test_blocklist_audit_suffix_semantics(spark):
+    """DNS-suffix matching: a rule blocks its subdomains but never a
+    string-superset host; the most specific (longest) rule wins; hosts
+    with no scheme or a single label are kept."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import webfilter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://cdn.ads.example.com/x"),   # most specific rule wins
+            (2, "https://notexample.com/y"),         # NOT a suffix match
+            (3, "https://ads.example.com:8080/z"),   # port stripped, specific rule
+            (4, "ftp://example.com/w"),              # scheme-agnostic
+            (5, "no-scheme-here"),                   # no host -> kept
+            (6, "https://localhost/q"),              # single label -> kept
+            (7, "https://EXAMPLE.com/r"),            # case-folded
+        ],
+        "id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [("example.com",), ("ads.example.com",)], "rule string"
+    )
+    out = {
+        r["id"]: (r["blocked"], r["matched_rule"])
+        for r in webfilter.blocklist_audit(docs, "url", bl).collect()
+    }
+    assert out[1] == (True, "ads.example.com")
+    assert out[2] == (False, None)
+    assert out[3] == (True, "ads.example.com")  # longest match wins
+    assert out[4] == (True, "example.com")
+    assert out[5] == (False, None)
+    assert out[6] == (False, None)
+    assert out[7] == (True, "example.com")
+
+
+def test_blocklist_audit_plan_broadcasts_rules(spark):
+    """The rule dim must reach the corpus as a broadcast hash join —
+    the corpus never shuffles to discover matches."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import webfilter
+
+    docs = spark.range(100).select(
+        F.col("id"),
+        F.concat(F.lit("https://h"), F.col("id") % 5, F.lit(".example.com/")).alias("url"),
+    )
+    bl = spark.createDataFrame([("example.com",)], "rule string")
+    plan = webfilter.blocklist_audit(docs, "url", bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -162,6 +162,7 @@ PROBE_QUERIES = [
     "important_parts",
     "orc_roundtrip",
     "length_buckets",
+    "url_blocklist",
 ]
 
 
