@@ -7797,6 +7797,62 @@ GROUP BY 1, 2
     return sql.replace("__RULES__", values)
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift history read (history.read_with_schema_evolution —
+    the S3 history-scan union, prog.py:74-88, under the real-world twist
+    that batch schemas drift over time): pre-1998 orders are written
+    WITHOUT the status column (the "column added later" case), 1998+
+    orders with it; mergeSchema unions the parquet footers so the old
+    batch reads status as NULL, and the census groups on the
+    NULL-bucketed status.  Footer merging is driver-side metadata work —
+    cheap even over 10^5 files; the scans themselves stay pruned and
+    parallel.  The oracle replays the drift as UNION ALL with a typed
+    NULL column."""
+    import os
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        history,
+    )
+
+    tune(spark)
+    o = _t(spark, sf_dir, "orders")
+    cut = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    base = os.path.join(tempfile.gettempdir(), "schema_evo_cache")
+    v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+    o.filter(cut).select("o_orderkey", "o_orderpriority", "o_totalprice").write.mode(
+        "overwrite"
+    ).parquet(v1)
+    o.filter(~cut).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
+    ).write.mode("overwrite").parquet(v2)
+    merged = history.read_with_schema_evolution(spark, [v1, v2])
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderstatus"), F.lit("PRE_SCHEMA")).alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        dsum("o_totalprice").alias("total_value"),
+    )
+
+
+ORACLE_SCHEMA_EVOLUTION = f"""
+WITH merged AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_orderstatus
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderstatus
+  FROM orders WHERE NOT (o_orderdate < TIMESTAMP '1998-01-01')
+)
+SELECT coalesce(o_orderstatus, 'PRE_SCHEMA') AS status,
+       o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_value
+FROM merged GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Round-4 additions: corpus-curation operators a 100 TB training-data
 # pipeline still reaches for after dedup/quality/mixing are in place —
@@ -10545,6 +10601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "length_buckets": q_length_buckets,
         "url_blocklist": q_url_blocklist,
+        "schema_evolution": q_schema_evolution,
         "hll_set_algebra": q_hll_set_algebra,
         "order_priority_check": q_order_priority_check,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -10785,6 +10842,7 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": ORACLE_ORC_ROUNDTRIP,
         "length_buckets": _oracle_length_buckets(),
         "url_blocklist": _oracle_url_blocklist(),
+        "schema_evolution": ORACLE_SCHEMA_EVOLUTION,
         "hll_set_algebra": _oracle_hll_set_algebra(),
         "order_priority_check": ORACLE_Q4,
         "disjunctive_revenue": ORACLE_Q19,

@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "orc_roundtrip",
     "length_buckets",
     "url_blocklist",
+    "schema_evolution",
     # incremental_near_dup excluded from the TIMED set like the other
     # driver-action-heavy twins: its cost is 3 foreachBatch rounds of
     # job overhead (the one-shot LSH path is timed as

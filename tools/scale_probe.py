@@ -163,6 +163,7 @@ PROBE_QUERIES = [
     "orc_roundtrip",
     "length_buckets",
     "url_blocklist",
+    "schema_evolution",
 ]
 
 
