@@ -7797,6 +7797,102 @@ GROUP BY 1, 2
     return sql.replace("__RULES__", values)
 
 
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-key dedup (webfilter.
+    canonical_url / canonical_dedup): every 4 consecutive doc_ids
+    spell the SAME page four ways — www + default port + tracking
+    param + fragment + trailing slash + param-order + host-case mess —
+    except the fourth, a schemeless string that must pass through
+    unchanged.  The canonical key collapses each mess trio to one row
+    (keep = lowest doc_id, 3 fetches, 3 distinct spellings) while the
+    passthrough stays its own key.  One hash aggregate on the canonical
+    string; the oracle replays scheme/host/port/path/query rules with
+    the same regexes and a bytewise list_sort."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        webfilter,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    page = F.floor(F.col("doc_id") / 4)
+    site = F.concat(F.lit("site"), (page % 5).cast("string"))
+    tail = F.concat(F.lit("/p/"), page.cast("string"))
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(
+            v == 0,
+            F.concat(F.lit("https://www."), site, F.lit(".example.com:443"),
+                     tail, F.lit("/?utm_source=feed&x=1&a=2")),
+        )
+        .when(
+            v == 1,
+            F.concat(F.lit("https://"), site, F.lit(".example.com"),
+                     tail, F.lit("?a=2&x=1&fbclid=z9")),
+        )
+        .when(
+            v == 2,
+            F.concat(F.lit("https://"), F.upper(site), F.lit(".Example.Com"),
+                     tail, F.lit("?x=1&a=2#section")),
+        )
+        .otherwise(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")))
+    )
+    docs = d.withColumn("url", url)
+    return webfilter.canonical_dedup(docs, "doc_id", "url")
+
+
+ORACLE_URL_CANONICAL_DEDUP = r"""
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://www.site' || (doc_id // 4) % 5
+                       || '.example.com:443/p/' || doc_id // 4
+                       || '/?utm_source=feed&x=1&a=2'
+           WHEN 1 THEN 'https://site' || (doc_id // 4) % 5
+                       || '.example.com/p/' || doc_id // 4
+                       || '?a=2&x=1&fbclid=z9'
+           WHEN 2 THEN 'https://' || upper('site' || (doc_id // 4) % 5)
+                       || '.Example.Com/p/' || doc_id // 4
+                       || '?x=1&a=2#section'
+           ELSE 'doc:' || doc_id
+         END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS hp0,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p0,
+         regexp_extract(url, '\?([^#]*)', 1) AS rawq
+  FROM u
+), canon AS (
+  SELECT doc_id, url,
+    CASE WHEN scheme = '' THEN url ELSE
+      scheme || '://' ||
+      (CASE WHEN scheme = 'http'
+            THEN regexp_replace(regexp_replace(hp0, '^www\.', ''), ':80$', '')
+            WHEN scheme = 'https'
+            THEN regexp_replace(regexp_replace(hp0, '^www\.', ''), ':443$', '')
+            ELSE regexp_replace(hp0, '^www\.', '') END) ||
+      (CASE WHEN regexp_replace(p0, '/+$', '') = '' THEN '/'
+            ELSE regexp_replace(p0, '/+$', '') END) ||
+      (CASE WHEN array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+              p -> p != '' AND NOT (starts_with(p, 'utm_')
+                   OR starts_with(p, 'gclid') OR starts_with(p, 'fbclid')
+                   OR starts_with(p, 'ref')))), '&') = '' THEN ''
+            ELSE '?' || array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+              p -> p != '' AND NOT (starts_with(p, 'utm_')
+                   OR starts_with(p, 'gclid') OR starts_with(p, 'fbclid')
+                   OR starts_with(p, 'ref')))), '&') END)
+    END AS canonical
+  FROM parts
+)
+SELECT canonical,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_spellings
+FROM canon GROUP BY 1
+"""
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-drift history read (history.read_with_schema_evolution —
     the S3 history-scan union, prog.py:74-88, under the real-world twist
@@ -10602,6 +10698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "url_blocklist": q_url_blocklist,
         "schema_evolution": q_schema_evolution,
+        "url_canonical_dedup": q_url_canonical_dedup,
         "hll_set_algebra": q_hll_set_algebra,
         "order_priority_check": q_order_priority_check,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -10843,6 +10940,7 @@ def oracle_sql() -> dict[str, str]:
         "length_buckets": _oracle_length_buckets(),
         "url_blocklist": _oracle_url_blocklist(),
         "schema_evolution": ORACLE_SCHEMA_EVOLUTION,
+        "url_canonical_dedup": ORACLE_URL_CANONICAL_DEDUP,
         "hll_set_algebra": _oracle_hll_set_algebra(),
         "order_priority_check": ORACLE_Q4,
         "disjunctive_revenue": ORACLE_Q19,

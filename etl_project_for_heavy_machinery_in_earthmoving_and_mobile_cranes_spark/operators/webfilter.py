@@ -25,6 +25,8 @@ Scale notes
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -52,6 +54,73 @@ def domain_suffixes(host) -> "F.Column":
             lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+TRACKING_PARAMS = ("utm_", "gclid", "fbclid", "ref")
+
+
+def canonical_url(url) -> "F.Column":
+    """Canonical form of a URL for crawl-frontier / corpus dedup: two
+    fetches of the same page must collapse to one key even when the
+    crawler saw different tracking params, param order, fragment, case,
+    ``www.`` prefix, default port, or trailing slash.
+
+    Rules (all pure Column expressions, one codegen pass):
+    scheme+host lowercased; leading ``www.`` and default ports
+    (``:80`` http / ``:443`` https) stripped; fragment dropped; query
+    params starting with any ``TRACKING_PARAMS`` prefix dropped, the
+    survivors sorted bytewise; empty path rendered ``/`` and a trailing
+    slash trimmed.  URLs with no scheme://host pass through unchanged
+    (nothing to canonicalize)."""
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    hostport = F.regexp_replace(hostport, r"^www\.", "")
+    hostport = F.when(
+        scheme == "http", F.regexp_replace(hostport, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(hostport)
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rawq = F.regexp_extract(url, r"\?([^#]*)", 1)
+    keep = F.array_sort(
+        F.filter(
+            F.split(rawq, "&"),
+            lambda p: (p != "")
+            & ~reduce(
+                lambda a, b: a | b,
+                [p.startswith(t) for t in TRACKING_PARAMS],
+            ),
+        )
+    )
+    q = F.array_join(keep, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        hostport,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", url).otherwise(canon)
+
+
+def canonical_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Collapse URL variants onto their canonical form: one row per
+    canonical URL with the kept (lowest-id) row, the variant count, and
+    the distinct raw spellings seen.  ONE hash aggregate on the
+    canonical key — the standard exact-dedup shape, so skew is bounded
+    by the hottest page's fetch count."""
+    canon = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(url_col).alias("__url"),
+        canonical_url(F.col(url_col)).alias("canonical"),
+    )
+    return canon.groupBy("canonical").agg(
+        F.min("__id").alias("keep_id"),
+        F.count("*").cast("bigint").alias("n_fetches"),
+        F.count_distinct("__url").cast("bigint").alias("n_spellings"),
+    )
 
 
 def blocklist_audit(

@@ -1229,3 +1229,29 @@ def test_blocklist_audit_plan_broadcasts_rules(spark):
     bl = spark.createDataFrame([("example.com",)], "rule string")
     plan = webfilter.blocklist_audit(docs, "url", bl)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_canonical_url_rules_and_dedup(spark):
+    """Tracking params, fragments, www, default ports, trailing slash,
+    host case and param order all collapse; non-default ports, path
+    case and real params survive; schemeless strings pass through."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import webfilter
+
+    variants = [
+        (1, "https://WWW.Example.com:443/Page/?utm_source=x&b=2&a=1#f"),
+        (2, "https://example.com/Page?a=1&b=2"),
+        (3, "https://example.com/Page/?b=2&a=1&gclid=z"),
+    ]
+    others = [
+        (4, "https://example.com:8443/Page?a=1&b=2"),  # non-default port kept
+        (5, "https://example.com/page?a=1&b=2"),       # path case differs
+        (6, "plain-text-key"),                          # passthrough
+    ]
+    df = spark.createDataFrame(variants + others, "id long, url string")
+    out = {r["canonical"]: r for r in webfilter.canonical_dedup(df, "id", "url").collect()}
+    assert len(out) == 4
+    trio = out["https://example.com/Page?a=1&b=2"]
+    assert trio["keep_id"] == 1 and trio["n_fetches"] == 3 and trio["n_spellings"] == 3
+    assert "https://example.com:8443/Page?a=1&b=2" in out
+    assert "https://example.com/page?a=1&b=2" in out
+    assert out["plain-text-key"]["n_fetches"] == 1

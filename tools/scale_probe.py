@@ -164,6 +164,7 @@ PROBE_QUERIES = [
     "length_buckets",
     "url_blocklist",
     "schema_evolution",
+    "url_canonical_dedup",
 ]
 
 
