@@ -5967,6 +5967,65 @@ FROM z
 """
 
 
+_CALIB_LABEL_CHARS = 300
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the quality scorer (textstats.
+    quality_calibration): documents bin by predicted keep-probability
+    (sigmoid quantized to a ppm INTEGER grid — portable floor-round, no
+    float aggregation anywhere) and each bin reports the observed rate
+    of a proxy label (n_chars >= 300).  A calibrated scorer has
+    mean_pred_ppm ≈ frac_pos_ppm per bin; this is the diagnostic run
+    before the scorer's threshold gates a 100 TB corpus.  One codegen
+    map pass + a |bins|-sized hash aggregate.  The oracle replays
+    featurize → logit → sigmoid → ppm quantize → integer bin stats."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "__label", F.col("n_chars") >= _CALIB_LABEL_CHARS
+    )
+    return textstats.quality_calibration(d, "text", "__label", n_bins=10)
+
+
+def _oracle_quality_calibration() -> str:
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.textstats import (
+        QUALITY_LOGIT_WEIGHTS as W,
+        STOPWORDS,
+    )
+
+    sw = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    return rf"""
+WITH f AS (
+  SELECT doc_id, n_chars,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_tok,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> list_contains({sw}, x))) AS s_en,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+         length(text) AS n_len
+  FROM documents
+), z AS (
+  SELECT doc_id, n_chars,
+         {W['bias']} + {W['len_score']} * least(n_tok / 50.0, 1.0)
+                     + {W['stopword_ratio']} * (s_en / greatest(n_tok, 1))
+                     + {W['punct_ratio']} * (n_punct / greatest(n_len, 1))
+                     + {W['digit_ratio']} * (n_digit / greatest(n_len, 1))
+                     + {W['mean_word_len']} * (n_nonws / greatest(n_tok, 1)) AS zv
+  FROM f
+), q AS (
+  SELECT CAST(floor((1.0 / (1.0 + exp(-zv))) * 1000000.0 + 0.5) AS BIGINT) AS qp,
+         CASE WHEN n_chars >= {_CALIB_LABEL_CHARS} THEN 1 ELSE 0 END AS y
+  FROM z
+)
+SELECT CAST(least(floor(qp / 100000), 9) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(floor(sum(qp) / count(*) + 0.5) AS BIGINT) AS mean_pred_ppm,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(floor(sum(y) * 1000000.0 / count(*) + 0.5) AS BIGINT) AS frac_pos_ppm
+FROM q GROUP BY 1
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END corpus curation in ONE lazy plan — the composition a
     training-data user actually runs, chaining five oracle-proven
@@ -10699,6 +10758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "schema_evolution": q_schema_evolution,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "quality_calibration": q_quality_calibration,
         "hll_set_algebra": q_hll_set_algebra,
         "order_priority_check": q_order_priority_check,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -10941,6 +11001,7 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist": _oracle_url_blocklist(),
         "schema_evolution": ORACLE_SCHEMA_EVOLUTION,
         "url_canonical_dedup": ORACLE_URL_CANONICAL_DEDUP,
+        "quality_calibration": _oracle_quality_calibration(),
         "hll_set_algebra": _oracle_hll_set_algebra(),
         "order_priority_check": ORACLE_Q4,
         "disjunctive_revenue": ORACLE_Q19,

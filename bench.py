@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "url_blocklist",
     "schema_evolution",
     "url_canonical_dedup",
+    "quality_calibration",
     # incremental_near_dup excluded from the TIMED set like the other
     # driver-action-heavy twins: its cost is 3 foreachBatch rounds of
     # job overhead (the one-shot LSH path is timed as

@@ -593,6 +593,53 @@ def with_quality_logit(
     )
 
 
+def quality_calibration(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    weights: "dict[str, float] | None" = None,
+) -> DataFrame:
+    """Reliability table for the linear quality scorer: bin documents
+    by predicted keep-probability and report, per bin, the observed
+    rate of a proxy label — the standard calibration diagnostic before
+    a classifier's scores gate a 100 TB corpus (a scorer can rank well
+    and still be badly calibrated, which breaks threshold semantics).
+
+    Cross-engine determinism: the sigmoid is quantized to parts-per-
+    million INTEGERS first (portable floor-round), the bin is integer
+    arithmetic on that grid, and every reported statistic is an exact
+    integer (counts, ppm means) — no float aggregation anywhere, so no
+    summation-order sensitivity.  One map pass + one |bins|-sized hash
+    aggregate.
+
+    Returns (bin, n_docs, mean_pred_ppm, n_pos, frac_pos_ppm); a
+    calibrated scorer has mean_pred_ppm ≈ frac_pos_ppm per bin.
+    """
+    if 1_000_000 % n_bins:
+        raise ValueError("n_bins must divide 1e6 (the ppm grid)")
+    z = quality_logit(F.col(text_col), weights)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    qp = F.floor(p * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    rows = df.select(
+        F.least(
+            F.floor(qp / F.lit(1_000_000 // n_bins)), F.lit(n_bins - 1)
+        ).cast("int").alias("bin"),
+        qp.alias("__qp"),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    return rows.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.floor(F.sum("__qp") / F.count("*") + F.lit(0.5))
+        .cast("bigint")
+        .alias("mean_pred_ppm"),
+        F.sum("__y").cast("bigint").alias("n_pos"),
+        F.floor(F.sum("__y") * F.lit(1000000.0) / F.count("*") + F.lit(0.5))
+        .cast("bigint")
+        .alias("frac_pos_ppm"),
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     id_col: str,

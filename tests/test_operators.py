@@ -1255,3 +1255,27 @@ def test_canonical_url_rules_and_dedup(spark):
     assert "https://example.com:8443/Page?a=1&b=2" in out
     assert "https://example.com/page?a=1&b=2" in out
     assert out["plain-text-key"]["n_fetches"] == 1
+
+
+def test_quality_calibration_integer_grid(spark):
+    """The reliability table is pure integer arithmetic: ppm means are
+    exact, bins clamp to [0, n_bins), and a bad grid is rejected."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the is a of to and in it for on the is a of to", True),
+            (2, "zzzz9 881#@!", False),
+            (3, "the quick brown fox jumps over the lazy dog again", True),
+        ],
+        "id long, text string, label boolean",
+    )
+    out = textstats.quality_calibration(docs, "text", "label", n_bins=10)
+    rows = out.collect()
+    assert sum(r["n_docs"] for r in rows) == 3
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["mean_pred_ppm"] <= 1_000_000
+        # frac_pos_ppm is the exact integer ratio on the ppm grid
+        import math
+        assert r["frac_pos_ppm"] == math.floor(r["n_pos"] * 1e6 / r["n_docs"] + 0.5)
+    with pytest.raises(ValueError, match="ppm"):
+        textstats.quality_calibration(docs, "text", "label", n_bins=7)

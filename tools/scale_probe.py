@@ -165,6 +165,7 @@ PROBE_QUERIES = [
     "url_blocklist",
     "schema_evolution",
     "url_canonical_dedup",
+    "quality_calibration",
 ]
 
 
