@@ -5967,6 +5967,78 @@ FROM z
 """
 
 
+_UPS_BATCHES = 3
+
+
+def q_compacted_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction of a maintained table (streaming/jobs.
+    compact_maintained_table): the events table is driven through the
+    REAL keyed-upsert maintainer (apply_upsert_batch, latest-row-per-
+    user, new batch unconditionally replaces stored keys) in three
+    deterministic micro-batches — each publish writes its own spread of
+    parquet files — then the live version is compacted to ONE file and
+    republished through the same atomic protocol.  The returned frame
+    reads back through resolve_maintained_table AFTER compaction, so
+    the oracle hash proves compaction is data-identical: per user, the
+    winner is the max-ts row of that user's LAST batch (upsert replaces
+    regardless of stored ts — replayed exactly by the oracle).  ts is
+    globally unique in the testdata, so max_by is deterministic."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import (
+        jobs,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="compact_twin_")
+    path = os.path.join(tmp, "profiles")
+    try:
+        for b in range(_UPS_BATCHES):
+            jobs.apply_upsert_batch(
+                e.filter(F.col("event_id") % _UPS_BATCHES == b),
+                b,
+                path,
+                key_cols=["user_id"],
+            )
+        jobs.compact_maintained_table(spark, path, n_files=1)
+        out = (
+            spark.read.parquet(jobs.resolve_maintained_table(path))
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_type"),
+                F.col("ts").alias("last_ts"),
+                F.col("value").alias("last_value"),
+            )
+            # materialize off the scratch dir so it can be deleted
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE_COMPACTED_UPSERT = f"""
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         event_id % {_UPS_BATCHES} AS b
+  FROM events
+), lb AS (
+  SELECT user_id, max(b) AS b FROM e GROUP BY 1
+), w AS (
+  SELECT e.* FROM e JOIN lb USING (user_id, b)
+)
+SELECT user_id,
+       arg_max(event_type, ts) AS last_type,
+       max(ts) AS last_ts,
+       arg_max(value, ts) AS last_value
+FROM w GROUP BY 1
+"""
+
+
 _CALIB_LABEL_CHARS = 300
 
 
@@ -10759,6 +10831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         "url_canonical_dedup": q_url_canonical_dedup,
         "quality_calibration": q_quality_calibration,
+        "compacted_upsert": q_compacted_upsert,
         "hll_set_algebra": q_hll_set_algebra,
         "order_priority_check": q_order_priority_check,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -11002,6 +11075,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution": ORACLE_SCHEMA_EVOLUTION,
         "url_canonical_dedup": ORACLE_URL_CANONICAL_DEDUP,
         "quality_calibration": _oracle_quality_calibration(),
+        "compacted_upsert": ORACLE_COMPACTED_UPSERT,
         "hll_set_algebra": _oracle_hll_set_algebra(),
         "order_priority_check": ORACLE_Q4,
         "disjunctive_revenue": ORACLE_Q19,

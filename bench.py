@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "schema_evolution",
     "url_canonical_dedup",
     "quality_calibration",
+    "compacted_upsert",
     # incremental_near_dup excluded from the TIMED set like the other
     # driver-action-heavy twins: its cost is 3 foreachBatch rounds of
     # job overhead (the one-shot LSH path is timed as

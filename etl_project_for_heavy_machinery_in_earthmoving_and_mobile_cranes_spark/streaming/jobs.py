@@ -649,6 +649,51 @@ def _commit_maintained_table(
         pass
 
 
+def compact_maintained_table(spark, path: str, n_files: int = 1) -> str:
+    """Small-file compaction for a maintained table — the operational
+    chore every incrementally-maintained store needs: each micro-batch
+    publish writes its own parquet files, and after 10^4 batches the
+    live version is a sea of small files whose per-file open/footer
+    cost dominates scans.  Compaction rewrites the CURRENT version into
+    ``n_files`` files and republishes it through the exact same atomic
+    protocol as a batch commit (same-batch attempt dir ``v{b}.rK``,
+    symlink swap or ``_CURRENT`` manifest replace, GC keeps the
+    pre-compaction version as the crash margin).
+
+    Properties inherited from ``_commit_maintained_table``:
+    - data-identical: the rewrite is a lazy read of the live version
+      coalesced to ``n_files`` — no transformation, and the in-table
+      ``__last_batch_id`` replay guard survives untouched, so a
+      maintainer replay after compaction still no-ops;
+    - crash-safe: a kill anywhere leaves the pre-compaction version
+      live (the new dir only becomes visible at the atomic publish);
+    - rollback-able: ``rollback_maintained_table`` repoints at the
+      uncompacted predecessor.
+
+    Returns the new live version dir.  At 100 TB run this per-partition
+    rather than per-table (compact the partitions whose file census
+    crosses a threshold); the protocol is identical."""
+    import os
+
+    data_dir = resolve_maintained_table(path)
+    if data_dir is None:
+        raise ValueError(f"compact: no committed state at {path}")
+    live = _resolve_current_version(path)
+    batch_id = 0
+    if live is not None:
+        name = os.path.basename(live)
+        if not name.endswith("_legacy"):
+            base, _, _ = name[1:].partition(".r")
+            batch_id = int(base)
+    stored = spark.read.parquet(data_dir)
+    manifest = os.path.join(f"{path}.versions", _MANIFEST)
+    protocol = "manifest" if os.path.isfile(manifest) else "auto"
+    _commit_maintained_table(
+        stored, path, batch_id, n_files=n_files, protocol=protocol
+    )
+    return resolve_maintained_table(path)
+
+
 _BATCH_MARK = "__last_batch_id"
 
 

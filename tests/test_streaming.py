@@ -1192,3 +1192,51 @@ def test_reservoir_and_cms_streams_match_one_shot(spark, event_dir, tmp_path):
         for r in sketches.cms_register_table(src, "user_id", 3, 64).collect()
     }
     assert maintained == one_shot
+
+
+def test_compact_maintained_table_data_identical_and_recoverable(
+    spark, event_dir, tmp_path
+):
+    """Compaction rewrites the live version into n_files and republishes
+    atomically: data identical, file census shrinks, the pre-compaction
+    version survives as the rollback target, and the in-table replay
+    guard still no-ops a replayed batch after compaction."""
+    import glob
+    import os
+
+    src = spark.read.parquet(event_dir)
+    table = str(tmp_path / "compact_me")
+    jobs.apply_upsert_batch(src.filter(F.col("event_id") % 2 == 0), 0, table, ["user_id"])
+    jobs.apply_upsert_batch(src.filter(F.col("event_id") % 2 == 1), 1, table, ["user_id"])
+
+    def rows():
+        return sorted(
+            (r["user_id"], r["ts"], r["event_type"])
+            for r in spark.read.parquet(
+                jobs.resolve_maintained_table(table)
+            ).select("user_id", "ts", "event_type").collect()
+        )
+
+    def n_files():
+        return len(glob.glob(os.path.join(jobs.resolve_maintained_table(table), "part-*")))
+
+    before, files_before = rows(), n_files()
+    assert files_before > 1  # upsert publishes are uncompacted
+    live_before = os.path.realpath(table)
+
+    new_dir = jobs.compact_maintained_table(spark, table, n_files=1)
+    assert rows() == before and n_files() == 1
+    assert os.path.realpath(table) == os.path.realpath(new_dir) != live_before
+
+    # replay of the already-applied batch 1 is still a no-op
+    jobs.apply_upsert_batch(src.filter(F.col("event_id") % 2 == 1), 1, table, ["user_id"])
+    assert rows() == before and n_files() == 1
+
+    # the uncompacted predecessor is the rollback target
+    jobs.rollback_maintained_table(table)
+    assert rows() == before
+    assert os.path.realpath(table) == live_before
+
+    # a table with no committed state is rejected
+    with pytest.raises(ValueError, match="no committed state"):
+        jobs.compact_maintained_table(spark, str(tmp_path / "nope"), 1)

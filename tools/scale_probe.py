@@ -166,6 +166,7 @@ PROBE_QUERIES = [
     "schema_evolution",
     "url_canonical_dedup",
     "quality_calibration",
+    "compacted_upsert",
 ]
 
 
