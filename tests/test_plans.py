@@ -469,6 +469,9 @@ def test_no_python_udfs_anywhere_in_registry(spark, sf_dir):
     python_boundary = {
         "media_features", "media_frames", "media_resize",
         "media_decode_dims", "media_wav_stats", "media_dhash",
+        # perceptual image dedup decodes REAL pixels through the same
+        # mapInPandas codec boundary as media_dhash
+        "image_near_dup",
     }
     bad = []
     for name in entry.queries():
