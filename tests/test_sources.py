@@ -537,3 +537,21 @@ def test_footer_stats_pushes_aggregates_to_parquet_footers(spark, sf_dir):
     assert r["cnt"] == spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     # session confs restored
     assert spark.conf.get("spark.sql.sources.useV1SourceList") != ""
+
+
+def test_orc_partitioned_write_prunes_directories(spark, tmp_path):
+    """The partitioned ORC layout must prune at the directory level:
+    a partition-column filter lands in PartitionFilters (metadata-only
+    pruning), not in the data filters."""
+    df = spark.range(100).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS seg"
+    )
+    p = str(tmp_path / "orc_part")
+    sources.write_orc(df, p, partition_by=("seg",))
+    back = sources.read_orc(spark, p)
+    assert back.count() == 100
+    plan = (
+        back.filter("seg = 'A'")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "seg" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert back.filter("seg = 'A'").count() == 50
