@@ -7754,7 +7754,11 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
-    path = os.path.join(tempfile.gettempdir(), "orc_rt_cache")
+    # per-SF dir: the returned frame reads this path lazily, and a
+    # bench (sf0.1) and gate (sf0.01) process must never share it
+    path = os.path.join(
+        tempfile.gettempdir(), f"orc_rt_cache_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
     readers.write_orc(cust, path, partition_by=("c_mktsegment",))
     back = readers.read_orc(spark, path)
     return back.filter(F.col("c_mktsegment") != "FURNITURE").select(
@@ -8045,7 +8049,10 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     o = _t(spark, sf_dir, "orders")
     cut = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
-    base = os.path.join(tempfile.gettempdir(), "schema_evo_cache")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"schema_evo_cache_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
     v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
     o.filter(cut).select("o_orderkey", "o_orderpriority", "o_totalprice").write.mode(
         "overwrite"
