@@ -6039,6 +6039,96 @@ FROM w GROUP BY 1
 """
 
 
+_PCA_ITERS = 4
+_PCA_DIM = 64
+
+
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by MATRIX-FREE
+    power iteration (similarity.pca_power_iteration): cov·v is computed
+    as Σ_rows s·(x−m) with s = (x−m)·v — per iteration ONE n·D-row
+    shuffle into D cells plus a one-row broadcast, never an n·D²
+    explode, which is the only covariance formulation that survives
+    100 TB.  Fixed-iteration semantics (like pagerank): the output is
+    the well-defined 4-step state.  Means and per-dim accumulations are
+    exact DECIMAL sums; in-row folds are ordered (= DuckDB's
+    list_dot_product); the oracle replays all four iterations as a
+    chained CTE — means, centering, scalar folds, decimal cell sums,
+    normalization, sign fix, eigenvalue and explained-variance share,
+    all bit-exact."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings").select("embedding")
+    return similarity.pca_power_iteration(
+        emb, "embedding", dim=_PCA_DIM, iters=_PCA_ITERS
+    )
+
+
+def _oracle_pca_top_component() -> str:
+    dec = "DECIMAL(28,12)"
+    d = _PCA_DIM
+    r6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    ctes = [
+        f"""ex AS (
+  SELECT unnest(embedding) AS v,
+         CAST(unnest(range(0, len(embedding))) AS INT) AS dim
+  FROM embeddings
+), per_dim AS (
+  SELECT dim,
+         CAST(sum(CAST(v AS {dec})) AS DOUBLE) / count(*) AS m,
+         CAST(sum(CAST(v AS {dec}) * CAST(v AS {dec})) AS DOUBLE) / count(*) AS ex2
+  FROM ex GROUP BY 1
+), mrow AS (
+  SELECT list(m ORDER BY dim) AS mv,
+         CAST(sum(CAST(ex2 - m * m AS {dec})) AS DOUBLE) AS total_var
+  FROM per_dim
+), nrow AS (SELECT count(*) AS nn FROM embeddings),
+centered AS (
+  SELECT [embedding[i]::DOUBLE - mv[i] for i in generate_series(1, {d})] AS c
+  FROM embeddings, mrow
+), v0 AS (SELECT [CAST(0.125 AS DOUBLE) for i in generate_series(1, {d})] AS vv)"""
+    ]
+    for t in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""s{t} AS (
+  SELECT c, list_dot_product(c, vv) AS sc FROM centered, v{t - 1}
+), u{t} AS (
+  SELECT dim,
+         CAST(sum(CAST(sc * cj AS {dec})) AS DOUBLE) AS u
+  FROM (SELECT sc, unnest(c) AS cj,
+               CAST(unnest(range(0, len(c))) AS INT) AS dim
+        FROM s{t})
+  GROUP BY 1
+), r{t} AS (SELECT list(u ORDER BY dim) AS raw FROM u{t}),
+v{t} AS (
+  SELECT list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS vv,
+         sqrt(list_dot_product(raw, raw)) AS ev
+  FROM r{t}
+)"""
+        )
+    last = f"v{_PCA_ITERS}"
+    ctes.append(
+        f"""final AS (
+  SELECT CAST(unnest(range(0, len(vv))) AS INT) AS dim,
+         unnest(vv) * (CASE WHEN vv[1] < 0 THEN -1.0 ELSE 1.0 END) AS loading,
+         ev
+  FROM {last}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT f.dim,
+       {r6('p.m')} AS mean,
+       {r6('f.loading')} AS loading,
+       {r6('f.ev / nrow.nn')} AS eigenvalue,
+       {r6('mrow.total_var')} AS total_var,
+       {r6('(f.ev / nrow.nn) / mrow.total_var')} AS explained
+FROM final f JOIN per_dim p ON f.dim = p.dim CROSS JOIN nrow CROSS JOIN mrow
+"""
+    )
+
+
 _CALIB_LABEL_CHARS = 300
 
 
@@ -10839,6 +10929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "quality_calibration": q_quality_calibration,
         "compacted_upsert": q_compacted_upsert,
+        "pca_top_component": q_pca_top_component,
         "hll_set_algebra": q_hll_set_algebra,
         "order_priority_check": q_order_priority_check,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -11083,6 +11174,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_dedup": ORACLE_URL_CANONICAL_DEDUP,
         "quality_calibration": _oracle_quality_calibration(),
         "compacted_upsert": ORACLE_COMPACTED_UPSERT,
+        "pca_top_component": _oracle_pca_top_component(),
         "hll_set_algebra": _oracle_hll_set_algebra(),
         "order_priority_check": ORACLE_Q4,
         "disjunctive_revenue": ORACLE_Q19,

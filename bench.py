@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "url_canonical_dedup",
     "quality_calibration",
     "compacted_upsert",
+    "pca_top_component",
     # incremental_near_dup excluded from the TIMED set like the other
     # driver-action-heavy twins: its cost is 3 foreachBatch rounds of
     # job overhead (the one-shot LSH path is timed as

@@ -1262,3 +1262,132 @@ def margin_bitext_pairs(
         .filter(F.col("margin") >= threshold)
         .select("x_id", "y_id", rnd(F.col("__c")).alias("cosine"), "margin")
     )
+
+
+def pca_power_iteration(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 4,
+    dec: str = "decimal(28,12)",
+) -> DataFrame:
+    """Top principal component of an embedding corpus by MATRIX-FREE
+    power iteration — native linear algebra as DataFrame aggregates,
+    no MLlib, no D² covariance materialization:
+
+        cov·v = (1/n)·Σ_rows (x−m)·((x−m)·v)
+
+    so one iteration is: per row a scalar s = (x−m)·v (an ordered
+    array fold — one codegen pass), then per-dimension DECIMAL sums of
+    s·(x−m)_j (posexplode → D cells, map-side combine), then normalize
+    the D-vector.  Per-iteration cost is ONE n·D-row shuffle into D
+    cells plus a one-row broadcast of the new v — linear in the data,
+    which is why the matrix-free form is the only one that survives
+    100 TB (the explicit covariance pays an n·D² explode).  Iterations
+    are unrolled lazily into one DAG over a persisted centered frame
+    (fixed-iteration semantics like ``graph.pagerank``: the output is
+    the well-defined ``iters``-step state, convergence not asserted).
+
+    Determinism discipline: means and per-dim accumulations are exact
+    DECIMAL sums rendered as doubles (order-free); in-row folds are
+    ordered (matching DuckDB's list_dot_product); per-dim variance is
+    quantized to DECIMAL before the total-variance sum; the final
+    component's sign is fixed by making its first loading non-negative.
+
+    Returns D rows: (dim, mean, loading, eigenvalue, total_var,
+    explained) — eigenvalue/total_var = the component's explained
+    variance share.  All doubles floor-rounded at 6 dp (portable).
+
+    Cache ownership: the centered frame is persist()-ed (it feeds
+    every iteration); callers looping over corpora should
+    ``spark.catalog.clearCache()`` between rounds.
+    """
+    rnd6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("dim", "__v"))
+    vdec = F.col("__v").cast(dec)
+    stats = ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(vdec).alias("__s"),
+        F.sum(vdec * vdec).alias("__ss"),
+    )
+    per_dim = stats.select(
+        "dim",
+        (F.col("__s").cast("double") / F.col("n")).alias("m"),
+        (F.col("__ss").cast("double") / F.col("n")).alias("ex2"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("dim", "m")))
+    mean_row = per_dim.groupBy().agg(
+        F.transform(ordered, lambda s: s["m"]).alias("__m"),
+        # variance per dim quantized to DECIMAL, then an exact sum:
+        # total variance is order-free in any engine
+        F.sum((F.col("ex2") - F.col("m") * F.col("m")).cast(dec))
+        .cast("double")
+        .alias("total_var"),
+    )
+    centered = (
+        df.crossJoin(F.broadcast(mean_row))
+        .select(
+            F.zip_with(
+                F.col(vec_col), F.col("__m"), lambda x, mm: x.cast("double") - mm
+            ).alias("__c"),
+            "total_var",
+        )
+        .persist()
+    )
+
+    v_row = centered.groupBy().agg(
+        F.array_repeat(F.lit(1.0 / math.sqrt(dim)), dim).alias("__vv"),
+        F.lit(0.0).alias("eigenvalue"),
+    )
+    for _ in range(iters):
+        scored = centered.crossJoin(F.broadcast(v_row.select("__vv"))).withColumn(
+            "__sc", dot(F.col("__c"), F.col("__vv"))
+        )
+        u = (
+            scored.select("__sc", F.posexplode("__c").alias("dim", "__cj"))
+            .groupBy("dim")
+            .agg(
+                F.sum((F.col("__sc") * F.col("__cj")).cast(dec))
+                .cast("double")
+                .alias("u")
+            )
+        )
+        raw = u.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "u"))), lambda s: s["u"]
+            ).alias("__raw")
+        )
+        nrm = F.sqrt(dot(F.col("__raw"), F.col("__raw")))
+        v_row = raw.select(
+            F.transform(F.col("__raw"), lambda x: x / nrm).alias("__vv"),
+            nrm.alias("eigenvalue"),
+        )
+
+    sign = F.when(F.element_at(F.col("__vv"), 1) < 0, F.lit(-1.0)).otherwise(
+        F.lit(1.0)
+    )
+    final = v_row.select(
+        F.posexplode(F.transform(F.col("__vv"), lambda x: x * sign)).alias(
+            "dim", "loading"
+        ),
+        "eigenvalue",
+    )
+    # eigenvalue from the raw update is n·λ-scaled: cov·v omitted the
+    # 1/n; rescale by n (exact integer count) to report the covariance
+    # eigenvalue
+    n_row = centered.groupBy().agg(
+        F.count("*").alias("__n"), F.first("total_var").alias("total_var")
+    )
+    out = final.crossJoin(F.broadcast(n_row)).join(
+        F.broadcast(per_dim.select("dim", "m")), "dim"
+    )
+    ev = F.col("eigenvalue") / F.col("__n")
+    return out.select(
+        "dim",
+        rnd6(F.col("m")).alias("mean"),
+        rnd6(F.col("loading")).alias("loading"),
+        rnd6(ev).alias("eigenvalue"),
+        rnd6(F.col("total_var")).alias("total_var"),
+        rnd6(ev / F.col("total_var")).alias("explained"),
+    )

@@ -1279,3 +1279,38 @@ def test_quality_calibration_integer_grid(spark):
         assert r["frac_pos_ppm"] == math.floor(r["n_pos"] * 1e6 / r["n_docs"] + 0.5)
     with pytest.raises(ValueError, match="ppm"):
         textstats.quality_calibration(docs, "text", "label", n_bins=7)
+
+
+def test_pca_power_iteration_matches_numpy(spark):
+    """The matrix-free power iteration recovers a planted dominant
+    component: loadings match numpy's eigendecomposition, the sign is
+    fixed (first loading non-negative), and eigenvalue/explained agree
+    with the exact covariance spectrum."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    d = 8
+    base = rng.randn(300, d) * 0.1
+    base[:, 3] += rng.randn(300) * 3.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    out = sorted(
+        similarity.pca_power_iteration(df, "embedding", dim=d, iters=8).collect(),
+        key=lambda r: r["dim"],
+    )
+    X = base - base.mean(0)
+    w, V = np.linalg.eigh(X.T @ X / len(X))
+    top = V[:, -1]
+    if top[0] < 0:
+        top = -top
+    got = np.array([r["loading"] for r in out])
+    assert np.abs(got - top).max() < 1e-4
+    assert got[0] >= 0  # sign convention
+    assert math.isclose(out[0]["eigenvalue"], w[-1], rel_tol=1e-4)
+    assert math.isclose(out[0]["explained"], w[-1] / w.sum(), rel_tol=1e-4)
+    # outputs are floor-rounded at 6 dp by contract
+    assert math.isclose(out[0]["total_var"], w.sum(), abs_tol=1e-6)

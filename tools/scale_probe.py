@@ -167,6 +167,7 @@ PROBE_QUERIES = [
     "url_canonical_dedup",
     "quality_calibration",
     "compacted_upsert",
+    "pca_top_component",
 ]
 
 
