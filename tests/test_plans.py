@@ -595,3 +595,21 @@ def test_tpch_completion_pack_join_strategy(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in q7  # the nation-filtered dims
     assert q7.count("SortMergeJoin") <= 1  # only the fact-fact edge
+
+
+def test_pca_plan_broadcasts_vectors_no_cartesian(spark, sf_dir):
+    """The PCA iteration loop must couple the corpus to the one-row
+    mean/v frames via broadcast, never a CartesianProduct, and the
+    per-iteration work must stay a bounded number of exchanges."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("embedding")
+    plan = (
+        similarity.pca_power_iteration(emb, "embedding", dim=64, iters=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # 2 iterations -> stats agg + per-iteration cell aggs + tiny
+    # collect_list rows; exchange count stays small and iteration-bound
+    assert plan.count("Exchange") < 40

@@ -633,3 +633,33 @@ def test_misra_gries_bound_on_random_streams(spark):
 
     _sh.rmtree(path, ignore_errors=True)
     _sh.rmtree(f"{path}.versions", ignore_errors=True)
+
+
+def test_canonical_url_idempotent_on_random_urls(spark):
+    """canonical_url is a projection: applying it twice equals applying
+    it once, over randomized scheme/host/port/path/query/fragment mess
+    (one Spark job for all examples)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import webfilter
+
+    rng = random.Random(42)
+    hosts = ["Example.com", "www.Sub.Example.com", "HOST.org:8080",
+             "example.net:443", "example.com:80", "localhost"]
+    paths = ["", "/", "/a/b", "/a/b/", "/A//"]
+    params = ["a=1", "b=2", "utm_source=x", "gclid=9", "ref=z", "z=%20"]
+    urls = []
+    for i in range(300):
+        scheme = rng.choice(["http", "https", "HTTPS", "ftp"])
+        q = "&".join(rng.sample(params, rng.randint(0, 4)))
+        frag = rng.choice(["", "#frag"])
+        urls.append(
+            f"{scheme}://{rng.choice(hosts)}{rng.choice(paths)}"
+            + (f"?{q}" if q else "") + frag
+        )
+    urls += ["no-scheme", "", "weird:///x"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = webfilter.canonical_url(F.col("url"))
+    twice = webfilter.canonical_url(once)
+    bad = df.select("url", once.alias("c1"), twice.alias("c2")).filter(
+        F.col("c1") != F.col("c2")
+    )
+    assert bad.count() == 0, bad.collect()[:5]
