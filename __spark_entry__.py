@@ -9895,6 +9895,48 @@ WHERE p_brand <> '{_Q16_BRAND}' AND p_type <> 'PROMO'
 GROUP BY 1, 2, 3
 """
 
+_Q6_START, _Q6_END = "1996-01-01", "1997-01-01"
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog — the revenue-forecast scan-aggregate that
+    completes the 22-query analog set: one year of shipments in a
+    discount band under a quantity cap, summing extendedprice·discount
+    in exact decimal.  The ZERO-join query: every predicate is sargable
+    and pushes to the parquet scan (date range, discount band, quantity
+    cap — see the plan-contract test), the projection prunes to three
+    columns, and the whole plan is scan → filter → one hash aggregate.
+    At 100 TB this is the query whose cost IS the pruned scan, which is
+    why the pushdown contract matters more than the aggregate."""
+    tune(spark)
+    l = _t(spark, sf_dir, "lineitem")
+    sliced = l.filter(
+        (F.col("l_shipdate") >= F.lit(_Q6_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q6_END).cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC_S)
+    return sliced.agg(
+        dround(F.sum(rev)).alias("forecast_revenue"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+ORACLE_Q6 = f"""
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE)
+         AS forecast_revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q6_START} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{_Q6_END} 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
 _Q11_NATION = "NATION_5"
 _Q11_MEAN_MULT = 2  # keep parts with value > 2× the mean part value
 
@@ -10930,6 +10972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": q_quality_calibration,
         "compacted_upsert": q_compacted_upsert,
         "pca_top_component": q_pca_top_component,
+        "forecast_revenue": q_forecast_revenue,
         "hll_set_algebra": q_hll_set_algebra,
         "order_priority_check": q_order_priority_check,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -11175,6 +11218,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_calibration": _oracle_quality_calibration(),
         "compacted_upsert": ORACLE_COMPACTED_UPSERT,
         "pca_top_component": _oracle_pca_top_component(),
+        "forecast_revenue": ORACLE_Q6,
         "hll_set_algebra": _oracle_hll_set_algebra(),
         "order_priority_check": ORACLE_Q4,
         "disjunctive_revenue": ORACLE_Q19,

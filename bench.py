@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "quality_calibration",
     "compacted_upsert",
     "pca_top_component",
+    "forecast_revenue",
     # incremental_near_dup excluded from the TIMED set like the other
     # driver-action-heavy twins: its cost is 3 foreachBatch rounds of
     # job overhead (the one-shot LSH path is timed as

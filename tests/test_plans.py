@@ -613,3 +613,16 @@ def test_pca_plan_broadcasts_vectors_no_cartesian(spark, sf_dir):
     # 2 iterations -> stats agg + per-iteration cell aggs + tiny
     # collect_list rows; exchange count stays small and iteration-bound
     assert plan.count("Exchange") < 40
+
+
+def test_q6_analog_all_predicates_pushed_three_column_scan(spark, sf_dir):
+    """forecast_revenue is scan-cost-only at scale: the date range,
+    discount band, AND quantity cap must all reach PushedFilters, and
+    the scan must read exactly the three needed columns."""
+    p = plan_of(spark, "forecast_revenue", sf_dir)
+    pushed = p.split("PushedFilters")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+    read = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" in read and "l_orderkey" not in read and "l_tax" not in read
+    assert "Join" not in p

@@ -168,6 +168,7 @@ PROBE_QUERIES = [
     "quality_calibration",
     "compacted_upsert",
     "pca_top_component",
+    "forecast_revenue",
 ]
 
 
