@@ -626,3 +626,41 @@ def test_q6_analog_all_predicates_pushed_three_column_scan(spark, sf_dir):
     read = p.split("ReadSchema")[1].splitlines()[0]
     assert "l_extendedprice" in read and "l_orderkey" not in read and "l_tax" not in read
     assert "Join" not in p
+
+
+def test_length_buckets_single_exchange_window_reuse(spark, sf_dir):
+    """Batch packing shuffles the corpus exactly once: the per-(bucket,
+    shard) row_number window and the (bucket, shard, batch) aggregate
+    share one hash partitioning (grouping on a superset of the window
+    key preserves clustering)."""
+    import re
+
+    p = plan_of(spark, "length_buckets", sf_dir)
+    assert "Window" in p
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 1
+
+
+def test_url_canonical_dedup_two_phase_distinct_no_python(spark, sf_dir):
+    """Canonicalization is a pure codegen projection; the dedup is the
+    standard two-phase count-distinct aggregate (partial on (canonical,
+    spelling), final on canonical) — two exchanges, no window, no
+    Python."""
+    import re
+
+    p = plan_of(spark, "url_canonical_dedup", sf_dir)
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 2
+    assert "Window" not in p
+    assert "EvalPython" not in p and "InPandas" not in p
+
+
+def test_quality_calibration_one_pass_integer_agg(spark, sf_dir):
+    """Reliability table = one featurize map pass + one |bins|-sized
+    hash aggregate: exactly one exchange, no Python, scan pruned to the
+    two needed columns."""
+    import re
+
+    p = plan_of(spark, "quality_calibration", sf_dir)
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 1
+    assert "EvalPython" not in p and "InPandas" not in p
+    read = p.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in read and "doc_id" not in read
