@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "contamination_fraction",
     "ccnet_buckets",
     "ann_int8",
+    "ann_int8_pruned",
     "abandoned_clicks",
     "mixture_budget",
     "waiting_suppliers",

@@ -102,6 +102,131 @@ def near_dup_pairs(
     )
 
 
+def near_dup_pairs_bucketed(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    seed: int = 7,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """Cell-bucketed embedding near-duplicate pairs — the 100 TB form of
+    ``near_dup_pairs``: every vector lands in its ``nprobe`` nearest
+    coarse-quantizer cells (``assign_cells`` — a literal-argmax map
+    pass, no shuffle, no model broadcast), candidate pairs come from an
+    equi hash self-join on cell id (cost sum over cells of |cell|²,
+    never N²), duplicates from multi-probe overlap are dropped BEFORE
+    scoring, and survivors are re-scored with EXACT cosine ahead of the
+    threshold filter — bounded candidates, exact scores.  Recall is
+    tuned by ``nprobe`` (a near-dup pair is found iff the two vectors
+    share at least one probed cell, which cosine-close vectors almost
+    always do); ``max_cell`` skips degenerate cells the quantizer
+    failed to discriminate, same dial as ``semantic_dedup``.  The
+    all-pairs ``near_dup_pairs`` stays test-side as the recall oracle
+    only — it is never the registered plan."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_cells=n_cells, seed=seed)
+    cells = assign_cells(
+        corpus.select(F.col(id_col), F.col(vec_col)), vec_col, centroids,
+        nprobe=nprobe,
+    )
+    if max_cell is not None:
+        sizes = cells.groupBy("__cell").agg(F.count("*").alias("__csize"))
+        cells = (
+            cells.join(F.broadcast(sizes), on="__cell")
+            .filter(F.col("__csize") <= F.lit(max_cell))
+            .drop("__csize")
+        )
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__cell"
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__cell"
+    )
+    return (
+        a.join(b, on="__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def ann_union_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 3,
+    dim: int = 64,
+    seed: int = 13,
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 8,
+    ivf_seed: int = 11,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Multi-retriever ANN with exact verification — the registered
+    100 TB kNN shape: candidates are the UNION of (a) SRP same-bucket
+    rows and (b) IVF probed-cell rows, deduped per (query, neighbor),
+    then re-scored with EXACT cosine and ranked top-k.  Both candidate
+    joins are equi hash joins (bucket id / cell id) with the small
+    query side broadcast — never an all-pairs scan — and the union of
+    two independent coarse retrievers recovers most of what either one
+    alone misses (multi-probe recall compounding).  ``brute_force_knn``
+    stays test-side as the recall oracle only."""
+    if centroids is None:
+        centroids = det_centroids(ivf_seed, n_cells, dim)
+    planes = [_det_plane(seed, i, dim) for i in range(num_planes)]
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        srp_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        srp_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    srp_cand = cb.join(F.broadcast(qb), on="__bucket").select(
+        "query_id", "neighbor_id", "__qv", "__cv"
+    )
+    ci = assign_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv", centroids, nprobe=1,
+    )
+    qi = assign_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "__qv", centroids, nprobe=nprobe,
+    )
+    ivf_cand = ci.join(F.broadcast(qi), on="__cell").select(
+        "query_id", "neighbor_id", "__qv", "__cv"
+    )
+    scored = (
+        srp_cand.unionByName(ivf_cand)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def _det_plane(seed: int, plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 — no RNG state, so
     any executor / any engine reproduces the same planes."""
@@ -1001,12 +1126,16 @@ def int8_quantize(
     bit-for-bit.  All-zero vectors quantize to all zeros with scale 0
     (flagged by downstream NULL cosine).
 
-    Returns ``(id, __scale, __q: array<bigint>, __qnorm: bigint)`` —
-    the integer self-dot rides along so consumers never refold it.
+    Returns ``(id, <other input cols>, __scale, __q: array<bigint>,
+    __qnorm: bigint)`` — the integer self-dot rides along so consumers
+    never refold it; non-vector input columns (e.g. a ``__cell``
+    assignment) pass through untouched.
     """
+    others = [c for c in df.columns if c not in (id_col, vec_col)]
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    base = df.select(F.col(id_col), x.alias("__x")).select(
+    base = df.select(F.col(id_col), *others, x.alias("__x")).select(
         id_col,
+        *others,
         "__x",
         (F.array_max(F.transform("__x", F.abs)) / F.lit(127.0)).alias("__scale"),
     )
@@ -1017,11 +1146,11 @@ def int8_quantize(
     q = F.when(
         F.col("__scale") > 0, F.transform("__x", q_el)
     ).otherwise(F.transform("__x", lambda v: F.lit(0).cast("bigint")))
-    out = base.select(id_col, "__scale", q.alias("__q"))
+    out = base.select(id_col, *others, "__scale", q.alias("__q"))
     qnorm = F.aggregate(
         "__q", F.lit(0).cast("bigint"), lambda a, v: a + v * v
     )
-    return out.select(id_col, "__scale", "__q", qnorm.alias("__qnorm"))
+    return out.select(id_col, *others, "__scale", "__q", qnorm.alias("__qnorm"))
 
 
 def ann_int8(
@@ -1069,6 +1198,75 @@ def ann_int8(
     )
     scored = (
         qc.crossJoin(F.broadcast(qq))
+        .select(
+            "query_id",
+            id_col,
+            (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("qcos"),
+        )
+        .filter(F.col("qcos").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def ann_int8_pruned(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 8,
+    ivf_seed: int = 11,
+    nprobe: int = 2,
+) -> DataFrame:
+    """The COMPOSED int8 path ``ann_int8``'s docstring specifies: IVF
+    coarse pruning first (equi hash join on cell id — |corpus|·nprobe/
+    n_cells candidates per query, never all-pairs), THEN the int8
+    re-score in the quantized domain.  This is the form that runs at
+    100 TB: the quadratic standalone ``ann_int8`` stays as the
+    compression-arithmetic verification leg only.
+
+    Cell assignment happens on the ORIGINAL float vectors (quantization
+    error never moves a vector across a cell boundary it didn't cross
+    itself); scoring is the exact integer dot/norm fold over the codes
+    with the portable 6-dp floor-round, identical to ``ann_int8``.
+    Corpus rows carry one home cell, queries probe ``nprobe`` cells, so
+    a (query, corpus) pair joins at most once — no dedup pass needed.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_cells=n_cells, seed=ivf_seed)
+    cc = assign_cells(
+        corpus.select(F.col(id_col), F.col(vec_col)), vec_col, centroids, nprobe=1
+    )
+    qc = assign_cells(
+        queries.select(F.col(id_col), F.col(vec_col)), vec_col, centroids, nprobe=nprobe
+    )
+    cq = int8_quantize(cc, id_col, vec_col).select(
+        id_col, "__cell", F.col("__q").alias("__qb"), F.col("__qnorm").alias("__nb")
+    )
+    qq = int8_quantize(qc, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        "__cell",
+        F.col("__q").alias("__qa"),
+        F.col("__qnorm").alias("__na"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__qa", "__qb", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cos = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        dot.cast("double")
+        / (F.sqrt(F.col("__na").cast("double")) * F.sqrt(F.col("__nb").cast("double"))),
+    )
+    scored = (
+        cq.join(F.broadcast(qq), on="__cell")
+        .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             id_col,

@@ -664,3 +664,56 @@ def test_quality_calibration_one_pass_integer_agg(spark, sf_dir):
     assert "EvalPython" not in p and "InPandas" not in p
     read = p.split("ReadSchema")[1].splitlines()[0]
     assert "text" in read and "doc_id" not in read
+
+
+def test_embedding_registry_no_all_pairs(spark, sf_dir):
+    """Round-6 contract (VERDICT r5 #1): the registered embedding-space
+    queries must carry bounded candidate joins — equi hash joins on SRP
+    bucket / IVF cell — never an unbounded all-pairs scan.  The
+    brute-force forms survive ONLY as test-side recall oracles."""
+    for q in ["embedding_knn", "embedding_near_dup"]:
+        p = plan_of(spark, q, sf_dir)
+        assert "BroadcastNestedLoopJoin" not in p, q
+        assert "CartesianProduct" not in p, q
+    # hybrid_retrieval's lexical (BM25) leg legitimately carries two
+    # 1-row scalar broadcasts (corpus N / avgdl) that compile to BNLJ
+    # with a single-row build side — bounded by construction.  The
+    # contract here is that the SEMANTIC leg adds zero BNLJ beyond
+    # those: same count as the standalone bm25_search plan.
+    ph = plan_of(spark, "hybrid_retrieval", sf_dir)
+    pb = plan_of(spark, "bm25_search", sf_dir)
+    assert "CartesianProduct" not in ph
+    assert ph.count("BroadcastNestedLoopJoin") == pb.count("BroadcastNestedLoopJoin")
+
+
+def test_near_dup_triangles_edge_plan_no_all_pairs(spark, sf_dir):
+    """The registry query localCheckpoints the edge list (it feeds three
+    join legs), which would hide the edge plan from the contract — so
+    assert the same composition UNcheckpointed: bucketed pair
+    generation + triangle joins, no BNLJ/cartesian anywhere."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        graph,
+        similarity,
+    )
+
+    spark_ = spark
+    emb = spark_.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.det_centroids(entry._IVF_SEED, entry._IVF_CELLS, entry._SRP_DIM)
+    edges = similarity.near_dup_pairs_bucketed(
+        emb, threshold=entry._ND_THRESHOLD, centroids=cents, nprobe=entry._ND_NPROBE
+    ).select("id_a", "id_b")
+    df = graph.triangle_enumerate(edges)
+    qe = df._jdf.queryExecution()
+    mode = spark_._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = qe.explainString(mode)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ann_int8_pruned_no_all_pairs(spark, sf_dir):
+    """The registered int8 path is the IVF-pruned composition: candidate
+    join must be an equi hash join on cell id, never BNLJ/cartesian."""
+    p = plan_of(spark, "ann_int8_pruned", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
