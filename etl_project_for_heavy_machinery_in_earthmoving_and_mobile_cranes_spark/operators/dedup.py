@@ -760,26 +760,47 @@ def contamination_attribution(
 
     Returns ``(bench_id, top_corpus_id, shared_grams)``.
     """
-    b = (
-        shingle_rows(benchmark, id_col, text_col, n)
-        .distinct()
-        .select(F.col(id_col).alias("__bid"), "__sh")
+    # ONE shingle pass over a side-tagged union, persist()-ed: the
+    # distinct gram frame feeds THREE consumers (the hot-gram census —
+    # an eager broadcast-build job — and both sides of the shared-gram
+    # join), and AQE compiles the broadcast job separately, so without
+    # the cache every consumer re-tokenizes the corpus from scratch.
+    # Measured at sf0.1 (SCALE.md r5->r6 regression chase): r5
+    # two-lineage form 1.78s, un-persisted single lineage 2.56s (no
+    # cross-job ReusedExchange), persisted 1.17s — faster than the r4
+    # no-cap form (1.38s).  Same cache-ownership pattern as
+    # margin_bitext_pairs / tfidf; blocks are LRU-evicted.
+    tagged = corpus.select(
+        F.lit(0).alias("__side"),
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
+    ).unionByName(
+        benchmark.select(
+            F.lit(1).alias("__side"),
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__text"),
+        )
     )
-    c = (
-        shingle_rows(corpus, id_col, text_col, n)
+    g = (
+        tagged.withColumn("__toks", tokens(F.col("__text")))
+        .select(
+            "__side",
+            "__id",
+            F.explode(shingles_of_tokens(F.col("__toks"), n)).alias("__sh"),
+        )
         .distinct()
-        .select(F.col(id_col).alias("__cid"), "__sh")
+        .persist()
     )
     if max_df is not None:
-        both = b.select("__sh").unionAll(c.select("__sh"))
         hot = (
-            both.groupBy("__sh")
+            g.groupBy("__sh")
             .agg(F.count("*").alias("__df"))
             .filter(F.col("__df") > max_df)
             .select("__sh")
         )
-        b = b.join(F.broadcast(hot), "__sh", "left_anti")
-        c = c.join(F.broadcast(hot), "__sh", "left_anti")
+        g = g.join(F.broadcast(hot), "__sh", "left_anti")
+    b = g.filter(F.col("__side") == 1).select(F.col("__id").alias("__bid"), "__sh")
+    c = g.filter(F.col("__side") == 0).select(F.col("__id").alias("__cid"), "__sh")
     shared = (
         b.join(c, "__sh")
         .groupBy("__bid", "__cid")
