@@ -200,6 +200,75 @@ BENCH_QUERIES = [
     "compacted_upsert",
     "pca_top_component",
     "forecast_revenue",
+    # round-6 additions: full-registry bench sweep (VERDICT r5 #3)
+    "embedding_near_dup",
+    "near_dup_triangles",
+    "csv_jsonl_roundtrip",
+    "dedup_cluster_histogram",
+    "cluster_safe_split",
+    "rolling_median_value",
+    "event_deltas",
+    "event_calendar_heatmap",
+    "dq_audit",
+    "dedup_canonical",
+    "variant_props",
+    "price_iqr_outliers",
+    "supplier_rank_stats",
+    "customers_no_orders",
+    "suppliers_with_returns",
+    "running_monthly_revenue",
+    "acctbal_quartiles",
+    "price_histogram",
+    "corr_quantity_price",
+    "unpivot_nation_measures",
+    "nation_segments",
+    "market_share_year",
+    "event_type_pairs",
+    "pareto_parts",
+    "winsorized_prices",
+    "domain_mix_sample",
+    "weight_band_join",
+    "ngram_jaccard",
+    "session_burst_overlap",
+    "dedup_clusters",
+    "supplier_chain",
+    "incremental_dedup",
+    "fuzzy_part_names",
+    "token_entropy",
+    "bigram_pmi",
+    "scd2_user_type",
+    "sliding_event_windows",
+    "ewma_user_value",
+    "conversion_lag",
+    "type_intervals",
+    "model_despace_capacity",
+    "label_cascades",
+    "brand_aliases",
+    "parse_props_json",
+    "top3_brands",
+    "orders_min_total",
+    "part_keyword_antifilter",
+    "union_year_slices",
+    "events_extract_props",
+    "orders_priority_code",
+    "containment_longest",
+    "orders_label_cascade",
+    "documents_new_used",
+    "brand_median_price",
+    "event_type_counts",
+    "distinct_flag_status",
+    "minhash_signatures",
+    "minhash_pairs",
+    "lang_id",
+    "keyword_diagnostics",
+    "null_count_audit",
+    "report_format",
+    "lang_source_counts",
+    "filtered_slice_agg",
+    "parts_except_intersect",
+    "cube_qty",
+    "quantity_percentiles",
+    "doc_repetition",
     # incremental_near_dup excluded from the TIMED set like the other
     # driver-action-heavy twins: its cost is 3 foreachBatch rounds of
     # job overhead (the one-shot LSH path is timed as
