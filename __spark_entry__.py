@@ -9129,6 +9129,54 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_int8(corpus, queries, "vec_id", "embedding", k=_I8_K)
 
 
+# the derived-column projection the reference-parity gate hashes;
+# shipment_id keys the row, everything else is pipeline output
+_REF_PARITY_COLS = [
+    "shipment_id", "description2", "supplier2", "brand", "model", "type",
+    "capacity", "new_used", "remark", "outliers", "capacity_interval",
+    "type_interval", "unit_weight_in_ton",
+]
+_REF_GOLDEN_PARQUET = "/root/repo/tests/golden/reference_batch_golden.parquet"
+
+
+def q_reference_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end run on the REFERENCE'S OWN published input (VERDICT
+    r5 #6): read the raw May–Jul xlsx batch (1,294 rows) with the
+    stdlib xlsx reader, rebuild the model catalog + regex table from
+    the golden output's remark provenance (reference_harness — the
+    KB xlsx files are unpublished), run the full cleaning pipeline in
+    strict reference-compat mode, and return the derived columns keyed
+    by shipment id.  The oracle is a COMMITTED golden parquet snapshot
+    of this exact projection, itself tied to the reference's golden
+    xlsx at 831/832 rows exact on every derived column
+    (tools/reference_parity.py, PARITY.md) — so the driver now
+    re-checks reference parity every round instead of the repo
+    self-reporting it; ANY behavioral drift in normalization, matching,
+    classification, outliers, or binning flips the hash.  Like
+    xlsx_roundtrip, this is the driver-side ingest edge: input size is
+    the reference's fixed batch, not sf-scaled (prog.py main,
+    data_processing_program_20240520.py:21-44)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark import (
+        reference_harness as rh,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.plans import (
+        pipeline as ref_pipeline,
+    )
+
+    tune(spark)
+    shipments, model_ref, regex_kb, _, _ = rh.reference_frames(spark)
+    out = ref_pipeline.run_pipeline(
+        shipments, model_ref, regex_kb, None,
+        datasource="Indonesia", strict_reference_compat=True,
+    )
+    return ref_pipeline.render_export(out).select(*_REF_PARITY_COLS)
+
+
+ORACLE_REFERENCE_BATCH_PARITY = f"""
+SELECT * FROM read_parquet('{_REF_GOLDEN_PARQUET}')
+"""
+
+
 _I8_NPROBE = 2
 
 
@@ -11163,6 +11211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 6 (insert new HERE) -------
+        "reference_batch_parity": q_reference_batch_parity,
         "ann_int8_pruned": q_ann_int8_pruned,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
@@ -11411,6 +11460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "reference_batch_parity": ORACLE_REFERENCE_BATCH_PARITY,
         "ann_int8_pruned": _oracle_ann_int8_pruned(),
         "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
         "nation_trade_volume": ORACLE_NATION_TRADE_VOLUME,

@@ -269,6 +269,10 @@ BENCH_QUERIES = [
     "cube_qty",
     "quantity_percentiles",
     "doc_repetition",
+    # reference_batch_parity excluded like xlsx_roundtrip (driver-side
+    # ingest edge on the reference's FIXED 1,294-row batch — not a
+    # data-scaled measurement; the pipeline's scaling is measured by
+    # tools/pipeline_bench.py, SCALE.md)
     # incremental_near_dup excluded from the TIMED set like the other
     # driver-action-heavy twins: its cost is 3 foreachBatch rounds of
     # job overhead (the one-shot LSH path is timed as

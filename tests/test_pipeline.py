@@ -152,3 +152,18 @@ def test_analysis_reports(spark):
     top3 = analysis.top_k(shares, "amount", 3).collect()
     assert len(top3) == 3
     assert top3[0]["amount"] >= top3[1]["amount"] >= top3[2]["amount"]
+
+
+def test_reference_golden_snapshot_shape():
+    """The committed parity snapshot the driver hashes against: 832
+    rows (the golden May-Jul slice), the exact projection
+    __spark_entry__._REF_PARITY_COLS, UNKNOWN sentinels rendered."""
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry
+
+    t = pq.read_table("/root/repo/tests/golden/reference_batch_golden.parquet")
+    assert t.num_rows == 832
+    assert t.column_names == entry._REF_PARITY_COLS
+    remarks = set(t.column("remark").to_pylist())
+    assert "Fully match" in remarks and "Parts" in remarks
