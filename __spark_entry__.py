@@ -6170,6 +6170,69 @@ FROM w GROUP BY 1
 """
 
 
+def q_delta_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-table-format publish (sources/delta_lite, VERDICT r5 #8):
+    the events table is driven through the REAL keyed-upsert
+    maintainer in three deterministic micro-batches with
+    protocol='delta' — each publish is an atomic, mutually-exclusive
+    Delta transaction-log commit (add/remove actions, Spark-JSON
+    schemaString, os.link version fencing) — then a replayed batch id
+    is applied (must no-op: the idempotence mark reads back THROUGH
+    the log) and the final snapshot is read via the log replay.
+    Semantics identical to compacted_upsert's bespoke-protocol twin:
+    per user, the max-ts row of that user's LAST batch; the query
+    additionally asserts the log advanced exactly once per applied
+    batch, so the oracle hash covers the log protocol end to end."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import (
+        jobs,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_twin_")
+    path = os.path.join(tmp, "profiles")
+    try:
+        for b in range(_UPS_BATCHES):
+            jobs.apply_upsert_batch(
+                e.filter(F.col("event_id") % _UPS_BATCHES == b),
+                b,
+                path,
+                key_cols=["user_id"],
+                protocol="delta",
+            )
+        # at-least-once replay of an applied batch: MUST be a no-op
+        jobs.apply_upsert_batch(
+            e.filter(F.col("event_id") % _UPS_BATCHES == 1),
+            1,
+            path,
+            key_cols=["user_id"],
+        )
+        if delta_lite.current_version(path) != _UPS_BATCHES - 1:
+            raise AssertionError("delta log advanced on a replayed batch")
+        out = (
+            delta_lite.read_delta(spark, path)
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_type"),
+                F.col("ts").alias("last_ts"),
+                F.col("value").alias("last_value"),
+            )
+            # materialize off the scratch dir so it can be deleted
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 _PCA_ITERS = 4
 _PCA_DIM = 64
 
@@ -11211,6 +11274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 6 (insert new HERE) -------
+        "delta_upsert_roundtrip": q_delta_upsert_roundtrip,
         "reference_batch_parity": q_reference_batch_parity,
         "ann_int8_pruned": q_ann_int8_pruned,
         "embedding_knn": q_embedding_knn,
@@ -11460,6 +11524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "delta_upsert_roundtrip": ORACLE_COMPACTED_UPSERT,
         "reference_batch_parity": ORACLE_REFERENCE_BATCH_PARITY,
         "ann_int8_pruned": _oracle_ann_int8_pruned(),
         "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,

@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "url_canonical_dedup",
     "quality_calibration",
     "compacted_upsert",
+    "delta_upsert_roundtrip",
     "pca_top_component",
     "forecast_revenue",
     # round-6 additions: full-registry bench sweep (VERDICT r5 #3)

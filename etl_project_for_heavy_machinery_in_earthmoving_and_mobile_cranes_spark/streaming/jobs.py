@@ -232,7 +232,11 @@ def abandoned_clicks(
 
 
 def apply_upsert_batch(
-    batch_df: DataFrame, batch_id: int, table_path: str, key_cols: list[str]
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    key_cols: list[str],
+    protocol: str = "auto",
 ) -> None:
     """One micro-batch of keyed upsert maintenance, exposed at module
     level so the at-least-once replay contract is directly testable
@@ -255,11 +259,15 @@ def apply_upsert_batch(
     else:
         merged = dedup
     merged = merged.withColumn(_BATCH_MARK, F.lit(batch_id))
-    _commit_maintained_table(merged, table_path, batch_id)
+    _commit_maintained_table(merged, table_path, batch_id, protocol=protocol)
 
 
 def upsert_stream(
-    events: DataFrame, table_path: str, key_cols: list[str], checkpoint_dir: str
+    events: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    protocol: str = "auto",
 ):
     """Streaming MERGE: each micro-batch upserts into a keyed parquet
     table via foreachBatch + ``history.merge_upsert`` (latest row per
@@ -283,7 +291,7 @@ def upsert_stream(
     the commit would overwrite."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        apply_upsert_batch(batch_df, batch_id, table_path, key_cols)
+        apply_upsert_batch(batch_df, batch_id, table_path, key_cols, protocol=protocol)
 
     return (
         events.writeStream.foreachBatch(write_batch)
@@ -490,6 +498,13 @@ def _read_maintained_table(spark, path: str):
 
     from pyspark.errors import AnalysisException
 
+    from ..sources import delta_lite
+
+    if delta_lite.is_delta_table(path):
+        # Delta-log-published table (protocol="delta"): snapshot read
+        # replays the open-format transaction log instead of resolving
+        # the bespoke symlink/manifest pointer
+        return delta_lite.read_delta(spark, path)
     target = path
     if not os.path.lexists(path) or (
         os.path.islink(path) and not os.path.exists(path)
@@ -592,6 +607,22 @@ def _commit_maintained_table(
     """
     import os
     import shutil
+
+    from ..sources import delta_lite
+
+    if protocol == "auto" and delta_lite.is_delta_table(path):
+        protocol = "delta"  # a table born Delta stays Delta
+    if protocol == "delta":
+        # open-format publish: the snapshot rides a Delta transaction
+        # log (sources/delta_lite — add/remove actions, atomic
+        # mutually-exclusive version commit).  Old data files stay on
+        # disk (still referenced by prior log versions), so the lazy
+        # ``merged`` plan over the previous snapshot is never yanked —
+        # the same read-write-cycle guarantee the version-dir protocol
+        # gives, inherited from the format instead of hand-rolled.
+        writer = merged.coalesce(n_files) if n_files else merged
+        delta_lite.write_delta(writer, path, mode="overwrite")
+        return
 
     vroot = f"{path}.versions"
     vdir = os.path.join(vroot, f"v{batch_id:020d}")

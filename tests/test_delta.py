@@ -1,0 +1,199 @@
+"""Delta-lite transaction log: open-format conformance of the log
+structure, snapshot/time-travel reads, commit atomicity + optimistic
+concurrency, vacuum, and the maintained-table integration (upsert
+maintainer publishing through the Delta log with replay idempotence).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+    delta_lite,
+)
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import (
+    jobs,
+)
+
+
+def _df(spark, rows, schema="k long, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_log_structure_conforms_to_protocol(spark, tmp_path):
+    """Version-0 commit must carry protocol + metaData with the fields
+    the public Delta spec requires; adds reference real files with
+    sizes; an overwrite commit removes every previously-live file."""
+    t = str(tmp_path / "t")
+    delta_lite.write_delta(_df(spark, [(1, "a"), (2, "b")]), t)
+    log0 = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(ln) for ln in open(log0) if ln.strip()]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "commitInfo"
+    assert "protocol" in kinds and "metaData" in kinds and "add" in kinds
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["format"]["provider"] == "parquet"
+    assert meta["partitionColumns"] == []
+    schema = json.loads(meta["schemaString"])
+    assert [f["name"] for f in schema["fields"]] == ["k", "v"]
+    adds = [a["add"] for a in actions if "add" in a]
+    for add in adds:
+        f = os.path.join(t, add["path"])
+        assert os.path.isfile(f) and add["size"] == os.path.getsize(f)
+        assert add["dataChange"] is True and add["partitionValues"] == {}
+
+    delta_lite.write_delta(_df(spark, [(3, "c")]), t, mode="overwrite")
+    log1 = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    actions1 = [json.loads(ln) for ln in open(log1) if ln.strip()]
+    removed = {a["remove"]["path"] for a in actions1 if "remove" in a}
+    assert removed == {a["path"] for a in adds}
+
+
+def test_snapshot_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    v0 = delta_lite.write_delta(_df(spark, [(1, "a"), (2, "b")]), t)
+    v1 = delta_lite.write_delta(_df(spark, [(3, "c")]), t, mode="overwrite")
+    v2 = delta_lite.write_delta(_df(spark, [(4, "d")]), t, mode="append")
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert delta_lite.current_version(t) == 2
+    latest = {(r["k"], r["v"]) for r in delta_lite.read_delta(spark, t).collect()}
+    assert latest == {(3, "c"), (4, "d")}
+    at0 = {(r["k"], r["v"]) for r in delta_lite.read_delta(spark, t, version=0).collect()}
+    assert at0 == {(1, "a"), (2, "b")}
+    at1 = {(r["k"], r["v"]) for r in delta_lite.read_delta(spark, t, version=1).collect()}
+    assert at1 == {(3, "c")}
+    hist = delta_lite.delta_history(t)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[2]["operationParameters"]["mode"] == "APPEND"
+
+
+def test_commit_conflict_retries_to_next_version(spark, tmp_path):
+    """Optimistic concurrency: a concurrent writer taking the target
+    version must NOT be clobbered — the loser recommits at the next
+    version and both commits' data survives (append) / supersedes
+    (overwrite)."""
+    t = str(tmp_path / "t")
+    delta_lite.write_delta(_df(spark, [(1, "a")]), t)
+    # simulate a concurrent writer landing version 1 first
+    winner = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    with open(winner, "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n")
+    v = delta_lite.write_delta(_df(spark, [(2, "b")]), t, mode="append")
+    assert v == 2  # lost the race at 1, landed at 2
+    got = {(r["k"], r["v"]) for r in delta_lite.read_delta(spark, t).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_vacuum_removes_only_unreferenced(spark, tmp_path):
+    t = str(tmp_path / "t")
+    delta_lite.write_delta(_df(spark, [(1, "a")]), t)
+    delta_lite.write_delta(_df(spark, [(2, "b")]), t, mode="overwrite")
+    # orphan: a crash between staging and commit
+    orphan = os.path.join(t, "part-99999-deadbeef.snappy.parquet")
+    open(orphan, "wb").write(b"junk")
+    removed = delta_lite.vacuum(t)
+    assert os.path.basename(orphan) in removed
+    # files of BOTH versions survive (old snapshot still referenced)
+    assert {(r["k"],) for r in delta_lite.read_delta(spark, t, version=0).select("k").collect()} == {(1,)}
+    assert {(r["k"],) for r in delta_lite.read_delta(spark, t).select("k").collect()} == {(2,)}
+
+
+def test_schema_evolution_rides_metadata_action(spark, tmp_path):
+    t = str(tmp_path / "t")
+    delta_lite.write_delta(_df(spark, [(1, "a")]), t)
+    delta_lite.write_delta(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, w double"),
+        t, mode="overwrite",
+    )
+    assert delta_lite.read_delta(spark, t).columns == ["k", "v", "w"]
+    # the old snapshot keeps its committed schema
+    assert delta_lite.read_delta(spark, t, version=0).columns == ["k", "v"]
+
+
+def test_upsert_maintainer_publishes_through_delta_log(spark, sf_dir, tmp_path):
+    """The maintained-table integration: apply_upsert_batch with
+    protocol='delta' publishes snapshots as Delta commits; a replayed
+    batch id is a no-op (idempotence guard reads back through the
+    log); auto-detection keeps subsequent batches on the Delta path;
+    history shows one version per applied batch."""
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    t = str(tmp_path / "profiles")
+    for b in range(3):
+        batch = e.filter(F.col("event_id") % 3 == b)
+        jobs.apply_upsert_batch(batch, b, t, ["user_id"], protocol="delta")
+    assert delta_lite.is_delta_table(t)
+    assert delta_lite.current_version(t) == 2
+    # replay of an applied batch: no new commit
+    jobs.apply_upsert_batch(e.filter(F.col("event_id") % 3 == 1), 1, t, ["user_id"])
+    assert delta_lite.current_version(t) == 2
+    got = {
+        (r["user_id"], r["ts"])
+        for r in delta_lite.read_delta(spark, t).select("user_id", "ts").collect()
+    }
+    # upsert semantics: per user, the max-ts row of that user's LAST batch
+    last_batch = e.withColumn("b", F.col("event_id") % 3)
+    win = last_batch.groupBy("user_id").agg(F.max("b").alias("b"))
+    want = {
+        (r["user_id"], r["ts"])
+        for r in last_batch.join(win, ["user_id", "b"])
+        .groupBy("user_id").agg(F.max("ts").alias("ts")).collect()
+    }
+    assert got == want
+
+
+def test_upsert_stream_on_delta_protocol_end_to_end(spark, tmp_path):
+    """Full streaming path: upsert_stream(protocol='delta') over two
+    deliveries; the live table reads back through the Delta log and a
+    checkpoint-wiped replay leaves it untouched."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 7, "click", 1.0, None),
+        (2, dt.datetime(2024, 1, 1, 11), 7, "view", 2.0, None),
+        (3, dt.datetime(2024, 1, 1, 10, 30), 8, "click", 3.0, None),
+    ]
+    late = [
+        (4, dt.datetime(2024, 1, 2, 9), 7, "purchase", 9.0, None),
+        (5, dt.datetime(2024, 1, 2, 9, 30), 9, "click", 4.0, None),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    land = str(tmp_path / "land")
+    table, cp = str(tmp_path / "tbl"), str(tmp_path / "cp")
+    spark.createDataFrame(rows, schema).write.parquet(land)
+    jobs.upsert_stream(
+        jobs.read_event_stream(spark, land), table, ["user_id"], cp,
+        protocol="delta",
+    ).awaitTermination()
+    spark.createDataFrame(late, schema).write.mode("append").parquet(land)
+    jobs.upsert_stream(
+        jobs.read_event_stream(spark, land), table, ["user_id"], cp,
+        protocol="delta",
+    ).awaitTermination()
+    want = {(7, "purchase"), (8, "click"), (9, "click")}
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in delta_lite.read_delta(spark, table).collect()
+    }
+    assert got == want
+    v = delta_lite.current_version(table)
+    # checkpoint-wiped replay: every batch re-delivers, the batch-id
+    # mark skips them all, no new Delta commit appears
+    import shutil
+
+    shutil.rmtree(cp)
+    jobs.upsert_stream(
+        jobs.read_event_stream(spark, land), table, ["user_id"], cp,
+    ).awaitTermination()
+    assert delta_lite.current_version(table) == v
+    got2 = {
+        (r["user_id"], r["event_type"])
+        for r in delta_lite.read_delta(spark, table).collect()
+    }
+    assert got2 == want
