@@ -9192,6 +9192,195 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_int8(corpus, queries, "vec_id", "embedding", k=_I8_K)
 
 
+_MMR_CAND = 25
+_MMR_K = 5
+_MMR_LAM = 0.7
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-k (similarity.mmr_rerank): SRP-bucketed
+    retrieval fetches the query's top-25 candidates (bounded — the
+    post-retrieval contract), then the greedy
+    lam·relevance − (1−lam)·max-sim-to-selected selection picks 5.
+    The oracle unrolls all five greedy steps as correlated CTEs over
+    the same candidate set and pairwise cosine table, so selection
+    order, scores, AND tie-breaks are replayed exactly."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0)
+    cand_ids = similarity.lsh_knn(
+        emb, q0, id_col="vec_id", vec_col="embedding", k=_MMR_CAND,
+        num_planes=_HYBRID_PLANES, dim=_SRP_DIM, seed=_SRP_SEED,
+    ).select(F.col("neighbor_id").alias("vec_id"))
+    cands = emb.join(cand_ids, "vec_id")
+    qv = [float(x) for x in q0.first()["embedding"]]
+    out = similarity.mmr_rerank(
+        cands, qv, id_col="vec_id", vec_col="embedding", k=_MMR_K, lam=_MMR_LAM
+    )
+    return out.select(
+        "rank",
+        "vec_id",
+        (F.floor(F.col("relevance") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("relevance"),
+        (F.floor(F.col("mmr") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("mmr"),
+    )
+
+
+def _oracle_mmr_rerank() -> str:
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.similarity import (
+        _det_plane,
+    )
+
+    planes = [_det_plane(_SRP_SEED, i, _SRP_DIM) for i in range(_HYBRID_PLANES)]
+    bucket_terms = " + ".join(
+        f"CASE WHEN list_dot_product(embedding::DOUBLE[], {p!r}::DOUBLE[]) >= 0 "
+        f"THEN {2**i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    lam, om = _MMR_LAM, 1.0 - _MMR_LAM
+    steps, union = [], []
+    for i in range(1, _MMR_K + 1):
+        if i == 1:
+            steps.append(
+                f"s1 AS (SELECT vec_id, simq, {lam!r} * simq AS mmr FROM cand "
+                f"ORDER BY {lam!r} * simq DESC, vec_id LIMIT 1)"
+            )
+        else:
+            sel = " UNION ALL ".join(f"SELECT vec_id FROM s{j}" for j in range(1, i))
+            steps.append(
+                f"s{i} AS (SELECT c.vec_id, c.simq, {lam!r} * c.simq - {om!r} * "
+                f"(SELECT max(s.c) FROM sims s WHERE s.ia = c.vec_id "
+                f" AND s.ib IN ({sel})) AS mmr "
+                f"FROM cand c WHERE c.vec_id NOT IN ({sel}) "
+                f"ORDER BY mmr DESC, c.vec_id LIMIT 1)"
+            )
+        union.append(
+            f"SELECT {i} AS rank, vec_id, floor(simq * 1e6 + 0.5) / 1e6 AS relevance, "
+            f"floor(mmr * 1e6 + 0.5) / 1e6 AS mmr FROM s{i}"
+        )
+    steps_sql = ",\n".join(steps)
+    union_sql = "\nUNION ALL\n".join(union)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({bucket_terms}) AS bucket FROM embeddings
+),
+q AS (SELECT embedding AS qv, bucket FROM b WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.embedding,
+         list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS simq
+  FROM b e JOIN q ON e.bucket = q.bucket
+  WHERE e.vec_id != 0
+),
+cand AS (
+  SELECT vec_id, embedding, simq FROM scored
+  QUALIFY row_number() OVER (ORDER BY simq DESC, vec_id ASC) <= {_MMR_CAND}
+),
+sims AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
+  FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+),
+{steps_sql}
+SELECT CAST(rank AS INT) AS rank, vec_id, relevance, mmr FROM ({union_sql})
+"""
+
+
+_CHARSET_KL_THRESHOLD = 0.25
+
+
+def q_charset_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution anomaly gate (textstats.charset_kl):
+    KL(doc letter mix ‖ corpus letter mix) with +1-smoothed corpus
+    baseline — catches gibberish/mojibake/base64 blobs whose
+    length/stopword/punct ratios look fine.  One shuffle-free 26-cell
+    projection per doc + ONE corpus aggregate broadcast back; the
+    anomalous flag compares raw doubles computed by identical
+    arithmetic on both engines, and the displayed kl is portably
+    floor-rounded."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    out = textstats.charset_kl(
+        d, "doc_id", "text", threshold=_CHARSET_KL_THRESHOLD
+    )
+    return out.select(
+        "doc_id",
+        "n_letters",
+        (F.floor(F.col("kl") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("kl"),
+        "anomalous",
+    )
+
+
+def _oracle_charset_anomaly() -> str:
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    c = [
+        f"(length(lower(text)) - length(replace(lower(text), '{ch}', '')))"
+        for ch in letters
+    ]
+    n = " + ".join(c)
+    qcells = ", ".join(f"CAST(sum({ci}) AS BIGINT) AS q{i}" for i, ci in enumerate(c))
+    qsum = " + ".join(f"q{i}" for i in range(26)) + " + 26"
+    # left-assoc explicit term chain matches Spark's aggregate fold order
+    terms = " + ".join(
+        f"(CASE WHEN {ci} > 0 THEN {ci} * ln(CAST({ci} AS DOUBLE))"
+        f" - {ci} * ln(CAST(q{i} + 1 AS DOUBLE) / qsum) ELSE 0.0 END)"
+        for i, ci in enumerate(c)
+    )
+    return f"""
+WITH tot AS (SELECT {qcells} FROM documents),
+base AS (
+  SELECT doc_id, CAST({n} AS BIGINT) AS n_letters,
+         ({terms}) AS term_sum
+  FROM documents CROSS JOIN (SELECT *, CAST({qsum} AS DOUBLE) AS qsum FROM tot)
+)
+SELECT doc_id, n_letters,
+       CASE WHEN n_letters > 0
+            THEN floor((term_sum / n_letters - ln(CAST(n_letters AS DOUBLE))) * 1e6 + 0.5) / 1e6
+            END AS kl,
+       CASE WHEN n_letters > 0
+            THEN (term_sum / n_letters - ln(CAST(n_letters AS DOUBLE))) > {_CHARSET_KL_THRESHOLD}
+            ELSE TRUE END AS anomalous
+FROM base
+"""
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per doc (textstats.flesch_reading_ease):
+    vowel-group syllables, [.!?]+ sentence runs (min 1), whitespace
+    words — the standard cheap readability gate over a crawl.  Pure
+    regexp_count projections, zero shuffles; integer counts feed
+    shared-IEEE double arithmetic, display portably floor-rounded."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    words, sentences, syllables, flesch = textstats.flesch_reading_ease(F.col("text"))
+    return d.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+        (F.floor(flesch * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias("flesch"),
+    )
+
+
+ORACLE_READABILITY = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables
+  FROM documents
+)
+SELECT doc_id, words, sentences, syllables,
+       floor((206.835
+              - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+              - 84.6 * (CAST(syllables AS DOUBLE) / CAST(greatest(words, 1) AS DOUBLE)))
+             * 1e4 + 0.5) / 1e4 AS flesch
+FROM base
+"""
+
+
 # the derived-column projection the reference-parity gate hashes;
 # shipment_id keys the row, everything else is pipeline output
 _REF_PARITY_COLS = [
@@ -11274,6 +11463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 6 (insert new HERE) -------
+        "mmr_rerank": q_mmr_rerank,
+        "charset_anomaly": q_charset_anomaly,
+        "readability": q_readability,
         "delta_upsert_roundtrip": q_delta_upsert_roundtrip,
         "reference_batch_parity": q_reference_batch_parity,
         "ann_int8_pruned": q_ann_int8_pruned,
@@ -11524,6 +11716,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mmr_rerank": _oracle_mmr_rerank(),
+        "charset_anomaly": _oracle_charset_anomaly(),
+        "readability": ORACLE_READABILITY,
         "delta_upsert_roundtrip": ORACLE_COMPACTED_UPSERT,
         "reference_batch_parity": ORACLE_REFERENCE_BATCH_PARITY,
         "ann_int8_pruned": _oracle_ann_int8_pruned(),

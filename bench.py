@@ -199,6 +199,9 @@ BENCH_QUERIES = [
     "quality_calibration",
     "compacted_upsert",
     "delta_upsert_roundtrip",
+    "charset_anomaly",
+    "readability",
+    "mmr_rerank",
     "pca_top_component",
     "forecast_revenue",
     # round-6 additions: full-registry bench sweep (VERDICT r5 #3)

@@ -1281,6 +1281,69 @@ def ann_int8_pruned(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick k items maximizing
+    ``lam·cos(q,d) − (1−lam)·max_{s∈selected} cos(d,s)`` — the standard
+    diversified-top-k stage between an ANN retriever and a consumer
+    that can't afford k near-duplicates (RAG context packing, dedup'd
+    search pages).
+
+    Scale contract: ``candidates`` is the BOUNDED output of a
+    retriever (top-N per query, N ~ 100), never a corpus — re-ranking
+    is by construction a post-retrieval stage.  Each greedy step is one
+    tiny distributed argmax (orderBy+limit(1)); selected vectors ride
+    as literals into the next step's penalty expression (k·dim driver
+    state — model-sized, same budget as the kmeans centroids).  Scores
+    break ties on id over raw doubles computed by engine-identical
+    arithmetic, so the oracle's unrolled greedy replays the exact
+    selection."""
+    spark = candidates.sparkSession
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    base = (
+        candidates.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .withColumn("__simq", cosine(F.col("__v"), qlit))
+        .persist()
+    )
+    om = 1.0 - lam
+    selected: list[tuple] = []
+    for _ in range(k):
+        rem = base
+        for sid, _, _, _ in selected:
+            rem = rem.filter(F.col("__id") != F.lit(sid))
+        if selected:
+            pens = [
+                cosine(F.col("__v"), F.array(*[F.lit(float(x)) for x in vec]))
+                for _, _, _, vec in selected
+            ]
+            pen = pens[0] if len(pens) == 1 else F.greatest(*pens)
+            score = F.lit(lam) * F.col("__simq") - F.lit(om) * pen
+        else:
+            score = F.lit(lam) * F.col("__simq")
+        rows = (
+            rem.select("__id", "__simq", score.alias("__mmr"), "__v")
+            .orderBy(F.desc("__mmr"), F.asc("__id"))
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            break
+        r = rows[0]
+        selected.append((r["__id"], r["__simq"], r["__mmr"], list(r["__v"])))
+    base.unpersist()
+    return spark.createDataFrame(
+        [(i + 1, sid, simq, mmr) for i, (sid, simq, mmr, _) in enumerate(selected)],
+        f"rank int, {id_col} long, relevance double, mmr double",
+    )
+
+
 def kmeans_lloyd(
     df: DataFrame,
     id_col: str,

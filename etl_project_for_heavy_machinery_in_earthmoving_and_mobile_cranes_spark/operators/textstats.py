@@ -1377,3 +1377,104 @@ def c4_line_filters(
         (F.size(kept) >= min_kept_lines).alias("keep"),
         F.array_join(kept, "\n").alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution anomaly (gibberish / encoding-junk detection)
+# and readability — two quality dimensions the ratio filters miss
+# ---------------------------------------------------------------------------
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def letter_counts(col: Column) -> Column:
+    """26-long array of per-letter counts (case-folded).  One
+    length-after-replace pass per letter — 26 codegen'd scans of the
+    string per row, shuffle-free; the explode-and-count alternative is
+    one pass but shuffles a (doc, char) row per CHARACTER, which at
+    corpus scale costs far more than the wider map stage."""
+    low = F.lower(col)
+    return F.array(
+        *[
+            (F.length(low) - F.length(F.replace(low, F.lit(ch), F.lit("")))).cast(
+                "bigint"
+            )
+            for ch in _LETTERS
+        ]
+    )
+
+
+def charset_kl(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Character-distribution anomaly score: KL(doc letter distribution
+    ‖ corpus letter distribution), the cheap detector for gibberish,
+    wrong-charset mojibake, and base64/hex blobs that sail through
+    length/stopword/punctuation filters (letter RATIOS stay plausible
+    while the letter MIX is impossible).  RedPajama/Dolma-class
+    pipelines run exactly this family of distributional gates.
+
+    Scale shape: per-doc letter counts are one shuffle-free projection;
+    the corpus baseline is ONE 26-cell aggregate broadcast back as a
+    scalar row (never a join); KL is a zip_with fold.  Smoothing: +1 on
+    corpus cells (q > 0 everywhere); zero-count doc letters contribute
+    0 (lim p→0 of p·ln(p/q)).  Docs with no letters score NULL, flagged
+    separately.  All-integer counts → shared-IEEE double ops → the
+    oracle replays bit-for-bit.
+
+    Returns (id, n_letters, kl, anomalous).
+    """
+    counts = df.select(F.col(id_col), letter_counts(F.col(text_col)).alias("__lc"))
+    total = counts.agg(
+        *[F.sum(F.element_at("__lc", i + 1)).alias(f"q{i}") for i in range(26)]
+    )
+    q_smoothed = F.array(*[F.col(f"q{i}") + F.lit(1) for i in range(26)])
+    qsum = sum(F.col(f"q{i}") for i in range(26)) + F.lit(26)
+    scored = counts.crossJoin(F.broadcast(total)).select(
+        id_col,
+        F.aggregate("__lc", F.lit(0).cast("bigint"), lambda a, v: a + v).alias(
+            "n_letters"
+        ),
+        F.zip_with(
+            "__lc",
+            q_smoothed,
+            lambda p, q: F.when(
+                p > 0,
+                p * F.log(p.cast("double")) - p * F.log(q.cast("double") / qsum),
+            ).otherwise(F.lit(0.0)),
+        ).alias("__terms"),
+    )
+    kl = (
+        F.aggregate("__terms", F.lit(0.0), lambda a, v: a + v)
+        / F.col("n_letters")
+        - F.log(F.col("n_letters").cast("double"))
+    )
+    return scored.select(
+        id_col,
+        "n_letters",
+        F.when(F.col("n_letters") > 0, kl).alias("kl"),
+        F.when(F.col("n_letters") > 0, kl > F.lit(threshold))
+        .otherwise(F.lit(True))
+        .alias("anomalous"),
+    )
+
+
+def flesch_reading_ease(col: Column) -> tuple[Column, Column, Column, Column]:
+    """(words, sentences, syllables, flesch) — the classic readability
+    score 206.835 − 1.015·(W/S) − 84.6·(Syl/W) with the standard cheap
+    heuristics: sentences = [.!?]+ runs (min 1), syllables = vowel-group
+    runs [aeiouy]+ (the silent-e refinement moves scores ~2 points and
+    needs per-word logic; the vowel-group form is the one every
+    large-corpus readability gate actually ships).  Pure regexp_count
+    projections — shuffle-free, oracle-replayable."""
+    words = token_count(col).cast("bigint")
+    sentences = F.greatest(
+        F.regexp_count(col, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    syllables = F.regexp_count(F.lower(col), F.lit("[aeiouy]+")).cast("bigint")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / F.greatest(words, F.lit(1)).cast("double"))
+    )
+    return words, sentences, syllables, flesch

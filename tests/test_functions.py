@@ -136,3 +136,52 @@ def test_python_udtf_lateral_sentence_split(spark):
         (1, 1, "Three!"),
         (1, 2, "Four?"),
     ]
+
+
+def test_charset_kl_flags_gibberish_not_english(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        textstats,
+    )
+
+    normal = [
+        "the quick brown fox jumps over the lazy dog and runs home",
+        "it was the best of times it was the worst of times",
+        "a small boat drifted slowly along the quiet river at dawn",
+        "she read the letter twice before setting it on the table",
+        "rain fell all morning and the streets emptied one by one",
+        "the old clock in the hall struck nine and nobody noticed",
+    ]
+    rows = [(i + 1, t) for i, t in enumerate(normal)]
+    # base64-ish blob: plausible punct/length ratios, impossible letter mix
+    rows.append((97, "zzqx jjqz xqzj qzxj jzzq xjqz zqxj qjzx zxqj jqzz qzjx zzjq"))
+    rows.append((98, "!!! ??? ... 123 456"))  # no letters at all
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # short sentences score noisy KL (~0.2-0.6) against a tiny mixed
+    # baseline; the blob lands ~3x above the noisiest normal doc, so
+    # the unit threshold sits between (the registry query's 0.25 is
+    # tuned to the longer generated docs where normals sit ~0.03-0.5)
+    got = {
+        r["doc_id"]: (r["kl"], r["anomalous"], r["n_letters"])
+        for r in textstats.charset_kl(df, "doc_id", "text", threshold=1.0).collect()
+    }
+    for i in range(1, 7):
+        assert got[i][1] is False, i
+    assert got[97][1] is True and got[97][0] > max(got[i][0] for i in range(1, 7))
+    assert got[98] == (None, True, 0)  # letterless: NULL score, flagged
+
+
+def test_flesch_reading_ease_known_value(spark):
+    from pyspark.sql import functions as F
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        textstats,
+    )
+
+    df = spark.createDataFrame([(1, "The cat sat. The dog ran.")], "i long, text string")
+    w, s, y, fl = textstats.flesch_reading_ease(F.col("text"))
+    row = df.select(
+        w.alias("w"), s.alias("s"), y.alias("y"), F.round(fl, 4).alias("fl")
+    ).first()
+    # 6 words, 2 sentences, 6 vowel groups
+    assert (row["w"], row["s"], row["y"]) == (6, 2, 6)
+    assert row["fl"] == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)

@@ -1415,3 +1415,25 @@ def test_ann_int8_pruned_nprobe_all_cells_recovers_standalone(spark, sf_dir):
         ).collect()
     )
     assert got == want
+
+
+def test_mmr_rerank_diversifies_near_duplicates(spark):
+    """Candidates: two near-identical high-relevance vectors + one
+    moderately relevant orthogonal one.  Pure top-2 keeps the twins;
+    MMR must swap the second twin for the diverse candidate."""
+    q = [1.0, 0.0, 0.0]
+    cands = spark.createDataFrame(
+        [
+            (1, [0.99, 0.1, 0.0]),   # relevant
+            (2, [0.98, 0.12, 0.0]),  # near-dup of 1
+            (3, [0.6, 0.0, 0.8]),    # less relevant, diverse
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.mmr_rerank(cands, q, k=2, lam=0.5)
+    picked = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    assert picked == [1, 3]
+    # rank-1 mmr is lam*relevance; rank-2 carries the dup penalty
+    rows = {r["rank"]: r for r in out.collect()}
+    assert rows[1]["mmr"] == rows[1]["relevance"] * 0.5
+    assert rows[2]["mmr"] < rows[2]["relevance"] * 0.5
