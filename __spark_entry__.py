@@ -9192,6 +9192,116 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_int8(corpus, queries, "vec_id", "embedding", k=_I8_K)
 
 
+_ZORDER_BUCKETS = 32
+_ZORDER_BITS = 16
+
+
+def q_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout census (operators/layout.zorder_bucket_stats):
+    lineitem rows land in 32 equal-width Morton-range slices over
+    (l_partkey, l_suppkey) — the layout a Delta OPTIMIZE ZORDER BY
+    would write — and each slice reports the (min,max) bounding box
+    its file footer would expose, plus the box area that decides how
+    many files a 2-d predicate touches.  One shuffle-free bit-
+    interleave projection + a 1-row max broadcast + one 32-group hash
+    aggregate; the oracle replays the identical shift/and arithmetic."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        layout,
+    )
+
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return layout.zorder_bucket_stats(
+        li, "l_partkey", "l_suppkey",
+        n_buckets=_ZORDER_BUCKETS, bits=_ZORDER_BITS,
+    )
+
+
+def _oracle_zorder_clustering() -> str:
+    terms = []
+    for i in range(_ZORDER_BITS):
+        terms.append(f"(((CAST(l_partkey AS BIGINT) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((CAST(l_suppkey AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
+    morton = " + ".join(terms)
+    return f"""
+WITH coded AS (
+  SELECT CAST(l_partkey AS BIGINT) AS a, CAST(l_suppkey AS BIGINT) AS b,
+         ({morton}) AS m
+  FROM lineitem
+), top AS (SELECT max(m) AS maxm FROM coded),
+bucketed AS (
+  SELECT least(CAST(floor(m / (floor(maxm / {_ZORDER_BUCKETS}) + 1)) AS INT),
+               {_ZORDER_BUCKETS - 1}) AS bucket, a, b
+  FROM coded CROSS JOIN top
+)
+SELECT bucket, count(*) AS n,
+       min(a) AS min_a, max(a) AS max_a,
+       min(b) AS min_b, max(b) AS max_b,
+       (max(a) - min(a) + 1) * (max(b) - min(b) + 1) AS bbox_area
+FROM bucketed GROUP BY bucket
+"""
+
+
+def q_point_in_time_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free feature join (timeseries.point_in_time_join): the
+    even-event stream builds a per-user SCD2 attribute history
+    (timeseries.scd2_from_events on event_type); each ODD event is then
+    enriched with the attribute state valid AT its timestamp — the
+    feature-store primitive that keeps training rows from seeing
+    future dimension changes.  Implemented as union + last-non-null
+    window (ONE exchange on user_id), never an interval theta join;
+    the oracle states the same semantics directly as the interval
+    join ts >= valid_from AND (next open OR ts < valid_to)."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events")
+    dim_events = e.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "ts", "event_type"
+    )
+    intervals = timeseries.scd2_from_events(dim_events, "user_id", "ts", ["event_type"])
+    facts = e.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = timeseries.point_in_time_join(
+        facts, intervals, "user_id", "ts", ["event_type"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("event_type").alias("state_type"),
+    )
+
+
+ORACLE_POINT_IN_TIME = """
+WITH dim AS (
+  SELECT user_id, ts, event_type FROM events WHERE event_id % 2 = 0
+), runs AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM dim WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), runid AS (
+  SELECT user_id, ts, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM runs
+), iv0 AS (
+  SELECT user_id, event_type, min(ts) AS valid_from
+  FROM runid GROUP BY user_id, event_type, run
+), iv AS (
+  SELECT user_id, event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to
+  FROM iv0
+), facts AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_id % 2 = 1
+)
+SELECT f.event_id, f.user_id, f.ts, f.value, iv.event_type AS state_type
+FROM facts f
+LEFT JOIN iv ON iv.user_id = f.user_id
+            AND f.ts >= iv.valid_from
+            AND (iv.valid_to IS NULL OR f.ts < iv.valid_to)
+"""
+
+
 _MMR_CAND = 25
 _MMR_K = 5
 _MMR_LAM = 0.7
@@ -11463,6 +11573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 6 (insert new HERE) -------
+        "zorder_clustering": q_zorder_clustering,
+        "point_in_time_enrich": q_point_in_time_enrich,
         "mmr_rerank": q_mmr_rerank,
         "charset_anomaly": q_charset_anomaly,
         "readability": q_readability,
@@ -11716,6 +11828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "zorder_clustering": _oracle_zorder_clustering(),
+        "point_in_time_enrich": ORACLE_POINT_IN_TIME,
         "mmr_rerank": _oracle_mmr_rerank(),
         "charset_anomaly": _oracle_charset_anomaly(),
         "readability": ORACLE_READABILITY,

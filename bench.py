@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "charset_anomaly",
     "readability",
     "mmr_rerank",
+    "zorder_clustering",
+    "point_in_time_enrich",
     "pca_top_component",
     "forecast_revenue",
     # round-6 additions: full-registry bench sweep (VERDICT r5 #3)

@@ -505,3 +505,64 @@ def cusum_flags(
         shown = s
     out = df.withColumn("cusum", shown)
     return out.withColumn("alarm", s > threshold)
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    from_col: str = "valid_from",
+) -> DataFrame:
+    """Point-in-time (leakage-free) enrichment: each fact row gets the
+    dimension attribute state that was valid AT its timestamp — the
+    feature-store correctness primitive that keeps training features
+    from peeking at future attribute changes.
+
+    Contract: ``intervals`` is a CONTIGUOUS validity history per key
+    (exactly what ``scd2_from_events`` emits — each interval opens at
+    ``valid_from`` and closes when the next opens), so state never
+    expires between intervals and only the open edges matter.
+
+    Scale shape (the reason this is NOT an interval theta join): dim
+    interval-open rows and fact rows are unioned and ordered by
+    (ts, dim-before-fact); the state at each fact is the last non-null
+    dim struct in that order — ONE hash exchange on the key feeds one
+    window, O((facts + intervals) log batch) per key, no range-join
+    row explosion, no per-fact dim probe.  A fact timestamped exactly
+    at an interval's open edge sees the NEW state (dim rows sort
+    first), matching the ``ts >= valid_from AND ts < next`` semantics
+    the oracle states directly as an interval join.  Facts before a
+    key's first interval (or with no dim history) get NULL attributes.
+    Attributes ride in ONE struct so a legitimately-NULL attribute
+    value never breaks the last-non-null carry."""
+    dim_rows = intervals.select(
+        F.col(key_col),
+        F.col(from_col).alias(ts_col),
+        F.lit(0).alias("__is_fact"),
+        F.struct(*[F.col(a) for a in attr_cols]).alias("__state"),
+        *[F.lit(None).cast(facts.schema[c].dataType).alias(c)
+          for c in facts.columns if c not in (key_col, ts_col)],
+    )
+    fact_rows = facts.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(1).alias("__is_fact"),
+        F.lit(None).cast(dim_rows.schema["__state"].dataType).alias("__state"),
+        *[F.col(c) for c in facts.columns if c not in (key_col, ts_col)],
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("__is_fact").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = dim_rows.unionByName(fact_rows).withColumn(
+        "__carry", F.last("__state", ignorenulls=True).over(w)
+    )
+    out_cols = (
+        [F.col(key_col), F.col(ts_col)]
+        + [F.col(c) for c in facts.columns if c not in (key_col, ts_col)]
+        + [F.col("__carry").getField(a).alias(a) for a in attr_cols]
+    )
+    return carried.filter(F.col("__is_fact") == 1).select(*out_cols)

@@ -293,3 +293,63 @@ def test_cusum_flags_matches_sequential_recurrence(spark):
     # the shift is detected (some alarm fires after index 5)
     assert any(a for _, a in [got[i] for i in range(5, 10)])
     assert not any(a for _, a in [got[i] for i in range(0, 5)])
+
+
+def test_point_in_time_join_semantics(spark):
+    """Facts see the dim state valid AT their ts: open-edge inclusive,
+    next-change exclusive (leakage-free), NULL before first interval,
+    and a legitimately-NULL attribute value still carries."""
+    import datetime as dt
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        timeseries,
+    )
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    intervals = spark.createDataFrame(
+        [(1, "bronze", t(10), t(12), False),
+         (1, None, t(12), t(14), False),      # NULL attribute state
+         (1, "gold", t(14), None, True),
+         (2, "silver", t(11), None, True)],
+        "user_id long, tier string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, t(9)),    # before first interval -> NULL
+         (101, 1, t(10)),   # exactly at open edge -> bronze (inclusive)
+         (102, 1, t(13)),   # inside the NULL-state interval -> NULL (carried, not skipped)
+         (103, 1, t(15)),   # open current interval -> gold
+         (104, 2, t(12)),   # other key
+         (105, 3, t(12))],  # key with no dim history -> NULL
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = timeseries.point_in_time_join(facts, intervals, "user_id", "ts", ["tier"])
+    got = {r["event_id"]: r["tier"] for r in out.collect()}
+    assert got == {100: None, 101: "bronze", 102: None, 103: "gold",
+                   104: "silver", 105: None}
+    assert out.count() == 6  # every fact survives exactly once
+
+
+def test_point_in_time_matches_interval_join_on_scd2(spark, sf_dir):
+    """Window implementation == interval-join semantics on real SCD2
+    output (the oracle states the join form; this pins equivalence)."""
+    from pyspark.sql import functions as F
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        timeseries,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = e.filter("event_id % 2 = 0").select("user_id", "ts", "event_type")
+    iv = timeseries.scd2_from_events(dim, "user_id", "ts", ["event_type"])
+    facts = e.filter("event_id % 2 = 1").select("user_id", "ts", "event_id")
+    got = timeseries.point_in_time_join(facts, iv, "user_id", "ts", ["event_type"])
+    want = facts.alias("f").join(
+        iv.alias("i"),
+        (F.col("f.user_id") == F.col("i.user_id"))
+        & (F.col("f.ts") >= F.col("i.valid_from"))
+        & (F.col("i.valid_to").isNull() | (F.col("f.ts") < F.col("i.valid_to"))),
+        "left",
+    ).select("f.event_id", F.col("i.event_type"))
+    g = {(r["event_id"], r["event_type"]) for r in got.select("event_id", "event_type").collect()}
+    w = {(r["event_id"], r["event_type"]) for r in want.collect()}
+    assert g == w and len(g) == facts.count()
