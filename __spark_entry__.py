@@ -9192,6 +9192,106 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_int8(corpus, queries, "vec_id", "embedding", k=_I8_K)
 
 
+def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day
+    (quality.mutual_information): the dependence census behind feature
+    selection and label-leakage sniffing.  One joint-count hash
+    aggregate; marginals are window sums over the |A|·|B| joint table;
+    4-dp rounding absorbs summation-order ulps (the bigram_logprob
+    discipline)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        quality,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hour_bucket")
+    )
+    out = quality.mutual_information(e, "event_type", "hour_bucket")
+    r4 = lambda c: (F.floor(F.col(c) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias(c)
+    return out.select("n", "cells", r4("mi"), r4("nmi"), r4("ha"), r4("hb"))
+
+
+ORACLE_FEATURE_MI = """
+WITH joint AS (
+  SELECT event_type AS a, hour(ts) AS b, count(*) AS c
+  FROM events GROUP BY 1, 2
+), cells AS (
+  SELECT c,
+         sum(c) OVER (PARTITION BY a) AS ca,
+         sum(c) OVER (PARTITION BY b) AS cb,
+         sum(c) OVER () AS n
+  FROM joint
+), agg AS (
+  SELECT max(n) AS n, count(*) AS cells,
+         sum((c / CAST(n AS DOUBLE)) *
+             ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) /
+                (CAST(ca AS DOUBLE) * cb))) AS mi,
+         sum((c / CAST(n AS DOUBLE)) * -(ln(ca / CAST(n AS DOUBLE)))) AS ha,
+         sum((c / CAST(n AS DOUBLE)) * -(ln(cb / CAST(n AS DOUBLE)))) AS hb
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(cells AS BIGINT) AS cells,
+       floor(mi * 1e4 + 0.5) / 1e4 AS mi,
+       floor((CASE WHEN least(ha, hb) > 0 THEN mi / least(ha, hb) ELSE 0.0 END)
+             * 1e4 + 0.5) / 1e4 AS nmi,
+       floor(ha * 1e4 + 0.5) / 1e4 AS ha,
+       floor(hb * 1e4 + 0.5) / 1e4 AS hb
+FROM agg
+"""
+
+
+_NEG_K = 2
+
+
+def q_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic link-prediction negative sampling
+    (graph.negative_edges) over the part<->supplier supply graph: k=2
+    md5-hash-drawn candidate partners per node against a dense node
+    index, real edges and self-pairs removed by anti join — the
+    non-edge half of a graph-embedding training batch, reproducible
+    across engines (no RNG state).  The oracle replays the hash, the
+    dense index, the candidate draw, and the anti join."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        graph,
+    )
+
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("id_a"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("id_b"),
+    ).distinct()
+    return graph.negative_edges(edges, k=_NEG_K)
+
+
+def _oracle_negative_edges() -> str:
+    draws = ", ".join(f"({i})" for i in range(_NEG_K))
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS u,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS v
+  FROM lineitem
+), nodes AS (
+  SELECT DISTINCT n FROM (SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)
+), indexed AS (
+  SELECT n, row_number() OVER (ORDER BY n) - 1 AS idx FROM nodes
+), nv AS (SELECT count(*) AS nv FROM nodes),
+cand AS (
+  SELECT i.n,
+         CAST(('0x' || substr(md5('0:' || i.n || ':' || t.i), 1, 8))::BIGINT
+              % nv.nv AS INT) AS tidx
+  FROM indexed i CROSS JOIN nv CROSS JOIN (VALUES {draws}) t(i)
+), paired AS (
+  SELECT DISTINCT least(c.n, tgt.n) AS neg_a, greatest(c.n, tgt.n) AS neg_b
+  FROM cand c JOIN indexed tgt ON tgt.idx = c.tidx
+  WHERE c.n != tgt.n
+)
+SELECT p.neg_a, p.neg_b FROM paired p
+ANTI JOIN pairs e ON e.u = p.neg_a AND e.v = p.neg_b
+"""
+
+
 _ZORDER_BUCKETS = 32
 _ZORDER_BITS = 16
 
@@ -11573,6 +11673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 6 (insert new HERE) -------
+        "feature_mi": q_feature_mi,
+        "negative_edges": q_negative_edges,
         "zorder_clustering": q_zorder_clustering,
         "point_in_time_enrich": q_point_in_time_enrich,
         "mmr_rerank": q_mmr_rerank,
@@ -11828,6 +11930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "feature_mi": ORACLE_FEATURE_MI,
+        "negative_edges": _oracle_negative_edges(),
         "zorder_clustering": _oracle_zorder_clustering(),
         "point_in_time_enrich": ORACLE_POINT_IN_TIME,
         "mmr_rerank": _oracle_mmr_rerank(),

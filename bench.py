@@ -204,6 +204,8 @@ BENCH_QUERIES = [
     "mmr_rerank",
     "zorder_clustering",
     "point_in_time_enrich",
+    "feature_mi",
+    "negative_edges",
     "pca_top_component",
     "forecast_revenue",
     # round-6 additions: full-registry bench sweep (VERDICT r5 #3)

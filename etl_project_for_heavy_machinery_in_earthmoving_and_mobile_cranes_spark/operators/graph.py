@@ -18,7 +18,7 @@ and the cap turns the worst case into a constant).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -132,4 +132,76 @@ def triangle_enumerate(
         .select(
             F.col("a").alias("id_a"), F.col("b").alias("id_b"), F.col("c").alias("id_c")
         )
+    )
+
+
+def negative_edges(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "id_a",
+    dst: str = "id_b",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction training:
+    for every node appearing in the (canonically ordered, undirected)
+    edge list, ``k`` candidate partners drawn by md5 hash over a dense
+    node index, minus real edges and self-pairs — the non-edge half of
+    every graph-embedding / GNN training batch, reproducible across
+    runs and engines (no RNG state; the hash family is the repo's
+    ``md5_hash64`` convention, replayable in SQL).
+
+    Scale shape: the node universe is |V|-sized (a global-ordered dense
+    index over the distinct endpoints — the one global sort, node-count
+    not edge-count sized); candidates are a narrow k-way explode over
+    nodes; realness is removed by ONE left-anti hash join against the
+    canonical edge list.  Emitted pairs are canonical (neg_a < neg_b)
+    and deduped, so a pair sampled from both endpoints appears once.
+    Expected yield is ~k·|V|·(1 − 2|E|/|V|²) — on sparse graphs nearly
+    every candidate survives.
+    """
+    from .dedup import md5_hash64
+
+    e = edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+    nodes = (
+        e.select(F.col("__u").alias("__n"))
+        .unionAll(e.select(F.col("__v").alias("__n")))
+        .distinct()
+    )
+    w = Window.orderBy("__n")
+    indexed = nodes.withColumn("__idx", F.row_number().over(w) - 1)
+    n_nodes = indexed.select(F.count("*").alias("__nv"))
+    cand = (
+        indexed.crossJoin(F.broadcast(n_nodes))
+        .select(
+            "__n",
+            F.explode(
+                F.array(*[
+                    (
+                        md5_hash64(
+                            F.concat_ws(":", F.col("__n").cast("string"), F.lit(str(i))),
+                            seed=seed,
+                        )
+                        % F.col("__nv")
+                    ).cast("int")
+                    for i in range(k)
+                ])
+            ).alias("__tidx"),
+        )
+    )
+    paired = (
+        cand.join(
+            indexed.select(F.col("__idx").alias("__tidx"), F.col("__n").alias("__t")),
+            "__tidx",
+        )
+        .filter(F.col("__n") != F.col("__t"))
+        .select(
+            F.least("__n", "__t").alias("neg_a"),
+            F.greatest("__n", "__t").alias("neg_b"),
+        )
+        .distinct()
+    )
+    return paired.join(
+        e.select(F.col("__u").alias("neg_a"), F.col("__v").alias("neg_b")),
+        ["neg_a", "neg_b"],
+        "left_anti",
     )

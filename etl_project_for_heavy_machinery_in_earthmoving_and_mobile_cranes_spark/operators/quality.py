@@ -589,3 +589,60 @@ def categorical_drift(
             "jsd",
         )
     )
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    dependence census behind feature selection, leakage sniffing
+    ("does this feature secretly encode the label?"), and stratification
+    design.  MI = Σ_ab p(a,b) · ln(p(a,b) / (p(a)·p(b))), computed from
+    ONE joint-count hash aggregate; the marginals are window sums over
+    the (|A|·|B|)-sized joint table, so nothing data-sized is joined or
+    shuffled twice.  NULLs are a real category (eqNullSafe semantics via
+    grouping).  All-integer counts → shared-IEEE double ops; the
+    per-cell contributions and their left-fold sum replay exactly in
+    SQL.
+
+    Returns one row: (n, cells, mi, nmi) where nmi = MI / min(H(A),
+    H(B)) ∈ [0,1] (0 when either entropy is 0 — a constant column
+    carries no information).
+    """
+    from pyspark.sql import Window as W
+
+    joint = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count("*").alias("__c"))
+    wa = W.partitionBy("__a")
+    wb = W.partitionBy("__b")
+    wall = W.partitionBy()
+    cells = joint.select(
+        "__c",
+        F.sum("__c").over(wa).alias("__ca"),
+        F.sum("__c").over(wb).alias("__cb"),
+        F.sum("__c").over(wall).alias("__n"),
+    )
+    n = F.col("__n").cast("double")
+    term = (F.col("__c") / n) * F.log(
+        (F.col("__c").cast("double") * n) / (F.col("__ca").cast("double") * F.col("__cb"))
+    )
+    ha_term = (F.col("__c") / n) * -F.log(F.col("__ca") / n)
+    hb_term = (F.col("__c") / n) * -F.log(F.col("__cb") / n)
+    agg = cells.agg(
+        F.max("__n").alias("n"),
+        F.count("*").alias("cells"),
+        F.sum(term).alias("mi"),
+        F.sum(ha_term).alias("ha"),
+        F.sum(hb_term).alias("hb"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("cells").cast("bigint").alias("cells"),
+        "mi",
+        F.when(
+            F.least("ha", "hb") > 0, F.col("mi") / F.least("ha", "hb")
+        ).otherwise(F.lit(0.0)).alias("nmi"),
+        "ha",
+        "hb",
+    )

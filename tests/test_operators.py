@@ -1503,3 +1503,45 @@ def test_zorder_layout_prunes_on_either_dimension(spark, tmp_path):
     # predicate narrow in a: BOTH layouts prune (z-order keeps a bounded too)
     za = files_touched(zpath, "a", 0, 7)
     assert za <= files // 2
+
+
+def test_mutual_information_known_values(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        quality,
+    )
+
+    # perfectly dependent: b == a -> MI = H(A) = ln 2, NMI = 1
+    dep = spark.createDataFrame([(0, 0), (1, 1)] * 8, "a int, b int")
+    r = quality.mutual_information(dep, "a", "b").first()
+    import math
+
+    assert abs(r["mi"] - math.log(2)) < 1e-12 and abs(r["nmi"] - 1.0) < 1e-12
+    # independent uniform 2x2 -> MI = 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in (0, 1) for b in (0, 1)] * 4, "a int, b int"
+    )
+    r = quality.mutual_information(ind, "a", "b").first()
+    assert abs(r["mi"]) < 1e-12 and abs(r["nmi"]) < 1e-12
+    # constant column -> zero entropy -> nmi defined as 0
+    const = spark.createDataFrame([(0, 1), (0, 2)] * 4, "a int, b int")
+    r = quality.mutual_information(const, "a", "b").first()
+    assert r["mi"] == 0.0 and r["nmi"] == 0.0
+
+
+def test_negative_edges_are_nonedges_and_deterministic(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        graph,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")], "id_a string, id_b string"
+    )
+    neg1 = {(r["neg_a"], r["neg_b"]) for r in graph.negative_edges(edges, k=3).collect()}
+    neg2 = {(r["neg_a"], r["neg_b"]) for r in graph.negative_edges(edges, k=3).collect()}
+    assert neg1 == neg2  # deterministic across runs
+    real = {("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")}
+    assert neg1 and not (neg1 & real)  # true non-edges only
+    for a, b in neg1:
+        assert a < b and a != b  # canonical, no self-pairs
+    # yield bound: at most k draws per node, canonicalized + deduped
+    assert len(neg1) <= 3 * 4
