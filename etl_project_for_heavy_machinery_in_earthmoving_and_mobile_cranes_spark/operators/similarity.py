@@ -140,16 +140,30 @@ def near_dup_pairs_bucketed(
             .filter(F.col("__csize") <= F.lit(max_cell))
             .drop("__csize")
         )
-    a = cells.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__cell"
-    )
-    b = cells.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__cell"
-    )
-    return (
+    # The pair pipeline is SLIM-FIRST (measured at 30× data, SCALE.md
+    # round 6): candidate pairs carry only the two ids through the cell
+    # join and the multi-probe dedup exchange (16-byte rows), and the
+    # 64-dim vectors are fetched AFTERWARDS by id-keyed joins for the
+    # one exact scoring pass per distinct pair.  Shipping vectors
+    # through the pair shuffle (~40× wider rows at candidate-mass
+    # count) is the difference between a 30× probe that finishes in
+    # ~2 min and one that spills >100 GB and never returns.  The fetch
+    # joins broadcast here (an embedding corpus slice is MBs at gate
+    # scale); at 100 TB they become shuffle hash joins on the id — the
+    # pair list stays the only candidate-mass exchange either way.
+    a = cells.select(F.col(id_col).alias("id_a"), "__cell")
+    b = cells.select(F.col(id_col).alias("id_b"), "__cell")
+    pairs = (
         a.join(b, on="__cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    ea = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    eb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        pairs.join(F.broadcast(ea), "id_a")
+        .join(F.broadcast(eb), "id_b")
         .select(
             "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim")
         )
