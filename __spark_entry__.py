@@ -9192,6 +9192,98 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_int8(corpus, queries, "vec_id", "embedding", k=_I8_K)
 
 
+import math as _math
+
+_FS_FIELDS = {
+    # field -> (m, u): match / chance-agreement probabilities
+    "key_digits": (0.90, 0.001),
+    "acctbal_band": (0.80, 0.018),
+    "bal_kilobucket": (0.70, 0.09),
+}
+_FS_UPPER = 3.0
+_FS_LOWER = 0.0
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (operators/linkage): supplier ×
+    customer candidates blocked on nationkey (equi join — never a
+    cross join), Fellegi–Sunter log-likelihood weights over three
+    field comparators (entity-id digit fragment, ±100 acctbal band,
+    acctbal kilo-bucket), three-way match/possible/nonmatch decision; nonmatches
+    are dropped before the result leaves the stage, so output is
+    answer-mass.  The oracle inlines the identical ln(m/u) double
+    literals and replays every weight, the left-assoc sum, and the
+    thresholds."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        linkage,
+    )
+
+    tune(spark)
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("nationkey"),
+        "s_name", "s_acctbal",
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nationkey"),
+        "c_name", "c_acctbal",
+    )
+    cand = linkage.blocked_candidates(sup, cust, ["nationkey"])
+    fields = {
+        "key_digits": (
+            F.substring("s_name_l", -3, 3) == F.substring("c_name_r", -3, 3),
+            *_FS_FIELDS["key_digits"],
+        ),
+        "acctbal_band": (
+            F.abs(F.col("s_acctbal_l") - F.col("c_acctbal_r")) < 100,
+            *_FS_FIELDS["acctbal_band"],
+        ),
+        "bal_kilobucket": (
+            F.floor(F.col("s_acctbal_l") / 1000) == F.floor(F.col("c_acctbal_r") / 1000),
+            *_FS_FIELDS["bal_kilobucket"],
+        ),
+    }
+    scored = linkage.fs_score(cand, fields, upper=_FS_UPPER, lower=_FS_LOWER)
+    return (
+        scored.filter(F.col("decision") != "nonmatch")
+        .select(
+            F.col("s_suppkey_l").alias("s_suppkey"),
+            F.col("c_custkey_r").alias("c_custkey"),
+            (F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("score"),
+            "decision",
+        )
+    )
+
+
+def _oracle_record_linkage() -> str:
+    w = {}
+    for name, (m, u) in _FS_FIELDS.items():
+        w[name] = (_math.log(m / u), _math.log((1 - m) / (1 - u)))
+    terms = []
+    for name, cond in [
+        ("key_digits", "substr(s.s_name, -3, 3) = substr(c.c_name, -3, 3)"),
+        ("acctbal_band", "abs(s.s_acctbal - c.c_acctbal) < 100"),
+        ("bal_kilobucket", "floor(s.s_acctbal / 1000) = floor(c.c_acctbal / 1000)"),
+    ]:
+        agree, disagree = w[name]
+        terms.append(
+            f"(CASE WHEN {cond} THEN {agree!r} ELSE {disagree!r} END)"
+        )
+    score = " + ".join(terms)
+    return f"""
+WITH scored AS (
+  SELECT s.s_suppkey, c.c_custkey, ({score}) AS score
+  FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey
+)
+SELECT s_suppkey, c_custkey,
+       floor(score * 1e6 + 0.5) / 1e6 AS score,
+       CASE WHEN score > {_FS_UPPER!r} THEN 'match'
+            WHEN score > {_FS_LOWER!r} THEN 'possible'
+            ELSE 'nonmatch' END AS decision
+FROM scored
+WHERE score > {_FS_LOWER!r}
+"""
+
+
 def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between event type and hour-of-day
     (quality.mutual_information): the dependence census behind feature
@@ -11673,6 +11765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 6 (insert new HERE) -------
+        "record_linkage": q_record_linkage,
         "feature_mi": q_feature_mi,
         "negative_edges": q_negative_edges,
         "zorder_clustering": q_zorder_clustering,
@@ -11930,6 +12023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "record_linkage": _oracle_record_linkage(),
         "feature_mi": ORACLE_FEATURE_MI,
         "negative_edges": _oracle_negative_edges(),
         "zorder_clustering": _oracle_zorder_clustering(),

@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "zorder_clustering",
     "point_in_time_enrich",
     "feature_mi",
+    "record_linkage",
     "negative_edges",
     "pca_top_component",
     "forecast_revenue",

@@ -1545,3 +1545,39 @@ def test_negative_edges_are_nonedges_and_deterministic(spark):
         assert a < b and a != b  # canonical, no self-pairs
     # yield bound: at most k draws per node, canonicalized + deduped
     assert len(neg1) <= 3 * 4
+
+
+def test_fellegi_sunter_weights_and_decisions(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        linkage,
+    )
+    import math
+
+    left = spark.createDataFrame(
+        [(1, "acme corp", 10), (2, "zebra ltd", 10)],
+        "lid long, name_a string, blk int",
+    )
+    right = spark.createDataFrame(
+        [(7, "acme corporation", 10), (8, None, 10), (9, "other", 11)],
+        "rid long, name_b string, blk int",
+    )
+    cand = linkage.blocked_candidates(left, right, ["blk"])
+    assert cand.count() == 4  # rid 9 blocked out (different block)
+    fields = {
+        "name": (linkage.token_jaccard(F.col("name_a_l"), F.col("name_b_r")) >= 0.3,
+                 0.9, 0.05),
+    }
+    scored = linkage.fs_score(cand, fields, upper=1.0, lower=-3.0)
+    got = {(r["lid_l"], r["rid_r"]): (round(r["score"], 9), r["decision"])
+           for r in scored.collect()}
+    w_agree = round(math.log(0.9 / 0.05), 9)
+    w_dis = round(math.log(0.1 / 0.95), 9)
+    # acme corp vs acme corporation: tokens {acme,corp} vs
+    # {acme,corporation} -> jaccard 1/3 >= 0.3 -> agree -> match
+    assert got[(1, 7)] == (w_agree, "match")
+    # NULL comparator -> weight 0 -> 'possible' (no information)
+    assert got[(1, 8)][0] == 0.0 and got[(1, 8)][1] == "possible"
+    assert got[(2, 8)][0] == 0.0
+    # zebra vs acme corporation: jaccard 0 -> disagree -> w_dis in
+    # (lower, upper] -> possible
+    assert got[(2, 7)] == (w_dis, "possible")
