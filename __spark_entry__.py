@@ -9192,6 +9192,59 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_int8(corpus, queries, "vec_id", "embedding", k=_I8_K)
 
 
+def q_delta_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed from Delta time travel (sources/delta_lite): two
+    overwrite commits land per-user aggregate snapshots (v0 = even
+    events only, v1 = all events); the diff between read_delta(v=0)
+    and the latest snapshot — exceptAll in both directions, labeled —
+    is the row-level change feed a downstream consumer derives from an
+    open-format table's history without any bespoke changelog.  The
+    oracle recomputes both snapshot states and replays the EXCEPT ALL
+    algebra."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    agg = lambda df: df.groupBy("user_id").agg(
+        F.count("*").alias("n"), dsum("value").alias("total_value")
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_tt_")
+    path = os.path.join(tmp, "user_state")
+    try:
+        delta_lite.write_delta(agg(e.filter(F.col("event_id") % 2 == 0)), path)
+        delta_lite.write_delta(agg(e), path, mode="overwrite")
+        old = delta_lite.read_delta(spark, path, version=0)
+        new = delta_lite.read_delta(spark, path)
+        out = (
+            new.exceptAll(old).withColumn("change", F.lit("upsert"))
+            .unionByName(old.exceptAll(new).withColumn("change", F.lit("retract")))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _oracle_delta_tt_diff() -> str:
+    return f"""
+WITH v0 AS (
+  SELECT user_id, count(*) AS n, {sql_dsum('value')} AS total_value
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1
+), v1 AS (
+  SELECT user_id, count(*) AS n, {sql_dsum('value')} AS total_value
+  FROM events GROUP BY 1
+)
+SELECT *, 'upsert' AS change FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)
+UNION ALL
+SELECT *, 'retract' AS change FROM (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1)
+"""
+
+
 import math as _math
 
 _FS_FIELDS = {
@@ -11765,6 +11818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 6 (insert new HERE) -------
+        "delta_time_travel_diff": q_delta_time_travel_diff,
         "record_linkage": q_record_linkage,
         "feature_mi": q_feature_mi,
         "negative_edges": q_negative_edges,
@@ -12023,6 +12077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "delta_time_travel_diff": _oracle_delta_tt_diff(),
         "record_linkage": _oracle_record_linkage(),
         "feature_mi": ORACLE_FEATURE_MI,
         "negative_edges": _oracle_negative_edges(),

@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "point_in_time_enrich",
     "feature_mi",
     "record_linkage",
+    "delta_time_travel_diff",
     "negative_edges",
     "pca_top_component",
     "forecast_revenue",
