@@ -9192,6 +9192,84 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_int8(corpus, queries, "vec_id", "embedding", k=_I8_K)
 
 
+_NEYMAN_N = 500
+
+
+def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal stratified sampling (sampling.neyman_allocation):
+    orders stratified by priority, budget 500 allocated ∝ N_h·S_h with
+    S_h from exact DECIMAL moments (never engine stddev — the repo's
+    cross-engine discipline), rows drawn per stratum by deterministic
+    md5-rank over the order key.  Returns the allocation table joined
+    with the ACHIEVED sample census (count + DECIMAL-summed value), so
+    the oracle hash verifies the exact drawn membership, not just the
+    arithmetic."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    tune(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    picked, alloc = sampling.neyman_allocation(
+        o, "o_orderpriority", "o_totalprice", _NEYMAN_N,
+        seed=0, key_cols=["o_orderkey"],
+    )
+    ach = picked.groupBy("o_orderpriority").agg(
+        F.count("*").alias("sampled_n"),
+        dsum("o_totalprice").alias("sampled_value"),
+    )
+    return alloc.join(ach, "o_orderpriority", "left").select(
+        "o_orderpriority",
+        "n_rows",
+        "alloc_n",
+        F.coalesce("sampled_n", F.lit(0)).alias("sampled_n"),
+        F.coalesce("sampled_value", F.lit(0.0)).alias("sampled_value"),
+    )
+
+
+def _oracle_neyman_sample() -> str:
+    return f"""
+WITH stats AS (
+  SELECT o_orderpriority AS h, count(*) AS nh,
+         sum(CAST(o_totalprice AS DECIMAL(30,6))) AS s1,
+         sum(CAST(o_totalprice AS DECIMAL(30,6)) * CAST(o_totalprice AS DECIMAL(30,6))) AS s2
+  FROM orders GROUP BY 1
+), wgt AS (
+  SELECT h, nh,
+         CAST(nh AS DOUBLE) *
+         sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(nh AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE)), 0.0)) AS w
+  FROM stats
+), tw AS (SELECT sum(w) AS tw FROM wgt),
+alloc AS (
+  SELECT h, nh,
+         CAST(CASE WHEN tw > 0 THEN floor(w / tw * {float(_NEYMAN_N)!r} + 0.5)
+                   ELSE 0 END AS BIGINT) AS alloc_n
+  FROM wgt CROSS JOIN tw
+), ranked AS (
+  SELECT o_orderpriority AS h, o_totalprice,
+         row_number() OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY md5('0' || chr(31) || CAST(o_orderkey AS VARCHAR)) ASC
+         ) AS rk
+  FROM orders
+), ach AS (
+  SELECT r.h, count(*) AS sampled_n,
+         {sql_dsum('r.o_totalprice')} AS sampled_value
+  FROM ranked r JOIN alloc a USING (h)
+  WHERE r.rk <= a.alloc_n
+  GROUP BY 1
+)
+SELECT a.h AS o_orderpriority, a.nh AS n_rows, a.alloc_n,
+       coalesce(ach.sampled_n, 0) AS sampled_n,
+       coalesce(ach.sampled_value, 0.0) AS sampled_value
+FROM alloc a LEFT JOIN ach ON ach.h = a.h
+"""
+
+
 def q_delta_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change feed from Delta time travel (sources/delta_lite): two
     overwrite commits land per-user aggregate snapshots (v0 = even
@@ -11808,16 +11886,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (C) queries with a green CORRECTNESS row in some prior round,
     most-recently-verified last.  Round 6: section A is EMPTY (the r5
     driver pass verified the whole 50-entry prefix green); section B =
-    the round-6 additions.  NOTE: four long-green queries were
-    RE-SHAPED this round (embedding_knn, embedding_near_dup,
-    near_dup_triangles, hybrid_retrieval — all-pairs plans re-routed
-    through bucketed candidates per VERDICT r5 #1) and are re-listed in
-    section B so the driver re-verifies the new shapes.  All registered
-    queries additionally pass the local gate (tools/check_oracle.py
-    --exact) at sf0.01 AND sf0.1 before every round ends."""
+    the round-6 additions (delta_time_travel_diff, record_linkage,
+    feature_mi, negative_edges, zorder_clustering,
+    point_in_time_enrich, mmr_rerank, charset_anomaly, readability,
+    delta_upsert_roundtrip, reference_batch_parity, ann_int8_pruned).
+    NOTE: four long-green queries were RE-SHAPED this round
+    (embedding_knn, embedding_near_dup, near_dup_triangles,
+    hybrid_retrieval — all-pairs plans re-routed through bucketed
+    candidates per VERDICT r5 #1) and are re-listed in section B so
+    the driver re-verifies the new shapes.  All registered queries
+    additionally pass the local gate (tools/check_oracle.py --exact)
+    at sf0.01 AND sf0.1 before every round ends."""
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 6 (insert new HERE) -------
+        "neyman_stratified_sample": q_neyman_sample,
         "delta_time_travel_diff": q_delta_time_travel_diff,
         "record_linkage": q_record_linkage,
         "feature_mi": q_feature_mi,
@@ -12077,6 +12160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "neyman_stratified_sample": _oracle_neyman_sample(),
         "delta_time_travel_diff": _oracle_delta_tt_diff(),
         "record_linkage": _oracle_record_linkage(),
         "feature_mi": ORACLE_FEATURE_MI,

@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "feature_mi",
     "record_linkage",
     "delta_time_travel_diff",
+    "neyman_stratified_sample",
     "negative_edges",
     "pca_top_component",
     "forecast_revenue",

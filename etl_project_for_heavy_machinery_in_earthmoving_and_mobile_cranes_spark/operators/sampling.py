@@ -735,3 +735,80 @@ def length_bucket_batches(
             "pad_waste", F.col("padded_slots") - F.col("real_tokens")
         )
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+    seed: int = 0,
+    key_cols: "list[str] | None" = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Variance-optimal stratified sampling (Neyman 1934): stratum h
+    gets n_h = total_n · N_h·S_h / Σ N_g·S_g — more budget where the
+    metric varies more — then n_h rows are drawn per stratum by
+    deterministic md5-rank (the repo's replayable sampling primitive).
+    The estimator-design workhorse for audit sampling and eval-set
+    construction over skewed corpora.
+
+    Determinism discipline: S_h comes from exact DECIMAL Σv / Σv²
+    (population variance, textbook formula — never engine ``stddev``,
+    whose ulps differ across engines); allocations are
+    floor(share·total_n + 0.5) of shared-IEEE doubles; the draw ranks
+    md5 hashes with id tie-break.  One aggregate over the data, one
+    |strata|-row broadcast back, one rank window per stratum.
+
+    Returns (sampled rows + ``__rank``, allocation table
+    (stratum, n_rows, alloc_n)).
+    """
+    from pyspark.sql import Window as W
+
+    dec = "decimal(30,6)"
+    stats = df.groupBy(F.col(stratum_col).alias("__h")).agg(
+        F.count("*").alias("__nh"),
+        F.sum(F.col(value_col).cast(dec)).alias("__s1"),
+        F.sum((F.col(value_col).cast(dec) * F.col(value_col).cast(dec))).alias("__s2"),
+    )
+    nh = F.col("__nh").cast("double")
+    mean = F.col("__s1").cast("double") / nh
+    var = F.greatest(
+        F.col("__s2").cast("double") / nh - mean * mean, F.lit(0.0)
+    )
+    alloc = stats.select(
+        "__h", "__nh", (nh * F.sqrt(var)).alias("__w")
+    )
+    tot = alloc.agg(F.sum("__w").alias("__tw"))
+    alloc = alloc.crossJoin(F.broadcast(tot)).select(
+        "__h",
+        "__nh",
+        F.when(
+            F.col("__tw") > 0,
+            F.floor(F.col("__w") / F.col("__tw") * F.lit(float(total_n)) + F.lit(0.5)),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("__alloc"),
+    )
+    # deterministic per-stratum draw: rank on md5 over ``key_cols``
+    # (seed-prefixed, unit-separator-joined) — no RNG state, identical
+    # in any engine.  Callers with cross-engine replay needs pass an
+    # integer/string unique key (float→string formatting differs
+    # between engines); default is the full row.
+    cols = key_cols or df.columns
+    key = F.md5(F.concat_ws("\x1f", F.lit(str(seed)), *[F.col(c).cast("string") for c in cols]))
+    win = W.partitionBy(F.col(stratum_col)).orderBy(key.asc())
+    ranked = df.withColumn("__rank", F.row_number().over(win))
+    picked = (
+        ranked.join(
+            F.broadcast(alloc.select(F.col("__h").alias(stratum_col), "__alloc")),
+            stratum_col,
+        )
+        .filter(F.col("__rank") <= F.col("__alloc"))
+        .drop("__alloc")
+    )
+    return picked, alloc.select(
+        F.col("__h").alias(stratum_col),
+        F.col("__nh").alias("n_rows"),
+        F.col("__alloc").alias("alloc_n"),
+    )

@@ -582,3 +582,36 @@ def test_length_bucket_batches_packing_and_waste(spark):
     ).collect()
     assert sum(r["real_tokens"] for r in sharded) == 986
     assert sum(r["n_rows"] for r in sharded) == 6
+
+
+def test_neyman_allocation_properties(spark):
+    """Allocation ∝ N_h·S_h: the high-variance stratum gets (nearly)
+    the whole budget; zero-variance strata get ~0; draws are exact-size
+    and deterministic across calls."""
+    from pyspark.sql import functions as F
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        sampling,
+    )
+
+    rows = []
+    for i in range(200):
+        rows.append((i, "flat", 10.0))           # S=0
+        rows.append((1000 + i, "wild", float((i % 2) * 1000)))  # S large
+    df = spark.createDataFrame(rows, "id long, stratum string, v double")
+    picked, alloc = sampling.neyman_allocation(
+        df, "stratum", "v", 100, seed=0, key_cols=["id"]
+    )
+    a = {r["stratum"]: (r["n_rows"], r["alloc_n"]) for r in alloc.collect()}
+    assert a["flat"] == (200, 0)      # zero variance -> zero budget
+    assert a["wild"] == (200, 100)    # all budget to the varying stratum
+    got1 = sorted(r["id"] for r in picked.collect())
+    assert len(got1) == 100 and all(i >= 1000 for i in got1)
+    picked2, _ = sampling.neyman_allocation(
+        df, "stratum", "v", 100, seed=0, key_cols=["id"]
+    )
+    assert sorted(r["id"] for r in picked2.collect()) == got1  # deterministic
+    picked3, _ = sampling.neyman_allocation(
+        df, "stratum", "v", 100, seed=7, key_cols=["id"]
+    )
+    assert sorted(r["id"] for r in picked3.collect()) != got1  # seed moves the draw
