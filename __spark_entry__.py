@@ -9192,6 +9192,100 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_int8(corpus, queries, "vec_id", "embedding", k=_I8_K)
 
 
+def q_cumulative_channel_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51-shaped cumulative-series comparison: daily money
+    cumulated along TWO event axes — order intake (o_orderdate,
+    o_totalprice) vs shipped revenue (l_shipdate, discounted price) —
+    full outer merged on the date, keeping days where cumulative
+    intake exceeds cumulative shipped (the order-backlog value).  Two
+    window cumsums over daily pre-aggregates (the |dates|-sized
+    table, never raw rows), one merge — the DS pattern expressed as
+    one lazy plan.  Money stays in the DECIMAL-sum discipline."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    ship = (
+        li.groupBy(F.col("l_shipdate").alias("d"))
+        .agg(F.sum(rev).alias("ship_rev"))
+    )
+    intake = (
+        o.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("order_rev"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    merged = intake.join(ship, "d", "full_outer").select(
+        "d",
+        F.sum(F.coalesce(F.col("order_rev"), F.lit(0).cast("decimal(30,6)"))).over(w).alias("cum_ord_d"),
+        F.sum(F.coalesce(F.col("ship_rev"), F.lit(0).cast("decimal(30,6)"))).over(w).alias("cum_ship_d"),
+    )
+    return merged.filter(F.col("cum_ord_d") > F.col("cum_ship_d")).select(
+        "d",
+        F.round(F.col("cum_ord_d"), 2).cast("double").alias("cum_ordered"),
+        F.round(F.col("cum_ship_d"), 2).cast("double").alias("cum_shipped"),
+    )
+
+
+ORACLE_CUM_CHANNEL = """
+WITH intake AS (
+  SELECT o_orderdate AS d,
+         sum(CAST(o_totalprice AS DECIMAL(30,6))) AS order_rev
+  FROM orders GROUP BY 1
+), ship AS (
+  SELECT l_shipdate AS d,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS ship_rev
+  FROM lineitem GROUP BY 1
+), merged AS (
+  SELECT coalesce(intake.d, ship.d) AS d,
+         sum(coalesce(order_rev, 0)) OVER (ORDER BY coalesce(intake.d, ship.d)
+             ROWS UNBOUNDED PRECEDING) AS cum_ord_d,
+         sum(coalesce(ship_rev, 0)) OVER (ORDER BY coalesce(intake.d, ship.d)
+             ROWS UNBOUNDED PRECEDING) AS cum_ship_d
+  FROM intake FULL OUTER JOIN ship ON intake.d = ship.d
+)
+SELECT d, CAST(round(cum_ord_d, 2) AS DOUBLE) AS cum_ordered,
+       CAST(round(cum_ship_d, 2) AS DOUBLE) AS cum_shipped
+FROM merged WHERE cum_ord_d > cum_ship_d
+"""
+
+
+_HOUR_BANDS = [(0, 6), (6, 9), (9, 12), (12, 15), (15, 18), (18, 21), (21, 24)]
+
+
+def q_multi_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88-shaped multi-band census: one SCAN of events feeds
+    seven conditional (count, DECIMAL-sum) pairs over hour-of-day
+    bands — the scan-once discipline for dashboard tiles that naive
+    SQL writes as 7 self-joined subqueries.  Single hash aggregate, no
+    joins, no re-reads."""
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select(
+        F.hour("ts").alias("h"), F.col("value").cast("decimal(30,6)").alias("v")
+    )
+    aggs = []
+    for lo, hi in _HOUR_BANDS:
+        band = (F.col("h") >= lo) & (F.col("h") < hi)
+        aggs.append(F.count_if(band).alias(f"n_{lo:02d}_{hi:02d}"))
+        aggs.append(
+            F.round(F.sum(F.when(band, F.col("v"))), 2)
+            .cast("double")
+            .alias(f"v_{lo:02d}_{hi:02d}")
+        )
+    return e.agg(*aggs)
+
+
+def _oracle_multi_band_counts() -> str:
+    cols = []
+    for lo, hi in _HOUR_BANDS:
+        cond = f"hour(ts) >= {lo} AND hour(ts) < {hi}"
+        cols.append(f"count(*) FILTER (WHERE {cond}) AS n_{lo:02d}_{hi:02d}")
+        cols.append(
+            f"CAST(round(sum(CAST(value AS DECIMAL(30,6))) FILTER (WHERE {cond}), 2) AS DOUBLE)"
+            f" AS v_{lo:02d}_{hi:02d}"
+        )
+    return "SELECT " + ", ".join(cols) + " FROM events"
+
+
 _NEYMAN_N = 500
 
 
@@ -11900,6 +11994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 6 (insert new HERE) -------
+        "cumulative_channel_compare": q_cumulative_channel_compare,
+        "multi_band_counts": q_multi_band_counts,
         "neyman_stratified_sample": q_neyman_sample,
         "delta_time_travel_diff": q_delta_time_travel_diff,
         "record_linkage": q_record_linkage,
@@ -12160,6 +12256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cumulative_channel_compare": ORACLE_CUM_CHANNEL,
+        "multi_band_counts": _oracle_multi_band_counts(),
         "neyman_stratified_sample": _oracle_neyman_sample(),
         "delta_time_travel_diff": _oracle_delta_tt_diff(),
         "record_linkage": _oracle_record_linkage(),

@@ -208,6 +208,8 @@ BENCH_QUERIES = [
     "record_linkage",
     "delta_time_travel_diff",
     "neyman_stratified_sample",
+    "cumulative_channel_compare",
+    "multi_band_counts",
     "negative_edges",
     "pca_top_component",
     "forecast_revenue",
