@@ -717,3 +717,60 @@ def test_ann_int8_pruned_no_all_pairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_point_in_time_single_exchange(spark, sf_dir):
+    """PIT enrichment must be union + ONE key-partitioned window — an
+    interval theta join here would explode at scale."""
+    import re
+
+    p = plan_of(spark, "point_in_time_enrich", sf_dir)
+    assert "Window" in p
+    # exactly two key-partitioned exchanges: one building the SCD2
+    # intervals (user_id window chain reuses its clustering through the
+    # run-collapse), one repartitioning the dim∪fact union for the
+    # carry window — and NO join of any kind
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", p)) == 2
+    assert "Join" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_multi_band_counts_one_scan_no_joins(spark, sf_dir):
+    """Q88 shape: seven conditional aggregates from ONE scan — any Join
+    node means the plan degenerated to the naive per-band subqueries."""
+    p = plan_of(spark, "multi_band_counts", sf_dir)
+    assert "Join" not in p
+    # formatted explain prints each node in the tree AND the detail
+    # section -> exactly one scan node == exactly two mentions
+    assert p.count("Scan parquet") == 2
+    assert "HashAggregate" in p
+
+
+def test_record_linkage_blocked_equi_join(spark, sf_dir):
+    """Candidates must ride the blocking equi join — never a cross
+    join/BNLJ over supplier x customer."""
+    p = plan_of(spark, "record_linkage", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+
+
+def test_zorder_and_neyman_no_cartesian(spark, sf_dir):
+    """Scalar broadcasts (max-morton / total-weight) are 1-row builds;
+    nothing else may be unbounded."""
+    for q in ["zorder_clustering", "neyman_stratified_sample"]:
+        p = plan_of(spark, q, sf_dir)
+        assert "CartesianProduct" not in p, q
+
+
+def test_cumulative_channel_windows_over_preaggregates(spark, sf_dir):
+    """The cumsums must run over the daily pre-aggregate tables, never
+    raw lineitem rows: aggregates appear BELOW the window in the plan."""
+    p = plan_of(spark, "cumulative_channel_compare", sf_dir)
+    assert "Window" in p
+    # the formatted tree prints top-down, so the daily pre-aggregates
+    # (HashAggregate) must appear BELOW the window node, and the merge
+    # of the two series is the full-outer SMJ of the aggregate subtrees
+    assert "HashAggregate" in p.split("Window")[1]
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
