@@ -281,3 +281,14 @@ def vacuum(table: str) -> list[str]:
             os.remove(full)
             removed.append(name)
     return removed
+
+
+def compact(spark: SparkSession, table: str, n_files: int = 1) -> int:
+    """OPTIMIZE-style small-file compaction: rewrite the CURRENT
+    snapshot into ``n_files`` files and commit it as a new version
+    whose adds replace the old file set (dataChange=False semantics in
+    full Delta; this thin layer commits a plain overwrite — readers of
+    old versions are untouched either way, time travel intact).
+    Returns the committed version."""
+    snapshot = read_delta(spark, table)
+    return write_delta(snapshot.coalesce(n_files), table, mode="overwrite")

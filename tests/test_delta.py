@@ -197,3 +197,27 @@ def test_upsert_stream_on_delta_protocol_end_to_end(spark, tmp_path):
         for r in delta_lite.read_delta(spark, table).collect()
     }
     assert got2 == want
+
+
+def test_compact_preserves_content_and_history(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for b in range(4):  # four appends -> many small files
+        delta_lite.write_delta(
+            _df(spark, [(b * 10 + i, f"v{b}") for i in range(3)]), t,
+            mode="append" if b else "overwrite",
+        )
+    before = {(r["k"], r["v"]) for r in delta_lite.read_delta(spark, t).collect()}
+    import glob
+
+    n_before = len(glob.glob(f"{t}/part-*.parquet"))
+    v = delta_lite.compact(spark, t, n_files=1)
+    assert v == 4
+    after = {(r["k"], r["v"]) for r in delta_lite.read_delta(spark, t).collect()}
+    assert after == before
+    # the new snapshot references exactly one live file
+    live, _, _ = delta_lite._read_actions(t)
+    assert len(live) == 1
+    # pre-compaction snapshots still time-travel (files not vacuumed)
+    at3 = {(r["k"], r["v"]) for r in delta_lite.read_delta(spark, t, version=3).collect()}
+    assert at3 == before
+    assert len(glob.glob(f"{t}/part-*.parquet")) >= n_before  # old files intact
