@@ -9192,6 +9192,69 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_int8(corpus, queries, "vec_id", "embedding", k=_I8_K)
 
 
+def q_basket_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering coefficients (graph.clustering_coefficients) over the
+    part co-order basket graph: parts are adjacent when some order
+    contains both (equi self-join on orderkey — orders hold ≤7 lines,
+    so edge fan-out is bounded per order), triangles credited to their
+    three corners, cc = 2·tri/(deg·(deg−1)).  Top-20 hubs by (degree,
+    node) with 6-dp portable rounding; the oracle replays the edge
+    build, the triangle joins, and the credit explode."""
+    tune(spark)
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("id_b"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degree + three triangle legs
+    )
+    cc = graph.clustering_coefficients(edges)
+    return (
+        cc.orderBy(F.desc("degree"), F.asc("node"))
+        .limit(20)
+        .select(
+            "node", "degree", "triangles",
+            (F.floor(F.col("cc") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cc"),
+        )
+    )
+
+
+ORACLE_BASKET_CC = """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY 1
+), tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+), per_node AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT a AS node FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+  ) GROUP BY 1
+), cc AS (
+  SELECT d.node, d.degree, coalesce(p.triangles, 0) AS triangles,
+         CASE WHEN d.degree >= 2
+              THEN CAST(2.0 AS DOUBLE) * coalesce(p.triangles, 0)
+                   / (CAST(d.degree AS DOUBLE) * (d.degree - 1))
+              ELSE 0.0 END AS cc
+  FROM deg d LEFT JOIN per_node p USING (node)
+)
+SELECT node, degree, triangles, floor(cc * 1e6 + 0.5) / 1e6 AS cc
+FROM cc ORDER BY degree DESC, node ASC LIMIT 20
+"""
+
+
 def q_cumulative_channel_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS Q51-shaped cumulative-series comparison: daily money
     cumulated along TWO event axes — order intake (o_orderdate,
@@ -11994,6 +12057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 6 (insert new HERE) -------
+        "basket_clustering_coeff": q_basket_clustering_coeff,
         "cumulative_channel_compare": q_cumulative_channel_compare,
         "multi_band_counts": q_multi_band_counts,
         "neyman_stratified_sample": q_neyman_sample,
@@ -12256,6 +12320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "basket_clustering_coeff": ORACLE_BASKET_CC,
         "cumulative_channel_compare": ORACLE_CUM_CHANNEL,
         "multi_band_counts": _oracle_multi_band_counts(),
         "neyman_stratified_sample": _oracle_neyman_sample(),

@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "delta_time_travel_diff",
     "neyman_stratified_sample",
     "cumulative_channel_compare",
+    "basket_clustering_coeff",
     "multi_band_counts",
     "negative_edges",
     "pca_top_component",

@@ -205,3 +205,48 @@ def negative_edges(
         ["neg_a", "neg_b"],
         "left_anti",
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Local clustering coefficient per node over a canonically-ordered
+    undirected edge list: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how
+    clique-like each neighborhood is (dup-cluster quality, community
+    cohesion, basket-graph analysis).  Nodes of degree < 2 score 0.
+
+    Scale shape: degrees are one hash aggregate over the edge list;
+    per-node triangle counts come from ``triangle_enumerate`` (two hash
+    joins, wedge-bounded) with each triangle credited to its three
+    corners via a narrow explode — no new join shapes beyond the
+    triangle pass.  Returns (node, degree, triangles, cc)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    tris = triangle_enumerate(e, src="u", dst="v")
+    per_node = (
+        tris.select(
+            F.explode(F.array("id_a", "id_b", "id_c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree").cast("double") * (F.col("degree") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cc"),
+        )
+    )

@@ -1581,3 +1581,24 @@ def test_fellegi_sunter_weights_and_decisions(spark):
     # zebra vs acme corporation: jaccard 0 -> disagree -> w_dis in
     # (lower, upper] -> possible
     assert got[(2, 7)] == (w_dis, "possible")
+
+
+def test_clustering_coefficients_known_graph(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        graph,
+    )
+
+    # triangle a-b-c plus pendant c-d: cc(a)=cc(b)=1, cc(c)=1/3, cc(d)=0
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")], "id_a string, id_b string"
+    )
+    got = {
+        r["node"]: (r["degree"], r["triangles"], round(r["cc"], 9))
+        for r in graph.clustering_coefficients(edges).collect()
+    }
+    assert got == {
+        "a": (2, 1, 1.0),
+        "b": (2, 1, 1.0),
+        "c": (3, 1, round(1 / 3, 9)),
+        "d": (1, 0, 0.0),
+    }
