@@ -12043,7 +12043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (C) queries with a green CORRECTNESS row in some prior round,
     most-recently-verified last.  Round 6: section A is EMPTY (the r5
     driver pass verified the whole 50-entry prefix green); section B =
-    the round-6 additions (delta_time_travel_diff, record_linkage,
+    the 16 round-6 additions (basket_clustering_coeff,
+    cumulative_channel_compare, multi_band_counts,
+    neyman_stratified_sample, delta_time_travel_diff, record_linkage,
     feature_mi, negative_edges, zorder_clustering,
     point_in_time_enrich, mmr_rerank, charset_anomaly, readability,
     delta_upsert_roundtrip, reference_batch_parity, ann_int8_pruned).
