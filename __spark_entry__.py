@@ -9192,6 +9192,64 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_int8(corpus, queries, "vec_id", "embedding", k=_I8_K)
 
 
+_FP_MIN_SUPPORT = 3
+_FP_TOPK = 25
+
+
+def q_frequent_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (analysis.frequent_pairs): part
+    pairs co-ordered in the same order with support ≥ 3, confidence in
+    both directions and lift from integer-count divisions; top-25 by
+    (support desc, lift desc, pair).  One basket self-join bounded by
+    order size + broadcast count joins; the oracle replays every count
+    and ratio.  Portable 6-dp floor-round on the ratios."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        analysis,
+    )
+
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = analysis.frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_support=_FP_MIN_SUPPORT
+    )
+    r6 = lambda c: (F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(c)
+    return (
+        out.orderBy(F.desc("support"), F.desc("lift"), F.asc("item_a"), F.asc("item_b"))
+        .limit(_FP_TOPK)
+        .select("item_a", "item_b", "support", "n_a", "n_b",
+                r6("conf_a_to_b"), r6("conf_b_to_a"), r6("lift"))
+    )
+
+
+ORACLE_FREQUENT_PAIRS = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+nb AS (SELECT count(DISTINCT bk) AS n FROM b),
+ic AS (SELECT i, count(*) AS c FROM b GROUP BY 1),
+pairs AS (
+  SELECT a.i AS item_a, bb.i AS item_b, CAST(count(*) AS BIGINT) AS support
+  FROM b a JOIN b bb ON a.bk = bb.bk AND a.i < bb.i
+  GROUP BY 1, 2 HAVING count(*) >= {_FP_MIN_SUPPORT}
+), scored AS (
+  SELECT p.item_a, p.item_b, p.support,
+         CAST(ca.c AS BIGINT) AS n_a, CAST(cb.c AS BIGINT) AS n_b,
+         p.support / CAST(ca.c AS DOUBLE) AS conf_a_to_b,
+         p.support / CAST(cb.c AS DOUBLE) AS conf_b_to_a,
+         p.support * nb.n / (CAST(ca.c AS DOUBLE) * cb.c) AS lift
+  FROM pairs p
+  JOIN ic ca ON ca.i = p.item_a
+  JOIN ic cb ON cb.i = p.item_b
+  CROSS JOIN nb
+)
+SELECT item_a, item_b, support, n_a, n_b,
+       floor(conf_a_to_b * 1e6 + 0.5) / 1e6 AS conf_a_to_b,
+       floor(conf_b_to_a * 1e6 + 0.5) / 1e6 AS conf_b_to_a,
+       floor(lift * 1e6 + 0.5) / 1e6 AS lift
+FROM scored
+ORDER BY support DESC, lift DESC, item_a ASC, item_b ASC
+LIMIT {_FP_TOPK}
+"""
+
+
 def q_basket_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering coefficients (graph.clustering_coefficients) over the
     part co-order basket graph: parts are adjacent when some order
@@ -12059,6 +12117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 6 (insert new HERE) -------
+        "frequent_item_pairs": q_frequent_item_pairs,
         "basket_clustering_coeff": q_basket_clustering_coeff,
         "cumulative_channel_compare": q_cumulative_channel_compare,
         "multi_band_counts": q_multi_band_counts,
@@ -12322,6 +12381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "frequent_item_pairs": ORACLE_FREQUENT_PAIRS,
         "basket_clustering_coeff": ORACLE_BASKET_CC,
         "cumulative_channel_compare": ORACLE_CUM_CHANNEL,
         "multi_band_counts": _oracle_multi_band_counts(),

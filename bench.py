@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "neyman_stratified_sample",
     "cumulative_channel_compare",
     "basket_clustering_coeff",
+    "frequent_item_pairs",
     "multi_band_counts",
     "negative_edges",
     "pca_top_component",

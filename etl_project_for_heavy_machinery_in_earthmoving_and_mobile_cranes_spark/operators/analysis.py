@@ -199,3 +199,58 @@ def pareto_frontier_2d(
         F.col("_pf_best_below").isNull()
         | (F.col(maximize) >= F.col("_pf_best_below"))
     ).drop("_pf_best_below")
+
+
+def frequent_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Association-rule mining over (basket, item) rows — the frequent-
+    PAIR slice of FP-growth that answers the canonical market-basket
+    questions with plain relational algebra: for each co-occurring item
+    pair, ``support`` (baskets containing both), per-item basket counts,
+    ``confidence`` both directions (P(b|a), P(a|b)) and ``lift``
+    (support·N / (n_a·n_b)).
+
+    Scale shape: ONE distinct pass, one equi self-join on the basket id
+    (fan-out bounded by basket size, the same bound as the co-order
+    graph build), two hash aggregates, one broadcast of the |items|-
+    sized count table, one 1-row basket-count broadcast.
+    ``min_support`` prunes the pair tail BEFORE the join-backs.  All
+    ratios are integer-count divisions — shared-IEEE, oracle-exact."""
+    b = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = b.select("__b").distinct().agg(F.count("*").alias("__n"))
+    item_counts = b.groupBy(F.col("__i").alias("__item")).agg(
+        F.count("*").alias("__ic")
+    )
+    left = b.select(F.col("__b"), F.col("__i").alias("item_a"))
+    right = b.select(F.col("__b"), F.col("__i").alias("item_b"))
+    pairs = (
+        left.join(right, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return (
+        pairs.join(
+            F.broadcast(item_counts.select(F.col("__item").alias("item_a"),
+                                           F.col("__ic").alias("n_a"))), "item_a")
+        .join(
+            F.broadcast(item_counts.select(F.col("__item").alias("item_b"),
+                                           F.col("__ic").alias("n_b"))), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a", "item_b", "support",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (F.col("support") / F.col("n_a")).alias("conf_a_to_b"),
+            (F.col("support") / F.col("n_b")).alias("conf_b_to_a"),
+            (F.col("support") * F.col("__n")
+             / (F.col("n_a").cast("double") * F.col("n_b"))).alias("lift"),
+        )
+    )

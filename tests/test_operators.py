@@ -1602,3 +1602,24 @@ def test_clustering_coefficients_known_graph(spark):
         "c": (3, 1, round(1 / 3, 9)),
         "d": (1, 0, 0.0),
     }
+
+
+def test_frequent_pairs_counts_and_lift(spark):
+    baskets = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"),
+         (4, "y"), (4, "y")],  # duplicate item in basket counts once
+        "bk long, item string",
+    )
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in analysis.frequent_pairs(baskets, "bk", "item", min_support=1).collect()
+    }
+    xy = got[("x", "y")]
+    # x in baskets {1,2,3}, y in {1,2,4}, both in {1,2}; N=4
+    assert (xy["support"], xy["n_a"], xy["n_b"]) == (2, 3, 3)
+    assert abs(xy["conf_a_to_b"] - 2 / 3) < 1e-12
+    assert abs(xy["lift"] - (2 * 4) / (3 * 3)) < 1e-12
+    xz = got[("x", "z")]
+    assert (xz["support"], xz["n_b"]) == (1, 1)
+    assert abs(xz["lift"] - (1 * 4) / (3 * 1)) < 1e-12
+    assert ("y", "z") not in got  # never co-occur
