@@ -62,6 +62,8 @@ BNLJ_ALLOWLIST = {
     "pagerank_parts", "pca_top_component", "negative_edges",
     "parts_except_intersect", "asof_rate_join", "session_burst_overlap",
     "reference_batch_parity", "ann_int8",
+    # 1-row basket-count scalar broadcast (lift denominator)
+    "frequent_item_pairs",
 }
 # Arrow-batched Python at genuine codec boundaries only
 PYTHON_ALLOWLIST = {
