@@ -9192,6 +9192,63 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_int8(corpus, queries, "vec_id", "embedding", k=_I8_K)
 
 
+_STL_WINDOW = 3
+
+
+def q_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive STL-lite decomposition of daily shipped revenue
+    (timeseries.seasonal_decompose, exact_decimal mode): 7-point
+    centered moving-average trend (NULL at incomplete edges),
+    day-of-week seasonal from detrended residuals, remainder — the
+    anomaly/forecast preprocessing split.  Cross-engine determinism:
+    the sliding trend sums in DECIMAL (window summation ORDER differs
+    between engines — DuckDB uses segment trees) and the seasonal mean
+    sums 6-dp-quantized integer residuals, so every double is
+    bit-identical; outputs are 4-dp portable-rounded."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    out = timeseries.seasonal_decompose(
+        daily, "d", "rev", window=_STL_WINDOW, exact_decimal=True
+    )
+    r4 = lambda c: (F.floor(F.col(c) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias(c)
+    return out.select("d", r4("value"), r4("trend"), r4("seasonal"), r4("remainder"))
+
+
+def _oracle_revenue_decomposition() -> str:
+    span = 2 * _STL_WINDOW + 1
+    return f"""
+WITH daily AS (
+  SELECT l_shipdate AS d,
+         {sql_dsum('l_extendedprice * (1 - l_discount)')} AS value
+  FROM lineitem GROUP BY 1
+), t AS (
+  SELECT d, value,
+         CASE WHEN count(value) OVER w = {span}
+              THEN CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+                   / {float(span)!r}
+              END AS trend,
+         dayofweek(d) + 1 AS period
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN {_STL_WINDOW} PRECEDING
+               AND {_STL_WINDOW} FOLLOWING)
+), seas AS (
+  SELECT period,
+         (CAST(sum(CAST(floor((value - trend) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+          / count(*)) / 1e6 AS seasonal
+  FROM t WHERE trend IS NOT NULL GROUP BY 1
+)
+SELECT t.d,
+       floor(t.value * 1e4 + 0.5) / 1e4 AS value,
+       floor(t.trend * 1e4 + 0.5) / 1e4 AS trend,
+       floor(seas.seasonal * 1e4 + 0.5) / 1e4 AS seasonal,
+       floor((t.value - t.trend - seas.seasonal) * 1e4 + 0.5) / 1e4 AS remainder
+FROM t LEFT JOIN seas USING (period)
+"""
+
+
 _FP_MIN_SUPPORT = 3
 _FP_TOPK = 25
 
@@ -12117,6 +12174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 6 (insert new HERE) -------
+        "revenue_decomposition": q_revenue_decomposition,
         "frequent_item_pairs": q_frequent_item_pairs,
         "basket_clustering_coeff": q_basket_clustering_coeff,
         "cumulative_channel_compare": q_cumulative_channel_compare,
@@ -12381,6 +12439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "revenue_decomposition": _oracle_revenue_decomposition(),
         "frequent_item_pairs": ORACLE_FREQUENT_PAIRS,
         "basket_clustering_coeff": ORACLE_BASKET_CC,
         "cumulative_channel_compare": ORACLE_CUM_CHANNEL,

@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "cumulative_channel_compare",
     "basket_clustering_coeff",
     "frequent_item_pairs",
+    "revenue_decomposition",
     "multi_band_counts",
     "negative_edges",
     "pca_top_component",

@@ -566,3 +566,75 @@ def point_in_time_join(
         + [F.col("__carry").getField(a).alias(a) for a in attr_cols]
     )
     return carried.filter(F.col("__is_fact") == 1).select(*out_cols)
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period_col_fn=None,
+    window: int = 3,
+    exact_decimal: bool = False,
+) -> DataFrame:
+    """Additive STL-lite decomposition of a (timestamp, value) series:
+    ``trend`` = centered moving average over ``2·window+1`` points
+    (NULL at the edges where the window is incomplete — a partial
+    average would bend the trend toward the interior), ``seasonal`` =
+    the per-period mean of the detrended residual (period defaults to
+    day-of-week), ``remainder`` = value − trend − seasonal.  The
+    classic anomaly/forecast preprocessing split, as three window/agg
+    passes over the (already aggregated) series — the series is
+    |dates|-sized, so a single ORDER BY window is model-sized work, not
+    a corpus-scale sort.
+
+    ``exact_decimal`` is the cross-engine determinism mode for
+    oracle-paired queries: the trend's sliding sum runs in DECIMAL
+    (engines differ in double summation ORDER — DuckDB windows use
+    segment trees — and decimal sums are order-free), and the seasonal
+    mean sums residuals QUANTIZED to 6-dp integers (exact bigint sum),
+    so every output double is bit-identical everywhere.
+
+    Returns (ts, value, trend, seasonal, remainder)."""
+    period = (
+        period_col_fn(F.col(ts_col)) if period_col_fn is not None
+        else F.dayofweek(F.col(ts_col))
+    )
+    w = Window.orderBy(ts_col).rowsBetween(-window, window)
+    span = 2 * window + 1
+    base = series.select(
+        F.col(ts_col), F.col(value_col).cast("double").alias("value")
+    )
+    if exact_decimal:
+        vdec = F.col("value").cast("decimal(30,6)")
+        trend = F.when(
+            F.count("value").over(w) == span,
+            F.sum(vdec).over(w).cast("double") / F.lit(float(span)),
+        )
+    else:
+        trend = F.when(
+            F.count("value").over(w) == span, F.avg("value").over(w)
+        )
+    base = base.withColumn("trend", trend).withColumn("__period", period)
+    res = F.col("value") - F.col("trend")
+    if exact_decimal:
+        rq = F.floor(res * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+        seas_agg = (
+            (F.sum(rq).cast("double") / F.count(rq)) / F.lit(1e6)
+        ).alias("seasonal")
+    else:
+        seas_agg = F.avg(res).alias("seasonal")
+    seas = (
+        base.filter(F.col("trend").isNotNull())
+        .groupBy("__period")
+        .agg(seas_agg)
+    )
+    return (
+        base.join(F.broadcast(seas), "__period", "left")
+        .select(
+            ts_col,
+            "value",
+            "trend",
+            "seasonal",
+            (F.col("value") - F.col("trend") - F.col("seasonal")).alias("remainder"),
+        )
+    )

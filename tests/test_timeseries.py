@@ -353,3 +353,41 @@ def test_point_in_time_matches_interval_join_on_scd2(spark, sf_dir):
     g = {(r["event_id"], r["event_type"]) for r in got.select("event_id", "event_type").collect()}
     w = {(r["event_id"], r["event_type"]) for r in want.collect()}
     assert g == w and len(g) == facts.count()
+
+
+def test_seasonal_decompose_additivity_and_edges(spark):
+    """trend NULL at incomplete edges; interior rows reconstruct
+    exactly (value == trend + seasonal + remainder); constant series
+    decomposes to zero seasonal and remainder."""
+    import datetime as dt
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        timeseries,
+    )
+
+    rows = [(dt.date(2024, 1, 1) + dt.timedelta(days=i), 100.0) for i in range(21)]
+    df = spark.createDataFrame(rows, "d date, v double")
+    out = timeseries.seasonal_decompose(df, "d", "v", window=3).collect()
+    by_d = {r["d"]: r for r in out}
+    assert len(out) == 21
+    for i, (d, _) in enumerate(rows):
+        r = by_d[d]
+        if i < 3 or i >= 18:
+            assert r["trend"] is None and r["remainder"] is None
+        else:
+            assert r["trend"] == 100.0
+            assert abs(r["seasonal"]) < 1e-12 and abs(r["remainder"]) < 1e-12
+    # weekly signal: +7 on one weekday; seasonal must absorb it
+    rows2 = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=i),
+         100.0 + (7.0 if (dt.date(2024, 1, 1) + dt.timedelta(days=i)).weekday() == 2 else 0.0))
+        for i in range(35)
+    ]
+    df2 = spark.createDataFrame(rows2, "d date, v double")
+    out2 = timeseries.seasonal_decompose(df2, "d", "v", window=3).collect()
+    mids = [r for r in out2 if r["trend"] is not None]
+    for r in mids:
+        assert abs(r["value"] - (r["trend"] + r["seasonal"] + r["remainder"])) < 1e-9
+    wed = [r for r in mids if r["d"].weekday() == 2]
+    other = [r for r in mids if r["d"].weekday() != 2]
+    assert min(r["seasonal"] for r in wed) > max(r["seasonal"] for r in other)
