@@ -231,25 +231,72 @@ def abandoned_clicks(
     )
 
 
+_TXN_APP = "spark-graft-maintainer"
+
+
+def _delta_batch_applied(spark, table_path: str, batch_id: int) -> bool:
+    """Idempotence check for Delta-published maintained tables: the
+    SetTransaction (``txn``) action committed atomically with each
+    batch's data, read back through the log — O(log tail), zero data
+    files scanned.  Tables written by the pre-txn full-snapshot path
+    fall back to the in-table ``__last_batch_id`` mark once."""
+    from ..sources import delta_lite
+
+    if not delta_lite.is_delta_table(table_path):
+        return False
+    last = delta_lite.last_txn_version(table_path, _TXN_APP)
+    if last is not None:
+        return last >= batch_id
+    stored = delta_lite.read_delta(spark, table_path)
+    return _already_applied(stored, batch_id)
+
+
 def apply_upsert_batch(
     batch_df: DataFrame,
     batch_id: int,
     table_path: str,
     key_cols: list[str],
     protocol: str = "auto",
+    n_buckets: int = 16,
 ) -> None:
     """One micro-batch of keyed upsert maintenance, exposed at module
     level so the at-least-once replay contract is directly testable
     (same pattern as ``apply_rollup_batch``): calling it twice with the
     same ``batch_id`` applies once, and the replay call never touches
-    the published version dir."""
+    the published state.
+
+    ``protocol='delta'`` (or auto-detection of an existing Delta
+    table) routes through ``delta_lite.upsert_delta`` — a MERGE
+    INTO-style touched-file commit: the table's files are hash-bucketed
+    on ``key_cols`` and a batch touching k keys rewrites only the
+    buckets those keys hash into, O(batch + touched buckets) per
+    publish instead of the bespoke protocol's O(table) snapshot
+    rewrite.  Idempotence rides a ``txn`` action in the same atomic
+    commit (``_delta_batch_applied``), so the replay guard never reads
+    table data.  The bespoke symlink/manifest path keeps the
+    full-snapshot semantics for plain-parquet targets."""
     from ..operators.history import merge_upsert
+    from ..sources import delta_lite
 
     spark = batch_df.sparkSession
     latest = F.max_by(
         F.struct(*[c for c in batch_df.columns if c not in key_cols]), F.col("ts")
     ).alias("__rest")
     dedup = batch_df.groupBy(*key_cols).agg(latest).select(*key_cols, "__rest.*")
+    if protocol == "delta" or (
+        protocol == "auto" and delta_lite.is_delta_table(table_path)
+    ):
+        if _delta_batch_applied(spark, table_path, batch_id):
+            return  # at-least-once replay of an applied batch: no-op
+        delta_lite.upsert_delta(
+            spark,
+            table_path,
+            dedup,
+            key_cols,
+            n_buckets=n_buckets,
+            txn=(_TXN_APP, batch_id),
+        )
+        return
     stored = _read_maintained_table(spark, table_path)
     if _already_applied(stored, batch_id):
         return  # at-least-once replay of an applied batch: no-op
@@ -268,30 +315,33 @@ def upsert_stream(
     key_cols: list[str],
     checkpoint_dir: str,
     protocol: str = "auto",
+    n_buckets: int = 16,
 ):
-    """Streaming MERGE: each micro-batch upserts into a keyed parquet
-    table via foreachBatch + ``history.merge_upsert`` (latest row per
-    key wins, within-batch latest picked by ts).
+    """Streaming MERGE: each micro-batch upserts into a keyed table via
+    foreachBatch (latest row per key wins, within-batch latest picked
+    by ts).
 
-    Plain parquet has no transactional MERGE, so a batch writes the
-    merged table to a new versioned directory executor-side and
-    atomically publishes it via the shared symlink-swap protocol
-    (``_commit_maintained_table``) — correct single-writer semantics,
-    full-table rewrite cost.  At production scale the same
-    ``write_batch`` body targets a table format (Delta/Iceberg MERGE
-    INTO) that rewrites only the files containing matched keys; the
-    streaming plumbing (checkpoint, availableNow, per-batch
-    idempotence) is unchanged.
+    ``protocol='delta'`` is the scale path: the table publishes
+    through the Delta transaction log with key-hash-bucketed files,
+    and each micro-batch commits ONLY the buckets its keys touch
+    (``delta_lite.merge_touched``) — per-batch publish cost is
+    O(batch + touched buckets), flat as the table grows.  Idempotence
+    rides a ``txn`` action in the same atomic commit.  The bespoke
+    symlink/manifest protocol remains for plain-parquet targets
+    (full-snapshot rewrite per batch — fine for small dims, not for a
+    100 TB keyed table).
 
-    Exactly-once: the ``__last_batch_id`` mark rides in the same
-    atomic publish (like the rollup/drift/SCD2 maintainers), so an
-    at-least-once replay of a batch whose commit already landed
-    (crash between publish and checkpoint commit) is a no-op instead
-    of rebuilding ``merged`` as a lazy plan over the very version dir
-    the commit would overwrite."""
+    Exactly-once: the idempotence mark (``txn`` action on the Delta
+    path, ``__last_batch_id`` on the bespoke path) rides in the same
+    atomic publish, so an at-least-once replay of a batch whose commit
+    already landed (crash between publish and checkpoint commit) is a
+    no-op."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        apply_upsert_batch(batch_df, batch_id, table_path, key_cols, protocol=protocol)
+        apply_upsert_batch(
+            batch_df, batch_id, table_path, key_cols,
+            protocol=protocol, n_buckets=n_buckets,
+        )
 
     return (
         events.writeStream.foreachBatch(write_batch)
@@ -886,6 +936,102 @@ def session_transcripts_stream(
     )
 
 
+def _scd2_merge(
+    stored: "DataFrame | None",
+    obs: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """The SCD2 fold shared by both publish protocols: each affected
+    key's OPEN interval is replayed as a pseudo-event at its valid_from
+    and unioned with the batch's events, the batch-local SCD2 collapse
+    (timeseries.scd2_from_events) recomputes that key's intervals from
+    the open point forward, and the result replaces the affected keys'
+    open intervals (closed history is untouched).  ``stored`` may be
+    the whole table (bespoke path) or just the touched buckets' rows
+    (Delta path) — the fold only ever changes affected keys' rows, so
+    both slices are valid inputs."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.timeseries import (
+        scd2_from_events,
+    )
+
+    if stored is None:
+        return scd2_from_events(obs, key_col, ts_col, attr_cols)
+    if _BATCH_MARK in stored.columns:
+        stored = stored.drop(_BATCH_MARK)
+    affected = obs.select(key_col).distinct()
+    open_iv = stored.filter(F.col("is_current")).join(
+        affected, key_col, "left_semi"
+    )
+    keep_closed = stored.filter(~F.col("is_current"))
+    keep_other_open = stored.filter(F.col("is_current")).join(
+        affected, key_col, "left_anti"
+    )
+    pseudo = open_iv.select(
+        F.col(key_col),
+        F.col("valid_from").alias(ts_col),
+        *[F.col(a) for a in attr_cols],
+    )
+    combined = pseudo.unionByName(obs)
+    recomputed = scd2_from_events(combined, key_col, ts_col, attr_cols)
+    return keep_closed.unionByName(keep_other_open).unionByName(recomputed)
+
+
+def apply_scd2_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    protocol: str = "auto",
+    n_buckets: int = 16,
+) -> None:
+    """One micro-batch of SCD2 dimension maintenance, module-level for
+    replay-contract testability (same pattern as apply_upsert_batch).
+
+    ``protocol='delta'`` (or an auto-detected Delta table) publishes
+    through ``delta_lite.merge_touched``: the interval table's files
+    are hash-bucketed on the key, and a batch touching k keys reads +
+    rewrites only those buckets — publish cost O(batch + touched
+    buckets), flat as closed history accumulates.  The bespoke path
+    keeps the atomic full-snapshot publish."""
+    from ..sources import delta_lite
+
+    spark = batch_df.sparkSession
+    obs = batch_df.select(
+        F.col(key_col), F.col(ts_col), *[F.col(a) for a in attr_cols]
+    )
+    if protocol == "delta" or (
+        protocol == "auto" and delta_lite.is_delta_table(table_path)
+    ):
+        if _delta_batch_applied(spark, table_path, batch_id):
+            # at-least-once replay of an applied batch: without this
+            # guard the replayed events would regenerate closed
+            # intervals that already exist (overlapping rows)
+            return
+        delta_lite.merge_touched(
+            spark,
+            table_path,
+            obs,
+            [key_col],
+            lambda cur, batch: _scd2_merge(cur, batch, key_col, ts_col, attr_cols),
+            n_buckets=n_buckets,
+            txn=(_TXN_APP, batch_id),
+        )
+        return
+    stored_raw = _read_maintained_table(spark, table_path)
+    if _already_applied(stored_raw, batch_id):
+        return  # at-least-once replay of an applied batch: no-op
+    merged = _scd2_merge(stored_raw, obs, key_col, ts_col, attr_cols)
+    merged = merged.withColumn(_BATCH_MARK, F.lit(batch_id))
+    # executor-side distributed write + atomic symlink publish: the
+    # O(table) rewrite never routes through driver memory, so a
+    # 100x-scale dimension costs IO, not a driver OOM
+    _commit_maintained_table(merged, table_path, batch_id)
+
+
 def maintain_scd2_stream(
     events: DataFrame,
     table_path: str,
@@ -893,72 +1039,27 @@ def maintain_scd2_stream(
     key_col: str,
     ts_col: str,
     attr_cols: list[str],
+    protocol: str = "auto",
+    n_buckets: int = 16,
 ):
     """Incremental SCD2 dimension maintenance on a stream: each
     micro-batch folds its attribute-change observations into the
     stored validity-interval table WITHOUT rescanning the event
     history — the lakehouse dimension-table pattern at the ingest
-    edge.
-
-    Per batch: keys present in the batch are "affected"; each affected
-    key's OPEN interval is replayed as a pseudo-event at its
-    valid_from and unioned with the batch's events, the batch-local
-    SCD2 collapse (timeseries.scd2_from_events) recomputes that key's
-    intervals from the open point forward, and the result replaces the
-    affected keys' open intervals (closed history is untouched).
-    Refresh cost is O(batch + affected keys), never O(history).
+    edge.  Refresh compute is O(batch + affected keys) on both
+    protocols; publish IO is O(touched buckets) on the Delta path
+    (``apply_scd2_batch``) vs O(table) on the bespoke snapshot path.
 
     Contract: events arrive in event-time order ACROSS batches per key
     (the standard CDC ingestion assumption); within a batch any order
-    is fine.  The O(table) rewrite is a distributed executor-side
-    parquet write published by the shared atomic symlink swap
-    (``_commit_maintained_table``) — the table never routes through
-    driver memory; a Delta/Iceberg MERGE shrinks the rewrite to
-    touched files.
+    is fine.
     """
-    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.timeseries import (
-        scd2_from_events,
-    )
-
-    spark = events.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        stored_raw = _read_maintained_table(spark, table_path)
-        if _already_applied(stored_raw, batch_id):
-            # at-least-once replay of an applied batch: without this
-            # guard the replayed events would regenerate closed
-            # intervals that already exist (overlapping rows)
-            return
-        obs = batch_df.select(
-            F.col(key_col), F.col(ts_col), *[F.col(a) for a in attr_cols]
+        apply_scd2_batch(
+            batch_df, batch_id, table_path, key_col, ts_col, attr_cols,
+            protocol=protocol, n_buckets=n_buckets,
         )
-        if stored_raw is not None:
-            stored = stored_raw.drop(_BATCH_MARK)
-            affected = obs.select(key_col).distinct()
-            open_iv = stored.filter(F.col("is_current")).join(
-                affected, key_col, "left_semi"
-            )
-            keep_closed = stored.filter(~F.col("is_current"))
-            keep_other_open = stored.filter(F.col("is_current")).join(
-                affected, key_col, "left_anti"
-            )
-            pseudo = open_iv.select(
-                F.col(key_col),
-                F.col("valid_from").alias(ts_col),
-                *[F.col(a) for a in attr_cols],
-            )
-            combined = pseudo.unionByName(obs)
-            recomputed = scd2_from_events(combined, key_col, ts_col, attr_cols)
-            merged = keep_closed.unionByName(keep_other_open).unionByName(
-                recomputed
-            )
-        else:
-            merged = scd2_from_events(obs, key_col, ts_col, attr_cols)
-        merged = merged.withColumn(_BATCH_MARK, F.lit(batch_id))
-        # executor-side distributed write + atomic symlink publish: the
-        # O(table) rewrite never routes through driver memory, so a
-        # 100x-scale dimension costs IO, not a driver OOM
-        _commit_maintained_table(merged, table_path, batch_id)
 
     return (
         events.writeStream.foreachBatch(write_batch)

@@ -95,7 +95,11 @@ def test_vacuum_removes_only_unreferenced(spark, tmp_path):
     # orphan: a crash between staging and commit
     orphan = os.path.join(t, "part-99999-deadbeef.snappy.parquet")
     open(orphan, "wb").write(b"junk")
-    removed = delta_lite.vacuum(t)
+    # default retention protects young files (an in-flight commit may
+    # have staged them); zero retention is the offline-maintenance mode
+    assert os.path.basename(orphan) not in delta_lite.vacuum(t)
+    assert os.path.exists(orphan)
+    removed = delta_lite.vacuum(t, retention_seconds=0.0)
     assert os.path.basename(orphan) in removed
     # files of BOTH versions survive (old snapshot still referenced)
     assert {(r["k"],) for r in delta_lite.read_delta(spark, t, version=0).select("k").collect()} == {(1,)}
@@ -215,9 +219,163 @@ def test_compact_preserves_content_and_history(spark, tmp_path):
     after = {(r["k"], r["v"]) for r in delta_lite.read_delta(spark, t).collect()}
     assert after == before
     # the new snapshot references exactly one live file
-    live, _, _ = delta_lite._read_actions(t)
+    live, _, _, _ = delta_lite._read_actions(t)
     assert len(live) == 1
     # pre-compaction snapshots still time-travel (files not vacuumed)
     at3 = {(r["k"], r["v"]) for r in delta_lite.read_delta(spark, t, version=3).collect()}
     assert at3 == before
     assert len(glob.glob(f"{t}/part-*.parquet")) >= n_before  # old files intact
+
+
+def _log_actions(t, v):
+    with open(os.path.join(t, "_delta_log", f"{v:020d}.json")) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def test_merge_touched_rewrites_only_touched_buckets(spark, tmp_path):
+    """The r6→r7 scale fix: a batch touching one key commits removes
+    and adds ONLY for that key's hash bucket — every other live file
+    survives the commit untouched (publish cost O(touched buckets),
+    not O(table))."""
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", 0) for k in range(100)], "k long, v string, gen int"
+    )
+    delta_lite.upsert_delta(spark, t, base, ["k"], n_buckets=8)
+    live0, _, _, _ = delta_lite._read_actions(t)
+    assert len(live0) == 8  # one file per bucket
+    upd = spark.createDataFrame([(7, "NEW", 1)], "k long, v string, gen int")
+    v = delta_lite.upsert_delta(spark, t, upd, ["k"], n_buckets=8)
+    assert v == 1
+    acts = _log_actions(t, 1)
+    removes = [a for a in acts if "remove" in a]
+    adds = [a for a in acts if "add" in a]
+    assert len(removes) == 1 and len(adds) == 1  # exactly one bucket cycled
+    live1, _, _, _ = delta_lite._read_actions(t)
+    assert len(set(live0) & set(live1)) == 7  # 7 buckets' files untouched
+    got = {(r["k"], r["v"], r["gen"]) for r in delta_lite.read_delta(spark, t).collect()}
+    want = {(k, f"v{k}", 0) for k in range(100) if k != 7} | {(7, "NEW", 1)}
+    assert got == want
+
+
+def test_upsert_delta_txn_and_bucket_pruning_after_many_batches(spark, tmp_path):
+    """12 single-key batches: txn versions accrue, a checkpoint lands at
+    version 10 (CHECKPOINT_INTERVAL), reads below and above the
+    checkpoint both replay correctly, and last_txn_version survives the
+    checkpoint boundary."""
+    t = str(tmp_path / "t")
+    for b in range(12):
+        df = spark.createDataFrame([(b % 5, f"b{b}")], "k long, v string")
+        delta_lite.upsert_delta(spark, t, df, ["k"], n_buckets=4, txn=("app", b))
+    assert delta_lite.current_version(t) == 11
+    assert delta_lite._read_last_checkpoint(t) == 10
+    assert os.path.isfile(delta_lite._checkpoint_file(t, 10))
+    assert delta_lite.last_txn_version(t, "app") == 11
+    # latest snapshot: per key, the last batch that wrote it
+    got = {(r["k"], r["v"]) for r in delta_lite.read_delta(spark, t).collect()}
+    want = {(0, "b10"), (1, "b11"), (2, "b7"), (3, "b8"), (4, "b9")}
+    assert got == want
+    # time travel BELOW the checkpoint replays from version 0
+    at3 = {(r["k"], r["v"]) for r in delta_lite.read_delta(spark, t, version=3).collect()}
+    assert at3 == {(0, "b0"), (1, "b1"), (2, "b2"), (3, "b3")}
+
+
+def test_compact_preserves_bucketing_and_incrementality(spark, tmp_path):
+    """OPTIMIZE on a bucketed table keeps the bucket tags, so the next
+    merge is still a touched-file commit (and never silently duplicates
+    keys hiding in untagged files)."""
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame([(k, "a") for k in range(40)], "k long, v string")
+    delta_lite.upsert_delta(spark, t, base, ["k"], n_buckets=4)
+    delta_lite.upsert_delta(
+        spark, t, spark.createDataFrame([(3, "b")], "k long, v string"), ["k"]
+    )
+    v = delta_lite.compact(spark, t)
+    live, meta, _, _ = delta_lite._read_actions(t)
+    assert len(live) == 4  # one file per bucket, tags preserved
+    assert all(a["partitionValues"].get("__bucket") is not None for a in live.values())
+    v2 = delta_lite.upsert_delta(
+        spark, t, spark.createDataFrame([(3, "c")], "k long, v string"), ["k"]
+    )
+    acts = _log_actions(t, v2)
+    assert len([a for a in acts if "remove" in a]) == 1  # still incremental
+    got = {(r["k"], r["v"]) for r in delta_lite.read_delta(spark, t).collect()}
+    assert got == {(k, "a") for k in range(40) if k != 3} | {(3, "c")}
+    assert len(got) == 40
+
+
+def test_compact_aborts_on_concurrent_commit(spark, tmp_path):
+    """ADVICE r6: compact's remove set comes from a pinned snapshot; a
+    commit landing in between must ABORT the compaction (lost-update
+    prevention), never retry-rebase over it."""
+    t = str(tmp_path / "t")
+    delta_lite.write_delta(_df(spark, [(1, "a")]), t)
+    delta_lite.write_delta(_df(spark, [(2, "b")]), t, mode="append")
+    # simulate the concurrent writer: steal the version compact targets
+    real_commit = delta_lite._commit
+
+    def racing_commit(table, version, actions):
+        delta_lite._commit = real_commit
+        real_commit(
+            table, version,
+            [{"commitInfo": {"timestamp": 0, "operation": "WRITE",
+                             "operationParameters": {}, "engineInfo": "racer"}}],
+        )
+        return real_commit(table, version, actions)
+
+    delta_lite._commit = racing_commit
+    try:
+        with pytest.raises(RuntimeError, match="aborted"):
+            delta_lite.compact(spark, t, n_files=1)
+    finally:
+        delta_lite._commit = real_commit
+    # the racer's commit is intact and the table still reads
+    assert delta_lite.current_version(t) == 2
+    got = {(r["k"], r["v"]) for r in delta_lite.read_delta(spark, t).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_scd2_delta_batches_match_batch_collapse(spark, sf_dir, tmp_path):
+    """apply_scd2_batch(protocol='delta'): three time-ordered deliveries
+    maintain the interval table through touched-file MERGE commits; the
+    final snapshot equals the one-pass batch collapse, and per-batch
+    commits only cycle the buckets their keys touch."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        timeseries,
+    )
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_type")
+    )
+    cuts = src.select(F.unix_timestamp("ts").alias("s")).approxQuantile(
+        "s", [0.33, 0.66], 0.0
+    )
+    chunks = [
+        src.filter(F.unix_timestamp("ts") <= cuts[0]),
+        src.filter(
+            (F.unix_timestamp("ts") > cuts[0]) & (F.unix_timestamp("ts") <= cuts[1])
+        ),
+        src.filter(F.unix_timestamp("ts") > cuts[1]),
+    ]
+    t = str(tmp_path / "scd")
+    for b, ch in enumerate(chunks):
+        jobs.apply_scd2_batch(
+            ch, b, t, "user_id", "ts", ["event_type"], protocol="delta",
+            n_buckets=8,
+        )
+    # replayed batch: txn guard no-ops, no new commit
+    v = delta_lite.current_version(t)
+    jobs.apply_scd2_batch(chunks[1], 1, t, "user_id", "ts", ["event_type"])
+    assert delta_lite.current_version(t) == v
+    got = {
+        (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in delta_lite.read_delta(spark, t).collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in timeseries.scd2_from_events(
+            src, "user_id", "ts", ["event_type"]
+        ).collect()
+    }
+    assert got == want and len(want) > 500
