@@ -6170,14 +6170,79 @@ FROM w GROUP BY 1
 """
 
 
+def q_delta_scd2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintained through Delta TOUCHED-FILE MERGE
+    commits (jobs.apply_scd2_batch protocol='delta' →
+    delta_lite.merge_touched — VERDICT r6 #1): the event log lands in
+    three time-ordered micro-batches; each batch's commit rewrites
+    ONLY the key-hash buckets its users touch (remove/add actions
+    scoped to the touched buckets, SetTransaction action for replay
+    idempotence), never the table; a replayed batch id must no-op
+    through the log-side txn guard and the log must hold exactly one
+    version per applied batch.  The final snapshot (read through the
+    log replay) must equal the one-pass batch SCD2 collapse — the
+    oracle replays that collapse, so the hash covers the incremental
+    fold AND the touched-file publish protocol end to end."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import (
+        jobs,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    cuts = e.select(F.unix_timestamp("ts").alias("s")).approxQuantile(
+        "s", [0.33, 0.66], 0.0
+    )
+    chunks = [
+        e.filter(F.unix_timestamp("ts") <= cuts[0]),
+        e.filter(
+            (F.unix_timestamp("ts") > cuts[0]) & (F.unix_timestamp("ts") <= cuts[1])
+        ),
+        e.filter(F.unix_timestamp("ts") > cuts[1]),
+    ]
+    tmp = tempfile.mkdtemp(prefix="delta_scd2_")
+    path = os.path.join(tmp, "scd2")
+    try:
+        for b, ch in enumerate(chunks):
+            jobs.apply_scd2_batch(
+                ch, b, path, "user_id", "ts", ["event_type"],
+                protocol="delta", n_buckets=16,
+            )
+        # at-least-once replay of an applied batch: MUST be a no-op
+        jobs.apply_scd2_batch(chunks[1], 1, path, "user_id", "ts", ["event_type"])
+        if delta_lite.current_version(path) != 2:
+            raise AssertionError("delta log advanced on a replayed batch")
+        out = (
+            delta_lite.read_delta(spark, path)
+            .select(
+                "user_id",
+                "event_type",
+                "valid_from",
+                "valid_to",
+                F.col("is_current").cast("int").alias("is_current"),
+            )
+            # materialize off the scratch dir so it can be deleted
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_delta_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Open-table-format publish (sources/delta_lite, VERDICT r5 #8):
-    the events table is driven through the REAL keyed-upsert
-    maintainer in three deterministic micro-batches with
-    protocol='delta' — each publish is an atomic, mutually-exclusive
-    Delta transaction-log commit (add/remove actions, Spark-JSON
-    schemaString, os.link version fencing) — then a replayed batch id
-    is applied (must no-op: the idempotence mark reads back THROUGH
+    """Open-table-format publish (sources/delta_lite, VERDICT r5 #8;
+    RE-SHAPED r7 per VERDICT r6 #1): the events table is driven
+    through the REAL keyed-upsert maintainer in three deterministic
+    micro-batches with protocol='delta' — each publish is now a
+    TOUCHED-FILE MERGE commit (delta_lite.upsert_delta: key-hash
+    bucketed files, remove/add actions scoped to the buckets the batch
+    touches, SetTransaction idempotence) — then a replayed batch id
+    is applied (must no-op: the txn mark reads back THROUGH
     the log) and the final snapshot is read via the log replay.
     Semantics identical to compacted_upsert's bespoke-protocol twin:
     per user, the max-ts row of that user's LAST batch; the query
@@ -9175,21 +9240,15 @@ FROM allrows WHERE avg_logprob IS NULL
 
 _I8_K = 5
 
-
-def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Int8-quantized ANN (similarity.ann_int8): top-5 cosine
-    neighbors per query (vec_id%50==0) computed entirely in the
-    quantized domain — symmetric per-vector scale, integer dot/norm
-    folds (exact, order-independent), two sqrt + one division as the
-    only float ops, ranking on the ROUNDED cosine.  The compression
-    leg of the ANN ladder next to ann_srp/ann_ivf/ann_ivf_pq: 4×
-    smaller resident index, int8 MACs in the hot loop.  Query and
-    corpus slices are disjoint, so no self-match filtering needed."""
-    tune(spark)
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    corpus = emb.filter(F.col("vec_id") % 50 != 0)
-    return similarity.ann_int8(corpus, queries, "vec_id", "embedding", k=_I8_K)
+# q_ann_int8 (the all-pairs int8 scorer as a standalone registered
+# query) was DEMOTED in round 7, same treatment r6 gave the brute-force
+# kNN/near-dup legs: its quadratic-by-construction scoring (30x probe
+# 27.7x, SCALE.md) has a green scale twin, ann_int8_pruned (IVF
+# candidate pruning + identical quantized scoring), so the exhaustive
+# scorer now lives test-side only as the recall/quantization oracle
+# (tests/test_asof_cc.py::test_ann_int8_recall_vs_exact_float_topk,
+# tests/test_operators.py int8 cases).  The operator similarity.ann_int8
+# itself remains public API.
 
 
 _STL_WINDOW = 3
@@ -9608,29 +9667,48 @@ _FS_LOWER = 0.0
 
 
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Probabilistic record linkage (operators/linkage): supplier ×
-    customer candidates blocked on nationkey (equi join — never a
-    cross join), Fellegi–Sunter log-likelihood weights over three
-    field comparators (entity-id digit fragment, ±100 acctbal band,
-    acctbal kilo-bucket), three-way match/possible/nonmatch decision; nonmatches
-    are dropped before the result leaves the stage, so output is
-    answer-mass.  The oracle inlines the identical ln(m/u) double
-    literals and replays every weight, the left-assoc sum, and the
-    thresholds."""
+    """Probabilistic record linkage (operators/linkage), RE-SHAPED r7
+    to the scale form (VERDICT r6 #3): supplier × customer candidates
+    from a MULTI-PASS BLOCKING UNION on higher-cardinality keys —
+    pass 1 (nationkey, acctbal centi-bucket) ≈ 25×110 blocks, pass 2
+    last-3-name-digits ≈ 1000 blocks — instead of the old fixed 25-ary
+    nationkey block whose candidate mass grew quadratically (30×
+    probe 19.8×).  Slim id-only pairs ride the per-pass joins and the
+    dedup exchange (linkage.multi_blocked_candidates); attributes are
+    fetched once per surviving pair.  Fellegi–Sunter scoring is
+    UNCHANGED: ln(m/u) weights over three field comparators (entity-id
+    digit fragment, ±100 acctbal band, acctbal kilo-bucket), three-way
+    decision, nonmatches dropped.  The oracle replays the same
+    candidate union (SQL UNION dedups the pair ids), the NULL-safe
+    weight branches, the left-assoc sum, and the thresholds."""
     from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
         linkage,
     )
 
     tune(spark)
     sup = _t(spark, sf_dir, "supplier").select(
-        "s_suppkey", F.col("s_nationkey").alias("nationkey"),
-        "s_name", "s_acctbal",
+        "s_suppkey", "s_nationkey", "s_name", "s_acctbal"
     )
     cust = _t(spark, sf_dir, "customer").select(
-        "c_custkey", F.col("c_nationkey").alias("nationkey"),
-        "c_name", "c_acctbal",
+        "c_custkey", "c_nationkey", "c_name", "c_acctbal"
     )
-    cand = linkage.blocked_candidates(sup, cust, ["nationkey"])
+    cand = linkage.multi_blocked_candidates(
+        sup,
+        cust,
+        passes=[
+            [
+                (F.col("s_nationkey"), F.col("c_nationkey")),
+                (
+                    F.floor(F.col("s_acctbal") / 100),
+                    F.floor(F.col("c_acctbal") / 100),
+                ),
+            ],
+            [
+                (F.substring("s_name", -3, 3), F.substring("c_name", -3, 3)),
+            ],
+        ],
+        id_cols=("s_suppkey", "c_custkey"),
+    )
     fields = {
         "key_digits": (
             F.substring("s_name_l", -3, 3) == F.substring("c_name_r", -3, 3),
@@ -9668,14 +9746,29 @@ def _oracle_record_linkage() -> str:
         ("bal_kilobucket", "floor(s.s_acctbal / 1000) = floor(c.c_acctbal / 1000)"),
     ]:
         agree, disagree = w[name]
+        # NULL-safe branch mirrors linkage.fs_weight's 'no information'
+        # convention (a NULL comparator contributes 0) — unobservable on
+        # TPC-H's non-null fields, but the oracle is a faithful twin
         terms.append(
-            f"(CASE WHEN {cond} THEN {agree!r} ELSE {disagree!r} END)"
+            f"(CASE WHEN ({cond}) IS NULL THEN 0.0"
+            f" WHEN {cond} THEN {agree!r} ELSE {disagree!r} END)"
         )
     score = " + ".join(terms)
     return f"""
-WITH scored AS (
+WITH cand AS (
+  SELECT s.s_suppkey, c.c_custkey
+  FROM supplier s JOIN customer c
+    ON s.s_nationkey = c.c_nationkey
+   AND floor(s.s_acctbal / 100) = floor(c.c_acctbal / 100)
+  UNION
+  SELECT s.s_suppkey, c.c_custkey
+  FROM supplier s JOIN customer c
+    ON substr(s.s_name, -3, 3) = substr(c.c_name, -3, 3)
+), scored AS (
   SELECT s.s_suppkey, c.c_custkey, ({score}) AS score
-  FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey
+  FROM cand
+  JOIN supplier s USING (s_suppkey)
+  JOIN customer c USING (c_custkey)
 )
 SELECT s_suppkey, c_custkey,
        floor(score * 1e6 + 0.5) / 1e6 AS score,
@@ -10190,48 +10283,6 @@ q AS (
   JOIN corpus_cell cc ON cc.cell = qc.cell
   JOIN normed qn ON qn.vec_id = qc.vec_id
   JOIN normed cn ON cn.vec_id = cc.vec_id
-), scored AS (
-  SELECT query_id, vec_id,
-         floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))
-               * sqrt(CAST(nb AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS qcos
-  FROM pairs WHERE na > 0 AND nb > 0
-), rk AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY qcos DESC, vec_id ASC) AS rk
-  FROM scored
-)
-SELECT query_id, vec_id, qcos, CAST(rk AS INT) AS rk
-FROM rk WHERE rk <= {_I8_K}
-"""
-
-
-def _oracle_ann_int8() -> str:
-    return f"""
-WITH q AS (
-  SELECT vec_id,
-         list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0
-             AS scale,
-         embedding
-  FROM embeddings
-), codes AS (
-  SELECT vec_id,
-         CASE WHEN scale > 0
-              THEN list_transform(embedding, v -> CAST(greatest(least(
-                       floor(CAST(v AS DOUBLE) / scale + 0.5), 127), -127)
-                   AS BIGINT))
-              ELSE list_transform(embedding, v -> CAST(0 AS BIGINT)) END AS qv
-  FROM q
-), normed AS (
-  SELECT vec_id, qv,
-         list_sum(list_transform(qv, x -> x * x)) AS qnorm
-  FROM codes
-), pairs AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
-         list_sum(list_transform(generate_series(1, len(a.qv)),
-                                 i -> a.qv[i] * b.qv[i])) AS dot,
-         a.qnorm AS na, b.qnorm AS nb
-  FROM normed a JOIN normed b
-    ON a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0
 ), scored AS (
   SELECT query_id, vec_id,
          floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))
@@ -12156,47 +12207,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first; (B) queries added THIS round (new queries are inserted at
     the TOP of section B by default, ahead of re-verified greens);
     (C) queries with a green CORRECTNESS row in some prior round,
-    most-recently-verified last.  Round 6: section A is EMPTY (the r5
-    driver pass verified the whole 50-entry prefix green); section B =
-    the 16 round-6 additions (basket_clustering_coeff,
-    cumulative_channel_compare, multi_band_counts,
-    neyman_stratified_sample, delta_time_travel_diff, record_linkage,
-    feature_mi, negative_edges, zorder_clustering,
-    point_in_time_enrich, mmr_rerank, charset_anomaly, readability,
-    delta_upsert_roundtrip, reference_batch_parity, ann_int8_pruned).
-    NOTE: four long-green queries were RE-SHAPED this round
-    (embedding_knn, embedding_near_dup, near_dup_triangles,
-    hybrid_retrieval — all-pairs plans re-routed through bucketed
-    candidates per VERDICT r5 #1) and are re-listed in section B so
-    the driver re-verifies the new shapes.  All registered queries
-    additionally pass the local gate (tools/check_oracle.py --exact)
-    at sf0.01 AND sf0.1 before every round ends."""
+    most-recently-verified last.  Round 7: section A is EMPTY (the r6
+    driver pass verified the whole 50-entry prefix green, and rounds
+    1-6 cumulatively cover every other entry); section B = the new
+    delta_scd2_roundtrip plus six entries whose code paths changed
+    this round — record_linkage (re-shaped to multi-pass
+    higher-cardinality blocking, VERDICT r6 #3), mmr_rerank (greedy
+    folded to one collect, #5), delta_upsert_roundtrip /
+    delta_time_travel_diff / compacted_upsert / upsert_latest (the
+    delta_lite touched-file MERGE + checkpoint rework, #1).  Section-B
+    membership is now MECHANICALLY checked: tools/stale_green.py
+    hashes every query's function body, its transitive pkg/ call
+    closure, and its oracle string against the snapshot recorded at
+    the last green sweep, and the round-end gate fails if a changed
+    query is not in the 50-entry driver prefix (VERDICT r6 #4).
+    (ann_int8 was REMOVED from the registry this round — see the
+    demotion note at its former definition site.)  All registered
+    queries additionally pass the local gate (tools/check_oracle.py
+    --exact) at sf0.01 AND sf0.1 before every round ends."""
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
-        # -- (B) new or re-shaped in round 6 (insert new HERE) -------
+        # -- (B) new or re-shaped in round 7 (insert new HERE) -------
+        "delta_scd2_roundtrip": q_delta_scd2_roundtrip,
+        "record_linkage": q_record_linkage,
+        "mmr_rerank": q_mmr_rerank,
+        "delta_upsert_roundtrip": q_delta_upsert_roundtrip,
+        "delta_time_travel_diff": q_delta_time_travel_diff,
+        "compacted_upsert": q_compacted_upsert,
+        "upsert_latest": q_upsert_latest,
+        # -- (C) driver-green in a prior round (r6 block first) ------
         "revenue_decomposition": q_revenue_decomposition,
         "frequent_item_pairs": q_frequent_item_pairs,
         "basket_clustering_coeff": q_basket_clustering_coeff,
         "cumulative_channel_compare": q_cumulative_channel_compare,
         "multi_band_counts": q_multi_band_counts,
         "neyman_stratified_sample": q_neyman_sample,
-        "delta_time_travel_diff": q_delta_time_travel_diff,
-        "record_linkage": q_record_linkage,
         "feature_mi": q_feature_mi,
         "negative_edges": q_negative_edges,
         "zorder_clustering": q_zorder_clustering,
         "point_in_time_enrich": q_point_in_time_enrich,
-        "mmr_rerank": q_mmr_rerank,
         "charset_anomaly": q_charset_anomaly,
         "readability": q_readability,
-        "delta_upsert_roundtrip": q_delta_upsert_roundtrip,
         "reference_batch_parity": q_reference_batch_parity,
         "ann_int8_pruned": q_ann_int8_pruned,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         "near_dup_triangles": q_near_dup_triangles,
         "hybrid_retrieval": q_hybrid_retrieval,
-        # -- (C) driver-green in a prior round (r5 block first) ------
+        # -- (C cont.) r5 block ---------------------------------------
         "min_cost_supplier": q_min_cost_supplier,
         "nation_trade_volume": q_nation_trade_volume,
         "product_type_profit": q_product_type_profit,
@@ -12212,7 +12270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         "url_canonical_dedup": q_url_canonical_dedup,
         "quality_calibration": q_quality_calibration,
-        "compacted_upsert": q_compacted_upsert,
         "pca_top_component": q_pca_top_component,
         "forecast_revenue": q_forecast_revenue,
         "hll_set_algebra": q_hll_set_algebra,
@@ -12237,7 +12294,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "contamination_fraction": q_contamination_fraction,
         "ccnet_buckets": q_ccnet_buckets,
-        "ann_int8": q_ann_int8,
         "abandoned_clicks": q_abandoned_clicks,
         "mixture_budget": q_mixture_budget,
         "waiting_suppliers": q_waiting_suppliers,
@@ -12381,7 +12437,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "conversion_lag": q_conversion_lag,
         "session_window_stats": q_session_window_stats,
-        "upsert_latest": q_upsert_latest,
         "boilerplate_strip": q_boilerplate_strip,
         "media_frames": q_media_frames,
         "ann_srp": q_ann_srp,
@@ -12447,6 +12502,9 @@ def oracle_sql() -> dict[str, str]:
         "neyman_stratified_sample": _oracle_neyman_sample(),
         "delta_time_travel_diff": _oracle_delta_tt_diff(),
         "record_linkage": _oracle_record_linkage(),
+        # the touched-file SCD2 roundtrip must equal the one-pass batch
+        # collapse (same oracle as scd2_user_type by the fold contract)
+        "delta_scd2_roundtrip": ORACLE_SCD2,
         "feature_mi": ORACLE_FEATURE_MI,
         "negative_edges": _oracle_negative_edges(),
         "zorder_clustering": _oracle_zorder_clustering(),
@@ -12497,7 +12555,6 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _oracle_gopher_quality(),
         "contamination_fraction": _oracle_contamination_fraction(),
         "ccnet_buckets": _oracle_ccnet_buckets(),
-        "ann_int8": _oracle_ann_int8(),
         "abandoned_clicks": ORACLE_ABANDONED_CLICKS,
         "mixture_budget": _oracle_mixture_budget(),
         "waiting_suppliers": _oracle_waiting_suppliers(),

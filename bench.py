@@ -161,7 +161,6 @@ BENCH_QUERIES = [
     "gopher_quality",
     "contamination_fraction",
     "ccnet_buckets",
-    "ann_int8",
     "ann_int8_pruned",
     "abandoned_clicks",
     "mixture_budget",

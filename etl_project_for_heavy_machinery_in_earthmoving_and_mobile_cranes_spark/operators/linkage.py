@@ -49,6 +49,55 @@ def blocked_candidates(
     return lren.join(rren, on=block_cols)
 
 
+def multi_blocked_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    passes: "list[list[tuple[Column, Column]]]",
+    id_cols: tuple[str, str],
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Multi-pass blocking union — the standard recall/cost shape for
+    linkage at scale: no single blocking key is both selective and
+    complete, so each pass equi-joins on its own HIGH-CARDINALITY key
+    expressions and the union of passes recovers the recall a single
+    selective key would lose.  ``passes`` is a list of passes, each a
+    list of (left_expr, right_expr) equality pairs.
+
+    Scale discipline (two parts):
+    - candidate mass per pass is Σ_b |L_b|·|R_b|; it stays linear in
+      data only while block cardinality TRACKS entity count — the key
+      expressions are the dial (more name/id digits, finer value
+      buckets) and must widen as the corpus grows;
+    - slim-first pairs: only the two id columns ride through the
+      per-pass joins and the dedup exchange; every other column is
+      fetched by an id equi join AFTER dedup, so the wide rows are
+      materialized once per surviving pair, never per raw candidate.
+    """
+    lid, rid = id_cols
+    ls, rs = suffixes
+    parts = []
+    for exprs in passes:
+        bk = [f"__bk{j}" for j in range(len(exprs))]
+        lkeys = left.select(
+            F.col(lid), *[e[0].alias(bk[j]) for j, e in enumerate(exprs)]
+        )
+        rkeys = right.select(
+            F.col(rid), *[e[1].alias(bk[j]) for j, e in enumerate(exprs)]
+        )
+        parts.append(lkeys.join(rkeys, on=bk).select(lid, rid))
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    pairs = pairs.dropDuplicates([lid, rid])
+    lren = left.select(*[F.col(c).alias(f"{c}{ls}") for c in left.columns])
+    rren = right.select(*[F.col(c).alias(f"{c}{rs}") for c in right.columns])
+    return (
+        pairs.join(lren, F.col(lid) == F.col(f"{lid}{ls}"))
+        .join(rren, F.col(rid) == F.col(f"{rid}{rs}"))
+        .drop(lid, rid)
+    )
+
+
 def fs_weight(agree: Column, m: float, u: float) -> Column:
     """Fellegi–Sunter log-likelihood weight for one field: ln(m/u) on
     agreement, ln((1−m)/(1−u)) on disagreement.  NULL-safe: a NULL

@@ -242,7 +242,14 @@ def _stage_bucketed_files(
     column lives in the directory name, NOT the data — it is derivable
     from the key columns, so readers never need it reconstituted),
     then a flat move into the table root with the bucket recorded in
-    each add action's ``partitionValues`` for file pruning."""
+    each add action's ``partitionValues`` for file pruning.
+
+    ``n_buckets`` here is the SHUFFLE WIDTH and must track the number
+    of buckets actually present in ``df`` (the touched set for an
+    incremental merge), not the table's total bucket count — a 5-key
+    batch against a 10k-bucket table must launch ~5 write tasks, not
+    10k mostly-empty ones (task-launch overhead was the whole per-batch
+    cost in the first 30x probe)."""
     stage = os.path.join(table, f".stage-{version_hint}-{uuid.uuid4().hex[:8]}")
     (
         df_with_bucket.repartition(n_buckets, _BUCKET_COL)
@@ -518,9 +525,12 @@ def merge_touched(
                 if (a.get("partitionValues") or {}).get(_BUCKET_COL) is None
                 or (a.get("partitionValues") or {}).get(_BUCKET_COL) in tset
             }
+            # shuffle width = touched buckets, never the table's total
+            width = max(1, min(nb, len(tset)))
         else:
             # bucket-spec migration: one full rewrite into buckets
             touched = dict(live)
+            width = nb
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         if touched:
             cur = spark.read.schema(schema).parquet(
@@ -534,7 +544,7 @@ def merge_touched(
             merged.withColumn(_BUCKET_COL, _bucket_expr(key_cols, nb)),
             table,
             version,
-            nb,
+            width,
         )
         actions = [
             _commit_info("MERGE", {"predicate": json.dumps(list(key_cols))})

@@ -1583,6 +1583,43 @@ def test_fellegi_sunter_weights_and_decisions(spark):
     assert got[(2, 7)] == (w_dis, "possible")
 
 
+def test_multi_blocked_candidates_union_dedup_and_recall(spark):
+    """Multi-pass blocking: each pass is an equi join on its own key
+    expressions; the union dedups on the id pair; a pair reachable
+    through BOTH passes appears once; a pair reachable through NEITHER
+    is absent (blocking recall loss is explicit, never silent)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        linkage,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "x7", 100), (2, "y9", 200), (3, "z1", 300)],
+        "lid long, lcode string, lval int",
+    )
+    right = spark.createDataFrame(
+        [(7, "x7", 100), (8, "q2", 200), (9, "z1", 999)],
+        "rid long, rcode string, rval int",
+    )
+    cand = linkage.multi_blocked_candidates(
+        left,
+        right,
+        passes=[
+            [(F.col("lval"), F.col("rval"))],       # value block
+            [(F.col("lcode"), F.col("rcode"))],     # code block
+        ],
+        id_cols=("lid", "rid"),
+    )
+    pairs = {(r["lid_l"], r["rid_r"]) for r in cand.collect()}
+    # (1,7) matches BOTH passes -> exactly once; (2,8) value-only;
+    # (3,9) code-only; everything else blocked out
+    assert pairs == {(1, 7), (2, 8), (3, 9)}
+    assert cand.count() == 3  # dedup across passes
+    # all columns of both sides ride out suffixed
+    assert set(cand.columns) == {
+        "lid_l", "lcode_l", "lval_l", "rid_r", "rcode_r", "rval_r"
+    }
+
+
 def test_clustering_coefficients_known_graph(spark):
     from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
         graph,

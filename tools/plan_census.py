@@ -55,13 +55,14 @@ BNLJ_ALLOWLIST = {
     # node-count scalar (negative_edges), three-scalar crossJoin
     # (parts_except_intersect), broadcast as-of dim, burst-window
     # scalar, the reference pipeline's containment/regex KB dims
-    # (reference_batch_parity), and the documented quadratic baseline
-    # leg ann_int8 (its registered scale form is ann_int8_pruned)
+    # (reference_batch_parity).  (ann_int8 was demoted from the
+    # registry in r7 — its quadratic baseline leg is test-side only;
+    # the registered scale form is ann_int8_pruned.)
     "important_parts", "idle_rich_customers", "time_decayed_value",
     "price_histogram", "export_render", "schema_guard",
     "pagerank_parts", "pca_top_component", "negative_edges",
     "parts_except_intersect", "asof_rate_join", "session_burst_overlap",
-    "reference_batch_parity", "ann_int8",
+    "reference_batch_parity",
     # 1-row basket-count scalar broadcast (lift denominator)
     "frequent_item_pairs",
 }
