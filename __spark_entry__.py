@@ -9359,11 +9359,20 @@ pairs AS (
 SELECT item_a, item_b, support, n_a, n_b,
        floor(conf_a_to_b * 1e6 + 0.5) / 1e6 AS conf_a_to_b,
        floor(conf_b_to_a * 1e6 + 0.5) / 1e6 AS conf_b_to_a,
-       floor(lift * 1e6 + 0.5) / 1e6 AS lift
+       floor(lift * 1e6 + 0.5) / 1e6 AS lift,
+       lift AS lift_raw
 FROM scored
-ORDER BY support DESC, lift DESC, item_a ASC, item_b ASC
+-- sort + cutoff on the RAW lift (lift_raw), exactly like the Spark
+-- side, never the rounded output alias: two pairs whose raw lifts
+-- differ but round equal at 6dp must rank identically in both engines
+ORDER BY support DESC, lift_raw DESC, item_a ASC, item_b ASC
 LIMIT {_FP_TOPK}
 """
+ORACLE_FREQUENT_PAIRS = (
+    "SELECT item_a, item_b, support, n_a, n_b, conf_a_to_b, conf_b_to_a, lift "
+    f"FROM ({ORACLE_FREQUENT_PAIRS.strip()}) "
+    "ORDER BY support DESC, lift_raw DESC, item_a ASC, item_b ASC"
+)
 
 
 def q_basket_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10186,7 +10195,12 @@ _REF_PARITY_COLS = [
     "capacity", "new_used", "remark", "outliers", "capacity_interval",
     "type_interval", "unit_weight_in_ton",
 ]
-_REF_GOLDEN_PARQUET = "/root/repo/tests/golden/reference_batch_golden.parquet"
+# repo-relative (ADVICE r6): the registered query and its oracle must
+# work on any checkout location
+_REF_GOLDEN_PARQUET = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tests", "golden", "reference_batch_golden.parquet",
+)
 
 
 def q_reference_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "quality_calibration",
     "compacted_upsert",
     "delta_upsert_roundtrip",
+    "delta_scd2_roundtrip",
     "charset_anomaly",
     "readability",
     "mmr_rerank",
@@ -296,6 +297,38 @@ BENCH_QUERIES = [
 ]
 
 
+def bench_untimed(spark, qs, sf_dir: str) -> None:
+    """``--all`` mode (VERDICT r6 #6): one-time wall rows for the
+    registry queries EXCLUDED from the default timed set (driver-side
+    ingest edges, codec-bound media ops, foreachBatch twins).  One
+    sweep, written to BENCH_UNTIMED.json — these are recorded numbers
+    replacing exclusion comments, not steady-state throughput claims
+    (that is what their exclusions say)."""
+    names = [n for n in qs if n not in BENCH_QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # record the failure, keep sweeping
+            timings[name] = -1.0
+            print(f"FAIL {name}: {e}", file=sys.stderr)
+    out = {
+        "metric": "one_time_wall_sec_untimed_queries",
+        "unit": "sec",
+        "queries": timings,
+        "query_count": len(timings),
+        "sf_dir": sf_dir,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_UNTIMED.json"
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
 def main() -> None:
     # timed scale path: enable the est-Jaccard LSH prefilter (~100x
     # candidate cut; see __spark_entry__._lsh_prefilter — the driver's
@@ -308,6 +341,9 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    if len(sys.argv) > 1 and sys.argv[1] == "--all":
+        bench_untimed(spark, qs, sf_dir)
+        return
 
     # JVM/codegen warmup on the smallest sf so steady-state throughput is
     # measured, not first-query JIT

@@ -19,6 +19,7 @@ prog.py's main() ingest (data_processing_program_20240520.py:21-44).
 
 from __future__ import annotations
 
+import os as _os
 import re as _re
 from collections import Counter, defaultdict
 
@@ -27,8 +28,15 @@ from pyspark.sql import DataFrame, SparkSession
 from .schemas import MODEL_REF_SCHEMA, REGEX_KB_SCHEMA, SHIPMENTS_SCHEMA
 from .sources.xlsx_lite import read_xlsx_records
 
-INPUT_XLSX = "/root/reference/Input data/Indonesia_842952_May_July.xlsx"
-GOLDEN_XLSX = "/root/reference/Output/Indonesia_excavator_2022_2024.07.xlsx"
+# reference-repo root is env-overridable (ADVICE r6): any checkout can
+# point SPARK_GRAFT_REFERENCE_DIR at its local copy of the reference
+_REFERENCE_DIR = _os.environ.get("SPARK_GRAFT_REFERENCE_DIR", "/root/reference")
+INPUT_XLSX = _os.path.join(
+    _REFERENCE_DIR, "Input data", "Indonesia_842952_May_July.xlsx"
+)
+GOLDEN_XLSX = _os.path.join(
+    _REFERENCE_DIR, "Output", "Indonesia_excavator_2022_2024.07.xlsx"
+)
 
 # input xlsx header → engine column
 COLMAP = {

@@ -7,6 +7,8 @@ table order), starting_point codes, F1/F2 drops, the ±5% band
 inference, outlier medians, interval binning and month-keyed FX.
 """
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -162,7 +164,10 @@ def test_reference_golden_snapshot_shape():
 
     import __spark_entry__ as entry
 
-    t = pq.read_table("/root/repo/tests/golden/reference_batch_golden.parquet")
+    t = pq.read_table(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "golden", "reference_batch_golden.parquet")
+    )
     assert t.num_rows == 832
     assert t.column_names == entry._REF_PARITY_COLS
     remarks = set(t.column("remark").to_pylist())
