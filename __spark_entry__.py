@@ -6234,6 +6234,82 @@ def q_delta_scd2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_delta_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-stats FILE SKIPPING (new r7): write_delta now records the
+    Delta spec's per-file ``stats`` (numRecords / min / max / nullCount,
+    computed from parquet FOOTERS — a metadata read, no data scan) on
+    every add action, and read_delta(predicate=(col, lo, hi)) drops
+    files whose committed min/max prove the range misses them BEFORE
+    Spark lists a single file.  The query range-clusters lineitem on
+    l_shipdate (repartitionByRange → each file owns a date slice, the
+    layout a time-partitioned 100 TB table has by construction), reads
+    one year back through the log with the predicate, ASSERTS the
+    pruning actually dropped files (raises otherwise — the skip is the
+    tested artifact, not a hope), applies the real row filter (stats
+    prune files, not rows), and aggregates monthly revenue.  The
+    oracle replays the plain filter + aggregate: identical output
+    proves skipping is sound (never drops a matching row)."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 12, 31, 23, 59, 59)
+    tmp = tempfile.mkdtemp(prefix="delta_skip_")
+    path = os.path.join(tmp, "li")
+    try:
+        delta_lite.write_delta(li.repartitionByRange(16, "l_shipdate"), path)
+        live_all, _, _, _ = delta_lite._read_actions(path)
+        kept = [
+            p
+            for p, a in live_all.items()
+            if not delta_lite._maybe_prunable(a, "l_shipdate", lo, hi)
+        ]
+        if not (0 < len(kept) < len(live_all)):
+            raise AssertionError(
+                f"log-stats skipping pruned nothing ({len(kept)}/{len(live_all)})"
+            )
+        pruned = delta_lite.read_delta(
+            spark, path, predicate=("l_shipdate", lo, hi)
+        )
+        out = (
+            pruned.filter(
+                (F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") <= F.lit(hi))
+            )
+            .groupBy(F.month("l_shipdate").cast("int").alias("mo"))
+            .agg(
+                F.count("*").alias("n"),
+                dsum("l_extendedprice").alias("revenue"),
+                F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            )
+            # materialize off the scratch dir so it can be deleted
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE_DELTA_STATS_SKIPPING = f"""
+SELECT CAST(month(l_shipdate) AS INT) AS mo,
+       count(*) AS n,
+       {sql_dsum('l_extendedprice')} AS revenue,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <= TIMESTAMP '1996-12-31 23:59:59'
+GROUP BY 1
+"""
+
+
 def q_delta_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-table-format publish (sources/delta_lite, VERDICT r5 #8;
     RE-SHAPED r7 per VERDICT r6 #1): the events table is driven
@@ -9673,23 +9749,16 @@ _FS_FIELDS = {
 }
 _FS_UPPER = 3.0
 _FS_LOWER = 0.0
+# golden-record MERGE edges need corroboration beyond the 'match'
+# review threshold (see q_linkage_golden_records docstring)
+_GR_EDGE = 7.0
 
 
-def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Probabilistic record linkage (operators/linkage), RE-SHAPED r7
-    to the scale form (VERDICT r6 #3): supplier × customer candidates
-    from a MULTI-PASS BLOCKING UNION on higher-cardinality keys —
-    pass 1 (nationkey, acctbal centi-bucket) ≈ 25×110 blocks, pass 2
-    last-3-name-digits ≈ 1000 blocks — instead of the old fixed 25-ary
-    nationkey block whose candidate mass grew quadratically (30×
-    probe 19.8×).  Slim id-only pairs ride the per-pass joins and the
-    dedup exchange (linkage.multi_blocked_candidates); attributes are
-    fetched once per surviving pair.  Fellegi–Sunter scoring is
-    UNCHANGED: ln(m/u) weights over three field comparators (entity-id
-    digit fragment, ±100 acctbal band, acctbal kilo-bucket), three-way
-    decision, nonmatches dropped.  The oracle replays the same
-    candidate union (SQL UNION dedups the pair ids), the NULL-safe
-    weight branches, the left-assoc sum, and the thresholds."""
+def _fs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared supplier×customer Fellegi–Sunter scoring used by
+    record_linkage and linkage_golden_records: multi-pass blocking
+    union (linkage.multi_blocked_candidates) + ln(m/u) field weights +
+    three-way decision."""
     from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
         linkage,
     )
@@ -9732,9 +9801,26 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             *_FS_FIELDS["bal_kilobucket"],
         ),
     }
-    scored = linkage.fs_score(cand, fields, upper=_FS_UPPER, lower=_FS_LOWER)
+    return linkage.fs_score(cand, fields, upper=_FS_UPPER, lower=_FS_LOWER)
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (operators/linkage), RE-SHAPED r7
+    to the scale form (VERDICT r6 #3): supplier × customer candidates
+    from a MULTI-PASS BLOCKING UNION on higher-cardinality keys —
+    pass 1 (nationkey, acctbal centi-bucket) ≈ 25×110 blocks, pass 2
+    last-3-name-digits ≈ 1000 blocks — instead of the old fixed 25-ary
+    nationkey block whose candidate mass grew quadratically (30×
+    probe 19.8×).  Slim id-only pairs ride the per-pass joins and the
+    dedup exchange (linkage.multi_blocked_candidates); attributes are
+    fetched once per surviving pair.  Fellegi–Sunter scoring is
+    UNCHANGED: ln(m/u) weights over three field comparators (entity-id
+    digit fragment, ±100 acctbal band, acctbal kilo-bucket), three-way
+    decision, nonmatches dropped.  The oracle replays the same
+    candidate union (SQL UNION dedups the pair ids), the NULL-safe
+    weight branches, the left-assoc sum, and the thresholds."""
     return (
-        scored.filter(F.col("decision") != "nonmatch")
+        _fs_scored(spark, sf_dir).filter(F.col("decision") != "nonmatch")
         .select(
             F.col("s_suppkey_l").alias("s_suppkey"),
             F.col("c_custkey_r").alias("c_custkey"),
@@ -9745,26 +9831,26 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_record_linkage() -> str:
-    w = {}
-    for name, (m, u) in _FS_FIELDS.items():
-        w[name] = (_math.log(m / u), _math.log((1 - m) / (1 - u)))
-    terms = []
-    for name, cond in [
-        ("key_digits", "substr(s.s_name, -3, 3) = substr(c.c_name, -3, 3)"),
-        ("acctbal_band", "abs(s.s_acctbal - c.c_acctbal) < 100"),
-        ("bal_kilobucket", "floor(s.s_acctbal / 1000) = floor(c.c_acctbal / 1000)"),
-    ]:
-        agree, disagree = w[name]
-        # NULL-safe branch mirrors linkage.fs_weight's 'no information'
-        # convention (a NULL comparator contributes 0) — unobservable on
-        # TPC-H's non-null fields, but the oracle is a faithful twin
-        terms.append(
-            f"(CASE WHEN ({cond}) IS NULL THEN 0.0"
-            f" WHEN {cond} THEN {agree!r} ELSE {disagree!r} END)"
-        )
-    score = " + ".join(terms)
+    # NULL-safe weight branches mirror linkage.fs_weight's 'no
+    # information' convention (a NULL comparator contributes 0) —
+    # unobservable on TPC-H's non-null fields, but the oracle is a
+    # faithful twin
     return f"""
-WITH cand AS (
+WITH {_oracle_fs_ctes(_fs_score_sql())}
+SELECT s_suppkey, c_custkey,
+       floor(score * 1e6 + 0.5) / 1e6 AS score,
+       CASE WHEN score > {_FS_UPPER!r} THEN 'match'
+            WHEN score > {_FS_LOWER!r} THEN 'possible'
+            ELSE 'nonmatch' END AS decision
+FROM scored
+WHERE score > {_FS_LOWER!r}
+"""
+
+
+def _oracle_fs_ctes(score: str) -> str:
+    """Shared candidate-union + FS-scoring CTE text (the SQL twin of
+    ``_fs_scored``), spliced into both linkage oracles."""
+    return f"""cand AS (
   SELECT s.s_suppkey, c.c_custkey
   FROM supplier s JOIN customer c
     ON s.s_nationkey = c.c_nationkey
@@ -9778,14 +9864,118 @@ WITH cand AS (
   FROM cand
   JOIN supplier s USING (s_suppkey)
   JOIN customer c USING (c_custkey)
+)"""
+
+
+def _fs_score_sql() -> str:
+    """The FS score expression over aliases s (supplier) / c (customer),
+    NULL-safe, identical literals to linkage.fs_weight."""
+    w = {}
+    for name, (m, u) in _FS_FIELDS.items():
+        w[name] = (_math.log(m / u), _math.log((1 - m) / (1 - u)))
+    terms = []
+    for name, cond in [
+        ("key_digits", "substr(s.s_name, -3, 3) = substr(c.c_name, -3, 3)"),
+        ("acctbal_band", "abs(s.s_acctbal - c.c_acctbal) < 100"),
+        ("bal_kilobucket", "floor(s.s_acctbal / 1000) = floor(c.c_acctbal / 1000)"),
+    ]:
+        agree, disagree = w[name]
+        terms.append(
+            f"(CASE WHEN ({cond}) IS NULL THEN 0.0"
+            f" WHEN {cond} THEN {agree!r} ELSE {disagree!r} END)"
+        )
+    return " + ".join(terms)
+
+
+def q_linkage_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution GOLDEN RECORDS — the composition every master-
+    data/ER system ships (Splink-style): high-confidence Fellegi–Sunter
+    matches (decision='match', shared ``_fs_scored`` stage) become
+    edges in a bipartite supplier/customer graph (node ids 2k / 2k+1),
+    dedup.connected_components collapses them into entity clusters
+    (iterative min-label propagation — one join + one aggregate per
+    round, linear in edges), and a survivorship pass emits one golden
+    row per cluster: member census per side, canonical name (the
+    min-node member — deterministic), max and exact-DECIMAL-summed
+    acctbal.  Scale shape: edges come from the bounded multi-pass
+    blocking union, CC is the same bounded-iteration operator the
+    minhash dedup clusters use, survivorship is one hash aggregate.
+    Edge rule: golden-record edges demand CORROBORATION, score >
+    _GR_EDGE = 7.0 (name-digit agreement alone scores ~3.96 — above
+    the 'match' review threshold but, used as a merge edge, it chains
+    every same-suffix entity into one giant component at sf0.1; the
+    classic ER transitive-closure trap, so merges are held to a
+    stricter bar than review decisions).  The oracle replays edges via
+    the shared FS CTEs and the fixpoint via a recursive transitive
+    closure (|cluster|²-bounded at oracle scale)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        dedup,
+    )
+
+    tune(spark)
+    matches = _fs_scored(spark, sf_dir).filter(F.col("score") > _GR_EDGE)
+    edges = matches.select(
+        (F.col("s_suppkey_l") * 2).alias("id_a"),
+        (F.col("c_custkey_r") * 2 + 1).alias("id_b"),
+    )
+    labels = dedup.connected_components(edges, "id_a", "id_b")
+    sup = _t(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") * 2).alias("node"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit(1).alias("is_sup"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") * 2 + 1).alias("node"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(0).alias("is_sup"),
+    )
+    members = labels.join(sup.unionByName(cust), "node")
+    return (
+        members.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sum("is_sup").cast("long").alias("n_suppliers"),
+            (F.count("*") - F.sum("is_sup")).cast("long").alias("n_customers"),
+            F.min_by("name", "node").alias("canonical_name"),
+            F.max("acctbal").alias("max_acctbal"),
+            dsum("acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+def _oracle_linkage_golden_records() -> str:
+    return f"""
+WITH RECURSIVE {_oracle_fs_ctes(_fs_score_sql())},
+m AS (
+  SELECT s_suppkey * 2 AS src, c_custkey * 2 + 1 AS dst
+  FROM scored WHERE score > {_GR_EDGE!r}
+),
+bidir AS (SELECT src, dst FROM m UNION SELECT dst, src FROM m),
+nodes AS (SELECT DISTINCT src AS n FROM bidir),
+reach(a, b) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN bidir e ON e.src = r.b
+),
+lab AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY 1),
+ent AS (
+  SELECT s_suppkey * 2 AS node, s_name AS name, s_acctbal AS acctbal,
+         1 AS is_sup
+  FROM supplier
+  UNION ALL
+  SELECT c_custkey * 2 + 1, c_name, c_acctbal, 0 FROM customer
 )
-SELECT s_suppkey, c_custkey,
-       floor(score * 1e6 + 0.5) / 1e6 AS score,
-       CASE WHEN score > {_FS_UPPER!r} THEN 'match'
-            WHEN score > {_FS_LOWER!r} THEN 'possible'
-            ELSE 'nonmatch' END AS decision
-FROM scored
-WHERE score > {_FS_LOWER!r}
+SELECT lab.label AS cluster_id,
+       count(*) AS cluster_size,
+       CAST(sum(e.is_sup) AS BIGINT) AS n_suppliers,
+       CAST(count(*) - sum(e.is_sup) AS BIGINT) AS n_customers,
+       arg_min(e.name, lab.node) AS canonical_name,
+       max(e.acctbal) AS max_acctbal,
+       {sql_dsum("e.acctbal")} AS total_acctbal
+FROM lab JOIN ent e ON e.node = lab.node
+GROUP BY 1
 """
 
 
@@ -12242,6 +12432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 7 (insert new HERE) -------
+        "delta_stats_skipping": q_delta_stats_skipping,
+        "linkage_golden_records": q_linkage_golden_records,
         "delta_scd2_roundtrip": q_delta_scd2_roundtrip,
         "record_linkage": q_record_linkage,
         "mmr_rerank": q_mmr_rerank,
@@ -12516,6 +12708,8 @@ def oracle_sql() -> dict[str, str]:
         "neyman_stratified_sample": _oracle_neyman_sample(),
         "delta_time_travel_diff": _oracle_delta_tt_diff(),
         "record_linkage": _oracle_record_linkage(),
+        "linkage_golden_records": _oracle_linkage_golden_records(),
+        "delta_stats_skipping": ORACLE_DELTA_STATS_SKIPPING,
         # the touched-file SCD2 roundtrip must equal the one-pass batch
         # collapse (same oracle as scd2_user_type by the fold contract)
         "delta_scd2_roundtrip": ORACLE_SCD2,

@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "point_in_time_enrich",
     "feature_mi",
     "record_linkage",
+    "linkage_golden_records",
+    "delta_stats_skipping",
     "delta_time_travel_diff",
     "neyman_stratified_sample",
     "cumulative_channel_compare",

@@ -197,6 +197,72 @@ def _maybe_checkpoint(table: str, version: int) -> None:
         write_checkpoint(table, version)
 
 
+def _file_stats(path: str) -> "str | None":
+    """Per-file column statistics for the add action's ``stats`` field
+    (Delta spec: a JSON string with numRecords / minValues / maxValues /
+    nullCount).  Computed from the parquet FOOTER via pyarrow — a
+    metadata read, never a data scan.  Columns whose stats any row
+    group lacks are omitted (readers must treat absence as unknown);
+    timestamps/dates serialize as ISO strings (ISO order == time
+    order, so string comparison prunes correctly)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # stats are an optimization, never a requirement
+        return None
+    import datetime
+
+    def jsonable(v):
+        if isinstance(v, bool) or v is None:
+            return None  # bool stats not worth carrying
+        if isinstance(v, (int, float, str)):
+            return v
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return None
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    bad: set = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in bad:
+                continue
+            st = col.statistics
+            lo = jsonable(st.min) if st is not None and st.has_min_max else None
+            hi = jsonable(st.max) if st is not None and st.has_min_max else None
+            if lo is None or hi is None:
+                bad.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                nulls.pop(name, None)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            n = st.null_count if st.null_count is not None else 0
+            nulls[name] = nulls.get(name, 0) + n
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
 def _stage_data_files(df: DataFrame, table: str, version_hint: int) -> list[dict]:
     """Distributed parquet write into a staging dir, then move the part
     files into the table root under collision-free names.  Data files
@@ -213,15 +279,17 @@ def _stage_data_files(df: DataFrame, table: str, version_hint: int) -> list[dict
         dst = os.path.join(table, final)
         os.rename(src, dst)
         st = os.stat(dst)
-        adds.append(
-            {
-                "path": final,
-                "partitionValues": {},
-                "size": st.st_size,
-                "modificationTime": int(st.st_mtime * 1000),
-                "dataChange": True,
-            }
-        )
+        add = {
+            "path": final,
+            "partitionValues": {},
+            "size": st.st_size,
+            "modificationTime": int(st.st_mtime * 1000),
+            "dataChange": True,
+        }
+        stats = _file_stats(dst)
+        if stats is not None:
+            add["stats"] = stats
+        adds.append(add)
     shutil.rmtree(stage, ignore_errors=True)
     return adds
 
@@ -273,15 +341,17 @@ def _stage_bucketed_files(
             dst = os.path.join(table, final)
             os.rename(os.path.join(sub, name), dst)
             st = os.stat(dst)
-            adds.append(
-                {
-                    "path": final,
-                    "partitionValues": {_BUCKET_COL: bucket},
-                    "size": st.st_size,
-                    "modificationTime": int(st.st_mtime * 1000),
-                    "dataChange": True,
-                }
-            )
+            add = {
+                "path": final,
+                "partitionValues": {_BUCKET_COL: bucket},
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+                "dataChange": True,
+            }
+            stats = _file_stats(dst)
+            if stats is not None:
+                add["stats"] = stats
+            adds.append(add)
     shutil.rmtree(stage, ignore_errors=True)
     return adds
 
@@ -637,15 +707,58 @@ def last_txn_version(table: str, app_id: str) -> int | None:
     return txns.get(app_id)
 
 
+def _maybe_prunable(add: dict, col: str, lo, hi) -> bool:
+    """True when the file's log stats PROVE [lo, hi] misses it; files
+    without stats (or stats for this column) are never pruned."""
+    import datetime
+
+    def norm(v):
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return v
+
+    stats = add.get("stats")
+    if not stats:
+        return False
+    try:
+        s = json.loads(stats)
+        fmin = s["minValues"][col]
+        fmax = s["maxValues"][col]
+    except (KeyError, json.JSONDecodeError, TypeError):
+        return False
+    lo, hi = norm(lo), norm(hi)
+    try:
+        return (hi is not None and fmin > hi) or (lo is not None and fmax < lo)
+    except TypeError:
+        return False  # incomparable types: keep the file
+
+
 def read_delta(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    predicate: "tuple | None" = None,
 ) -> DataFrame:
     """Snapshot read (latest, or time travel to ``version``): replay the
-    log, read the surviving files with the committed schema pinned."""
+    log, read the surviving files with the committed schema pinned.
+
+    ``predicate=(col, lo, hi)`` enables LOG-STATS FILE SKIPPING (the
+    Delta spec's per-file ``stats`` on add actions): files whose
+    committed min/max prove the closed range [lo, hi] (either bound
+    None = unbounded) cannot match are dropped from the scan before
+    Spark ever lists them — at 100 TB this is the difference between
+    scanning a day and scanning the table.  Skipping is advisory-safe:
+    files without stats are always read, and callers must still apply
+    the actual filter (stats prune files, not rows)."""
     from pyspark.sql.types import StructType
 
     live, meta, _, _ = _read_actions(table, upto=version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if predicate is not None:
+        col, lo, hi = predicate
+        live = {
+            p: a for p, a in live.items() if not _maybe_prunable(a, col, lo, hi)
+        }
     if not live:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(table, p) for p in sorted(live)]

@@ -379,3 +379,34 @@ def test_scd2_delta_batches_match_batch_collapse(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 500
+
+
+def test_add_actions_carry_stats_and_skipping_is_sound(spark, tmp_path):
+    """r7 log-stats: every add action carries the spec's stats JSON
+    (numRecords matches, min/max bound the file's values), and
+    read_delta(predicate=...) drops only provably-missing files —
+    never a row of the answer."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(100)], "k long, v string, m long"
+    )
+    delta_lite.write_delta(df.repartitionByRange(5, "k"), t)
+    live, _, _, _ = delta_lite._read_actions(t)
+    assert len(live) == 5
+    total = 0
+    for add in live.values():
+        s = json.loads(add["stats"])
+        total += s["numRecords"]
+        assert s["minValues"]["k"] <= s["maxValues"]["k"]
+        assert s["nullCount"]["k"] == 0
+    assert total == 100
+    # range predicate k in [40, 44]: range-clustered files -> most prune
+    pruned = delta_lite.read_delta(spark, t, predicate=("k", 40, 44))
+    kept_files = pruned.inputFiles()
+    assert 0 < len(kept_files) < 5
+    got = {r["k"] for r in pruned.filter("k between 40 and 44").collect()}
+    assert got == set(range(40, 45))  # skipping lost no matching row
+    # unbounded side + no-stats safety: a file without stats is kept
+    some = next(iter(live))
+    live[some].pop("stats", None)
+    assert not delta_lite._maybe_prunable(live[some], "k", 0, 0)
