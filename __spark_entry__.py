@@ -6310,6 +6310,80 @@ GROUP BY 1
 """
 
 
+def q_delta_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER through the Delta log (new r7, composing three
+    layers: layout.morton_code ordering, the compact-style pinned
+    rewrite, and log-stats file skipping): lineitem lands in the table
+    unclustered, delta_lite.optimize_zorder rewrites the snapshot
+    Morton-ordered on (l_partkey, l_suppkey), and the query ASSERTS
+    that a selective range predicate on EACH of the two columns prunes
+    files through the committed stats (the whole point of Z-order vs a
+    single-column sort — raises if either fails to prune).  It then
+    reads back through the l_partkey predicate, applies the real row
+    filter, and aggregates per-supplier revenue; the oracle replays
+    the plain filter + aggregate, proving the optimized rewrite and
+    the pruning are data-identical."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    hi_part = int(li.agg(F.max("l_partkey")).first()[0] // 8)
+    hi_supp = int(li.agg(F.max("l_suppkey")).first()[0] // 8)
+    tmp = tempfile.mkdtemp(prefix="delta_zorder_")
+    path = os.path.join(tmp, "li")
+    try:
+        delta_lite.write_delta(li.repartition(16), path)
+        delta_lite.optimize_zorder(
+            spark, path, "l_partkey", "l_suppkey", n_files=32
+        )
+        live, _, _, _ = delta_lite._read_actions(path)
+        for col, hi in (("l_partkey", hi_part), ("l_suppkey", hi_supp)):
+            kept = [
+                p
+                for p, a in live.items()
+                if not delta_lite._maybe_prunable(a, col, 1, hi)
+            ]
+            if not (0 < len(kept) < len(live)):
+                raise AssertionError(
+                    f"zorder stats pruned nothing on {col} "
+                    f"({len(kept)}/{len(live)})"
+                )
+        pruned = delta_lite.read_delta(
+            spark, path, predicate=("l_partkey", 1, hi_part)
+        )
+        out = (
+            pruned.filter(
+                (F.col("l_partkey") >= 1) & (F.col("l_partkey") <= F.lit(hi_part))
+            )
+            .groupBy("l_suppkey")
+            .agg(
+                F.count("*").alias("n"),
+                dsum("l_extendedprice").alias("revenue"),
+            )
+            # materialize off the scratch dir so it can be deleted
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE_DELTA_OPTIMIZE_ZORDER = f"""
+WITH hp AS (SELECT CAST(max(l_partkey) // 8 AS BIGINT) AS hi FROM lineitem)
+SELECT l_suppkey, count(*) AS n, {sql_dsum('l_extendedprice')} AS revenue
+FROM lineitem, hp
+WHERE l_partkey >= 1 AND l_partkey <= hp.hi
+GROUP BY 1
+"""
+
+
 def q_delta_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-table-format publish (sources/delta_lite, VERDICT r5 #8;
     RE-SHAPED r7 per VERDICT r6 #1): the events table is driven
@@ -12432,6 +12506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 7 (insert new HERE) -------
+        "delta_optimize_zorder": q_delta_optimize_zorder,
         "delta_stats_skipping": q_delta_stats_skipping,
         "linkage_golden_records": q_linkage_golden_records,
         "delta_scd2_roundtrip": q_delta_scd2_roundtrip,
@@ -12710,6 +12785,7 @@ def oracle_sql() -> dict[str, str]:
         "record_linkage": _oracle_record_linkage(),
         "linkage_golden_records": _oracle_linkage_golden_records(),
         "delta_stats_skipping": ORACLE_DELTA_STATS_SKIPPING,
+        "delta_optimize_zorder": ORACLE_DELTA_OPTIMIZE_ZORDER,
         # the touched-file SCD2 roundtrip must equal the one-pass batch
         # collapse (same oracle as scd2_user_type by the fold contract)
         "delta_scd2_roundtrip": ORACLE_SCD2,

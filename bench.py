@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "record_linkage",
     "linkage_golden_records",
     "delta_stats_skipping",
+    "delta_optimize_zorder",
     "delta_time_travel_diff",
     "neyman_stratified_sample",
     "cumulative_channel_compare",

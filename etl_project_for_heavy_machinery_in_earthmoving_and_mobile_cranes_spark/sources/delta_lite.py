@@ -887,3 +887,65 @@ def compact(spark: SparkSession, table: str, n_files: int = 1) -> int:
         mode="overwrite",
         expected_version=base + 1,
     )
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    table: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 32,
+    bits: int = 16,
+) -> int:
+    """OPTIMIZE ZORDER BY (col_a, col_b): rewrite the CURRENT snapshot
+    Morton-ordered (operators.layout.morton_code) into ``n_files``
+    range-sliced files, so each new file's footer-derived log stats
+    (``_file_stats``) expose a bounded bounding box over BOTH columns
+    and ``read_delta(predicate=...)`` pruning works on EITHER — the
+    multi-column file-skipping layout a 100 TB table is compacted into
+    (real Delta's OPTIMIZE ZORDER is exactly this rewrite).  Same
+    pinned-snapshot, abort-on-concurrent-commit discipline as
+    ``compact``; old versions stay time-travelable."""
+    from pyspark.sql import functions as F
+
+    from ..operators.layout import morton_code
+
+    live, _meta, base, _ = _read_actions(table)
+    snapshot = read_delta(spark, table, version=base)
+    ordered = (
+        snapshot.withColumn(
+            "__zorder", morton_code(F.col(col_a), F.col(col_b), bits=bits)
+        )
+        .repartitionByRange(n_files, "__zorder")
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
+    )
+    version = base + 1
+    adds = _stage_data_files(ordered, table, version)
+    actions = [
+        _commit_info("OPTIMIZE", {"zOrderBy": json.dumps([col_a, col_b])})
+    ]
+    ts = int(time.time() * 1000)
+    for path in live:
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.extend({"add": a} for a in adds)
+    if not _commit(table, version, actions):
+        for a in adds:
+            try:
+                os.remove(os.path.join(table, a["path"]))
+            except OSError:
+                pass
+        raise RuntimeError(
+            f"concurrent commit during optimize_zorder of {table}; aborted "
+            "(snapshot stale — re-run)"
+        )
+    _maybe_checkpoint(table, version)
+    return version

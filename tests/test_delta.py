@@ -410,3 +410,23 @@ def test_add_actions_carry_stats_and_skipping_is_sound(spark, tmp_path):
     some = next(iter(live))
     live[some].pop("stats", None)
     assert not delta_lite._maybe_prunable(live[some], "k", 0, 0)
+
+
+def test_optimize_zorder_preserves_content_and_enables_two_col_pruning(spark, tmp_path):
+    t = str(tmp_path / "t")
+    rows = [(i % 50, (i * 7) % 50, i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "a long, b long, payload long")
+    delta_lite.write_delta(df.repartition(8), t)
+    before = {tuple(r) for r in delta_lite.read_delta(spark, t).collect()}
+    v = delta_lite.optimize_zorder(spark, t, "a", "b", n_files=16)
+    assert v == 1
+    after = {tuple(r) for r in delta_lite.read_delta(spark, t).collect()}
+    assert after == before  # data-identical rewrite
+    live, _, _, _ = delta_lite._read_actions(t)
+    for col in ("a", "b"):  # EITHER column prunes post-zorder
+        kept = [p for p, a in live.items()
+                if not delta_lite._maybe_prunable(a, col, 0, 5)]
+        assert 0 < len(kept) < len(live), col
+    # pre-optimize snapshot still time-travels
+    at0 = {tuple(r) for r in delta_lite.read_delta(spark, t, version=0).collect()}
+    assert at0 == before
