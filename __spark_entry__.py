@@ -6941,6 +6941,144 @@ FROM p WHERE src IS NOT NULL GROUP BY 1, 2
 """
 
 
+_MK_STEPS = 8
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (behavior.markov_attribution,
+    new r7): journeys = each user's event stream up to the FIRST
+    purchase; a first-order transition matrix over (start, channels,
+    purchase, null) feeds an {_MK_STEPS}-step finite-horizon absorbing
+    power iteration, and each channel's credit is how much conversion
+    mass from start disappears when the channel is removed (its
+    inbound edges redirected to the null absorber, outbound deleted) —
+    the data-driven attribution model next to the last-touch/linear
+    twins already registered.  Event-data cost is two window passes;
+    the iteration runs on |channels|²-sized frames.  Share is the
+    rounded effect over the exact-DECIMAL sum of rounded effects (the
+    dsum discipline — an unordered 4-double sum could flip a 6-dp
+    boundary).  The oracle replays journey truncation, the matrix, all
+    unrolled steps, and both roundings."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        behavior,
+    )
+
+    tune(spark)
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = behavior.markov_attribution(
+        e, "user_id", ["ts", "event_id"], "event_type", "purchase",
+        steps=_MK_STEPS,
+    )
+    r6 = lambda c: F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    base = out.select(
+        "channel",
+        r6("conv_full").alias("conv_full"),
+        r6("conv_removed").alias("conv_removed"),
+        r6("removal_effect").alias("eff6"),
+    )
+    tot = base.agg(F.sum(F.col("eff6").cast("decimal(18,6)")).alias("__t"))
+    return base.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "conv_full",
+        "conv_removed",
+        F.col("eff6").alias("removal_effect"),
+        (
+            F.floor(
+                F.col("eff6") / F.col("__t").cast("double") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("share"),
+    )
+
+
+def _oracle_markov_attribution() -> str:
+    mk = []
+    for k in range(_MK_STEPS):
+        mk.append(
+            f"""m{k + 1} AS (
+  SELECT m.removed, t.dst AS state, sum(m.m * t.p) AS m
+  FROM m{k} m JOIN mat t ON t.removed = m.removed AND t.src = m.state
+  GROUP BY 1, 2
+)"""
+        )
+    conv_union = "\n  UNION ALL\n".join(
+        f"  SELECT removed, m FROM m{k + 1} WHERE state = 'purchase'"
+        for k in range(_MK_STEPS)
+    )
+    return f"""
+WITH kept AS MATERIALIZED (
+  SELECT user_id, ts, event_id, event_type
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+           coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS pc
+    FROM events) t
+  WHERE pc = 0
+), seq AS MATERIALIZED (
+  SELECT user_id, ts, event_id,
+         coalesce(lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                  '__start__') AS src,
+         event_type AS dst
+  FROM kept
+), term AS MATERIALIZED (
+  SELECT dst AS src, '__null__' AS dst FROM (
+    SELECT dst,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           max(CASE WHEN dst = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS hc
+    FROM seq) t
+  WHERE rn = 1 AND hc = 0
+), counts AS MATERIALIZED (
+  SELECT src, dst, count(*) AS n FROM (
+    SELECT src, dst FROM seq UNION ALL SELECT src, dst FROM term) u
+  GROUP BY 1, 2
+), totals AS (
+  SELECT src, sum(n) AS t FROM counts GROUP BY 1
+), probs AS MATERIALIZED (
+  SELECT c.src, c.dst, c.n / CAST(t.t AS DOUBLE) AS p
+  FROM counts c JOIN totals t ON t.src = c.src
+), var AS (
+  SELECT DISTINCT dst AS removed FROM counts
+  WHERE dst NOT IN ('purchase', '__null__')
+  UNION ALL SELECT '__none__'
+), mat AS MATERIALIZED (
+  SELECT v.removed, p.src,
+         CASE WHEN v.removed <> '__none__' AND p.dst = v.removed
+              THEN '__null__' ELSE p.dst END AS dst,
+         sum(p.p) AS p
+  FROM var v JOIN probs p
+    ON (v.removed = '__none__' OR p.src <> v.removed)
+  GROUP BY 1, 2, 3
+), m0 AS (
+  SELECT removed, '__start__' AS state, CAST(1.0 AS DOUBLE) AS m FROM var
+), {", ".join(mk)},
+conv AS (
+  SELECT removed, sum(m) AS conv FROM (
+{conv_union}) u
+  GROUP BY 1
+), eff AS (
+  SELECT c.removed AS channel,
+         floor(f.conv * 1e6 + 0.5) / 1e6 AS conv_full,
+         floor(c.conv * 1e6 + 0.5) / 1e6 AS conv_removed,
+         floor((1.0 - c.conv / f.conv) * 1e6 + 0.5) / 1e6 AS eff6
+  FROM conv c
+  JOIN (SELECT conv FROM conv WHERE removed = '__none__') f ON true
+  WHERE c.removed <> '__none__'
+)
+SELECT channel, conv_full, conv_removed, eff6 AS removal_effect,
+       floor(eff6 / CAST(sum(CAST(eff6 AS DECIMAL(18,6))) OVER ()
+                         AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share
+FROM eff
+"""
+
+
 def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential pattern mining (behavior.sequence_ngrams, n=3):
     corpus-wide counts of every consecutive event-type trigram within
@@ -12506,6 +12644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 7 (insert new HERE) -------
+        "markov_attribution": q_markov_attribution,
         "delta_optimize_zorder": q_delta_optimize_zorder,
         "delta_stats_skipping": q_delta_stats_skipping,
         "linkage_golden_records": q_linkage_golden_records,
@@ -12786,6 +12925,7 @@ def oracle_sql() -> dict[str, str]:
         "linkage_golden_records": _oracle_linkage_golden_records(),
         "delta_stats_skipping": ORACLE_DELTA_STATS_SKIPPING,
         "delta_optimize_zorder": ORACLE_DELTA_OPTIMIZE_ZORDER,
+        "markov_attribution": _oracle_markov_attribution(),
         # the touched-file SCD2 roundtrip must equal the one-pass batch
         # collapse (same oracle as scd2_user_type by the fold contract)
         "delta_scd2_roundtrip": ORACLE_SCD2,

@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "feature_mi",
     "record_linkage",
     "linkage_golden_records",
+    "markov_attribution",
     "delta_stats_skipping",
     "delta_optimize_zorder",
     "delta_time_travel_diff",

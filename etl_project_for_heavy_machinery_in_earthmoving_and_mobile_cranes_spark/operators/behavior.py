@@ -324,3 +324,125 @@ def active_user_counts(
             F.coalesce(F.col("wau"), F.lit(0).cast("bigint")).alias("wau"),
         )
     )
+
+
+def markov_attribution(
+    df: DataFrame,
+    user_col: str,
+    order_cols: Sequence[str],
+    type_col: str,
+    conv_value: str,
+    steps: int = 8,
+    start_state: str = "__start__",
+    null_state: str = "__null__",
+    none_key: str = "__none__",
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al.'s data-driven
+    attribution; the absorbing-chain alternative to last-touch/linear):
+    each user's journey is their event sequence up to and including the
+    FIRST conversion event; a first-order transition matrix over
+    (start, channels, conversion, null) is estimated from all
+    journeys, and each channel's credit is its REMOVAL EFFECT — how
+    much finite-horizon conversion mass from start disappears when
+    every transition into the channel is redirected to the null
+    absorber and its outgoing edges are deleted.
+
+    Determinism contract (the pagerank discipline): fixed ``steps``
+    finite-horizon power iteration — the output is the well-defined
+    k-step state, replayable by an unrolled SQL oracle; transition
+    probabilities are integer-count ratios; per-step mass sums run
+    over ≤|states| doubles, so output rounding absorbs summation-order
+    ulps.
+
+    Scale shape: journey truncation + transition extraction are two
+    window passes over the events; everything after the (src, dst)
+    count aggregate lives in |channels|²-sized frames — the iteration
+    is |variants|·|states| rows per step, trivially broadcastable, and
+    the unrolled plan never touches the event data again.
+
+    Returns one row per channel: k-step conversion mass of the full
+    chain and the removal chain, the removal effect
+    1 − conv_removed/conv_full, and each channel's normalized share.
+    """
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    prior_conv = F.coalesce(
+        F.sum((F.col(type_col) == conv_value).cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    kept = df.withColumn("__pc", prior_conv).filter(F.col("__pc") == 0)
+    kw = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    seq = kept.select(
+        F.col(user_col).alias("__u"),
+        F.coalesce(F.lag(type_col).over(kw), F.lit(start_state)).alias("src"),
+        F.col(type_col).alias("dst"),
+        F.struct(*[F.col(c) for c in order_cols]).alias("__o"),
+    )
+    inner = seq.select("src", "dst")
+    per_user = seq.groupBy("__u").agg(
+        F.max_by("dst", "__o").alias("__last"),
+        F.max((F.col("dst") == conv_value).cast("int")).alias("__conv"),
+    )
+    terminal = per_user.filter(F.col("__conv") == 0).select(
+        F.col("__last").alias("src"), F.lit(null_state).alias("dst")
+    )
+    counts = inner.unionByName(terminal).groupBy("src", "dst").count()
+    totals = counts.groupBy("src").agg(F.sum("count").alias("__t"))
+    probs = counts.join(totals, "src").select(
+        "src", "dst", (F.col("count") / F.col("__t")).alias("p")
+    )
+    # the event-side work ends here; the transition matrix is
+    # |states|²-bounded (model-sized, like kmeans centroids / the mmr
+    # pool), so the |channels|+1 removal chains solve in ONE bounded
+    # collect + driver arithmetic instead of `steps` shuffle rounds of
+    # 1-row frames.  Determinism: driver sums run in sorted state
+    # order over IEEE doubles — same ulp class as an engine's
+    # unordered sum, absorbed by the caller's output rounding (the
+    # pagerank discipline).
+    rows = probs.collect()
+    trans = [(r["src"], r["dst"], float(r["p"])) for r in rows]
+    channels = sorted(
+        {d for _, d, _ in trans if d not in (conv_value, null_state)}
+    )
+
+    def k_step_conv(removed: "str | None") -> float:
+        cells: dict[tuple, float] = {}
+        for s, d, p in trans:
+            if removed is not None and s == removed:
+                continue
+            j = null_state if (removed is not None and d == removed) else d
+            cells[(s, j)] = cells.get((s, j), 0.0) + p
+        mat: dict[str, list] = {}
+        for (s, j), p in sorted(cells.items()):
+            mat.setdefault(s, []).append((j, p))
+        mass = {start_state: 1.0}
+        conv_acc = 0.0
+        for _ in range(steps):
+            nxt: dict[str, float] = {}
+            for s in sorted(mass):
+                for j, p in mat.get(s, ()):
+                    nxt[j] = nxt.get(j, 0.0) + mass[s] * p
+            conv_acc += nxt.get(conv_value, 0.0)
+            nxt.pop(conv_value, None)  # absorbing: mass leaves the chain
+            nxt.pop(null_state, None)
+            mass = nxt
+        return conv_acc
+
+    conv_full = k_step_conv(None)
+    out_rows = []
+    for c in channels:
+        conv_removed = k_step_conv(c)
+        effect = 1.0 - conv_removed / conv_full
+        out_rows.append((c, conv_full, conv_removed, effect))
+    share_total = 0.0
+    for _, _, _, eff in out_rows:
+        share_total += eff
+    return df.sparkSession.createDataFrame(
+        [
+            (c, cf, cr, eff, eff / share_total)
+            for c, cf, cr, eff in out_rows
+        ],
+        "channel string, conv_full double, conv_removed double, "
+        "removal_effect double, share double",
+    )

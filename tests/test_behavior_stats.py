@@ -657,3 +657,38 @@ def test_c4_line_filters_precedence_and_keep(spark):
     # precedence: the cookie line is blocklist, NOT no-punct
     assert (out[3]["n_blocklist"], out[3]["n_nopunct"]) == (1, 0)
     assert out[4]["n_lines"] == 0 and out[4]["clean_text"] == ""
+
+
+def test_markov_attribution_known_chain(spark):
+    """Hand-computed absorbing chain: journeys a→b→conv, a→(null),
+    b→conv.  Full-chain conversion 2/3; removing a keeps only the
+    start→b path (1/3, effect 0.5); removing b kills every conversion
+    (effect 1.0)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        behavior,
+    )
+
+    rows = [
+        (1, 1, 10, "a"), (1, 2, 11, "b"), (1, 3, 12, "purchase"),
+        (1, 4, 13, "a"),  # post-conversion event: must be truncated away
+        (2, 1, 20, "a"),
+        (3, 1, 30, "b"), (3, 2, 31, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string"
+    )
+    got = {
+        r["channel"]: r
+        for r in behavior.markov_attribution(
+            df, "user_id", ["ts", "event_id"], "event_type", "purchase",
+            steps=6,
+        ).collect()
+    }
+    assert set(got) == {"a", "b"}
+    assert abs(got["a"]["conv_full"] - 2 / 3) < 1e-12
+    assert abs(got["a"]["conv_removed"] - 1 / 3) < 1e-12
+    assert abs(got["a"]["removal_effect"] - 0.5) < 1e-12
+    assert abs(got["b"]["conv_removed"]) < 1e-12
+    assert abs(got["b"]["removal_effect"] - 1.0) < 1e-12
+    assert abs(got["a"]["share"] - 1 / 3) < 1e-12
+    assert abs(got["b"]["share"] - 2 / 3) < 1e-12
