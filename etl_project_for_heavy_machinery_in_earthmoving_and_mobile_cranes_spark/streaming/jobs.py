@@ -753,9 +753,17 @@ def compact_maintained_table(spark, path: str, n_files: int = 1) -> str:
 
     Returns the new live version dir.  At 100 TB run this per-partition
     rather than per-table (compact the partitions whose file census
-    crosses a threshold); the protocol is identical."""
+    crosses a threshold); the protocol is identical.
+
+    Delta-published tables route to ``delta_lite.compact`` (reading the
+    raw table root would pick up every superseded version's files)."""
     import os
 
+    from ..sources import delta_lite
+
+    if delta_lite.is_delta_table(path):
+        delta_lite.compact(spark, path, n_files=n_files)
+        return path
     data_dir = resolve_maintained_table(path)
     if data_dir is None:
         raise ValueError(f"compact: no committed state at {path}")

@@ -430,3 +430,18 @@ def test_optimize_zorder_preserves_content_and_enables_two_col_pruning(spark, tm
     # pre-optimize snapshot still time-travels
     at0 = {tuple(r) for r in delta_lite.read_delta(spark, t, version=0).collect()}
     assert at0 == before
+
+
+def test_compact_maintained_table_routes_delta_tables(spark, tmp_path):
+    """compact_maintained_table on a Delta-published table must go
+    through the log (reading the raw table root would resurrect every
+    superseded version's files)."""
+    t = str(tmp_path / "t")
+    for b in range(3):
+        df = spark.createDataFrame([(b, f"x{b}", b)], "user_id long, v string, ts long")
+        jobs.apply_upsert_batch(df, b, t, ["user_id"], protocol="delta")
+    before = {(r["user_id"], r["v"]) for r in delta_lite.read_delta(spark, t).collect()}
+    jobs.compact_maintained_table(spark, t, n_files=1)
+    after = {(r["user_id"], r["v"]) for r in delta_lite.read_delta(spark, t).collect()}
+    assert after == before
+    assert delta_lite.current_version(t) == 3  # one OPTIMIZE commit
