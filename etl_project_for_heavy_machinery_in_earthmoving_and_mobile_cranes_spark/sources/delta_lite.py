@@ -677,9 +677,14 @@ def upsert_delta(
     rows in ``updates`` replace same-key rows, new keys append, and
     only the buckets holding the updated keys rewrite.  ``updates``'
     schema defines the table schema going forward (columns present in
-    the stored table but absent from ``updates`` are dropped via a
-    schema-evolution metaData action — the maintained-table mark-column
-    migration rides this)."""
+    the stored table but absent from ``updates`` are dropped, NEW
+    columns fill NULL on surviving old rows — both ride a
+    schema-evolution metaData action; the maintained-table mark-column
+    migration rides this).  NOTE: a dropped/added column's metaData
+    action applies table-wide, but only touched buckets' FILES carry
+    the new physical schema — untouched files read fine because the
+    snapshot read pins the committed schema and parquet fills absent
+    columns with NULL."""
 
     def merge_fn(cur: "DataFrame | None", batch: DataFrame) -> DataFrame:
         if cur is None:
@@ -690,7 +695,9 @@ def upsert_delta(
         keep = cur.join(
             batch.select(*key_cols).dropDuplicates(), list(key_cols), "left_anti"
         )
-        return keep.unionByName(batch)
+        return keep.unionByName(batch, allowMissingColumns=True).select(
+            *batch.columns
+        )
 
     return merge_touched(
         spark, table, updates, key_cols, merge_fn, n_buckets=n_buckets, txn=txn

@@ -445,3 +445,22 @@ def test_compact_maintained_table_routes_delta_tables(spark, tmp_path):
     after = {(r["user_id"], r["v"]) for r in delta_lite.read_delta(spark, t).collect()}
     assert after == before
     assert delta_lite.current_version(t) == 3  # one OPTIMIZE commit
+
+
+def test_upsert_delta_schema_evolution_adds_and_drops_columns(spark, tmp_path):
+    """updates' schema defines the table going forward: a new column
+    fills NULL on surviving rows in TOUCHED buckets; untouched buckets'
+    old files read NULL through the pinned committed schema."""
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(20)], "k long, v string"
+    )
+    delta_lite.upsert_delta(spark, t, base, ["k"], n_buckets=4)
+    upd = spark.createDataFrame([(3, "NEW", 9.5)], "k long, v string, w double")
+    delta_lite.upsert_delta(spark, t, upd, ["k"], n_buckets=4)
+    got = {(r["k"], r["v"], r["w"]) for r in delta_lite.read_delta(spark, t).collect()}
+    assert (3, "NEW", 9.5) in got
+    assert (4, "v4", None) in got  # old row, new column NULL
+    assert len(got) == 20
+    # version-0 snapshot keeps its committed 2-column schema
+    assert delta_lite.read_delta(spark, t, version=0).columns == ["k", "v"]
