@@ -464,3 +464,45 @@ def test_upsert_delta_schema_evolution_adds_and_drops_columns(spark, tmp_path):
     assert len(got) == 20
     # version-0 snapshot keeps its committed 2-column schema
     assert delta_lite.read_delta(spark, t, version=0).columns == ["k", "v"]
+
+
+def test_merge_touched_conflict_rereads_fresh_snapshot(spark, tmp_path):
+    """Optimistic concurrency on the MERGE path: when a concurrent
+    commit steals the target version, the whole read-merge-write
+    re-runs against the fresh snapshot (true retry with re-validation),
+    so the concurrent commit's data survives in the final state."""
+    t = str(tmp_path / "t")
+    delta_lite.upsert_delta(
+        spark, t,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        ["k"], n_buckets=2,
+    )
+    real_commit = delta_lite._commit
+    state = {"raced": False}
+
+    def racing_commit(table, version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            # concurrent writer lands an upsert of k=2 at this version
+            delta_lite._commit = real_commit
+            delta_lite.upsert_delta(
+                spark, table,
+                spark.createDataFrame([(2, "CONCURRENT")], "k long, v string"),
+                ["k"],
+            )
+            delta_lite._commit = racing_commit
+            return False  # our attempt lost the version race
+        return real_commit(table, version, actions)
+
+    delta_lite._commit = racing_commit
+    try:
+        delta_lite.upsert_delta(
+            spark, t,
+            spark.createDataFrame([(1, "MINE")], "k long, v string"),
+            ["k"],
+        )
+    finally:
+        delta_lite._commit = real_commit
+    got = {(r["k"], r["v"]) for r in delta_lite.read_delta(spark, t).collect()}
+    # both writers' rows survive: no lost update under the retry
+    assert got == {(1, "MINE"), (2, "CONCURRENT")}
