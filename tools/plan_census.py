@@ -65,6 +65,8 @@ BNLJ_ALLOWLIST = {
     "reference_batch_parity",
     # 1-row basket-count scalar broadcast (lift denominator)
     "frequent_item_pairs",
+    # 1-row share-total scalar broadcast over 4 channel rows (r7)
+    "markov_attribution",
 }
 # Arrow-batched Python at genuine codec boundaries only
 PYTHON_ALLOWLIST = {
