@@ -577,7 +577,14 @@ def merge_touched(
         stored_keys = (
             json.loads(conf["bucketKeys"]) if "bucketKeys" in conf else None
         )
-        nb = int(conf["numBuckets"]) if "numBuckets" in conf else n_buckets
+        # same key set: the table's committed bucket count is the law;
+        # different/absent keys: this merge re-buckets, so the CALLER's
+        # n_buckets applies
+        nb = (
+            int(conf["numBuckets"])
+            if stored_keys == list(key_cols) and "numBuckets" in conf
+            else n_buckets
+        )
         if stored_keys == list(key_cols):
             tset = {
                 str(r["b"])
