@@ -375,10 +375,21 @@ def main() -> None:
     # minutes earlier); the min of two well-separated runs is the
     # steady-state throughput the plan actually has
     timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for _sweep in range(2):
         for name in BENCH_QUERIES:
             t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:
+                # a transient single-query failure must not kill the
+                # whole artifact the driver records for the round —
+                # surface it in the JSON instead
+                failed[name] = str(e)[:200]
+                print(f"BENCH-FAIL {name}: {e}", file=sys.stderr)
+                continue
             dt = round(time.time() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
@@ -404,6 +415,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "query_count": len(timings),
+                "failed": failed,
                 "sf": sf_val,
             },
             fh,
