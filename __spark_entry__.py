@@ -6941,6 +6941,168 @@ FROM p WHERE src IS NOT NULL GROUP BY 1, 2
 """
 
 
+_AB_SEED = 7
+
+
+def _ab_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared unit table for the experimentation queries: per user, the
+    pre-/post-period activity counts split at the integer midpoint of
+    the event-time range (exact integer micros arithmetic — engine-
+    replayable), a post-period conversion flag, and the deterministic
+    md5 arm assignment (experiments.hash_assign)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # NTZ-safe: unix_micros takes TIMESTAMP only; session tz is UTC
+    mm = e.agg(
+        F.expr(
+            "(min(unix_micros(cast(ts as timestamp)))"
+            " + max(unix_micros(cast(ts as timestamp)))) div 2"
+        ).alias("cut")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        e.crossJoin(F.broadcast(mm))
+        .groupBy("user_id")
+        .agg(
+            F.sum((us < F.col("cut")).cast("long")).alias("x"),
+            F.sum((us >= F.col("cut")).cast("long")).alias("y"),
+            F.max(
+                (
+                    (us >= F.col("cut"))
+                    & (F.col("event_type") == "purchase")
+                ).cast("int")
+            ).alias("conv"),
+        )
+        .withColumn(
+            "arm", experiments.hash_assign(F.col("user_id"), 2, seed=_AB_SEED)
+        )
+    )
+
+
+_ORACLE_AB_UNITS = f"""
+mm AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut FROM events
+), pu AS (
+  SELECT user_id,
+         sum(CASE WHEN epoch_us(ts) < cut THEN 1 ELSE 0 END) AS x,
+         sum(CASE WHEN epoch_us(ts) >= cut THEN 1 ELSE 0 END) AS y,
+         max(CASE WHEN epoch_us(ts) >= cut AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS conv,
+         {_H_SQL.format(seed="'" + str(_AB_SEED) + "'",
+                        expr="CAST(user_id AS VARCHAR)")} % 2 AS arm
+  FROM events CROSS JOIN mm
+  GROUP BY user_id, arm
+)"""
+
+
+def q_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (experiments.two_proportion_ztest, new
+    r7): users hash-assigned to two arms (pure md5 function of the
+    key — engine/rerun-stable, no RNG), conversion = any post-cut
+    purchase, one-row output with per-arm counts, rates, absolute lift
+    and the pooled-variance z statistic.  Counts are exact integers;
+    rates/z are single fixed-order double expressions the oracle
+    mirrors verbatim, rounded with the portable 6-dp floor."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    tune(spark)
+    out = experiments.two_proportion_ztest(
+        _ab_units(spark, sf_dir), "arm", "conv"
+    )
+    r6 = lambda c: (
+        F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    ).alias(c)
+    return out.select(
+        "n0", "n1", "x0", "x1", r6("p0"), r6("p1"), r6("lift"), r6("z")
+    )
+
+
+def _oracle_ab_test_zstat() -> str:
+    return f"""
+WITH {_ORACLE_AB_UNITS},
+agg AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0,
+         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1
+  FROM pu
+), s AS (
+  SELECT n0, n1, x0, x1,
+         x0 / CAST(n0 AS DOUBLE) AS p0,
+         x1 / CAST(n1 AS DOUBLE) AS p1,
+         (x0 + x1) / CAST(n0 + n1 AS DOUBLE) AS pp
+  FROM agg
+)
+SELECT n0, n1, x0, x1,
+       floor(p0 * 1e6 + 0.5) / 1e6 AS p0,
+       floor(p1 * 1e6 + 0.5) / 1e6 AS p1,
+       floor((p1 - p0) * 1e6 + 0.5) / 1e6 AS lift,
+       floor((p1 - p0) / sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+             * 1e6 + 0.5) / 1e6 AS z
+FROM s
+"""
+
+
+def q_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (experiments.cuped,
+    new r7): per-arm post-period activity adjusted by the pooled
+    pre-period covariate, theta = cov(X,Y)/var(X) from EXACT integer
+    moments (one double division of exact BIGINTs — both engines round
+    the same rational), adjusted means in fixed operand order.  The
+    standard sensitivity lever for online experiments, next to the
+    z-test twin."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    tune(spark)
+    out = experiments.cuped(_ab_units(spark, sf_dir), "arm", "x", "y")
+    r6 = lambda c: (
+        F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    ).alias(c)
+    return out.select(
+        "arm", "n", r6("mean_x"), r6("mean_y"), r6("mean_y_adj"), r6("theta")
+    )
+
+
+def _oracle_cuped_lift() -> str:
+    return f"""
+WITH {_ORACLE_AB_UNITS},
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pu
+), gl AS (
+  SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+         sx / CAST(n AS DOUBLE) AS mean_x_all
+  FROM g
+), arms AS (
+  SELECT arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sxa,
+         CAST(sum(y) AS BIGINT) AS sya
+  FROM pu GROUP BY 1
+)
+SELECT arm, n,
+       floor(sxa / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_x,
+       floor(sya / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_y,
+       floor((sya / CAST(n AS DOUBLE)
+              - theta * (sxa / CAST(n AS DOUBLE) - mean_x_all))
+             * 1e6 + 0.5) / 1e6 AS mean_y_adj,
+       floor(theta * 1e6 + 0.5) / 1e6 AS theta
+FROM arms CROSS JOIN gl
+"""
+
+
 _MK_STEPS = 8
 
 
@@ -12644,6 +12806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 7 (insert new HERE) -------
+        "ab_test_zstat": q_ab_test_zstat,
+        "cuped_lift": q_cuped_lift,
         "markov_attribution": q_markov_attribution,
         "delta_optimize_zorder": q_delta_optimize_zorder,
         "delta_stats_skipping": q_delta_stats_skipping,
@@ -12926,6 +13090,8 @@ def oracle_sql() -> dict[str, str]:
         "delta_stats_skipping": ORACLE_DELTA_STATS_SKIPPING,
         "delta_optimize_zorder": ORACLE_DELTA_OPTIMIZE_ZORDER,
         "markov_attribution": _oracle_markov_attribution(),
+        "ab_test_zstat": _oracle_ab_test_zstat(),
+        "cuped_lift": _oracle_cuped_lift(),
         # the touched-file SCD2 roundtrip must equal the one-pass batch
         # collapse (same oracle as scd2_user_type by the fold contract)
         "delta_scd2_roundtrip": ORACLE_SCD2,

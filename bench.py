@@ -208,6 +208,8 @@ BENCH_QUERIES = [
     "record_linkage",
     "linkage_golden_records",
     "markov_attribution",
+    "ab_test_zstat",
+    "cuped_lift",
     "delta_stats_skipping",
     "delta_optimize_zorder",
     "delta_time_travel_diff",

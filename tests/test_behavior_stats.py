@@ -692,3 +692,31 @@ def test_markov_attribution_known_chain(spark):
     assert abs(got["b"]["removal_effect"] - 1.0) < 1e-12
     assert abs(got["a"]["share"] - 1 / 3) < 1e-12
     assert abs(got["b"]["share"] - 2 / 3) < 1e-12
+
+
+def test_two_proportion_ztest_and_cuped_known_values(spark):
+    """Hand-computed: arms (0: 1/2 convert, 1: 2/2) give p0=.5, p1=1,
+    pooled .75, z = .5/sqrt(.1875); CUPED theta = cov/var = 32/20 = 1.6
+    and the adjusted means move each arm by theta*(mean_x - 2.5)."""
+    import math
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    pu = spark.createDataFrame(
+        [(0, 1, 2, 1), (0, 3, 4, 0), (1, 2, 6, 1), (1, 4, 8, 1)],
+        "arm int, x long, y long, conv int",
+    )
+    z = experiments.two_proportion_ztest(pu, "arm", "conv").first()
+    assert (z["n0"], z["n1"], z["x0"], z["x1"]) == (2, 2, 1, 2)
+    assert z["p0"] == 0.5 and z["p1"] == 1.0 and z["lift"] == 0.5
+    assert abs(z["z"] - 0.5 / math.sqrt(0.75 * 0.25 * 1.0)) < 1e-12
+    got = {r["arm"]: r for r in experiments.cuped(pu, "arm", "x", "y").collect()}
+    assert got[0]["theta"] == 1.6 and got[1]["theta"] == 1.6
+    assert got[0]["mean_y_adj"] == 3.8  # 3 - 1.6*(2 - 2.5)
+    assert got[1]["mean_y_adj"] == 6.2  # 7 - 1.6*(3 - 2.5)
+    # assignment is a pure function of the key: same arm everywhere
+    a1 = experiments.hash_assign(F.lit(12345), 2, seed=7)
+    df = spark.range(1).select(a1.alias("a"), a1.alias("b")).first()
+    assert df["a"] == df["b"] and df["a"] in (0, 1)
