@@ -67,6 +67,9 @@ BNLJ_ALLOWLIST = {
     "frequent_item_pairs",
     # 1-row share-total scalar broadcast over 4 channel rows (r7)
     "markov_attribution",
+    # 1-row scalar broadcasts: the midpoint-cut aggregate and (cuped)
+    # the pooled-theta aggregate (r7)
+    "ab_test_zstat", "cuped_lift",
 }
 # Arrow-batched Python at genuine codec boundaries only
 PYTHON_ALLOWLIST = {
