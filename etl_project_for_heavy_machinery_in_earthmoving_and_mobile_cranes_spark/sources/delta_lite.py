@@ -919,20 +919,50 @@ def optimize_zorder(
     multi-column file-skipping layout a 100 TB table is compacted into
     (real Delta's OPTIMIZE ZORDER is exactly this rewrite).  Same
     pinned-snapshot, abort-on-concurrent-commit discipline as
-    ``compact``; old versions stay time-travelable."""
+    ``compact``; old versions stay time-travelable.
+
+    Both columns are min/max-NORMALIZED into the full ``bits`` range
+    before interleaving (what real OPTIMIZE ZORDER's range-id mapping
+    does): raw-value interleaving gives a narrow-range column only its
+    few low bit positions, so a wide-range partner dominates the sort
+    and pruning on the narrow column degrades to nothing (observed as
+    a flaky 32/32-overlap on l_suppkey in a bench sweep).
+    Normalization only changes the ORDER; files still expose raw-value
+    stats."""
     from pyspark.sql import functions as F
 
     from ..operators.layout import morton_code
 
     live, _meta, base, _ = _read_actions(table)
     snapshot = read_delta(spark, table, version=base)
+    span = F.broadcast(
+        snapshot.agg(
+            F.min(col_a).alias("__alo"),
+            F.max(col_a).alias("__ahi"),
+            F.min(col_b).alias("__blo"),
+            F.max(col_b).alias("__bhi"),
+        )
+    )
+
+    def normed(col, lo, hi):
+        width = F.col(hi) - F.col(lo) + F.lit(1)
+        return F.floor(
+            (F.col(col) - F.col(lo)).cast("bigint") * F.lit(1 << bits) / width
+        ).cast("bigint")
+
     ordered = (
-        snapshot.withColumn(
-            "__zorder", morton_code(F.col(col_a), F.col(col_b), bits=bits)
+        snapshot.crossJoin(span)
+        .withColumn(
+            "__zorder",
+            morton_code(
+                normed(col_a, "__alo", "__ahi"),
+                normed(col_b, "__blo", "__bhi"),
+                bits=bits,
+            ),
         )
         .repartitionByRange(n_files, "__zorder")
         .sortWithinPartitions("__zorder")
-        .drop("__zorder")
+        .drop("__zorder", "__alo", "__ahi", "__blo", "__bhi")
     )
     version = base + 1
     adds = _stage_data_files(ordered, table, version)
