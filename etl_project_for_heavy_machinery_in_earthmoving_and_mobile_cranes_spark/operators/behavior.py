@@ -429,7 +429,18 @@ def markov_attribution(
             mass = nxt
         return conv_acc
 
+    schema = (
+        "channel string, conv_full double, conv_removed double, "
+        "removal_effect double, share double"
+    )
     conv_full = k_step_conv(None)
+    if conv_full == 0.0:
+        # no journey converts within `steps`: every removal effect is
+        # undefined (0/0) — the well-defined answer is zero credit per
+        # channel, not a ZeroDivisionError on valid input
+        return df.sparkSession.createDataFrame(
+            [(c, 0.0, 0.0, 0.0, None) for c in channels], schema
+        )
     out_rows = []
     for c in channels:
         conv_removed = k_step_conv(c)
@@ -438,11 +449,12 @@ def markov_attribution(
     share_total = 0.0
     for _, _, _, eff in out_rows:
         share_total += eff
+    # all removal effects 0 (every channel redundant): shares are
+    # undefined — emit NULL share rather than dividing by zero
     return df.sparkSession.createDataFrame(
         [
-            (c, cf, cr, eff, eff / share_total)
+            (c, cf, cr, eff, (eff / share_total) if share_total != 0.0 else None)
             for c, cf, cr, eff in out_rows
         ],
-        "channel string, conv_full double, conv_removed double, "
-        "removal_effect double, share double",
+        schema,
     )

@@ -26,11 +26,25 @@ What this implements (the subset a maintained table needs):
   ``last_txn_version`` through the log instead of scanning table data.
 - CHECKPOINTS: every ``CHECKPOINT_INTERVAL`` commits the live state
   (protocol, metaData, live adds, latest txn per app) is snapshotted
-  to ``{v:020d}.checkpoint.json`` and ``_last_checkpoint`` repointed,
+  to ``{v:020d}.checkpoint.json`` and the pointer file repointed,
   so snapshot reads replay O(interval) tail commits instead of the
   whole history — the spec's answer to log-replay cost growing with
   version count.  (Real Delta writes parquet checkpoints; JSONL keeps
-  this layer dependency-free — the protocol role is identical.)
+  this layer dependency-free — the protocol role is identical.  The
+  pointer is named ``_last_checkpoint.spark_graft.json``, deliberately
+  NOT the spec's ``_last_checkpoint``: a spec reader must never be
+  pointed at a JSONL checkpoint it can't parse — it ignores our
+  pointer and replays the fully spec-shaped JSONL commit log instead.)
+- PARTITION COLUMNS (``write_delta(partition_by=[...])``): files land
+  under Hive-layout partition directories, add actions carry real
+  ``partitionValues`` matching ``metaData.partitionColumns`` (the spec
+  invariant), and ``read_delta(predicate=...)`` prunes by partition
+  value BEFORE min/max stats skipping.  Merge-bucket tags ride
+  ``add.tags['bucket']`` — never partitionValues — so the invariant
+  holds on bucketed tables too.
+- GDPR DELETE (``delete_keys``): key-level erasure as an anti-join
+  scoped to the touched buckets, O(keys) publish cost; time travel
+  retains pre-delete versions until retention-gated ``vacuum``.
 - KEYED INCREMENTAL MERGE (``merge_touched`` / ``upsert_delta``): the
   table's data files are hash-bucketed on the merge key
   (``pmod(xxhash64(keys), numBuckets)``, recorded per file in the add
@@ -68,7 +82,13 @@ from pyspark.sql import DataFrame, SparkSession
 _LOG_DIR = "_delta_log"
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 _BUCKET_COL = "__bucket"
-_LAST_CHECKPOINT = "_last_checkpoint"
+# Checkpoint-pointer filename deliberately does NOT collide with the
+# spec's ``_last_checkpoint``: our checkpoints are JSONL (dependency-
+# free), and a spec reader honoring a ``_last_checkpoint`` pointer
+# would expect a parquet checkpoint and fail.  With a non-colliding
+# name, a real Delta reader simply ignores the pointer and replays the
+# (fully spec-shaped) JSONL commit log — correct, just un-accelerated.
+_LAST_CHECKPOINT = "_last_checkpoint.spark_graft.json"
 
 #: commits between checkpoint snapshots (real Delta default is 10)
 CHECKPOINT_INTERVAL = 10
@@ -294,6 +314,70 @@ def _stage_data_files(df: DataFrame, table: str, version_hint: int) -> list[dict
     return adds
 
 
+def _stage_partitioned_files(
+    df: DataFrame, table: str, version_hint: int, partition_by: list[str]
+) -> list[dict]:
+    """Distributed partitioned parquet write: Hive-layout staging
+    (``col=val/…``), then each part file moves into the table root
+    KEEPING its partition directory as the add path's relative prefix —
+    real Delta stores partitioned files exactly this way, so readers
+    can reconstitute the partition columns from the path (Spark
+    partition discovery with ``basePath``).  Each add action records
+    the file's partition values (``partitionValues``), matching the
+    declared ``metaData.partitionColumns`` as the spec requires; the
+    Hive NULL sentinel directory maps to a null partitionValue."""
+    stage = os.path.join(table, f".stage-{version_hint}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(stage)
+    adds: list[dict] = []
+
+    def walk(cur: str, rel_parts: list[str], values: dict) -> None:
+        depth = len(rel_parts)
+        if depth == len(partition_by):
+            for name in sorted(os.listdir(cur)):
+                if not name.endswith(".parquet"):
+                    continue
+                final = (
+                    f"part-{version_hint:05d}-{uuid.uuid4().hex}.snappy.parquet"
+                )
+                rel = "/".join(rel_parts + [final])
+                dst = os.path.join(table, *rel_parts, final)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(cur, name), dst)
+                st = os.stat(dst)
+                add = {
+                    "path": rel,
+                    "partitionValues": dict(values),
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                }
+                stats = _file_stats(dst)
+                if stats is not None:
+                    add["stats"] = stats
+                adds.append(add)
+            return
+        col = partition_by[depth]
+        for name in sorted(os.listdir(cur)):
+            if not name.startswith(col + "="):
+                continue
+            raw = name.split("=", 1)[1]
+            # partitionValues carries the DECODED value (the spec's
+            # string representation); the path keeps the Hive-escaped
+            # directory name Spark's partition discovery expects
+            from urllib.parse import unquote
+
+            val = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+            walk(
+                os.path.join(cur, name),
+                rel_parts + [name],
+                {**values, col: val},
+            )
+
+    walk(stage, [], {})
+    shutil.rmtree(stage, ignore_errors=True)
+    return adds
+
+
 def _bucket_expr(key_cols: list[str], n_buckets: int):
     from pyspark.sql import functions as F
 
@@ -341,9 +425,14 @@ def _stage_bucketed_files(
             dst = os.path.join(table, final)
             os.rename(os.path.join(sub, name), dst)
             st = os.stat(dst)
+            # the bucket tag rides ``add.tags`` (spec: free-form file
+            # metadata), NOT ``partitionValues`` — partitionValues keys
+            # must match metaData.partitionColumns (which is [] here),
+            # and violating that invariant breaks real spec readers
             add = {
                 "path": final,
-                "partitionValues": {_BUCKET_COL: bucket},
+                "partitionValues": {},
+                "tags": {"bucket": bucket},
                 "size": st.st_size,
                 "modificationTime": int(st.st_mtime * 1000),
                 "dataChange": True,
@@ -354,6 +443,17 @@ def _stage_bucketed_files(
             adds.append(add)
     shutil.rmtree(stage, ignore_errors=True)
     return adds
+
+
+def _file_bucket(add: dict) -> "str | None":
+    """The merge-key hash bucket a data file is tagged with, or None
+    for untagged files.  Reads ``add.tags['bucket']`` (the spec-clean
+    home) with a fallback to the legacy ``partitionValues['__bucket']``
+    written by pre-r8 commits, so existing tables merge correctly."""
+    tag = (add.get("tags") or {}).get("bucket")
+    if tag is not None:
+        return tag
+    return (add.get("partitionValues") or {}).get(_BUCKET_COL)
 
 
 def _commit(table: str, version: int, actions: list[dict]) -> bool:
@@ -408,9 +508,19 @@ def write_delta(
     max_retries: int = 16,
     txn: "tuple[str, int] | None" = None,
     expected_version: int | None = None,
+    partition_by: "list[str] | None" = None,
 ) -> int:
     """Write ``df`` as a Delta commit (``overwrite`` replaces the live
     file set; ``append`` adds to it).  Returns the committed version.
+
+    ``partition_by`` declares table partition columns (first write
+    only; later writes inherit the table's declared columns and REJECT
+    a conflicting spec): files land under Hive-layout partition dirs,
+    each add action's ``partitionValues`` records the file's partition
+    values (spec invariant: keys == metaData.partitionColumns), and
+    ``read_delta`` prunes files by partition value BEFORE stats
+    skipping — at 100 TB, partition pruning on e.g. an ingest-date
+    column is the first and cheapest scan eliminator.
 
     ``txn=(appId, version)`` rides a SetTransaction action inside the
     same atomic commit (streaming idempotence; see
@@ -426,7 +536,22 @@ def write_delta(
     version = (versions[-1] + 1) if versions else 0
     if expected_version is not None:
         version = expected_version
-    adds = _stage_data_files(df, table, version)
+    if version > 0:
+        # existing table: the declared partition columns are the law
+        _, meta0, _, _ = _read_actions(table, upto=version - 1)
+        declared = meta0.get("partitionColumns") or []
+        if partition_by is None:
+            partition_by = list(declared)
+        elif list(partition_by) != list(declared):
+            raise ValueError(
+                f"partition_by {partition_by} conflicts with the table's "
+                f"declared partitionColumns {declared}"
+            )
+    partition_by = list(partition_by or [])
+    if partition_by:
+        adds = _stage_partitioned_files(df, table, version, partition_by)
+    else:
+        adds = _stage_data_files(df, table, version)
     schema_string = df.schema.json()
     for _ in range(max_retries):
         actions: list[dict] = [
@@ -440,7 +565,7 @@ def write_delta(
                         "id": str(uuid.uuid4()),
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema_string,
-                        "partitionColumns": [],
+                        "partitionColumns": partition_by,
                         "configuration": {},
                         "createdTime": int(time.time() * 1000),
                     }
@@ -599,8 +724,7 @@ def merge_touched(
             touched = {
                 p: a
                 for p, a in live.items()
-                if (a.get("partitionValues") or {}).get(_BUCKET_COL) is None
-                or (a.get("partitionValues") or {}).get(_BUCKET_COL) in tset
+                if _file_bucket(a) is None or _file_bucket(a) in tset
             }
             # shuffle width = touched buckets, never the table's total
             width = max(1, min(nb, len(tset)))
@@ -711,6 +835,52 @@ def upsert_delta(
     )
 
 
+def delete_keys(
+    spark: SparkSession,
+    table: str,
+    keys_df: DataFrame,
+    key_cols: list[str],
+    txn: "tuple[str, int] | None" = None,
+) -> int:
+    """GDPR / right-to-be-forgotten key-level DELETE through the
+    touched-file merge path: rows whose ``key_cols`` appear in
+    ``keys_df`` are removed from the live snapshot by anti-joining
+    WITHIN the touched key-hash buckets only — a deletion request for
+    k keys reads and rewrites O(k) buckets' files, never the table
+    (the merge_touched contract), which is what makes erasure batches
+    operationally routine at 100 TB.
+
+    Semantics and caveats (the honest GDPR story of every versioned
+    table format):
+    - the LIVE snapshot (and every later version) no longer serves the
+      keys — this is the compliance surface readers see;
+    - TIME TRAVEL to pre-delete versions still serves them (old
+      versions are immutable by design), and the physical bytes remain
+      on disk until the pre-delete versions age out and ``vacuum``
+      (retention-gated) reclaims the unreferenced files — real
+      deployments follow a delete with a retention-window vacuum to
+      complete physical erasure;
+    - the delete is a normal versioned commit: idempotent under replay
+      via ``txn``, concurrent-safe via the optimistic retry.
+
+    The table must be bucketed on exactly ``key_cols`` (a
+    ``merge_touched``/``upsert_delta``-maintained table); a plain
+    table is migrated into buckets by this first merge, same as any
+    other merge.  Returns the committed version."""
+    keys_only = keys_df.select(*key_cols).dropDuplicates()
+
+    def merge_fn(cur: "DataFrame | None", batch: DataFrame) -> DataFrame:
+        if cur is None:
+            raise FileNotFoundError(
+                f"delete_keys: no Delta table at {table} (nothing to erase)"
+            )
+        return cur.join(batch, list(key_cols), "left_anti")
+
+    return merge_touched(
+        spark, table, keys_only, key_cols, merge_fn, txn=txn
+    )
+
+
 def last_txn_version(table: str, app_id: str) -> int | None:
     """Latest SetTransaction version committed for ``app_id``, read
     through the log (checkpoint-accelerated) — the streaming
@@ -721,16 +891,43 @@ def last_txn_version(table: str, app_id: str) -> int | None:
     return txns.get(app_id)
 
 
-def _maybe_prunable(add: dict, col: str, lo, hi) -> bool:
-    """True when the file's log stats PROVE [lo, hi] misses it; files
-    without stats (or stats for this column) are never pruned."""
+def _temporal_key(v):
+    """Normalize a stat/bound value to a comparison key.  Temporal
+    values (and ISO-shaped strings — file stats serialize dates and
+    timestamps as ISO strings) all map to a naive ``datetime`` so a
+    DATE-stat '1996-01-01' compares as midnight against a datetime
+    bound instead of LEXICOGRAPHICALLY ('1996-01-01' <
+    '1996-01-01T00:00:00' as strings, which wrongly prunes a file
+    whose boundary rows match — silent data loss).  date→midnight is
+    exactly Spark/DuckDB date-vs-timestamp promotion, so the compare
+    is engine-faithful; for genuine STRING columns that merely look
+    ISO, the datetime order differs from the lexicographic one only at
+    the date-vs-'T00:00:00' boundary, where it says EQUAL (keep the
+    file) — the conservative direction, so pruning stays sound.
+    Non-temporal values pass through; a mixed comparison raises
+    TypeError upstream and the file is kept."""
     import datetime
 
-    def norm(v):
-        if isinstance(v, (datetime.datetime, datetime.date)):
-            return v.isoformat()
-        return v
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None)
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day)
+    if isinstance(v, str) and len(v) >= 10 and v[4:5] == "-" and v[7:8] == "-":
+        try:
+            parsed = datetime.datetime.fromisoformat(v)
+            return parsed.replace(tzinfo=None)
+        except ValueError:
+            return v
+    return v
 
+
+def _maybe_prunable(add: dict, col: str, lo, hi) -> bool:
+    """True when the file's log stats PROVE [lo, hi] misses it; files
+    without stats (or stats for this column) are never pruned.  Stat
+    strings and bounds are normalized to a common temporal granularity
+    (``_temporal_key``) before comparing — never raw ISO-string
+    lexicographic order, whose date-vs-datetime shape mismatch prunes
+    matching boundary rows."""
     stats = add.get("stats")
     if not stats:
         return False
@@ -740,11 +937,41 @@ def _maybe_prunable(add: dict, col: str, lo, hi) -> bool:
         fmax = s["maxValues"][col]
     except (KeyError, json.JSONDecodeError, TypeError):
         return False
-    lo, hi = norm(lo), norm(hi)
+    fmin, fmax = _temporal_key(fmin), _temporal_key(fmax)
+    lo, hi = _temporal_key(lo), _temporal_key(hi)
     try:
         return (hi is not None and fmin > hi) or (lo is not None and fmax < lo)
     except TypeError:
         return False  # incomparable types: keep the file
+
+
+def _partition_prunable(add: dict, col: str, lo, hi, dtype: str) -> bool:
+    """True when the file's committed partition value PROVES [lo, hi]
+    misses it.  Partition values are stored as strings (the spec's
+    representation); they are parsed to the DECLARED column type before
+    comparing — never raw string order for numeric/temporal columns.
+    A null partition value, or a value that fails to parse, keeps the
+    file (advisory-safe, like stats skipping)."""
+    raw = (add.get("partitionValues") or {}).get(col)
+    if raw is None:
+        return False
+    t = dtype.lower()
+    try:
+        if t in ("byte", "short", "integer", "long"):
+            v = int(raw)
+        elif t in ("float", "double") or t.startswith("decimal"):
+            v = float(raw)
+        elif t in ("date", "timestamp", "timestamp_ntz"):
+            v = _temporal_key(raw)
+        else:
+            v = raw
+    except (ValueError, TypeError):
+        return False
+    lo, hi = _temporal_key(lo), _temporal_key(hi)
+    try:
+        return (hi is not None and v > hi) or (lo is not None and v < lo)
+    except TypeError:
+        return False
 
 
 def read_delta(
@@ -756,27 +983,50 @@ def read_delta(
     """Snapshot read (latest, or time travel to ``version``): replay the
     log, read the surviving files with the committed schema pinned.
 
-    ``predicate=(col, lo, hi)`` enables LOG-STATS FILE SKIPPING (the
-    Delta spec's per-file ``stats`` on add actions): files whose
-    committed min/max prove the closed range [lo, hi] (either bound
-    None = unbounded) cannot match are dropped from the scan before
-    Spark ever lists them — at 100 TB this is the difference between
-    scanning a day and scanning the table.  Skipping is advisory-safe:
-    files without stats are always read, and callers must still apply
-    the actual filter (stats prune files, not rows)."""
+    ``predicate=(col, lo, hi)`` enables FILE SKIPPING, two layers deep:
+    1. PARTITION PRUNING — when ``col`` is a declared partition column,
+       files whose committed ``partitionValues[col]`` falls outside
+       [lo, hi] are dropped first (value-exact, parsed to the declared
+       type);
+    2. LOG-STATS SKIPPING (the Delta spec's per-file ``stats``): files
+       whose committed min/max prove the closed range [lo, hi] (either
+       bound None = unbounded) cannot match are dropped before Spark
+       ever lists them — at 100 TB this is the difference between
+       scanning a day and scanning the table.
+    Skipping is advisory-safe: files without stats (or with null
+    partition values) are always read, and callers must still apply
+    the actual filter (pruning drops files, not rows).
+
+    Partitioned tables (non-empty ``metaData.partitionColumns``) read
+    with ``basePath`` so Spark's partition discovery reconstitutes the
+    partition columns from the Hive-layout file paths."""
     from pyspark.sql.types import StructType
 
     live, meta, _, _ = _read_actions(table, upto=version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = meta.get("partitionColumns") or []
     if predicate is not None:
         col, lo, hi = predicate
+        if col in pcols:
+            dtype = next(
+                (f.dataType.typeName() for f in schema.fields if f.name == col),
+                "string",
+            )
+            live = {
+                p: a
+                for p, a in live.items()
+                if not _partition_prunable(a, col, lo, hi, dtype)
+            }
         live = {
             p: a for p, a in live.items() if not _maybe_prunable(a, col, lo, hi)
         }
     if not live:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(table, p) for p in sorted(live)]
-    return spark.read.schema(schema).parquet(*paths)
+    reader = spark.read.schema(schema)
+    if pcols:
+        reader = reader.option("basePath", table)
+    return reader.parquet(*paths)
 
 
 def delta_history(table: str) -> list[dict]:
@@ -822,22 +1072,42 @@ def vacuum(table: str, retention_seconds: float = 3600.0) -> list[str]:
                     referenced.add(action["add"]["path"])
     now = time.time()
     removed = []
-    for name in os.listdir(table):
-        full = os.path.join(table, name)
-        if name == _LOG_DIR:
-            continue
-        try:
-            age = now - os.stat(full).st_mtime
-        except OSError:
-            continue  # raced away
-        if age < retention_seconds:
-            continue  # possibly an in-flight commit's staged data
-        if name.startswith(".stage-") and os.path.isdir(full):
+    # walk recursively: partitioned tables keep data files under
+    # Hive-layout subdirectories, referenced by log-relative path
+    for root, dirs, files in os.walk(table):
+        rel_root = os.path.relpath(root, table)
+        if rel_root == ".":
+            rel_root = ""
+        if _LOG_DIR in dirs:
+            dirs.remove(_LOG_DIR)
+        for d in list(dirs):
+            if not d.startswith(".stage-"):
+                continue
+            dirs.remove(d)
+            full = os.path.join(root, d)
+            try:
+                age = now - os.stat(full).st_mtime
+            except OSError:
+                continue  # raced away
+            if age < retention_seconds:
+                continue  # possibly an in-flight commit's staged data
             shutil.rmtree(full, ignore_errors=True)
-            removed.append(name)
-        elif name.endswith(".parquet") and name not in referenced:
+            removed.append(os.path.join(rel_root, d) if rel_root else d)
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.join(rel_root, name).replace(os.sep, "/") if rel_root else name
+            if rel in referenced:
+                continue
+            full = os.path.join(root, name)
+            try:
+                age = now - os.stat(full).st_mtime
+            except OSError:
+                continue  # raced away
+            if age < retention_seconds:
+                continue
             os.remove(full)
-            removed.append(name)
+            removed.append(rel)
     return removed
 
 
@@ -860,6 +1130,41 @@ def compact(spark: SparkSession, table: str, n_files: int = 1) -> int:
     live, meta, base, _ = _read_actions(table)
     conf = meta.get("configuration") or {}
     snapshot = read_delta(spark, table, version=base)
+    pcols = meta.get("partitionColumns") or []
+    if pcols:
+        # partitioned table: the rewrite must PRESERVE the partition
+        # layout (a flat rewrite would orphan metaData.partitionColumns
+        # and break pruning); per-partition coalescing rides the
+        # partitioned stage
+        version = base + 1
+        adds = _stage_partitioned_files(
+            snapshot.repartition(max(n_files, 1), *pcols), table, version, pcols
+        )
+        actions = [_commit_info("OPTIMIZE", {"partitionBy": json.dumps(pcols)})]
+        ts = int(time.time() * 1000)
+        for path in live:
+            actions.append(
+                {
+                    "remove": {
+                        "path": path,
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                    }
+                }
+            )
+        actions.extend({"add": a} for a in adds)
+        if not _commit(table, version, actions):
+            for a in adds:
+                try:
+                    os.remove(os.path.join(table, a["path"]))
+                except OSError:
+                    pass
+            raise RuntimeError(
+                f"concurrent commit during compact of {table}; aborted "
+                "(snapshot stale — re-run compaction)"
+            )
+        _maybe_checkpoint(table, version)
+        return version
     if "bucketKeys" in conf and "numBuckets" in conf:
         key_cols = json.loads(conf["bucketKeys"])
         nb = int(conf["numBuckets"])
@@ -934,6 +1239,13 @@ def optimize_zorder(
     from ..operators.layout import morton_code
 
     live, _meta, base, _ = _read_actions(table)
+    if _meta.get("partitionColumns"):
+        raise NotImplementedError(
+            "optimize_zorder on a partitioned table is not supported: a "
+            "flat Morton rewrite would break the declared partition "
+            "layout.  Real Delta z-orders WITHIN partitions; compact() "
+            "preserves partitioning if small files are the problem."
+        )
     snapshot = read_delta(spark, table, version=base)
     span = F.broadcast(
         snapshot.agg(
@@ -945,10 +1257,17 @@ def optimize_zorder(
     )
 
     def normed(col, lo, hi):
-        width = F.col(hi) - F.col(lo) + F.lit(1)
-        return F.floor(
-            (F.col(col) - F.col(lo)).cast("bigint") * F.lit(1 << bits) / width
+        # scale in DOUBLE, not (offset * 2^bits) in bigint: a column
+        # range wider than 2^(63-bits) (epoch-micros spanning decades
+        # at bits=16) overflows the multiply and silently scrambles
+        # the Morton order.  Only the ORDER matters here, so double
+        # precision suffices; clamp to [0, 2^bits - 1] against the
+        # hi-boundary row landing exactly on 2^bits.
+        width = (F.col(hi) - F.col(lo)).cast("double") + F.lit(1.0)
+        scaled = F.floor(
+            (F.col(col) - F.col(lo)).cast("double") / width * F.lit(float(1 << bits))
         ).cast("bigint")
+        return F.least(F.greatest(scaled, F.lit(0)), F.lit((1 << bits) - 1))
 
     ordered = (
         snapshot.crossJoin(span)

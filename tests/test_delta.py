@@ -293,7 +293,10 @@ def test_compact_preserves_bucketing_and_incrementality(spark, tmp_path):
     v = delta_lite.compact(spark, t)
     live, meta, _, _ = delta_lite._read_actions(t)
     assert len(live) == 4  # one file per bucket, tags preserved
-    assert all(a["partitionValues"].get("__bucket") is not None for a in live.values())
+    assert all(delta_lite._file_bucket(a) is not None for a in live.values())
+    # spec invariant: partitionValues keys match metaData.partitionColumns
+    # (empty here) — the bucket rides add.tags, never partitionValues
+    assert all(a.get("partitionValues") == {} for a in live.values())
     v2 = delta_lite.upsert_delta(
         spark, t, spark.createDataFrame([(3, "c")], "k long, v string"), ["k"]
     )
@@ -506,3 +509,168 @@ def test_merge_touched_conflict_rereads_fresh_snapshot(spark, tmp_path):
     got = {(r["k"], r["v"]) for r in delta_lite.read_delta(spark, t).collect()}
     # both writers' rows survive: no lost update under the retry
     assert got == {(1, "MINE"), (2, "CONCURRENT")}
+
+
+def test_partition_columns_prune_and_reconstitute(spark, tmp_path):
+    """write_delta(partition_by=...) populates partitionValues to match
+    metaData.partitionColumns (the spec invariant), read_delta prunes
+    files by partition value BEFORE stats skipping, and the partition
+    column — absent from the parquet data files — reconstitutes from
+    the Hive-layout paths on read."""
+    t = str(tmp_path / "t")
+    rows = [(i, i % 4, f"v{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, p int, v string")
+    delta_lite.write_delta(df, t, partition_by=["p"])
+    live, meta, _, _ = delta_lite._read_actions(t)
+    assert meta["partitionColumns"] == ["p"]
+    assert all(set(a["partitionValues"]) == {"p"} for a in live.values())
+    assert all(a["path"].startswith("p=") for a in live.values())
+    # partition pruning: a p == 2 predicate keeps only that partition
+    kept = {
+        p
+        for p, a in live.items()
+        if not delta_lite._partition_prunable(a, "p", 2, 2, "integer")
+    }
+    assert kept and all(p.startswith("p=2/") for p in kept)
+    pruned = delta_lite.read_delta(spark, t, predicate=("p", 2, 2))
+    got = {(r["k"], r["p"], r["v"]) for r in pruned.collect()}
+    assert got == {(i, 2, f"v{i}") for i in range(100) if i % 4 == 2}
+    # full read round-trips, partition column reconstituted with type
+    full = delta_lite.read_delta(spark, t)
+    assert dict(full.dtypes)["p"] == "int"
+    assert full.count() == 100
+    # a conflicting partition spec on a later write is rejected
+    with pytest.raises(ValueError, match="partition"):
+        delta_lite.write_delta(df, t, mode="append", partition_by=["k"])
+    # append inherits the declared partitioning
+    delta_lite.write_delta(
+        spark.createDataFrame([(100, 2, "x")], "k long, p int, v string"),
+        t,
+        mode="append",
+    )
+    assert delta_lite.read_delta(spark, t, predicate=("p", 2, 2)).count() == 26
+
+
+def test_partitioned_compact_preserves_layout_and_vacuum_walks_subdirs(
+    spark, tmp_path
+):
+    """compact() on a partitioned table preserves the Hive layout (new
+    adds carry partitionValues), and vacuum() finds superseded files
+    inside partition subdirectories."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(60)], "k long, p int, v string"
+    )
+    delta_lite.write_delta(df.repartition(8), t, partition_by=["p"])
+    n_before = len(delta_lite._read_actions(t)[0])
+    v = delta_lite.compact(spark, t, n_files=1)
+    live, meta, _, _ = delta_lite._read_actions(t)
+    assert meta["partitionColumns"] == ["p"]
+    assert all(set(a["partitionValues"]) == {"p"} for a in live.values())
+    assert len(live) <= n_before
+    assert delta_lite.read_delta(spark, t).count() == 60
+    # a crash orphan INSIDE a partition subdirectory: vacuum must walk
+    # the Hive layout to find it (referenced files in subdirs survive)
+    orphan = os.path.join(t, "p=1", "part-99999-deadbeef.snappy.parquet")
+    open(orphan, "wb").write(b"junk")
+    removed = delta_lite.vacuum(t, retention_seconds=0.0)
+    assert "p=1/part-99999-deadbeef.snappy.parquet" in removed
+    assert not os.path.exists(orphan)
+    assert delta_lite.read_delta(spark, t).count() == 60  # live table intact
+
+
+def test_delete_keys_erases_live_but_time_travel_serves_history(spark, tmp_path):
+    """GDPR delete: the live snapshot no longer serves the keys, the
+    publish touches only the keys' buckets, time travel still serves
+    pre-delete versions, and a retention-gated vacuum completes the
+    physical erasure story."""
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, f"user{k}") for k in range(50)], "k long, v string"
+    )
+    delta_lite.upsert_delta(spark, t, base, ["k"], n_buckets=8)
+    pre = delta_lite.current_version(t)
+    erase = spark.createDataFrame([(7,), (13,)], "k long")
+    v = delta_lite.delete_keys(spark, t, erase, ["k"], txn=("gdpr", 1))
+    # live snapshot: keys gone
+    live_keys = {r["k"] for r in delta_lite.read_delta(spark, t).collect()}
+    assert 7 not in live_keys and 13 not in live_keys
+    assert len(live_keys) == 48
+    # touched-file discipline: only the buckets holding 7 and 13 rewrote
+    acts = [
+        json.loads(ln)
+        for ln in open(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+        if ln.strip()
+    ]
+    removes = [a for a in acts if "remove" in a]
+    assert 0 < len(removes) <= 2  # ≤ one file per touched bucket
+    # idempotence: the txn mark reads back through the log
+    assert delta_lite.last_txn_version(t, "gdpr") == 1
+    # time travel: the pre-delete version still serves the keys
+    old = {r["k"] for r in delta_lite.read_delta(spark, t, version=pre).collect()}
+    assert 7 in old and 13 in old
+    # vacuum with retention keeps the pre-delete files (time travel
+    # intact); zero-retention reclaims nothing NEW that is still
+    # referenced by any version — erased rows' files are referenced by
+    # the old version, so they survive until log truncation
+    assert delta_lite.vacuum(t, retention_seconds=3600) == []
+    assert delta_lite.delete_keys(spark, t, erase, ["k"]) == v + 1  # no-op rewrite commits cleanly
+    assert delta_lite.read_delta(spark, t).count() == 48
+
+
+def test_temporal_stats_pruning_shape_mismatch_is_safe(spark, tmp_path):
+    """ADVICE r7: a DATE column's ISO stats ('1996-01-01') compared
+    against a datetime bound must NOT lexicographically prune the file
+    whose boundary rows match."""
+    import datetime
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, datetime.date(1996, 1, 1)), (2, datetime.date(1996, 6, 1))],
+        "k long, d date",
+    )
+    delta_lite.write_delta(df.coalesce(1), t)
+    live, _, _, _ = delta_lite._read_actions(t)
+    add = next(iter(live.values()))
+    # bound at midnight of the stat's max date: the boundary row
+    # MATCHES >= lo, so the file must be kept (string compare said
+    # '1996-06-01' < '1996-06-01T00:00:00' and wrongly pruned)
+    lo = datetime.datetime(1996, 6, 1, 0, 0, 0)
+    assert not delta_lite._maybe_prunable(add, "d", lo, None)
+    # a bound strictly past the max date DOES prune
+    assert delta_lite._maybe_prunable(
+        add, "d", datetime.datetime(1996, 6, 2), None
+    )
+    # reading with the datetime predicate keeps the boundary row
+    got = delta_lite.read_delta(spark, t, predicate=("d", lo, None))
+    assert got.count() == 2  # file kept; row filter is the caller's job
+
+
+def test_zorder_wide_range_does_not_overflow(spark, tmp_path):
+    """ADVICE r7: a column range wider than 2^(63-bits) must not
+    overflow the normalization (epoch-micros spanning decades); the
+    Morton rewrite still produces bounded per-file boxes on both
+    columns."""
+    wide = [(i * 3_155_760_000_000, i % 97, i) for i in range(2000)]
+    df = spark.createDataFrame(wide, "us long, g long, k long")  # ~100y of micros
+    t = str(tmp_path / "t")
+    delta_lite.write_delta(df.repartition(4), t)
+    delta_lite.optimize_zorder(spark, t, "us", "g", n_files=8)
+    live, _, _, _ = delta_lite._read_actions(t)
+    hi_us = 500 * 3_155_760_000_000
+    kept = [
+        p
+        for p, a in live.items()
+        if not delta_lite._maybe_prunable(a, "us", 0, hi_us)
+    ]
+    assert 0 < len(kept) < len(live)  # pruning works: order not scrambled
+    got = delta_lite.read_delta(spark, t).count()
+    assert got == 2000
+
+
+def test_optimize_zorder_rejects_partitioned_table(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 0, 2)], "a long, p int, b long")
+    delta_lite.write_delta(df, t, partition_by=["p"])
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        delta_lite.optimize_zorder(spark, t, "a", "b")
