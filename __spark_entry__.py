@@ -10126,13 +10126,32 @@ _FS_LOWER = 0.0
 # golden-record MERGE edges need corroboration beyond the 'match'
 # review threshold (see q_linkage_golden_records docstring)
 _GR_EDGE = 7.0
+# per-(pass, block) skew cap (VERDICT r7 #1): each side keeps its
+# max_block smallest ids per blocking key — one hot block (a default
+# name suffix, a null-ish bucket) can no longer go quadratic.  16 >
+# the largest observed block at sf0.1 (15), so the gate answers are
+# cap-invariant here while the 30x probe's fixed-cardinality blocks
+# get cut ~20x; the oracle replays the cap's row_number keep-set
+# verbatim regardless.
+_FS_MAX_BLOCK = 16
+
+_FS_PASSES_SQL = [
+    # (left key exprs over alias s, right key exprs over alias c) —
+    # the SQL twin of the blocking passes in _fs_scored
+    (
+        ["s.s_nationkey", "floor(s.s_acctbal / 100)"],
+        ["c.c_nationkey", "floor(c.c_acctbal / 100)"],
+    ),
+    (["substr(s.s_name, -3, 3)"], ["substr(c.c_name, -3, 3)"]),
+]
 
 
 def _fs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared supplier×customer Fellegi–Sunter scoring used by
     record_linkage and linkage_golden_records: multi-pass blocking
-    union (linkage.multi_blocked_candidates) + ln(m/u) field weights +
-    three-way decision."""
+    union (linkage.multi_blocked_candidates, per-block skew cap
+    ``max_block=_FS_MAX_BLOCK``) + ln(m/u) field weights + three-way
+    decision."""
     from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
         linkage,
     )
@@ -10147,19 +10166,9 @@ def _fs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = linkage.multi_blocked_candidates(
         sup,
         cust,
-        passes=[
-            [
-                (F.col("s_nationkey"), F.col("c_nationkey")),
-                (
-                    F.floor(F.col("s_acctbal") / 100),
-                    F.floor(F.col("c_acctbal") / 100),
-                ),
-            ],
-            [
-                (F.substring("s_name", -3, 3), F.substring("c_name", -3, 3)),
-            ],
-        ],
+        passes=_fs_passes(),
         id_cols=("s_suppkey", "c_custkey"),
+        max_block=_FS_MAX_BLOCK,
     )
     fields = {
         "key_digits": (
@@ -10176,6 +10185,24 @@ def _fs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }
     return linkage.fs_score(cand, fields, upper=_FS_UPPER, lower=_FS_LOWER)
+
+
+def _fs_passes() -> "list[list[tuple]]":
+    """The blocking passes shared by _fs_scored and the census query:
+    pass 1 (nationkey, acctbal centi-bucket), pass 2 last-3-name-digits
+    — Spark expression twins of _FS_PASSES_SQL."""
+    return [
+        [
+            (F.col("s_nationkey"), F.col("c_nationkey")),
+            (
+                F.floor(F.col("s_acctbal") / 100),
+                F.floor(F.col("c_acctbal") / 100),
+            ),
+        ],
+        [
+            (F.substring("s_name", -3, 3), F.substring("c_name", -3, 3)),
+        ],
+    ]
 
 
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10223,16 +10250,34 @@ WHERE score > {_FS_LOWER!r}
 
 def _oracle_fs_ctes(score: str) -> str:
     """Shared candidate-union + FS-scoring CTE text (the SQL twin of
-    ``_fs_scored``), spliced into both linkage oracles."""
+    ``_fs_scored``), spliced into both linkage oracles.  Replays the
+    per-(pass, block) skew cap exactly: each side's row_number over
+    the blocking key ordered by the unique id, kept ≤ _FS_MAX_BLOCK —
+    the same total order the Spark keep-set uses."""
+    cap = _FS_MAX_BLOCK
+    pass_sqls = []
+    for lkeys, rkeys in _FS_PASSES_SQL:
+        lsel = ", ".join(f"{k} AS bk{j}" for j, k in enumerate(lkeys))
+        rsel = ", ".join(f"{k} AS bk{j}" for j, k in enumerate(rkeys))
+        lpart = ", ".join(lkeys)
+        rpart = ", ".join(rkeys)
+        on = " AND ".join(f"l.bk{j} = r.bk{j}" for j in range(len(lkeys)))
+        pass_sqls.append(
+            f"""  SELECT l.s_suppkey, r.c_custkey
+  FROM (SELECT s.s_suppkey, {lsel},
+               row_number() OVER (PARTITION BY {lpart}
+                                  ORDER BY s.s_suppkey) AS rn
+        FROM supplier s) l
+  JOIN (SELECT c.c_custkey, {rsel},
+               row_number() OVER (PARTITION BY {rpart}
+                                  ORDER BY c.c_custkey) AS rn
+        FROM customer c) r
+    ON {on}
+  WHERE l.rn <= {cap} AND r.rn <= {cap}"""
+        )
+    union = "\n  UNION\n".join(pass_sqls)
     return f"""cand AS (
-  SELECT s.s_suppkey, c.c_custkey
-  FROM supplier s JOIN customer c
-    ON s.s_nationkey = c.c_nationkey
-   AND floor(s.s_acctbal / 100) = floor(c.c_acctbal / 100)
-  UNION
-  SELECT s.s_suppkey, c.c_custkey
-  FROM supplier s JOIN customer c
-    ON substr(s.s_name, -3, 3) = substr(c.c_name, -3, 3)
+{union}
 ), scored AS (
   SELECT s.s_suppkey, c.c_custkey, ({score}) AS score
   FROM cand
@@ -10351,6 +10396,60 @@ SELECT lab.label AS cluster_id,
 FROM lab JOIN ent e ON e.node = lab.node
 GROUP BY 1
 """
+
+
+def q_linkage_blocking_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-cap census for the linkage blocking skew cap (VERDICT r7
+    #1, the observability half of the contract): per blocking pass and
+    side, the block count, how many blocks exceed ``_FS_MAX_BLOCK``,
+    and how many candidate rows the cap drops — so a capped run's
+    dropped mass is a monitored number, never a silent truncation.
+    One hash aggregate per (pass, side); 4 rows out.  At the gate SFs
+    every block fits under the cap (dropped_rows = 0 — the assertion
+    that record_linkage's answers are cap-invariant here); under
+    key-offset replication the same census shows exactly what the cap
+    sheds.  The oracle replays the per-block counts and the
+    greatest(n − cap, 0) fold."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        linkage,
+    )
+
+    tune(spark)
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_name", "s_acctbal"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name", "c_acctbal"
+    )
+    return linkage.blocking_census(
+        sup,
+        cust,
+        passes=_fs_passes(),
+        id_cols=("s_suppkey", "c_custkey"),
+        max_block=_FS_MAX_BLOCK,
+    )
+
+
+def _oracle_linkage_blocking_census() -> str:
+    cap = _FS_MAX_BLOCK
+    parts = []
+    for i, (lkeys, rkeys) in enumerate(_FS_PASSES_SQL):
+        for side, keys, table, alias in (
+            ("left", lkeys, "supplier", "s"),
+            ("right", rkeys, "customer", "c"),
+        ):
+            klist = ", ".join(keys)
+            notnull = " AND ".join(f"({k}) IS NOT NULL" for k in keys)
+            parts.append(
+                f"""SELECT {i} AS pass_idx, '{side}' AS side,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN n > {cap} THEN 1 ELSE 0 END) AS BIGINT)
+           AS over_cap_blocks,
+       CAST(sum(greatest(n - {cap}, 0)) AS BIGINT) AS dropped_rows
+FROM (SELECT count(*) AS n FROM {table} {alias}
+      WHERE {notnull} GROUP BY {klist})"""
+            )
+    return "\nUNION ALL\n".join(parts)
 
 
 def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12805,20 +12904,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     --exact) at sf0.01 AND sf0.1 before every round ends."""
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
-        # -- (B) new or re-shaped in round 7 (insert new HERE) -------
-        "ab_test_zstat": q_ab_test_zstat,
-        "cuped_lift": q_cuped_lift,
+        # -- (B) new or re-shaped in round 8 (insert new HERE) -------
+        "linkage_blocking_census": q_linkage_blocking_census,
+        # re-shaped r8: blocking skew cap (max_block) wired in
+        "record_linkage": q_record_linkage,
+        "linkage_golden_records": q_linkage_golden_records,
+        # re-promoted r8: delta_lite partition/tags/pruning rework +
+        # behavior.py markov guards touch these code paths
         "markov_attribution": q_markov_attribution,
         "delta_optimize_zorder": q_delta_optimize_zorder,
         "delta_stats_skipping": q_delta_stats_skipping,
-        "linkage_golden_records": q_linkage_golden_records,
         "delta_scd2_roundtrip": q_delta_scd2_roundtrip,
-        "record_linkage": q_record_linkage,
-        "mmr_rerank": q_mmr_rerank,
         "delta_upsert_roundtrip": q_delta_upsert_roundtrip,
         "delta_time_travel_diff": q_delta_time_travel_diff,
         "compacted_upsert": q_compacted_upsert,
         "upsert_latest": q_upsert_latest,
+        # r7 greens staying near the front of the prefix
+        "ab_test_zstat": q_ab_test_zstat,
+        "cuped_lift": q_cuped_lift,
+        "mmr_rerank": q_mmr_rerank,
         # -- (C) driver-green in a prior round (r6 block first) ------
         "revenue_decomposition": q_revenue_decomposition,
         "frequent_item_pairs": q_frequent_item_pairs,
@@ -13078,6 +13182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "linkage_blocking_census": _oracle_linkage_blocking_census(),
         "revenue_decomposition": _oracle_revenue_decomposition(),
         "frequent_item_pairs": ORACLE_FREQUENT_PAIRS,
         "basket_clustering_coeff": ORACLE_BASKET_CC,

@@ -25,8 +25,26 @@ is the probabilistic generalization on the extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _cap_block(
+    keyed: DataFrame, bk: list[str], order_col: str, max_block: int
+) -> DataFrame:
+    """Deterministic per-block keep-set (the ``band_join
+    max_per_group`` idiom): within each blocking-key group, keep the
+    ``max_block`` smallest rows by ``order_col``.  Ordering by a
+    UNIQUE id column is a total order, so the keep-set is identical
+    across partitionings, retries, and engines — an SQL oracle
+    replays it verbatim with ``row_number() OVER (PARTITION BY keys
+    ORDER BY id)``."""
+    w = Window.partitionBy(*bk).orderBy(F.col(order_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_block)
+        .drop("__rn")
+    )
 
 
 def blocked_candidates(
@@ -34,9 +52,19 @@ def blocked_candidates(
     right: DataFrame,
     block_cols: list[str],
     suffixes: tuple[str, str] = ("_l", "_r"),
+    max_block: "int | None" = None,
 ) -> DataFrame:
     """Candidate pairs via equi join on the blocking key(s).  All
-    non-block columns are suffixed; block columns keep one copy."""
+    non-block columns are suffixed; block columns keep one copy.
+
+    ``max_block`` bounds each side's rows admitted per block — the
+    skew guard: one hot block (a default name suffix, a null-ish
+    bucket value) otherwise goes quadratic with no ceiling.  Kept rows
+    are the ``max_block`` smallest by row content-hash (deterministic
+    across partitionings; no id column is guaranteed here), making
+    results an explicit under-approximation on over-full blocks — the
+    same contract as ``lsh_similar_pairs(max_bucket)`` /
+    ``band_join(max_per_group)``."""
     ls, rs = suffixes
     lren = left.select(
         *[F.col(c) for c in block_cols],
@@ -46,6 +74,15 @@ def blocked_candidates(
         *[F.col(c) for c in block_cols],
         *[F.col(c).alias(f"{c}{rs}") for c in right.columns if c not in block_cols],
     )
+    if max_block is not None:
+        lren = lren.withColumn(
+            "__h", F.xxhash64(*[F.col(c) for c in lren.columns])
+        )
+        lren = _cap_block(lren, block_cols, "__h", max_block).drop("__h")
+        rren = rren.withColumn(
+            "__h", F.xxhash64(*[F.col(c) for c in rren.columns])
+        )
+        rren = _cap_block(rren, block_cols, "__h", max_block).drop("__h")
     return lren.join(rren, on=block_cols)
 
 
@@ -55,6 +92,7 @@ def multi_blocked_candidates(
     passes: "list[list[tuple[Column, Column]]]",
     id_cols: tuple[str, str],
     suffixes: tuple[str, str] = ("_l", "_r"),
+    max_block: "int | None" = None,
 ) -> DataFrame:
     """Multi-pass blocking union — the standard recall/cost shape for
     linkage at scale: no single blocking key is both selective and
@@ -63,11 +101,22 @@ def multi_blocked_candidates(
     selective key would lose.  ``passes`` is a list of passes, each a
     list of (left_expr, right_expr) equality pairs.
 
-    Scale discipline (two parts):
+    Scale discipline (three parts):
     - candidate mass per pass is Σ_b |L_b|·|R_b|; it stays linear in
       data only while block cardinality TRACKS entity count — the key
       expressions are the dial (more name/id digits, finer value
       buckets) and must widen as the corpus grows;
+    - ``max_block`` is the SKEW GUARD the widening discipline still
+      needs: one hot block (a default name suffix, a null-ish bucket)
+      goes quadratic with no ceiling.  Each side independently keeps
+      its ``max_block`` smallest rows by id per (pass, block key) —
+      ids are unique, so the keep-set is a total order: deterministic
+      across partitionings/retries and replayable by an SQL oracle's
+      ``row_number() OVER (PARTITION BY block ORDER BY id)``.  Results
+      become an explicit under-approximation of the exact blocking on
+      over-full blocks (the ``max_bucket``/``max_df``/``max_cell``
+      contract); ``blocking_census`` makes the dropped mass
+      observable;
     - slim-first pairs: only the two id columns ride through the
       per-pass joins and the dedup exchange; every other column is
       fetched by an id equi join AFTER dedup, so the wide rows are
@@ -84,6 +133,9 @@ def multi_blocked_candidates(
         rkeys = right.select(
             F.col(rid), *[e[1].alias(bk[j]) for j, e in enumerate(exprs)]
         )
+        if max_block is not None:
+            lkeys = _cap_block(lkeys, bk, lid, max_block)
+            rkeys = _cap_block(rkeys, bk, rid, max_block)
         parts.append(lkeys.join(rkeys, on=bk).select(lid, rid))
     pairs = parts[0]
     for p in parts[1:]:
@@ -96,6 +148,58 @@ def multi_blocked_candidates(
         .join(rren, F.col(rid) == F.col(f"{rid}{rs}"))
         .drop(lid, rid)
     )
+
+
+def blocking_census(
+    left: DataFrame,
+    right: DataFrame,
+    passes: "list[list[tuple[Column, Column]]]",
+    id_cols: tuple[str, str],
+    max_block: int,
+) -> DataFrame:
+    """Over-cap census for ``multi_blocked_candidates(max_block=…)`` —
+    the observability half of the skew-cap contract: per blocking
+    pass and side, how many blocks exist, how many exceed the cap,
+    and how many candidate ROWS the cap drops (Σ max(0, |block| −
+    max_block)).  One hash aggregate per (pass, side); output is
+    2·|passes| rows — monitoring-sized.  Returns columns
+    (pass_idx, side, n_blocks, over_cap_blocks, dropped_rows)."""
+    lid, rid = id_cols
+    parts = []
+    for i, exprs in enumerate(passes):
+        bk = [f"__bk{j}" for j in range(len(exprs))]
+        for side, df, idc, sexprs in (
+            ("left", left, lid, [e[0] for e in exprs]),
+            ("right", right, rid, [e[1] for e in exprs]),
+        ):
+            keyed = df.select(
+                F.col(idc), *[e.alias(bk[j]) for j, e in enumerate(sexprs)]
+            )
+            # join-key semantics: NULL block keys never match — drop
+            # them from the census like the equi join drops them
+            cond = F.lit(True)
+            for c in bk:
+                cond = cond & F.col(c).isNotNull()
+            counts = keyed.filter(cond).groupBy(*bk).agg(
+                F.count("*").alias("__n")
+            )
+            parts.append(
+                counts.agg(
+                    F.lit(i).alias("pass_idx"),
+                    F.lit(side).alias("side"),
+                    F.count("*").alias("n_blocks"),
+                    F.sum(
+                        (F.col("__n") > max_block).cast("long")
+                    ).alias("over_cap_blocks"),
+                    F.sum(
+                        F.greatest(F.col("__n") - max_block, F.lit(0))
+                    ).alias("dropped_rows"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def fs_weight(agree: Column, m: float, u: float) -> Column:
