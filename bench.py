@@ -396,6 +396,24 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
 
+    # slowest rows get a THIRD, isolated measurement (VERDICT r7 #2):
+    # the in-sweep numbers for multi-second queries carry the sweep's
+    # accumulated cache/GC pressure (observed r7: two untouched >7 s
+    # queries "grew" ~30% in-sweep while isolated min-of-3 was flat),
+    # so precisely the rows that dominate the round-over-round story
+    # were the noisiest.  One extra run each, min taken.
+    for name, dt in sorted(timings.items(), key=lambda kv: -kv[1]):
+        if dt <= 5.0:
+            break
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            continue  # keep the sweep min; failures already recorded
+        timings[name] = min(timings[name], round(time.time() - t0, 3))
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
