@@ -6113,7 +6113,11 @@ def q_compacted_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle hash proves compaction is data-identical: per user, the
     winner is the max-ts row of that user's LAST batch (upsert replaces
     regardless of stored ts — replayed exactly by the oracle).  ts is
-    globally unique in the testdata, so max_by is deterministic."""
+    globally unique in the testdata, so max_by is deterministic.
+    protocol='symlink' is EXPLICIT since r8: this query is the bespoke
+    protocol's compaction twin by design (auto now makes new tables
+    Delta-born; the Delta twin is delta_upsert_roundtrip +
+    delta_lite.compact)."""
     import shutil
     import tempfile
 
@@ -6134,6 +6138,7 @@ def q_compacted_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 b,
                 path,
                 key_cols=["user_id"],
+                protocol="symlink",
             )
         jobs.compact_maintained_table(spark, path, n_files=1)
         out = (

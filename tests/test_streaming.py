@@ -144,7 +144,14 @@ def test_upsert_stream_latest_per_key(spark, event_dir, tmp_path):
     """foreachBatch MERGE: after two deliveries the keyed table holds
     exactly one row per user — that user's latest event overall (the
     second delivery contains only later events, so update-wins equals
-    global argmax by ts)."""
+    global argmax by ts).  Under the r8 default a NEW table is
+    DELTA-BORN (protocol='auto' → touched-file Delta publish), so this
+    also pins the default's end-to-end semantics; reads go through
+    read_maintained_table (protocol-agnostic)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
     src = spark.read.parquet(event_dir)
     mid = src.select(F.unix_timestamp("ts").alias("s")).approxQuantile(
         "s", [0.5], 0.0
@@ -159,7 +166,8 @@ def test_upsert_stream_latest_per_key(spark, event_dir, tmp_path):
         jobs.read_event_stream(spark, land), table, ["user_id"], cp
     )
     q.awaitTermination()
-    t1 = spark.read.parquet(table)
+    assert delta_lite.is_delta_table(table)  # new table is Delta-born
+    t1 = jobs.read_maintained_table(spark, table)
     assert t1.count() == early.select("user_id").distinct().count()
 
     late.write.mode("append").parquet(land)
@@ -170,7 +178,8 @@ def test_upsert_stream_latest_per_key(spark, event_dir, tmp_path):
 
     got = {
         (r["user_id"], r["ts"])
-        for r in spark.read.parquet(table).select("user_id", "ts").collect()
+        for r in jobs.read_maintained_table(spark, table)
+        .select("user_id", "ts").collect()
     }
     want = {
         (r["user_id"], r["ts"])
@@ -425,9 +434,11 @@ def test_streaming_scd2_maintenance_matches_batch(spark, event_dir, tmp_path):
         )
         q.awaitTermination()
 
+    # r8 default: the new table is Delta-born — read through the
+    # protocol-agnostic reader (the log snapshot, not the raw dir)
     got = {
         (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"], r["is_current"])
-        for r in spark.read.parquet(table).collect()
+        for r in jobs.read_maintained_table(spark, table).collect()
     }
     want = {
         (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"], r["is_current"])
@@ -707,21 +718,23 @@ def test_upsert_batch_replay_is_idempotent_and_keeps_table_live(
     late = src.filter(F.unix_timestamp("ts") > mid)
     table = str(tmp_path / "ups_replay")
 
-    jobs.apply_upsert_batch(early, 0, table, ["user_id"])
+    # bespoke symlink protocol EXPLICIT since r8 (auto now makes new
+    # tables Delta-born); this test covers the bespoke crash-replay path
+    jobs.apply_upsert_batch(early, 0, table, ["user_id"], protocol="symlink")
     live0 = os.path.realpath(table)
     rows0 = {
         (r["user_id"], r["ts"])
         for r in spark.read.parquet(table).select("user_id", "ts").collect()
     }
     # crash-replay of batch 0: no rewrite, no destroyed version dir
-    jobs.apply_upsert_batch(early, 0, table, ["user_id"])
+    jobs.apply_upsert_batch(early, 0, table, ["user_id"], protocol="symlink")
     assert os.path.realpath(table) == live0
     assert {
         (r["user_id"], r["ts"])
         for r in spark.read.parquet(table).select("user_id", "ts").collect()
     } == rows0
 
-    jobs.apply_upsert_batch(late, 1, table, ["user_id"])
+    jobs.apply_upsert_batch(late, 1, table, ["user_id"], protocol="symlink")
     got = {
         (r["user_id"], r["ts"])
         for r in spark.read.parquet(table).select("user_id", "ts").collect()
@@ -732,7 +745,7 @@ def test_upsert_batch_replay_is_idempotent_and_keeps_table_live(
     }
     assert got == want
     # and replaying batch 1 after the fact is also a no-op
-    jobs.apply_upsert_batch(late, 1, table, ["user_id"])
+    jobs.apply_upsert_batch(late, 1, table, ["user_id"], protocol="symlink")
     assert {
         (r["user_id"], r["ts"])
         for r in spark.read.parquet(table).select("user_id", "ts").collect()
@@ -1206,8 +1219,10 @@ def test_compact_maintained_table_data_identical_and_recoverable(
 
     src = spark.read.parquet(event_dir)
     table = str(tmp_path / "compact_me")
-    jobs.apply_upsert_batch(src.filter(F.col("event_id") % 2 == 0), 0, table, ["user_id"])
-    jobs.apply_upsert_batch(src.filter(F.col("event_id") % 2 == 1), 1, table, ["user_id"])
+    # bespoke symlink protocol EXPLICIT since r8 (auto now makes new
+    # tables Delta-born); this test covers bespoke compaction/rollback
+    jobs.apply_upsert_batch(src.filter(F.col("event_id") % 2 == 0), 0, table, ["user_id"], protocol="symlink")
+    jobs.apply_upsert_batch(src.filter(F.col("event_id") % 2 == 1), 1, table, ["user_id"], protocol="symlink")
 
     def rows():
         return sorted(
@@ -1229,7 +1244,7 @@ def test_compact_maintained_table_data_identical_and_recoverable(
     assert os.path.realpath(table) == os.path.realpath(new_dir) != live_before
 
     # replay of the already-applied batch 1 is still a no-op
-    jobs.apply_upsert_batch(src.filter(F.col("event_id") % 2 == 1), 1, table, ["user_id"])
+    jobs.apply_upsert_batch(src.filter(F.col("event_id") % 2 == 1), 1, table, ["user_id"], protocol="symlink")
     assert rows() == before and n_files() == 1
 
     # the uncompacted predecessor is the rollback target
