@@ -212,6 +212,11 @@ BENCH_QUERIES = [
     "cuped_lift",
     "delta_stats_skipping",
     "delta_optimize_zorder",
+    "delta_partition_prune",
+    "delta_gdpr_delete",
+    "ab_srm_check",
+    "cuped_ztest",
+    "linkage_blocking_census",
     "delta_time_travel_diff",
     "neyman_stratified_sample",
     "cumulative_channel_compare",

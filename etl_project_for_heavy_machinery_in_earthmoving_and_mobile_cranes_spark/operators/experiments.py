@@ -83,6 +83,146 @@ def two_proportion_ztest(
     )
 
 
+#: chi-square critical value, df=1, alpha=0.05 — the standard SRM
+#: alarm threshold (a fixed literal both engines share; p-values need
+#: the incomplete gamma function, which neither engine exposes natively)
+CHI2_CRIT_DF1_P05 = 3.841458820694124
+
+
+def srm_check(
+    per_unit: DataFrame,
+    arm_col: str,
+    expected: "tuple[float, float]" = (0.5, 0.5),
+) -> DataFrame:
+    """Sample-ratio-mismatch guard — the FIRST check every real A/B
+    readout runs (Fabijan et al. 2019, 'Diagnosing Sample Ratio
+    Mismatch'): a chi-square goodness-of-fit of the observed per-arm
+    unit counts against the designed split.  A significant mismatch
+    means the assignment or logging pipeline is broken and every other
+    statistic on the experiment is untrustworthy.
+
+        chi2 = Σ_arms (n_i − N·r_i)² / (N·r_i)
+
+    Counts are exact integers (one hash aggregate); chi2 is a
+    fixed-operand-order double expression; the alarm compares against
+    the df=1 critical value at α=0.05 (``CHI2_CRIT_DF1_P05``) — all
+    literal arithmetic an SQL oracle replays verbatim.  Returns ONE
+    row: n0, n1, expected shares, chi2, srm (1 when the split is
+    broken)."""
+    r0, r1 = float(expected[0]), float(expected[1])
+    agg = per_unit.groupBy().agg(
+        F.sum(F.when(F.col(arm_col) == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col(arm_col) == 1, 1).otherwise(0)).alias("n1"),
+    )
+    n = F.col("n0") + F.col("n1")
+    e0 = n.cast("double") * F.lit(r0)
+    e1 = n.cast("double") * F.lit(r1)
+    chi2 = (F.col("n0") - e0) * (F.col("n0") - e0) / e0 + (
+        F.col("n1") - e1
+    ) * (F.col("n1") - e1) / e1
+    return agg.select(
+        "n0",
+        "n1",
+        F.lit(r0).alias("expected0"),
+        F.lit(r1).alias("expected1"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(CHI2_CRIT_DF1_P05)).cast("int").alias("srm"),
+    )
+
+
+def cuped_ztest(
+    per_unit: DataFrame, arm_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """CUPED-ADJUSTED two-sample z readout — the confidence half the
+    point-estimate ``cuped`` fold lacks: per-arm means of the adjusted
+    metric Y_adj = Y − θ·(X − mean(X)) with POOLED θ, plus the z
+    statistic and the 95% CI of the adjusted lift,
+
+        z  = (adj1 − adj0) / se,
+        se = sqrt(s0²/n0 + s1²/n1),
+        s_i² = varY_i − 2θ·covXY_i + θ²·varX_i   (var/cov of Y − θX;
+               the constant θ·mean(X) shift drops out of the variance)
+
+    with per-arm SAMPLE variances/covariances built from the same
+    exact integer moments (n, Σx, Σy, Σxy, Σx², Σy²) via the textbook
+    n·Σ − Σ·Σ form — the only float ops are final double divisions of
+    exact integers and the fixed-order se/z/CI expressions, all
+    replayed verbatim by the oracle.  Returns ONE row."""
+    g = per_unit.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum(x_col).alias("sx"),
+        F.sum(y_col).alias("sy"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("sxy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("sxx"),
+    )
+    theta_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    theta_den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    globals_df = g.select(
+        (theta_num.cast("double") / theta_den.cast("double")).alias("theta"),
+        (F.col("sx") / F.col("n")).alias("mean_x_all"),
+    )
+    arms = per_unit.groupBy(arm_col).agg(
+        F.count("*").alias("n"),
+        F.sum(x_col).alias("sxa"),
+        F.sum(y_col).alias("sya"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("sxya"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("sxxa"),
+        F.sum(F.col(y_col) * F.col(y_col)).alias("syya"),
+    )
+    a = arms.crossJoin(F.broadcast(globals_df))
+    nn = F.col("n").cast("double")
+    var_y = (
+        F.col("n") * F.col("syya") - F.col("sya") * F.col("sya")
+    ).cast("double") / (nn * (nn - F.lit(1.0)))
+    var_x = (
+        F.col("n") * F.col("sxxa") - F.col("sxa") * F.col("sxa")
+    ).cast("double") / (nn * (nn - F.lit(1.0)))
+    cov = (
+        F.col("n") * F.col("sxya") - F.col("sxa") * F.col("sya")
+    ).cast("double") / (nn * (nn - F.lit(1.0)))
+    adj = (
+        F.col("sya") / F.col("n")
+        - F.col("theta") * (F.col("sxa") / F.col("n") - F.col("mean_x_all"))
+    )
+    s2 = (
+        var_y
+        - F.lit(2.0) * F.col("theta") * cov
+        + F.col("theta") * F.col("theta") * var_x
+    )
+    per_arm = a.select(
+        F.col(arm_col).alias("arm"),
+        "n",
+        "theta",
+        adj.alias("adj"),
+        s2.alias("s2"),
+    )
+    one = per_arm.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max("theta").alias("theta"),
+        F.sum(F.when(F.col("arm") == 0, F.col("adj"))).alias("adj0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("adj"))).alias("adj1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("s2"))).alias("s20"),
+        F.sum(F.when(F.col("arm") == 1, F.col("s2"))).alias("s21"),
+    )
+    diff = F.col("adj1") - F.col("adj0")
+    se = F.sqrt(
+        F.col("s20") / F.col("n0") + F.col("s21") / F.col("n1")
+    )
+    return one.select(
+        "n0",
+        "n1",
+        "theta",
+        F.col("adj0").alias("mean_adj0"),
+        F.col("adj1").alias("mean_adj1"),
+        diff.alias("diff"),
+        se.alias("se"),
+        (diff / se).alias("z"),
+        (diff - F.lit(1.959963984540054) * se).alias("ci_lo"),
+        (diff + F.lit(1.959963984540054) * se).alias("ci_hi"),
+    )
+
+
 def cuped(
     per_unit: DataFrame, arm_col: str, x_col: str, y_col: str
 ) -> DataFrame:

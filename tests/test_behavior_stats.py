@@ -720,3 +720,54 @@ def test_two_proportion_ztest_and_cuped_known_values(spark):
     a1 = experiments.hash_assign(F.lit(12345), 2, seed=7)
     df = spark.range(1).select(a1.alias("a"), a1.alias("b")).first()
     assert df["a"] == df["b"] and df["a"] in (0, 1)
+
+
+def test_srm_check_detects_broken_split(spark):
+    """Chi-square SRM guard: a 2:2 split on a designed 50/50 is clean
+    (chi2 = 0); a 90:10 split over 100 units is far past the df=1
+    critical value and alarms."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    clean = spark.createDataFrame(
+        [(0,), (0,), (1,), (1,)], "arm int"
+    )
+    r = experiments.srm_check(clean, "arm").first()
+    assert (r["n0"], r["n1"], r["chi2"], r["srm"]) == (2, 2, 0.0, 0)
+    broken = spark.createDataFrame(
+        [(0,)] * 90 + [(1,)] * 10, "arm int"
+    )
+    r = experiments.srm_check(broken, "arm").first()
+    # chi2 = (90-50)^2/50 + (10-50)^2/50 = 64
+    assert abs(r["chi2"] - 64.0) < 1e-12 and r["srm"] == 1
+
+
+def test_cuped_ztest_known_values(spark):
+    """Hand-computed on the cuped fixture: theta = 1.6, adjusted means
+    3.8 / 6.2 (matching experiments.cuped), per-arm var(Y - 1.6 X) =
+    varY - 2*1.6*cov + 1.6^2*varX with sample (n-1) denominators, and
+    z/CI follow from the textbook se."""
+    import math
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    pu = spark.createDataFrame(
+        [(0, 1, 2, 1), (0, 3, 4, 0), (1, 2, 6, 1), (1, 4, 8, 1)],
+        "arm int, x long, y long, conv int",
+    )
+    r = experiments.cuped_ztest(pu, "arm", "x", "y").first()
+    assert (r["n0"], r["n1"]) == (2, 2)
+    assert abs(r["theta"] - 1.6) < 1e-12
+    assert abs(r["mean_adj0"] - 3.8) < 1e-12
+    assert abs(r["mean_adj1"] - 6.2) < 1e-12
+    # per arm (n=2): varY=2, varX=2, cov=2 -> s2 = 2 - 2*1.6*2 + 2.56*2
+    s2 = 2.0 - 2 * 1.6 * 2.0 + 1.6 * 1.6 * 2.0
+    se = math.sqrt(s2 / 2 + s2 / 2)
+    assert abs(r["se"] - se) < 1e-12
+    assert abs(r["diff"] - 2.4) < 1e-12
+    assert abs(r["z"] - 2.4 / se) < 1e-12
+    assert abs(r["ci_lo"] - (2.4 - 1.959963984540054 * se)) < 1e-12
+    assert abs(r["ci_hi"] - (2.4 + 1.959963984540054 * se)) < 1e-12

@@ -91,7 +91,7 @@ def probe_upsert(spark, events, scale_n: int, workdir: str, protocol: str) -> di
         )
         delta_lite.upsert_delta(spark, table, dedup, ["user_id"], n_buckets=nb)
     else:
-        jobs.apply_upsert_batch(events, 0, table, ["user_id"])
+        jobs.apply_upsert_batch(events, 0, table, ["user_id"], protocol=protocol)
     init_s = round(time.time() - t0, 3)
     keys = [r["user_id"] for r in events.select("user_id").distinct().limit(BATCH_KEYS * N_BATCHES).collect()]
     per_batch = []
@@ -184,7 +184,9 @@ def main() -> None:
         wdir = os.path.join(workdir, "warm")
         probe_upsert(spark, ev1, 1, wdir, "delta")
         for kind, fn in (("upsert", probe_upsert), ("scd2", probe_scd2)):
-            for proto in ("delta", "auto"):
+            # bespoke leg is EXPLICIT since r8: protocol='auto' now makes
+            # a new table Delta-born, so 'auto' would measure delta twice
+            for proto in ("delta", "symlink"):
                 rows = {}
                 for scale, nn in (("sf0.1", 1), (f"x{n}", n)):
                     ev = profiles(spark, nn)
@@ -193,6 +195,19 @@ def main() -> None:
                     rows[f"x{n}"]["batch_s"] / max(rows["sf0.1"]["batch_s"], 1e-9), 2
                 )
                 report[f"{kind}_{'delta' if proto == 'delta' else 'bespoke'}"] = rows
+        # GDPR delete (r8): erase BATCH_KEYS keys from the delta profile
+        # table at each scale — expect ~flat (touched buckets, not table)
+        del_rows = {}
+        for scale, nn in (("sf0.1", 1), (f"x{n}", n)):
+            table = os.path.join(workdir, f"ups_delta_{nn}")
+            ev = profiles(spark, nn)
+            keys = ev.select("user_id").distinct().orderBy("user_id").limit(BATCH_KEYS)
+            keys = keys.localCheckpoint(eager=True)
+            t0 = time.time()
+            delta_lite.delete_keys(spark, table, keys, ["user_id"], txn=("gdpr-probe", 99))
+            del_rows[scale] = round(time.time() - t0, 3)
+        del_rows["ratio"] = round(del_rows[f"x{n}"] / max(del_rows["sf0.1"], 1e-9), 2)
+        report["gdpr_delete_delta"] = del_rows
         report["log_replay_120v"] = probe_log_replay(spark, workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
