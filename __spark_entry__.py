@@ -13276,6 +13276,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_zstat": q_ab_test_zstat,
         "cuped_lift": q_cuped_lift,
         "mmr_rerank": q_mmr_rerank,
+        # stale-green over-inclusive closure hits (delta_lite/jobs
+        # edits ripple into these closures): re-verified this round
+        "bitext_margin": q_bitext_margin,
+        "cms_merge": q_cms_merge,
+        "reservoir_sample": q_reservoir_sample,
+        "heavy_hitters_merge": q_heavy_hitters_merge,
+        "hll_user_count": q_hll_user_count,
+        "bm25_search": q_bm25_search,
+        "novelty_scores": q_novelty_scores,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "dsir_weights": q_dsir_weights,
+        "contamination_attr": q_contamination_attr,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "hard_negatives": q_hard_negatives,
+        "ann_srp": q_ann_srp,
         # -- (C) driver-green in a prior round (r6 block first) ------
         "revenue_decomposition": q_revenue_decomposition,
         "frequent_item_pairs": q_frequent_item_pairs,
@@ -13317,11 +13333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_check": q_order_priority_check,
         "disjunctive_revenue": q_disjunctive_revenue,
         "idle_rich_customers": q_idle_rich_customers,
-        "bitext_margin": q_bitext_margin,
         "decontaminate_merge": q_decontaminate_merge,
         "image_near_dup": q_image_near_dup,
-        "cms_merge": q_cms_merge,
-        "reservoir_sample": q_reservoir_sample,
         "kmeans_lloyd": q_kmeans_lloyd,
         "c4_filters": q_c4_filters,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -13329,9 +13342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
-        "heavy_hitters_merge": q_heavy_hitters_merge,
         "histogram_quantiles": q_histogram_quantiles,
-        "hll_user_count": q_hll_user_count,
         "gopher_quality": q_gopher_quality,
         "contamination_fraction": q_contamination_fraction,
         "ccnet_buckets": q_ccnet_buckets,
@@ -13350,7 +13361,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_reconcile": q_order_reconcile,
         "seasonal_anomalies": q_seasonal_anomalies,
         "embedding_dim_stats": q_embedding_dim_stats,
-        "bm25_search": q_bm25_search,
         "event_trigrams": q_event_trigrams,
         "quality_percentile_gate": q_quality_percentile_gate,
         "k_anonymized_release": q_k_anonymize,
@@ -13362,7 +13372,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scaled_prices": q_scaled_prices,
         "quarantine_audit": q_quarantine_audit,
         "balanced_docs": q_balanced_docs,
-        "novelty_scores": q_novelty_scores,
         "source_drift_q": q_source_drift_q,
         "bpe_encode": q_bpe_encode,
         "centroid_drift": q_centroid_drift,
@@ -13374,7 +13383,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_histogram": q_dedup_cluster_histogram,
         "grouped_holdout": q_grouped_holdout,
         "cluster_safe_split": q_cluster_safe_split,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
         "hashed_bow": q_hashed_bow,
         "random_projection": q_random_projection,
         "linear_attribution": q_linear_attribution,
@@ -13386,9 +13394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_containment": q_shingle_containment,
         "domain_cap": q_domain_cap,
         "tail_token_coverage": q_tail_token_coverage,
-        "dsir_weights": q_dsir_weights,
         "centroid_outliers": q_centroid_outliers,
-        "contamination_attr": q_contamination_attr,
         "best_quality_canonical": q_best_quality_canonical,
         "rolling_median_value": q_rolling_median,
         "event_deltas": q_event_deltas,
@@ -13421,8 +13427,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "report_order_pos": q_report_order_pos,
         "schema_guard": q_schema_guard,
         "xlsx_roundtrip": q_xlsx_roundtrip,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_pq": q_ann_ivf_pq,
         "media_decode_dims": q_media_decode_dims,
         "corpus_shuffle_rank": q_corpus_shuffle_rank,
         "temperature_mix": q_temperature_mix,
@@ -13434,7 +13438,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "quality_logit": q_quality_logit,
         "epoch_mixture": q_epoch_mixture,
-        "hard_negatives": q_hard_negatives,
         "curation_pipeline": q_curation_pipeline,
         "winnow_fingerprints": q_winnow_fingerprints,
         "media_dhash": q_media_dhash,
@@ -13480,7 +13483,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_stats": q_session_window_stats,
         "boilerplate_strip": q_boilerplate_strip,
         "media_frames": q_media_frames,
-        "ann_srp": q_ann_srp,
         "type_intervals": q_type_intervals,
         "model_despace_capacity": q_model_despace_capacity,
         "label_cascades": q_label_cascades,
