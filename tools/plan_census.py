@@ -70,6 +70,8 @@ BNLJ_ALLOWLIST = {
     # 1-row scalar broadcasts: the midpoint-cut aggregate and (cuped)
     # the pooled-theta aggregate (r7)
     "ab_test_zstat", "cuped_lift",
+    # same 1-row scalar class (r8): midpoint cut + pooled theta/moments
+    "ab_srm_check", "cuped_ztest",
 }
 # Arrow-batched Python at genuine codec boundaries only
 PYTHON_ALLOWLIST = {
