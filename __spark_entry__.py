@@ -7364,6 +7364,62 @@ FROM c
 """
 
 
+def q_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-detectable-effect readout (experiments.power_mde, new
+    r8): the capacity number every experiment review asks next to the
+    z-test — the smallest absolute (and control-relative) lift this
+    sample size could detect at two-sided α=0.05 / power 0.80.  Exact
+    integer counts, fixed-order double tail, shared normal-quantile
+    literals; the oracle replays the arithmetic verbatim."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    tune(spark)
+    out = experiments.power_mde(_ab_units(spark, sf_dir), "arm", "conv")
+    r6 = lambda c: (
+        F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    ).alias(c)
+    return out.select(
+        "n0", "n1", "x0", "x1",
+        r6("pooled_rate"), r6("se"), r6("mde_abs"), r6("mde_rel"),
+    )
+
+
+def _oracle_ab_power_mde() -> str:
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.experiments import (
+        Z_ALPHA_2SIDED_05,
+        Z_POWER_80,
+    )
+
+    zsum = Z_ALPHA_2SIDED_05 + Z_POWER_80
+    return f"""
+WITH {_ORACLE_AB_UNITS},
+agg AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0,
+         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1
+  FROM pu
+), s AS (
+  SELECT n0, n1, x0, x1,
+         (x0 + x1) / CAST(n0 + n1 AS DOUBLE) AS pooled,
+         x0 / CAST(n0 AS DOUBLE) AS p0
+  FROM agg
+), m AS (
+  SELECT n0, n1, x0, x1, pooled, p0,
+         sqrt(pooled * (1.0 - pooled) * (1.0 / n0 + 1.0 / n1)) AS se
+  FROM s
+)
+SELECT n0, n1, x0, x1,
+       floor(pooled * 1e6 + 0.5) / 1e6 AS pooled_rate,
+       floor(se * 1e6 + 0.5) / 1e6 AS se,
+       floor(CAST({zsum!r} AS DOUBLE) * se * 1e6 + 0.5) / 1e6 AS mde_abs,
+       floor(CAST({zsum!r} AS DOUBLE) * se / p0 * 1e6 + 0.5) / 1e6 AS mde_rel
+FROM m
+"""
+
+
 def q_cuped_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED-adjusted z and 95% CI (experiments.cuped_ztest, new r8,
     VERDICT r7 #6) — the confidence half next to the cuped_lift point
@@ -13256,6 +13312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (B) new or re-shaped in round 8 (insert new HERE) -------
         "ab_srm_check": q_ab_srm_check,
         "cuped_ztest": q_cuped_ztest,
+        "ab_power_mde": q_ab_power_mde,
         "delta_partition_prune": q_delta_partition_prune,
         "delta_gdpr_delete": q_delta_gdpr_delete,
         "linkage_blocking_census": q_linkage_blocking_census,
@@ -13539,6 +13596,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ab_srm_check": _oracle_ab_srm_check(),
         "cuped_ztest": _oracle_cuped_ztest(),
+        "ab_power_mde": _oracle_ab_power_mde(),
         "delta_partition_prune": ORACLE_DELTA_PARTITION_PRUNE,
         "delta_gdpr_delete": ORACLE_DELTA_GDPR_DELETE,
         "linkage_blocking_census": _oracle_linkage_blocking_census(),

@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "delta_gdpr_delete",
     "ab_srm_check",
     "cuped_ztest",
+    "ab_power_mde",
     "linkage_blocking_census",
     "delta_time_travel_diff",
     "neyman_stratified_sample",

@@ -223,6 +223,58 @@ def cuped_ztest(
     )
 
 
+#: standard normal quantiles for the classic alpha=0.05 two-sided /
+#: power=0.80 design point — shared literals, like CHI2_CRIT_DF1_P05
+Z_ALPHA_2SIDED_05 = 1.959963984540054
+Z_POWER_80 = 0.8416212335729143
+
+
+def power_mde(
+    per_unit: DataFrame, arm_col: str, conv_col: str
+) -> DataFrame:
+    """Minimum detectable effect at the observed sample sizes — the
+    capacity readout every experiment review asks for next to the
+    z-test ('could this experiment even have seen the lift we care
+    about?'):
+
+        MDE_abs = (z_{α/2} + z_{power}) · sqrt(p̄(1−p̄)(1/n0 + 1/n1))
+
+    at two-sided α = 0.05 and power = 0.80 (the fixed design point;
+    the quantiles are shared literals).  Counts are exact integers;
+    everything after is a fixed-operand-order double expression the
+    oracle replays.  Returns ONE row: per-arm counts, pooled rate,
+    the standard error, absolute MDE, and MDE relative to the control
+    rate."""
+    agg = per_unit.groupBy().agg(
+        F.sum(F.when(F.col(arm_col) == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col(arm_col) == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(
+            F.when(F.col(arm_col) == 0, F.col(conv_col)).otherwise(0)
+        ).alias("x0"),
+        F.sum(
+            F.when(F.col(arm_col) == 1, F.col(conv_col)).otherwise(0)
+        ).alias("x1"),
+    )
+    pooled = (F.col("x0") + F.col("x1")) / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    mde = F.lit(Z_ALPHA_2SIDED_05 + Z_POWER_80) * se
+    p0 = F.col("x0") / F.col("n0")
+    return agg.select(
+        "n0",
+        "n1",
+        "x0",
+        "x1",
+        pooled.alias("pooled_rate"),
+        se.alias("se"),
+        mde.alias("mde_abs"),
+        (mde / p0).alias("mde_rel"),
+    )
+
+
 def cuped(
     per_unit: DataFrame, arm_col: str, x_col: str, y_col: str
 ) -> DataFrame:

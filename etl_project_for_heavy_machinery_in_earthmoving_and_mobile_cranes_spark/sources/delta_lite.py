@@ -974,16 +974,36 @@ def _partition_prunable(add: dict, col: str, lo, hi, dtype: str) -> bool:
         return False
 
 
+def version_at_timestamp(table: str, ts_ms: int) -> int:
+    """TIMESTAMP AS OF resolution (the spec's timestamp time travel):
+    the newest version whose commitInfo timestamp is at or before
+    ``ts_ms`` (epoch millis).  Raises when the bound predates the
+    table — same contract as real Delta's TIMESTAMP AS OF."""
+    best = None
+    for h in delta_history(table):
+        if h.get("timestamp") is not None and h["timestamp"] <= ts_ms:
+            best = h["version"]
+    if best is None:
+        raise ValueError(
+            f"no version of {table} committed at or before epoch-ms {ts_ms}"
+        )
+    return best
+
+
 def read_delta(
     spark: SparkSession,
     table: str,
     version: int | None = None,
-    predicate: "tuple | None" = None,
+    predicate: "tuple | list | None" = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
-    """Snapshot read (latest, or time travel to ``version``): replay the
-    log, read the surviving files with the committed schema pinned.
+    """Snapshot read (latest, time travel to ``version``, or TIMESTAMP
+    AS OF via ``timestamp_ms``): replay the log, read the surviving
+    files with the committed schema pinned.
 
-    ``predicate=(col, lo, hi)`` enables FILE SKIPPING, two layers deep:
+    ``predicate=(col, lo, hi)`` — or a LIST of such triples, ANDed, so
+    a partition predicate composes with a stats predicate on another
+    column — enables FILE SKIPPING, two layers deep per triple:
     1. PARTITION PRUNING — when ``col`` is a declared partition column,
        files whose committed ``partitionValues[col]`` falls outside
        [lo, hi] are dropped first (value-exact, parsed to the declared
@@ -1002,24 +1022,31 @@ def read_delta(
     partition columns from the Hive-layout file paths."""
     from pyspark.sql.types import StructType
 
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = version_at_timestamp(table, timestamp_ms)
     live, meta, _, _ = _read_actions(table, upto=version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns") or []
     if predicate is not None:
-        col, lo, hi = predicate
-        if col in pcols:
-            dtype = next(
-                (f.dataType.typeName() for f in schema.fields if f.name == col),
-                "string",
-            )
+        triples = predicate if isinstance(predicate, list) else [predicate]
+        for col, lo, hi in triples:
+            if col in pcols:
+                dtype = next(
+                    (f.dataType.typeName() for f in schema.fields if f.name == col),
+                    "string",
+                )
+                live = {
+                    p: a
+                    for p, a in live.items()
+                    if not _partition_prunable(a, col, lo, hi, dtype)
+                }
             live = {
                 p: a
                 for p, a in live.items()
-                if not _partition_prunable(a, col, lo, hi, dtype)
+                if not _maybe_prunable(a, col, lo, hi)
             }
-        live = {
-            p: a for p, a in live.items() if not _maybe_prunable(a, col, lo, hi)
-        }
     if not live:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(table, p) for p in sorted(live)]
@@ -1226,6 +1253,14 @@ def optimize_zorder(
     pinned-snapshot, abort-on-concurrent-commit discipline as
     ``compact``; old versions stay time-travelable.
 
+    On a PARTITIONED table the rewrite z-orders WITHIN partitions
+    (real Delta's semantics): min/max spans are computed per partition
+    value, range partitioning runs on (partition cols, zorder) so each
+    task's rows stay inside one partition value with a contiguous
+    Morton slice, and the Hive layout + partitionValues are preserved.
+    Z-ordering ON a partition column is rejected — partition pruning
+    already owns that column.
+
     Both columns are min/max-NORMALIZED into the full ``bits`` range
     before interleaving (what real OPTIMIZE ZORDER's range-id mapping
     does): raw-value interleaving gives a narrow-range column only its
@@ -1239,22 +1274,36 @@ def optimize_zorder(
     from ..operators.layout import morton_code
 
     live, _meta, base, _ = _read_actions(table)
-    if _meta.get("partitionColumns"):
-        raise NotImplementedError(
-            "optimize_zorder on a partitioned table is not supported: a "
-            "flat Morton rewrite would break the declared partition "
-            "layout.  Real Delta z-orders WITHIN partitions; compact() "
-            "preserves partitioning if small files are the problem."
+    pcols = _meta.get("partitionColumns") or []
+    if col_a in pcols or col_b in pcols:
+        raise ValueError(
+            f"z-order columns must not be partition columns {pcols}: "
+            "partition pruning already handles them; z-order the "
+            "within-partition residual columns instead"
         )
     snapshot = read_delta(spark, table, version=base)
-    span = F.broadcast(
-        snapshot.agg(
-            F.min(col_a).alias("__alo"),
-            F.max(col_a).alias("__ahi"),
-            F.min(col_b).alias("__blo"),
-            F.max(col_b).alias("__bhi"),
+    # min/max span: GLOBAL on a flat table; real Delta z-orders WITHIN
+    # partitions, so on a partitioned table the span (and therefore the
+    # normalization) is computed per partition value — a skewed
+    # partition cannot flatten every other partition's bit range
+    if pcols:
+        span = F.broadcast(
+            snapshot.groupBy(*pcols).agg(
+                F.min(col_a).alias("__alo"),
+                F.max(col_a).alias("__ahi"),
+                F.min(col_b).alias("__blo"),
+                F.max(col_b).alias("__bhi"),
+            )
         )
-    )
+    else:
+        span = F.broadcast(
+            snapshot.agg(
+                F.min(col_a).alias("__alo"),
+                F.max(col_a).alias("__ahi"),
+                F.min(col_b).alias("__blo"),
+                F.max(col_b).alias("__bhi"),
+            )
+        )
 
     def normed(col, lo, hi):
         # scale in DOUBLE, not (offset * 2^bits) in bigint: a column
@@ -1269,22 +1318,36 @@ def optimize_zorder(
         ).cast("bigint")
         return F.least(F.greatest(scaled, F.lit(0)), F.lit((1 << bits) - 1))
 
-    ordered = (
-        snapshot.crossJoin(span)
-        .withColumn(
-            "__zorder",
-            morton_code(
-                normed(col_a, "__alo", "__ahi"),
-                normed(col_b, "__blo", "__bhi"),
-                bits=bits,
-            ),
-        )
-        .repartitionByRange(n_files, "__zorder")
-        .sortWithinPartitions("__zorder")
-        .drop("__zorder", "__alo", "__ahi", "__blo", "__bhi")
+    joined = snapshot.join(span, on=pcols) if pcols else snapshot.crossJoin(span)
+    zordered = joined.withColumn(
+        "__zorder",
+        morton_code(
+            normed(col_a, "__alo", "__ahi"),
+            normed(col_b, "__blo", "__bhi"),
+            bits=bits,
+        ),
     )
+    if pcols:
+        # range partitioning on (partition cols, zorder) keeps each
+        # task's rows in ONE partition value with a contiguous Morton
+        # slice; partitionBy in the stage then writes z-range-sliced
+        # files inside each partition directory
+        ordered = (
+            zordered.repartitionByRange(n_files, *pcols, "__zorder")
+            .sortWithinPartitions(*pcols, "__zorder")
+            .drop("__zorder", "__alo", "__ahi", "__blo", "__bhi")
+        )
+    else:
+        ordered = (
+            zordered.repartitionByRange(n_files, "__zorder")
+            .sortWithinPartitions("__zorder")
+            .drop("__zorder", "__alo", "__ahi", "__blo", "__bhi")
+        )
     version = base + 1
-    adds = _stage_data_files(ordered, table, version)
+    if pcols:
+        adds = _stage_partitioned_files(ordered, table, version, pcols)
+    else:
+        adds = _stage_data_files(ordered, table, version)
     actions = [
         _commit_info("OPTIMIZE", {"zOrderBy": json.dumps([col_a, col_b])})
     ]

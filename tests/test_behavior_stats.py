@@ -771,3 +771,26 @@ def test_cuped_ztest_known_values(spark):
     assert abs(r["z"] - 2.4 / se) < 1e-12
     assert abs(r["ci_lo"] - (2.4 - 1.959963984540054 * se)) < 1e-12
     assert abs(r["ci_hi"] - (2.4 + 1.959963984540054 * se)) < 1e-12
+
+
+def test_power_mde_known_values(spark):
+    """Hand-computed MDE on the z-test fixture: pooled 3/4, se =
+    sqrt(.75*.25*1), MDE = (1.96 + 0.8416)*se, relative to p0 = .5."""
+    import math
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    pu = spark.createDataFrame(
+        [(0, 1, 2, 1), (0, 3, 4, 0), (1, 2, 6, 1), (1, 4, 8, 1)],
+        "arm int, x long, y long, conv int",
+    )
+    r = experiments.power_mde(pu, "arm", "conv").first()
+    se = math.sqrt(0.75 * 0.25 * 1.0)
+    zsum = experiments.Z_ALPHA_2SIDED_05 + experiments.Z_POWER_80
+    assert (r["n0"], r["n1"], r["x0"], r["x1"]) == (2, 2, 1, 2)
+    assert abs(r["pooled_rate"] - 0.75) < 1e-12
+    assert abs(r["se"] - se) < 1e-12
+    assert abs(r["mde_abs"] - zsum * se) < 1e-12
+    assert abs(r["mde_rel"] - zsum * se / 0.5) < 1e-12

@@ -668,9 +668,75 @@ def test_zorder_wide_range_does_not_overflow(spark, tmp_path):
     assert got == 2000
 
 
-def test_optimize_zorder_rejects_partitioned_table(spark, tmp_path):
+def test_optimize_zorder_within_partitions(spark, tmp_path):
+    """Z-order on a PARTITIONED table (real Delta semantics): the
+    rewrite preserves the Hive layout and partitionValues, spans are
+    computed per partition value, files inside a partition get bounded
+    Morton boxes on BOTH columns, and z-ordering ON a partition column
+    is rejected."""
     t = str(tmp_path / "t")
-    df = spark.createDataFrame([(1, 0, 2)], "a long, p int, b long")
-    delta_lite.write_delta(df, t, partition_by=["p"])
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        delta_lite.optimize_zorder(spark, t, "a", "b")
+    rows = [(i % 2, i * 37 % 1000, i * 61 % 1000, i) for i in range(4000)]
+    df = spark.createDataFrame(rows, "p int, a long, b long, k long")
+    delta_lite.write_delta(df.repartition(8), t, partition_by=["p"])
+    v = delta_lite.optimize_zorder(spark, t, "a", "b", n_files=8)
+    live, meta, _, _ = delta_lite._read_actions(t)
+    assert meta["partitionColumns"] == ["p"]
+    assert all(set(x["partitionValues"]) == {"p"} for x in live.values())
+    # pruning works on both z-columns within each partition
+    for col in ("a", "b"):
+        kept = [
+            p
+            for p, a in live.items()
+            if not delta_lite._maybe_prunable(a, col, 0, 200)
+        ]
+        assert 0 < len(kept) < len(live)
+    # content identical, partition column intact
+    got = delta_lite.read_delta(spark, t)
+    assert got.count() == 4000
+    assert {r["p"] for r in got.select("p").distinct().collect()} == {0, 1}
+    with pytest.raises(ValueError, match="partition columns"):
+        delta_lite.optimize_zorder(spark, t, "p", "a")
+
+
+def test_read_delta_multi_predicate_and_timestamp_travel(spark, tmp_path):
+    """predicate accepts a LIST of (col, lo, hi) triples (partition +
+    stats predicates compose), and timestamp_ms resolves TIMESTAMP AS
+    OF through commitInfo."""
+    import time as _time
+
+    t = str(tmp_path / "t")
+    rows = [(i % 4, i, f"v{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "p int, k long, v string")
+    delta_lite.write_delta(
+        df.repartitionByRange(4, "k"), t, partition_by=["p"]
+    )
+    ts_after_v0 = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    delta_lite.write_delta(
+        spark.createDataFrame([(0, 999, "late")], "p int, k long, v string"),
+        t,
+        mode="append",
+    )
+    # composed predicates: partition p=2 AND stats k <= 99
+    live, _, _, _ = delta_lite._read_actions(t)
+    pruned = delta_lite.read_delta(
+        spark, t, predicate=[("p", 2, 2), ("k", None, 99)]
+    )
+    got = {r["k"] for r in pruned.filter("p = 2 AND k <= 99").collect()}
+    assert got == {i for i in range(400) if i % 4 == 2 and i <= 99}
+    kept_files = len(
+        delta_lite.read_delta(
+            spark, t, predicate=[("p", 2, 2), ("k", None, 99)]
+        ).inputFiles()
+    )
+    all_files = len(delta_lite.read_delta(spark, t).inputFiles())
+    assert kept_files < all_files
+    # TIMESTAMP AS OF: a bound between the commits resolves to v0
+    assert delta_lite.version_at_timestamp(t, ts_after_v0) == 0
+    at0 = delta_lite.read_delta(spark, t, timestamp_ms=ts_after_v0)
+    assert at0.count() == 400
+    assert delta_lite.read_delta(spark, t).count() == 401
+    with pytest.raises(ValueError, match="at or before"):
+        delta_lite.version_at_timestamp(t, 0)
+    with pytest.raises(ValueError, match="not both"):
+        delta_lite.read_delta(spark, t, version=0, timestamp_ms=ts_after_v0)
