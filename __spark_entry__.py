@@ -13289,24 +13289,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first; (B) queries added THIS round (new queries are inserted at
     the TOP of section B by default, ahead of re-verified greens);
     (C) queries with a green CORRECTNESS row in some prior round,
-    most-recently-verified last.  Round 7: section A is EMPTY (the r6
-    driver pass verified the whole 50-entry prefix green, and rounds
-    1-6 cumulatively cover every other entry); section B = the new
-    delta_scd2_roundtrip plus six entries whose code paths changed
-    this round — record_linkage (re-shaped to multi-pass
-    higher-cardinality blocking, VERDICT r6 #3), mmr_rerank (greedy
-    folded to one collect, #5), delta_upsert_roundtrip /
-    delta_time_travel_diff / compacted_upsert / upsert_latest (the
-    delta_lite touched-file MERGE + checkpoint rework, #1).  Section-B
-    membership is now MECHANICALLY checked: tools/stale_green.py
-    hashes every query's function body, its transitive pkg/ call
-    closure, and its oracle string against the snapshot recorded at
-    the last green sweep, and the round-end gate fails if a changed
-    query is not in the 50-entry driver prefix (VERDICT r6 #4).
-    (ann_int8 was REMOVED from the registry this round — see the
-    demotion note at its former definition site.)  All registered
-    queries additionally pass the local gate (tools/check_oracle.py
-    --exact) at sf0.01 AND sf0.1 before every round ends."""
+    most-recently-verified last.  Round 8: section A is EMPTY; section
+    B = six NEW queries (ab_srm_check / cuped_ztest / ab_power_mde —
+    the experiment-readout completion, VERDICT r7 #6;
+    delta_partition_prune, #4; delta_gdpr_delete, #7;
+    linkage_blocking_census, #1), the re-shaped record_linkage /
+    linkage_golden_records (blocking skew cap wired in), every query
+    whose code path rides the r8 delta_lite/jobs/behavior edits, and
+    the 14 queries the over-inclusive stale_green closure flagged
+    (re-verified rather than argued with — a false positive re-greens
+    a query).  Section-B membership is MECHANICALLY checked:
+    tools/stale_green.py hashes every query's function body, its
+    transitive pkg/ call closure, and its oracle string against the
+    snapshot recorded at the last green sweep, and the round-end gate
+    fails if a changed query is not in the 50-entry driver prefix
+    (VERDICT r6 #4).  All registered queries additionally pass the
+    local gate (tools/check_oracle.py --exact) at sf0.01 AND sf0.1
+    before every round ends — r8 runs that sweep as the LAST
+    registry-affecting commit (VERDICT r7 #5)."""
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 8 (insert new HERE) -------
