@@ -146,6 +146,21 @@ def _apply_action(action: dict, live: dict, meta: dict, txns: dict) -> None:
             txns[t["appId"]] = t["version"]
 
 
+def _list_checkpoints(table: str) -> list[int]:
+    log = _log_path(table)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    suffix = ".checkpoint.json"
+    for name in os.listdir(log):
+        if name.endswith(suffix) and len(name) == 20 + len(suffix):
+            try:
+                out.append(int(name[:20]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
 def _read_actions(
     table: str, upto: int | None = None
 ) -> tuple[dict, dict, int, dict]:
@@ -153,7 +168,12 @@ def _read_actions(
     last version, latest txn version per appId).  ``upto`` pins a
     snapshot version (time travel).  Replay starts from the newest
     checkpoint at-or-below the bound when one exists — O(interval)
-    tail commits instead of the whole history."""
+    tail commits instead of the whole history.  The pointer file is
+    the fast path; when it is unusable for this bound (time travel
+    below it) the on-disk checkpoint listing is consulted, which is
+    also what keeps reads between a ``truncate_log`` checkpoint and a
+    newer pointer correct — replaying version files alone from a
+    truncated base would silently miss the pre-truncation state."""
     versions = _list_versions(table)
     if upto is not None:
         versions = [v for v in versions if v <= upto]
@@ -164,16 +184,32 @@ def _read_actions(
     txns: dict[str, int] = {}
     start_after = -1
     cp = _read_last_checkpoint(table)
-    if (
+    if not (
         cp is not None
         and cp <= versions[-1]
         and os.path.isfile(_checkpoint_file(table, cp))
     ):
+        cp = None
+        for c in reversed(_list_checkpoints(table)):
+            if c <= versions[-1]:
+                cp = c
+                break
+    if cp is not None and os.path.isfile(_checkpoint_file(table, cp)):
         with open(_checkpoint_file(table, cp)) as fh:
             for line in fh:
                 if line.strip():
                     _apply_action(json.loads(line), live, meta, txns)
         start_after = cp
+    # a truncated log must not be replayed from scratch: version files
+    # below the oldest checkpoint are gone, so a from-zero replay would
+    # be silently incomplete
+    if start_after == -1:
+        cps = _list_checkpoints(table)
+        if cps and versions[0] > 0 and versions[0] >= cps[0]:
+            raise FileNotFoundError(
+                f"no checkpoint usable for version {versions[-1]} of {table} "
+                f"and the log is truncated below {versions[0]}"
+            )
     for v in versions:
         if v <= start_after:
             continue
@@ -1097,6 +1133,19 @@ def vacuum(table: str, retention_seconds: float = 3600.0) -> list[str]:
                 action = json.loads(line) if line.strip() else {}
                 if "add" in action:
                     referenced.add(action["add"]["path"])
+    # checkpoints are REFERENCES too: after truncate_log the state at
+    # the truncation point lives ONLY in its checkpoint (the version's
+    # own commit file holds just the incremental adds), so skipping
+    # checkpoint adds here would delete live data
+    for c in _list_checkpoints(table):
+        try:
+            with open(_checkpoint_file(table, c)) as fh:
+                for line in fh:
+                    action = json.loads(line) if line.strip() else {}
+                    if "add" in action:
+                        referenced.add(action["add"]["path"])
+        except OSError:
+            continue  # raced away
     now = time.time()
     removed = []
     # walk recursively: partitioned tables keep data files under
@@ -1135,6 +1184,44 @@ def vacuum(table: str, retention_seconds: float = 3600.0) -> list[str]:
                 continue
             os.remove(full)
             removed.append(rel)
+    return removed
+
+
+def truncate_log(table: str, keep_from: int) -> list[int]:
+    """LOG RETENTION (the spec's metadata-cleanup half of VACUUM):
+    drop the ability to time-travel BELOW ``keep_from`` so the data
+    files only old versions referenced become unreferenced and a
+    following ``vacuum`` reclaims their bytes — the step that
+    completes physical GDPR erasure (``delete_keys`` removes keys
+    from the live snapshot; old immutable versions still hold the
+    bytes until their log entries age out).
+
+    Mechanics: snapshot the state AT ``keep_from`` into a checkpoint
+    (any read at or above ``keep_from`` replays from it), then delete
+    commit files and checkpoints strictly below.  Reads below
+    ``keep_from`` subsequently raise (the history is gone — that is
+    the point).  Like ``vacuum(0)``, run this offline or with
+    ``keep_from`` far enough behind every active reader's snapshot.
+    Returns the versions whose log entries were removed."""
+    versions = _list_versions(table)
+    if keep_from not in versions:
+        raise ValueError(
+            f"keep_from={keep_from} is not a committed version of {table}"
+        )
+    write_checkpoint(table, keep_from)
+    removed = []
+    for v in versions:
+        if v >= keep_from:
+            continue
+        try:
+            os.remove(_version_file(table, v))
+            removed.append(v)
+        except OSError:
+            pass
+        try:
+            os.remove(_checkpoint_file(table, v))
+        except OSError:
+            pass
     return removed
 
 

@@ -740,3 +740,50 @@ def test_read_delta_multi_predicate_and_timestamp_travel(spark, tmp_path):
         delta_lite.version_at_timestamp(t, 0)
     with pytest.raises(ValueError, match="not both"):
         delta_lite.read_delta(spark, t, version=0, timestamp_ms=ts_after_v0)
+
+
+def test_truncate_log_completes_physical_erasure(spark, tmp_path):
+    """The full GDPR story: delete_keys removes the keys from the live
+    snapshot; truncate_log drops time travel below the delete; vacuum
+    then reclaims the pre-delete files' BYTES.  Reads at or above the
+    truncation point stay correct (checkpoint replay), reads below
+    raise, and a later time-travel read between the truncation
+    checkpoint and a newer pointer replays correctly."""
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, f"user{k}") for k in range(40)], "k long, v string"
+    )
+    delta_lite.upsert_delta(spark, t, base, ["k"], n_buckets=4)
+    pre_files = set(delta_lite.read_delta(spark, t).inputFiles())
+    erase = spark.createDataFrame([(7,)], "k long")
+    v_del = delta_lite.delete_keys(spark, t, erase, ["k"])
+    # bytes still on disk: the pre-delete version references them
+    assert delta_lite.vacuum(t, retention_seconds=0.0) == []
+    removed_versions = delta_lite.truncate_log(t, keep_from=v_del)
+    assert removed_versions == [0]
+    # live snapshot correct through the truncation checkpoint
+    live_keys = {r["k"] for r in delta_lite.read_delta(spark, t).collect()}
+    assert live_keys == {k for k in range(40) if k != 7}
+    # time travel below the truncation point is gone
+    with pytest.raises(FileNotFoundError):
+        delta_lite.read_delta(spark, t, version=0)
+    # NOW vacuum reclaims the superseded bucket's bytes
+    reclaimed = delta_lite.vacuum(t, retention_seconds=0.0)
+    assert reclaimed  # the deleted key's old bucket file(s)
+    import os as _os
+
+    for f in pre_files:
+        name = _os.path.basename(f)
+        if name in reclaimed:
+            assert not _os.path.exists(f)
+    # subsequent commits + reads still work (checkpoint discovery is
+    # not fooled by the truncated base)
+    delta_lite.upsert_delta(
+        spark, t, spark.createDataFrame([(1, "NEW")], "k long, v string"), ["k"]
+    )
+    at_trunc = {
+        r["k"] for r in delta_lite.read_delta(spark, t, version=v_del).collect()
+    }
+    assert at_trunc == {k for k in range(40) if k != 7}
+    got = {(r["k"], r["v"]) for r in delta_lite.read_delta(spark, t).collect()}
+    assert (1, "NEW") in got and len(got) == 39
