@@ -7420,6 +7420,74 @@ FROM m
 """
 
 
+_MSPRT_TAU2 = 1e-4
+
+
+def q_ab_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential test (experiments.msprt_always_valid,
+    new r8): the mSPRT likelihood ratio and anytime-valid p-value over
+    the same hash-assigned unit table — the peeking-proof readout a
+    continuously-monitored experiment dashboard serves, next to the
+    fixed-horizon z-test.  Exact integer counts; δ̂/V/Λ are
+    fixed-operand-order doubles (sqrt/exp — ln parity is already
+    oracle-proven in feature_mi/bigram_logprob); 6-dp portable
+    floor."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    tune(spark)
+    out = experiments.msprt_always_valid(
+        _ab_units(spark, sf_dir), "arm", "conv", tau2=_MSPRT_TAU2
+    )
+    r6 = lambda c: (
+        F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    ).alias(c)
+    return out.select(
+        "n0", "n1", "x0", "x1",
+        r6("p0"), r6("p1"), r6("lift"),
+        (F.floor(F.col("v") * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)).alias("v"),
+        r6("lam"), r6("p_always_valid"),
+    )
+
+
+def _oracle_ab_msprt() -> str:
+    return f"""
+WITH {_ORACLE_AB_UNITS},
+agg AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0,
+         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1
+  FROM pu
+), s AS (
+  SELECT n0, n1, x0, x1,
+         x0 / CAST(n0 AS DOUBLE) AS p0,
+         x1 / CAST(n1 AS DOUBLE) AS p1,
+         (x0 + x1) / CAST(n0 + n1 AS DOUBLE) AS pp
+  FROM agg
+), vv AS (
+  SELECT n0, n1, x0, x1, p0, p1, p1 - p0 AS lift,
+         pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1) AS v
+  FROM s
+), lr AS (
+  SELECT n0, n1, x0, x1, p0, p1, lift, v,
+         sqrt(v / (v + CAST({_MSPRT_TAU2!r} AS DOUBLE)))
+           * exp(lift * lift * CAST({_MSPRT_TAU2!r} AS DOUBLE)
+                 / (2.0 * v * (v + CAST({_MSPRT_TAU2!r} AS DOUBLE)))) AS lam
+  FROM vv
+)
+SELECT n0, n1, x0, x1,
+       floor(p0 * 1e6 + 0.5) / 1e6 AS p0,
+       floor(p1 * 1e6 + 0.5) / 1e6 AS p1,
+       floor(lift * 1e6 + 0.5) / 1e6 AS lift,
+       floor(v * 1e12 + 0.5) / 1e12 AS v,
+       floor(lam * 1e6 + 0.5) / 1e6 AS lam,
+       floor(least(1.0, 1.0 / lam) * 1e6 + 0.5) / 1e6 AS p_always_valid
+FROM lr
+"""
+
+
 def q_cuped_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED-adjusted z and 95% CI (experiments.cuped_ztest, new r8,
     VERDICT r7 #6) — the confidence half next to the cuped_lift point
@@ -13313,6 +13381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_srm_check": q_ab_srm_check,
         "cuped_ztest": q_cuped_ztest,
         "ab_power_mde": q_ab_power_mde,
+        "ab_msprt": q_ab_msprt,
         "delta_partition_prune": q_delta_partition_prune,
         "delta_gdpr_delete": q_delta_gdpr_delete,
         "linkage_blocking_census": q_linkage_blocking_census,
@@ -13597,6 +13666,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_srm_check": _oracle_ab_srm_check(),
         "cuped_ztest": _oracle_cuped_ztest(),
         "ab_power_mde": _oracle_ab_power_mde(),
+        "ab_msprt": _oracle_ab_msprt(),
         "delta_partition_prune": ORACLE_DELTA_PARTITION_PRUNE,
         "delta_gdpr_delete": ORACLE_DELTA_GDPR_DELETE,
         "linkage_blocking_census": _oracle_linkage_blocking_census(),

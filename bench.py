@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "ab_srm_check",
     "cuped_ztest",
     "ab_power_mde",
+    "ab_msprt",
     "linkage_blocking_census",
     "delta_time_travel_diff",
     "neyman_stratified_sample",

@@ -275,6 +275,66 @@ def power_mde(
     )
 
 
+def msprt_always_valid(
+    per_unit: DataFrame,
+    arm_col: str,
+    conv_col: str,
+    tau2: float = 1e-4,
+) -> DataFrame:
+    """Always-valid inference for a running experiment — the mixture
+    sequential probability ratio test (Johari, Koomen, Pekelis &
+    Walsh 2017, 'Peeking at A/B Tests'): unlike the fixed-horizon
+    z-test, the mSPRT p-value is valid at EVERY interim look, so a
+    dashboard refreshing daily cannot inflate false positives by
+    peeking.  With a Gaussian mixture of variance ``tau2`` over the
+    lift, the likelihood ratio at the current sample is
+
+        Λ = sqrt(V / (V + τ²)) · exp(δ̂² · τ² / (2 · V · (V + τ²)))
+
+    where δ̂ = p1 − p0 and V = p̄(1−p̄)(1/n0 + 1/n1) is the pooled
+    variance of δ̂; the always-valid p-value is min(1, 1/Λ).  Counts
+    are exact integers; δ̂/V/Λ are fixed-operand-order doubles
+    (sqrt/exp have cross-engine parity precedent: ln is already
+    oracle-proven in this repo).  Returns ONE row: counts, rates,
+    lift, V, the mixture τ², Λ, and p_always_valid."""
+    agg = per_unit.groupBy().agg(
+        F.sum(F.when(F.col(arm_col) == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col(arm_col) == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(
+            F.when(F.col(arm_col) == 0, F.col(conv_col)).otherwise(0)
+        ).alias("x0"),
+        F.sum(
+            F.when(F.col(arm_col) == 1, F.col(conv_col)).otherwise(0)
+        ).alias("x1"),
+    )
+    p0 = F.col("x0") / F.col("n0")
+    p1 = F.col("x1") / F.col("n1")
+    pooled = (F.col("x0") + F.col("x1")) / (F.col("n0") + F.col("n1"))
+    v = (
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    lift = p1 - p0
+    t2 = F.lit(float(tau2))
+    lam = F.sqrt(v / (v + t2)) * F.exp(
+        lift * lift * t2 / (F.lit(2.0) * v * (v + t2))
+    )
+    return agg.select(
+        "n0",
+        "n1",
+        "x0",
+        "x1",
+        p0.alias("p0"),
+        p1.alias("p1"),
+        lift.alias("lift"),
+        v.alias("v"),
+        t2.alias("tau2"),
+        lam.alias("lam"),
+        F.least(F.lit(1.0), F.lit(1.0) / lam).alias("p_always_valid"),
+    )
+
+
 def cuped(
     per_unit: DataFrame, arm_col: str, x_col: str, y_col: str
 ) -> DataFrame:

@@ -794,3 +794,34 @@ def test_power_mde_known_values(spark):
     assert abs(r["se"] - se) < 1e-12
     assert abs(r["mde_abs"] - zsum * se) < 1e-12
     assert abs(r["mde_rel"] - zsum * se / 0.5) < 1e-12
+
+
+def test_msprt_always_valid_known_values(spark):
+    """Hand-computed mSPRT on the z-test fixture: pooled .75, V =
+    .75*.25*1, lift .5, tau2 = 1e-4; Lambda and the anytime p follow
+    the closed form; a no-lift fixture gives Lambda < 1 -> p = 1."""
+    import math
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    pu = spark.createDataFrame(
+        [(0, 1, 2, 1), (0, 3, 4, 0), (1, 2, 6, 1), (1, 4, 8, 1)],
+        "arm int, x long, y long, conv int",
+    )
+    r = experiments.msprt_always_valid(pu, "arm", "conv", tau2=1e-4).first()
+    v = 0.75 * 0.25 * 1.0
+    lam = math.sqrt(v / (v + 1e-4)) * math.exp(
+        0.5 * 0.5 * 1e-4 / (2.0 * v * (v + 1e-4))
+    )
+    assert abs(r["v"] - v) < 1e-15
+    assert abs(r["lam"] - lam) < 1e-12
+    assert abs(r["p_always_valid"] - min(1.0, 1.0 / lam)) < 1e-12
+    # no lift: Lambda = sqrt(V/(V+tau2)) < 1, anytime p stays 1
+    flat = spark.createDataFrame(
+        [(0, 0, 0, 1), (0, 0, 0, 0), (1, 0, 0, 1), (1, 0, 0, 0)],
+        "arm int, x long, y long, conv int",
+    )
+    rf = experiments.msprt_always_valid(flat, "arm", "conv").first()
+    assert rf["lift"] == 0.0 and rf["p_always_valid"] == 1.0
