@@ -7421,6 +7421,277 @@ FROM m
 
 
 _MSPRT_TAU2 = 1e-4
+_FDR_ALPHA = 0.05
+
+
+def _ratio_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (numerator, denominator) for the ratio-metric readout:
+    post-cut purchases over post-cut events, plus the md5 arm — the
+    clicks/views shape where BOTH components vary per unit."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    mm = e.agg(
+        F.expr(
+            "(min(unix_micros(cast(ts as timestamp)))"
+            " + max(unix_micros(cast(ts as timestamp)))) div 2"
+        ).alias("cut")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    post = us >= F.col("cut")
+    return (
+        e.crossJoin(F.broadcast(mm))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (post & (F.col("event_type") == "purchase")).cast("long")
+            ).alias("num"),
+            F.sum(post.cast("long")).alias("den"),
+        )
+        .withColumn(
+            "arm", experiments.hash_assign(F.col("user_id"), 2, seed=_AB_SEED)
+        )
+    )
+
+
+_ORACLE_RATIO_UNITS = """
+mm AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut FROM events
+), ru AS (
+  SELECT user_id,
+         sum(CASE WHEN epoch_us(ts) >= cut AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS num,
+         sum(CASE WHEN epoch_us(ts) >= cut THEN 1 ELSE 0 END) AS den,
+         {arm_hash} % 2 AS arm
+  FROM events CROSS JOIN mm
+  GROUP BY user_id, arm
+)"""
+
+
+def q_ratio_metric_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method ratio-metric z-test (experiments.ratio_metric_ztest,
+    new r8): post-cut purchases per post-cut event — the clicks/views
+    metric shape a naive unit-mean test gets wrong because numerator
+    AND denominator vary per unit.  Per-arm R = Σnum/Σden with the
+    delta-method variance of the ratio of sums from exact integer
+    moments; z on the fixed-order tail; 6-dp portable floor (se/v at
+    1e9 — the values are ~1e-4)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    tune(spark)
+    out = experiments.ratio_metric_ztest(
+        _ratio_units(spark, sf_dir), "arm", "num", "den"
+    )
+    r6 = lambda c: (
+        F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    ).alias(c)
+    r9 = lambda c: (
+        F.floor(F.col(c) * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    ).alias(c)
+    return out.select(
+        "n0", "n1", r6("r0"), r6("r1"), r6("diff"), r9("se"), r6("z")
+    )
+
+
+def _oracle_ratio_metric_ztest() -> str:
+    ru = _ORACLE_RATIO_UNITS.format(
+        arm_hash=_H_SQL.format(
+            seed="'" + str(_AB_SEED) + "'", expr="CAST(user_id AS VARCHAR)"
+        )
+    )
+    return f"""
+WITH {ru},
+arms AS (
+  SELECT arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(num) AS BIGINT) AS sn,
+         CAST(sum(den) AS BIGINT) AS sd,
+         CAST(sum(num * num) AS BIGINT) AS snn,
+         CAST(sum(den * den) AS BIGINT) AS sdd,
+         CAST(sum(num * den) AS BIGINT) AS snd
+  FROM ru GROUP BY 1
+), pa AS (
+  SELECT arm, n,
+         CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE) AS ratio,
+         (CAST(n * snn - sn * sn AS DOUBLE)
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+          - 2.0 * (CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE))
+            * (CAST(n * snd - sn * sd AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+          + (CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE))
+            * (CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE))
+            * (CAST(n * sdd - sd * sd AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+         / (CAST(n AS DOUBLE)
+            * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))) AS v
+  FROM arms
+), one AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+         sum(CASE WHEN arm = 0 THEN ratio END) AS r0,
+         sum(CASE WHEN arm = 1 THEN ratio END) AS r1,
+         sum(CASE WHEN arm = 0 THEN v END) AS v0,
+         sum(CASE WHEN arm = 1 THEN v END) AS v1
+  FROM pa
+)
+SELECT n0, n1,
+       floor(r0 * 1e6 + 0.5) / 1e6 AS r0,
+       floor(r1 * 1e6 + 0.5) / 1e6 AS r1,
+       floor((r1 - r0) * 1e6 + 0.5) / 1e6 AS diff,
+       floor(sqrt(v0 + v1) * 1e9 + 0.5) / 1e9 AS se,
+       floor((r1 - r0) / sqrt(v0 + v1) * 1e6 + 0.5) / 1e6 AS z
+FROM one
+"""
+
+
+def q_ab_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-metric experiment readout with BH FDR control (new r8):
+    one anytime-valid mSPRT p-value PER EVENT-TYPE metric (conversion
+    = user did ≥1 post-cut event of that type; per-arm totals shared),
+    then experiments.bh_fdr ranks the p-values and rejects by the
+    step-up rule at α=0.05 — the multiple-testing discipline a real
+    multi-metric scorecard applies instead of m independent tests.
+    The metric table is |event types|-sized (a readout, not data), so
+    the unpartitioned BH windows are model-sized by construction.
+    Decisions are made on FULL-precision doubles (exp parity proven by
+    ab_msprt); outputs carry the 6-dp portable floor."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    tune(spark)
+    units = _ab_units(spark, sf_dir)
+    tot = units.groupBy("arm").agg(F.count("*").alias("n"))
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    mm = e.agg(
+        F.expr(
+            "(min(unix_micros(cast(ts as timestamp)))"
+            " + max(unix_micros(cast(ts as timestamp)))) div 2"
+        ).alias("cut")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    conv = (
+        e.crossJoin(F.broadcast(mm))
+        .filter(us >= F.col("cut"))
+        .select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "arm", experiments.hash_assign(F.col("user_id"), 2, seed=_AB_SEED)
+        )
+        .groupBy("event_type", "arm")
+        .agg(F.count("*").alias("x"))
+    )
+    n0 = F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n0")
+    n1 = F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n1")
+    totals = tot.groupBy().agg(n0, n1)
+    met = (
+        conv.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, F.col("x"))).alias("x0r"),
+            F.sum(F.when(F.col("arm") == 1, F.col("x"))).alias("x1r"),
+        )
+        .select(
+            "event_type",
+            F.coalesce("x0r", F.lit(0)).alias("x0"),
+            F.coalesce("x1r", F.lit(0)).alias("x1"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    p0 = F.col("x0") / F.col("n0")
+    p1 = F.col("x1") / F.col("n1")
+    pooled = (F.col("x0") + F.col("x1")) / (F.col("n0") + F.col("n1"))
+    v = (
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    lift = p1 - p0
+    t2 = F.lit(_MSPRT_TAU2)
+    lam = F.sqrt(v / (v + t2)) * F.exp(
+        lift * lift * t2 / (F.lit(2.0) * v * (v + t2))
+    )
+    pv = met.select(
+        "event_type",
+        F.least(F.lit(1.0), F.lit(1.0) / lam).alias("p"),
+    )
+    out = experiments.bh_fdr(pv, "p", alpha=_FDR_ALPHA)
+    r6 = lambda c: (
+        F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    ).alias(c)
+    return out.select(
+        "event_type",
+        r6("p"),
+        F.col("rank").cast("long").alias("rank"),
+        "m",
+        r6("bh_threshold"),
+        "rejected",
+    )
+
+
+def _oracle_ab_fdr_bh() -> str:
+    arm_hash = _H_SQL.format(
+        seed="'" + str(_AB_SEED) + "'", expr="CAST(user_id AS VARCHAR)"
+    )
+    t2 = f"CAST({_MSPRT_TAU2!r} AS DOUBLE)"
+    return f"""
+WITH {_ORACLE_AB_UNITS},
+tot AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM pu
+), conv AS (
+  SELECT event_type, arm, CAST(count(*) AS BIGINT) AS x
+  FROM (
+    SELECT DISTINCT event_type, user_id, {arm_hash} % 2 AS arm
+    FROM events CROSS JOIN mm
+    WHERE epoch_us(ts) >= cut
+  )
+  GROUP BY 1, 2
+), met AS (
+  SELECT event_type,
+         CAST(coalesce(sum(CASE WHEN arm = 0 THEN x END), 0) AS BIGINT) AS x0,
+         CAST(coalesce(sum(CASE WHEN arm = 1 THEN x END), 0) AS BIGINT) AS x1
+  FROM conv GROUP BY 1
+), pvals AS (
+  SELECT event_type,
+         least(1.0, 1.0 / (
+           sqrt(v / (v + {t2}))
+           * exp(lift * lift * {t2} / (2.0 * v * (v + {t2}))))) AS p
+  FROM (
+    SELECT event_type,
+           x1 / CAST(n1 AS DOUBLE) - x0 / CAST(n0 AS DOUBLE) AS lift,
+           ((x0 + x1) / CAST(n0 + n1 AS DOUBLE))
+             * (1.0 - (x0 + x1) / CAST(n0 + n1 AS DOUBLE))
+             * (1.0 / n0 + 1.0 / n1) AS v
+    FROM met CROSS JOIN tot
+  )
+), ranked AS (
+  SELECT event_type, p,
+         row_number() OVER (ORDER BY p ASC, event_type ASC) AS rank,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM pvals
+), flagged AS (
+  SELECT *,
+         CAST(rank AS DOUBLE) * CAST({_FDR_ALPHA!r} AS DOUBLE) / m
+             AS bh_threshold,
+         CASE WHEN p <= CAST(rank AS DOUBLE) * CAST({_FDR_ALPHA!r} AS DOUBLE) / m
+              THEN rank ELSE 0 END AS ok_rank
+  FROM ranked
+)
+SELECT event_type,
+       floor(p * 1e6 + 0.5) / 1e6 AS p,
+       CAST(rank AS BIGINT) AS rank,
+       m,
+       floor(bh_threshold * 1e6 + 0.5) / 1e6 AS bh_threshold,
+       CAST(CASE WHEN rank <= (SELECT max(ok_rank) FROM flagged)
+                 THEN 1 ELSE 0 END AS INT) AS rejected
+FROM flagged
+"""
 
 
 def q_ab_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13382,6 +13653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_ztest": q_cuped_ztest,
         "ab_power_mde": q_ab_power_mde,
         "ab_msprt": q_ab_msprt,
+        "ratio_metric_ztest": q_ratio_metric_ztest,
+        "ab_fdr_bh": q_ab_fdr_bh,
         "delta_partition_prune": q_delta_partition_prune,
         "delta_gdpr_delete": q_delta_gdpr_delete,
         "linkage_blocking_census": q_linkage_blocking_census,
@@ -13667,6 +13940,8 @@ def oracle_sql() -> dict[str, str]:
         "cuped_ztest": _oracle_cuped_ztest(),
         "ab_power_mde": _oracle_ab_power_mde(),
         "ab_msprt": _oracle_ab_msprt(),
+        "ratio_metric_ztest": _oracle_ratio_metric_ztest(),
+        "ab_fdr_bh": _oracle_ab_fdr_bh(),
         "delta_partition_prune": ORACLE_DELTA_PARTITION_PRUNE,
         "delta_gdpr_delete": ORACLE_DELTA_GDPR_DELETE,
         "linkage_blocking_census": _oracle_linkage_blocking_census(),

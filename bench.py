@@ -218,6 +218,8 @@ BENCH_QUERIES = [
     "cuped_ztest",
     "ab_power_mde",
     "ab_msprt",
+    "ratio_metric_ztest",
+    "ab_fdr_bh",
     "linkage_blocking_census",
     "delta_time_travel_diff",
     "neyman_stratified_sample",

@@ -335,6 +335,99 @@ def msprt_always_valid(
     )
 
 
+def ratio_metric_ztest(
+    per_unit: DataFrame, arm_col: str, num_col: str, den_col: str
+) -> DataFrame:
+    """Two-sample z-test for a RATIO metric (clicks/views, revenue/
+    sessions — the most common experiment metric shape, and the one a
+    naive unit-mean test gets wrong because both numerator and
+    denominator vary per unit): per arm, R = Σnum/Σden with the
+    DELTA-METHOD variance of the ratio of sums (Deng, Knoblich & Lu
+    2018, 'Applying the Delta Method in Metric Analytics'),
+
+        var(R) ≈ (varN − 2R·covND + R²·varD) / (n · d̄²)
+
+    from exact integer moments (n, Σnum, Σden, Σnum², Σden², Σnum·den;
+    sample n−1 denominators), then z = (R1 − R0)/sqrt(v0 + v1).  All
+    float ops are final double divisions of exact integers and a
+    fixed-operand-order tail the oracle replays.  Returns ONE row."""
+    arms = per_unit.groupBy(arm_col).agg(
+        F.count("*").alias("n"),
+        F.sum(num_col).alias("sn"),
+        F.sum(den_col).alias("sd"),
+        F.sum(F.col(num_col) * F.col(num_col)).alias("snn"),
+        F.sum(F.col(den_col) * F.col(den_col)).alias("sdd"),
+        F.sum(F.col(num_col) * F.col(den_col)).alias("snd"),
+    )
+    nn = F.col("n").cast("double")
+    r = F.col("sn").cast("double") / F.col("sd").cast("double")
+    var_n = (F.col("n") * F.col("snn") - F.col("sn") * F.col("sn")).cast(
+        "double"
+    ) / (nn * (nn - F.lit(1.0)))
+    var_d = (F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")).cast(
+        "double"
+    ) / (nn * (nn - F.lit(1.0)))
+    cov = (F.col("n") * F.col("snd") - F.col("sn") * F.col("sd")).cast(
+        "double"
+    ) / (nn * (nn - F.lit(1.0)))
+    dbar = F.col("sd").cast("double") / nn
+    v = (var_n - F.lit(2.0) * r * cov + r * r * var_d) / (nn * dbar * dbar)
+    pa = arms.select(
+        F.col(arm_col).alias("arm"), "n", "sn", "sd",
+        r.alias("ratio"), v.alias("v"),
+    )
+    one = pa.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("ratio"))).alias("r0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("ratio"))).alias("r1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("v"))).alias("v0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("v"))).alias("v1"),
+    )
+    diff = F.col("r1") - F.col("r0")
+    se = F.sqrt(F.col("v0") + F.col("v1"))
+    return one.select(
+        "n0", "n1", "r0", "r1",
+        diff.alias("diff"),
+        se.alias("se"),
+        (diff / se).alias("z"),
+    )
+
+
+def bh_fdr(
+    pvals: DataFrame, p_col: str, alpha: float = 0.05
+) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a table of per-metric
+    p-values — what a MULTI-metric experiment readout runs instead of
+    m independent α-level tests (the peeking sibling: test many
+    metrics, control the FALSE DISCOVERY RATE, not the per-test
+    error).  Standard step-up: sort p ascending with rank k, find the
+    largest k with p(k) ≤ k·α/m, reject exactly ranks 1..k.  Pure
+    window expressions (rank, running max over the qualifying flag
+    from the bottom), engine-replayable.  Adds (rank, m, bh_threshold,
+    rejected) to every input row."""
+    from pyspark.sql import Window
+
+    m = Window.partitionBy()
+    w = Window.partitionBy().orderBy(
+        F.col(p_col).asc(), *[F.col(c) for c in pvals.columns if c != p_col]
+    )
+    ranked = pvals.withColumn("rank", F.row_number().over(w)).withColumn(
+        "m", F.count("*").over(m)
+    )
+    thresh = F.col("rank").cast("double") * F.lit(float(alpha)) / F.col("m")
+    ranked = ranked.withColumn("bh_threshold", thresh).withColumn(
+        "__ok", (F.col(p_col) <= thresh).cast("int")
+    )
+    # step-up cutoff = the LARGEST qualifying rank, globally; every
+    # rank at or below it is rejected (even ranks whose own p missed
+    # their threshold — that is what makes BH step-UP)
+    cutoff = F.max(F.col("__ok") * F.col("rank")).over(Window.partitionBy())
+    return ranked.withColumn(
+        "rejected", (F.col("rank") <= cutoff).cast("int")
+    ).drop("__ok")
+
+
 def cuped(
     per_unit: DataFrame, arm_col: str, x_col: str, y_col: str
 ) -> DataFrame:

@@ -825,3 +825,72 @@ def test_msprt_always_valid_known_values(spark):
     )
     rf = experiments.msprt_always_valid(flat, "arm", "conv").first()
     assert rf["lift"] == 0.0 and rf["p_always_valid"] == 1.0
+
+
+def test_ratio_metric_ztest_known_values(spark):
+    """Hand-computed delta-method ratio test: arm 0 units (1/2, 1/4)
+    -> R0 = 1/3, arm 1 units (2/2, 3/4) -> R1 = 5/6; per-arm moments
+    give the textbook delta-method variance (non-degenerate: num is
+    NOT proportional to den within an arm)."""
+    import math
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    pu = spark.createDataFrame(
+        [(0, 1, 2), (0, 1, 4), (1, 2, 2), (1, 3, 4)],
+        "arm int, num long, den long",
+    )
+    r = experiments.ratio_metric_ztest(pu, "arm", "num", "den").first()
+    assert (r["n0"], r["n1"]) == (2, 2)
+    assert abs(r["r0"] - 2 / 6) < 1e-15 and abs(r["r1"] - 5 / 6) < 1e-15
+    assert abs(r["diff"] - 0.5) < 1e-15
+
+    def dm_var(nums, dens):
+        n = len(nums)
+        sn, sd = sum(nums), sum(dens)
+        snn = sum(x * x for x in nums)
+        sdd = sum(x * x for x in dens)
+        snd = sum(a * b for a, b in zip(nums, dens))
+        R = sn / sd
+        var_n = (n * snn - sn * sn) / (n * (n - 1))
+        var_d = (n * sdd - sd * sd) / (n * (n - 1))
+        cov = (n * snd - sn * sd) / (n * (n - 1))
+        dbar = sd / n
+        return (var_n - 2 * R * cov + R * R * var_d) / (n * dbar * dbar)
+
+    v0 = dm_var([1, 1], [2, 4])
+    v1 = dm_var([2, 3], [2, 4])
+    se = math.sqrt(v0 + v1)
+    assert abs(r["se"] - se) < 1e-12
+    assert abs(r["z"] - 0.5 / se) < 1e-12
+
+
+def test_bh_fdr_step_up_rule(spark):
+    """Textbook BH fixture (m=5, alpha=.25): ranks 1..5 thresholds
+    .05/.10/.15/.20/.25; p = [.01, .08, .12, .30, .40] -> largest
+    qualifying rank is 3 (p3=.12 <= .15) so ranks 1-3 reject, INCLUDING
+    rank 2 whose own p (.08) misses its threshold (.10) — the step-up
+    property; ranks 4-5 accept."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    pv = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.08), ("c", 0.12), ("d", 0.30), ("e", 0.40)],
+        "metric string, p double",
+    )
+    got = {
+        r["metric"]: (r["rank"], r["rejected"])
+        for r in experiments.bh_fdr(pv, "p", alpha=0.25).collect()
+    }
+    assert got == {
+        "a": (1, 1), "b": (2, 1), "c": (3, 1), "d": (4, 0), "e": (5, 0)
+    }
+    # nothing qualifies -> nothing rejected
+    none = experiments.bh_fdr(
+        spark.createDataFrame([("a", 0.9), ("b", 0.99)], "metric string, p double"),
+        "p",
+    )
+    assert all(r["rejected"] == 0 for r in none.collect())
