@@ -71,7 +71,10 @@ BNLJ_ALLOWLIST = {
     # the pooled-theta aggregate (r7)
     "ab_test_zstat", "cuped_lift",
     # same 1-row scalar class (r8): midpoint cut + pooled theta/moments
-    "ab_srm_check", "cuped_ztest",
+    # (srm/mde/msprt/ratio), and the |metrics|-sized p-value table
+    # crossJoined with the 1-row per-arm totals (fdr_bh)
+    "ab_srm_check", "cuped_ztest", "ab_power_mde", "ab_msprt",
+    "ratio_metric_ztest", "ab_fdr_bh",
 }
 # Arrow-batched Python at genuine codec boundaries only
 PYTHON_ALLOWLIST = {
