@@ -1690,3 +1690,118 @@ def incremental_lsh_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_experiment_units_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    cut_us: int,
+    conv_type: str = "purchase",
+    seed: int = 0,
+    n_buckets: int = 16,
+) -> None:
+    """One micro-batch of EXPERIMENT-UNIT maintenance: the per-user
+    (arm, pre-count x, post-count y, converted) table every
+    experiment readout (z-test / SRM / CUPED / mSPRT / MDE —
+    operators.experiments) aggregates over, maintained incrementally
+    at the ingest edge instead of rescanning the event history per
+    refresh.  Per batch: aggregate the batch to per-user DELTAS
+    (Δx, Δy, Δconv — all mergeable by + / max with fixed cut and
+    deterministic md5 arm), then fold into the stored units through
+    the touched-file Delta MERGE (only the buckets holding the
+    batch's users rewrite — O(batch), never O(users)).  Refresh =
+    one |arms|-sized aggregate over the maintained table.  Replay
+    idempotence rides the txn action.  ``cut_us`` (the pre/post
+    split, epoch micros) is fixed at experiment start by contract —
+    the property that makes per-user counts mergeable."""
+    from ..operators.experiments import hash_assign
+    from ..sources import delta_lite
+
+    spark = batch_df.sparkSession
+    if _delta_batch_applied(spark, table_path, batch_id):
+        return  # at-least-once replay of an applied batch: no-op
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    deltas = (
+        batch_df.groupBy("user_id")
+        .agg(
+            F.sum((us < F.lit(cut_us)).cast("long")).alias("x"),
+            F.sum((us >= F.lit(cut_us)).cast("long")).alias("y"),
+            F.max(
+                (
+                    (us >= F.lit(cut_us))
+                    & (F.col("event_type") == conv_type)
+                ).cast("int")
+            ).alias("conv"),
+        )
+        .withColumn("arm", hash_assign(F.col("user_id"), 2, seed=seed))
+    )
+
+    def merge_fn(cur: "DataFrame | None", batch: DataFrame) -> DataFrame:
+        if cur is None:
+            return batch
+        c = cur.select(
+            "user_id",
+            F.col("x").alias("cx"),
+            F.col("y").alias("cy"),
+            F.col("conv").alias("cconv"),
+            F.col("arm").alias("carm"),
+        )
+        j = c.join(batch, "user_id", "full_outer")
+        return j.select(
+            "user_id",
+            (
+                F.coalesce(F.col("cx"), F.lit(0))
+                + F.coalesce(F.col("x"), F.lit(0))
+            ).alias("x"),
+            (
+                F.coalesce(F.col("cy"), F.lit(0))
+                + F.coalesce(F.col("y"), F.lit(0))
+            ).alias("y"),
+            F.greatest(
+                F.coalesce(F.col("cconv"), F.lit(0)),
+                F.coalesce(F.col("conv"), F.lit(0)),
+            ).alias("conv"),
+            F.coalesce(F.col("carm"), F.col("arm")).alias("arm"),
+        )
+
+    delta_lite.merge_touched(
+        spark,
+        table_path,
+        deltas,
+        ["user_id"],
+        merge_fn,
+        n_buckets=n_buckets,
+        txn=(_TXN_APP, batch_id),
+    )
+
+
+def maintain_experiment_units_stream(
+    events: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    cut_us: int,
+    conv_type: str = "purchase",
+    seed: int = 0,
+    n_buckets: int = 16,
+):
+    """Streaming experiment-unit maintenance (see
+    ``apply_experiment_units_batch``): each micro-batch folds its
+    per-user deltas into the Delta-published unit table; any
+    experiments.* readout then runs as one tiny aggregate over
+    ``read_maintained_table`` instead of rescanning event history —
+    how a continuously-monitored experiment stays O(batch) per
+    refresh at 100 TB of events."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_experiment_units_batch(
+            batch_df, batch_id, table_path, cut_us,
+            conv_type=conv_type, seed=seed, n_buckets=n_buckets,
+        )
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1255,3 +1255,67 @@ def test_compact_maintained_table_data_identical_and_recoverable(
     # a table with no committed state is rejected
     with pytest.raises(ValueError, match="no committed state"):
         jobs.compact_maintained_table(spark, str(tmp_path / "nope"), 1)
+
+
+def test_experiment_units_maintained_incrementally(spark, event_dir, tmp_path):
+    """Experiment-unit maintenance at the ingest edge: three arbitrary
+    deliveries fold per-user (x, y, conv, arm) deltas into the
+    Delta-published unit table; the final table — and a z-test readout
+    over it — must equal the one-shot batch aggregation over the full
+    history, and a replayed batch id must no-op through the txn
+    guard."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    src = spark.read.parquet(event_dir).select("user_id", "ts", "event_type", "event_id")
+    mm = src.agg(
+        F.expr(
+            "(min(unix_micros(cast(ts as timestamp)))"
+            " + max(unix_micros(cast(ts as timestamp)))) div 2"
+        ).alias("cut")
+    ).first()
+    cut = int(mm["cut"])
+    table = str(tmp_path / "exp_units")
+    # delivery split deliberately UNRELATED to the pre/post cut
+    for b in range(3):
+        jobs.apply_experiment_units_batch(
+            src.filter(F.col("event_id") % 3 == b), b, table, cut
+        )
+    # replay: must not advance the log
+    v = delta_lite.current_version(table)
+    jobs.apply_experiment_units_batch(
+        src.filter(F.col("event_id") % 3 == 1), 1, table, cut
+    )
+    assert delta_lite.current_version(table) == v
+    # one-shot twin over the full history
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    want_units = (
+        src.groupBy("user_id")
+        .agg(
+            F.sum((us < F.lit(cut)).cast("long")).alias("x"),
+            F.sum((us >= F.lit(cut)).cast("long")).alias("y"),
+            F.max(
+                ((us >= F.lit(cut)) & (F.col("event_type") == "purchase")).cast("int")
+            ).alias("conv"),
+        )
+        .withColumn("arm", experiments.hash_assign(F.col("user_id"), 2, seed=0))
+    )
+    got = {
+        (r["user_id"], r["x"], r["y"], r["conv"], r["arm"])
+        for r in jobs.read_maintained_table(spark, table).collect()
+    }
+    want = {
+        (r["user_id"], r["x"], r["y"], r["conv"], r["arm"])
+        for r in want_units.collect()
+    }
+    assert got == want
+    # the readout off the maintained table equals the one-shot readout
+    z_m = experiments.two_proportion_ztest(
+        jobs.read_maintained_table(spark, table), "arm", "conv"
+    ).first()
+    z_b = experiments.two_proportion_ztest(want_units, "arm", "conv").first()
+    assert z_m == z_b
