@@ -13691,6 +13691,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": q_ann_ivf_pq,
         "hard_negatives": q_hard_negatives,
         "ann_srp": q_ann_srp,
+        "ann_int8_pruned": q_ann_int8_pruned,
+        "embedding_knn": q_embedding_knn,
+        "embedding_near_dup": q_embedding_near_dup,
+        "near_dup_triangles": q_near_dup_triangles,
+        "hybrid_retrieval": q_hybrid_retrieval,
         # -- (C) driver-green in a prior round (r6 block first) ------
         "revenue_decomposition": q_revenue_decomposition,
         "frequent_item_pairs": q_frequent_item_pairs,
@@ -13705,11 +13710,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_anomaly": q_charset_anomaly,
         "readability": q_readability,
         "reference_batch_parity": q_reference_batch_parity,
-        "ann_int8_pruned": q_ann_int8_pruned,
-        "embedding_knn": q_embedding_knn,
-        "embedding_near_dup": q_embedding_near_dup,
-        "near_dup_triangles": q_near_dup_triangles,
-        "hybrid_retrieval": q_hybrid_retrieval,
         # -- (C cont.) r5 block ---------------------------------------
         "min_cost_supplier": q_min_cost_supplier,
         "nation_trade_volume": q_nation_trade_volume,
