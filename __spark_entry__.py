@@ -6315,6 +6315,160 @@ GROUP BY 1
 """
 
 
+def q_delta_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel (delta_lite.version_at_timestamp /
+    read_delta(timestamp_ms=…), new r8): an orders summary lands as
+    version 0, a wall-clock bound is captured, a second commit
+    overwrites it — and the TIMESTAMP AS OF read at the captured bound
+    must resolve to version 0 and serve ITS data (the query asserts
+    the version resolution, raises if the bound resolves wrong or the
+    pre-bound read fails).  Wall-clock values never reach the output —
+    the result is version 0's data, which the oracle rebuilds from the
+    same deterministic filter, so the hash proves the resolved
+    snapshot is byte-identical."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    v0_df = o.filter(F.col("o_orderkey") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="delta_ts_")
+    path = os.path.join(tmp, "orders")
+    try:
+        delta_lite.write_delta(v0_df, path)
+        bound = int(_time.time() * 1000)
+        _time.sleep(0.05)  # commit timestamps are millis: separate them
+        delta_lite.write_delta(o, path, mode="overwrite")
+        if delta_lite.version_at_timestamp(path, bound) != 0:
+            raise AssertionError("TIMESTAMP AS OF resolved the wrong version")
+        at0 = delta_lite.read_delta(spark, path, timestamp_ms=bound)
+        out = (
+            at0.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                dsum("o_totalprice").alias("total"),
+            )
+            # materialize off the scratch dir so it can be deleted
+            .localCheckpoint(eager=True)
+        )
+        # sanity: the live snapshot is the full table, not version 0
+        if delta_lite.read_delta(spark, path).count() <= at0.count():
+            raise AssertionError("latest snapshot did not supersede v0")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE_DELTA_TIMESTAMP_TRAVEL = f"""
+SELECT o_orderstatus, count(*) AS n, {sql_dsum('o_totalprice')} AS total
+FROM orders
+WHERE o_orderkey % 3 = 0
+GROUP BY 1
+"""
+
+
+def q_delta_zorder_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER WITHIN PARTITIONS (new r8): lineitem lands
+    partitioned by l_returnflag, optimize_zorder rewrites each
+    partition's files Morton-ordered on (l_partkey, l_suppkey) with
+    PER-PARTITION min/max spans (real Delta's semantics — a flat
+    rewrite would break the declared layout; a skewed partition must
+    not flatten the others' bit ranges).  The query ASSERTS: the Hive
+    layout and partitionValues survive the rewrite, and within the
+    'R' partition a selective range predicate on EACH z-column prunes
+    files through the committed stats.  It then reads back through a
+    COMPOSED predicate list — partition value + z-column range — and
+    aggregates; the oracle replays the plain filters, proving the
+    partitioned rewrite and the two-layer pruning are data-exact."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    hi_part = int(li.agg(F.max("l_partkey")).first()[0] // 8)
+    hi_supp = int(li.agg(F.max("l_suppkey")).first()[0] // 8)
+    tmp = tempfile.mkdtemp(prefix="delta_zp_")
+    path = os.path.join(tmp, "li")
+    try:
+        delta_lite.write_delta(
+            li.repartition(8), path, partition_by=["l_returnflag"]
+        )
+        delta_lite.optimize_zorder(
+            spark, path, "l_partkey", "l_suppkey", n_files=24
+        )
+        live, meta, _, _ = delta_lite._read_actions(path)
+        if meta.get("partitionColumns") != ["l_returnflag"]:
+            raise AssertionError("partition layout lost in the z-order rewrite")
+        if not all(
+            set(a.get("partitionValues") or {}) == {"l_returnflag"}
+            for a in live.values()
+        ):
+            raise AssertionError("partitionValues lost in the z-order rewrite")
+        r_files = {
+            p: a
+            for p, a in live.items()
+            if (a.get("partitionValues") or {}).get("l_returnflag") == "R"
+        }
+        for col, hi in (("l_partkey", hi_part), ("l_suppkey", hi_supp)):
+            kept = [
+                p
+                for p, a in r_files.items()
+                if not delta_lite._maybe_prunable(a, col, 1, hi)
+            ]
+            if not (0 < len(kept) < len(r_files)):
+                raise AssertionError(
+                    f"z-order stats pruned nothing on {col} within the "
+                    f"'R' partition ({len(kept)}/{len(r_files)})"
+                )
+        pruned = delta_lite.read_delta(
+            spark,
+            path,
+            predicate=[("l_returnflag", "R", "R"), ("l_partkey", 1, hi_part)],
+        )
+        out = (
+            pruned.filter(
+                (F.col("l_returnflag") == "R")
+                & (F.col("l_partkey") >= 1)
+                & (F.col("l_partkey") <= F.lit(hi_part))
+            )
+            .groupBy("l_suppkey")
+            .agg(
+                F.count("*").alias("n"),
+                dsum("l_extendedprice").alias("revenue"),
+                F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            )
+            # materialize off the scratch dir so it can be deleted
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE_DELTA_ZORDER_PARTITIONED = f"""
+WITH hp AS (SELECT CAST(max(l_partkey) // 8 AS BIGINT) AS hi FROM lineitem)
+SELECT l_suppkey, count(*) AS n,
+       {sql_dsum('l_extendedprice')} AS revenue,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem, hp
+WHERE l_returnflag = 'R' AND l_partkey >= 1 AND l_partkey <= hp.hi
+GROUP BY 1
+"""
+
+
 def q_delta_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARTITION PRUNING through the Delta log (new r8, VERDICT r7 #4):
     write_delta(partition_by=['l_year']) lands lineitem under
@@ -13655,6 +13809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_msprt": q_ab_msprt,
         "ratio_metric_ztest": q_ratio_metric_ztest,
         "ab_fdr_bh": q_ab_fdr_bh,
+        "delta_timestamp_travel": q_delta_timestamp_travel,
+        "delta_zorder_partitioned": q_delta_zorder_partitioned,
         "delta_partition_prune": q_delta_partition_prune,
         "delta_gdpr_delete": q_delta_gdpr_delete,
         "linkage_blocking_census": q_linkage_blocking_census,
@@ -13942,6 +14098,8 @@ def oracle_sql() -> dict[str, str]:
         "ab_msprt": _oracle_ab_msprt(),
         "ratio_metric_ztest": _oracle_ratio_metric_ztest(),
         "ab_fdr_bh": _oracle_ab_fdr_bh(),
+        "delta_timestamp_travel": ORACLE_DELTA_TIMESTAMP_TRAVEL,
+        "delta_zorder_partitioned": ORACLE_DELTA_ZORDER_PARTITIONED,
         "delta_partition_prune": ORACLE_DELTA_PARTITION_PRUNE,
         "delta_gdpr_delete": ORACLE_DELTA_GDPR_DELETE,
         "linkage_blocking_census": _oracle_linkage_blocking_census(),

@@ -220,6 +220,8 @@ BENCH_QUERIES = [
     "ab_msprt",
     "ratio_metric_ztest",
     "ab_fdr_bh",
+    "delta_timestamp_travel",
+    "delta_zorder_partitioned",
     "linkage_blocking_census",
     "delta_time_travel_diff",
     "neyman_stratified_sample",
