@@ -609,6 +609,23 @@ def write_delta(
             )
         else:
             prev_live, prev_meta, _, _ = _read_actions(table, upto=version - 1)
+            declared_now = prev_meta.get("partitionColumns") or []
+            if list(declared_now) != list(partition_by):
+                # lost the version race to a commit that (re)declared the
+                # table's partition columns after our files were staged:
+                # the staged layout no longer matches the table — abort
+                # rather than commit partitionValues={} files into a
+                # partitioned table (or vice versa)
+                for a in adds:
+                    try:
+                        os.remove(os.path.join(table, a["path"]))
+                    except OSError:
+                        pass
+                raise RuntimeError(
+                    f"concurrent commit changed {table}'s partitionColumns "
+                    f"to {declared_now} (staged as {partition_by}); write "
+                    "aborted — re-stage against the current table layout"
+                )
             if prev_meta.get("schemaString") != schema_string:
                 # schema change rides a fresh metaData action (the spec's
                 # schema-evolution mechanism); readers of older versions
@@ -734,6 +751,20 @@ def merge_touched(
     last_version = None
     for _ in range(max_retries):
         live, meta, base, _txns = _read_actions(table)
+        table_pcols = meta.get("partitionColumns") or []
+        if table_pcols:
+            # a bucketed merge is incompatible with a partitioned layout:
+            # partition columns live ONLY in the Hive file paths, so a
+            # flat touched-file read would reconstitute them as NULL and
+            # the rewrite would commit partitionValues={} files under a
+            # metaData that still declares partition columns — silent
+            # data corruption plus a violated spec invariant.  Refuse.
+            raise ValueError(
+                f"merge_touched: {table} declares partitionColumns "
+                f"{table_pcols}; keyed incremental merge requires a flat "
+                "bucketed layout. Rewrite the table without partition_by "
+                "(write_delta(mode='overwrite')) before merging into it."
+            )
         conf = meta.get("configuration") or {}
         stored_keys = (
             json.loads(conf["bucketKeys"]) if "bucketKeys" in conf else None
@@ -900,9 +931,11 @@ def delete_keys(
       via ``txn``, concurrent-safe via the optimistic retry.
 
     The table must be bucketed on exactly ``key_cols`` (a
-    ``merge_touched``/``upsert_delta``-maintained table); a plain
+    ``merge_touched``/``upsert_delta``-maintained table); a plain FLAT
     table is migrated into buckets by this first merge, same as any
-    other merge.  Returns the committed version."""
+    other merge.  A PARTITIONED table (non-empty
+    ``metaData.partitionColumns``) is rejected by ``merge_touched`` —
+    rewrite it flat first.  Returns the committed version."""
     keys_only = keys_df.select(*key_cols).dropDuplicates()
 
     def merge_fn(cur: "DataFrame | None", batch: DataFrame) -> DataFrame:
@@ -940,18 +973,28 @@ def _temporal_key(v):
     ISO, the datetime order differs from the lexicographic one only at
     the date-vs-'T00:00:00' boundary, where it says EQUAL (keep the
     file) — the conservative direction, so pruning stays sound.
-    Non-temporal values pass through; a mixed comparison raises
-    TypeError upstream and the file is kept."""
+    Timezone-AWARE values normalize to the UTC instant but KEEP their
+    tzinfo: stripping it would compare a local clock reading against a
+    naive bound from a different frame and over-prune by up to the
+    offset (silent data loss).  Keeping tzinfo makes aware-vs-aware
+    compare by instant (correct) and aware-vs-naive raise TypeError —
+    caught upstream as "incomparable, keep the file", the conservative
+    direction.  Non-temporal values pass through; a mixed comparison
+    raises TypeError upstream and the file is kept."""
     import datetime
 
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None)
+        if v.tzinfo is not None:
+            return v.astimezone(datetime.timezone.utc)
+        return v
     if isinstance(v, datetime.date):
         return datetime.datetime(v.year, v.month, v.day)
     if isinstance(v, str) and len(v) >= 10 and v[4:5] == "-" and v[7:8] == "-":
         try:
             parsed = datetime.datetime.fromisoformat(v)
-            return parsed.replace(tzinfo=None)
+            if parsed.tzinfo is not None:
+                return parsed.astimezone(datetime.timezone.utc)
+            return parsed
         except ValueError:
             return v
     return v
@@ -1405,7 +1448,30 @@ def optimize_zorder(
         ).cast("bigint")
         return F.least(F.greatest(scaled, F.lit(0)), F.lit((1 << bits) - 1))
 
-    joined = snapshot.join(span, on=pcols) if pcols else snapshot.crossJoin(span)
+    if pcols:
+        # NULL-SAFE join on the partition columns: a partition value of
+        # NULL (the __HIVE_DEFAULT_PARTITION__ directory) is a real,
+        # supported partition, but `on=pcols` equi-join drops its rows
+        # under SQL null semantics while the commit below removes ALL
+        # live files — silent data loss.  eqNullSafe keeps them.
+        span_r = F.broadcast(
+            span.select(
+                *[F.col(c).alias(f"__span_{c}") for c in pcols],
+                "__alo",
+                "__ahi",
+                "__blo",
+                "__bhi",
+            )
+        )
+        cond = None
+        for c in pcols:
+            e = F.col(c).eqNullSafe(F.col(f"__span_{c}"))
+            cond = e if cond is None else cond & e
+        joined = snapshot.join(span_r, cond).drop(
+            *[f"__span_{c}" for c in pcols]
+        )
+    else:
+        joined = snapshot.crossJoin(span)
     zordered = joined.withColumn(
         "__zorder",
         morton_code(

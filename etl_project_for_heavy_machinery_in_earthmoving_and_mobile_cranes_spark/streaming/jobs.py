@@ -257,8 +257,17 @@ def _resolve_auto_protocol(table_path: str) -> str:
         return "delta"
     if "://" in table_path:
         return "auto"  # bespoke manifest downstream
-    if os.path.lexists(table_path) or _resolve_current_version(table_path) is not None:
+    # only COMMITTED bespoke state keeps the bespoke protocol: an empty
+    # directory (failed earlier run, mkdir, checkpoint scaffolding) has
+    # no published versions, so classifying it as "existing bespoke"
+    # would silently revert a new table to the O(table)-per-batch
+    # publish the Delta-born default exists to avoid
+    if _resolve_current_version(table_path) is not None:
         return "auto"  # existing bespoke table keeps its protocol
+    if os.path.isdir(table_path) and any(
+        not name.startswith(".") for name in os.listdir(table_path)
+    ):
+        return "auto"  # non-empty dir with unrecognized content: don't claim it
     return "delta"
 
 

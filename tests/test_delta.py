@@ -787,3 +787,92 @@ def test_truncate_log_completes_physical_erasure(spark, tmp_path):
     assert at_trunc == {k for k in range(40) if k != 7}
     got = {(r["k"], r["v"]) for r in delta_lite.read_delta(spark, t).collect()}
     assert (1, "NEW") in got and len(got) == 39
+
+
+def test_optimize_zorder_keeps_null_partition_rows(spark, tmp_path):
+    """ADVICE r8 (high): z-ordering a partitioned table whose partition
+    column contains NULLs (__HIVE_DEFAULT_PARTITION__) must not drop the
+    null-partition rows — the span join is null-safe."""
+    t = str(tmp_path / "t")
+    rows = [(None if i % 5 == 0 else i % 3, i * 37 % 500, i * 61 % 500, i)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "p int, a long, b long, k long")
+    delta_lite.write_delta(df.repartition(4), t, partition_by=["p"])
+    before_nulls = delta_lite.read_delta(spark, t).filter("p IS NULL").count()
+    assert before_nulls == 200
+    delta_lite.optimize_zorder(spark, t, "a", "b", n_files=4)
+    got = delta_lite.read_delta(spark, t)
+    assert got.count() == 1000
+    assert got.filter("p IS NULL").count() == before_nulls
+    # the rewrite preserved the null partition's partitionValues mapping
+    live, _, _, _ = delta_lite._read_actions(t)
+    assert any(a["partitionValues"].get("p") is None for a in live.values())
+
+
+def test_merge_touched_rejects_partitioned_table(spark, tmp_path):
+    """ADVICE r8 (high): keyed incremental merge (merge_touched /
+    upsert_delta / delete_keys) must refuse a table with declared
+    partitionColumns — a flat bucketed rewrite would reconstitute the
+    partition columns as NULL and violate the partitionValues invariant."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(0, 1, "a"), (1, 2, "b")], "p int, k long, v string")
+    delta_lite.write_delta(df, t, partition_by=["p"])
+    batch = spark.createDataFrame([(0, 1, "A")], "p int, k long, v string")
+    with pytest.raises(ValueError, match="partitionColumns"):
+        delta_lite.upsert_delta(spark, t, batch, ["k"])
+    with pytest.raises(ValueError, match="partitionColumns"):
+        delta_lite.delete_keys(spark, t, spark.createDataFrame([(1,)], "k long"), ["k"])
+    # table untouched by the refused merges
+    assert delta_lite.current_version(t) == 0
+    assert delta_lite.read_delta(spark, t).count() == 2
+
+
+def test_temporal_key_timezone_handling():
+    """ADVICE r8 (low): tz-aware stat/bound values normalize to the UTC
+    instant keeping tzinfo; aware-vs-naive comparisons are treated as
+    incomparable (file kept), never coerced by clock reading."""
+    import datetime as dt
+
+    tz8 = dt.timezone(dt.timedelta(hours=8))
+    aware = dt.datetime(2024, 1, 1, 8, 0, 0, tzinfo=tz8)  # == 00:00 UTC
+    key = delta_lite._temporal_key(aware)
+    assert key.tzinfo is not None
+    assert key == dt.datetime(2024, 1, 1, 0, 0, 0, tzinfo=dt.timezone.utc)
+    # ISO string with offset: same normalization through parsing
+    key_s = delta_lite._temporal_key("2024-01-01T08:00:00+08:00")
+    assert key_s == key
+    # aware stats vs naive bound: incomparable -> keep the file
+    stats = json.dumps({
+        "numRecords": 1,
+        "minValues": {"ts": "2024-01-01T08:00:00+08:00"},
+        "maxValues": {"ts": "2024-01-01T08:00:00+08:00"},
+        "nullCount": {"ts": 0},
+    })
+    add = {"path": "f", "stats": stats}
+    naive_lo = dt.datetime(2030, 1, 1)  # would prune if clock-coerced
+    assert delta_lite._maybe_prunable(add, "ts", naive_lo, None) is False
+    # aware-vs-aware prunes by instant: bound far in the future (aware)
+    aware_lo = dt.datetime(2030, 1, 1, tzinfo=dt.timezone.utc)
+    assert delta_lite._maybe_prunable(add, "ts", aware_lo, None) is True
+
+
+def test_auto_protocol_empty_dir_is_delta_born(tmp_path):
+    """ADVICE r8 (low): an empty directory (mkdir leftover, failed run
+    scaffolding) is NOT an existing bespoke table — auto still resolves
+    to 'delta'.  Committed bespoke state and non-empty foreign dirs keep
+    bespoke resolution."""
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    assert jobs._resolve_auto_protocol(empty) == "delta"
+    fresh = str(tmp_path / "nonexistent")
+    assert jobs._resolve_auto_protocol(fresh) == "delta"
+    foreign = str(tmp_path / "foreign")
+    os.makedirs(foreign)
+    open(os.path.join(foreign, "data.parquet"), "w").close()
+    assert jobs._resolve_auto_protocol(foreign) == "auto"
+    # committed bespoke state (versions dir with _SUCCESS) stays bespoke
+    bespoke = str(tmp_path / "bespoke")
+    vdir = os.path.join(bespoke + ".versions", "v00000001")
+    os.makedirs(vdir)
+    open(os.path.join(vdir, "_SUCCESS"), "w").close()
+    assert jobs._resolve_auto_protocol(bespoke) == "auto"
