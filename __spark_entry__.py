@@ -10961,12 +10961,14 @@ FROM alloc a LEFT JOIN ach ON ach.h = a.h
 def q_delta_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change feed from Delta time travel (sources/delta_lite): two
     overwrite commits land per-user aggregate snapshots (v0 = even
-    events only, v1 = all events); the diff between read_delta(v=0)
-    and the latest snapshot — exceptAll in both directions, labeled —
-    is the row-level change feed a downstream consumer derives from an
-    open-format table's history without any bespoke changelog.  The
-    oracle recomputes both snapshot states and replays the EXCEPT ALL
-    algebra."""
+    events only, v1 = all events); the row-level diff now rides
+    ``delta_lite.read_changes`` (VERDICT r8 #1) — derived from the
+    log's add/remove actions, reading ONLY the files that changed
+    between the versions (an overwrite changes every file, so here the
+    two reads coincide; on an incremental table they don't — see
+    delta_change_feed).  insert→'upsert' / delete→'retract' keeps the
+    established output contract.  The oracle recomputes both snapshot
+    states and replays the EXCEPT ALL algebra."""
     import shutil
     import tempfile
 
@@ -10984,16 +10986,106 @@ def q_delta_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         delta_lite.write_delta(agg(e.filter(F.col("event_id") % 2 == 0)), path)
         delta_lite.write_delta(agg(e), path, mode="overwrite")
-        old = delta_lite.read_delta(spark, path, version=0)
-        new = delta_lite.read_delta(spark, path)
         out = (
-            new.exceptAll(old).withColumn("change", F.lit("upsert"))
-            .unionByName(old.exceptAll(new).withColumn("change", F.lit("retract")))
+            delta_lite.read_changes(spark, path, 0)
+            .withColumn(
+                "change",
+                F.when(F.col("_change_type") == "insert", "upsert").otherwise(
+                    "retract"
+                ),
+            )
+            .drop("_change_type")
             .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def q_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over an incrementally-maintained Delta table
+    (sources/delta_lite.read_changes — VERDICT r8 #1, the last
+    structural O(table) read in the storage story): a keyed customer
+    table takes three commits (v0 initial upsert, v1 update every
+    10th key + insert new synthetic keys, v2 GDPR-delete every 97th
+    key), then ``read_changes(from=0, key_cols)`` derives the
+    row-level diff from the log's add/remove actions, reading ONLY the
+    files the merges touched — rows a bucket rewrite carried over
+    unchanged appear on both sides of the exceptAll and cancel.  Keys
+    present on both sides classify as update_preimage/postimage; the
+    oracle replays the same algebra from the snapshot formulas (full
+    EXCEPT ALL — equivalent answer, which is the point: the engine
+    gets it from O(changed files))."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_cdf_")
+    path = os.path.join(tmp, "cust_state")
+    try:
+        delta_lite.upsert_delta(spark, path, c, ["k"], n_buckets=8)
+        upd = c.filter(F.col("k") % 10 == 0).withColumn(
+            "bal", F.col("bal") + F.lit(100.0)
+        )
+        new = c.filter(F.col("k") % 10 == 0).select(
+            (F.col("k") + F.lit(10_000_000)).alias("k"),
+            F.lit("NEW").alias("seg"),
+            F.lit(1.0).alias("bal"),
+        )
+        delta_lite.upsert_delta(spark, path, upd.unionByName(new), ["k"])
+        delta_lite.delete_keys(
+            spark, path, c.filter(F.col("k") % 97 == 0).select("k"), ["k"]
+        )
+        out = (
+            delta_lite.read_changes(spark, path, 0, key_cols=["k"])
+            .withColumnRenamed("_change_type", "change_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _oracle_delta_change_feed() -> str:
+    return """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg, CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer
+), v0 AS (
+  SELECT * FROM base
+), v1 AS (
+  SELECT k, seg, CASE WHEN k % 10 = 0 THEN bal + 100.0 ELSE bal END AS bal
+  FROM base
+  UNION ALL
+  SELECT k + 10000000 AS k, 'NEW' AS seg, 1.0 AS bal FROM base WHERE k % 10 = 0
+), v2 AS (
+  SELECT * FROM v1 WHERE k NOT IN (SELECT k FROM base WHERE k % 97 = 0)
+), ins AS (
+  SELECT * FROM v2 EXCEPT ALL SELECT * FROM v0
+), del AS (
+  SELECT * FROM v0 EXCEPT ALL SELECT * FROM v2
+), both_keys AS (
+  SELECT k FROM ins INTERSECT SELECT k FROM del
+)
+SELECT i.k, i.seg, i.bal,
+       CASE WHEN b.k IS NOT NULL THEN 'update_postimage' ELSE 'insert' END
+         AS change_type
+FROM ins i LEFT JOIN both_keys b ON i.k = b.k
+UNION ALL
+SELECT d.k, d.seg, d.bal,
+       CASE WHEN b.k IS NOT NULL THEN 'update_preimage' ELSE 'delete' END
+         AS change_type
+FROM del d LEFT JOIN both_keys b ON d.k = b.k
+"""
 
 
 def _oracle_delta_tt_diff() -> str:
@@ -13802,7 +13894,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry-affecting commit (VERDICT r7 #5)."""
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
-        # -- (B) new or re-shaped in round 8 (insert new HERE) -------
+        # -- (B) new or re-shaped in round 9 (insert new HERE) -------
+        "delta_change_feed": q_delta_change_feed,
+        # re-shaped r9: now rides read_changes (O(changed files))
+        "delta_time_travel_diff": q_delta_time_travel_diff,
+        # -- (B cont.) round-8 block ---------------------------------
         "ab_srm_check": q_ab_srm_check,
         "cuped_ztest": q_cuped_ztest,
         "ab_power_mde": q_ab_power_mde,
@@ -13824,7 +13920,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_stats_skipping": q_delta_stats_skipping,
         "delta_scd2_roundtrip": q_delta_scd2_roundtrip,
         "delta_upsert_roundtrip": q_delta_upsert_roundtrip,
-        "delta_time_travel_diff": q_delta_time_travel_diff,
         "compacted_upsert": q_compacted_upsert,
         "upsert_latest": q_upsert_latest,
         # r7 greens staying near the front of the prefix
@@ -14098,6 +14193,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_msprt": _oracle_ab_msprt(),
         "ratio_metric_ztest": _oracle_ratio_metric_ztest(),
         "ab_fdr_bh": _oracle_ab_fdr_bh(),
+        "delta_change_feed": _oracle_delta_change_feed(),
         "delta_timestamp_travel": ORACLE_DELTA_TIMESTAMP_TRAVEL,
         "delta_zorder_partitioned": ORACLE_DELTA_ZORDER_PARTITIONED,
         "delta_partition_prune": ORACLE_DELTA_PARTITION_PRUNE,

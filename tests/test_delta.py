@@ -876,3 +876,75 @@ def test_auto_protocol_empty_dir_is_delta_born(tmp_path):
     os.makedirs(vdir)
     open(os.path.join(vdir, "_SUCCESS"), "w").close()
     assert jobs._resolve_auto_protocol(bespoke) == "auto"
+
+
+def test_read_changes_reads_only_changed_files(spark, tmp_path):
+    """VERDICT r8 #1: the change feed derives from add/remove actions
+    and opens ONLY the changed files — a version pair whose interval
+    touched one bucket must not read the others."""
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(64)], "k long, v string"
+    )
+    delta_lite.upsert_delta(spark, t, base, ["k"], n_buckets=8)
+    v0 = delta_lite.current_version(t)
+    upd = spark.createDataFrame([(3, "UPDATED")], "k long, v string")
+    delta_lite.upsert_delta(spark, t, upd, ["k"])
+    added, removed, vto = delta_lite.changed_files(t, v0)
+    # one key -> one touched bucket: 1 file out, 1 file in
+    assert len(added) == 1 and len(removed) == 1
+    ch = delta_lite.read_changes(spark, t, v0, key_cols=["k"])
+    # the lazy plan reads only the changed files
+    inputs = {p.split("/")[-1] for p in ch.inputFiles()}
+    assert inputs == {p.split("/")[-1] for p in (*added, *removed)}
+    got = sorted((r.k, r.v, r._change_type) for r in ch.collect())
+    assert got == [
+        (3, "UPDATED", "update_postimage"),
+        (3, "v3", "update_preimage"),
+    ]
+
+
+def test_read_changes_insert_delete_and_empty(spark, tmp_path):
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, k * 10) for k in range(20)], "k long, x long"
+    )
+    delta_lite.upsert_delta(spark, t, base, ["k"], n_buckets=4)
+    delta_lite.upsert_delta(
+        spark, t, spark.createDataFrame([(100, 1)], "k long, x long"), ["k"]
+    )
+    delta_lite.delete_keys(
+        spark, t, spark.createDataFrame([(5,)], "k long"), ["k"]
+    )
+    ch = sorted(
+        (r.k, r.x, r._change_type)
+        for r in delta_lite.read_changes(spark, t, 0).collect()
+    )
+    assert ch == [(5, 50, "delete"), (100, 1, "insert")]
+    # from == to: empty feed, schema intact
+    same = delta_lite.read_changes(spark, t, 2, 2)
+    assert same.count() == 0
+    assert same.columns == ["k", "x", "_change_type"]
+    with pytest.raises(ValueError, match="precedes"):
+        delta_lite.read_changes(spark, t, 2, 0)
+
+
+def test_read_changes_partitioned_table(spark, tmp_path):
+    """Partition columns reconstitute through basePath on both sides of
+    the diff (appends land new partition files; an overwrite of one
+    partition shows as delete+insert)."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(0, 1, "a"), (0, 2, "b"), (1, 3, "c")], "p int, k long, v string"
+    )
+    delta_lite.write_delta(df, t, partition_by=["p"])
+    delta_lite.write_delta(
+        spark.createDataFrame([(2, 4, "d")], "p int, k long, v string"),
+        t,
+        mode="append",
+    )
+    ch = sorted(
+        (r.p, r.k, r.v, r._change_type)
+        for r in delta_lite.read_changes(spark, t, 0).collect()
+    )
+    assert ch == [(2, 4, "d", "insert")]

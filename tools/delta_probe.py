@@ -208,6 +208,36 @@ def main() -> None:
             del_rows[scale] = round(time.time() - t0, 3)
         del_rows["ratio"] = round(del_rows[f"x{n}"] / max(del_rows["sf0.1"], 1e-9), 2)
         report["gdpr_delete_delta"] = del_rows
+        # CDF read (r9, VERDICT r8 #1): row-level changes across the
+        # last commit (constant-size delete batch) via read_changes —
+        # expect ~flat (opens only the files the commit touched) —
+        # vs the old two-full-snapshot exceptAll shape, which grows
+        # with the table
+        cdf_rows = {}
+        for scale, nn in (("sf0.1", 1), (f"x{n}", n)):
+            table = os.path.join(workdir, f"ups_delta_{nn}")
+            base_v = delta_lite.current_version(table) - 1
+            t0 = time.time()
+            n_incr = delta_lite.read_changes(spark, table, base_v).count()
+            incr = round(time.time() - t0, 3)
+            t0 = time.time()
+            old = delta_lite.read_delta(spark, table, version=base_v)
+            new = delta_lite.read_delta(spark, table)
+            n_full = new.exceptAll(old).count() + old.exceptAll(new).count()
+            full = round(time.time() - t0, 3)
+            assert n_incr == n_full, (n_incr, n_full)
+            cdf_rows[scale] = {"read_changes_s": incr, "two_snapshot_s": full}
+        cdf_rows["read_changes_ratio"] = round(
+            cdf_rows[f"x{n}"]["read_changes_s"]
+            / max(cdf_rows["sf0.1"]["read_changes_s"], 1e-9),
+            2,
+        )
+        cdf_rows["two_snapshot_ratio"] = round(
+            cdf_rows[f"x{n}"]["two_snapshot_s"]
+            / max(cdf_rows["sf0.1"]["two_snapshot_s"], 1e-9),
+            2,
+        )
+        report["cdf_read_changes"] = cdf_rows
         report["log_replay_120v"] = probe_log_replay(spark, workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
