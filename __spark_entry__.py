@@ -7484,7 +7484,7 @@ def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6 = lambda c: (
         F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     ).alias(c)
-    return out.select("n0", "n1", "expected0", "expected1", r6("chi2"), "srm")
+    return out.select("arm", "n", "expected_share", r6("chi2"), "df", "srm")
 
 
 def _oracle_ab_srm_check() -> str:
@@ -7508,13 +7508,159 @@ agg AS (
          (n0 - e0) * (n0 - e0) / e0 + (n1 - e1) * (n1 - e1) / e1 AS chi2
   FROM s
 )
-SELECT n0, n1,
-       CAST(0.5 AS DOUBLE) AS expected0,
-       CAST(0.5 AS DOUBLE) AS expected1,
-       floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2,
+SELECT 0 AS arm, n0 AS n, CAST(0.5 AS DOUBLE) AS expected_share,
+       floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2, 1 AS df,
        CASE WHEN chi2 > CAST({CHI2_CRIT_DF1_P05!r} AS DOUBLE)
             THEN 1 ELSE 0 END AS srm
 FROM c
+UNION ALL
+SELECT 1 AS arm, n1 AS n, CAST(0.5 AS DOUBLE) AS expected_share,
+       floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2, 1 AS df,
+       CASE WHEN chi2 > CAST({CHI2_CRIT_DF1_P05!r} AS DOUBLE)
+            THEN 1 ELSE 0 END AS srm
+FROM c
+"""
+
+
+def _ab_units4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-arm twin of _ab_units (A/B/n readout, VERDICT r8 #3): same
+    unit table, md5 arm assignment mod 4."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    mm = e.agg(
+        F.expr(
+            "(min(unix_micros(cast(ts as timestamp)))"
+            " + max(unix_micros(cast(ts as timestamp)))) div 2"
+        ).alias("cut")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        e.crossJoin(F.broadcast(mm))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (
+                    (us >= F.col("cut"))
+                    & (F.col("event_type") == "purchase")
+                ).cast("int")
+            ).alias("conv"),
+        )
+        .withColumn(
+            "arm", experiments.hash_assign(F.col("user_id"), 4, seed=_AB_SEED)
+        )
+    )
+
+
+_ORACLE_AB_UNITS4 = f"""
+mm AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut FROM events
+), pu4 AS (
+  SELECT user_id,
+         max(CASE WHEN epoch_us(ts) >= cut AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS conv,
+         {_H_SQL.format(seed="'" + str(_AB_SEED) + "'",
+                        expr="CAST(user_id AS VARCHAR)")} % 4 AS arm
+  FROM events CROSS JOIN mm
+  GROUP BY user_id, arm
+)"""
+
+
+def q_ab_multiarm_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B/n scorecard (experiments.multiarm_readout, new r9, VERDICT
+    r8 #3): users hash-assigned to FOUR arms, pairwise-vs-control
+    two-proportion z per treatment arm plus the mSPRT always-valid
+    p-value of each comparison, then Benjamini–Hochberg FDR control
+    across the 3 comparisons (rank / threshold / rejected).  One hash
+    aggregate to per-arm counts, control row broadcast back, BH as
+    window expressions — k−1 rows out, every double a
+    fixed-operand-order expression the oracle replays (anytime-p
+    instead of a fixed-horizon normal p because neither engine exposes
+    erf; same choice as ab_fdr_bh).  Unexpected arm values raise
+    instead of silently subsetting (r8 'What's wrong' #2)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    tune(spark)
+    out = experiments.multiarm_readout(
+        _ab_units4(spark, sf_dir), "arm", "conv", n_arms=4
+    )
+    r6 = lambda c: (
+        F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    ).alias(c)
+    return out.select(
+        "arm",
+        "n0",
+        "x0",
+        "n",
+        "x",
+        r6("p0"),
+        r6("p"),
+        r6("lift"),
+        r6("z"),
+        r6("p_always_valid"),
+        "rank",
+        "m",
+        r6("bh_threshold"),
+        "rejected",
+    )
+
+
+def _oracle_ab_multiarm_readout() -> str:
+    return f"""
+WITH {_ORACLE_AB_UNITS4},
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS x
+  FROM pu4 GROUP BY arm
+), ctrl AS (
+  SELECT n AS n0, x AS x0 FROM arms WHERE arm = 0
+), s AS (
+  SELECT a.arm, c.n0, c.x0, a.n, a.x,
+         x0 / CAST(n0 AS DOUBLE) AS p0,
+         x / CAST(a.n AS DOUBLE) AS p,
+         (x0 + x) / CAST(n0 + a.n AS DOUBLE) AS pp
+  FROM arms a CROSS JOIN ctrl c WHERE a.arm <> 0
+), vv AS (
+  SELECT arm, n0, x0, n, x, p0, p, p - p0 AS lift,
+         pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n) AS v
+  FROM s
+), lr AS (
+  SELECT arm, n0, x0, n, x, p0, p, lift, v,
+         sqrt(v / (v + CAST(0.0001 AS DOUBLE)))
+           * exp(lift * lift * CAST(0.0001 AS DOUBLE)
+                 / (2.0 * v * (v + CAST(0.0001 AS DOUBLE)))) AS lam
+  FROM vv
+), pv AS (
+  SELECT arm, n0, x0, n, x, p0, p, lift, lift / sqrt(v) AS z,
+         least(1.0, 1.0 / lam) AS p_always_valid
+  FROM lr
+), ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY p_always_valid, arm) AS INT)
+           AS rank,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM pv
+), th AS (
+  SELECT *, CAST(rank AS DOUBLE) * CAST(0.05 AS DOUBLE) / m AS bh_threshold
+  FROM ranked
+), cut AS (
+  SELECT *, max(CASE WHEN p_always_valid <= bh_threshold THEN rank
+                     ELSE 0 END) OVER () AS cutoff
+  FROM th
+)
+SELECT arm, n0, x0, n, x,
+       floor(p0 * 1e6 + 0.5) / 1e6 AS p0,
+       floor(p * 1e6 + 0.5) / 1e6 AS p,
+       floor(lift * 1e6 + 0.5) / 1e6 AS lift,
+       floor(z * 1e6 + 0.5) / 1e6 AS z,
+       floor(p_always_valid * 1e6 + 0.5) / 1e6 AS p_always_valid,
+       rank, m,
+       floor(bh_threshold * 1e6 + 0.5) / 1e6 AS bh_threshold,
+       CASE WHEN rank <= cutoff THEN 1 ELSE 0 END AS rejected
+FROM cut
 """
 
 
@@ -13896,6 +14042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 9 (insert new HERE) -------
         "delta_change_feed": q_delta_change_feed,
+        "ab_multiarm_readout": q_ab_multiarm_readout,
         # re-shaped r9: now rides read_changes (O(changed files))
         "delta_time_travel_diff": q_delta_time_travel_diff,
         # -- (B cont.) round-8 block ---------------------------------
@@ -14188,6 +14335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "ab_srm_check": _oracle_ab_srm_check(),
+        "ab_multiarm_readout": _oracle_ab_multiarm_readout(),
         "cuped_ztest": _oracle_cuped_ztest(),
         "ab_power_mde": _oracle_ab_power_mde(),
         "ab_msprt": _oracle_ab_msprt(),

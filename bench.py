@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "linkage_blocking_census",
     "delta_time_travel_diff",
     "delta_change_feed",
+    "ab_multiarm_readout",
     "neyman_stratified_sample",
     "cumulative_channel_compare",
     "basket_clustering_coeff",

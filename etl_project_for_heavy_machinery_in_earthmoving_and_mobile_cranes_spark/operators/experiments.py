@@ -88,45 +88,120 @@ def two_proportion_ztest(
 #: the incomplete gamma function, which neither engine exposes natively)
 CHI2_CRIT_DF1_P05 = 3.841458820694124
 
+#: chi-square critical values at alpha=0.05 for df=1..9 (k-arm SRM:
+#: df = k−1).  Shared literals, same discipline as CHI2_CRIT_DF1_P05;
+#: computed by bisecting the regularized incomplete gamma, matching
+#: the published table (3.841, 5.991, 7.815, 9.488, 11.070, 12.592,
+#: 14.067, 15.507, 16.919).
+CHI2_CRIT_P05 = {
+    1: CHI2_CRIT_DF1_P05,
+    2: 5.991464547107977,
+    3: 7.8147279032511765,
+    4: 9.48772903678115,
+    5: 11.070497693516348,
+    6: 12.591587243743977,
+    7: 14.067140449340165,
+    8: 15.507313055865446,
+    9: 16.918977604620444,
+}
+
 
 def srm_check(
     per_unit: DataFrame,
     arm_col: str,
-    expected: "tuple[float, float]" = (0.5, 0.5),
+    expected: "tuple[float, ...]" = (0.5, 0.5),
 ) -> DataFrame:
-    """Sample-ratio-mismatch guard — the FIRST check every real A/B
+    """Sample-ratio-mismatch guard — the FIRST check every real A/B/n
     readout runs (Fabijan et al. 2019, 'Diagnosing Sample Ratio
     Mismatch'): a chi-square goodness-of-fit of the observed per-arm
-    unit counts against the designed split.  A significant mismatch
-    means the assignment or logging pipeline is broken and every other
-    statistic on the experiment is untrustworthy.
+    unit counts against the designed k-way split.  A significant
+    mismatch means the assignment or logging pipeline is broken and
+    every other statistic on the experiment is untrustworthy.
 
-        chi2 = Σ_arms (n_i − N·r_i)² / (N·r_i)
+        chi2 = Σ_arms (n_i − N·r_i)² / (N·r_i),   df = k − 1
 
-    Counts are exact integers (one hash aggregate); chi2 is a
-    fixed-operand-order double expression; the alarm compares against
-    the df=1 critical value at α=0.05 (``CHI2_CRIT_DF1_P05``) — all
-    literal arithmetic an SQL oracle replays verbatim.  Returns ONE
-    row: n0, n1, expected shares, chi2, srm (1 when the split is
-    broken)."""
-    r0, r1 = float(expected[0]), float(expected[1])
+    ``expected`` is the designed share per arm (arm values must be
+    0..k−1).  Counts are exact integers (one hash aggregate); chi2 is
+    a fixed-operand-order double expression; the alarm compares
+    against the df=k−1 critical value at α=0.05 (``CHI2_CRIT_P05``) —
+    all literal arithmetic an SQL oracle replays verbatim.  Returns
+    one row PER ARM: (arm, n, expected_share, chi2, df, srm) with the
+    experiment-level chi2/df/srm repeated on every row (long format —
+    the shape that generalizes to any k).
+
+    Arm values outside 0..k−1 RAISE at execution (r8 'What's wrong'
+    #2: the old 2-arm version silently chi-squared a subset — a
+    plausible-looking wrong answer class).  N = Σ observed arms only
+    ever counts valid arms, so the raise is the only honest option."""
+    k = len(expected)
+    if k - 1 not in CHI2_CRIT_P05:
+        raise ValueError(f"srm_check supports 2..{max(CHI2_CRIT_P05) + 1} arms")
+    shares = [float(r) for r in expected]
     agg = per_unit.groupBy().agg(
-        F.sum(F.when(F.col(arm_col) == 0, 1).otherwise(0)).alias("n0"),
-        F.sum(F.when(F.col(arm_col) == 1, 1).otherwise(0)).alias("n1"),
+        *[
+            F.sum(F.when(F.col(arm_col) == i, 1).otherwise(0)).alias(f"n{i}")
+            for i in range(k)
+        ],
+        F.sum(
+            F.when(
+                (F.col(arm_col) < 0) | (F.col(arm_col) >= k), 1
+            ).otherwise(0)
+        ).alias("n_bad"),
     )
-    n = F.col("n0") + F.col("n1")
-    e0 = n.cast("double") * F.lit(r0)
-    e1 = n.cast("double") * F.lit(r1)
-    chi2 = (F.col("n0") - e0) * (F.col("n0") - e0) / e0 + (
-        F.col("n1") - e1
-    ) * (F.col("n1") - e1) / e1
-    return agg.select(
-        "n0",
-        "n1",
-        F.lit(r0).alias("expected0"),
-        F.lit(r1).alias("expected1"),
+    # fail LOUDLY on unexpected arm values (never silently subset)
+    agg = agg.select(
+        *[
+            F.when(
+                F.col("n_bad") > 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"srm_check: arm values outside 0..{k - 1} "
+                            "present (count="
+                        ),
+                        F.col("n_bad").cast("string"),
+                        F.lit(")"),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col(f"n{i}"))
+            .alias(f"n{i}")
+            for i in range(k)
+        ]
+    )
+    n = sum(F.col(f"n{i}") for i in range(k)).alias("__N")
+    chi2 = None
+    for i, r in enumerate(shares):
+        e = n.cast("double") * F.lit(r)
+        term = (F.col(f"n{i}") - e) * (F.col(f"n{i}") - e) / e
+        chi2 = term if chi2 is None else chi2 + term
+    crit = CHI2_CRIT_P05[k - 1]
+    wide = agg.select(
+        *[F.col(f"n{i}") for i in range(k)],
         chi2.alias("chi2"),
-        (chi2 > F.lit(CHI2_CRIT_DF1_P05)).cast("int").alias("srm"),
+        (chi2 > F.lit(crit)).cast("int").alias("srm"),
+    )
+    # long format via ONE explode (a per-arm union would re-aggregate
+    # per_unit k times): one row per arm, experiment stats repeated
+    arms_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("arm"),
+                F.col(f"n{i}").alias("n"),
+                F.lit(r).alias("expected_share"),
+            )
+            for i, r in enumerate(shares)
+        ]
+    )
+    return wide.select(
+        F.explode(arms_arr).alias("a"), "chi2", "srm"
+    ).select(
+        "a.arm",
+        "a.n",
+        "a.expected_share",
+        "chi2",
+        F.lit(k - 1).alias("df"),
+        "srm",
     )
 
 
@@ -391,6 +466,106 @@ def ratio_metric_ztest(
         diff.alias("diff"),
         se.alias("se"),
         (diff / se).alias("z"),
+    )
+
+
+def multiarm_ztest(
+    per_unit: DataFrame,
+    arm_col: str,
+    conv_col: str,
+    n_arms: int,
+    control: int = 0,
+    tau2: float = 1e-4,
+) -> DataFrame:
+    """Pairwise-vs-control readout for an A/B/n experiment: one row
+    per TREATMENT arm with the pooled-variance two-proportion z
+    statistic against the control arm AND the mSPRT always-valid
+    p-value of the same comparison (the anytime-p this repo's
+    scorecard queries already feed to ``bh_fdr``; a fixed-horizon
+    normal p would need erf, which neither engine exposes).
+
+    One hash aggregate to per-arm counts (k rows), the control row
+    broadcast back — no second scan of ``per_unit``.  Arm values
+    outside 0..n_arms−1 RAISE (same contract as ``srm_check``).
+    Exact integer counts; rates/z/Λ are fixed-operand-order doubles
+    the oracle replays.  Columns: arm, n0, x0, n, x, p0, p, lift, z,
+    p_always_valid."""
+    if not 0 <= control < n_arms:
+        raise ValueError(f"control arm {control} outside 0..{n_arms - 1}")
+    arms = per_unit.groupBy(arm_col).agg(
+        F.count("*").alias("n"), F.sum(conv_col).alias("x")
+    )
+    guarded = arms.select(
+        F.when(
+            (F.col(arm_col) < 0) | (F.col(arm_col) >= n_arms),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"multiarm_ztest: arm value outside 0..{n_arms - 1}: "
+                    ),
+                    F.col(arm_col).cast("string"),
+                )
+            ).cast("int"),
+        )
+        .otherwise(F.col(arm_col))
+        .alias("arm"),
+        "n",
+        "x",
+    )
+    ctrl = F.broadcast(
+        guarded.filter(F.col("arm") == control).select(
+            F.col("n").alias("n0"), F.col("x").alias("x0")
+        )
+    )
+    t = guarded.filter(F.col("arm") != control).crossJoin(ctrl)
+    p0 = F.col("x0") / F.col("n0")
+    p = F.col("x") / F.col("n")
+    pooled = (F.col("x0") + F.col("x")) / (F.col("n0") + F.col("n"))
+    v = (
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n"))
+    )
+    lift = p - p0
+    se = F.sqrt(v)
+    t2 = F.lit(float(tau2))
+    lam = F.sqrt(v / (v + t2)) * F.exp(
+        lift * lift * t2 / (F.lit(2.0) * v * (v + t2))
+    )
+    return t.select(
+        "arm",
+        "n0",
+        "x0",
+        "n",
+        "x",
+        p0.alias("p0"),
+        p.alias("p"),
+        lift.alias("lift"),
+        (lift / se).alias("z"),
+        F.least(F.lit(1.0), F.lit(1.0) / lam).alias("p_always_valid"),
+    )
+
+
+def multiarm_readout(
+    per_unit: DataFrame,
+    arm_col: str,
+    conv_col: str,
+    n_arms: int,
+    control: int = 0,
+    tau2: float = 1e-4,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """The full A/B/n scorecard (VERDICT r8 #3): pairwise-vs-control
+    z + anytime-p per treatment arm (``multiarm_ztest``), then
+    Benjamini–Hochberg FDR control across the k−1 comparisons
+    (``bh_fdr``) — test many arms, control the false discovery rate.
+    Adds (rank, m, bh_threshold, rejected) to each comparison row."""
+    return bh_fdr(
+        multiarm_ztest(
+            per_unit, arm_col, conv_col, n_arms, control=control, tau2=tau2
+        ),
+        "p_always_valid",
+        alpha=alpha,
     )
 
 

