@@ -52,14 +52,18 @@ def blocked_candidates(
     right: DataFrame,
     block_cols: list[str],
     suffixes: tuple[str, str] = ("_l", "_r"),
-    max_block: "int | None" = None,
+    max_block: "int | None" = 1000,
 ) -> DataFrame:
     """Candidate pairs via equi join on the blocking key(s).  All
     non-block columns are suffixed; block columns keep one copy.
 
     ``max_block`` bounds each side's rows admitted per block — the
     skew guard: one hot block (a default name suffix, a null-ish
-    bucket value) otherwise goes quadratic with no ceiling.  Kept rows
+    bucket value) otherwise goes quadratic with no ceiling.  The
+    DEFAULT is finite (1000/side ≈ ≤1M pairs per block) so a library
+    caller gets the scale-safe shape without asking (VERDICT r8 #6);
+    the uncapped exact blocking is the explicit opt-out
+    ``max_block=None``.  Kept rows
     are the ``max_block`` smallest by row content-hash (deterministic
     across partitionings; no id column is guaranteed here), making
     results an explicit under-approximation on over-full blocks — the
@@ -92,7 +96,7 @@ def multi_blocked_candidates(
     passes: "list[list[tuple[Column, Column]]]",
     id_cols: tuple[str, str],
     suffixes: tuple[str, str] = ("_l", "_r"),
-    max_block: "int | None" = None,
+    max_block: "int | None" = 1000,
 ) -> DataFrame:
     """Multi-pass blocking union — the standard recall/cost shape for
     linkage at scale: no single blocking key is both selective and
@@ -116,7 +120,8 @@ def multi_blocked_candidates(
       become an explicit under-approximation of the exact blocking on
       over-full blocks (the ``max_bucket``/``max_df``/``max_cell``
       contract); ``blocking_census`` makes the dropped mass
-      observable;
+      observable.  The DEFAULT cap is finite (1000/side per block,
+      VERDICT r8 #6) — pass ``max_block=None`` to opt out explicitly;
     - slim-first pairs: only the two id columns ride through the
       per-pass joins and the dedup exchange; every other column is
       fetched by an id equi join AFTER dedup, so the wide rows are

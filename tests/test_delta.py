@@ -948,3 +948,90 @@ def test_read_changes_partitioned_table(spark, tmp_path):
         for r in delta_lite.read_changes(spark, t, 0).collect()
     )
     assert ch == [(2, 4, "d", "insert")]
+
+
+def test_log_store_contention_exactly_one_winner(tmp_path):
+    """VERDICT r8 #5: the commit fence is a pluggable put-if-absent
+    LogStore.  Many writers racing the SAME version file: exactly one
+    put_if_absent returns True, the losers write nothing, and the
+    winner's content is intact (the optimistic-retry protocol's
+    correctness rests on this primitive)."""
+    import threading
+
+    path = str(tmp_path / "t" / "_delta_log" / f"{7:020d}.json")
+    store = delta_lite.LocalLinkLogStore()
+    n = 16
+    results = [None] * n
+    barrier = threading.Barrier(n)
+
+    def writer(i):
+        barrier.wait()
+        results[i] = store.put_if_absent(path, f"writer-{i}\n".encode())
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [i for i, r in enumerate(results) if r]
+    assert len(winners) == 1
+    assert open(path).read() == f"writer-{winners[0]}\n"
+    # no temp litter left behind
+    leftover = [
+        f for f in os.listdir(os.path.dirname(path)) if f.startswith(".tmp-")
+    ]
+    assert leftover == []
+
+
+def test_commit_racing_writers_through_write_delta(spark, tmp_path):
+    """End-to-end contention: two write_delta appends racing from the
+    same base version both land (one wins the version, the loser
+    retries at the next) and no rows are lost."""
+    import threading
+
+    t = str(tmp_path / "t")
+    delta_lite.write_delta(_df(spark, [(0, "base")]), t)
+    errs = []
+    barrier = threading.Barrier(2)
+
+    def appender(k):
+        try:
+            df = _df(spark, [(k, f"w{k}")])
+            barrier.wait()
+            delta_lite.write_delta(df, t, mode="append")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(k,)) for k in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    got = sorted((r.k, r.v) for r in delta_lite.read_delta(spark, t).collect())
+    assert got == [(0, "base"), (1, "w1"), (2, "w2")]
+    assert delta_lite.current_version(t) == 2
+
+
+def test_unregistered_uri_scheme_log_store_raises(spark, tmp_path):
+    """URI-scheme table paths have no local fence: commits must refuse
+    loudly (register a conditional-put LogStore instead of silently
+    racing), and a registered custom store is actually used."""
+    with pytest.raises(NotImplementedError, match="register_log_store"):
+        delta_lite._commit("s3://bucket/table", 0, [{"commitInfo": {}}])
+
+    class RecordingStore(delta_lite.LogStore):
+        def __init__(self):
+            self.calls = []
+
+        def put_if_absent(self, path, content):
+            self.calls.append(path)
+            return True
+
+    store = RecordingStore()
+    delta_lite.register_log_store("fake", store)
+    try:
+        assert delta_lite._commit("fake://b/t", 3, [{"commitInfo": {}}])
+        assert store.calls and store.calls[0].endswith(f"{3:020d}.json")
+    finally:
+        delta_lite._LOG_STORES.pop("fake", None)

@@ -1734,3 +1734,36 @@ def test_frequent_pairs_counts_and_lift(spark):
     assert (xz["support"], xz["n_b"]) == (1, 1)
     assert abs(xz["lift"] - (1 * 4) / (3 * 1)) < 1e-12
     assert ("y", "z") not in got  # never co-occur
+
+
+def test_linkage_default_max_block_caps_hot_block(spark):
+    """VERDICT r8 #6: the skew cap is the DEFAULT — a hot block bigger
+    than 1000/side is capped without the caller asking, and
+    max_block=None is the explicit uncapped opt-out."""
+    from pyspark.sql import functions as F
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        linkage,
+    )
+
+    left = spark.range(1200).select(
+        F.col("id").alias("lid"), F.lit("HOT").alias("bk")
+    )
+    right = spark.range(1100).select(
+        F.col("id").alias("rid"), F.lit("HOT").alias("bk")
+    )
+    capped = linkage.multi_blocked_candidates(
+        left, right,
+        passes=[[(F.col("bk"), F.col("bk"))]],
+        id_cols=("lid", "rid"),
+    )
+    assert capped.count() == 1000 * 1000
+    uncapped = linkage.multi_blocked_candidates(
+        left, right,
+        passes=[[(F.col("bk"), F.col("bk"))]],
+        id_cols=("lid", "rid"),
+        max_block=None,
+    )
+    assert uncapped.count() == 1200 * 1100
+    bc = linkage.blocked_candidates(left, right, ["bk"])
+    assert bc.count() == 1000 * 1000
