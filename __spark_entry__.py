@@ -11201,6 +11201,85 @@ def q_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_cdc_rollup_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained MATERIALIZED VIEW over a Delta table —
+    the full CDC loop (jobs.maintain_rollup_from_changes, new r9,
+    VERDICT r8 #2): a keyed customer table takes three commits (initial
+    upsert, update+insert batch, GDPR delete); the delta_cdf streaming
+    source tails the commit log and a signed fold (+1 insert / −1
+    delete on count and integer sums) maintains a per-segment rollup
+    through touched-file merges — O(changed files + touched buckets)
+    per batch on BOTH sides, no snapshot ever re-scanned.  The oracle
+    computes the upstream FINAL state from the commit formulas and
+    takes the full groupBy — equal by the materialized-view contract;
+    integer measures make the signed fold exact."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import (
+        jobs,
+    )
+
+    tune(spark)
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_custkey") % 1000).alias("val"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_mv_")
+    up = os.path.join(tmp, "up")
+    down = os.path.join(tmp, "down")
+    cp = os.path.join(tmp, "cp")
+    try:
+        delta_lite.upsert_delta(spark, up, c, ["k"], n_buckets=8)
+        upd = c.filter(F.col("k") % 10 == 0).withColumn(
+            "seg", F.lit("MOVED")
+        )
+        new = c.filter(F.col("k") % 10 == 0).select(
+            (F.col("k") + F.lit(10_000_000)).alias("k"),
+            F.lit("NEW").alias("seg"),
+            F.lit(5).cast("long").alias("val"),
+        )
+        delta_lite.upsert_delta(spark, up, upd.unionByName(new), ["k"])
+        delta_lite.delete_keys(
+            spark, up, c.filter(F.col("k") % 97 == 0).select("k"), ["k"]
+        )
+        q = jobs.maintain_rollup_from_changes(
+            spark, up, down, cp, group_cols=["seg"], sum_cols=["val"]
+        )
+        q.awaitTermination()
+        out = (
+            jobs.read_maintained_table(spark, down)
+            .select("seg", "n", "sum_val")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _oracle_cdc_rollup_maintained() -> str:
+    return """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg, c_custkey % 1000 AS val
+  FROM customer
+), v1 AS (
+  SELECT k, CASE WHEN k % 10 = 0 THEN 'MOVED' ELSE seg END AS seg, val
+  FROM base
+  UNION ALL
+  SELECT k + 10000000 AS k, 'NEW' AS seg, CAST(5 AS BIGINT) AS val
+  FROM base WHERE k % 10 = 0
+), v2 AS (
+  SELECT * FROM v1 WHERE k NOT IN (SELECT k FROM base WHERE k % 97 = 0)
+)
+SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(sum(val) AS BIGINT) AS sum_val
+FROM v2 GROUP BY seg
+"""
+
+
 def _oracle_delta_change_feed() -> str:
     return """
 WITH base AS (
@@ -14043,6 +14122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (B) new or re-shaped in round 9 (insert new HERE) -------
         "delta_change_feed": q_delta_change_feed,
         "ab_multiarm_readout": q_ab_multiarm_readout,
+        "cdc_rollup_maintained": q_cdc_rollup_maintained,
         # re-shaped r9: now rides read_changes (O(changed files))
         "delta_time_travel_diff": q_delta_time_travel_diff,
         # -- (B cont.) round-8 block ---------------------------------
@@ -14336,6 +14416,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ab_srm_check": _oracle_ab_srm_check(),
         "ab_multiarm_readout": _oracle_ab_multiarm_readout(),
+        "cdc_rollup_maintained": _oracle_cdc_rollup_maintained(),
         "cuped_ztest": _oracle_cuped_ztest(),
         "ab_power_mde": _oracle_ab_power_mde(),
         "ab_msprt": _oracle_ab_msprt(),

@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "delta_time_travel_diff",
     "delta_change_feed",
     "ab_multiarm_readout",
+    "cdc_rollup_maintained",
     "neyman_stratified_sample",
     "cumulative_channel_compare",
     "basket_clustering_coeff",

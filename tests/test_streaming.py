@@ -1436,3 +1436,77 @@ def test_delta_cdf_stream_partitioned_and_empty_commit(spark, tmp_path):
     assert (None, 2, "b", "insert") in got
     assert (2, 4, "d", "insert") in got
     assert len(got) == 4
+
+
+def test_rollup_maintained_from_change_feed_matches_snapshot_groupby(
+    spark, tmp_path
+):
+    """The full CDC loop: upstream keyed Delta table -> delta_cdf
+    stream -> signed-fold downstream rollup.  After every drain the
+    downstream table equals the full groupBy of the upstream SNAPSHOT
+    (the materialized-view contract), including across updates,
+    deletes, and a checkpoint restart; replaying an applied batch is a
+    no-op."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    up = str(tmp_path / "up")
+    down = str(tmp_path / "down")
+    cp = str(tmp_path / "cp")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, grp string, val long")
+
+    def drain():
+        q = jobs.maintain_rollup_from_changes(
+            spark, up, down, cp, group_cols=["grp"], sum_cols=["val"]
+        )
+        q.awaitTermination()
+
+    def snapshot_rollup():
+        return {
+            (r["grp"], r["n"], r["sum_val"])
+            for r in delta_lite.read_delta(spark, up)
+            .groupBy("grp")
+            .agg(F.count("*").alias("n"), F.sum("val").alias("sum_val"))
+            .collect()
+        }
+
+    def maintained():
+        return {
+            (r["grp"], r["n"], r["sum_val"])
+            for r in jobs.read_maintained_table(spark, down).collect()
+        }
+
+    delta_lite.upsert_delta(
+        spark, up, mk([(k, f"g{k % 3}", k) for k in range(30)]), ["k"],
+        n_buckets=4,
+    )
+    drain()
+    assert maintained() == snapshot_rollup()
+    # updates move a key between groups; new keys; a delete
+    delta_lite.upsert_delta(
+        spark, up, mk([(3, "g0", 100), (100, "g9", 7)]), ["k"]
+    )
+    delta_lite.delete_keys(
+        spark, up, spark.createDataFrame([(5,)], "k long"), ["k"]
+    )
+    drain()  # checkpoint restart: resumes from the committed version
+    assert maintained() == snapshot_rollup()
+    # a group emptied entirely disappears from the rollup
+    delta_lite.delete_keys(
+        spark, up, spark.createDataFrame([(100,)], "k long"), ["k"]
+    )
+    drain()
+    got = maintained()
+    assert got == snapshot_rollup()
+    assert not any(g == "g9" for g, _, _ in got)
+    # replaying an applied CDF batch is a no-op (signed fold would
+    # otherwise subtract twice)
+    ch = delta_lite.read_changes(spark, up, 0, 1).withColumn(
+        "_commit_version", F.lit(1)
+    )
+    before = maintained()
+    jobs.apply_changes_rollup_batch(
+        ch, 0, down, group_cols=["grp"], sum_cols=["val"]
+    )
+    assert maintained() == before
