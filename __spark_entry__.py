@@ -14099,16 +14099,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first; (B) queries added THIS round (new queries are inserted at
     the TOP of section B by default, ahead of re-verified greens);
     (C) queries with a green CORRECTNESS row in some prior round,
-    most-recently-verified last.  Round 8: section A is EMPTY; section
-    B = six NEW queries (ab_srm_check / cuped_ztest / ab_power_mde —
-    the experiment-readout completion, VERDICT r7 #6;
-    delta_partition_prune, #4; delta_gdpr_delete, #7;
-    linkage_blocking_census, #1), the re-shaped record_linkage /
-    linkage_golden_records (blocking skew cap wired in), every query
-    whose code path rides the r8 delta_lite/jobs/behavior edits, and
-    the 14 queries the over-inclusive stale_green closure flagged
-    (re-verified rather than argued with — a false positive re-greens
-    a query).  Section-B membership is MECHANICALLY checked:
+    most-recently-verified last.  Round 9: section A is EMPTY; section
+    B = three NEW queries (delta_change_feed — VERDICT r8 #1,
+    cdc_rollup_maintained — #2's batch-facing readout,
+    ab_multiarm_readout — #3), the re-shaped delta_time_travel_diff
+    (now O(changed files) via read_changes), and every query whose
+    transitive closure rides the r9 delta_lite / jobs / experiments /
+    linkage edits (44 stale-green-flagged entries total, all kept
+    inside the prefix).
+
+    VETERAN ROTATION (round 9 onward, VERDICT r8 #7): each round the
+    5 registry entries with the OLDEST driver-verified green (ties
+    broken alphabetically) are rotated into a (B-rot) block inside
+    the 50-entry prefix so they re-earn a driver green.  stale_green
+    hashes catch code/oracle drift; rotation catches ENVIRONMENT
+    drift (Spark/DuckDB version bumps, testdata regeneration) that no
+    code hash can see.  At 278 entries / 5 per round the full
+    registry re-verifies on a bounded cycle behind the ~44 per round
+    that re-verify anyway through the stale_green closure.  r9
+    rotation: acctbal_band_join, brand_market_share,
+    brand_median_price, containment_first, containment_longest (all
+    last green r1).
+
+    Section-B membership is MECHANICALLY checked:
     tools/stale_green.py hashes every query's function body, its
     transitive pkg/ call closure, and its oracle string against the
     snapshot recorded at the last green sweep, and the round-end gate
@@ -14130,7 +14143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_ztest": q_cuped_ztest,
         "ab_power_mde": q_ab_power_mde,
         "ab_msprt": q_ab_msprt,
-        "ratio_metric_ztest": q_ratio_metric_ztest,
         "ab_fdr_bh": q_ab_fdr_bh,
         "delta_timestamp_travel": q_delta_timestamp_travel,
         "delta_zorder_partitioned": q_delta_zorder_partitioned,
@@ -14140,15 +14152,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-shaped r8: blocking skew cap (max_block) wired in
         "record_linkage": q_record_linkage,
         "linkage_golden_records": q_linkage_golden_records,
-        # re-promoted r8: delta_lite partition/tags/pruning rework +
-        # behavior.py markov guards touch these code paths
-        "markov_attribution": q_markov_attribution,
+        # re-promoted r8: delta_lite partition/tags/pruning rework
+        # touches these code paths
         "delta_optimize_zorder": q_delta_optimize_zorder,
         "delta_stats_skipping": q_delta_stats_skipping,
         "delta_scd2_roundtrip": q_delta_scd2_roundtrip,
         "delta_upsert_roundtrip": q_delta_upsert_roundtrip,
         "compacted_upsert": q_compacted_upsert,
-        "upsert_latest": q_upsert_latest,
         # r7 greens staying near the front of the prefix
         "ab_test_zstat": q_ab_test_zstat,
         "cuped_lift": q_cuped_lift,
@@ -14174,8 +14184,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "near_dup_triangles": q_near_dup_triangles,
         "hybrid_retrieval": q_hybrid_retrieval,
-        # -- (C) driver-green in a prior round (r6 block first) ------
         "revenue_decomposition": q_revenue_decomposition,
+        # -- (B-rot) veteran rotation (VERDICT r8 #7): the 5 queries
+        # with the OLDEST driver green (all r1, alphabetical tiebreak)
+        # re-earn a driver-checked green this round.  Every round
+        # rotates the next 5 oldest greens into this slot so each of
+        # the 278 entries re-verifies on a bounded (~7-round) cycle,
+        # catching environment drift (Spark/DuckDB bumps, testdata
+        # regeneration) that stale_green's code hashing cannot see.
+        "acctbal_band_join": q_acctbal_band_join,
+        "brand_market_share": q_brand_market_share,
+        "brand_median_price": q_brand_median_price,
+        "containment_first": q_containment_first,
+        "containment_longest": q_containment_longest,
+        # slot 50: r8 green kept adjacent to its changed siblings
+        "ratio_metric_ztest": q_ratio_metric_ztest,
+        # -- (C) driver-green in a prior round (r8 demotions, then r6)
+        "markov_attribution": q_markov_attribution,
+        "upsert_latest": q_upsert_latest,
         "frequent_item_pairs": q_frequent_item_pairs,
         "basket_clustering_coeff": q_basket_clustering_coeff,
         "cumulative_channel_compare": q_cumulative_channel_compare,
@@ -14324,7 +14350,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "containment_token": q_containment_token,
         "weight_band_join": q_weight_band_join,
-        "acctbal_band_join": q_acctbal_band_join,
         "minhash_pairs_fast": q_minhash_pairs_fast,
         "ngram_jaccard": q_ngram_jaccard,
         "session_burst_overlap": q_session_burst_overlap,
@@ -14370,7 +14395,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "shipping_priority_top10": q_shipping_priority,
         "nation_revenue": q_nation_revenue,
-        "brand_market_share": q_brand_market_share,
         "top3_brands": q_top3_brands,
         "pivot_returnflag_qty": q_pivot_returnflag,
         "lineitem_derived": q_lineitem_derived,
@@ -14380,14 +14404,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_normalize": q_documents_normalize,
         "events_extract_props": q_events_extract_props,
         "orders_priority_code": q_orders_priority_code,
-        "containment_first": q_containment_first,
-        "containment_longest": q_containment_longest,
         "regex_kb_match": q_regex_kb_match,
         "events_fx_convert": q_events_fx_convert,
         "orders_label_cascade": q_orders_label_cascade,
         "documents_new_used": q_documents_new_used,
         "quantity_binning": q_quantity_binning,
-        "brand_median_price": q_brand_median_price,
         "part_price_outliers": q_part_price_outliers,
         "event_type_counts": q_event_type_counts,
         "distinct_flag_status": q_distinct_flag_status,
