@@ -11261,6 +11261,106 @@ def q_cdc_rollup_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_cdc_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained NON-INVERTIBLE rollup (min/max) over a
+    Delta change feed — jobs.maintain_gauge_rollup_from_changes, new
+    r9.  Sums invert under deletes (signed fold); extrema don't:
+    deleting the row that holds a group's min must RAISE the min,
+    which the maintainer produces by recomputing ONLY the groups that
+    saw a delete, from the upstream snapshot pinned at the batch's
+    commit version (stats-pruned scan + broadcast semi-join), while
+    insert-only groups fold with least/greatest and never touch the
+    upstream.  Three commits: initial upsert, update+insert (a NEW
+    segment whose balances straddle the later delete threshold), then
+    delete every row with balance < -900 — removing each segment's low
+    tail so every maintained min must move.  The oracle computes the
+    final upstream state from the commit formulas and takes the full
+    groupBy (the materialized-view contract); min/max of doubles are
+    exact value picks, the sum is integer."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import (
+        jobs,
+    )
+
+    tune(spark)
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        (F.col("c_custkey") % 1000).alias("val"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_gauge_")
+    up = os.path.join(tmp, "up")
+    down = os.path.join(tmp, "down")
+    cp = os.path.join(tmp, "cp")
+    try:
+        delta_lite.upsert_delta(spark, up, base, ["k"], n_buckets=8)
+        v1 = base.withColumn(
+            "bal",
+            F.when(F.col("k") % 10 == 0, F.col("bal") + F.lit(100.0)).otherwise(
+                F.col("bal")
+            ),
+        ).unionByName(
+            base.filter(F.col("k") % 10 == 0).select(
+                (F.col("k") + F.lit(10_000_000)).alias("k"),
+                F.lit("NEW").alias("seg"),
+                (F.lit(-950.0) + (F.col("k") % 100)).alias("bal"),
+                F.lit(5).cast("long").alias("val"),
+            )
+        )
+        delta_lite.upsert_delta(
+            spark,
+            up,
+            v1.filter((F.col("k") % 10 == 0) | (F.col("k") > 10_000_000)),
+            ["k"],
+        )
+        delta_lite.delete_keys(
+            spark, up, v1.filter(F.col("bal") < -900.0).select("k"), ["k"]
+        )
+        q = jobs.maintain_gauge_rollup_from_changes(
+            spark, up, down, cp,
+            group_cols=["seg"], minmax_cols=["bal"], sum_cols=["val"],
+        )
+        q.awaitTermination()
+        out = (
+            jobs.read_maintained_table(spark, down)
+            .select("seg", "n", "sum_val", "min_bal", "max_bal")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _oracle_cdc_minmax_rollup() -> str:
+    return """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(c_acctbal AS DOUBLE) AS bal, c_custkey % 1000 AS val
+  FROM customer
+), v1 AS (
+  SELECT k, seg, CASE WHEN k % 10 = 0 THEN bal + 100.0 ELSE bal END AS bal,
+         val
+  FROM base
+  UNION ALL
+  SELECT k + 10000000 AS k, 'NEW' AS seg, -950.0 + (k % 100) AS bal,
+         CAST(5 AS BIGINT) AS val
+  FROM base WHERE k % 10 = 0
+), v2 AS (
+  SELECT * FROM v1 WHERE bal >= -900.0
+)
+SELECT seg, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(val) AS BIGINT) AS sum_val,
+       min(bal) AS min_bal, max(bal) AS max_bal
+FROM v2 GROUP BY seg
+"""
+
+
 def _oracle_cdc_rollup_maintained() -> str:
     return """
 WITH base AS (
@@ -14136,6 +14236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_change_feed": q_delta_change_feed,
         "ab_multiarm_readout": q_ab_multiarm_readout,
         "cdc_rollup_maintained": q_cdc_rollup_maintained,
+        "cdc_minmax_rollup": q_cdc_minmax_rollup,
         # re-shaped r9: now rides read_changes (O(changed files))
         "delta_time_travel_diff": q_delta_time_travel_diff,
         # -- (B cont.) round-8 block ---------------------------------
@@ -14438,6 +14539,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_srm_check": _oracle_ab_srm_check(),
         "ab_multiarm_readout": _oracle_ab_multiarm_readout(),
         "cdc_rollup_maintained": _oracle_cdc_rollup_maintained(),
+        "cdc_minmax_rollup": _oracle_cdc_minmax_rollup(),
         "cuped_ztest": _oracle_cuped_ztest(),
         "ab_power_mde": _oracle_ab_power_mde(),
         "ab_msprt": _oracle_ab_msprt(),

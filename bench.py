@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "delta_change_feed",
     "ab_multiarm_readout",
     "cdc_rollup_maintained",
+    "cdc_minmax_rollup",
     "neyman_stratified_sample",
     "cumulative_channel_compare",
     "basket_clustering_coeff",

@@ -511,6 +511,205 @@ def maintain_rollup_from_changes(
     )
 
 
+def apply_gauge_rollup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    upstream_table: str,
+    group_cols: list[str],
+    minmax_cols: list[str],
+    sum_cols: "list[str] | tuple" = (),
+    n_buckets: int = 16,
+) -> None:
+    """One micro-batch of NON-INVERTIBLE rollup maintenance: maintain
+    per-group ``min``/``max`` (plus count and optional integer sums)
+    from a change feed.  Sums invert under deletes (signed fold,
+    ``apply_changes_rollup_batch``); extrema don't — deleting the row
+    that held a group's min can RAISE the min, which no fold over the
+    batch alone can produce.  Split the batch by what each group saw:
+
+    - FOLD path — groups with only inserts this batch: ``min`` folds
+      monotonically (``least(cur, batch_min)``), ``max`` with
+      ``greatest``, count/sums add.  No upstream read.  Append-only
+      commits (``write_delta`` mode='append') land here, so the
+      insert-mostly ingest case stays O(batch).
+    - RECOMPUTE path — groups with ANY delete this batch: re-aggregate
+      exactly those groups from the upstream snapshot PINNED at the
+      batch's max ``_commit_version`` (so later fold batches stack on
+      a consistent base).  The scan uses ``read_delta`` stats-predicate
+      file skipping bounded by the dirty groups' value range plus a
+      broadcast semi-join on the exact group set — when the upstream
+      is clustered by the group columns (Z-order / partition layout)
+      this reads only the files holding dirty groups; on a hash-
+      bucketed upstream it degrades to a full-file-set scan of the
+      pinned snapshot, which is the honest price of a non-invertible
+      aggregate without group-clustering.  A bucket rewrite's
+      carried-over rows arrive as delete+insert of the same group, so
+      merge-touched upstreams route through recompute — correct, never
+      double-counted.
+
+    Groups recomputed to zero rows are dropped.  Publishes through the
+    touched-file Delta merge with ``txn`` idempotence: an at-least-once
+    replay of an applied batch is a no-op."""
+    from ..sources import delta_lite
+
+    spark = batch_df.sparkSession
+    if _delta_batch_applied(spark, table_path, batch_id):
+        return
+    batch_df = batch_df.localCheckpoint(eager=True)
+    pin = batch_df.agg(F.max("_commit_version")).first()[0]
+    if pin is None:
+        return  # checkpoint-only commit: zero change rows
+    gcols = list(group_cols)
+    mcols = list(minmax_cols)
+    scols = list(sum_cols)
+
+    dirty = (
+        batch_df.filter(F.col("_change_type") == "delete")
+        .select(*gcols)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    folded = (
+        batch_df.filter(F.col("_change_type") == "insert")
+        .join(dirty, gcols, "left_anti")
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(c).alias(f"sum_{c}") for c in scols],
+            *[F.min(c).alias(f"min_{c}") for c in mcols],
+            *[F.max(c).alias(f"max_{c}") for c in mcols],
+        )
+        .withColumn("__mode", F.lit("fold"))
+    )
+
+    if dirty.isEmpty():
+        delta = folded
+    else:
+        bounds = dirty.agg(
+            *[F.min(g).alias(f"lo_{g}") for g in gcols],
+            *[F.max(g).alias(f"hi_{g}") for g in gcols],
+        ).first()
+        preds = [
+            (g, bounds[f"lo_{g}"], bounds[f"hi_{g}"])
+            for g in gcols
+            if bounds[f"lo_{g}"] is not None
+        ]
+        up = delta_lite.read_delta(
+            spark, upstream_table, version=pin, predicate=preds or None
+        ).join(F.broadcast(dirty), gcols, "left_semi")
+        recomputed = up.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(c).alias(f"sum_{c}") for c in scols],
+            *[F.min(c).alias(f"min_{c}") for c in mcols],
+            *[F.max(c).alias(f"max_{c}") for c in mcols],
+        )
+        # dirty groups absent from the recompute have no upstream rows
+        # left: they travel with n NULL and are dropped by the merge
+        delta = folded.unionByName(
+            dirty.join(recomputed, gcols, "left").withColumn(
+                "__mode", F.lit("recompute")
+            )
+        )
+
+    out_cols = (
+        gcols
+        + ["n"]
+        + [f"sum_{c}" for c in scols]
+        + [f"min_{c}" for c in mcols]
+        + [f"max_{c}" for c in mcols]
+    )
+    measure_cols = out_cols[len(gcols) :]
+
+    def merge_fn(cur, batch):
+        rec = batch.filter(F.col("__mode") == "recompute")
+        fld = batch.filter(F.col("__mode") == "fold").select(*out_cols)
+        base = cur.select(*out_cols) if cur is not None else None
+        if base is not None:
+            base = base.join(rec.select(*gcols), gcols, "left_anti")
+        live_rec = rec.filter(F.col("n").isNotNull()).select(*out_cols)
+        base = live_rec if base is None else base.unionByName(live_rec)
+        # fold: full-outer merge so both new groups and pure-fold
+        # updates of untouched-by-recompute groups land in one pass
+        f = fld.select(
+            *gcols, *[F.col(c).alias(f"__b_{c}") for c in measure_cols]
+        )
+        merged = base.join(f, gcols, "full")
+        exprs = [
+            (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("__b_n"), F.lit(0))).alias("n")
+        ]
+        for c in scols:
+            exprs.append(
+                (
+                    F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"__b_sum_{c}"), F.lit(0))
+                ).alias(f"sum_{c}")
+            )
+        for c in mcols:
+            exprs.append(
+                F.least(F.col(f"min_{c}"), F.col(f"__b_min_{c}")).alias(f"min_{c}")
+            )
+            exprs.append(
+                F.greatest(F.col(f"max_{c}"), F.col(f"__b_max_{c}")).alias(
+                    f"max_{c}"
+                )
+            )
+        return merged.select(*gcols, *exprs)
+
+    delta_lite.merge_touched(
+        spark,
+        table_path,
+        delta,
+        gcols,
+        merge_fn,
+        n_buckets=n_buckets,
+        txn=(_TXN_APP, batch_id),
+    )
+
+
+def maintain_gauge_rollup_from_changes(
+    spark: SparkSession,
+    upstream_table: str,
+    table_path: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    minmax_cols: list[str],
+    sum_cols: "list[str] | tuple" = (),
+    starting_version: int = 0,
+    n_buckets: int = 16,
+):
+    """Incrementally-maintained min/max MATERIALIZED VIEW over a
+    delta_lite table: tail the upstream commit log (``delta_cdf``
+    source) and fold/recompute each micro-batch into a per-group
+    gauge rollup (``apply_gauge_rollup_batch``).  Complements
+    ``maintain_rollup_from_changes``: that one covers the invertible
+    aggregates (count/sum) with a pure signed fold; this one covers
+    the non-invertible extrema, paying an upstream touched-group
+    recompute ONLY for groups that saw a delete.  Read the result back
+    with ``read_maintained_table``."""
+    from ..sources.delta_cdf_datasource import stream_changes
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_gauge_rollup_batch(
+            batch_df,
+            batch_id,
+            table_path,
+            upstream_table,
+            list(group_cols),
+            list(minmax_cols),
+            list(sum_cols),
+            n_buckets=n_buckets,
+        )
+
+    return (
+        stream_changes(spark, upstream_table, starting_version)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 DOCS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -1510,3 +1510,106 @@ def test_rollup_maintained_from_change_feed_matches_snapshot_groupby(
         ch, 0, down, group_cols=["grp"], sum_cols=["val"]
     )
     assert maintained() == before
+
+
+def test_gauge_rollup_maintains_minmax_through_deletes(spark, tmp_path):
+    """Non-invertible rollup maintenance (apply_gauge_rollup_batch):
+    per-group min/max stays equal to the full groupBy of the upstream
+    snapshot across appends, upserts, and — the case no signed fold
+    can produce — deleting the row that HELD a group's min, which must
+    RAISE the maintained min.  Append-only batches take the fold path
+    (asserted: no upstream snapshot read), and replaying an applied
+    batch is a no-op."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    up = str(tmp_path / "up")
+    down = str(tmp_path / "down")
+    cp = str(tmp_path / "cp")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, grp string, val long")
+
+    def drain():
+        q = jobs.maintain_gauge_rollup_from_changes(
+            spark, up, down, cp, group_cols=["grp"], minmax_cols=["val"],
+            sum_cols=["val"],
+        )
+        q.awaitTermination()
+
+    def snapshot_gauge():
+        return {
+            tuple(r)
+            for r in delta_lite.read_delta(spark, up)
+            .groupBy("grp")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("val").alias("sum_val"),
+                F.min("val").alias("min_val"),
+                F.max("val").alias("max_val"),
+            )
+            .collect()
+        }
+
+    def maintained():
+        return {
+            tuple(r)
+            for r in jobs.read_maintained_table(spark, down)
+            .select("grp", "n", "sum_val", "min_val", "max_val")
+            .collect()
+        }
+
+    delta_lite.upsert_delta(
+        spark, up, mk([(k, f"g{k % 3}", k) for k in range(30)]), ["k"],
+        n_buckets=4,
+    )
+    drain()
+    assert maintained() == snapshot_gauge()
+    # key 0 holds g0's min (val=0); deleting it must RAISE min_val to 3
+    delta_lite.delete_keys(
+        spark, up, spark.createDataFrame([(0,)], "k long"), ["k"]
+    )
+    drain()
+    got = maintained()
+    assert got == snapshot_gauge()
+    assert next(r for r in got if r[0] == "g0")[3] == 3
+    # append-only commit: fold path, upstream snapshot never re-read
+    delta_lite.write_delta(
+        mk([(200, "g0", -5), (201, "g9", 42)]), up, mode="append"
+    )
+    real_read = delta_lite.read_delta
+    calls = []
+
+    def counting_read(*a, **kw):
+        calls.append(a)
+        return real_read(*a, **kw)
+
+    delta_lite.read_delta = counting_read
+    try:
+        drain()
+    finally:
+        delta_lite.read_delta = real_read
+    # the maintainer itself must not have re-read the upstream snapshot
+    # (read_maintained_table below reads DOWNSTREAM, outside the batch)
+    assert not any(a and a[1] == up for a in calls)
+    got = maintained()
+    assert got == snapshot_gauge()
+    assert next(r for r in got if r[0] == "g0")[3] == -5  # fold lowered min
+    assert any(r[0] == "g9" for r in got)  # new group via fold
+    # group emptied entirely disappears
+    delta_lite.delete_keys(
+        spark, up, spark.createDataFrame([(201,)], "k long"), ["k"]
+    )
+    drain()
+    got = maintained()
+    assert got == snapshot_gauge()
+    assert not any(r[0] == "g9" for r in got)
+    # replaying an applied CDF batch is a no-op
+    ch = delta_lite.read_changes(spark, up, 0, 1).withColumn(
+        "_commit_version", F.lit(1)
+    )
+    before = maintained()
+    jobs.apply_gauge_rollup_batch(
+        ch, 0, down, up, group_cols=["grp"], minmax_cols=["val"],
+        sum_cols=["val"],
+    )
+    assert maintained() == before
