@@ -35,7 +35,18 @@ commits ≤ v.  Each micro-batch reads the commit files in
 (start, end]; partitions are one-per-changed-file, so a wide commit
 fans out across executors, and replay from a checkpoint re-reads the
 same immutable commit files (exactly-once with an idempotent sink or
-the maintained tables' txn guard).  Removed files stay readable until
+the maintained tables' txn guard).
+
+Backpressure: ``.option("maxCommitsPerBatch", k)`` caps how many
+commits one micro-batch spans — without it, a stream catching up on a
+long-lived table folds the whole backlog into one giant batch (memory
+cliff + exactly-once blast radius).  Under a repeated trigger
+(processingTime) the stream drains the backlog k commits per batch,
+in order, losslessly.  Under ``trigger(availableNow=True)`` the engine
+captures the target offset from the FIRST latestOffset call, so one
+RUN drains at most k commits — a bounded catch-up run, not a full
+drain; loop runs until ``current_version`` is reached, or leave the
+cap unset for full-drain semantics (what the maintainers do).  Removed files stay readable until
 ``vacuum`` reclaims them — retention must cover consumer lag, the
 standard CDF contract.
 
@@ -112,7 +123,18 @@ class _CdfStreamReader(DataSourceStreamReader):
         if not self.table:
             raise ValueError("delta_cdf requires .option('path', <table dir>)")
         self.starting_version = int(options.get("startingVersion", 0))
+        # backpressure: cap how many upstream commits one micro-batch
+        # may span (the delta_cdf analog of maxFilesPerTrigger) — a
+        # stream catching up on a long-lived table otherwise folds the
+        # WHOLE backlog into one giant batch, which is both a memory
+        # cliff and an exactly-once blast radius
+        self.max_commits = int(options.get("maxCommitsPerBatch", 0)) or None
         self.schema_json = _cdf_schema(self.table).json()
+        # the engine's last planned end-offset, observed via
+        # partitions(start, end) — the runner keeps ONE reader instance
+        # per query but never calls commit(), so partitions() is the
+        # only reliable position signal for pacing
+        self._planned: "int | None" = None
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version - 1}
@@ -123,11 +145,19 @@ class _CdfStreamReader(DataSourceStreamReader):
         v = delta_lite.current_version(self.table)
         if v is None:
             raise FileNotFoundError(f"no Delta log at {self.table}")
+        if self.max_commits is not None:
+            floor = (
+                self._planned
+                if self._planned is not None
+                else self.starting_version - 1
+            )
+            v = min(v, floor + self.max_commits)
         return {"version": v}
 
     def partitions(self, start: dict, end: dict):
         from . import delta_lite
 
+        self._planned = end["version"]
         parts: list[_FileChange] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             vf = delta_lite._version_file(self.table, v)

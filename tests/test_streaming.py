@@ -1613,3 +1613,74 @@ def test_gauge_rollup_maintains_minmax_through_deletes(spark, tmp_path):
         sum_cols=["val"],
     )
     assert maintained() == before
+
+
+def test_cdf_max_commits_per_batch_paces_without_loss(spark, tmp_path):
+    """maxCommitsPerBatch bounds how many upstream commits one
+    micro-batch spans (the delta_cdf analog of maxFilesPerTrigger):
+    under a repeated trigger each batch advances at most one commit and
+    the stream still drains the whole backlog in order.  Under
+    trigger(availableNow) a RUN drains at most the cap (the target
+    offset is captured from the first latestOffset) — callers catching
+    up loop runs until current_version is reached; asserted too so the
+    documented semantic can't drift silently."""
+    import time
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources.delta_cdf_datasource import (
+        DeltaCdfDataSource,
+    )
+
+    up = str(tmp_path / "up")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v long")
+    delta_lite.write_delta(mk([(1, 1)]), up)
+    for i in range(2, 5):
+        delta_lite.write_delta(mk([(i, i)]), up, mode="append")
+    spark.dataSource.register(DeltaCdfDataSource)
+
+    def capped_stream():
+        return (
+            spark.readStream.format("delta_cdf")
+            .option("path", up)
+            .option("startingVersion", 0)
+            .option("maxCommitsPerBatch", 1)
+            .load()
+        )
+
+    seen = []
+
+    def fb(df, _bid):
+        seen.append(
+            sorted(
+                (r.k, r._commit_version)
+                for r in df.select("k", "_commit_version").collect()
+            )
+        )
+
+    q = (
+        capped_stream()
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and len(seen) < 4:
+        time.sleep(1)
+    q.stop()
+    # one commit per batch, in order, nothing lost
+    assert seen == [[(i + 1, i)] for i in range(4)]
+
+    # availableNow: a run drains at most the cap — bounded catch-up
+    seen2 = []
+    q2 = (
+        capped_stream()
+        .writeStream.foreachBatch(lambda df, b: seen2.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert sum(seen2) == 1  # first run: exactly one commit's rows
