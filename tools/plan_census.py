@@ -75,6 +75,9 @@ BNLJ_ALLOWLIST = {
     # crossJoined with the 1-row per-arm totals (fdr_bh)
     "ab_srm_check", "cuped_ztest", "ab_power_mde", "ab_msprt",
     "ratio_metric_ztest", "ab_fdr_bh",
+    # same class (r9): the k−1 treatment rows crossJoin the 1-row
+    # broadcast control aggregate, then the |arms|-sized BH window
+    "ab_multiarm_readout",
 }
 # Arrow-batched Python at genuine codec boundaries only
 PYTHON_ALLOWLIST = {
