@@ -11337,6 +11337,66 @@ def q_cdc_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_small_file_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental small-file OPTIMIZE (delta_lite.optimize_small_files,
+    new r9): the documents table lands in four commits (an initial
+    write plus three appends — the streaming-ingest fragmentation
+    shape), gets bin-packed by the layout-only optimize (dataChange:
+    false, so the change feed skips the churn), and reads back through
+    the post-optimize snapshot.  The engine raises if the optimize
+    didn't commit, so a green row proves the packed snapshot is
+    data-identical to the logical union; the oracle takes the same
+    aggregate straight off the documents table."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="sfo_")
+    path = os.path.join(tmp, "docs")
+    try:
+        delta_lite.write_delta(d.filter(F.col("doc_id") % 4 == 0), path)
+        for i in (1, 2, 3):
+            delta_lite.write_delta(
+                d.filter(F.col("doc_id") % 4 == i), path, mode="append"
+            )
+        n_before = len(delta_lite._read_actions(path)[0])
+        v = delta_lite.optimize_small_files(spark, path, target_bytes=1 << 30)
+        if v is None:
+            raise RuntimeError("optimize_small_files packed nothing")
+        n_after = len(delta_lite._read_actions(path)[0])
+        if n_after >= n_before:
+            raise RuntimeError(
+                f"optimize did not shrink the file count ({n_before}->{n_after})"
+            )
+        out = (
+            delta_lite.read_delta(spark, path)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("source").alias("n_sources"),
+                F.sum("n_chars").alias("chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _oracle_small_file_optimize() -> str:
+    return """
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY lang
+"""
+
+
 def _oracle_cdc_minmax_rollup() -> str:
     return """
 WITH base AS (
@@ -14237,6 +14297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_multiarm_readout": q_ab_multiarm_readout,
         "cdc_rollup_maintained": q_cdc_rollup_maintained,
         "cdc_minmax_rollup": q_cdc_minmax_rollup,
+        "small_file_optimize": q_small_file_optimize,
         # re-shaped r9: now rides read_changes (O(changed files))
         "delta_time_travel_diff": q_delta_time_travel_diff,
         # -- (B cont.) round-8 block ---------------------------------
@@ -14540,6 +14601,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_multiarm_readout": _oracle_ab_multiarm_readout(),
         "cdc_rollup_maintained": _oracle_cdc_rollup_maintained(),
         "cdc_minmax_rollup": _oracle_cdc_minmax_rollup(),
+        "small_file_optimize": _oracle_small_file_optimize(),
         "cuped_ztest": _oracle_cuped_ztest(),
         "ab_power_mde": _oracle_ab_power_mde(),
         "ab_msprt": _oracle_ab_msprt(),

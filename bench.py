@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "ab_multiarm_readout",
     "cdc_rollup_maintained",
     "cdc_minmax_rollup",
+    "small_file_optimize",
     "neyman_stratified_sample",
     "cumulative_channel_compare",
     "basket_clustering_coeff",

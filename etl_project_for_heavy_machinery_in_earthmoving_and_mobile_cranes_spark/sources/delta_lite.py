@@ -1536,6 +1536,110 @@ def compact(spark: SparkSession, table: str, n_files: int = 1) -> int:
     )
 
 
+def optimize_small_files(
+    spark: SparkSession,
+    table: str,
+    target_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> "int | None":
+    """INCREMENTAL small-file compaction — the streaming-ingest
+    counterpart of ``compact``: bin-pack ONLY the live files smaller
+    than ``target_bytes`` and leave already-compacted files alone, so
+    the maintenance cost rides the fragmentation, never the table.  A
+    stream appending one file per micro-batch otherwise grows the
+    file count without bound (the classic small-file problem: listing,
+    task-launch, and row-group overhead all scale with files, not
+    bytes); run this periodically and each run is O(small files).
+
+    The rewrite commits with ``dataChange: false`` on both the removes
+    and the adds (the Delta spec's marking for layout-only rewrites),
+    so the ``delta_cdf`` change-feed stream — which admits only
+    ``dataChange: true`` actions — skips the churn entirely instead of
+    re-emitting every packed row as a delete+insert pair;
+    ``read_changes``' live-set diff stays correct either way (the
+    rewritten rows cancel in the exceptAll).
+
+    Bucketed tables pack per-bucket (each new file keeps its bucket
+    tag, so incremental merges stay incremental); partitioned tables
+    are refused — use ``compact``, whose partitioned path preserves
+    the Hive layout.  Snapshot pinned at read; a concurrent commit
+    aborts the optimize (stale remove set), same contract as
+    ``compact``.  Returns the committed version, or None when fewer
+    than ``min_files`` files qualify (nothing worth packing)."""
+    from pyspark.sql.types import StructType
+
+    live, meta, base, _ = _read_actions(table)
+    pcols = meta.get("partitionColumns") or []
+    if pcols:
+        raise ValueError(
+            f"optimize_small_files: {table} declares partitionColumns "
+            f"{pcols}; use compact(), whose partitioned path preserves "
+            "the Hive layout"
+        )
+    small = {
+        p: a for p, a in live.items() if a.get("size", 0) < target_bytes
+    }
+    if len(small) < max(2, min_files):
+        return None
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(table, p) for p in sorted(small)]
+    )
+    conf = meta.get("configuration") or {}
+    version = base + 1
+    if "bucketKeys" in conf and "numBuckets" in conf:
+        key_cols = json.loads(conf["bucketKeys"])
+        nb = int(conf["numBuckets"])
+        width = max(
+            1, len({_file_bucket(a) for a in small.values()} - {None})
+        )
+        adds = _stage_bucketed_files(
+            df.withColumn(_BUCKET_COL, _bucket_expr(key_cols, nb)),
+            table,
+            version,
+            width,
+        )
+    else:
+        total = sum(a.get("size", 0) for a in small.values())
+        n_out = max(1, -(-total // max(1, target_bytes)))
+        adds = _stage_data_files(df.repartition(n_out), table, version)
+    for a in adds:
+        a["dataChange"] = False
+    actions = [
+        _commit_info(
+            "OPTIMIZE",
+            {
+                "targetBytes": str(target_bytes),
+                "packedFiles": str(len(small)),
+            },
+        )
+    ]
+    ts = int(time.time() * 1000)
+    for path in small:
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": ts,
+                    "dataChange": False,
+                }
+            }
+        )
+    actions.extend({"add": a} for a in adds)
+    if not _commit(table, version, actions):
+        for a in adds:
+            try:
+                os.remove(os.path.join(table, a["path"]))
+            except OSError:
+                pass
+        raise RuntimeError(
+            f"concurrent commit during optimize_small_files of {table}; "
+            "aborted (snapshot stale — re-run)"
+        )
+    _maybe_checkpoint(table, version)
+    return version
+
+
 def optimize_zorder(
     spark: SparkSession,
     table: str,

@@ -1035,3 +1035,75 @@ def test_unregistered_uri_scheme_log_store_raises(spark, tmp_path):
         assert store.calls and store.calls[0].endswith(f"{3:020d}.json")
     finally:
         delta_lite._LOG_STORES.pop("fake", None)
+
+
+def test_optimize_small_files_packs_only_fragments(spark, tmp_path):
+    """Incremental OPTIMIZE: only files below target_bytes are packed
+    (already-compacted files untouched), data and time travel are
+    intact, the commit is dataChange=false so the change feed skips
+    the churn, and vacuum can reclaim the packed-away fragments."""
+    t = str(tmp_path / "t")
+    big = _df(spark, [(i, f"v{i}") for i in range(5000)]).coalesce(1)
+    delta_lite.write_delta(big, t)
+    for i in range(5):
+        delta_lite.write_delta(
+            _df(spark, [(10000 + i, "tiny")]), t, mode="append"
+        )
+    live0, _, base, _ = delta_lite._read_actions(t)
+    sizes = sorted(a["size"] for a in live0.values())
+    cutoff = sizes[-1]  # everything smaller than the big file
+    assert len(live0) >= 6  # 1 big + the append fragments
+
+    v = delta_lite.optimize_small_files(spark, t, target_bytes=cutoff)
+    assert v == base + 1
+    live1, _, _, _ = delta_lite._read_actions(t)
+    big_path = next(p for p, a in live0.items() if a["size"] == cutoff)
+    assert big_path in live1  # the compacted file was left alone
+    assert len(live1) < len(live0)
+    assert delta_lite.read_delta(spark, t).count() == 5005
+    assert delta_lite.read_delta(spark, t, version=base).count() == 5005
+    # layout-only commit: row-level change feed across it is empty
+    assert delta_lite.read_changes(spark, t, base, v).count() == 0
+    # the streaming CDF admits only dataChange=true actions
+    with open(delta_lite._version_file(t, v)) as fh:
+        acts = [json.loads(l) for l in fh if l.strip()]
+    assert all(
+        not a["add"]["dataChange"] for a in acts if "add" in a
+    ) and all(not a["remove"]["dataChange"] for a in acts if "remove" in a)
+    # nothing worth packing -> None, no commit
+    assert delta_lite.optimize_small_files(spark, t, target_bytes=cutoff) is None
+    # packed-away fragments become reclaimable once time travel below
+    # the optimize commit is dropped (truncate_log) and retention passes
+    delta_lite.truncate_log(t, keep_from=v)
+    reclaimed = delta_lite.vacuum(t, retention_seconds=0.0)
+    assert set(p for p in live0 if p != big_path) <= set(reclaimed)
+
+
+def test_optimize_small_files_bucketed_and_partitioned_guard(spark, tmp_path):
+    """Bucketed tables pack per bucket and keep bucket tags (merges
+    stay incremental after); partitioned tables are refused."""
+    t = str(tmp_path / "b")
+    delta_lite.upsert_delta(
+        spark, t, _df(spark, [(k, f"v{k}") for k in range(20)]), ["k"],
+        n_buckets=2,
+    )
+    delta_lite.write_delta(_df(spark, [(100, "x")]), t, mode="append")
+    delta_lite.write_delta(_df(spark, [(101, "y")]), t, mode="append")
+    v = delta_lite.optimize_small_files(spark, t, target_bytes=1 << 30)
+    assert v is not None
+    live, _, _, _ = delta_lite._read_actions(t)
+    assert all(delta_lite._file_bucket(a) is not None for a in live.values())
+    assert delta_lite.read_delta(spark, t).count() == 22
+    # post-optimize merge still incremental and correct
+    delta_lite.upsert_delta(spark, t, _df(spark, [(100, "x2")]), ["k"])
+    got = {
+        (r.k, r.v) for r in delta_lite.read_delta(spark, t).collect()
+    }
+    assert (100, "x2") in got and (101, "y") in got and len(got) == 22
+
+    p = str(tmp_path / "p")
+    delta_lite.write_delta(
+        _df(spark, [(1, "a"), (2, "b")]), p, partition_by=["v"]
+    )
+    with pytest.raises(ValueError, match="partitionColumns"):
+        delta_lite.optimize_small_files(spark, p)
