@@ -14269,17 +14269,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     inside the prefix).
 
     VETERAN ROTATION (round 9 onward, VERDICT r8 #7): each round the
-    5 registry entries with the OLDEST driver-verified green (ties
+    ~5 registry entries with the OLDEST driver-verified green (ties
     broken alphabetically) are rotated into a (B-rot) block inside
     the 50-entry prefix so they re-earn a driver green.  stale_green
     hashes catch code/oracle drift; rotation catches ENVIRONMENT
     drift (Spark/DuckDB version bumps, testdata regeneration) that no
-    code hash can see.  At 278 entries / 5 per round the full
-    registry re-verifies on a bounded cycle behind the ~44 per round
-    that re-verify anyway through the stale_green closure.  r9
-    rotation: acctbal_band_join, brand_market_share,
-    brand_median_price, containment_first, containment_longest (all
-    last green r1).
+    code hash can see.  At 280 entries / ~5 per round the full
+    registry re-verifies on a bounded cycle behind the ~45 per round
+    that re-verify anyway through the stale_green closure.  Mandatory
+    (stale-flagged) entries ALWAYS outrank rotation for prefix slots.
+    r9 rotation: acctbal_band_join, brand_market_share,
+    brand_median_price, containment_first (all last green r1; the
+    46-entry changed closure left 4 slots — containment_longest leads
+    the r10 rotation).
 
     Section-B membership is MECHANICALLY checked:
     tools/stale_green.py hashes every query's function body, its
@@ -14358,10 +14360,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_market_share": q_brand_market_share,
         "brand_median_price": q_brand_median_price,
         "containment_first": q_containment_first,
+        # -- (C) driver-green in a prior round --------------------
+        # containment_longest leads the r10 rotation: the r9 changed
+        # closure (46 entries, all mandatory in-prefix) left only 4
+        # rotation slots this round
         "containment_longest": q_containment_longest,
-        # slot 50: r8 green kept adjacent to its changed siblings
         "ratio_metric_ztest": q_ratio_metric_ztest,
-        # -- (C) driver-green in a prior round (r8 demotions, then r6)
         "markov_attribution": q_markov_attribution,
         "upsert_latest": q_upsert_latest,
         "frequent_item_pairs": q_frequent_item_pairs,
