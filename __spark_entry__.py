@@ -11388,6 +11388,88 @@ def q_small_file_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_delta_restore_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE + SHALLOW CLONE (delta_lite.restore_table /
+    clone_table, new r9): a keyed customer table takes a bad overwrite
+    (metadata-only mistake — the classic fat-finger), RESTORE rolls
+    the live snapshot back to the good version as a new commit
+    (history kept), then a zero-copy CLONE forks the restored table
+    and takes a divergent upsert that must never leak back into the
+    source.  The returned frame unions a per-segment aggregate of the
+    SOURCE (proving restore recovered the original rows exactly) with
+    the same aggregate of the CLONE (proving the fork diverged by
+    exactly the upserted rows); the oracle replays both states from
+    the commit formulas."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_custkey") % 1000).alias("val"),
+    )
+    tmp = tempfile.mkdtemp(prefix="restore_clone_")
+    src = os.path.join(tmp, "src")
+    tgt = os.path.join(tmp, "tgt")
+    try:
+        delta_lite.upsert_delta(spark, src, base, ["k"], n_buckets=8)  # v0
+        delta_lite.write_delta(
+            base.filter(F.col("k") % 100 == 0), src, mode="overwrite"
+        )  # v1: the bad overwrite
+        delta_lite.restore_table(src, version=0)  # v2 == v0 state
+        delta_lite.clone_table(src, tgt)
+        delta_lite.upsert_delta(
+            spark,
+            tgt,
+            base.filter(F.col("k") % 10 == 0).withColumn(
+                "seg", F.lit("FORKED")
+            ),
+            ["k"],
+        )
+        agg = lambda path, side: (
+            delta_lite.read_delta(spark, path)
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("val").alias("sum_val"),
+            )
+            .withColumn("side", F.lit(side))
+        )
+        out = (
+            agg(src, "source")
+            .unionByName(agg(tgt, "clone"))
+            .select("side", "seg", "n", "sum_val")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _oracle_delta_restore_clone() -> str:
+    return """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg, c_custkey % 1000 AS val
+  FROM customer
+), clone AS (
+  SELECT k, CASE WHEN k % 10 = 0 THEN 'FORKED' ELSE seg END AS seg, val
+  FROM base
+)
+SELECT 'source' AS side, seg, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(val) AS BIGINT) AS sum_val
+FROM base GROUP BY seg
+UNION ALL
+SELECT 'clone' AS side, seg, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(val) AS BIGINT) AS sum_val
+FROM clone GROUP BY seg
+"""
+
+
 def _oracle_small_file_optimize() -> str:
     return """
 SELECT lang, CAST(count(*) AS BIGINT) AS n,
@@ -14279,9 +14361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     that re-verify anyway through the stale_green closure.  Mandatory
     (stale-flagged) entries ALWAYS outrank rotation for prefix slots.
     r9 rotation: acctbal_band_join, brand_market_share,
-    brand_median_price, containment_first (all last green r1; the
-    46-entry changed closure left 4 slots — containment_longest leads
-    the r10 rotation).
+    brand_median_price (all last green r1; the 47-entry changed
+    closure left 3 slots — containment_first and containment_longest
+    lead the r10 rotation).
 
     Section-B membership is MECHANICALLY checked:
     tools/stale_green.py hashes every query's function body, its
@@ -14300,6 +14382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rollup_maintained": q_cdc_rollup_maintained,
         "cdc_minmax_rollup": q_cdc_minmax_rollup,
         "small_file_optimize": q_small_file_optimize,
+        "delta_restore_clone": q_delta_restore_clone,
         # re-shaped r9: now rides read_changes (O(changed files))
         "delta_time_travel_diff": q_delta_time_travel_diff,
         # -- (B cont.) round-8 block ---------------------------------
@@ -14359,11 +14442,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_band_join": q_acctbal_band_join,
         "brand_market_share": q_brand_market_share,
         "brand_median_price": q_brand_median_price,
-        "containment_first": q_containment_first,
         # -- (C) driver-green in a prior round --------------------
-        # containment_longest leads the r10 rotation: the r9 changed
-        # closure (46 entries, all mandatory in-prefix) left only 4
-        # rotation slots this round
+        # containment_first/_longest lead the r10 rotation: the r9
+        # changed closure (47 entries, all mandatory in-prefix) left
+        # only 3 rotation slots this round
+        "containment_first": q_containment_first,
         "containment_longest": q_containment_longest,
         "ratio_metric_ztest": q_ratio_metric_ztest,
         "markov_attribution": q_markov_attribution,
@@ -14606,6 +14689,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rollup_maintained": _oracle_cdc_rollup_maintained(),
         "cdc_minmax_rollup": _oracle_cdc_minmax_rollup(),
         "small_file_optimize": _oracle_small_file_optimize(),
+        "delta_restore_clone": _oracle_delta_restore_clone(),
         "cuped_ztest": _oracle_cuped_ztest(),
         "ab_power_mde": _oracle_ab_power_mde(),
         "ab_msprt": _oracle_ab_msprt(),

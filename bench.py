@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "cdc_rollup_maintained",
     "cdc_minmax_rollup",
     "small_file_optimize",
+    "delta_restore_clone",
     "neyman_stratified_sample",
     "cumulative_channel_compare",
     "basket_clustering_coeff",

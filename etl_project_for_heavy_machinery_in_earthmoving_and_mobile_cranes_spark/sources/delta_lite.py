@@ -1401,6 +1401,139 @@ def vacuum(table: str, retention_seconds: float = 3600.0) -> list[str]:
     return removed
 
 
+def clone_table(
+    source: str,
+    target: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """SHALLOW CLONE: fork ``source`` (at its latest version, or a
+    pinned ``version`` / ``timestamp_ms``) into a NEW table at
+    ``target`` without copying a byte of data — the clone's version-0
+    commit re-references the source snapshot's data files by ABSOLUTE
+    path (``read_delta``'s ``os.path.join(table, p)`` resolves an
+    absolute ``p`` verbatim).  The standard dev-fork move at 100 TB:
+    experiments, backfills, and migration rehearsals run against a
+    full-fidelity copy for the cost of one metadata commit.
+
+    The clone is independent from birth: writes/merges into it stage
+    NEW files under ``target`` and remove only the clone's own
+    references; ``vacuum(target)`` walks only the target directory, so
+    it can never reclaim source bytes.  The honest caveat every
+    shallow-clone implementation shares: ``vacuum(source)`` does not
+    know about clones — reclaiming a source file the clone still
+    references breaks the clone (schedule source vacuums behind clone
+    lifetimes, or re-materialize the clone with ``compact``, which
+    rewrites its live set into local files).
+
+    Partitioned sources are refused: their partition values live in
+    Hive path segments resolved against the table root, which cannot
+    span two roots.  Returns the clone's version (always 0)."""
+    if version is not None and timestamp_ms is not None:
+        raise ValueError("pass at most one of version / timestamp_ms")
+    if timestamp_ms is not None:
+        version = version_at_timestamp(source, timestamp_ms)
+    live, meta, base, _ = _read_actions(source, upto=version)
+    pcols = meta.get("partitionColumns") or []
+    if pcols:
+        raise ValueError(
+            f"clone_table: {source} declares partitionColumns {pcols}; "
+            "Hive path segments cannot be re-rooted — compact the "
+            "source flat or copy it with write_delta"
+        )
+    if is_delta_table(target):
+        raise ValueError(f"clone_table: {target} is already a Delta table")
+    os.makedirs(target, exist_ok=True)
+    src_abs = os.path.abspath(source)
+    actions: list[dict] = [
+        _commit_info(
+            "CLONE",
+            {"source": src_abs, "sourceVersion": str(base)},
+        ),
+        {"protocol": dict(_PROTOCOL)},
+        {"metaData": {**meta, "id": str(uuid.uuid4())}},
+    ]
+    for p, add in live.items():
+        a = dict(add)
+        if not os.path.isabs(p):
+            a["path"] = os.path.join(src_abs, p)
+        actions.append({"add": a})
+    if not _commit(target, 0, actions):
+        raise RuntimeError(
+            f"concurrent creation of {target} during clone; aborted"
+        )
+    return 0
+
+
+def restore_table(
+    table: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF — roll the LIVE
+    snapshot back to an earlier version as a NEW commit (metadata-only:
+    no data files move; the commit re-adds the target version's file
+    set and removes the current one).  History is preserved — the bad
+    commits stay time-travelable for forensics, the restore itself is
+    one more log entry, and a second restore can roll FORWARD again to
+    any version the log retains (``truncate_log`` is the opposite
+    tool: it erases history; restore rewinds the live state while
+    keeping it).
+
+    The restore commits at current+1 via the same LogStore fence as
+    every write: a concurrent commit makes the put-if-absent lose and
+    the restore raise (stale target arithmetic) rather than clobber.
+    Schema and configuration roll back WITH the data (the target
+    version's metaData is re-committed) so a post-restore reader sees
+    exactly the old table.  Returns the committed version."""
+    if (version is None) == (timestamp_ms is None):
+        raise ValueError("pass exactly one of version / timestamp_ms")
+    if timestamp_ms is not None:
+        version = version_at_timestamp(table, timestamp_ms)
+    live_now, _, base, _ = _read_actions(table)
+    if version == base:
+        return base  # already there: no-op, no empty commit
+    live_then, meta_then, _, _ = _read_actions(table, upto=version)
+    missing = [
+        p
+        for p in live_then
+        if p not in live_now and not os.path.isfile(os.path.join(table, p))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"restore of {table} to v{version} needs {len(missing)} data "
+            f"file(s) already reclaimed by vacuum (e.g. {missing[0]}); "
+            "that version is no longer restorable"
+        )
+    new_version = base + 1
+    actions: list[dict] = [
+        _commit_info("RESTORE", {"version": str(version)}),
+        {"metaData": dict(meta_then)},
+    ]
+    ts = int(time.time() * 1000)
+    for path in live_now:
+        if path not in live_then:
+            actions.append(
+                {
+                    "remove": {
+                        "path": path,
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                    }
+                }
+            )
+    for path, add in live_then.items():
+        if path not in live_now:
+            actions.append({"add": dict(add)})
+    if not _commit(table, new_version, actions):
+        raise RuntimeError(
+            f"concurrent commit during restore of {table}; aborted "
+            "(re-run the restore against the fresh state)"
+        )
+    _maybe_checkpoint(table, new_version)
+    return new_version
+
+
 def truncate_log(table: str, keep_from: int) -> list[int]:
     """LOG RETENTION (the spec's metadata-cleanup half of VACUUM):
     drop the ability to time-travel BELOW ``keep_from`` so the data

@@ -1107,3 +1107,82 @@ def test_optimize_small_files_bucketed_and_partitioned_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="partitionColumns"):
         delta_lite.optimize_small_files(spark, p)
+
+
+def test_restore_table_rolls_back_live_state_keeping_history(spark, tmp_path):
+    """RESTORE re-points the live snapshot at an earlier version as a
+    new commit: data AND schema roll back, the bad commits stay
+    time-travelable, a second restore rolls forward again, and a
+    version whose files vacuum already reclaimed refuses loudly."""
+    t = str(tmp_path / "t")
+    delta_lite.write_delta(_df(spark, [(1, "a"), (2, "b")]), t)  # v0
+    delta_lite.write_delta(
+        _df(spark, [(3, "c", 9)], "k long, v string, extra long"), t,
+        mode="overwrite",
+    )  # v1: bad overwrite, schema changed
+    v = delta_lite.restore_table(t, version=0)
+    assert v == 2
+    got = {(r.k, r.v) for r in delta_lite.read_delta(spark, t).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert delta_lite.read_delta(spark, t).columns == ["k", "v"]
+    # forensics intact: the bad version still reads
+    assert delta_lite.read_delta(spark, t, version=1).count() == 1
+    # roll FORWARD to the bad version again
+    assert delta_lite.restore_table(t, version=1) == 3
+    assert delta_lite.read_delta(spark, t).columns == ["k", "v", "extra"]
+    # restore to the current version is a no-op, no empty commit
+    assert delta_lite.restore_table(t, version=3) == 3
+    assert delta_lite.current_version(t) == 3
+    # reclaim v0's files (truncate history below current, vacuum), then
+    # restoring to a reclaimed version must refuse
+    delta_lite.truncate_log(t, keep_from=3)
+    delta_lite.vacuum(t, retention_seconds=0.0)
+    with pytest.raises(Exception):
+        delta_lite.restore_table(t, version=0)
+
+
+def test_clone_table_zero_copy_fork_is_independent(spark, tmp_path):
+    """SHALLOW CLONE re-references the source snapshot by absolute
+    path: reads equal, writes to the clone never touch the source (and
+    vice versa), vacuum(clone) cannot reclaim source bytes, a bucketed
+    source keeps merging incrementally inside the clone, and a
+    partitioned source is refused."""
+    src = str(tmp_path / "src")
+    delta_lite.upsert_delta(
+        spark, src, _df(spark, [(k, f"v{k}") for k in range(10)]), ["k"],
+        n_buckets=2,
+    )
+    tgt = str(tmp_path / "tgt")
+    assert delta_lite.clone_table(src, tgt) == 0
+    read = lambda p: {
+        (r.k, r.v) for r in delta_lite.read_delta(spark, p).collect()
+    }
+    assert read(tgt) == read(src)
+    # no data bytes copied: the clone dir holds only the log
+    assert not [
+        f for f in os.listdir(tgt) if f.endswith(".parquet")
+    ]
+    # clone diverges; source untouched
+    delta_lite.upsert_delta(spark, tgt, _df(spark, [(3, "CLONE")]), ["k"])
+    assert (3, "CLONE") in read(tgt) and (3, "v3") in read(src)
+    # source diverges; clone pinned at its birth version + own edits
+    delta_lite.upsert_delta(spark, src, _df(spark, [(4, "SRC")]), ["k"])
+    assert (4, "SRC") in read(src) and (4, "v4") in read(tgt)
+    # vacuum on the clone reclaims nothing from the source
+    before = set(os.listdir(src))
+    delta_lite.vacuum(tgt, retention_seconds=0.0)
+    assert set(os.listdir(src)) == before
+    assert read(tgt) == {(k, f"v{k}") for k in range(10) if k != 3} | {
+        (3, "CLONE")
+    }
+    # pinned clone: fork the source at version 0
+    tgt0 = str(tmp_path / "tgt0")
+    delta_lite.clone_table(src, tgt0, version=0)
+    assert read(tgt0) == {(k, f"v{k}") for k in range(10)}
+    # partitioned source refused
+    p = str(tmp_path / "p")
+    delta_lite.write_delta(
+        _df(spark, [(1, "a"), (2, "b")]), p, partition_by=["v"]
+    )
+    with pytest.raises(ValueError, match="partitionColumns"):
+        delta_lite.clone_table(p, str(tmp_path / "px"))
