@@ -1186,3 +1186,27 @@ def test_clone_table_zero_copy_fork_is_independent(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="partitionColumns"):
         delta_lite.clone_table(p, str(tmp_path / "px"))
+
+
+def test_optimize_small_files_materializes_clone_locally(spark, tmp_path):
+    """Running the incremental OPTIMIZE on a shallow clone rewrites
+    the packed references into files UNDER the clone directory — an
+    incremental re-materialization path that removes the clone's
+    dependence on source bytes (after which even a source vacuum
+    cannot break it)."""
+    src = str(tmp_path / "src")
+    delta_lite.write_delta(_df(spark, [(1, "a")]), src)
+    delta_lite.write_delta(_df(spark, [(2, "b")]), src, mode="append")
+    tgt = str(tmp_path / "tgt")
+    delta_lite.clone_table(src, tgt)
+    v = delta_lite.optimize_small_files(spark, tgt, target_bytes=1 << 30)
+    assert v is not None
+    live, _, _, _ = delta_lite._read_actions(tgt)
+    # every live reference is now clone-local (relative path)
+    assert all(not os.path.isabs(p) for p in live)
+    # nuke the source entirely: the clone still reads
+    import shutil
+
+    shutil.rmtree(src)
+    got = {(r.k, r.v) for r in delta_lite.read_delta(spark, tgt).collect()}
+    assert got == {(1, "a"), (2, "b")}
