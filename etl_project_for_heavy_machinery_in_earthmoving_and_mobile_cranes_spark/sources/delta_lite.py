@@ -600,6 +600,102 @@ def _txn_action(txn: "tuple[str, int] | None") -> list[dict]:
     ]
 
 
+_CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def _enforce_constraints(df: DataFrame, meta: dict, table: str) -> None:
+    """Validate ``df`` against every CHECK constraint recorded in the
+    table's ``metaData.configuration`` (spec keys
+    ``delta.constraints.<name>``).  SQL CHECK semantics: a row violates
+    only when the expression is FALSE — NULL passes (enforce
+    non-nullness with an explicit ``IS NOT NULL`` constraint).  Costs
+    one short-circuit job over ``df`` per constraint and ZERO work on
+    tables without constraints (a dict scan)."""
+    conf = (meta or {}).get("configuration") or {}
+    constrained = [k for k in conf if k.startswith(_CONSTRAINT_PREFIX)]
+    if not constrained:
+        return
+    from pyspark.sql import functions as F
+
+    for key in constrained:
+        expr = conf[key]
+        name = key[len(_CONSTRAINT_PREFIX):]
+        bad = (
+            df.filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"CHECK constraint '{name}' ({expr}) violated by a row "
+                f"written to {table}: {bad[0].asDict()}"
+            )
+
+
+def set_check_constraint(
+    spark: SparkSession, table: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT ... CHECK: record a CHECK
+    constraint in ``metaData.configuration`` (the Delta spec's
+    ``delta.constraints.<name>`` key) after validating that the
+    CURRENT snapshot already satisfies it (one full-scan check — the
+    same one-time price real Delta charges; every subsequent write
+    pays only a short-circuit scan of its own batch).  All write paths
+    (``write_delta``, ``merge_touched`` and everything riding it)
+    enforce the constraint from this commit on; ``restore_table`` to a
+    pre-constraint version rolls it back with the metaData, and
+    ``drop_check_constraint`` removes it.  Returns the committed
+    version."""
+    if not name or "." in name or "=" in name:
+        raise ValueError(f"invalid constraint name: {name!r}")
+    live, meta, base, _ = _read_actions(table)
+    key = _CONSTRAINT_PREFIX + name
+    conf = dict(meta.get("configuration") or {})
+    if key in conf:
+        raise ValueError(
+            f"constraint '{name}' already exists on {table} "
+            f"(drop it first to replace: {conf[key]!r})"
+        )
+    snapshot = read_delta(spark, table, version=base)
+    _enforce_constraints(
+        snapshot, {"configuration": {key: expr}}, table
+    )
+    conf[key] = expr
+    actions = [
+        _commit_info("ADD CONSTRAINT", {"name": name, "expr": expr}),
+        {"metaData": {**meta, "configuration": conf}},
+    ]
+    if not _commit(table, base + 1, actions):
+        raise RuntimeError(
+            f"concurrent commit during ADD CONSTRAINT on {table}; "
+            "aborted (the validated snapshot is stale — re-run)"
+        )
+    _maybe_checkpoint(table, base + 1)
+    return base + 1
+
+
+def drop_check_constraint(table: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: remove the recorded CHECK
+    constraint (metadata-only commit).  Returns the committed
+    version."""
+    _, meta, base, _ = _read_actions(table)
+    key = _CONSTRAINT_PREFIX + name
+    conf = dict(meta.get("configuration") or {})
+    if key not in conf:
+        raise ValueError(f"no constraint '{name}' on {table}")
+    del conf[key]
+    actions = [
+        _commit_info("DROP CONSTRAINT", {"name": name}),
+        {"metaData": {**meta, "configuration": conf}},
+    ]
+    if not _commit(table, base + 1, actions):
+        raise RuntimeError(
+            f"concurrent commit during DROP CONSTRAINT on {table}; re-run"
+        )
+    _maybe_checkpoint(table, base + 1)
+    return base + 1
+
+
 def write_delta(
     df: DataFrame,
     table: str,
@@ -646,6 +742,8 @@ def write_delta(
                 f"partition_by {partition_by} conflicts with the table's "
                 f"declared partitionColumns {declared}"
             )
+        # CHECK constraints gate the write BEFORE any file is staged
+        _enforce_constraints(df, meta0, table)
     partition_by = list(partition_by or [])
     if partition_by:
         adds = _stage_partitioned_files(df, table, version, partition_by)
@@ -870,6 +968,9 @@ def merge_touched(
         else:
             cur = spark.createDataFrame([], schema)
         merged = merge_fn(cur, batch_df)
+        # CHECK constraints gate the staged OUTPUT (merge_fn may
+        # synthesize rows the raw batch never contained)
+        _enforce_constraints(merged, meta, table)
         version = base + 1
         adds = _stage_bucketed_files(
             merged.withColumn(_BUCKET_COL, _bucket_expr(key_cols, nb)),

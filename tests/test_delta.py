@@ -1210,3 +1210,64 @@ def test_optimize_small_files_materializes_clone_locally(spark, tmp_path):
     shutil.rmtree(src)
     got = {(r.k, r.v) for r in delta_lite.read_delta(spark, tgt).collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_check_constraints_gate_all_write_paths(spark, tmp_path):
+    """Delta CHECK constraints: ADD CONSTRAINT validates the current
+    snapshot, every subsequent write path (plain append and the keyed
+    merge) refuses violating rows BEFORE committing, NULL passes (SQL
+    CHECK semantics), DROP lifts the gate, and RESTORE to a
+    pre-constraint version rolls the constraint back with the
+    metaData."""
+    t = str(tmp_path / "t")
+    delta_lite.write_delta(
+        _df(spark, [(1, 10), (2, 20)], "k long, v long"), t
+    )
+    # existing data violates -> ADD CONSTRAINT refuses, nothing committed
+    with pytest.raises(ValueError, match="big_v"):
+        delta_lite.set_check_constraint(spark, t, "big_v", "v >= 15")
+    v = delta_lite.set_check_constraint(spark, t, "pos_v", "v > 0")
+    assert v == delta_lite.current_version(t)
+    # duplicate name refuses
+    with pytest.raises(ValueError, match="already exists"):
+        delta_lite.set_check_constraint(spark, t, "pos_v", "v > 1")
+    # violating append refuses and commits nothing
+    before = delta_lite.current_version(t)
+    with pytest.raises(ValueError, match="pos_v"):
+        delta_lite.write_delta(
+            _df(spark, [(3, -5)], "k long, v long"), t, mode="append"
+        )
+    assert delta_lite.current_version(t) == before
+    # violating keyed merge refuses too (the staged OUTPUT is gated)
+    with pytest.raises(ValueError, match="pos_v"):
+        delta_lite.upsert_delta(
+            spark, t, _df(spark, [(1, -1)], "k long, v long"), ["k"]
+        )
+    assert delta_lite.current_version(t) == before
+    # NULL passes (SQL CHECK: only FALSE violates)
+    delta_lite.write_delta(
+        _df(spark, [(4, None)], "k long, v long"), t, mode="append"
+    )
+    # clean merge passes
+    delta_lite.upsert_delta(
+        spark, t, _df(spark, [(1, 99)], "k long, v long"), ["k"]
+    )
+    got = {
+        (r.k, r.v) for r in delta_lite.read_delta(spark, t).collect()
+    }
+    assert (1, 99) in got and (4, None) in got
+    # restore to the pre-constraint version: the gate rolls back
+    delta_lite.restore_table(t, version=0)
+    delta_lite.write_delta(
+        _df(spark, [(5, -7)], "k long, v long"), t, mode="append"
+    )
+    # re-add on the restored (clean) state, then drop lifts the gate
+    delta_lite.restore_table(t, version=0)
+    delta_lite.set_check_constraint(spark, t, "pos_v", "v > 0")
+    delta_lite.drop_check_constraint(t, "pos_v")
+    delta_lite.write_delta(
+        _df(spark, [(6, -8)], "k long, v long"), t, mode="append"
+    )
+    assert (6, -8) in {
+        (r.k, r.v) for r in delta_lite.read_delta(spark, t).collect()
+    }
