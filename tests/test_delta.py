@@ -1271,3 +1271,32 @@ def test_check_constraints_gate_all_write_paths(spark, tmp_path):
     assert (6, -8) in {
         (r.k, r.v) for r in delta_lite.read_delta(spark, t).collect()
     }
+
+
+def test_restore_partitioned_table_and_change_feed_sees_rollback(
+    spark, tmp_path
+):
+    """RESTORE works on partitioned tables (Hive-path files re-added,
+    partition pruning still exact afterward), and the change feed
+    across a restore commit reports exactly the rollback delta —
+    downstream CDC consumers converge to the restored state instead of
+    diverging."""
+    t = str(tmp_path / "t")
+    delta_lite.write_delta(
+        _df(spark, [(1, "a"), (2, "b")], "k long, part string"),
+        t,
+        partition_by=["part"],
+    )
+    delta_lite.write_delta(
+        _df(spark, [(9, "a")], "k long, part string"), t, mode="append"
+    )
+    v = delta_lite.restore_table(t, version=0)
+    got = {(r.k, r.part) for r in delta_lite.read_delta(spark, t).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # partition pruning still exact after the restore
+    pruned = delta_lite.read_delta(spark, t, predicate=("part", "b", "b"))
+    assert {r.k for r in pruned.collect()} == {2}
+    # the feed reports the rollback: the appended row deleted
+    ch = delta_lite.read_changes(spark, t, 1, v)
+    rows = {(r.k, r["_change_type"]) for r in ch.collect()}
+    assert rows == {(9, "delete")}
