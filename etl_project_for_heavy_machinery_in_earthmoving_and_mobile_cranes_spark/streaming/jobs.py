@@ -511,6 +511,94 @@ def maintain_rollup_from_changes(
     )
 
 
+def apply_scd2_changes_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    key_col: str,
+    attr_cols: list[str],
+    n_buckets: int = 16,
+) -> None:
+    """One micro-batch of CDF-driven SCD2 dimension tracking: net the
+    file-level change feed down to per-key POST-IMAGE observations and
+    fold them into the SCD2 interval table (``apply_scd2_batch``).
+
+    Netting: a bucket rewrite re-emits carried-over rows as a
+    delete+insert pair with identical values AND identical
+    ``_commit_version``, so ``inserts EXCEPT ALL deletes`` over
+    (key, attrs, version) cancels them exactly; what survives is the
+    real post-image of each changed key at each commit.  A key
+    re-upserted with UNCHANGED attributes nets to zero (and would
+    run-length-collapse anyway), so no spurious interval opens.
+    ``valid_from``/``valid_to`` are upstream COMMIT VERSIONS — join
+    ``delta_history`` timestamps downstream if wall-clock intervals
+    are wanted.  Limitation: a key DELETED upstream nets to
+    delete-only and keeps its last interval open (dimension deletes
+    need an explicit tombstone attribute, the standard SCD2 answer).
+    Replay of an applied batch is a no-op via the same txn guard."""
+    spark = batch_df.sparkSession
+    if _delta_batch_applied(spark, table_path, batch_id):
+        return
+    sel = [key_col, *attr_cols, "_commit_version"]
+    ins = batch_df.filter(F.col("_change_type") == "insert").select(*sel)
+    dels = batch_df.filter(F.col("_change_type") == "delete").select(*sel)
+    obs = ins.exceptAll(dels).withColumnRenamed(
+        "_commit_version", "change_version"
+    )
+    if obs.isEmpty():
+        return  # checkpoint-only or fully-carried-over batch
+    apply_scd2_batch(
+        obs,
+        batch_id,
+        table_path,
+        key_col,
+        "change_version",
+        list(attr_cols),
+        protocol="delta",
+        n_buckets=n_buckets,
+    )
+
+
+def maintain_scd2_from_changes(
+    spark: SparkSession,
+    upstream_table: str,
+    table_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    attr_cols: list[str],
+    starting_version: int = 0,
+    n_buckets: int = 16,
+):
+    """Incrementally-maintained SCD2 HISTORY of a delta_lite dimension
+    table — the third CDC-maintained view shape (count/sum rollup,
+    min/max gauge, and now attribute-change history): tail the
+    upstream commit log and fold each micro-batch's net post-images
+    into validity intervals.  The upstream table stores only the
+    CURRENT state; this view answers "what was key K's state at
+    version V" without ever re-scanning a snapshot — per batch
+    O(changed files + touched buckets).  Read back with
+    ``read_maintained_table``."""
+    from ..sources.delta_cdf_datasource import stream_changes
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_scd2_changes_batch(
+            batch_df,
+            batch_id,
+            table_path,
+            key_col,
+            list(attr_cols),
+            n_buckets=n_buckets,
+        )
+
+    return (
+        stream_changes(spark, upstream_table, starting_version)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def apply_gauge_rollup_batch(
     batch_df: DataFrame,
     batch_id: int,

@@ -1684,3 +1684,79 @@ def test_cdf_max_commits_per_batch_paces_without_loss(spark, tmp_path):
     )
     q2.awaitTermination()
     assert sum(seen2) == 1  # first run: exactly one commit's rows
+
+
+def test_scd2_maintained_from_change_feed_matches_recompute(spark, tmp_path):
+    """CDF-driven SCD2 dimension history: the maintained interval
+    table equals scd2_from_events over the true per-version
+    post-image observations — across updates, a carried-over bucket
+    rewrite (nets to zero: no spurious interval), a same-value
+    re-upsert (run-length collapse), and a checkpoint restart."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators.timeseries import (
+        scd2_from_events,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    up = str(tmp_path / "up")
+    down = str(tmp_path / "down")
+    cp = str(tmp_path / "cp")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, grp string")
+
+    def drain():
+        q = jobs.maintain_scd2_from_changes(
+            spark, up, down, cp, key_col="k", attr_cols=["grp"]
+        )
+        q.awaitTermination()
+
+    def maintained():
+        return {
+            tuple(r)
+            for r in jobs.read_maintained_table(spark, down)
+            .select("k", "grp", "valid_from", "valid_to", "is_current")
+            .collect()
+        }
+
+    def expected(obs_rows):
+        obs = spark.createDataFrame(
+            obs_rows, "k long, change_version long, grp string"
+        ).select("k", "change_version", "grp")
+        return {
+            tuple(r)
+            for r in scd2_from_events(obs, "k", "change_version", ["grp"])
+            .select("k", "grp", "valid_from", "valid_to", "is_current")
+            .collect()
+        }
+
+    # v0: all keys state 'a'
+    delta_lite.upsert_delta(
+        spark, up, mk([(k, "a") for k in range(10)]), ["k"], n_buckets=2
+    )
+    drain()
+    obs = [(k, 0, "a") for k in range(10)]
+    assert maintained() == expected(obs)
+    # v1: keys 0..4 move to 'b' (same buckets carry keys 5..9 over:
+    # their delete+insert pairs must net to zero)
+    delta_lite.upsert_delta(spark, up, mk([(k, "b") for k in range(5)]), ["k"])
+    drain()
+    obs += [(k, 1, "b") for k in range(5)]
+    assert maintained() == expected(obs)
+    # v2: keys 0..1 move to 'c'; key 5 re-upserted with the SAME value
+    delta_lite.upsert_delta(
+        spark, up, mk([(0, "c"), (1, "c"), (5, "a")]), ["k"]
+    )
+    drain()  # checkpoint restart resumes at the committed version
+    obs += [(0, 2, "c"), (1, 2, "c")]
+    got = maintained()
+    assert got == expected(obs)
+    # key 5: exactly ONE interval, still open from version 0
+    k5 = [r for r in got if r[0] == 5]
+    assert k5 == [(5, "a", 0, None, True)]
+    # replay of an applied CDF batch is a no-op
+    ch = delta_lite.read_changes(spark, up, 0, 1).withColumn(
+        "_commit_version", F.lit(1)
+    )
+    before = maintained()
+    jobs.apply_scd2_changes_batch(ch, 0, down, key_col="k", attr_cols=["grp"])
+    assert maintained() == before
