@@ -11479,6 +11479,91 @@ FROM documents GROUP BY lang
 """
 
 
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history maintained from the change feed
+    (jobs.maintain_scd2_from_changes, new r9 — the third CDC-maintained
+    view shape after the count/sum rollup and the min/max gauge): a
+    keyed customer dimension takes three commits (initial segments,
+    every 10th key moves to MOVED, every 100th moves again to FINAL);
+    the delta_cdf stream nets each batch's file-level changes to true
+    per-key post-images (inserts EXCEPT ALL deletes cancels
+    carried-over bucket rewrites exactly) and folds them into validity
+    intervals through the touched-file merge.  valid_from/valid_to are
+    upstream COMMIT VERSIONS, so the whole interval table is
+    closed-form from the commit formulas — the oracle enumerates it
+    directly with UNION ALL + CASE."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.streaming import (
+        jobs,
+    )
+
+    tune(spark)
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_scd2_")
+    up = os.path.join(tmp, "up")
+    down = os.path.join(tmp, "down")
+    cp = os.path.join(tmp, "cp")
+    try:
+        delta_lite.upsert_delta(spark, up, base, ["k"], n_buckets=8)
+        delta_lite.upsert_delta(
+            spark,
+            up,
+            base.filter(F.col("k") % 10 == 0).withColumn(
+                "seg", F.lit("MOVED")
+            ),
+            ["k"],
+        )
+        delta_lite.upsert_delta(
+            spark,
+            up,
+            base.filter(F.col("k") % 100 == 0).withColumn(
+                "seg", F.lit("FINAL")
+            ),
+            ["k"],
+        )
+        q = jobs.maintain_scd2_from_changes(
+            spark, up, down, cp, key_col="k", attr_cols=["seg"]
+        )
+        q.awaitTermination()
+        out = (
+            jobs.read_maintained_table(spark, down)
+            .select("k", "seg", "valid_from", "valid_to", "is_current")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _oracle_cdc_scd2_history() -> str:
+    return """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+)
+SELECT k, seg, CAST(0 AS BIGINT) AS valid_from,
+       CASE WHEN k % 10 = 0 THEN CAST(1 AS BIGINT) END AS valid_to,
+       (k % 10 <> 0) AS is_current
+FROM base
+UNION ALL
+SELECT k, 'MOVED' AS seg, CAST(1 AS BIGINT) AS valid_from,
+       CASE WHEN k % 100 = 0 THEN CAST(2 AS BIGINT) END AS valid_to,
+       (k % 100 <> 0) AS is_current
+FROM base WHERE k % 10 = 0
+UNION ALL
+SELECT k, 'FINAL' AS seg, CAST(2 AS BIGINT) AS valid_from,
+       CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+FROM base WHERE k % 100 = 0
+"""
+
+
 def _oracle_cdc_minmax_rollup() -> str:
     return """
 WITH base AS (
@@ -14360,10 +14445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry re-verifies on a bounded cycle behind the ~45 per round
     that re-verify anyway through the stale_green closure.  Mandatory
     (stale-flagged) entries ALWAYS outrank rotation for prefix slots.
-    r9 rotation: acctbal_band_join, brand_market_share,
-    brand_median_price (all last green r1; the 47-entry changed
-    closure left 3 slots — containment_first and containment_longest
-    lead the r10 rotation).
+    r9 rotation: acctbal_band_join, brand_market_share (last green
+    r1; the 48-entry changed closure left 2 slots —
+    brand_median_price, containment_first, containment_longest lead
+    the r10 rotation).
 
     Section-B membership is MECHANICALLY checked:
     tools/stale_green.py hashes every query's function body, its
@@ -14383,6 +14468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_minmax_rollup": q_cdc_minmax_rollup,
         "small_file_optimize": q_small_file_optimize,
         "delta_restore_clone": q_delta_restore_clone,
+        "cdc_scd2_history": q_cdc_scd2_history,
         # re-shaped r9: now rides read_changes (O(changed files))
         "delta_time_travel_diff": q_delta_time_travel_diff,
         # -- (B cont.) round-8 block ---------------------------------
@@ -14441,11 +14527,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # regeneration) that stale_green's code hashing cannot see.
         "acctbal_band_join": q_acctbal_band_join,
         "brand_market_share": q_brand_market_share,
-        "brand_median_price": q_brand_median_price,
         # -- (C) driver-green in a prior round --------------------
-        # containment_first/_longest lead the r10 rotation: the r9
-        # changed closure (47 entries, all mandatory in-prefix) left
-        # only 3 rotation slots this round
+        # brand_median_price + containment_first/_longest lead the r10
+        # rotation: the r9 changed closure (48 entries, all mandatory
+        # in-prefix) left only 2 rotation slots this round
+        "brand_median_price": q_brand_median_price,
         "containment_first": q_containment_first,
         "containment_longest": q_containment_longest,
         "ratio_metric_ztest": q_ratio_metric_ztest,
@@ -14690,6 +14776,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_minmax_rollup": _oracle_cdc_minmax_rollup(),
         "small_file_optimize": _oracle_small_file_optimize(),
         "delta_restore_clone": _oracle_delta_restore_clone(),
+        "cdc_scd2_history": _oracle_cdc_scd2_history(),
         "cuped_ztest": _oracle_cuped_ztest(),
         "ab_power_mde": _oracle_ab_power_mde(),
         "ab_msprt": _oracle_ab_msprt(),

@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "cdc_minmax_rollup",
     "small_file_optimize",
     "delta_restore_clone",
+    "cdc_scd2_history",
     "neyman_stratified_sample",
     "cumulative_channel_compare",
     "basket_clustering_coeff",
