@@ -1760,3 +1760,31 @@ def test_scd2_maintained_from_change_feed_matches_recompute(spark, tmp_path):
     before = maintained()
     jobs.apply_scd2_changes_batch(ch, 0, down, key_col="k", attr_cols=["grp"])
     assert maintained() == before
+
+
+def test_check_constraint_gates_streaming_maintainer(spark, tmp_path):
+    """A CHECK constraint on a Delta-maintained table gates the
+    maintainer's merge path: a micro-batch whose fold would land a
+    violating row fails LOUDLY pre-commit (no partial publish) and the
+    table keeps serving its last good version."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    t = str(tmp_path / "profiles")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v long")
+    delta_lite.upsert_delta(spark, t, mk([(1, 10), (2, 20)]), ["k"])
+    delta_lite.set_check_constraint(spark, t, "pos_v", "v > 0")
+    before = delta_lite.current_version(t)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pos_v"):
+        delta_lite.upsert_delta(spark, t, mk([(3, -1)]), ["k"])
+    assert delta_lite.current_version(t) == before
+    got = {(r.k, r.v) for r in delta_lite.read_delta(spark, t).collect()}
+    assert got == {(1, 10), (2, 20)}
+    # a clean batch still flows
+    delta_lite.upsert_delta(spark, t, mk([(3, 30)]), ["k"])
+    assert (3, 30) in {
+        (r.k, r.v) for r in delta_lite.read_delta(spark, t).collect()
+    }
