@@ -42,13 +42,25 @@ commits one micro-batch spans — without it, a stream catching up on a
 long-lived table folds the whole backlog into one giant batch (memory
 cliff + exactly-once blast radius).  Under a repeated trigger
 (processingTime) the stream drains the backlog k commits per batch,
-in order, losslessly.  Under ``trigger(availableNow=True)`` the engine
+in order, losslessly — across restarts too: the pacing floor is the
+HIGHEST engine position the reader has observed (initialOffset /
+partitions / commit calls), and ``latestOffset`` never returns below
+it, so a restarted reader can never hand the engine an offset behind
+its checkpoint (which would re-plan already-committed commits under
+new batch ids and double-apply through batch-id-keyed txn guards).
+On restart the engine re-plans the last checkpointed batch (a
+``partitions(committed, committed)`` recovery call) before the first
+``latestOffset``, which is what seeds the floor; ``partitions`` also
+RAISES on a start>end range — the offset-regression signature — so
+any engine path that skips the recovery call fails loudly instead of
+double-applying.  Under ``trigger(availableNow=True)`` the engine
 captures the target offset from the FIRST latestOffset call, so one
-RUN drains at most k commits — a bounded catch-up run, not a full
-drain; loop runs until ``current_version`` is reached, or leave the
-cap unset for full-drain semantics (what the maintainers do).  Removed files stay readable until
-``vacuum`` reclaims them — retention must cover consumer lag, the
-standard CDF contract.
+RUN advances min(k, backlog) commits — a bounded catch-up run, not a
+full drain; ``drain_changes`` below loops runs until caught up (each
+restart resumes from the recovered floor), or leave the cap unset for
+full-drain semantics (what the maintainers do).  Removed files stay
+readable until ``vacuum`` reclaims them — retention must cover
+consumer lag, the standard CDF contract.
 
 Scale shape: the per-batch work is O(files changed by the new
 commits) — never O(table).  Rows move as Arrow RecordBatches
@@ -130,13 +142,22 @@ class _CdfStreamReader(DataSourceStreamReader):
         # cliff and an exactly-once blast radius
         self.max_commits = int(options.get("maxCommitsPerBatch", 0)) or None
         self.schema_json = _cdf_schema(self.table).json()
-        # the engine's last planned end-offset, observed via
-        # partitions(start, end) — the runner keeps ONE reader instance
-        # per query but never calls commit(), so partitions() is the
-        # only reliable position signal for pacing
-        self._planned: "int | None" = None
+        # the HIGHEST engine position observed so far, via initialOffset
+        # (fresh query), partitions(start, end) (batch planning AND the
+        # engine's restart recovery call partitions(committed,
+        # committed)), and commit(end).  This is the pacing floor:
+        # latestOffset must never return below it, or a restarted
+        # stream's offset log would regress and re-plan already-
+        # committed commits under new batch ids (double-apply through
+        # batch-id-keyed txn guards).
+        self._floor: "int | None" = None
+
+    def _observe(self, v: int) -> None:
+        if self._floor is None or v > self._floor:
+            self._floor = v
 
     def initialOffset(self) -> dict:
+        self._observe(self.starting_version - 1)
         return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
@@ -146,18 +167,38 @@ class _CdfStreamReader(DataSourceStreamReader):
         if v is None:
             raise FileNotFoundError(f"no Delta log at {self.table}")
         if self.max_commits is not None:
-            floor = (
-                self._planned
-                if self._planned is not None
+            # a fresh query's engine position is exactly
+            # starting_version-1 even before initialOffset is called
+            # (the engine's first latestOffset precedes it); after a
+            # restart the floor is seeded by the recovery partitions()
+            # call before latestOffset ever runs
+            base = (
+                self._floor
+                if self._floor is not None
                 else self.starting_version - 1
             )
-            v = min(v, floor + self.max_commits)
+            v = min(v, base + self.max_commits)
+        if self._floor is not None and v < self._floor:
+            v = self._floor  # never regress below an observed position
         return {"version": v}
 
     def partitions(self, start: dict, end: dict):
         from . import delta_lite
 
-        self._planned = end["version"]
+        if start["version"] > end["version"]:
+            # the offset-regression signature: the engine's committed
+            # position is AHEAD of the end offset it was handed, which
+            # only happens if latestOffset returned below a checkpoint
+            # this reader never observed.  Failing loudly beats
+            # re-planning committed commits under new batch ids.
+            raise RuntimeError(
+                f"delta_cdf offset regression on {self.table}: batch "
+                f"start {start['version']} > end {end['version']}; the "
+                "stream's checkpoint is ahead of the reader's pacing "
+                "floor — restart the query (the recovery re-plan seeds "
+                "the floor) or remove maxCommitsPerBatch"
+            )
+        self._observe(end["version"])
         parts: list[_FileChange] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             vf = delta_lite._version_file(self.table, v)
@@ -230,7 +271,10 @@ class _CdfStreamReader(DataSourceStreamReader):
         yield from pa.Table.from_arrays(arrays, schema=arrow_schema).to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are log versions; nothing to clean up
+        # offsets are immutable log versions — nothing to clean up —
+        # but a committed end is an engine position: fold it into the
+        # pacing floor so latestOffset can never return below it
+        self._observe(end["version"])
 
 
 class DeltaCdfDataSource(DataSource):
@@ -261,3 +305,88 @@ def stream_changes(spark, table: str, starting_version: int = 0):
         .option("startingVersion", starting_version)
         .load()
     )
+
+
+def drain_changes(
+    spark,
+    table: str,
+    checkpoint_dir: str,
+    foreach_batch,
+    starting_version: int = 0,
+    max_commits_per_batch: "int | None" = None,
+    max_runs: int = 10_000,
+) -> int:
+    """Bounded-batch FULL drain of the change feed: loop
+    ``trigger(availableNow=True)`` runs until the stream has consumed
+    every commit up to the table's current version, honoring
+    ``max_commits_per_batch`` per run.  The engine's availableNow
+    wrapper captures its target from one latestOffset call, so a single
+    capped run advances min(cap, backlog) commits; the full-drain
+    semantics real sources implement via admission control are
+    recovered here by restarting runs against the same checkpoint —
+    each restart's recovery re-plan seeds the pacing floor at the
+    committed position, so every run makes progress and the loop
+    terminates.  Concurrent upstream commits landed mid-drain are
+    drained too (the target re-reads per run).  Returns the number of
+    runs executed."""
+    from . import delta_lite
+
+    target = delta_lite.current_version(table)
+    if target is None:
+        raise FileNotFoundError(f"no Delta log at {table}")
+    try:
+        spark.dataSource.register(DeltaCdfDataSource)
+    except Exception:
+        pass  # already registered
+    runs = 0
+    while runs < max_runs:
+        reader = (
+            spark.readStream.format("delta_cdf")
+            .option("path", table)
+            .option("startingVersion", starting_version)
+        )
+        if max_commits_per_batch is not None:
+            reader = reader.option("maxCommitsPerBatch", max_commits_per_batch)
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(foreach_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        runs += 1
+        done = _checkpoint_committed_version(checkpoint_dir)
+        target = delta_lite.current_version(table)
+        if done is not None and target is not None and done >= target:
+            return runs
+        if max_commits_per_batch is None:
+            return runs  # uncapped run IS a full drain
+    raise RuntimeError(
+        f"drain_changes on {table} did not converge in {max_runs} runs"
+    )
+
+
+def _checkpoint_committed_version(checkpoint_dir: str) -> "int | None":
+    """Latest upstream commit version recorded in a streaming query's
+    offset log (the engine's WAL of planned batches — v2 sources write
+    the serialized offset JSON there)."""
+    odir = os.path.join(checkpoint_dir, "offsets")
+    if not os.path.isdir(odir):
+        return None
+    batches = sorted(
+        int(name) for name in os.listdir(odir) if name.isdigit()
+    )
+    for b in reversed(batches):
+        try:
+            with open(os.path.join(odir, str(b))) as fh:
+                last = None
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        last = line
+                if last:
+                    return int(json.loads(last)["version"])
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            continue
+    return None

@@ -1788,3 +1788,155 @@ def test_check_constraint_gates_streaming_maintainer(spark, tmp_path):
     assert (3, 30) in {
         (r.k, r.v) for r in delta_lite.read_delta(spark, t).collect()
     }
+
+
+def test_cdf_paced_restart_resumes_without_regression(spark, tmp_path):
+    """ADVICE r9 (high): a paced stream (maxCommitsPerBatch) restarted
+    from its checkpoint must resume AT the committed offset — never
+    below it.  The reader's pacing floor is the highest engine position
+    it has observed (the restart recovery re-plan seeds it before the
+    first latestOffset), so the offset log cannot regress and no commit
+    is re-planned under a new batch id.  Asserted end to end: stop a
+    paced stream mid-backlog, append more commits, restart on the same
+    checkpoint, and require every commit to have been consumed exactly
+    once across both runs."""
+    import time
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources.delta_cdf_datasource import (
+        DeltaCdfDataSource,
+    )
+
+    up = str(tmp_path / "up")
+    cp = str(tmp_path / "cp")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v long")
+    delta_lite.write_delta(mk([(1, 1)]), up)
+    for i in range(2, 5):
+        delta_lite.write_delta(mk([(i, i)]), up, mode="append")
+    spark.dataSource.register(DeltaCdfDataSource)
+
+    seen: list[tuple[int, int]] = []
+
+    def fb(df, _bid):
+        seen.extend(
+            (r.k, r._commit_version)
+            for r in df.select("k", "_commit_version").collect()
+        )
+
+    def run(min_rows: int) -> None:
+        q = (
+            spark.readStream.format("delta_cdf")
+            .option("path", up)
+            .option("startingVersion", 0)
+            .option("maxCommitsPerBatch", 1)
+            .load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", cp)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline and len(seen) < min_rows:
+            time.sleep(0.5)
+        q.stop()
+
+    run(min_rows=2)  # consume part of the backlog, then a clean stop
+    consumed_first = list(seen)
+    assert 2 <= len(consumed_first) <= 4
+    # new commits land while the stream is down
+    delta_lite.write_delta(mk([(5, 5)]), up, mode="append")
+    delta_lite.write_delta(mk([(6, 6)]), up, mode="append")
+    run(min_rows=6)
+    # every commit consumed EXACTLY once: no regression-driven replays,
+    # no skipped versions
+    assert sorted(seen) == [(i, i - 1) for i in range(1, 7)]
+
+
+def test_cdf_drain_changes_paced_full_drain(spark, tmp_path):
+    """VERDICT r9 #5: availableNow + maxCommitsPerBatch full-drain
+    semantics.  The engine's availableNow wrapper captures one target
+    offset per RUN, so a single capped run advances min(cap, backlog)
+    commits; drain_changes recovers real-source full-drain semantics by
+    looping runs against the same checkpoint.  cap=1 over a 5-commit
+    backlog must land all 5 commits, in order, in >=5 micro-batches
+    with no duplicates — and the loop must TERMINATE (each restart's
+    recovery re-plan seeds the pacing floor, so every run advances)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources.delta_cdf_datasource import (
+        drain_changes,
+    )
+
+    up = str(tmp_path / "up")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v long")
+    delta_lite.write_delta(mk([(1, 1)]), up)
+    for i in range(2, 6):
+        delta_lite.write_delta(mk([(i, i)]), up, mode="append")
+
+    batches: list[list[tuple[int, int]]] = []
+
+    def fb(df, _bid):
+        rows = sorted(
+            (r.k, r._commit_version)
+            for r in df.select("k", "_commit_version").collect()
+        )
+        if rows:
+            batches.append(rows)
+
+    runs = drain_changes(
+        spark,
+        up,
+        str(tmp_path / "cp"),
+        fb,
+        max_commits_per_batch=1,
+        max_runs=20,
+    )
+    assert runs >= 5  # paced: one commit per run, plus the final no-op
+    assert len(batches) >= 5  # >=5 micro-batches, each at most the cap
+    assert all(len(b) == 1 for b in batches)
+    flat = [r for b in batches for r in b]
+    assert flat == [(i, i - 1) for i in range(1, 6)]  # in order, no dups
+
+
+def test_cdf_reader_floor_protocol_unit(spark, tmp_path):
+    """Unit-level protocol checks on the pacing floor (ADVICE r9 high):
+    (a) a restart recovery re-plan (partitions(c, c)) lifts the floor so
+    the next capped latestOffset resumes from c, not startingVersion;
+    (b) latestOffset never returns below an observed position even when
+    the cap arithmetic would; (c) a start>end batch range — the offset
+    regression signature — raises instead of silently emitting an empty
+    batch; (d) commit(end) is a position signal too."""
+    import pytest as _pytest
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources.delta_cdf_datasource import (
+        _CdfStreamReader,
+    )
+
+    up = str(tmp_path / "up")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v long")
+    delta_lite.write_delta(mk([(1, 1)]), up)
+    for i in range(2, 7):
+        delta_lite.write_delta(mk([(i, i)]), up, mode="append")  # v1..v5
+
+    # fresh reader, engine restarting at committed version 3
+    r = _CdfStreamReader({"path": up, "maxCommitsPerBatch": "1"})
+    r.partitions({"version": 3}, {"version": 3})  # recovery re-plan
+    assert r.latestOffset() == {"version": 4}  # floor 3 + cap 1
+    r.commit({"version": 4})
+    assert r.latestOffset() == {"version": 5}  # commit advanced the floor
+    with _pytest.raises(RuntimeError, match="offset regression"):
+        r.partitions({"version": 5}, {"version": 2})
+
+    # fresh reader, no signal yet: capped from startingVersion (fresh
+    # query pacing — the engine's first latestOffset precedes
+    # initialOffset), but never below a later-observed position
+    r2 = _CdfStreamReader({"path": up, "maxCommitsPerBatch": "2"})
+    assert r2.latestOffset() == {"version": 1}  # starting-1 + 2
+    r2.commit({"version": 4})
+    assert r2.latestOffset()["version"] >= 4  # floor beats stale cap
