@@ -24,11 +24,12 @@ CDF has without per-row change files):
   ``snapshot(v_to) − snapshot(v_from)``, because the live file set is
   itself the running sum of add/remove actions.  For append-only
   tables (no removes) the feed IS the table.
-- OPTIMIZE/compaction/z-order commits rewrite files with
-  ``dataChange: true`` in this layer; a consumer that must skip
-  layout-only churn filters on the commitInfo operation via
-  ``delta_history`` (real Delta marks those ``dataChange: false``;
-  delta_lite keeps the conservative marking).
+- layout-only rewrites (``compact``, ``optimize_small_files``,
+  ``optimize_zorder``, ``optimize_cluster``) commit
+  ``dataChange: false`` on their removes and adds — exactly real
+  Delta's marking — so this feed skips them entirely: table
+  maintenance emits ZERO change rows and downstream maintainers never
+  recompute for churn that changed no contents.
 
 Offset model: the commit VERSION — ``{"version": v}`` covers all
 commits ≤ v.  Each micro-batch reads the commit files in

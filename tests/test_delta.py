@@ -1417,3 +1417,136 @@ def test_restore_rejects_uncommitted_version(spark, tmp_path):
         delta_lite.restore_table(t, version=0)
     # no misleading history entries were committed
     assert len(delta_lite.delta_history(t)) <= hist_before
+
+
+def test_optimize_family_is_invisible_to_change_feed(spark, tmp_path):
+    """VERDICT r9 #2: compact, optimize_zorder, and the new
+    optimize_cluster are LAYOUT-ONLY — their commits carry
+    dataChange:false on every remove and add, so a delta_cdf stream
+    across the full OPTIMIZE family emits ZERO rows, while a real
+    append afterwards still flows.  (optimize_small_files already had
+    this marking; this locks the whole family.)"""
+    import json as _json
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources.delta_cdf_datasource import (
+        DeltaCdfDataSource,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g"), F.col("id").alias("v")
+    )
+    delta_lite.write_delta(df.repartition(6), t)             # v0, 6 files
+    base = delta_lite.current_version(t)
+
+    v1 = delta_lite.compact(spark, t, n_files=2)             # flat compact
+    v2 = delta_lite.optimize_zorder(spark, t, "g", "v", n_files=4)
+    v3 = delta_lite.optimize_cluster(spark, t, ["g"], n_files=4)
+    assert [v1, v2, v3] == [base + 1, base + 2, base + 3]
+    for v in (v1, v2, v3):
+        with open(delta_lite._version_file(t, v)) as fh:
+            acts = [_json.loads(ln) for ln in fh if ln.strip()]
+        assert all(
+            not a["add"]["dataChange"] for a in acts if "add" in a
+        ), f"v{v} add marked dataChange"
+        assert all(
+            not a["remove"]["dataChange"] for a in acts if "remove" in a
+        ), f"v{v} remove marked dataChange"
+    # content identical through all three rewrites
+    got = sorted(
+        tuple(r) for r in delta_lite.read_delta(spark, t).collect()
+    )
+    assert got == sorted(tuple(r) for r in df.collect())
+
+    # the change feed across the three OPTIMIZE commits emits nothing
+    spark.dataSource.register(DeltaCdfDataSource)
+    counts = []
+    q = (
+        spark.readStream.format("delta_cdf")
+        .option("path", t)
+        .option("startingVersion", base + 1)
+        .load()
+        .writeStream.foreachBatch(lambda df_, _b: counts.append(df_.count()))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(counts) == 0
+    # ...but a real append afterwards still flows
+    delta_lite.write_delta(
+        spark.createDataFrame([(999, 0, 999)], "k long, g long, v long"),
+        t,
+        mode="append",
+    )
+    q = (
+        spark.readStream.format("delta_cdf")
+        .option("path", t)
+        .option("startingVersion", base + 1)
+        .load()
+        .writeStream.foreachBatch(lambda df_, _b: counts.append(df_.count()))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(counts) == 1
+
+
+def test_optimize_cluster_narrows_stats_and_prunes(spark, tmp_path):
+    """optimize_cluster rewrites into range-sliced files whose log
+    stats cover narrow, non-overlapping ranges of the cluster column,
+    so a point predicate prunes to a small fraction of files (the
+    gauge-recompute recipe, VERDICT r9 #3); rejected on bucketed
+    tables and on partition columns."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 40).alias("grp"), F.col("id").alias("v")
+    )
+    # unclustered: every file spans nearly all groups
+    delta_lite.write_delta(df.repartition(8), t)
+    live, _, _, _ = delta_lite._read_actions(t)
+    kept_before = {
+        p: a
+        for p, a in live.items()
+        if not delta_lite._maybe_prunable(a, "grp", 7, 7)
+    }
+    assert len(kept_before) == len(live)  # nothing prunable
+    delta_lite.optimize_cluster(spark, t, ["grp"], n_files=8)
+    live2, _, _, _ = delta_lite._read_actions(t)
+    kept_after = {
+        p: a
+        for p, a in live2.items()
+        if not delta_lite._maybe_prunable(a, "grp", 7, 7)
+    }
+    assert 0 < len(kept_after) <= max(1, len(live2) // 4)
+    # pruned read is still value-complete
+    assert (
+        delta_lite.read_delta(spark, t, predicate=("grp", 7, 7))
+        .filter("grp = 7")
+        .count()
+        == 100
+    )
+    # guard rails
+    with pytest.raises(ValueError, match="at least one column"):
+        delta_lite.optimize_cluster(spark, t, [])
+    b = str(tmp_path / "bucketed")
+    delta_lite.upsert_delta(
+        spark, b, spark.createDataFrame([(1, 1)], "k long, v long"), ["k"]
+    )
+    with pytest.raises(ValueError, match="merge-bucketed"):
+        delta_lite.optimize_cluster(spark, b, ["v"])
+    p = str(tmp_path / "part")
+    delta_lite.write_delta(
+        df.withColumn("pc", F.col("grp") % 2), p, partition_by=["pc"]
+    )
+    with pytest.raises(ValueError, match="partition columns"):
+        delta_lite.optimize_cluster(spark, p, ["pc"])
+    # partitioned table clusters WITHIN partitions, layout preserved
+    delta_lite.optimize_cluster(spark, p, ["grp"], n_files=8)
+    livep, metap, _, _ = delta_lite._read_actions(p)
+    assert metap.get("partitionColumns") == ["pc"]
+    assert all(
+        set(a.get("partitionValues") or {}) == {"pc"} for a in livep.values()
+    )
+    assert delta_lite.read_delta(spark, p, predicate=("pc", 1, 1)).count() == 2000
