@@ -11479,6 +11479,133 @@ FROM documents GROUP BY lang
 """
 
 
+def q_delta_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned + keyed incremental MERGE (new r10, VERDICT r9 #1 —
+    the biggest remaining capability gap): the standard 100 TB
+    lakehouse shape is a table PARTITIONED by date for pruning AND
+    key-bucketed for O(touched) MERGE, which r9's guard made mutually
+    exclusive.  The orders table lands partitioned by order year
+    (write_delta(partition_by)), then takes two keyed upserts through
+    the touched-file merge: an UPDATE batch (every o_orderkey % 97 == 3
+    re-statused to 'X' with +1000.00 on the total, exact decimal) and
+    an INSERT batch (negated keys of the % 97 == 5 slice).  The query
+    ASSERTS the spec invariant on every live file post-merge
+    (partitionValues keys == partitionColumns, bucket rides tags), that
+    the second merge was touched-file (removes < live), and that
+    partition pruning on a single year is value-exact on the merged
+    table.  Output: per (o_year, o_orderstatus) count + decimal-exact
+    revenue; the oracle replays the merge algebra relationally
+    (base MINUS updated keys UNION updates UNION inserts)."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_pup_")
+    path = os.path.join(tmp, "orders")
+    try:
+        delta_lite.write_delta(o, path, partition_by=["o_year"])  # v0
+        upd = (
+            o.filter(F.col("o_orderkey") % 97 == 3)
+            .withColumn("o_orderstatus", F.lit("X"))
+            .withColumn(
+                "o_totalprice",
+                (F.col("o_totalprice").cast(DEC) + F.lit(1000).cast(DEC)).cast(
+                    "double"
+                ),
+            )
+        )
+        delta_lite.upsert_delta(spark, path, upd, ["o_orderkey"], n_buckets=8)
+        live, meta, _, _ = delta_lite._read_actions(path)
+        if meta.get("partitionColumns") != ["o_year"]:
+            raise AssertionError("partitionColumns lost through the merge")
+        bad = [
+            p
+            for p, a in live.items()
+            if set(a.get("partitionValues") or {}) != {"o_year"}
+            or delta_lite._file_bucket(a) is None
+        ]
+        if bad:
+            raise AssertionError(
+                f"{len(bad)} post-merge files violate the partitioned+"
+                f"bucketed invariant (e.g. {bad[0]})"
+            )
+        ins = o.filter(F.col("o_orderkey").isin(1, 2, 3)).withColumn(
+            "o_orderkey", -F.col("o_orderkey")
+        )
+        v = delta_lite.upsert_delta(spark, path, ins, ["o_orderkey"], n_buckets=8)
+        import json as _json
+
+        with open(delta_lite._version_file(path, v)) as fh:
+            acts = [_json.loads(ln) for ln in fh if ln.strip()]
+        n_removed = len([a for a in acts if "remove" in a])
+        if not (0 < n_removed < len(live)):
+            raise AssertionError(
+                f"merge was not touched-file ({n_removed} removes vs "
+                f"{len(live)} live)"
+            )
+        # partition pruning stays value-exact on the merged table
+        live2, _, _, _ = delta_lite._read_actions(path)
+        kept = {
+            p
+            for p, a in live2.items()
+            if not delta_lite._partition_prunable(a, "o_year", 1996, 1996, "integer")
+        }
+        want = {
+            p
+            for p, a in live2.items()
+            if (a.get("partitionValues") or {}).get("o_year") == "1996"
+        }
+        if kept != want or not (0 < len(kept) < len(live2)):
+            raise AssertionError("partition pruning broken after merge")
+        out = (
+            delta_lite.read_delta(spark, path)
+            .groupBy("o_year", "o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum("o_totalprice").alias("revenue"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _oracle_delta_partitioned_upsert() -> str:
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+         o_orderstatus, o_totalprice
+  FROM orders
+), upd AS (
+  SELECT o_orderkey, o_year, 'X' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,4)) + CAST(1000 AS DECIMAL(18,4))
+              AS DOUBLE) AS o_totalprice
+  FROM base WHERE o_orderkey % 97 = 3
+), ins AS (
+  SELECT -o_orderkey AS o_orderkey, o_year, o_orderstatus, o_totalprice
+  FROM base WHERE o_orderkey IN (1, 2, 3)
+), final AS (
+  SELECT * FROM base WHERE o_orderkey % 97 <> 3
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+)
+SELECT o_year, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM final GROUP BY 1, 2
+"""
+
+
 def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension history maintained from the change feed
     (jobs.maintain_scd2_from_changes, new r9 — the third CDC-maintained
@@ -14461,7 +14588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry-affecting commit (VERDICT r7 #5)."""
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
-        # -- (B) new or re-shaped in round 9 (insert new HERE) -------
+        # -- (B) new or re-shaped in round 10 (insert new HERE) ------
+        "delta_partitioned_upsert": q_delta_partitioned_upsert,
+        # -- (B cont.) round-9 block ---------------------------------
         "delta_change_feed": q_delta_change_feed,
         "ab_multiarm_readout": q_ab_multiarm_readout,
         "cdc_rollup_maintained": q_cdc_rollup_maintained,
@@ -14770,6 +14899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "delta_partitioned_upsert": _oracle_delta_partitioned_upsert(),
         "ab_srm_check": _oracle_ab_srm_check(),
         "ab_multiarm_readout": _oracle_ab_multiarm_readout(),
         "cdc_rollup_maintained": _oracle_cdc_rollup_maintained(),
