@@ -11479,6 +11479,74 @@ FROM documents GROUP BY lang
 """
 
 
+def q_delta_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE over a clustered table (delta_lite.delete_where
+    + optimize_cluster, new r10): the documents table lands flat, gets
+    linearly CLUSTERED on lang (layout-only rewrite, dataChange:false —
+    narrow non-overlapping per-file lang stats), then takes
+    DELETE WHERE lang='de' with the matching stats predicate.  The
+    query ASSERTS the clustering made the delete file-local (the
+    commit's removes are a strict subset of the live files) — on an
+    unclustered table every file would hold some 'de' rows — and that
+    a no-match delete commits nothing.  Output: per-(lang, source)
+    aggregate of the post-delete snapshot; the oracle replays the
+    filter relationally."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="delta_delw_")
+    path = os.path.join(tmp, "docs")
+    try:
+        delta_lite.write_delta(d.repartition(8), path)
+        delta_lite.optimize_cluster(spark, path, ["lang"], n_files=8)
+        live, _, _, _ = delta_lite._read_actions(path)
+        v = delta_lite.delete_where(
+            spark, path, "lang = 'de'", predicate=("lang", "de", "de")
+        )
+        with open(delta_lite._version_file(path, v)) as fh:
+            acts = [_json.loads(ln) for ln in fh if ln.strip()]
+        n_removed = len([a for a in acts if "remove" in a])
+        if not (0 < n_removed < len(live)):
+            raise AssertionError(
+                f"delete was not file-local ({n_removed} removes vs "
+                f"{len(live)} live files) — clustering failed to bound it"
+            )
+        if delta_lite.delete_where(
+            spark, path, "lang = 'zz'", predicate=("lang", "zz", "zz")
+        ) != v:
+            raise AssertionError("no-match delete advanced the log")
+        out = (
+            delta_lite.read_delta(spark, path)
+            .groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars").alias("chars"),
+                F.min("doc_id").alias("min_doc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE_DELTA_DELETE_WHERE = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM documents
+WHERE lang <> 'de' OR lang IS NULL
+GROUP BY 1, 2
+"""
+
+
 def q_delta_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned + keyed incremental MERGE (new r10, VERDICT r9 #1 —
     the biggest remaining capability gap): the standard 100 TB
@@ -14589,6 +14657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 10 (insert new HERE) ------
+        "delta_delete_where": q_delta_delete_where,
         "delta_partitioned_upsert": q_delta_partitioned_upsert,
         # -- (B cont.) round-9 block ---------------------------------
         "delta_change_feed": q_delta_change_feed,
@@ -14899,6 +14968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "delta_delete_where": ORACLE_DELTA_DELETE_WHERE,
         "delta_partitioned_upsert": _oracle_delta_partitioned_upsert(),
         "ab_srm_check": _oracle_ab_srm_check(),
         "ab_multiarm_readout": _oracle_ab_multiarm_readout(),

@@ -2190,3 +2190,150 @@ def optimize_cluster(
     return _commit_layout_rewrite(
         table, version, live, adds, {"clusterBy": json.dumps(cols)}
     )
+
+
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    predicate: "tuple | list | None" = None,
+    txn: "tuple[str, int] | None" = None,
+) -> int:
+    """DELETE FROM ``table`` WHERE ``condition`` — predicate-level
+    erasure that rewrites ONLY the live files actually CONTAINING
+    matching rows (real Delta's DELETE).  Complements ``delete_keys``
+    (key-level, touched-bucket): this one serves range/attribute
+    deletes ("drop everything for lang='de'", "purge year 1996"),
+    where the touched set is defined by the data, not the merge keys.
+
+    Two-phase, both bounded:
+    1. CANDIDATES by log pruning: ``predicate`` triples — the
+       file-skipping range implied by the condition, e.g.
+       ``('lang', 'de', 'de')`` — apply partition pruning and stats
+       skipping first, so on a partitioned or clustered
+       (``optimize_cluster`` / ``optimize_zorder``) table the scan
+       never touches files the log proves clean.  Omitted: every live
+       file is a candidate (correct, just unpruned).
+    2. DIRTY files by scan: one pushed-down-filter pass over the
+       candidates collecting DISTINCT ``input_file_name()`` (bounded
+       by the candidate file count) — candidates with zero matching
+       rows are NOT rewritten.
+
+    The rewrite commits remove(dirty) + add(their non-matching rows)
+    with ``dataChange: true`` — a DELETE is a real content change and
+    MUST flow to change-feed consumers (unlike the OPTIMIZE family).
+    SQL DELETE semantics: rows where the condition is NULL are KEPT.
+    Layout is preserved: partition directories, bucket tags, or both.
+    Pinned snapshot, aborts on a concurrent commit; time travel keeps
+    pre-delete versions until ``vacuum`` (same GDPR story as
+    ``delete_keys``).  Returns the committed version, or the current
+    version unchanged when nothing matched."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    live, meta, base, _ = _read_actions(table)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = meta.get("partitionColumns") or []
+    conf = meta.get("configuration") or {}
+    cand = dict(live)
+    if predicate is not None:
+        triples = predicate if isinstance(predicate, list) else [predicate]
+        for col, lo, hi in triples:
+            if col in pcols:
+                dtype = next(
+                    (f.dataType.typeName() for f in schema.fields if f.name == col),
+                    "string",
+                )
+                cand = {
+                    p: a
+                    for p, a in cand.items()
+                    if not _partition_prunable(a, col, lo, hi, dtype)
+                }
+            cand = {
+                p: a
+                for p, a in cand.items()
+                if not _maybe_prunable(a, col, lo, hi)
+            }
+    if not cand:
+        return base  # the log proves nothing matches
+
+    def rd(paths: dict) -> DataFrame:
+        reader = spark.read.schema(schema)
+        if pcols:
+            reader = reader.option("basePath", table)
+        return reader.parquet(*[os.path.join(table, p) for p in sorted(paths)])
+
+    matched = (
+        rd(cand)
+        .filter(F.coalesce(F.expr(condition), F.lit(False)))
+        .select(F.input_file_name().alias("__f"))
+        .distinct()
+        .collect()
+    )
+    by_base = {os.path.basename(p): p for p in cand}
+    dirty = {}
+    for r in matched:
+        rel = by_base.get(os.path.basename(r["__f"]))
+        if rel is None:
+            raise RuntimeError(
+                f"delete_where: matched file {r['__f']} not in the "
+                f"candidate set of {table} (concurrent rewrite?) — re-run"
+            )
+        dirty[rel] = cand[rel]
+    if not dirty:
+        return base  # candidates held no matching rows
+
+    remainder = (
+        rd(dirty)
+        .select(*[f.name for f in schema.fields])
+        .filter(~F.coalesce(F.expr(condition), F.lit(False)))
+    )
+    version = base + 1
+    bucketed = "bucketKeys" in conf and "numBuckets" in conf
+    if bucketed:
+        key_cols = json.loads(conf["bucketKeys"])
+        nb = int(conf["numBuckets"])
+        width = max(
+            1, len({_file_bucket(a) for a in dirty.values()} - {None})
+        )
+        rem_b = remainder.withColumn(_BUCKET_COL, _bucket_expr(key_cols, nb))
+        if pcols:
+            adds = _stage_partitioned_files(
+                rem_b, table, version, pcols, bucket_width=width
+            )
+        else:
+            adds = _stage_bucketed_files(rem_b, table, version, width)
+    elif pcols:
+        adds = _stage_partitioned_files(remainder, table, version, pcols)
+    else:
+        adds = _stage_data_files(
+            remainder.repartition(max(1, len(dirty))), table, version
+        )
+    actions: list[dict] = [
+        _commit_info("DELETE", {"predicate": condition})
+    ]
+    ts = int(time.time() * 1000)
+    for path in dirty:
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.extend({"add": a} for a in adds)
+    actions.extend(_txn_action(txn))
+    if not _commit(table, version, actions):
+        for a in adds:
+            try:
+                os.remove(os.path.join(table, a["path"]))
+            except OSError:
+                pass
+        raise RuntimeError(
+            f"concurrent commit during DELETE on {table}; aborted "
+            "(snapshot stale — re-run)"
+        )
+    _maybe_checkpoint(table, version)
+    return version

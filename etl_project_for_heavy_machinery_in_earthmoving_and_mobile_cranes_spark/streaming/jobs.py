@@ -626,14 +626,23 @@ def apply_gauge_rollup_batch(
       batch's max ``_commit_version`` (so later fold batches stack on
       a consistent base).  The scan uses ``read_delta`` stats-predicate
       file skipping bounded by the dirty groups' value range plus a
-      broadcast semi-join on the exact group set — when the upstream
-      is clustered by the group columns (Z-order / partition layout)
-      this reads only the files holding dirty groups; on a hash-
-      bucketed upstream it degrades to a full-file-set scan of the
-      pinned snapshot, which is the honest price of a non-invertible
-      aggregate without group-clustering.  A bucket rewrite's
-      carried-over rows arrive as delete+insert of the same group, so
-      merge-touched upstreams route through recompute — correct, never
+      broadcast semi-join on the exact group set.  Make the skipping
+      BITE by clustering the upstream on the group columns — any of:
+      (a) ``delta_lite.optimize_cluster(up, group_cols)`` (linear
+      range-sort, layout-only/dataChange:false so this feed skips the
+      rewrite itself; the right shape for append-mostly upstreams
+      taking ``delete_where`` deletes — verified by
+      test_gauge_recompute_rides_clustered_files and the 30x probe in
+      SCALE.md), (b) ``optimize_zorder`` when another column must
+      prune too, or (c) PARTITIONING the upstream by a group column
+      (``write_delta(partition_by=...)``), which composes with keyed
+      merges since r10's partitioned+bucketed merge.  On an upstream
+      hash-bucketed by NON-group keys none of these apply and the
+      recompute honestly degrades to a full-file-set scan of the
+      pinned snapshot — the price of a non-invertible aggregate
+      without group-clustering.  A bucket rewrite's carried-over rows
+      arrive as delete+insert of the same group, so merge-touched
+      upstreams route through recompute — correct, never
       double-counted.
 
     Groups recomputed to zero rows are dropped.  Publishes through the

@@ -1664,3 +1664,103 @@ def test_optimize_cluster_narrows_stats_and_prunes(spark, tmp_path):
         set(a.get("partitionValues") or {}) == {"pc"} for a in livep.values()
     )
     assert delta_lite.read_delta(spark, p, predicate=("pc", 1, 1)).count() == 2000
+
+
+def test_delete_where_rewrites_only_dirty_files(spark, tmp_path):
+    """Predicate DELETE (new r10): on a lang-clustered table,
+    DELETE WHERE lang='de' with the matching stats predicate rewrites
+    only the files that actually contain 'de' rows; clean files keep
+    their add actions untouched.  NULL-condition rows are KEPT (SQL
+    DELETE), the commit is dataChange:true (a real content change must
+    flow to the change feed), time travel serves pre-delete rows, and
+    a no-match delete commits nothing."""
+    t = str(tmp_path / "t")
+    langs = ["en", "de", "fr", "es", None]
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in langs]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("lang"),
+        F.col("id").alias("v"),
+    )
+    delta_lite.write_delta(df.repartition(8), t)
+    delta_lite.optimize_cluster(spark, t, ["lang"], n_files=8)
+    live, _, base, _ = delta_lite._read_actions(t)
+
+    v = delta_lite.delete_where(
+        spark, t, "lang = 'de'", predicate=("lang", "de", "de")
+    )
+    assert v == base + 1
+    with open(delta_lite._version_file(t, v)) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    removes = [a for a in acts if "remove" in a]
+    assert 0 < len(removes) < len(live)  # only dirty files rewritten
+    assert all(a["remove"]["dataChange"] for a in removes)
+    got = delta_lite.read_delta(spark, t)
+    assert got.filter("lang = 'de'").count() == 0
+    assert got.filter("lang IS NULL").count() == 200  # NULL kept
+    assert got.count() == 800
+    # time travel still serves the deleted rows
+    assert (
+        delta_lite.read_delta(spark, t, version=base)
+        .filter("lang = 'de'")
+        .count()
+        == 200
+    )
+    # no-match: no commit at all
+    assert (
+        delta_lite.delete_where(
+            spark, t, "lang = 'xx'", predicate=("lang", "xx", "xx")
+        )
+        == v
+    )
+    assert delta_lite.current_version(t) == v
+
+
+def test_delete_where_partitioned_and_bucketed_layouts(spark, tmp_path):
+    """delete_where preserves the table layout it rewrites: partition
+    directories + partitionValues on partitioned tables (with the
+    predicate partition-pruning the candidates), bucket tags on
+    merge-bucketed tables (merges stay incremental afterwards)."""
+    # partitioned
+    p = str(tmp_path / "p")
+    df = spark.range(0, 600).select(
+        (F.col("id") % 3).cast("int").alias("y"),
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("v"),
+    )
+    delta_lite.write_delta(df, p, partition_by=["y"])
+    live, _, _, _ = delta_lite._read_actions(p)
+    v = delta_lite.delete_where(
+        spark, p, "y = 1 AND v = 3", predicate=("y", 1, 1)
+    )
+    with open(delta_lite._version_file(p, v)) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    # only the y=1 partition's files were candidates
+    assert all(
+        "y=1/" in a["remove"]["path"] for a in acts if "remove" in a
+    )
+    new_adds = [a["add"] for a in acts if "add" in a]
+    assert all(set(a["partitionValues"]) == {"y"} for a in new_adds)
+    got = delta_lite.read_delta(spark, p)
+    assert got.filter("y = 1 AND v = 3").count() == 0
+    assert got.filter("y != 1 AND v = 3").count() == 40
+    assert got.count() == 580
+
+    # bucketed
+    b = str(tmp_path / "b")
+    delta_lite.upsert_delta(spark, b, df, ["k"], n_buckets=4)
+    vb = delta_lite.delete_where(spark, b, "v = 7")
+    liveb, _, _, _ = delta_lite._read_actions(b)
+    assert all(
+        delta_lite._file_bucket(a) is not None for a in liveb.values()
+    )
+    assert delta_lite.read_delta(spark, b).count() == 540
+    # merge after the delete is still touched-file incremental
+    v2 = delta_lite.upsert_delta(
+        spark, b, spark.createDataFrame([(0, 999, 0)], "y int, k long, v long"), ["k"]
+    )
+    with open(delta_lite._version_file(b, v2)) as fh:
+        acts2 = [json.loads(ln) for ln in fh if ln.strip()]
+    assert 0 < len([a for a in acts2 if "remove" in a]) < len(liveb)

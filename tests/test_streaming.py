@@ -1940,3 +1940,77 @@ def test_cdf_reader_floor_protocol_unit(spark, tmp_path):
     assert r2.latestOffset() == {"version": 1}  # starting-1 + 2
     r2.commit({"version": 4})
     assert r2.latestOffset()["version"] >= 4  # floor beats stale cap
+
+
+def test_gauge_recompute_rides_clustered_files(spark, tmp_path):
+    """VERDICT r9 #3: on an upstream CLUSTERED by the group columns
+    (delta_lite.optimize_cluster — layout-only, so the feed skips the
+    rewrite itself), the gauge maintainer's dirty-group recompute reads
+    only the files whose stats overlap the dirty range — a strict
+    subset of the live file set — and the maintained table still equals
+    the snapshot aggregate.  The deletes arrive via delete_where (a
+    real content change, dataChange:true)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    up = str(tmp_path / "up")
+    down = str(tmp_path / "down")
+    cp = str(tmp_path / "cp")
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 30).alias("grp"), F.col("id").alias("val")
+    )
+    delta_lite.write_delta(df.repartition(10), up)         # v0: 10 files
+    delta_lite.optimize_cluster(spark, up, ["grp"], n_files=10)  # v1: skipped by feed
+
+    def drain():
+        q = jobs.maintain_gauge_rollup_from_changes(
+            spark, up, down, cp, group_cols=["grp"], minmax_cols=["val"]
+        )
+        q.awaitTermination()
+
+    drain()  # v0 inserts fold; v1 layout rewrite emits nothing
+
+    # a predicate delete dirties ONE group; instrument the upstream
+    # snapshot read the recompute performs
+    delta_lite.delete_where(
+        spark, up, "grp = 7 AND val < 1500", predicate=("grp", 7, 7)
+    )
+    live, _, _, _ = delta_lite._read_actions(up)
+    real_read = delta_lite.read_delta
+    reads = []
+
+    def wrapped(*args, **kw):
+        out = real_read(*args, **kw)
+        if len(args) > 1 and args[1] == up:
+            reads.append(len(out.inputFiles()))
+        return out
+
+    delta_lite.read_delta = wrapped
+    try:
+        drain()
+    finally:
+        delta_lite.read_delta = real_read
+    assert reads, "recompute path never read the upstream"
+    # clustered: the dirty-group recompute touches a strict subset —
+    # the dirty file itself plus at most its stats-overlap neighbors
+    assert max(reads) <= max(1, len(live) // 2), (reads, len(live))
+
+    got = {
+        (r.grp, r.n, r.min_val, r.max_val)
+        for r in jobs.read_maintained_table(spark, down)
+        .select("grp", "n", "min_val", "max_val")
+        .collect()
+    }
+    want = {
+        (r.grp, r.n, r.min_val, r.max_val)
+        for r in delta_lite.read_delta(spark, up)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .collect()
+    }
+    assert got == want
