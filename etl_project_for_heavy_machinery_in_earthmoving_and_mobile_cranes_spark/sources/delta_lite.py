@@ -569,6 +569,46 @@ class LocalLinkLogStore(LogStore):
             os.remove(tmp)
 
 
+class InMemoryFenceLogStore(LogStore):
+    """Object-store-shaped fence (VERDICT r9 #7): the winner is decided
+    by an in-memory compare-and-set under a lock — the same contract an
+    S3 ``If-None-Match`` / GCS ``if-generation-match: 0`` conditional
+    put gives, decided by NO filesystem primitive — and the winning
+    content is then written through to the path so readers (which read
+    the log where it lives) see the committed entry.  This exercises
+    the full pluggability contract independently of ``os.link``: two
+    writers racing the same version get exactly one True, the loser
+    writes NOTHING and re-validates at the next version (write_delta /
+    merge_touched retry).  A real object-store deployment replaces the
+    CAS with the store's conditional-put call; everything else in this
+    layer is unchanged.  In-process scope only (the CAS lives in this
+    process) — it is a contract proof and a test double, not a
+    multi-node fence."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.Lock()
+        self._keys: set[str] = set()
+
+    def put_if_absent(self, path: str, content: bytes) -> bool:
+        with self._lock:
+            if path in self._keys or os.path.exists(path):
+                return False  # loser: write nothing
+            self._keys.add(path)
+        # fence already won: materialize for readers (atomic rename so
+        # a concurrent reader never sees a partial file)
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-mem-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(content)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+        return True
+
+
 #: LogStore per URI scheme; "" = plain local paths.  A real object-store
 #: deployment registers its conditional-put implementation up front.
 _LOG_STORES: "dict[str, LogStore]" = {"": LocalLinkLogStore()}
