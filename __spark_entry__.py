@@ -14621,29 +14621,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first; (B) queries added THIS round (new queries are inserted at
     the TOP of section B by default, ahead of re-verified greens);
     (C) queries with a green CORRECTNESS row in some prior round,
-    most-recently-verified last.  Round 9: section A is EMPTY; section
-    B = three NEW queries (delta_change_feed — VERDICT r8 #1,
-    cdc_rollup_maintained — #2's batch-facing readout,
-    ab_multiarm_readout — #3), the re-shaped delta_time_travel_diff
-    (now O(changed files) via read_changes), and every query whose
-    transitive closure rides the r9 delta_lite / jobs / experiments /
-    linkage edits (44 stale-green-flagged entries total, all kept
-    inside the prefix).
+    most-recently-verified last.  Round 10: section A is EMPTY;
+    section B = two NEW queries (delta_partitioned_upsert — VERDICT r9
+    #1, the partitioned+bucketed merge; delta_delete_where — predicate
+    DELETE over a clustered table) plus every query whose transitive
+    closure rides the r10 delta_lite / jobs / delta_cdf edits (45
+    stale-green-flagged entries, all kept inside the prefix — the
+    round fixed all four ADVICE findings and reworked constraint
+    enforcement, the OPTIMIZE family, and the CDF pacing floor, so the
+    delta closure is wide again).
 
     VETERAN ROTATION (round 9 onward, VERDICT r8 #7): each round the
-    ~5 registry entries with the OLDEST driver-verified green (ties
+    registry entries with the OLDEST driver-verified green (ties
     broken alphabetically) are rotated into a (B-rot) block inside
     the 50-entry prefix so they re-earn a driver green.  stale_green
     hashes catch code/oracle drift; rotation catches ENVIRONMENT
     drift (Spark/DuckDB version bumps, testdata regeneration) that no
-    code hash can see.  At 280 entries / ~5 per round the full
-    registry re-verifies on a bounded cycle behind the ~45 per round
-    that re-verify anyway through the stale_green closure.  Mandatory
-    (stale-flagged) entries ALWAYS outrank rotation for prefix slots.
-    r9 rotation: acctbal_band_join, brand_market_share (last green
-    r1; the 48-entry changed closure left 2 slots —
-    brand_median_price, containment_first, containment_longest lead
-    the r10 rotation).
+    code hash can see.  At ~284 entries the full registry re-verifies
+    on a bounded cycle behind the ~45 per round that re-verify anyway
+    through the stale_green closure.  Mandatory (stale-flagged)
+    entries ALWAYS outrank rotation for prefix slots.  r10 rotation:
+    brand_median_price, containment_first, containment_longest (r1
+    greens, next in the oldest-first queue after r9's pair; the
+    47-entry changed set left 3 slots).  upsert_latest and
+    ratio_metric_ztest lead the r11 rotation.
 
     Section-B membership is MECHANICALLY checked:
     tools/stale_green.py hashes every query's function body, its
@@ -14679,10 +14680,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_zorder_partitioned": q_delta_zorder_partitioned,
         "delta_partition_prune": q_delta_partition_prune,
         "delta_gdpr_delete": q_delta_gdpr_delete,
-        "linkage_blocking_census": q_linkage_blocking_census,
-        # re-shaped r8: blocking skew cap (max_block) wired in
-        "record_linkage": q_record_linkage,
-        "linkage_golden_records": q_linkage_golden_records,
         # re-promoted r8: delta_lite partition/tags/pruning rework
         # touches these code paths
         "delta_optimize_zorder": q_delta_optimize_zorder,
@@ -14716,22 +14713,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_triangles": q_near_dup_triangles,
         "hybrid_retrieval": q_hybrid_retrieval,
         "revenue_decomposition": q_revenue_decomposition,
-        # -- (B-rot) veteran rotation (VERDICT r8 #7): the 5 queries
-        # with the OLDEST driver green (all r1, alphabetical tiebreak)
-        # re-earn a driver-checked green this round.  Every round
-        # rotates the next 5 oldest greens into this slot so each of
-        # the 278 entries re-verifies on a bounded (~7-round) cycle,
-        # catching environment drift (Spark/DuckDB bumps, testdata
-        # regeneration) that stale_green's code hashing cannot see.
-        "acctbal_band_join": q_acctbal_band_join,
-        "brand_market_share": q_brand_market_share,
-        # -- (C) driver-green in a prior round --------------------
-        # brand_median_price + containment_first/_longest lead the r10
-        # rotation: the r9 changed closure (48 entries, all mandatory
-        # in-prefix) left only 2 rotation slots this round
+        # -- (B-rot) veteran rotation (VERDICT r8 #7): oldest driver
+        # greens re-earn a driver-checked green each round, catching
+        # environment drift (Spark/DuckDB bumps, testdata regeneration)
+        # that stale_green's code hashing cannot see.  r10: the 47-entry
+        # changed closure (every delta/jobs/cdf rider plus 2 new
+        # queries) leaves 3 slots — brand_median_price,
+        # containment_first, containment_longest (all r1 greens, next
+        # in the oldest-first queue after r9's pair).  upsert_latest +
+        # ratio_metric_ztest lead the r11 rotation.
         "brand_median_price": q_brand_median_price,
         "containment_first": q_containment_first,
         "containment_longest": q_containment_longest,
+        # -- (C) driver-green in a prior round --------------------
+        # demoted from the prefix this round to make rotation room
+        # (unchanged closures, driver-green r8/r9):
+        "linkage_blocking_census": q_linkage_blocking_census,
+        "record_linkage": q_record_linkage,
+        "linkage_golden_records": q_linkage_golden_records,
+        "acctbal_band_join": q_acctbal_band_join,
+        "brand_market_share": q_brand_market_share,
         "ratio_metric_ztest": q_ratio_metric_ztest,
         "markov_attribution": q_markov_attribution,
         "upsert_latest": q_upsert_latest,
