@@ -2227,6 +2227,10 @@ def optimize_cluster(
         adds = _stage_partitioned_files(ordered, table, version, pcols)
     else:
         adds = _stage_data_files(ordered, table, version)
+        # tag flat clustered outputs so optimize_cluster_incremental
+        # can skip this backbone and rewrite only fresh appends
+        for a in adds:
+            a.setdefault("tags", {})[_CLUSTERED_TAG] = json.dumps(cols)
     return _commit_layout_rewrite(
         table, version, live, adds, {"clusterBy": json.dumps(cols)}
     )
@@ -2377,3 +2381,86 @@ def delete_where(
         )
     _maybe_checkpoint(table, version)
     return version
+
+
+_CLUSTERED_TAG = "clustered"
+
+
+def optimize_cluster_incremental(
+    spark: SparkSession,
+    table: str,
+    cols: list[str],
+    target_bytes: int = 128 << 20,
+    min_files: int = 2,
+    n_files: "int | None" = None,
+) -> "int | None":
+    """INCREMENTAL OPTIMIZE CLUSTER BY — the streaming-ingest
+    counterpart of ``optimize_cluster``, shaped like an LSM level
+    merge: rewrite ONLY the live files not yet clustered on ``cols``
+    (fresh micro-batch appends), range-sorted into a new internally-
+    disjoint level, and leave the already-clustered backbone untouched.
+    Maintenance cost rides the FRESH bytes, never the table — the
+    property that keeps a 100 TB ingest table continuously queryable.
+
+    Mechanics: every clustered output (full or incremental) carries
+    ``tags['clustered'] = <cols json>`` in its add action; a run
+    selects the live files WITHOUT that tag, sorts them on ``cols``,
+    and commits the swap layout-only (``dataChange: false`` — the
+    change feed skips it).  Each run adds one internally-disjoint
+    level, so a point predicate reads at most (level count) files
+    instead of every fresh file; a periodic FULL ``optimize_cluster``
+    merges the levels back to one.  Files a ``compact`` /
+    ``optimize_small_files`` rewrite produced lost the tag and simply
+    re-cluster on the next run (correct, just re-paid).
+
+    Flat tables only (partitioned tables: run ``optimize_cluster``,
+    which clusters within partitions; bucketed tables are rejected for
+    the same tag-destruction reason as the full rewrite).  Returns the
+    committed version, or None when fewer than ``min_files`` files
+    need clustering."""
+    from pyspark.sql.types import StructType
+
+    live, meta, base, _ = _read_actions(table)
+    pcols = meta.get("partitionColumns") or []
+    conf = meta.get("configuration") or {}
+    cols = list(cols)
+    if not cols:
+        raise ValueError("optimize_cluster_incremental: pass at least one column")
+    if pcols:
+        raise ValueError(
+            f"optimize_cluster_incremental: {table} declares "
+            f"partitionColumns {pcols}; use optimize_cluster, whose "
+            "partitioned path clusters within partitions"
+        )
+    if "bucketKeys" in conf:
+        raise ValueError(
+            f"optimize_cluster_incremental: {table} is merge-bucketed; "
+            "rely on touched-bucket pruning instead of clustering"
+        )
+    want = json.dumps(cols)
+    fresh = {
+        p: a
+        for p, a in live.items()
+        if (a.get("tags") or {}).get(_CLUSTERED_TAG) != want
+    }
+    if len(fresh) < max(1, min_files):
+        return None
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(table, p) for p in sorted(fresh)]
+    )
+    if n_files is None:
+        total = sum(a.get("size", 0) for a in fresh.values())
+        n_files = max(1, -(-total // max(1, target_bytes)))
+    ordered = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    version = base + 1
+    adds = _stage_data_files(ordered, table, version)
+    for a in adds:
+        a.setdefault("tags", {})[_CLUSTERED_TAG] = want
+    return _commit_layout_rewrite(
+        table,
+        version,
+        fresh,
+        adds,
+        {"clusterBy": want, "incremental": "true", "freshFiles": str(len(fresh))},
+    )

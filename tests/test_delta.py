@@ -1839,3 +1839,73 @@ def test_inmemory_fence_log_store_contract(spark, tmp_path):
             delta_lite._log_store_for("s3fake://bucket/tbl")
     finally:
         delta_lite._LOG_STORES.pop("memfence", None)
+
+
+def test_optimize_cluster_incremental_rides_fresh_files(spark, tmp_path):
+    """Incremental clustering (LSM-level shape): after a full cluster,
+    only UNTAGGED fresh appends rewrite — the clustered backbone's add
+    actions survive byte-identical; each run commits layout-only
+    (dataChange:false); point predicates read at most (level count)
+    files; a run with nothing fresh returns None."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 40).alias("grp"), F.col("id").alias("v")
+    )
+    delta_lite.write_delta(df.repartition(6), t)
+    delta_lite.optimize_cluster(spark, t, ["grp"], n_files=8)
+    live_backbone, _, _, _ = delta_lite._read_actions(t)
+    assert all(
+        (a.get("tags") or {}).get("clustered") == '["grp"]'
+        for a in live_backbone.values()
+    )
+    # three fresh unsorted appends (streaming-ingest shape)
+    for i in range(3):
+        delta_lite.write_delta(
+            spark.range(4000 + i * 100, 4100 + i * 100).select(
+                (F.col("id") % 40).alias("grp"), F.col("id").alias("v")
+            ),
+            t,
+            mode="append",
+        )
+    v = delta_lite.optimize_cluster_incremental(
+        spark, t, ["grp"], min_files=2, n_files=4
+    )
+    assert v is not None
+    with open(delta_lite._version_file(t, v)) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    removed = {a["remove"]["path"] for a in acts if "remove" in a}
+    # ONLY the fresh files rewrote; the backbone survived untouched
+    assert removed.isdisjoint(live_backbone)
+    assert all(not a["remove"]["dataChange"] for a in acts if "remove" in a)
+    live2, _, _, _ = delta_lite._read_actions(t)
+    assert set(live_backbone) < set(live2)
+    assert all(
+        (a.get("tags") or {}).get("clustered") == '["grp"]'
+        for a in live2.values()
+    )
+    # two internally-disjoint levels: a point predicate reads at most
+    # one file per level (backbone slice + one fresh-level slice)
+    kept = {
+        p: a
+        for p, a in live2.items()
+        if not delta_lite._maybe_prunable(a, "grp", 7, 7)
+    }
+    assert len(kept) <= 2, sorted(kept)
+    assert (
+        delta_lite.read_delta(spark, t, predicate=("grp", 7, 7))
+        .filter("grp = 7")
+        .count()
+        == df.filter("grp = 7").count()
+        + spark.range(4000, 4300).filter("id % 40 = 7").count()
+    )
+    # content intact end to end
+    assert delta_lite.read_delta(spark, t).count() == 4300
+    # nothing fresh left: no-op
+    assert (
+        delta_lite.optimize_cluster_incremental(spark, t, ["grp"]) is None
+    )
+    # different cluster cols -> everything is fresh again
+    assert (
+        delta_lite.optimize_cluster_incremental(spark, t, ["v"], n_files=4)
+        is not None
+    )
