@@ -11547,6 +11547,104 @@ GROUP BY 1, 2
 """
 
 
+def q_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION VECTORS (delta_lite.delete_where(use_dv=True), new
+    r10): two layered predicate DELETEs on the documents table commit
+    (file, row-index) sidecars and re-add the SAME data files — the
+    query ASSERTS zero data-file rewrite on both commits (the add set
+    equals the remove set, every re-add carries a dv tag), that the
+    change feed between the two versions nets exactly the second
+    delete's rows, and that a rewriting compact PURGES the vectors.
+    Output: the post-delete snapshot aggregated per (lang, source),
+    read once through the DV-applying reader and once through the
+    purged compacted table (both must agree — the union hash covers
+    both read paths); the oracle replays the two filters
+    relationally."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="delta_dv_")
+    path = os.path.join(tmp, "docs")
+    try:
+        delta_lite.write_delta(d.repartition(6), path)
+        base = delta_lite.current_version(path)
+
+        def assert_dv_commit(v: int) -> None:
+            with open(delta_lite._version_file(path, v)) as fh:
+                acts = [_json.loads(ln) for ln in fh if ln.strip()]
+            radds = {a["add"]["path"] for a in acts if "add" in a}
+            rrems = {a["remove"]["path"] for a in acts if "remove" in a}
+            if radds != rrems or not radds:
+                raise AssertionError(
+                    f"v{v} was not a pure DV commit (adds {len(radds)} "
+                    f"vs removes {len(rrems)})"
+                )
+            if not all(
+                (a["add"].get("tags") or {}).get("dv")
+                for a in acts
+                if "add" in a
+            ):
+                raise AssertionError(f"v{v} re-add missing its dv tag")
+
+        v1 = delta_lite.delete_where(spark, path, "lang = 'de'", use_dv=True)
+        assert_dv_commit(v1)
+        v2 = delta_lite.delete_where(
+            spark, path, "lang = 'fr' AND source = 'src3'", use_dv=True
+        )
+        assert_dv_commit(v2)
+        net = delta_lite.read_changes(spark, path, v1, v2)
+        n_del = net.filter("_change_type = 'delete'").count()
+        want_del = d.filter("lang = 'fr' AND source = 'src3'").count()
+        if n_del != want_del or net.filter("_change_type = 'insert'").count():
+            raise AssertionError(
+                f"DV change feed wrong: {n_del} deletes (want {want_del})"
+            )
+        if delta_lite.read_delta(spark, path, version=base).count() != d.count():
+            raise AssertionError("time travel lost pre-delete rows")
+        agg = lambda df_, side: (
+            df_.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+            .withColumn("read_path", F.lit(side))
+        )
+        dv_read = agg(delta_lite.read_delta(spark, path), "dv")
+        delta_lite.compact(spark, path, n_files=2)  # purges the vectors
+        live, _, _, _ = delta_lite._read_actions(path)
+        if any((a.get("tags") or {}).get("dv") for a in live.values()):
+            raise AssertionError("compact left dv tags behind")
+        purged_read = agg(delta_lite.read_delta(spark, path), "purged")
+        out = (
+            dv_read.unionByName(purged_read)
+            .select("read_path", "lang", "source", "n", "chars")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE_DELTA_DELETION_VECTORS = """
+WITH final AS (
+  SELECT lang, source, n_chars FROM documents
+  WHERE NOT (lang = 'de')
+    AND NOT (lang = 'fr' AND source = 'src3')
+), agg AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM final GROUP BY 1, 2
+)
+SELECT 'dv' AS read_path, * FROM agg
+UNION ALL
+SELECT 'purged' AS read_path, * FROM agg
+"""
+
+
 def q_delta_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned + keyed incremental MERGE (new r10, VERDICT r9 #1 —
     the biggest remaining capability gap): the standard 100 TB
@@ -14658,6 +14756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 10 (insert new HERE) ------
+        "delta_deletion_vectors": q_delta_deletion_vectors,
         "delta_delete_where": q_delta_delete_where,
         "delta_partitioned_upsert": q_delta_partitioned_upsert,
         # -- (B cont.) round-9 block ---------------------------------
@@ -14969,6 +15068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "delta_deletion_vectors": ORACLE_DELTA_DELETION_VECTORS,
         "delta_delete_where": ORACLE_DELTA_DELETE_WHERE,
         "delta_partitioned_upsert": _oracle_delta_partitioned_upsert(),
         "ab_srm_check": _oracle_ab_srm_check(),

@@ -24,6 +24,11 @@ CDF has without per-row change files):
   ``snapshot(v_to) − snapshot(v_from)``, because the live file set is
   itself the running sum of add/remove actions.  For append-only
   tables (no removes) the feed IS the table.
+- DELETION-VECTOR commits (``delete_where(use_dv=True)``) re-add the
+  same data file with a new vector; the feed emits exactly the NEWLY
+  deleted rows (new vector minus old) as ``'delete'`` — never the
+  file's surviving rows; adds/removes of DV'd files mask the vector,
+  so a row a vector already deleted can never re-emit.
 - layout-only rewrites (``compact``, ``optimize_small_files``,
   ``optimize_zorder``, ``optimize_cluster``) commit
   ``dataChange: false`` on their removes and adds — exactly real
@@ -123,11 +128,21 @@ class _FileChange(InputPartition):
         rel_path: str,
         change_type: str,
         version: int,
+        dv: "str | None" = None,
+        old_dv: "str | None" = None,
+        dv_delta: bool = False,
     ):
         self.file_path = file_path
         self.rel_path = rel_path
         self.change_type = change_type
         self.version = version
+        # deletion-vector sidecars: ``dv`` masks rows already deleted
+        # from this file; ``dv_delta`` marks a DV-only commit (same
+        # path re-added with a new vector) whose emission is exactly
+        # the NEWLY deleted rows (new dv minus old dv) as deletes
+        self.dv = dv
+        self.old_dv = old_dv
+        self.dv_delta = dv_delta
 
 
 class _CdfStreamReader(DataSourceStreamReader):
@@ -209,27 +224,57 @@ class _CdfStreamReader(DataSourceStreamReader):
                     "below the stream's offset); restart the stream from "
                     "a snapshot + a fresh startingVersion"
                 )
+            adds_v: dict = {}
+            removes_v: dict = {}
             with open(vf) as fh:
                 for line in fh:
                     if not line.strip():
                         continue
                     action = json.loads(line)
                     if "add" in action and action["add"].get("dataChange", True):
-                        rel = action["add"]["path"]
-                        parts.append(
-                            _FileChange(
-                                os.path.join(self.table, rel), rel, "insert", v
-                            )
-                        )
+                        adds_v[action["add"]["path"]] = action["add"]
                     elif "remove" in action and action["remove"].get(
                         "dataChange", True
                     ):
-                        rel = action["remove"]["path"]
+                        removes_v[action["remove"]["path"]] = action["remove"]
+
+            def dv_of(a: dict) -> "str | None":
+                return (a.get("tags") or {}).get("dv")
+
+            for rel, a in adds_v.items():
+                full = os.path.join(self.table, rel)
+                if rel in removes_v:
+                    # same path removed+re-added in one commit: a
+                    # DELETION-VECTOR commit — emit exactly the newly
+                    # deleted rows (new vector minus old) as deletes
+                    old_dv = dv_of(removes_v[rel])
+                    new_dv = dv_of(a)
+                    if new_dv != old_dv:
                         parts.append(
                             _FileChange(
-                                os.path.join(self.table, rel), rel, "delete", v
+                                full,
+                                rel,
+                                "delete",
+                                v,
+                                dv=new_dv,
+                                old_dv=old_dv,
+                                dv_delta=True,
                             )
                         )
+                    continue
+                parts.append(_FileChange(full, rel, "insert", v, dv=dv_of(a)))
+            for rel, a in removes_v.items():
+                if rel in adds_v:
+                    continue  # handled as a DV pair above
+                parts.append(
+                    _FileChange(
+                        os.path.join(self.table, rel),
+                        rel,
+                        "delete",
+                        v,
+                        dv=dv_of(a),
+                    )
+                )
         if not parts:
             # Spark requires ≥1 partition per batch; an empty-change
             # batch (e.g. a checkpoint-only commit) emits zero rows
@@ -250,6 +295,28 @@ class _CdfStreamReader(DataSourceStreamReader):
             )
             return
         tbl = pq.read_table(partition.file_path)
+
+        def dv_positions(dv_rel: "str | None") -> set:
+            if not dv_rel:
+                return set()
+            side = pq.read_table(
+                dv_rel
+                if os.path.isabs(dv_rel)
+                else os.path.join(self.table, dv_rel)
+            )
+            fb = os.path.basename(partition.rel_path)
+            mask = pa.compute.equal(side.column("file"), pa.scalar(fb))
+            return set(side.filter(mask).column("idx").to_pylist())
+
+        if partition.dv_delta:
+            # emit ONLY the newly deleted rows, in file order
+            emit = sorted(dv_positions(partition.dv) - dv_positions(partition.old_dv))
+            tbl = tbl.take(pa.array(emit, type=pa.int64()))
+        elif partition.dv:
+            dead = dv_positions(partition.dv)
+            if dead:
+                keep = [i for i in range(tbl.num_rows) if i not in dead]
+                tbl = tbl.take(pa.array(keep, type=pa.int64()))
         n = tbl.num_rows
         pvals = _partition_values_from_path(partition.rel_path)
         arrays = []

@@ -1909,3 +1909,168 @@ def test_optimize_cluster_incremental_rides_fresh_files(spark, tmp_path):
         delta_lite.optimize_cluster_incremental(spark, t, ["v"], n_files=4)
         is not None
     )
+
+
+def test_deletion_vector_delete_without_rewrite(spark, tmp_path):
+    """Deletion vectors (new r10): delete_where(use_dv=True) commits a
+    (file, row-index) sidecar and re-adds the SAME data files — zero
+    data-file rewrite, O(matched rows) write cost.  Layered deletes
+    subsume prior vectors; every read path applies them (snapshot,
+    time travel pre-delete still serves, merges cannot resurrect);
+    rewriting maintenance purges them; vacuum keeps referenced
+    sidecars."""
+    t = str(tmp_path / "t")
+    langs = ["en", "de", "fr", "es"]
+    df = spark.range(0, 800).select(
+        F.col("id").alias("k"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in langs]),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("lang"),
+        F.col("id").alias("v"),
+    )
+    delta_lite.write_delta(df.repartition(4), t)
+    live0, _, base, _ = delta_lite._read_actions(t)
+
+    v1 = delta_lite.delete_where(spark, t, "lang = 'de'", use_dv=True)
+    with open(delta_lite._version_file(t, v1)) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    radds = {a["add"]["path"] for a in acts if "add" in a}
+    rrems = {a["remove"]["path"] for a in acts if "remove" in a}
+    assert radds == rrems and radds <= set(live0)  # same files re-added
+    assert all(
+        (a["add"].get("tags") or {}).get("dv") for a in acts if "add" in a
+    )
+    got = delta_lite.read_delta(spark, t)
+    assert got.filter("lang = 'de'").count() == 0
+    assert got.count() == 600
+    # time travel ignores the vector (the old adds carry no dv tag)
+    assert (
+        delta_lite.read_delta(spark, t, version=base).count() == 800
+    )
+    # read_changes nets EXACTLY the deleted rows
+    ch = delta_lite.read_changes(spark, t, base, v1)
+    assert ch.filter("_change_type = 'delete'").count() == 200
+    assert ch.filter("_change_type = 'insert'").count() == 0
+
+    # layered second vector on (partly) the same files
+    v2 = delta_lite.delete_where(spark, t, "lang = 'fr' AND v < 400", use_dv=True)
+    got2 = delta_lite.read_delta(spark, t)
+    assert got2.filter("lang = 'de'").count() == 0  # prior vector subsumed
+    assert got2.filter("lang = 'fr'").count() == 100
+    assert got2.count() == 500
+    ch2 = delta_lite.read_changes(spark, t, v1, v2)
+    assert ch2.filter("_change_type = 'delete'").count() == 100
+
+    # vacuum keeps every referenced sidecar
+    delta_lite.vacuum(t, retention_seconds=0)
+    live, _, _, _ = delta_lite._read_actions(t)
+    for a in live.values():
+        dv = (a.get("tags") or {}).get("dv")
+        if dv:
+            assert os.path.isfile(os.path.join(t, dv))
+    assert delta_lite.read_delta(spark, t).count() == 500
+
+    # a keyed merge on the DV'd table cannot resurrect deleted rows
+    delta_lite.upsert_delta(
+        spark,
+        t,
+        spark.createDataFrame([(10_000, "en", -1)], "k long, lang string, v long"),
+        ["k"],
+        n_buckets=4,
+    )
+    got3 = delta_lite.read_delta(spark, t)
+    assert got3.count() == 501 and got3.filter("lang = 'de'").count() == 0
+    # the merge rewrite PURGED the vectors
+    live3, _, _, _ = delta_lite._read_actions(t)
+    assert all(not (a.get("tags") or {}).get("dv") for a in live3.values())
+
+
+def test_deletion_vector_partitioned_and_pruning(spark, tmp_path):
+    """DV deletes on a partitioned table: candidates partition-prune,
+    the re-added files keep their partitionValues (spec invariant),
+    and the snapshot read reconstitutes partition columns through the
+    DV-applying reader."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 600).select(
+        (F.col("id") % 3).cast("int").alias("y"),
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("v"),
+    )
+    delta_lite.write_delta(df, t, partition_by=["y"])
+    v = delta_lite.delete_where(
+        spark, t, "y = 1 AND v = 3", predicate=("y", 1, 1), use_dv=True
+    )
+    with open(delta_lite._version_file(t, v)) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    assert all("y=1/" in a["add"]["path"] for a in acts if "add" in a)
+    assert all(
+        a["add"]["partitionValues"] == {"y": "1"} for a in acts if "add" in a
+    )
+    got = delta_lite.read_delta(spark, t)
+    assert got.filter("y = 1 AND v = 3").count() == 0
+    assert got.filter("y != 1 AND v = 3").count() == 40
+    assert got.count() == 580
+    pruned = delta_lite.read_delta(spark, t, predicate=("y", 1, 1))
+    assert pruned.count() == 180
+
+
+def test_deletion_vector_cdf_emits_only_newly_deleted(spark, tmp_path):
+    """The change feed across DV commits: a DV delete emits EXACTLY the
+    newly deleted rows as deletes (never the file's survivors); a
+    second layered vector emits only its own rows; a later rewriting
+    remove of a DV'd file emits only the rows that were still live."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources.delta_cdf_datasource import (
+        DeltaCdfDataSource,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    delta_lite.write_delta(df.repartition(2), t)  # v0
+    v1 = delta_lite.delete_where(spark, t, "g = 1", use_dv=True)
+    v2 = delta_lite.delete_where(spark, t, "g = 2 AND k < 150", use_dv=True)
+
+    spark.dataSource.register(DeltaCdfDataSource)
+    batches = []
+
+    def run(start):
+        got = []
+        q = (
+            spark.readStream.format("delta_cdf")
+            .option("path", t)
+            .option("startingVersion", start)
+            .load()
+            .writeStream.foreachBatch(
+                lambda d, _b: got.extend(
+                    (r.k, r.g, r._change_type, r._commit_version)
+                    for r in d.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / f"cp{start}-{len(batches)}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        batches.append(got)
+        return got
+
+    rows = run(v1)  # v1 + v2
+    d1 = [(k, g) for k, g, ct, cv in rows if cv == v1]
+    d2 = [(k, g) for k, g, ct, cv in rows if cv == v2]
+    assert all(ct == "delete" for _, _, ct, _ in rows)
+    assert sorted(d1) == [(k, 1) for k in range(1, 300, 3)]
+    assert sorted(d2) == [(k, 2) for k in range(2, 150, 3)]
+
+    # rewriting delete of remaining g=2 rows: removes DV'd files and
+    # re-adds survivors -> feed emits live-only deletes plus survivor
+    # inserts; the net deleted set is exactly the g=2 tail
+    v3 = delta_lite.delete_where(spark, t, "g = 2")
+    rows3 = run(v3)
+    dels = {(k, g) for k, g, ct, _ in rows3 if ct == "delete"}
+    ins = {(k, g) for k, g, ct, _ in rows3 if ct == "insert"}
+    assert dels - ins == {(k, 2) for k in range(152, 300, 3)}
+    # no previously-DV-deleted row re-emitted on either side
+    assert all(g != 1 for _, g in dels | ins)
+    assert delta_lite.read_delta(spark, t).filter("g != 0").count() == 0
