@@ -14739,10 +14739,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     on a bounded cycle behind the ~45 per round that re-verify anyway
     through the stale_green closure.  Mandatory (stale-flagged)
     entries ALWAYS outrank rotation for prefix slots.  r10 rotation:
-    brand_median_price, containment_first, containment_longest (r1
-    greens, next in the oldest-first queue after r9's pair; the
-    47-entry changed set left 3 slots).  upsert_latest and
-    ratio_metric_ztest lead the r11 rotation.
+    brand_median_price, containment_first (r1 greens, next in the
+    oldest-first queue after r9's pair; the 48-entry changed set —
+    3 new queries + 45 flagged — left 2 slots).  containment_longest,
+    upsert_latest and ratio_metric_ztest lead the r11 rotation.
 
     Section-B membership is MECHANICALLY checked:
     tools/stale_green.py hashes every query's function body, its
@@ -14817,14 +14817,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # environment drift (Spark/DuckDB bumps, testdata regeneration)
         # that stale_green's code hashing cannot see.  r10: the 47-entry
         # changed closure (every delta/jobs/cdf rider plus 2 new
-        # queries) leaves 3 slots — brand_median_price,
-        # containment_first, containment_longest (all r1 greens, next
-        # in the oldest-first queue after r9's pair).  upsert_latest +
+        # queries) leaves 2 slots — brand_median_price,
+        # containment_first (r1 greens, next in the oldest-first queue
+        # after r9's pair).  containment_longest + upsert_latest +
         # ratio_metric_ztest lead the r11 rotation.
         "brand_median_price": q_brand_median_price,
         "containment_first": q_containment_first,
-        "containment_longest": q_containment_longest,
         # -- (C) driver-green in a prior round --------------------
+        "containment_longest": q_containment_longest,
         # demoted from the prefix this round to make rotation room
         # (unchanged closures, driver-green r8/r9):
         "linkage_blocking_census": q_linkage_blocking_census,
