@@ -318,6 +318,11 @@ BENCH_QUERIES = [
     # job overhead (the one-shot LSH path is timed as
     # minhash_pairs_fast); the 30x probe row in SCALE.md records its
     # scaling instead
+    # round-10 additions (data-scaled: documents/orders table builds
+    # plus the delete/merge/read work under measurement)
+    "delta_delete_where",
+    "delta_partitioned_upsert",
+    "delta_deletion_vectors",
 ]
 
 
