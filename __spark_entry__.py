@@ -11547,6 +11547,94 @@ GROUP BY 1, 2
 """
 
 
+def q_delta_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE (delta_lite.update_where, new r10 — the
+    DML sibling of delete_where): the orders table lands flat, gets
+    clustered on o_orderstatus, then takes
+    UPDATE SET status='D', totalprice=totalprice*0.9 WHERE status='F'
+    AND o_orderkey % 50 = 7 with the matching stats predicate.  The
+    query ASSERTS the update was file-local (removes are a strict
+    subset of live files — clustering bounds the rewrite), that a
+    no-match update commits nothing, and aggregates the post-update
+    snapshot per status; the oracle replays the SET as a CASE
+    projection.  The multiply runs in exact DECIMAL on both sides."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_upd_")
+    path = os.path.join(tmp, "orders")
+    try:
+        delta_lite.write_delta(o.repartition(8), path)
+        delta_lite.optimize_cluster(spark, path, ["o_orderstatus"], n_files=6)
+        live, _, _, _ = delta_lite._read_actions(path)
+        v = delta_lite.update_where(
+            spark,
+            path,
+            {
+                "o_orderstatus": "'D'",
+                "o_totalprice": (
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * "
+                    "CAST(0.9 AS DECIMAL(8,4)) AS DOUBLE)"
+                ),
+            },
+            "o_orderstatus = 'F' AND o_orderkey % 50 = 7",
+            predicate=("o_orderstatus", "F", "F"),
+        )
+        with open(delta_lite._version_file(path, v)) as fh:
+            acts = [_json.loads(ln) for ln in fh if ln.strip()]
+        n_removed = len([a for a in acts if "remove" in a])
+        if not (0 < n_removed < len(live)):
+            raise AssertionError(
+                f"update was not file-local ({n_removed} removes vs "
+                f"{len(live)} live files)"
+            )
+        if (
+            delta_lite.update_where(
+                spark, path, {"o_orderstatus": "'X'"}, "o_orderstatus = 'Z'"
+            )
+            != v
+        ):
+            raise AssertionError("no-match update advanced the log")
+        out = (
+            delta_lite.read_delta(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum("o_totalprice").alias("total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE_DELTA_UPDATE_WHERE = """
+WITH upd AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 50 = 7
+              THEN 'D' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 50 = 7
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) *
+                        CAST(0.9 AS DECIMAL(8,4)) AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+FROM upd GROUP BY 1
+"""
+
+
 def q_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETION VECTORS (delta_lite.delete_where(use_dv=True), new
     r10): two layered predicate DELETEs on the documents table commit
@@ -14720,14 +14808,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the TOP of section B by default, ahead of re-verified greens);
     (C) queries with a green CORRECTNESS row in some prior round,
     most-recently-verified last.  Round 10: section A is EMPTY;
-    section B = two NEW queries (delta_partitioned_upsert — VERDICT r9
-    #1, the partitioned+bucketed merge; delta_delete_where — predicate
-    DELETE over a clustered table) plus every query whose transitive
-    closure rides the r10 delta_lite / jobs / delta_cdf edits (45
-    stale-green-flagged entries, all kept inside the prefix — the
-    round fixed all four ADVICE findings and reworked constraint
-    enforcement, the OPTIMIZE family, and the CDF pacing floor, so the
-    delta closure is wide again).
+    section B = four NEW queries (delta_partitioned_upsert — VERDICT
+    r9 #1, the partitioned+bucketed merge; delta_delete_where —
+    predicate DELETE over a clustered table; delta_deletion_vectors —
+    O(matched rows) DV deletes; delta_update_where — UPDATE ... SET)
+    plus every query whose transitive closure rides the r10
+    delta_lite / jobs / delta_cdf edits (45 stale-green-flagged
+    entries, all kept inside the prefix — the round fixed all four
+    ADVICE findings and reworked constraint enforcement, the OPTIMIZE
+    family, DML, and the CDF pacing floor, so the delta closure is
+    wide again).
 
     VETERAN ROTATION (round 9 onward, VERDICT r8 #7): each round the
     registry entries with the OLDEST driver-verified green (ties
@@ -14739,9 +14829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     on a bounded cycle behind the ~45 per round that re-verify anyway
     through the stale_green closure.  Mandatory (stale-flagged)
     entries ALWAYS outrank rotation for prefix slots.  r10 rotation:
-    brand_median_price, containment_first (r1 greens, next in the
-    oldest-first queue after r9's pair; the 48-entry changed set —
-    3 new queries + 45 flagged — left 2 slots).  containment_longest,
+    brand_median_price (r1 green, next in the oldest-first queue after
+    r9's pair; the 49-entry changed set — 4 new queries + 45 flagged —
+    left 1 slot).  containment_first, containment_longest,
     upsert_latest and ratio_metric_ztest lead the r11 rotation.
 
     Section-B membership is MECHANICALLY checked:
@@ -14756,6 +14846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 10 (insert new HERE) ------
+        "delta_update_where": q_delta_update_where,
         "delta_deletion_vectors": q_delta_deletion_vectors,
         "delta_delete_where": q_delta_delete_where,
         "delta_partitioned_upsert": q_delta_partitioned_upsert,
@@ -14817,13 +14908,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # environment drift (Spark/DuckDB bumps, testdata regeneration)
         # that stale_green's code hashing cannot see.  r10: the 47-entry
         # changed closure (every delta/jobs/cdf rider plus 2 new
-        # queries) leaves 2 slots — brand_median_price,
-        # containment_first (r1 greens, next in the oldest-first queue
-        # after r9's pair).  containment_longest + upsert_latest +
-        # ratio_metric_ztest lead the r11 rotation.
+        # queries) leaves 1 slot — brand_median_price (r1 green, next
+        # in the oldest-first queue after r9's pair).  containment_first
+        # + containment_longest + upsert_latest + ratio_metric_ztest
+        # lead the r11 rotation.
         "brand_median_price": q_brand_median_price,
-        "containment_first": q_containment_first,
         # -- (C) driver-green in a prior round --------------------
+        "containment_first": q_containment_first,
         "containment_longest": q_containment_longest,
         # demoted from the prefix this round to make rotation room
         # (unchanged closures, driver-green r8/r9):
@@ -15068,6 +15159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "delta_update_where": ORACLE_DELTA_UPDATE_WHERE,
         "delta_deletion_vectors": ORACLE_DELTA_DELETION_VECTORS,
         "delta_delete_where": ORACLE_DELTA_DELETE_WHERE,
         "delta_partitioned_upsert": _oracle_delta_partitioned_upsert(),

@@ -323,6 +323,7 @@ BENCH_QUERIES = [
     "delta_delete_where",
     "delta_partitioned_upsert",
     "delta_deletion_vectors",
+    "delta_update_where",
 ]
 
 

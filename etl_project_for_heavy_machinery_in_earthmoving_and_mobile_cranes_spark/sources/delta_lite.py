@@ -2562,13 +2562,46 @@ def delete_where(
     remainder = _read_with_dv(spark, table, dirty, schema, pcols).filter(
         ~F.coalesce(F.expr(condition), F.lit(False))
     )
+    return _commit_dirty_rewrite(
+        spark,
+        table,
+        version,
+        dirty,
+        remainder,
+        conf,
+        pcols,
+        "DELETE",
+        {"predicate": condition},
+        txn,
+    )
+
+
+def _commit_dirty_rewrite(
+    spark: SparkSession,
+    table: str,
+    version: int,
+    dirty: dict,
+    new_rows: DataFrame,
+    conf: dict,
+    pcols: list,
+    operation: str,
+    params: dict,
+    txn: "tuple[str, int] | None",
+) -> int:
+    """Shared DML rewrite commit (DELETE / UPDATE): stage ``new_rows``
+    back in the table's layout (partition dirs, bucket tags, or both —
+    rewrites PURGE any deletion vectors the dirty files carried),
+    remove the dirty files (tags carried for change-feed fidelity),
+    and publish one dataChange:true commit pinned to ``version`` —
+    aborting on a concurrent commit (stale dirty set)."""
+    bucketed = "bucketKeys" in conf and "numBuckets" in conf
     if bucketed:
         key_cols = json.loads(conf["bucketKeys"])
         nb = int(conf["numBuckets"])
         width = max(
             1, len({_file_bucket(a) for a in dirty.values()} - {None})
         )
-        rem_b = remainder.withColumn(_BUCKET_COL, _bucket_expr(key_cols, nb))
+        rem_b = new_rows.withColumn(_BUCKET_COL, _bucket_expr(key_cols, nb))
         if pcols:
             adds = _stage_partitioned_files(
                 rem_b, table, version, pcols, bucket_width=width
@@ -2576,14 +2609,12 @@ def delete_where(
         else:
             adds = _stage_bucketed_files(rem_b, table, version, width)
     elif pcols:
-        adds = _stage_partitioned_files(remainder, table, version, pcols)
+        adds = _stage_partitioned_files(new_rows, table, version, pcols)
     else:
         adds = _stage_data_files(
-            remainder.repartition(max(1, len(dirty))), table, version
+            new_rows.repartition(max(1, len(dirty))), table, version
         )
-    actions: list[dict] = [
-        _commit_info("DELETE", {"predicate": condition})
-    ]
+    actions: list[dict] = [_commit_info(operation, params)]
     ts = int(time.time() * 1000)
     for path in dirty:
         actions.append({"remove": _remove_action(path, dirty[path], ts)})
@@ -2596,7 +2627,7 @@ def delete_where(
             except OSError:
                 pass
         raise RuntimeError(
-            f"concurrent commit during DELETE on {table}; aborted "
+            f"concurrent commit during {operation} on {table}; aborted "
             "(snapshot stale — re-run)"
         )
     _maybe_checkpoint(table, version)
@@ -2683,4 +2714,111 @@ def optimize_cluster_incremental(
         fresh,
         adds,
         {"clusterBy": want, "incremental": "true", "freshFiles": str(len(fresh))},
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    table: str,
+    set_exprs: "dict[str, str]",
+    condition: str,
+    predicate: "tuple | list | None" = None,
+    txn: "tuple[str, int] | None" = None,
+) -> int:
+    """UPDATE ``table`` SET col = expr, ... WHERE ``condition`` — the
+    DML sibling of ``delete_where``, rewriting ONLY the live files that
+    actually contain matching rows.  Same two bounded phases (log-
+    pruned candidates via ``predicate`` triples, then one
+    pushed-down-filter scan for the dirty subset); the rewrite applies
+    each SET expression through a conditional projection (rows matching
+    the condition take the new value, others pass through — SQL UPDATE
+    semantics: a NULL condition leaves the row unchanged), preserves
+    the table layout, PURGES any deletion vectors the dirty files
+    carried, enforces CHECK constraints on the rewritten rows, and
+    commits dataChange:true.  Updating a PARTITION column moves the
+    affected rows into their new partition directories (the rewrite
+    restages through the Hive layout); updating a MERGE KEY re-buckets
+    the rewritten rows by their new hash.  Returns the committed
+    version, or the current version unchanged when nothing matched."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if not set_exprs:
+        raise ValueError("update_where: pass at least one SET expression")
+    live, meta, base, _ = _read_actions(table)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = meta.get("partitionColumns") or []
+    conf = meta.get("configuration") or {}
+    known = {f.name for f in schema.fields}
+    bad_cols = [c for c in set_exprs if c not in known]
+    if bad_cols:
+        raise ValueError(
+            f"update_where: SET columns {bad_cols} not in {table}'s "
+            f"schema {sorted(known)}"
+        )
+    cand = dict(live)
+    if predicate is not None:
+        triples = predicate if isinstance(predicate, list) else [predicate]
+        for col, lo, hi in triples:
+            if col in pcols:
+                dtype = next(
+                    (f.dataType.typeName() for f in schema.fields if f.name == col),
+                    "string",
+                )
+                cand = {
+                    p: a
+                    for p, a in cand.items()
+                    if not _partition_prunable(a, col, lo, hi, dtype)
+                }
+            cand = {
+                p: a
+                for p, a in cand.items()
+                if not _maybe_prunable(a, col, lo, hi)
+            }
+    if not cand:
+        return base
+    scan = _read_with_dv(spark, table, cand, schema, pcols, with_position=True)
+    hit = F.coalesce(F.expr(condition), F.lit(False))
+    matched_files = [
+        r["__file"]
+        for r in scan.filter(hit).select("__file").distinct().collect()
+    ]
+    by_base = {os.path.basename(p): p for p in cand}
+    dirty = {}
+    for fb in matched_files:
+        rel = by_base.get(fb)
+        if rel is None:
+            raise RuntimeError(
+                f"update_where: matched file {fb} not in the candidate "
+                f"set of {table} (concurrent rewrite?) — re-run"
+            )
+        dirty[rel] = cand[rel]
+    if not dirty:
+        return base
+    updated = _read_with_dv(spark, table, dirty, schema, pcols).select(
+        *[
+            (
+                F.when(hit, F.expr(set_exprs[f.name]).cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                if f.name in set_exprs
+                else F.col(f.name)
+            )
+            for f in schema.fields
+        ]
+    )
+    # CHECK constraints gate the rewritten rows (the SET expressions
+    # may synthesize values the table's constraints forbid)
+    _enforce_constraints(updated, meta, table)
+    return _commit_dirty_rewrite(
+        spark,
+        table,
+        base + 1,
+        dirty,
+        updated,
+        conf,
+        pcols,
+        "UPDATE",
+        {"predicate": condition, "set": json.dumps(set_exprs)},
+        txn,
     )

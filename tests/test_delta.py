@@ -2074,3 +2074,102 @@ def test_deletion_vector_cdf_emits_only_newly_deleted(spark, tmp_path):
     # no previously-DV-deleted row re-emitted on either side
     assert all(g != 1 for _, g in dels | ins)
     assert delta_lite.read_delta(spark, t).filter("g != 0").count() == 0
+
+
+def test_update_where_rewrites_only_dirty_files(spark, tmp_path):
+    """UPDATE ... SET ... WHERE (new r10): only files containing
+    matching rows rewrite; non-matching and NULL-condition rows pass
+    through unchanged; CHECK constraints gate the rewritten rows;
+    updating a partition column MOVES rows to their new partition
+    directories; a DV'd dirty file's vector applies and is purged."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("g"),
+        F.when(F.col("id") % 3 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    delta_lite.write_delta(df.repartition(8), t)
+    delta_lite.optimize_cluster(spark, t, ["g"], n_files=8)
+    live, _, base, _ = delta_lite._read_actions(t)
+
+    v = delta_lite.update_where(
+        spark, t, {"v": "v * 100"}, "g = 3 AND v IS NOT NULL",
+        predicate=("g", 3, 3),
+    )
+    assert v == base + 1
+    with open(delta_lite._version_file(t, v)) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    assert 0 < len([a for a in acts if "remove" in a]) < len(live)
+    got = delta_lite.read_delta(spark, t)
+    # matched rows updated, NULL-condition rows (v IS NULL) untouched
+    assert got.filter("g = 3 AND v IS NOT NULL AND v < 100").count() == 0
+    assert got.filter("g = 3 AND v IS NULL").count() == 34  # ids =3 (mod 30)
+    assert got.filter("g = 3").count() == 100
+    assert got.filter("g != 3 AND v >= 100000").count() == 0
+    assert got.count() == 1000
+    # unknown SET column / empty SET refused
+    with pytest.raises(ValueError, match="not in"):
+        delta_lite.update_where(spark, t, {"nope": "1"}, "g = 0")
+    with pytest.raises(ValueError, match="at least one"):
+        delta_lite.update_where(spark, t, {}, "g = 0")
+    # no-match: no commit
+    assert delta_lite.update_where(spark, t, {"v": "0"}, "g = 99") == v
+
+    # CHECK constraint gates the rewrite
+    delta_lite.set_check_constraint(spark, t, "v_floor", "v IS NULL OR v >= 0")
+    with pytest.raises(ValueError, match="v_floor"):
+        delta_lite.update_where(spark, t, {"v": "-1"}, "g = 1")
+
+    # DV'd dirty file: vector applies (deleted rows do not resurrect)
+    # and the rewrite purges it
+    t2 = str(tmp_path / "t2")
+    delta_lite.write_delta(df.repartition(4), t2)
+    delta_lite.delete_where(spark, t2, "g = 7", use_dv=True)
+    delta_lite.update_where(spark, t2, {"v": "v + 1000000"}, "g = 8")
+    got2 = delta_lite.read_delta(spark, t2)
+    assert got2.filter("g = 7").count() == 0
+    assert got2.filter("g = 8 AND v < 1000000 AND v IS NOT NULL").count() == 0
+    assert got2.count() == 900
+    live2, _, _, _ = delta_lite._read_actions(t2)
+    assert all(not (a.get("tags") or {}).get("dv") for a in live2.values())
+
+
+def test_update_where_moves_rows_across_partitions_and_buckets(spark, tmp_path):
+    """Updating a partition column restages matched rows into their new
+    Hive directories (partitionValues follow); updating a merge key
+    re-buckets by the new hash and merges stay incremental."""
+    p = str(tmp_path / "p")
+    df = spark.range(0, 300).select(
+        (F.col("id") % 3).cast("int").alias("y"),
+        F.col("id").alias("k"),
+        F.col("id").alias("v"),
+    )
+    delta_lite.write_delta(df, p, partition_by=["y"])
+    delta_lite.update_where(
+        spark, p, {"y": "9"}, "y = 1 AND v < 30", predicate=("y", 1, 1)
+    )
+    got = delta_lite.read_delta(spark, p)
+    assert got.filter("y = 9").count() == 10
+    assert got.filter("y = 1").count() == 90
+    live, _, _, _ = delta_lite._read_actions(p)
+    assert {"9"} <= {
+        (a.get("partitionValues") or {}).get("y") for a in live.values()
+    }
+    assert delta_lite.read_delta(spark, p, predicate=("y", 9, 9)).count() == 10
+
+    b = str(tmp_path / "b")
+    delta_lite.upsert_delta(spark, b, df, ["k"], n_buckets=4)
+    liveb0, _, _, _ = delta_lite._read_actions(b)
+    delta_lite.update_where(spark, b, {"k": "k + 100000"}, "v < 10")
+    gotb = delta_lite.read_delta(spark, b)
+    assert gotb.filter("k >= 100000").count() == 10
+    assert gotb.count() == 300
+    liveb, _, _, _ = delta_lite._read_actions(b)
+    assert all(delta_lite._file_bucket(a) is not None for a in liveb.values())
+    # keyed reads after the key rewrite still resolve through buckets
+    delta_lite.upsert_delta(
+        spark, b,
+        spark.createDataFrame([(0, 100005, -5)], "y int, k long, v long"),
+        ["k"],
+    )
+    assert delta_lite.read_delta(spark, b).filter("k = 100005").first().v == -5
