@@ -11733,6 +11733,125 @@ SELECT 'purged' AS read_path, * FROM agg
 """
 
 
+def q_delta_dv_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV + VACUUM INTERPLAY (new r11, VERDICT r10 #7): proves the
+    retention contract around deletion-vector sidecars end-to-end.
+    Two layered DV deletes on the documents table, then (a) a
+    full-history vacuum(0) must reclaim NOTHING — every sidecar is
+    referenced by some log version, both the live snapshot and the
+    pre-delete time travel still serve; (b) after truncate_log to the
+    second delete, vacuum(0) must reclaim exactly the sidecars only
+    the truncated versions referenced (the first delete's vectors on
+    files the second delete re-vectored) while the LIVE snapshot's
+    sidecars survive on disk and keep applying; (c) reads below the
+    truncation point fail loudly (the history is gone — that is the
+    point).  Output: per (lang, source) aggregates through the
+    DV-applying reader after the first delete and after the final
+    state — the oracle replays the two predicates relationally."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="delta_dvv_")
+    path = os.path.join(tmp, "docs")
+
+    def dv_set(upto: int) -> set:
+        live, _, _, _ = delta_lite._read_actions(path, upto=upto)
+        return {
+            delta_lite._dv_of(a)
+            for a in live.values()
+            if delta_lite._dv_of(a)
+        }
+
+    agg = lambda df_, side: (  # noqa: E731
+        df_.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+        .withColumn("read_path", F.lit(side))
+    )
+    try:
+        delta_lite.write_delta(d.repartition(6), path)
+        base = delta_lite.current_version(path)
+        total = d.count()
+        v1 = delta_lite.delete_where(spark, path, "lang = 'de'", use_dv=True)
+        first = agg(delta_lite.read_delta(spark, path), "after_first_delete")
+        first = first.localCheckpoint(eager=True)
+        # (a) vacuum with the full log retained reclaims NOTHING: every
+        # sidecar and data file is referenced by some version
+        removed = delta_lite.vacuum(path, retention_seconds=0.0)
+        if removed:
+            raise AssertionError(
+                f"vacuum reclaimed {len(removed)} referenced file(s) "
+                f"with full history retained (e.g. {removed[0]})"
+            )
+        if delta_lite.read_delta(spark, path, version=base).count() != total:
+            raise AssertionError("pre-delete time travel broken post-vacuum")
+        # the second predicate must MATCH IN EVERY FILE: the sidecar is
+        # one per-commit file shared by all touched adds, so it only
+        # becomes unreferenced once no live add points at it — a
+        # file-spanning predicate re-vectors all of them
+        v2 = delta_lite.delete_where(spark, path, "lang = 'fr'", use_dv=True)
+        superseded = dv_set(v1) - dv_set(v2)
+        live_dvs = dv_set(v2)
+        if not superseded:
+            raise AssertionError(
+                "second DV delete superseded no sidecar — the layering "
+                "scenario did not exercise reclamation"
+            )
+        # (b) truncate history below the final state, then vacuum:
+        # exactly the superseded sidecars become unreferenced
+        delta_lite.truncate_log(path, keep_from=v2)
+        removed2 = set(delta_lite.vacuum(path, retention_seconds=0.0))
+        if not superseded <= removed2:
+            raise AssertionError(
+                f"vacuum kept {len(superseded - removed2)} unreferenced "
+                "superseded sidecar(s)"
+            )
+        if live_dvs & removed2:
+            raise AssertionError("vacuum reclaimed a LIVE sidecar")
+        for dv in live_dvs:
+            if not os.path.isfile(os.path.join(path, dv)):
+                raise AssertionError(f"live sidecar {dv} missing on disk")
+        # (c) the reclaimed history fails loudly; the live snapshot and
+        # its vectors still serve
+        try:
+            delta_lite.read_delta(spark, path, version=v1).count()
+            raise AssertionError("read below the truncation point succeeded")
+        except FileNotFoundError:
+            pass
+        final = agg(delta_lite.read_delta(spark, path), "live")
+        out = (
+            first.unionByName(final)
+            .select("read_path", "lang", "source", "n", "chars")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE_DELTA_DV_VACUUM = """
+WITH first AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents WHERE NOT (lang = 'de') GROUP BY 1, 2
+), live AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents
+  WHERE NOT (lang = 'de') AND NOT (lang = 'fr')
+  GROUP BY 1, 2
+)
+SELECT 'after_first_delete' AS read_path, * FROM first
+UNION ALL
+SELECT 'live' AS read_path, * FROM live
+"""
+
+
 def q_delta_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned + keyed incremental MERGE (new r10, VERDICT r9 #1 —
     the biggest remaining capability gap): the standard 100 TB
@@ -14407,27 +14526,41 @@ GROUP BY 1
 
 _BTX_K = 4
 _BTX_THRESHOLD = 1.05
+_BTX_CELLS = 8
+_BTX_NPROBE = 2
+_BTX_SEED = 11
 
 
 def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (similarity.margin_bitext_pairs,
     Artetxe & Schwenk 2019) over two embedding slices standing in for
     two languages: pair score = cosine normalized by the mean of both
-    sides' top-k neighborhoods, which cancels hubness.  The top-k
-    means aggregate in DECIMAL so the margin is bit-identical across
-    engines; the oracle replays both directional kNN passes and the
-    margin arithmetic."""
+    sides' top-k neighborhoods, which cancels hubness.  Rides the IVF
+    candidate equi-join (deterministic det_centroids inlined into the
+    oracle, both sides multi-probed, pair-dedup before scoring) — the
+    score matrix is |candidates|, never N×M; the exact cross-join form
+    survives test-side only as the recall oracle
+    (tests/test_scale_ops.py).  The top-k means aggregate in DECIMAL so
+    the margin is bit-identical across engines; the oracle replays the
+    same candidate CTEs, both directional kNN passes, and the margin
+    arithmetic."""
     tune(spark)
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     x = emb.filter(F.col("vec_id") % 2 == 0)
     y = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = similarity.det_centroids(_BTX_SEED, _BTX_CELLS, _SRP_DIM)
     return similarity.margin_bitext_pairs(
-        x, y, k=_BTX_K, threshold=_BTX_THRESHOLD
+        x, y, k=_BTX_K, threshold=_BTX_THRESHOLD,
+        centroids=cents, nprobe=_BTX_NPROBE,
     )
 
 
-ORACLE_BITEXT = f"""
-WITH x AS (
+def _oracle_bitext() -> str:
+    cents = similarity.det_centroids(_BTX_SEED, _BTX_CELLS, _SRP_DIM)
+    rows = ", ".join(f"({i}, {c!r}::DOUBLE[])" for i, c in enumerate(cents))
+    return f"""
+WITH cent(cell, cv) AS (VALUES {rows}),
+x AS (
   SELECT vec_id AS x_id, embedding::DOUBLE[] AS xe
   FROM embeddings WHERE vec_id % 2 = 0
 ), y AS (
@@ -14445,9 +14578,29 @@ WITH x AS (
               ELSE list_transform(ye, v -> v / sqrt(list_dot_product(ye, ye)))
          END AS yv
   FROM y
+), xa AS (
+  SELECT x_id, cell FROM (
+    SELECT x.x_id, cent.cell,
+           row_number() OVER (PARTITION BY x.x_id
+               ORDER BY list_dot_product(x.xe, x.xe)
+                        - 2 * list_dot_product(x.xe, cent.cv)
+                        + list_dot_product(cent.cv, cent.cv), cent.cell) AS rn
+    FROM x CROSS JOIN cent
+  ) WHERE rn <= {_BTX_NPROBE}
+), ya AS (
+  SELECT y_id, cell FROM (
+    SELECT y.y_id, cent.cell,
+           row_number() OVER (PARTITION BY y.y_id
+               ORDER BY list_dot_product(y.ye, y.ye)
+                        - 2 * list_dot_product(y.ye, cent.cv)
+                        + list_dot_product(cent.cv, cent.cv), cent.cell) AS rn
+    FROM y CROSS JOIN cent
+  ) WHERE rn <= {_BTX_NPROBE}
+), cand AS (
+  SELECT DISTINCT xa.x_id, ya.y_id FROM xa JOIN ya USING (cell)
 ), sc AS (
-  SELECT x_id, y_id, list_dot_product(xv, yv) AS c
-  FROM xn CROSS JOIN yn
+  SELECT cand.x_id, cand.y_id, list_dot_product(xn.xv, yn.yv) AS c
+  FROM cand JOIN xn USING (x_id) JOIN yn USING (y_id)
 ), fwd AS (
   SELECT x_id, y_id, c,
          row_number() OVER (PARTITION BY x_id ORDER BY c DESC, y_id) AS rk
@@ -14845,7 +14998,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry-affecting commit (VERDICT r7 #5)."""
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
-        # -- (B) new or re-shaped in round 10 (insert new HERE) ------
+        # -- (B) new or re-shaped in round 11 (insert new HERE) ------
+        "delta_dv_vacuum": q_delta_dv_vacuum,
+        # -- (B cont.) round-10 block --------------------------------
         "delta_update_where": q_delta_update_where,
         "delta_deletion_vectors": q_delta_deletion_vectors,
         "delta_delete_where": q_delta_delete_where,
@@ -15161,6 +15316,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "delta_update_where": ORACLE_DELTA_UPDATE_WHERE,
         "delta_deletion_vectors": ORACLE_DELTA_DELETION_VECTORS,
+        "delta_dv_vacuum": ORACLE_DELTA_DV_VACUUM,
         "delta_delete_where": ORACLE_DELTA_DELETE_WHERE,
         "delta_partitioned_upsert": _oracle_delta_partitioned_upsert(),
         "ab_srm_check": _oracle_ab_srm_check(),
@@ -15230,7 +15386,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_check": ORACLE_Q4,
         "disjunctive_revenue": ORACLE_Q19,
         "idle_rich_customers": ORACLE_Q22,
-        "bitext_margin": ORACLE_BITEXT,
+        "bitext_margin": _oracle_bitext(),
         "decontaminate_merge": _oracle_decontaminate_merge(),
         "image_near_dup": _oracle_image_near_dup(),
         "cms_merge": _oracle_cms_merge(),

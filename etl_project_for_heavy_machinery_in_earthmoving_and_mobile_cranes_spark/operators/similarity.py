@@ -1485,6 +1485,8 @@ def margin_bitext_pairs(
     k: int = 4,
     threshold: float = 1.05,
     decimals: int = 6,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 2,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
     parallel corpus mining with multilingual sentence embeddings", ACL
@@ -1495,17 +1497,24 @@ def margin_bitext_pairs(
     margin).  The parallel-data miner for translation corpora, run
     here over two embedding slices.
 
-    Scale design: both sides are L2-normalized ONCE (a projection, not
-    per pair), so the score matrix is a single dot product per pair
-    and is computed exactly once — both directional top-k passes are
-    windows over the SAME persisted matrix, not two separate kNN
-    score-matrix builds (the naive composition pays the cross join and
-    the norm folds twice; measured 21.5 s → ~6 s at sf0.1).  At corpus
-    scale swap the cross join for the IVF/SRP candidate join — the
-    margin arithmetic downstream is unchanged.  The per-side top-k
-    means aggregate in DECIMAL over the k candidate cosines —
-    order-independent, so the margin is bit-identical in any engine —
-    and the threshold compares the floor-rounded margin.
+    Scale design: when ``centroids`` is given (production), candidate
+    pairs come from the IVF coarse quantizer — both sides land in their
+    ``nprobe`` nearest cells (``assign_cells``, a literal-argmax map
+    pass), candidates are the equi hash join on cell id with pair dedup
+    BEFORE scoring, so the score matrix is |candidates|, never N×M, and
+    both directional top-k windows and the margin arithmetic run
+    unchanged over it (the approximation is exactly the standard ANN
+    one: each side's k-NN mean is taken within its probed-cell
+    neighborhood).  ``centroids=None`` keeps the exact N×M cross join —
+    the recall oracle for tests, NOT the scale path.  Both sides are
+    L2-normalized ONCE (a projection, not per pair), so each pair costs
+    a single dot product computed exactly once — both directional top-k
+    passes are windows over the SAME persisted matrix (the naive
+    composition pays the scoring and the norm folds twice; measured
+    21.5 s → ~6 s at sf0.1).  The per-side top-k means aggregate in
+    DECIMAL over the k candidate cosines — order-independent, so the
+    margin is bit-identical in any engine — and the threshold compares
+    the floor-rounded margin.
 
     Returns (x_id, y_id, cosine, margin), margin ≥ threshold, both
     rounded at ``decimals``; pairs are drawn from x's top-k list.
@@ -1524,11 +1533,40 @@ def margin_bitext_pairs(
     ys = y.select(
         F.col(id_col).alias("y_id"), l2_normalize(F.col(vec_col)).alias("__yv")
     )
-    scored = (
-        xs.crossJoin(F.broadcast(ys))
-        .select("x_id", "y_id", dot(F.col("__xv"), F.col("__yv")).alias("__c"))
-        .persist()  # feeds both directional windows + the pair frame
-    )
+    if centroids is not None:
+        # IVF candidate generation: multi-probe both sides, equi join on
+        # cell, dedup the (x, y) pair set BEFORE scoring (a pair sharing
+        # several probed cells is scored once), then join the normalized
+        # vectors back for the single dot product.  Cost is Σ_cells
+        # |x∩cell|·|y∩cell| candidates — bounded by the quantizer, not
+        # by N×M.  Cells are assigned on the RAW vectors (the same
+        # engine-portable formula the ann_ivf verification path uses),
+        # not the normalized ones.
+        xa = assign_cells(
+            x.select(F.col(id_col).alias("x_id"), F.col(vec_col).alias("__r")),
+            "__r",
+            centroids,
+            nprobe=nprobe,
+        ).select("x_id", "__cell")
+        ya = assign_cells(
+            y.select(F.col(id_col).alias("y_id"), F.col(vec_col).alias("__r")),
+            "__r",
+            centroids,
+            nprobe=nprobe,
+        ).select("y_id", "__cell")
+        cand = xa.join(ya, on="__cell").select("x_id", "y_id").distinct()
+        scored = (
+            cand.join(xs, "x_id")
+            .join(ys, "y_id")
+            .select("x_id", "y_id", dot(F.col("__xv"), F.col("__yv")).alias("__c"))
+            .persist()  # feeds both directional windows + the pair frame
+        )
+    else:
+        scored = (
+            xs.crossJoin(F.broadcast(ys))
+            .select("x_id", "y_id", dot(F.col("__xv"), F.col("__yv")).alias("__c"))
+            .persist()  # feeds both directional windows + the pair frame
+        )
     wx = Window.partitionBy("x_id").orderBy(F.col("__c").desc(), F.col("y_id"))
     wy = Window.partitionBy("y_id").orderBy(F.col("__c").desc(), F.col("x_id"))
     fwd = scored.withColumn("__rk", F.row_number().over(wx)).filter(

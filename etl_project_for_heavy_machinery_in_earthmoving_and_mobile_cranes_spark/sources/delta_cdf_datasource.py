@@ -363,10 +363,11 @@ class DeltaCdfDataSource(DataSource):
 def stream_changes(spark, table: str, starting_version: int = 0):
     """Convenience: register the source (idempotent) and open a
     change-feed stream over ``table`` from ``starting_version``."""
-    try:
-        spark.dataSource.register(DeltaCdfDataSource)
-    except Exception:
-        pass  # already registered
+    # registration replaces any prior entry for the short name — no
+    # already-registered error exists to swallow, and a bare
+    # ``except: pass`` here would defer genuine registration failures
+    # to a confusing 'format not found' at stream start (ADVICE r10)
+    spark.dataSource.register(DeltaCdfDataSource)
     return (
         spark.readStream.format("delta_cdf")
         .option("path", table)
@@ -402,10 +403,10 @@ def drain_changes(
     target = delta_lite.current_version(table)
     if target is None:
         raise FileNotFoundError(f"no Delta log at {table}")
-    try:
-        spark.dataSource.register(DeltaCdfDataSource)
-    except Exception:
-        pass  # already registered
+    # idempotent (replaces any prior short-name entry); genuine
+    # registration failures must propagate here, not surface later as
+    # 'format not found' at stream start (ADVICE r10)
+    spark.dataSource.register(DeltaCdfDataSource)
     runs = 0
     while runs < max_runs:
         reader = (

@@ -754,20 +754,28 @@ class InMemoryFenceLogStore(LogStore):
         self._keys: set[str] = set()
 
     def put_if_absent(self, path: str, content: bytes) -> bool:
+        # The lock is held THROUGH the write-through (ADVICE r10 low):
+        # deciding the CAS under the lock but materializing after
+        # releasing it opens a window where a losing writer re-reads
+        # the log before the winner's file exists, recomputes the SAME
+        # version, loses again, and spuriously exhausts write_delta's
+        # bounded retries — and a reader can observe a won-but-absent
+        # version.  A real conditional put (S3 If-None-Match) is
+        # atomic win+visibility in one call; the double must be too.
         with self._lock:
             if path in self._keys or os.path.exists(path):
                 return False  # loser: write nothing
+            # atomic rename so a concurrent reader (which takes no
+            # lock) never sees a partial file
+            d = os.path.dirname(path)
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".tmp-mem-{uuid.uuid4().hex}")
+            with open(tmp, "wb") as fh:
+                fh.write(content)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, path)
             self._keys.add(path)
-        # fence already won: materialize for readers (atomic rename so
-        # a concurrent reader never sees a partial file)
-        d = os.path.dirname(path)
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f".tmp-mem-{uuid.uuid4().hex}")
-        with open(tmp, "wb") as fh:
-            fh.write(content)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, path)
         return True
 
 
@@ -1936,11 +1944,23 @@ def restore_table(
         {"metaData": dict(meta_then)},
     ]
     ts = int(time.time() * 1000)
+    # File identity is (path, dv tag), not path alone: a file live in
+    # BOTH versions whose deletion-vector sidecar differs (a
+    # delete_where(use_dv=True) between them attached or swapped a DV)
+    # must be re-pointed at the target version's add, or the restore
+    # silently keeps the newer DV applied and the "restored" table
+    # still lacks the deleted rows (ADVICE r10 high).  The remove is
+    # emitted before the re-add; replay is ordered, so the add wins.
     for path in live_now:
         if path not in live_then:
             actions.append(
                 {"remove": _remove_action(path, live_now[path], ts)}
             )
+        elif _dv_of(live_now[path]) != _dv_of(live_then[path]):
+            actions.append(
+                {"remove": _remove_action(path, live_now[path], ts)}
+            )
+            actions.append({"add": dict(live_then[path])})
     for path, add in live_then.items():
         if path not in live_now:
             actions.append({"add": dict(add)})

@@ -1255,6 +1255,46 @@ def test_restore_table_rolls_back_live_state_keeping_history(spark, tmp_path):
         delta_lite.restore_table(t, version=0)
 
 
+def test_restore_across_dv_commit_reverts_the_vector(spark, tmp_path):
+    """RESTORE keys file identity on (path, dv tag), not path alone: a
+    file live in both versions whose deletion-vector sidecar differs
+    must be re-pointed at the target version's add, or the restore
+    keeps the DV applied and the 'restored' table still lacks the
+    deleted rows (ADVICE r10 high)."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("g"),
+        F.col("id").alias("v"),
+    )
+    delta_lite.write_delta(df.repartition(4), t)  # v0: 400 rows
+    v1 = delta_lite.delete_where(spark, t, "g = 1", use_dv=True)
+    assert delta_lite.read_delta(spark, t).count() == 300
+    # restore ACROSS the DV commit: every row must come back
+    v2 = delta_lite.restore_table(t, version=0)
+    assert v2 == v1 + 1
+    got = delta_lite.read_delta(spark, t)
+    assert got.count() == 400
+    assert got.filter("g = 1").count() == 100
+    # and the restore commit's live adds carry NO dv tag
+    live, _, _, _ = delta_lite._read_actions(t)
+    assert all(not (a.get("tags") or {}).get("dv") for a in live.values())
+    # roll FORWARD across the DV commit: the vector re-applies
+    assert delta_lite.restore_table(t, version=v1) == v2 + 1
+    fwd = delta_lite.read_delta(spark, t)
+    assert fwd.count() == 300 and fwd.filter("g = 1").count() == 0
+    live_f, _, _, _ = delta_lite._read_actions(t)
+    assert any((a.get("tags") or {}).get("dv") for a in live_f.values())
+    # LAYERED vector flip: delete more via DV, then restore to the
+    # one-vector state — the dv tag must swap back, not persist
+    v4 = delta_lite.delete_where(spark, t, "g = 2 AND v < 200", use_dv=True)
+    assert delta_lite.read_delta(spark, t).count() == 250
+    delta_lite.restore_table(t, version=v1)
+    back = delta_lite.read_delta(spark, t)
+    assert back.count() == 300
+    assert back.filter("g = 2").count() == 100
+
+
 def test_clone_table_zero_copy_fork_is_independent(spark, tmp_path):
     """SHALLOW CLONE re-references the source snapshot by absolute
     path: reads equal, writes to the clone never touch the source (and

@@ -1166,6 +1166,48 @@ def test_margin_bitext_suppresses_hub(spark):
     assert m[(0, 100)] > 1.0 and m[(2, 101)] > 1.0
 
 
+def test_margin_bitext_ann_candidates_track_exact(spark):
+    """The IVF candidate path (centroids given) must (a) never invent a
+    pair the exact N×M form doesn't score, (b) agree bit-for-bit on
+    cosine for every pair both forms emit, and (c) keep usable recall
+    at full probing (nprobe = n_cells degenerates to the exact
+    candidate set, so the outputs coincide exactly)."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        similarity,
+    )
+
+    from tests.conftest import SF_DIR
+
+    spark.catalog.clearCache()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    from pyspark.sql import functions as F
+
+    x = emb.filter(F.col("vec_id") % 2 == 0)
+    y = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = similarity.det_centroids(11, 4, 64)
+    exact = similarity.margin_bitext_pairs(x, y, k=3, threshold=0.0)
+    exact_rows = {(r["x_id"], r["y_id"]): r["cosine"] for r in exact.collect()}
+    spark.catalog.clearCache()
+    ann = similarity.margin_bitext_pairs(
+        x, y, k=3, threshold=0.0, centroids=cents, nprobe=2
+    )
+    ann_rows = {(r["x_id"], r["y_id"]): r["cosine"] for r in ann.collect()}
+    spark.catalog.clearCache()
+    # (b): cosines agree on the intersection (same normalize + dot)
+    inter = set(exact_rows) & set(ann_rows)
+    assert inter, "candidate join produced no overlap with exact top-k"
+    assert all(exact_rows[p] == ann_rows[p] for p in inter)
+    # (c): full probing degenerates to the exact pair set
+    full = similarity.margin_bitext_pairs(
+        x, y, k=3, threshold=0.0, centroids=cents, nprobe=len(cents)
+    )
+    full_rows = {(r["x_id"], r["y_id"]): r["cosine"] for r in full.collect()}
+    spark.catalog.clearCache()
+    assert full_rows == exact_rows
+
+
 def test_hll_intersection_estimate_tracks_true_overlap(spark):
     from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
         sketches,

@@ -35,7 +35,7 @@ BNLJ_ALLOWLIST = {
     "distinctive_terms", "zipf_slope", "corpus_datacard", "dsir_weights",
     "zorder_clustering", "acctbal_band_join", "novelty_scores",
     "quality_percentile_gate", "tail_token_coverage", "weighted_doc_sample",
-    "bitext_margin", "charset_anomaly", "neyman_stratified_sample",
+    "charset_anomaly", "neyman_stratified_sample",
     "token_frequency", "doc_unigram_logprob", "bigram_logprob",
     "doc_repetition", "token_entropy", "bigram_pmi", "ccnet_buckets",
     "boilerplate_ngrams", "boilerplate_strip", "quality_calibration",
