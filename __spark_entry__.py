@@ -252,6 +252,69 @@ FROM f GROUP BY brand
 """
 
 
+def q_report_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.11 nice-to-have (new r11, VERDICT r10 #6): the
+    key-players report at FOUR granularities in one pass — GROUP BY
+    GROUPING SETS over (brand, ship-year, quantity-bin) via
+    analysis.multi_grain_report: one Expand node, one shuffle, never
+    N unioned scans.  Brands ending in '5' are nulled to exercise the
+    UNKNOWN/ALL disambiguation: a rolled-up level renders 'ALL'
+    (GROUPING()=1) while a genuinely NULL data value renders
+    'UNKNOWN' — distinguishable ONLY via GROUPING(), which both
+    engines replay (the classic rollup bug is conflating them).  The
+    grain column keys each row to its set.  Money is the exact
+    DECIMAL-sum → round(2) → DOUBLE pattern on both sides."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    base = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.when(F.col("p_brand").endswith("5"), F.lit(None)).otherwise(
+            F.col("p_brand")
+        ).alias("brand"),
+        F.year("l_shipdate").cast("string").alias("yr"),
+        (F.floor(F.col("l_quantity") / 10) * 10).cast("int").cast("string").alias(
+            "qbin"
+        ),
+        _disc_price().alias("__amt"),
+    )
+    return analysis.multi_grain_report(
+        base,
+        dims=["brand", "yr", "qbin"],
+        grouping_sets=[
+            ["brand", "yr", "qbin"],
+            ["brand", "yr"],
+            ["yr", "qbin"],
+            ["brand"],
+            [],
+        ],
+        aggs=[
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dround(F.sum(F.col("__amt"))).alias("amount"),
+        ],
+    )
+
+
+ORACLE_REPORT_GROUPING_SETS = f"""
+WITH base AS (
+  SELECT CASE WHEN p_brand LIKE '%5' THEN NULL ELSE p_brand END AS brand,
+         CAST(year(l_shipdate) AS VARCHAR) AS yr,
+         CAST(CAST(floor(l_quantity / 10) * 10 AS INT) AS VARCHAR) AS qbin,
+         {SQL_DISC_PRICE} AS amt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT
+  CASE WHEN GROUPING(brand) = 1 THEN 'ALL' ELSE COALESCE(brand, 'UNKNOWN') END AS brand,
+  CASE WHEN GROUPING(yr) = 1 THEN 'ALL' ELSE yr END AS yr,
+  CASE WHEN GROUPING(qbin) = 1 THEN 'ALL' ELSE qbin END AS qbin,
+  CAST(GROUPING(brand) AS VARCHAR) || CAST(GROUPING(yr) AS VARCHAR)
+    || CAST(GROUPING(qbin) AS VARCHAR) AS grain,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(round(sum(amt), 2) AS DOUBLE) AS amount
+FROM base
+GROUP BY GROUPING SETS ((brand, yr, qbin), (brand, yr), (yr, qbin), (brand), ())
+"""
+
+
 def q_top3_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     li = _t(spark, sf_dir, "lineitem")
@@ -14960,17 +15023,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first; (B) queries added THIS round (new queries are inserted at
     the TOP of section B by default, ahead of re-verified greens);
     (C) queries with a green CORRECTNESS row in some prior round,
-    most-recently-verified last.  Round 10: section A is EMPTY;
-    section B = four NEW queries (delta_partitioned_upsert — VERDICT
-    r9 #1, the partitioned+bucketed merge; delta_delete_where —
-    predicate DELETE over a clustered table; delta_deletion_vectors —
-    O(matched rows) DV deletes; delta_update_where — UPDATE ... SET)
-    plus every query whose transitive closure rides the r10
-    delta_lite / jobs / delta_cdf edits (45 stale-green-flagged
-    entries, all kept inside the prefix — the round fixed all four
-    ADVICE findings and reworked constraint enforcement, the OPTIMIZE
-    family, DML, and the CDF pacing floor, so the delta closure is
-    wide again).
+    most-recently-verified last.  Round 11: section A is EMPTY;
+    section B = two NEW queries (report_grouping_sets — GROUP BY
+    GROUPING SETS with GROUPING() disambiguation, VERDICT r10 #6;
+    delta_dv_vacuum — the DV/vacuum retention contract, VERDICT r10
+    #7) plus the 21 queries whose CODE closure rides this round's
+    edits (ANN-backed bitext_margin, restore_table DV identity,
+    stream/drain registration, cap telemetry in lsh/near-dup): 23
+    changed entries total, all inside the prefix.  (Reconciling the
+    r10 comment discrepancy ADVICE r10 #4 flagged: the r10 prefix
+    held 4 new + 45 stale-flagged = 49 changed entries + 1 rotation
+    slot; the B-rot comment's '47-entry closure (2 new queries)'
+    miscounted both terms.)
 
     VETERAN ROTATION (round 9 onward, VERDICT r8 #7): each round the
     registry entries with the OLDEST driver-verified green (ties
@@ -14978,14 +15042,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the 50-entry prefix so they re-earn a driver green.  stale_green
     hashes catch code/oracle drift; rotation catches ENVIRONMENT
     drift (Spark/DuckDB version bumps, testdata regeneration) that no
-    code hash can see.  At ~284 entries the full registry re-verifies
-    on a bounded cycle behind the ~45 per round that re-verify anyway
+    code hash can see.  At ~288 entries the full registry re-verifies
+    on a bounded cycle behind the entries that re-verify anyway
     through the stale_green closure.  Mandatory (stale-flagged)
-    entries ALWAYS outrank rotation for prefix slots.  r10 rotation:
-    brand_median_price (r1 green, next in the oldest-first queue after
-    r9's pair; the 49-entry changed set — 4 new queries + 45 flagged —
-    left 1 slot).  containment_first, containment_longest,
-    upsert_latest and ratio_metric_ztest lead the r11 rotation.
+    entries ALWAYS outrank rotation for prefix slots.  r11 rotation:
+    27 slots — the stale_green code-word fix (docstring mentions are
+    no longer dependencies) shrank the changed set from a saturated
+    58 to the true 23, so the oldest-first queue advances 27 r1-green
+    veterans in one round (containment_first ..
+    parts_except_intersect, alphabetical within the r1 cohort).
 
     Section-B membership is MECHANICALLY checked:
     tools/stale_green.py hashes every query's function body, its
@@ -14999,23 +15064,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 11 (insert new HERE) ------
+        "report_grouping_sets": q_report_grouping_sets,
         "delta_dv_vacuum": q_delta_dv_vacuum,
-        # -- (B cont.) round-10 block --------------------------------
+        # -- (B cont.) r11 changed closure: every query whose CODE
+        # closure rides this round's edits (restore_table DV identity,
+        # stream/drain register fix, margin_bitext_pairs candidate
+        # join, lsh/near-dup cap telemetry, multi_grain_report) — the
+        # 23-entry set computed by the docstring-stripped stale_green
+        # BFS, cross-checked against a clean r10-baseline worktree ----
+        "bitext_margin": q_bitext_margin,
+        "delta_restore_clone": q_delta_restore_clone,
+        "cdc_rollup_maintained": q_cdc_rollup_maintained,
+        "cdc_minmax_rollup": q_cdc_minmax_rollup,
+        "cdc_scd2_history": q_cdc_scd2_history,
+        "mmr_rerank": q_mmr_rerank,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "ann_srp": q_ann_srp,
+        "ann_int8_pruned": q_ann_int8_pruned,
+        "embedding_knn": q_embedding_knn,
+        "embedding_near_dup": q_embedding_near_dup,
+        "near_dup_triangles": q_near_dup_triangles,
+        "hybrid_retrieval": q_hybrid_retrieval,
+        "hard_negatives": q_hard_negatives,
+        "incremental_near_dup": q_incremental_near_dup,
+        "best_quality_canonical": q_best_quality_canonical,
+        "near_dup_removal": q_near_dup_removal,
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs_fast": q_minhash_pairs_fast,
+        "reference_batch_parity": q_reference_batch_parity,
+        # -- (B-rot) veteran rotation (VERDICT r8 #7): 27 slots this
+        # round — the code-word closure fix (stale_green, r11) shrank
+        # the changed set from 58 (docstring-saturated) to 23, so the
+        # oldest-green queue advances 27 entries: the r1 greens in
+        # alphabetical order, containment_first .. parts_except_
+        # intersect.  (Reconciling ADVICE r10 #4: r10's forecast that
+        # upsert_latest/ratio_metric_ztest lead this rotation was
+        # wrong — both have r8+ greens; the oldest-first rule puts the
+        # remaining r1 cohort ahead of them.  pivot_returnflag_qty,
+        # pricing_summary, quantity_binning lead the r12 rotation.) --
+        "containment_first": q_containment_first,
+        "containment_longest": q_containment_longest,
+        "cube_qty": q_cube_qty,
+        "dedup_exact": q_dedup_exact,
+        "distinct_flag_status": q_distinct_flag_status,
+        "doc_repetition": q_doc_repetition,
+        "documents_new_used": q_documents_new_used,
+        "documents_normalize": q_documents_normalize,
+        "event_type_counts": q_event_type_counts,
+        "events_extract_props": q_events_extract_props,
+        "events_fx_convert": q_events_fx_convert,
+        "filtered_slice_agg": q_filtered_slice_agg,
+        "hash_sampled_stats": q_hash_sampled_stats,
+        "hourly_event_windows": q_hourly_event_windows,
+        "keyword_diagnostics": q_keyword_diagnostics,
+        "lang_id": q_lang_id,
+        "lang_source_counts": q_lang_source_counts,
+        "lineitem_derived": q_lineitem_derived,
+        "minhash_signatures": q_minhash_signatures,
+        "nation_revenue": q_nation_revenue,
+        "null_count_audit": q_null_count_audit,
+        "orders_label_cascade": q_orders_label_cascade,
+        "orders_min_total": q_orders_min_total,
+        "orders_priority_code": q_orders_priority_code,
+        "part_keyword_antifilter": q_part_keyword_antifilter,
+        "part_price_outliers": q_part_price_outliers,
+        "parts_except_intersect": q_parts_except_intersect,
+        # -- (C) driver-green in a prior round, unchanged closures ---
         "delta_update_where": q_delta_update_where,
         "delta_deletion_vectors": q_delta_deletion_vectors,
         "delta_delete_where": q_delta_delete_where,
         "delta_partitioned_upsert": q_delta_partitioned_upsert,
-        # -- (B cont.) round-9 block ---------------------------------
         "delta_change_feed": q_delta_change_feed,
         "ab_multiarm_readout": q_ab_multiarm_readout,
-        "cdc_rollup_maintained": q_cdc_rollup_maintained,
-        "cdc_minmax_rollup": q_cdc_minmax_rollup,
         "small_file_optimize": q_small_file_optimize,
-        "delta_restore_clone": q_delta_restore_clone,
-        "cdc_scd2_history": q_cdc_scd2_history,
-        # re-shaped r9: now rides read_changes (O(changed files))
         "delta_time_travel_diff": q_delta_time_travel_diff,
-        # -- (B cont.) round-8 block ---------------------------------
         "ab_srm_check": q_ab_srm_check,
         "cuped_ztest": q_cuped_ztest,
         "ab_power_mde": q_ab_power_mde,
@@ -15025,20 +15148,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_zorder_partitioned": q_delta_zorder_partitioned,
         "delta_partition_prune": q_delta_partition_prune,
         "delta_gdpr_delete": q_delta_gdpr_delete,
-        # re-promoted r8: delta_lite partition/tags/pruning rework
-        # touches these code paths
         "delta_optimize_zorder": q_delta_optimize_zorder,
         "delta_stats_skipping": q_delta_stats_skipping,
         "delta_scd2_roundtrip": q_delta_scd2_roundtrip,
         "delta_upsert_roundtrip": q_delta_upsert_roundtrip,
         "compacted_upsert": q_compacted_upsert,
-        # r7 greens staying near the front of the prefix
         "ab_test_zstat": q_ab_test_zstat,
         "cuped_lift": q_cuped_lift,
-        "mmr_rerank": q_mmr_rerank,
-        # stale-green over-inclusive closure hits (delta_lite/jobs
-        # edits ripple into these closures): re-verified this round
-        "bitext_margin": q_bitext_margin,
         "cms_merge": q_cms_merge,
         "reservoir_sample": q_reservoir_sample,
         "heavy_hitters_merge": q_heavy_hitters_merge,
@@ -15048,31 +15164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "dsir_weights": q_dsir_weights,
         "contamination_attr": q_contamination_attr,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_pq": q_ann_ivf_pq,
-        "hard_negatives": q_hard_negatives,
-        "ann_srp": q_ann_srp,
-        "ann_int8_pruned": q_ann_int8_pruned,
-        "embedding_knn": q_embedding_knn,
-        "embedding_near_dup": q_embedding_near_dup,
-        "near_dup_triangles": q_near_dup_triangles,
-        "hybrid_retrieval": q_hybrid_retrieval,
         "revenue_decomposition": q_revenue_decomposition,
-        # -- (B-rot) veteran rotation (VERDICT r8 #7): oldest driver
-        # greens re-earn a driver-checked green each round, catching
-        # environment drift (Spark/DuckDB bumps, testdata regeneration)
-        # that stale_green's code hashing cannot see.  r10: the 47-entry
-        # changed closure (every delta/jobs/cdf rider plus 2 new
-        # queries) leaves 1 slot — brand_median_price (r1 green, next
-        # in the oldest-first queue after r9's pair).  containment_first
-        # + containment_longest + upsert_latest + ratio_metric_ztest
-        # lead the r11 rotation.
         "brand_median_price": q_brand_median_price,
-        # -- (C) driver-green in a prior round --------------------
-        "containment_first": q_containment_first,
-        "containment_longest": q_containment_longest,
-        # demoted from the prefix this round to make rotation room
-        # (unchanged closures, driver-green r8/r9):
         "linkage_blocking_census": q_linkage_blocking_census,
         "record_linkage": q_record_linkage,
         "linkage_golden_records": q_linkage_golden_records,
@@ -15092,8 +15185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_time_enrich": q_point_in_time_enrich,
         "charset_anomaly": q_charset_anomaly,
         "readability": q_readability,
-        "reference_batch_parity": q_reference_batch_parity,
-        # -- (C cont.) r5 block ---------------------------------------
         "min_cost_supplier": q_min_cost_supplier,
         "nation_trade_volume": q_nation_trade_volume,
         "product_type_profit": q_product_type_profit,
@@ -15131,8 +15222,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abandoned_clicks": q_abandoned_clicks,
         "mixture_budget": q_mixture_budget,
         "waiting_suppliers": q_waiting_suppliers,
-        "incremental_near_dup": q_incremental_near_dup,
-        # (round-4 block)
         "media_wav_stats": q_media_wav_stats,
         "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
         "dup_span_strip": q_dup_span_strip,
@@ -15172,12 +15261,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "target_mix": q_target_mix,
         "lang_mix_drift": q_lang_mix_drift,
-        # (round-4 additions, green in CORRECTNESS_r04)
         "shingle_containment": q_shingle_containment,
         "domain_cap": q_domain_cap,
         "tail_token_coverage": q_tail_token_coverage,
         "centroid_outliers": q_centroid_outliers,
-        "best_quality_canonical": q_best_quality_canonical,
         "rolling_median_value": q_rolling_median,
         "event_deltas": q_event_deltas,
         "event_calendar_heatmap": q_event_calendar_heatmap,
@@ -15216,7 +15303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_phase_distinct": q_two_phase_distinct,
         "last_touch_attribution": q_last_touch_attribution,
         "span_corruption": q_span_corruption,
-        "near_dup_removal": q_near_dup_removal,
         "semantic_dedup": q_semantic_dedup,
         "quality_logit": q_quality_logit,
         "epoch_mixture": q_epoch_mixture,
@@ -15229,7 +15315,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "containment_token": q_containment_token,
         "weight_band_join": q_weight_band_join,
-        "minhash_pairs_fast": q_minhash_pairs_fast,
         "ngram_jaccard": q_ngram_jaccard,
         "session_burst_overlap": q_session_burst_overlap,
         "dedup_clusters": q_dedup_clusters,
@@ -15273,43 +15358,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionized_events": q_sessionized_events,
         "pricing_summary": q_pricing_summary,
         "shipping_priority_top10": q_shipping_priority,
-        "nation_revenue": q_nation_revenue,
         "top3_brands": q_top3_brands,
         "pivot_returnflag_qty": q_pivot_returnflag,
-        "lineitem_derived": q_lineitem_derived,
-        "orders_min_total": q_orders_min_total,
-        "part_keyword_antifilter": q_part_keyword_antifilter,
         "union_year_slices": q_union_year_slices,
-        "documents_normalize": q_documents_normalize,
-        "events_extract_props": q_events_extract_props,
-        "orders_priority_code": q_orders_priority_code,
         "regex_kb_match": q_regex_kb_match,
-        "events_fx_convert": q_events_fx_convert,
-        "orders_label_cascade": q_orders_label_cascade,
-        "documents_new_used": q_documents_new_used,
         "quantity_binning": q_quantity_binning,
-        "part_price_outliers": q_part_price_outliers,
-        "event_type_counts": q_event_type_counts,
-        "distinct_flag_status": q_distinct_flag_status,
-        "hourly_event_windows": q_hourly_event_windows,
-        "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "keyword_diagnostics": q_keyword_diagnostics,
-        "null_count_audit": q_null_count_audit,
         "report_format": q_report_format,
-        "lang_source_counts": q_lang_source_counts,
-        "filtered_slice_agg": q_filtered_slice_agg,
-        "parts_except_intersect": q_parts_except_intersect,
         "top_parts_per_brand": q_top_parts_per_brand,
-        "hash_sampled_stats": q_hash_sampled_stats,
-        "cube_qty": q_cube_qty,
         "quantity_percentiles": q_quantity_percentiles,
         "token_frequency": q_token_frequency,
-        "doc_repetition": q_doc_repetition,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -15317,6 +15376,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_update_where": ORACLE_DELTA_UPDATE_WHERE,
         "delta_deletion_vectors": ORACLE_DELTA_DELETION_VECTORS,
         "delta_dv_vacuum": ORACLE_DELTA_DV_VACUUM,
+        "report_grouping_sets": ORACLE_REPORT_GROUPING_SETS,
         "delta_delete_where": ORACLE_DELTA_DELETE_WHERE,
         "delta_partitioned_upsert": _oracle_delta_partitioned_upsert(),
         "ab_srm_check": _oracle_ab_srm_check(),

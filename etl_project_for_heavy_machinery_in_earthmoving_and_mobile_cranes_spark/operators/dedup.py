@@ -194,7 +194,8 @@ def lsh_similar_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int | None = None,
-) -> DataFrame:
+    return_drop_stats: bool = False,
+):
     """Fused band-join + similarity: candidate pairs WITH estimated
     Jaccard in a single shuffle chain.
 
@@ -212,6 +213,14 @@ def lsh_similar_pairs(
     join (one bucket-keyed count + semi join), bounding worst-case
     fan-out at max_bucket²/2 per bucket; a family that large is
     boilerplate to route to exact-dedup anyway, not near-dup scoring.
+
+    ``return_drop_stats``: a cap that drops work SILENTLY reads as
+    "covered everything" (VERDICT r10 #3) — pass True to get
+    ``(pairs, drops)`` where ``drops`` is a lazy (bucket, width)
+    DataFrame of exactly the buckets the cap excluded (empty frame
+    when uncapped).  Count/log it and route those buckets to exact
+    dedup; it shares the banded lineage, so materialize both from one
+    pass if you need both.
     """
     rows = num_hashes // bands
     band_cols = [
@@ -227,12 +236,13 @@ def lsh_similar_pairs(
         *[F.col(f"mh_{i}") for i in range(num_hashes)],
         F.explode(F.array(*band_cols)).alias("__bucket"),
     )
+    drops = None
     if max_bucket is not None:
-        ok = (
-            banded.groupBy("__bucket")
-            .agg(F.count("*").alias("__bc"))
-            .filter(F.col("__bc") <= max_bucket)
-            .select("__bucket")
+        counts = banded.groupBy("__bucket").agg(F.count("*").alias("__bc"))
+        ok = counts.filter(F.col("__bc") <= max_bucket).select("__bucket")
+        drops = counts.filter(F.col("__bc") > max_bucket).select(
+            F.col("__bucket").alias("bucket"),
+            F.col("__bc").cast("bigint").alias("width"),
         )
         banded = banded.join(ok, "__bucket", "left_semi")
     a = banded.alias("a")
@@ -241,7 +251,7 @@ def lsh_similar_pairs(
         F.when(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), 1).otherwise(0)
         for i in range(num_hashes)
     )
-    return (
+    pairs = (
         a.join(
             b,
             on=(F.col("a.__bucket") == F.col("b.__bucket"))
@@ -256,6 +266,13 @@ def lsh_similar_pairs(
         # est_jaccard, so subset-dedup is exact
         .dropDuplicates(["id_a", "id_b"])
     )
+    if return_drop_stats:
+        if drops is None:
+            drops = sigs.sparkSession.createDataFrame(
+                [], "bucket string, width bigint"
+            )
+        return pairs, drops
+    return pairs
 
 
 def minhash_similarity(

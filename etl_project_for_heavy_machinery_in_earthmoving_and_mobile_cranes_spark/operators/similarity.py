@@ -112,7 +112,8 @@ def near_dup_pairs_bucketed(
     nprobe: int = 2,
     seed: int = 7,
     max_cell: int | None = None,
-) -> DataFrame:
+    return_drop_stats: bool = False,
+):
     """Cell-bucketed embedding near-duplicate pairs — the 100 TB form of
     ``near_dup_pairs``: every vector lands in its ``nprobe`` nearest
     coarse-quantizer cells (``assign_cells`` — a literal-argmax map
@@ -126,15 +127,26 @@ def near_dup_pairs_bucketed(
     always do); ``max_cell`` skips degenerate cells the quantizer
     failed to discriminate, same dial as ``semantic_dedup``.  The
     all-pairs ``near_dup_pairs`` stays test-side as the recall oracle
-    only — it is never the registered plan."""
+    only — it is never the registered plan.
+
+    ``return_drop_stats``: the cap must not drop work silently
+    (VERDICT r10 #3) — pass True to get ``(pairs, drops)`` where
+    ``drops`` is a lazy (cell, width) DataFrame of exactly the cells
+    the cap excluded (empty frame when uncapped); count/log it and
+    re-train the quantizer with more cells if it is non-trivial."""
     if centroids is None:
         centroids = train_ivf_centroids(corpus, vec_col, n_cells=n_cells, seed=seed)
     cells = assign_cells(
         corpus.select(F.col(id_col), F.col(vec_col)), vec_col, centroids,
         nprobe=nprobe,
     )
+    drops = None
     if max_cell is not None:
         sizes = cells.groupBy("__cell").agg(F.count("*").alias("__csize"))
+        drops = sizes.filter(F.col("__csize") > F.lit(max_cell)).select(
+            F.col("__cell").alias("cell"),
+            F.col("__csize").cast("bigint").alias("width"),
+        )
         cells = (
             cells.join(F.broadcast(sizes), on="__cell")
             .filter(F.col("__csize") <= F.lit(max_cell))
@@ -161,7 +173,7 @@ def near_dup_pairs_bucketed(
     )
     ea = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     eb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    return (
+    out = (
         pairs.join(F.broadcast(ea), "id_a")
         .join(F.broadcast(eb), "id_b")
         .select(
@@ -169,6 +181,13 @@ def near_dup_pairs_bucketed(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+    if return_drop_stats:
+        if drops is None:
+            drops = corpus.sparkSession.createDataFrame(
+                [], "cell int, width bigint"
+            )
+        return out, drops
+    return out
 
 
 def ann_union_knn(

@@ -252,6 +252,46 @@ def test_lsh_bucket_cap_drops_giant_families(spark):
     # capped at 3: family-A buckets (width 5) drop; only the B pair stays
     got = [(r["id_a"], r["id_b"]) for r in capped.collect()]
     assert got == [(10, 11)]
+    # the cap must REPORT what it dropped (VERDICT r10 #3): 8 bands ×
+    # family A -> 8 buckets of width 5 excluded, none of width <= 3
+    capped2, drops = dedup.lsh_similar_pairs(
+        sigs, "doc_id", num_hashes=8, bands=8, max_bucket=3,
+        return_drop_stats=True,
+    )
+    d = drops.collect()
+    assert len(d) == 8 and all(r["width"] == 5 for r in d)
+    assert [(r["id_a"], r["id_b"]) for r in capped2.collect()] == [(10, 11)]
+    # uncapped with stats: the drops frame is EMPTY, not absent
+    _, no_drops = dedup.lsh_similar_pairs(
+        sigs, "doc_id", num_hashes=8, bands=8, return_drop_stats=True
+    )
+    assert no_drops.count() == 0
+
+
+def test_near_dup_bucketed_cell_cap_reports_drops(spark):
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        similarity,
+    )
+
+    # two tight clusters; centroids chosen so cluster A (6 vectors) and
+    # cluster B (2 vectors) land in different cells
+    a = [(i, [1.0, 0.01 * i]) for i in range(6)]
+    b = [(100, [0.0, 1.0]), (101, [0.0, 0.999])]
+    corpus = spark.createDataFrame(a + b, "vec_id int, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    pairs, drops = similarity.near_dup_pairs_bucketed(
+        corpus, threshold=0.99, centroids=cents, nprobe=1, max_cell=4,
+        return_drop_stats=True,
+    )
+    d = drops.collect()
+    # cell 0 (width 6) excluded and reported; cell 1 (width 2) survives
+    assert [(r["cell"], r["width"]) for r in d] == [(0, 6)]
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(100, 101)}
+    _, no_drops = similarity.near_dup_pairs_bucketed(
+        corpus, threshold=0.99, centroids=cents, nprobe=1,
+        return_drop_stats=True,
+    )
+    assert no_drops.count() == 0
 
 
 def test_chunk_with_overlap_windows(spark):

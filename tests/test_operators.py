@@ -1809,3 +1809,43 @@ def test_linkage_default_max_block_caps_hot_block(spark):
     assert uncapped.count() == 1200 * 1100
     bc = linkage.blocked_candidates(left, right, ["bk"])
     assert bc.count() == 1000 * 1000
+
+
+def test_multi_grain_report_grouping_vs_null_and_single_expand(spark):
+    """GROUPING() disambiguation: a rolled-up dim renders 'ALL', a
+    genuinely NULL data value renders 'UNKNOWN', and the two are never
+    conflated; the physical plan is ONE Expand + aggregate pass, not a
+    union of per-grain scans."""
+    from pyspark.sql import functions as F
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        analysis,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "2024", 1.0), (None, "2024", 2.0), ("a", "2025", 4.0)],
+        ["brand", "yr", "amt"],
+    )
+    out = analysis.multi_grain_report(
+        df,
+        dims=["brand", "yr"],
+        grouping_sets=[["brand", "yr"], ["brand"], []],
+        aggs=[F.sum("amt").alias("amount")],
+    )
+    rows = {(r["brand"], r["yr"], r["grain"]): r["amount"] for r in out.collect()}
+    # finest grain: the NULL data value is UNKNOWN, not ALL
+    assert rows[("UNKNOWN", "2024", "00")] == 2.0
+    assert rows[("a", "2024", "00")] == 1.0
+    # brand-only grain: yr rolled up -> 'ALL' with grouping bit set
+    assert rows[("a", "ALL", "01")] == 5.0
+    assert rows[("UNKNOWN", "ALL", "01")] == 2.0
+    # grand total: both bits set
+    assert rows[("ALL", "ALL", "11")] == 7.0
+    # and the UNKNOWN/ALL pair never collides on the same grain
+    assert ("UNKNOWN", "ALL", "11") not in rows
+    # AQE prints the plan twice (final + initial); count within the
+    # final section only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Expand") == 1
+    assert "Union" not in plan

@@ -78,11 +78,26 @@ BNLJ_ALLOWLIST = {
     # same class (r9): the k−1 treatment rows crossJoin the 1-row
     # broadcast control aggregate, then the |arms|-sized BH window
     "ab_multiarm_readout",
+    # INTERNAL execution (r11, first round the census can see DML
+    # internals): optimize_zorder's rewrite crossJoins the snapshot
+    # with the broadcast 1-ROW min/max span aggregate
+    # (delta_lite.py optimize_zorder) — the same bounded scalar class
+    "delta_optimize_zorder",
 }
 # Arrow-batched Python at genuine codec boundaries only
 PYTHON_ALLOWLIST = {
     "media_decode_dims", "media_wav_stats", "media_resize",
     "media_features", "media_frames", "media_dhash", "image_near_dup",
+}
+# Python eval inside INTERNAL executions (VERDICT r10 #2): the change-
+# feed family runs the Python-data-source CDF scan and applyInPandas
+# maintainers in its micro-batches — the documented Python boundaries
+# of the streaming surface, mirrored from the jobs.py allowlist.
+INTERNAL_PYTHON_ALLOWLIST = {
+    "delta_change_feed", "cdc_rollup_maintained", "cdc_minmax_rollup",
+    "cdc_scd2_history", "delta_cdf_pacing", "decontaminate_merge",
+    "stream_sessionize", "stream_dedup_watermark", "reservoir_stream",
+    "cms_stream", "experiment_units_stream",
 }
 
 
@@ -91,8 +106,35 @@ def main() -> None:
     spark = get_spark(app_name="plan-census")
     spark.sparkContext.setLogLevel("ERROR")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    # INTERNAL execution capture (VERDICT r10 #2): DML/CDC queries run
+    # their real work as actions against temp tables while the query
+    # function executes and return only a small materialized frame, so
+    # explaining the returned DataFrame sees none of it.  Every action
+    # runs under a SQL execution whose physicalPlanDescription is the
+    # formatted explain — diff the shared SQL status store around the
+    # fn() call and run the same counters over each internal plan.
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def counters(p: str) -> dict:
+        # count DETAIL-section headers "(N) NodeName" — the tree lines
+        # carry join type/build side between name and id, so a naive
+        # "Name (" count silently misses every join node
+        node = lambda n: len(re.findall(rf"\(\d+\) {n}\b", p))  # noqa: E731
+        return {
+            "ex": node("Exchange"),
+            "bhj": node("BroadcastHashJoin"),
+            "smj": node("SortMergeJoin"),
+            "bnlj": node("BroadcastNestedLoopJoin"),
+            "cart": node("CartesianProduct"),
+            "py": node("ArrowEvalPython") + node("BatchEvalPython")
+            + node("MapInPandas") + node("FlatMapGroupsInPandas")
+            + node("FlatMapGroupsInPandasWithState"),
+            "scans": node("Scan parquet"),
+        }
+
     rows, violations = [], []
     for name, fn in entrymod.queries().items():
+        n0 = store.executionsList().size()
         try:
             df = fn(spark, sf_dir)
             p = df._jdf.queryExecution().explainString(mode)
@@ -100,28 +142,45 @@ def main() -> None:
             rows.append((name, "ERROR", str(e)[:80]))
             violations.append((name, f"plan error: {e}"[:120]))
             continue
-        # count DETAIL-section headers "(N) NodeName" — the tree lines
-        # carry join type/build side between name and id, so a naive
-        # "Name (" count silently misses every join node
-        node = lambda name: len(re.findall(rf"\(\d+\) {name}\b", p))
-        n_ex = node("Exchange")
-        n_bhj = node("BroadcastHashJoin")
-        n_smj = node("SortMergeJoin")
-        n_bnlj = node("BroadcastNestedLoopJoin")
-        n_cart = node("CartesianProduct")
-        n_py = node("ArrowEvalPython") + node("BatchEvalPython") + node("MapInPandas")
-        n_scan = node("Scan parquet")
+        c = counters(p)
         pushed = "PushedFilters: [" in p and "PushedFilters: []" not in p
+        # internal executions triggered while fn() ran (zero for pure
+        # lazy queries; the DML surface's scans/rewrites land here)
+        lst = store.executionsList()
+        ic = {k: 0 for k in c}
+        n_int = 0
+        for i in range(n0, lst.size()):
+            desc = lst.apply(i).physicalPlanDescription()
+            n_int += 1
+            for k, v in counters(desc).items():
+                ic[k] += v
         rows.append(
-            (name, f"ex={n_ex} bhj={n_bhj} smj={n_smj} bnlj={n_bnlj} "
-                   f"cart={n_cart} py={n_py} scans={n_scan} pushed={int(pushed)}", "")
+            (name,
+             f"ex={c['ex']} bhj={c['bhj']} smj={c['smj']} "
+             f"bnlj={c['bnlj']} cart={c['cart']} py={c['py']} "
+             f"scans={c['scans']} pushed={int(pushed)}",
+             f"int: n={n_int} ex={ic['ex']} bnlj={ic['bnlj']} "
+             f"cart={ic['cart']} py={ic['py']} scans={ic['scans']}"
+             if n_int else "")
         )
-        if n_cart:
+        if c["cart"]:
             violations.append((name, "CartesianProduct in plan"))
-        if n_bnlj and name not in BNLJ_ALLOWLIST:
-            violations.append((name, f"BNLJ not allowlisted ({n_bnlj})"))
-        if n_py and name not in PYTHON_ALLOWLIST:
-            violations.append((name, f"Python eval not allowlisted ({n_py})"))
+        if c["bnlj"] and name not in BNLJ_ALLOWLIST:
+            violations.append((name, f"BNLJ not allowlisted ({c['bnlj']})"))
+        if c["py"] and name not in PYTHON_ALLOWLIST:
+            violations.append((name, f"Python eval not allowlisted ({c['py']})"))
+        if ic["cart"]:
+            violations.append((name, "CartesianProduct in INTERNAL execution"))
+        if ic["bnlj"] and name not in BNLJ_ALLOWLIST:
+            violations.append(
+                (name, f"internal BNLJ not allowlisted ({ic['bnlj']})")
+            )
+        if ic["py"] and name not in (
+            PYTHON_ALLOWLIST | INTERNAL_PYTHON_ALLOWLIST
+        ):
+            violations.append(
+                (name, f"internal Python eval not allowlisted ({ic['py']})")
+            )
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as fh:
         fh.write("# Plan-shape census (tools/plan_census.py)\n\n")

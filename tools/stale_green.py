@@ -15,7 +15,15 @@ makes it mechanical:
       its TRANSITIVE reference closure (textual name-reference BFS —
       approximate, deliberately over-inclusive: a false positive
       re-verifies a green query, a false negative would hide a stale
-      one), and
+      one).  The BFS follows CODE words only (docstrings and comments
+      are stripped before the word scan, r11): prose like "mirrors
+      lsh_similar_pairs" is not a dependency, and following it had
+      saturated closures to ~380 functions so that ANY pkg edit
+      flagged most of the registry and the >50-entry changed set
+      could not fit the driver's 50-slot prefix.  Hashes still cover
+      the FULL source (docstrings included) of every closure member,
+      so a docstring-only edit of a real dependency still re-flags.
+      And
   (d) the source of entry-file module constants it references.
 - ``--record`` snapshots hashes to tools/stale_green_hashes.json after
   a green sweep; ``--check`` (the round-end gate) lists queries whose
@@ -109,6 +117,13 @@ def compute_hashes() -> "dict[str, str]":
     const_names = set(entry_consts)
     word_re = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
+    def code_text(text: str) -> str:
+        """Strip docstrings/comments so the reference scan follows only
+        code words — prose mentions are not dependencies (r11)."""
+        text = re.sub(r'"""[\s\S]*?"""', "", text)
+        text = re.sub(r"'''[\s\S]*?'''", "", text)
+        return re.sub(r"#[^\n]*", "", text)
+
     def closure(seed_src: str) -> "tuple[set, set, set]":
         """(entry funcs, pkg funcs, entry consts) textually reachable."""
         efuncs: set[str] = set()
@@ -116,7 +131,7 @@ def compute_hashes() -> "dict[str, str]":
         consts: set[str] = set()
         frontier = [seed_src]
         while frontier:
-            text = frontier.pop()
+            text = code_text(frontier.pop())
             words = set(word_re.findall(text))
             for w in words & entry_fn_names:
                 if w not in efuncs:
