@@ -11915,6 +11915,95 @@ SELECT 'live' AS read_path, * FROM live
 """
 
 
+def q_delta_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM FILTER INDEX (delta_lite.add_bloom_index, new r11): the
+    documents table keyed by md5(doc_id) — a uniformly-distributed
+    high-cardinality string key that spans ~the full domain in every
+    file, so min/max stats skipping prunes NOTHING on a point lookup
+    and a 100 TB point read would scan the table.  The per-file bloom
+    sidecar (built distributed: JVM md5 double-hashing, (file, word)
+    bit_or packing; layout-only dataChange:false commit) must prune
+    at least half the 8 files on each present key and all-or-one on
+    an absent key — ASSERTED in-query — while reads stay exact (zero
+    false negatives by construction).  Output: the probed rows for
+    the min- and max-doc_id keys; the oracle replays the point
+    lookups relationally (the index is advisory, so results equal the
+    plain filter)."""
+    import hashlib as _hl
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("key", F.md5(F.col("doc_id").cast("string")))
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_bloom_")
+    path = os.path.join(tmp, "docs")
+    try:
+        delta_lite.write_delta(d.repartition(8), path)
+        v = delta_lite.add_bloom_index(spark, path, "key", fpp=0.01)
+        if v is None:
+            raise AssertionError("bloom index indexed nothing")
+        bounds = d.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).first()
+        live, _, _, _ = delta_lite._read_actions(path)
+        n_live = len(live)
+        probes = {
+            "lo": _hl.md5(str(bounds["lo"]).encode()).hexdigest(),
+            "hi": _hl.md5(str(bounds["hi"]).encode()).hexdigest(),
+        }
+        for name, key in probes.items():
+            kept = sum(
+                1
+                for a in live.values()
+                if not delta_lite._bloom_prunable(path, a, "key", key)
+            )
+            if kept > n_live // 2:
+                raise AssertionError(
+                    f"bloom skipped too little on {name}: {kept}/{n_live}"
+                )
+        absent = _hl.md5(b"no-such-doc").hexdigest()
+        kept_absent = sum(
+            1
+            for a in live.values()
+            if not delta_lite._bloom_prunable(path, a, "key", absent)
+        )
+        if kept_absent > 1:  # fpp 1% over 8 files
+            raise AssertionError(
+                f"absent key kept {kept_absent}/{n_live} files"
+            )
+        parts = []
+        for name, key in probes.items():
+            parts.append(
+                delta_lite.read_delta(spark, path, predicate=("key", key, key))
+                .filter(F.col("key") == key)
+                .select(
+                    F.lit(name).alias("probe"), "doc_id", "lang", "n_chars"
+                )
+            )
+        out = parts[0].unionByName(parts[1]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE_DELTA_BLOOM_SKIPPING = """
+WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents)
+SELECT 'lo' AS probe, doc_id, lang, n_chars
+FROM documents, b WHERE doc_id = b.lo
+UNION ALL
+SELECT 'hi' AS probe, doc_id, lang, n_chars
+FROM documents, b WHERE doc_id = b.hi
+"""
+
+
 def q_delta_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned + keyed incremental MERGE (new r10, VERDICT r9 #1 —
     the biggest remaining capability gap): the standard 100 TB
@@ -15028,9 +15117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     GROUPING SETS with GROUPING() disambiguation, VERDICT r10 #6;
     delta_dv_vacuum — the DV/vacuum retention contract, VERDICT r10
     #7) plus the 21 queries whose CODE closure rides this round's
-    edits (ANN-backed bitext_margin, restore_table DV identity,
-    stream/drain registration, cap telemetry in lsh/near-dup): 23
-    changed entries total, all inside the prefix.  (Reconciling the
+    edits — the ANN-backed bitext candidate join, restore_table DV
+    identity, stream/drain registration, cap telemetry, and the
+    read_delta BLOOM skip layer, whose ripple re-flags the whole
+    delta/cdc family — plus the third NEW query delta_bloom_skipping:
+    42 changed entries total, all inside the prefix.  (Reconciling the
     r10 comment discrepancy ADVICE r10 #4 flagged: the r10 prefix
     held 4 new + 45 stale-flagged = 49 changed entries + 1 rotation
     slot; the B-rot comment's '47-entry closure (2 new queries)'
@@ -15046,11 +15137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     on a bounded cycle behind the entries that re-verify anyway
     through the stale_green closure.  Mandatory (stale-flagged)
     entries ALWAYS outrank rotation for prefix slots.  r11 rotation:
-    27 slots — the stale_green code-word fix (docstring mentions are
-    no longer dependencies) shrank the changed set from a saturated
-    58 to the true 23, so the oldest-first queue advances 27 r1-green
-    veterans in one round (containment_first ..
-    parts_except_intersect, alphabetical within the r1 cohort).
+    8 slots — the stale_green code-word fix (docstring mentions are
+    no longer dependencies) keeps the changed set at its true 42
+    (the pre-fix scan would have flagged nearly everything), and the
+    oldest-first queue advances 8 r1-green veterans
+    (containment_first .. documents_normalize, alphabetical within
+    the r1 cohort).
 
     Section-B membership is MECHANICALLY checked:
     tools/stale_green.py hashes every query's function body, its
@@ -15064,45 +15156,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 11 (insert new HERE) ------
+        "delta_bloom_skipping": q_delta_bloom_skipping,
         "report_grouping_sets": q_report_grouping_sets,
         "delta_dv_vacuum": q_delta_dv_vacuum,
         # -- (B cont.) r11 changed closure: every query whose CODE
-        # closure rides this round's edits (restore_table DV identity,
-        # stream/drain register fix, margin_bitext_pairs candidate
-        # join, lsh/near-dup cap telemetry, multi_grain_report) — the
-        # 23-entry set computed by the docstring-stripped stale_green
-        # BFS, cross-checked against a clean r10-baseline worktree ----
-        "bitext_margin": q_bitext_margin,
-        "delta_restore_clone": q_delta_restore_clone,
-        "cdc_rollup_maintained": q_cdc_rollup_maintained,
-        "cdc_minmax_rollup": q_cdc_minmax_rollup,
-        "cdc_scd2_history": q_cdc_scd2_history,
-        "mmr_rerank": q_mmr_rerank,
+        # closure rides this round's edits — the bitext candidate
+        # join, restore_table DV identity, the read_delta bloom skip
+        # layer (ripples into the whole delta/cdc/sketch-on-delta
+        # family), stream/drain registration, cap telemetry.  The
+        # 42-entry set is the class+const-aware code-word stale_green
+        # BFS, cross-checked against a clean r10-baseline worktree ---
+        "ann_int8_pruned": q_ann_int8_pruned,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_srp": q_ann_srp,
-        "ann_int8_pruned": q_ann_int8_pruned,
+        "best_quality_canonical": q_best_quality_canonical,
+        "bitext_margin": q_bitext_margin,
+        "cdc_minmax_rollup": q_cdc_minmax_rollup,
+        "cdc_rollup_maintained": q_cdc_rollup_maintained,
+        "cdc_scd2_history": q_cdc_scd2_history,
+        "cms_merge": q_cms_merge,
+        "compacted_upsert": q_compacted_upsert,
+        "delta_delete_where": q_delta_delete_where,
+        "delta_deletion_vectors": q_delta_deletion_vectors,
+        "delta_gdpr_delete": q_delta_gdpr_delete,
+        "delta_optimize_zorder": q_delta_optimize_zorder,
+        "delta_partition_prune": q_delta_partition_prune,
+        "delta_partitioned_upsert": q_delta_partitioned_upsert,
+        "delta_restore_clone": q_delta_restore_clone,
+        "delta_scd2_roundtrip": q_delta_scd2_roundtrip,
+        "delta_stats_skipping": q_delta_stats_skipping,
+        "delta_timestamp_travel": q_delta_timestamp_travel,
+        "delta_update_where": q_delta_update_where,
+        "delta_upsert_roundtrip": q_delta_upsert_roundtrip,
+        "delta_zorder_partitioned": q_delta_zorder_partitioned,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
-        "near_dup_triangles": q_near_dup_triangles,
-        "hybrid_retrieval": q_hybrid_retrieval,
         "hard_negatives": q_hard_negatives,
+        "heavy_hitters_merge": q_heavy_hitters_merge,
+        "hll_user_count": q_hll_user_count,
+        "hybrid_retrieval": q_hybrid_retrieval,
         "incremental_near_dup": q_incremental_near_dup,
-        "best_quality_canonical": q_best_quality_canonical,
-        "near_dup_removal": q_near_dup_removal,
         "minhash_pairs": q_minhash_pairs,
         "minhash_pairs_fast": q_minhash_pairs_fast,
+        "mmr_rerank": q_mmr_rerank,
+        "near_dup_removal": q_near_dup_removal,
+        "near_dup_triangles": q_near_dup_triangles,
         "reference_batch_parity": q_reference_batch_parity,
-        # -- (B-rot) veteran rotation (VERDICT r8 #7): 27 slots this
-        # round — the code-word closure fix (stale_green, r11) shrank
-        # the changed set from 58 (docstring-saturated) to 23, so the
-        # oldest-green queue advances 27 entries: the r1 greens in
-        # alphabetical order, containment_first .. parts_except_
-        # intersect.  (Reconciling ADVICE r10 #4: r10's forecast that
-        # upsert_latest/ratio_metric_ztest lead this rotation was
-        # wrong — both have r8+ greens; the oldest-first rule puts the
-        # remaining r1 cohort ahead of them.  pivot_returnflag_qty,
-        # pricing_summary, quantity_binning lead the r12 rotation.) --
+        "reservoir_sample": q_reservoir_sample,
+        "small_file_optimize": q_small_file_optimize,
+        # -- (B-rot) veteran rotation (VERDICT r8 #7): 8 slots this
+        # round (42 changed entries leave 8) — the oldest-green queue
+        # advances 8 r1 veterans alphabetically, containment_first ..
+        # documents_normalize.  (Reconciling ADVICE r10 #4: r10's
+        # forecast that upsert_latest/ratio_metric_ztest lead this
+        # rotation was wrong — both have r8+ greens; the oldest-first
+        # rule puts the remaining r1 cohort ahead.  event_type_counts,
+        # events_extract_props, events_fx_convert lead the r12
+        # rotation.) ---------------------------------------------------
         "containment_first": q_containment_first,
         "containment_longest": q_containment_longest,
         "cube_qty": q_cube_qty,
@@ -15111,6 +15222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "documents_new_used": q_documents_new_used,
         "documents_normalize": q_documents_normalize,
+        # -- (C) driver-green in a prior round, unchanged closures ---
         "event_type_counts": q_event_type_counts,
         "events_extract_props": q_events_extract_props,
         "events_fx_convert": q_events_fx_convert,
@@ -15130,35 +15242,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_keyword_antifilter": q_part_keyword_antifilter,
         "part_price_outliers": q_part_price_outliers,
         "parts_except_intersect": q_parts_except_intersect,
-        # -- (C) driver-green in a prior round, unchanged closures ---
-        "delta_update_where": q_delta_update_where,
-        "delta_deletion_vectors": q_delta_deletion_vectors,
-        "delta_delete_where": q_delta_delete_where,
-        "delta_partitioned_upsert": q_delta_partitioned_upsert,
         "delta_change_feed": q_delta_change_feed,
         "ab_multiarm_readout": q_ab_multiarm_readout,
-        "small_file_optimize": q_small_file_optimize,
         "delta_time_travel_diff": q_delta_time_travel_diff,
         "ab_srm_check": q_ab_srm_check,
         "cuped_ztest": q_cuped_ztest,
         "ab_power_mde": q_ab_power_mde,
         "ab_msprt": q_ab_msprt,
         "ab_fdr_bh": q_ab_fdr_bh,
-        "delta_timestamp_travel": q_delta_timestamp_travel,
-        "delta_zorder_partitioned": q_delta_zorder_partitioned,
-        "delta_partition_prune": q_delta_partition_prune,
-        "delta_gdpr_delete": q_delta_gdpr_delete,
-        "delta_optimize_zorder": q_delta_optimize_zorder,
-        "delta_stats_skipping": q_delta_stats_skipping,
-        "delta_scd2_roundtrip": q_delta_scd2_roundtrip,
-        "delta_upsert_roundtrip": q_delta_upsert_roundtrip,
-        "compacted_upsert": q_compacted_upsert,
         "ab_test_zstat": q_ab_test_zstat,
         "cuped_lift": q_cuped_lift,
-        "cms_merge": q_cms_merge,
-        "reservoir_sample": q_reservoir_sample,
-        "heavy_hitters_merge": q_heavy_hitters_merge,
-        "hll_user_count": q_hll_user_count,
         "bm25_search": q_bm25_search,
         "novelty_scores": q_novelty_scores,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -15377,6 +15470,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_deletion_vectors": ORACLE_DELTA_DELETION_VECTORS,
         "delta_dv_vacuum": ORACLE_DELTA_DV_VACUUM,
         "report_grouping_sets": ORACLE_REPORT_GROUPING_SETS,
+        "delta_bloom_skipping": ORACLE_DELTA_BLOOM_SKIPPING,
         "delta_delete_where": ORACLE_DELTA_DELETE_WHERE,
         "delta_partitioned_upsert": _oracle_delta_partitioned_upsert(),
         "ab_srm_check": _oracle_ab_srm_check(),

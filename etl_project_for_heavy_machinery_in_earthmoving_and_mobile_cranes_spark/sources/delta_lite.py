@@ -87,6 +87,7 @@ no-op replays upstream).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -1539,10 +1540,15 @@ def read_delta(
        whose committed min/max prove the closed range [lo, hi] (either
        bound None = unbounded) cannot match are dropped before Spark
        ever lists them — at 100 TB this is the difference between
-       scanning a day and scanning the table.
+       scanning a day and scanning the table;
+    3. BLOOM SKIPPING (point predicates, lo == hi): files whose
+       ``add_bloom_index`` sidecar proves the value absent are dropped
+       — the skip layer for uniformly-distributed high-cardinality
+       keys whose min/max span every file and make layer 2 useless.
     Skipping is advisory-safe: files without stats (or with null
-    partition values) are always read, and callers must still apply
-    the actual filter (pruning drops files, not rows).
+    partition values, or no bloom tag) are always read, and callers
+    must still apply the actual filter (pruning drops files, not
+    rows).
 
     Partitioned tables (non-empty ``metaData.partitionColumns``) read
     with ``basePath`` so Spark's partition discovery reconstitutes the
@@ -1574,6 +1580,12 @@ def read_delta(
                 for p, a in live.items()
                 if not _maybe_prunable(a, col, lo, hi)
             }
+            if lo is not None and lo == hi:
+                live = {
+                    p: a
+                    for p, a in live.items()
+                    if not _bloom_prunable(table, a, col, lo)
+                }
     # deletion vectors apply at read time (files without one keep the
     # plain scan path inside _read_with_dv)
     return _read_with_dv(spark, table, live, schema, pcols)
@@ -1711,6 +1723,214 @@ def is_delta_table(path: str) -> bool:
     return os.path.isdir(_log_path(path)) and bool(_list_versions(path))
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping (real Delta: BLOOM FILTER INDEX)
+# ---------------------------------------------------------------------------
+
+_BLOOM_DIR = "_bloom"
+
+
+def _bloom_params(n: int, fpp: float) -> "tuple[int, int]":
+    """(m bits, k hashes) for ``n`` keys at false-positive rate
+    ``fpp``; m rounds up to a multiple of 64 (whole words)."""
+    import math
+
+    n = max(n, 1)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_hash_py(value: str, seed: int) -> int:
+    """Driver-side replica of the JVM hash the index is built with:
+    ``conv(substring(md5('b{seed}:' || value), 1, 15), 16, 10)`` — the
+    first 15 hex chars of the md5 digest as a non-negative bigint.
+    md5 (not xxhash64) so ANY engine — and this driver — reproduces
+    the exact bit positions; the same portability discipline as the
+    minhash signatures."""
+    h = hashlib.md5(f"b{seed}:{value}".encode()).hexdigest()[:15]
+    return int(h, 16)
+
+
+def _bloom_positions_py(value: str, m: int, k: int) -> "list[int]":
+    """Kirsch-Mitzenmacher double hashing: position_i = (h1 + i·h2)
+    mod m — two md5 digests serve all k probes."""
+    h1 = _bloom_hash_py(value, 0)
+    h2 = _bloom_hash_py(value, 1)
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def add_bloom_index(
+    spark: SparkSession, table: str, col: str, fpp: float = 0.01
+) -> "int | None":
+    """BLOOM FILTER INDEX (real Delta: ``delta.bloomFilter`` columns):
+    point-lookup file skipping for columns min/max stats cannot prune —
+    a uniformly-distributed high-cardinality key (UUID, content hash)
+    spans nearly the full domain in EVERY file, so stats skipping reads
+    the whole table for one key; a per-file bloom bitset proves absence
+    and skips the file.
+
+    Build is distributed and metadata-only in the log: every live file
+    missing a ``bloom_{col}`` tag is scanned ONCE for the indexed
+    column, each value's k bit positions are computed JVM-side
+    (md5 double hashing, engine-portable — ``_bloom_hash_py`` is the
+    bit-exact driver replica), and the bitset is packed IN SPARK by a
+    (file, word) bit_or aggregate — m/64 bigint words per file cross
+    the driver, never the positions.  One sidecar JSON per file lands
+    under ``_bloom/``; the commit re-adds the same data files with the
+    sidecar tag, ``dataChange: false`` (an index is layout, invisible
+    to the change feed).  Rewrites (compact / merge / UPDATE) produce
+    untagged files — re-run the index after maintenance; reads stay
+    advisory-safe meanwhile.
+
+    Values hash as their STRING rendering (column cast to string in
+    the build, ``str(value)`` at probe time): exact for string/int
+    keys — index float/decimal keys through an explicit string column
+    instead.  Indexing a partition column is refused (partition
+    pruning already owns it).  Returns the committed version, or None
+    when every live file is already tagged."""
+    from pyspark.sql import functions as F
+
+    live, meta, base, _ = _read_actions(table)
+    pcols = meta.get("partitionColumns") or []
+    if col in pcols:
+        raise ValueError(
+            f"bloom index on partition column {col!r} is pointless: "
+            "partition pruning already skips on it"
+        )
+    todo = {
+        p: a
+        for p, a in live.items()
+        if not (a.get("tags") or {}).get(f"bloom_{col}")
+    }
+    if not todo:
+        return None
+    # one m/k pair for the whole commit, sized for the LARGEST file
+    # (smaller files just run a lower fpp)
+    n_max = 1
+    for a in todo.values():
+        try:
+            n_max = max(n_max, json.loads(a.get("stats") or "{}")["numRecords"])
+        except (KeyError, ValueError, TypeError):
+            pass
+    m, k = _bloom_params(n_max, fpp)
+
+    abspaths = {
+        (p if os.path.isabs(p) else os.path.join(table, p)): p for p in todo
+    }
+    # raw per-file scan of the indexed column only (partition columns
+    # are refused above, so nothing needs Hive-path reconstitution)
+    df = spark.read.parquet(*abspaths).select(
+        F.input_file_name().alias("__f"), F.col(col).cast("string").alias("__v")
+    )
+    h = lambda seed: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(f"b{seed}:"), F.col("__v")).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pos = F.explode(
+        F.array(*[F.pmod(h(0) + F.lit(i) * h(1), F.lit(m)) for i in range(k)])
+    )
+    words = (
+        df.filter(F.col("__v").isNotNull())
+        .select("__f", pos.alias("__p"))
+        .groupBy("__f", F.floor(F.col("__p") / 64).cast("int").alias("__w"))
+        .agg(
+            F.bit_or(
+                # shiftleft's bit-count argument must be a column-typed
+                # expression, which the DSL form only takes as a literal
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))")
+            ).alias("__bits")
+        )
+        .collect()
+    )
+    import base64
+    import struct
+
+    per_file: "dict[str, bytearray]" = {}
+    for r in words:
+        rel = abspaths.get(_strip_uri(r["__f"]))
+        if rel is None:
+            continue
+        buf = per_file.setdefault(rel, bytearray(m // 8))
+        struct.pack_into("<Q", buf, r["__w"] * 8, r["__bits"] & ((1 << 64) - 1))
+    os.makedirs(os.path.join(table, _BLOOM_DIR), exist_ok=True)
+    new_version = base + 1
+    actions: list[dict] = [
+        _commit_info(
+            "BLOOM INDEX", {"column": col, "m": str(m), "k": str(k)}
+        )
+    ]
+    ts = int(time.time() * 1000)
+    for rel, a in todo.items():
+        buf = per_file.get(rel, bytearray(m // 8))  # all-null file: empty set
+        side_rel = f"{_BLOOM_DIR}/bloom-{new_version:05d}-{uuid.uuid4().hex}.json"
+        with open(os.path.join(table, side_rel), "w") as fh:
+            json.dump(
+                {
+                    "column": col,
+                    "m": m,
+                    "k": k,
+                    "hash": "md5-15hex",
+                    "bits": base64.b64encode(bytes(buf)).decode(),
+                },
+                fh,
+            )
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": ts,
+                    "dataChange": False,
+                }
+            }
+        )
+        new_add = dict(a)
+        new_add["dataChange"] = False
+        new_add["tags"] = {**(a.get("tags") or {}), f"bloom_{col}": side_rel}
+        actions.append({"add": new_add})
+    if not _commit(table, new_version, actions):
+        raise RuntimeError(
+            f"concurrent commit during BLOOM INDEX of {table}; aborted "
+            "(snapshot stale — re-run)"
+        )
+    _maybe_checkpoint(table, new_version)
+    return new_version
+
+
+def _strip_uri(p: str) -> str:
+    return p[7:] if p.startswith("file://") else p
+
+
+def _bloom_prunable(table: str, add: dict, col: str, value) -> bool:
+    """True when the file's bloom sidecar PROVES ``col = value`` has no
+    row in it (some probed bit is unset).  Advisory-safe: no tag,
+    an unreadable sidecar, or any set-bit ambiguity keeps the file.
+    A sidecar read is O(m/8) bytes — metadata-scale, like stats."""
+    tag = (add.get("tags") or {}).get(f"bloom_{col}")
+    if not tag:
+        return False
+    path = tag if os.path.isabs(tag) else os.path.join(table, tag)
+    try:
+        with open(path) as fh:
+            side = json.load(fh)
+        import base64
+
+        bits = base64.b64decode(side["bits"])
+        m, k = int(side["m"]), int(side["k"])
+    except (OSError, KeyError, ValueError):
+        return False
+    for p in _bloom_positions_py(str(value), m, k):
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return True
+    return False
+
+
 def vacuum(table: str, retention_seconds: float = 3600.0) -> list[str]:
     """Remove data files no longer referenced by ANY log version (crash
     orphans and staging leftovers).  Files referenced by old snapshots
@@ -1732,6 +1952,10 @@ def vacuum(table: str, retention_seconds: float = 3600.0) -> list[str]:
             # deletion-vector sidecars are references too: a
             # time-traveled read of this version applies this vector
             referenced.add(dv)
+        for tag, v in (add.get("tags") or {}).items():
+            if tag.startswith("bloom_"):
+                # bloom sidecars are references for the same reason
+                referenced.add(v)
 
     for v in _list_versions(table):
         with open(_version_file(table, v)) as fh:
@@ -1776,7 +2000,13 @@ def vacuum(table: str, retention_seconds: float = 3600.0) -> list[str]:
             shutil.rmtree(full, ignore_errors=True)
             removed.append(os.path.join(rel_root, d) if rel_root else d)
         for name in files:
-            if not name.endswith(".parquet"):
+            # data files and DV sidecars are parquet; bloom sidecars
+            # are JSON under _bloom/ and follow the same referenced-set
+            # rule (an unreferenced index dies with its history)
+            if not (
+                name.endswith(".parquet")
+                or (rel_root.startswith(_BLOOM_DIR) and name.endswith(".json"))
+            ):
                 continue
             rel = os.path.join(rel_root, name).replace(os.sep, "/") if rel_root else name
             if rel in referenced:

@@ -2213,3 +2213,83 @@ def test_update_where_moves_rows_across_partitions_and_buckets(spark, tmp_path):
         ["k"],
     )
     assert delta_lite.read_delta(spark, b).filter("k = 100005").first().v == -5
+
+
+def test_bloom_index_point_lookup_skips_files(spark, tmp_path):
+    """BLOOM FILTER INDEX: a uniformly-distributed high-cardinality
+    string key spans ~the full domain in every file, so min/max stats
+    prune NOTHING on a point lookup; the per-file bloom sidecar must
+    (a) never prune a file that holds the key (zero false negatives —
+    every probed key's rows come back), (b) prune most files on a
+    present key and all-or-nearly-all on an absent key, (c) stay
+    advisory-safe through a rewrite (compact drops the tags; reads
+    still correct), and (d) vacuum keeps referenced sidecars."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 2000).select(
+        F.md5(F.col("id").cast("string")).alias("key"),
+        F.col("id").alias("v"),
+    )
+    delta_lite.write_delta(df.repartition(8), t)
+    live0, _, _, _ = delta_lite._read_actions(t)
+    assert len(live0) == 8
+    v = delta_lite.add_bloom_index(spark, t, "key", fpp=0.01)
+    assert v == 1
+    live, _, _, _ = delta_lite._read_actions(t)
+    assert all((a.get("tags") or {}).get("bloom_key") for a in live.values())
+    # re-index is a no-op (everything tagged)
+    assert delta_lite.add_bloom_index(spark, t, "key") is None
+
+    import hashlib as _hl
+
+    for probe_id in (0, 17, 1999):
+        key = _hl.md5(str(probe_id).encode()).hexdigest()
+        kept = {
+            p: a
+            for p, a in live.items()
+            if not delta_lite._bloom_prunable(t, a, "key", key)
+        }
+        # (a) zero false negatives: the read returns the row
+        got = delta_lite.read_delta(
+            spark, t, predicate=("key", key, key)
+        ).filter(F.col("key") == key)
+        assert [r["v"] for r in got.collect()] == [probe_id]
+        # (b) the index actually skips: >= half the files pruned
+        assert len(kept) <= 4, f"bloom pruned only to {len(kept)}/8"
+    absent = _hl.md5(b"not-a-key").hexdigest()
+    kept_absent = {
+        p
+        for p, a in live.items()
+        if not delta_lite._bloom_prunable(t, a, "key", absent)
+    }
+    assert len(kept_absent) <= 1  # fpp 1% over 8 files
+    assert (
+        delta_lite.read_delta(spark, t, predicate=("key", absent, absent))
+        .filter(F.col("key") == absent)
+        .count()
+        == 0
+    )
+    # partition columns are refused
+    t2 = str(tmp_path / "t2")
+    delta_lite.write_delta(
+        df.withColumn("g", (F.col("v") % 3).cast("string")), t2,
+        partition_by=["g"],
+    )
+    with pytest.raises(ValueError):
+        delta_lite.add_bloom_index(spark, t2, "g")
+    # (c) a rewrite drops the tags; reads stay correct (advisory-safe)
+    delta_lite.compact(spark, t, n_files=2)
+    live2, _, _, _ = delta_lite._read_actions(t)
+    assert all(not (a.get("tags") or {}).get("bloom_key") for a in live2.values())
+    key0 = _hl.md5(b"0").hexdigest()
+    assert (
+        delta_lite.read_delta(spark, t, predicate=("key", key0, key0))
+        .filter(F.col("key") == key0)
+        .count()
+        == 1
+    )
+    # (d) vacuum with full history keeps every referenced sidecar;
+    # truncating below the index commit reclaims the orphaned ones
+    assert delta_lite.vacuum(t, retention_seconds=0.0) == []
+    delta_lite.truncate_log(t, keep_from=delta_lite.current_version(t))
+    removed = delta_lite.vacuum(t, retention_seconds=0.0)
+    assert any(r.startswith(delta_lite._BLOOM_DIR) for r in removed)

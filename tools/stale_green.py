@@ -66,6 +66,11 @@ def _top_level_sources(path: str) -> tuple[dict, dict]:
             continue
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             funcs[node.name] = seg
+        elif isinstance(node, ast.ClassDef):
+            # classes hash as a unit under their name (r11): method
+            # edits (LogStore.put_if_absent, the CDF stream reader)
+            # were invisible to the closure before this
+            funcs[node.name] = seg
         elif isinstance(node, ast.Assign):
             for t in node.targets:
                 if isinstance(t, ast.Name):
@@ -76,7 +81,11 @@ def _top_level_sources(path: str) -> tuple[dict, dict]:
 
 
 def _pkg_functions() -> dict[str, str]:
-    """qualified 'module.func' -> source, for every pkg module."""
+    """qualified 'module.func' -> source, for every pkg module.
+    Includes classes (hashed as a unit) and module-level constants
+    (r11): a const like ``_LOG_STORES = {"": LocalLinkLogStore()}``
+    is the code path from ``_commit`` to the LogStore classes, so
+    skipping consts hid class edits from every writer's closure."""
     out: dict[str, str] = {}
     for root, _dirs, files in os.walk(os.path.join(REPO, PKG)):
         for name in files:
@@ -86,9 +95,11 @@ def _pkg_functions() -> dict[str, str]:
             mod = os.path.splitext(os.path.relpath(path, REPO))[0].replace(
                 os.sep, "."
             )
-            funcs, _ = _top_level_sources(path)
+            funcs, consts = _top_level_sources(path)
             for fn, seg in funcs.items():
                 out[f"{mod}.{fn}"] = seg
+            for cn, seg in consts.items():
+                out[f"{mod}.{cn}"] = seg
     return out
 
 
