@@ -324,6 +324,11 @@ BENCH_QUERIES = [
     "delta_partitioned_upsert",
     "delta_deletion_vectors",
     "delta_update_where",
+    # round-11 additions (data-scaled: table builds + the vacuum /
+    # index / grouping-sets work under measurement)
+    "delta_dv_vacuum",
+    "delta_bloom_skipping",
+    "report_grouping_sets",
 ]
 
 
