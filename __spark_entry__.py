@@ -11915,6 +11915,83 @@ SELECT 'live' AS read_path, * FROM live
 """
 
 
+def q_delta_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION (delta_lite.upsert_delta_evolve,
+    new r11): a keyed customer table takes an evolving upsert whose
+    batch ADDS a column (tier) and OMITS one (bal) — under real
+    Delta's mergeSchema semantics the committed schema becomes the
+    union, matched keys KEEP their current bal (pulled by a key join
+    inside the touched buckets, O(touched) not O(table)), inserted
+    keys get NULL bal, and untouched rows read NULL tier without a
+    single untouched file rewriting.  The query asserts the evolved
+    column order; the oracle replays the merge algebra relationally
+    (base minus updated keys, updates retaining target bal, inserts
+    with NULL bal)."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_evo_")
+    path = os.path.join(tmp, "cust")
+    try:
+        delta_lite.upsert_delta(spark, path, c, ["k"], n_buckets=8)
+        upd = c.filter(F.col("k") % 7 == 0).select(
+            "k", F.lit("MOVED").alias("seg"), F.lit("gold").alias("tier")
+        )
+        # insert keys offset past the domain (custkey starts at 0, so a
+        # bare -k would collide with k=0 and put duplicate keys in the
+        # batch — MERGE source keys must be unique)
+        ins = c.filter(F.col("k") % 11 == 0).select(
+            (-(F.col("k") + F.lit(1_000_000))).alias("k"),
+            F.lit("NEW").alias("seg"),
+            F.lit("silver").alias("tier"),
+        )
+        delta_lite.upsert_delta_evolve(
+            spark, path, upd.unionByName(ins), ["k"], n_buckets=8
+        )
+        got = delta_lite.read_delta(spark, path)
+        if got.columns != ["k", "seg", "bal", "tier"]:
+            raise AssertionError(f"evolved schema order wrong: {got.columns}")
+        out = (
+            got.groupBy("seg", "tier")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dround(F.sum(F.col("bal").cast(DEC))).alias("total_bal"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE_DELTA_MERGE_EVOLUTION = f"""
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+  FROM customer
+), final AS (
+  SELECT k, seg, bal, NULL AS tier FROM base WHERE k % 7 <> 0
+  UNION ALL
+  SELECT k, 'MOVED' AS seg, bal, 'gold' AS tier FROM base WHERE k % 7 = 0
+  UNION ALL
+  SELECT -(k + 1000000) AS k, 'NEW' AS seg, NULL AS bal, 'silver' AS tier
+  FROM base WHERE k % 11 = 0
+)
+SELECT seg, tier, CAST(count(*) AS BIGINT) AS n,
+       {sql_dsum('bal')} AS total_bal
+FROM final GROUP BY 1, 2
+"""
+
+
 def q_delta_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLOOM FILTER INDEX (delta_lite.add_bloom_index, new r11): the
     documents table keyed by md5(doc_id) — a uniformly-distributed
@@ -15120,8 +15197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     edits — the ANN-backed bitext candidate join, restore_table DV
     identity, stream/drain registration, cap telemetry, and the
     read_delta BLOOM skip layer, whose ripple re-flags the whole
-    delta/cdc family — plus the third NEW query delta_bloom_skipping:
-    42 changed entries total, all inside the prefix.  (Reconciling the
+    delta/cdc family — plus the NEW queries delta_bloom_skipping and
+    delta_merge_evolution (MERGE WITH SCHEMA EVOLUTION, a new
+    function so the upsert_delta riders stay unflagged): 43 changed
+    entries total, all inside the prefix.  (Reconciling the
     r10 comment discrepancy ADVICE r10 #4 flagged: the r10 prefix
     held 4 new + 45 stale-flagged = 49 changed entries + 1 rotation
     slot; the B-rot comment's '47-entry closure (2 new queries)'
@@ -15137,12 +15216,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     on a bounded cycle behind the entries that re-verify anyway
     through the stale_green closure.  Mandatory (stale-flagged)
     entries ALWAYS outrank rotation for prefix slots.  r11 rotation:
-    8 slots — the stale_green code-word fix (docstring mentions are
-    no longer dependencies) keeps the changed set at its true 42
+    7 slots — the stale_green code-word fix (docstring mentions are
+    no longer dependencies) keeps the changed set at its true 43
     (the pre-fix scan would have flagged nearly everything), and the
-    oldest-first queue advances 8 r1-green veterans
-    (containment_first .. documents_normalize, alphabetical within
-    the r1 cohort).
+    oldest-first queue advances 7 r1-green veterans
+    (containment_first .. documents_new_used, alphabetical within
+    the r1 cohort; documents_normalize leads the r12 rotation).
 
     Section-B membership is MECHANICALLY checked:
     tools/stale_green.py hashes every query's function body, its
@@ -15156,6 +15235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 11 (insert new HERE) ------
+        "delta_merge_evolution": q_delta_merge_evolution,
         "delta_bloom_skipping": q_delta_bloom_skipping,
         "report_grouping_sets": q_report_grouping_sets,
         "delta_dv_vacuum": q_delta_dv_vacuum,
@@ -15205,10 +15285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reference_batch_parity": q_reference_batch_parity,
         "reservoir_sample": q_reservoir_sample,
         "small_file_optimize": q_small_file_optimize,
-        # -- (B-rot) veteran rotation (VERDICT r8 #7): 8 slots this
-        # round (42 changed entries leave 8) — the oldest-green queue
-        # advances 8 r1 veterans alphabetically, containment_first ..
-        # documents_normalize.  (Reconciling ADVICE r10 #4: r10's
+        # -- (B-rot) veteran rotation (VERDICT r8 #7): 7 slots this
+        # round (43 changed entries leave 7) — the oldest-green queue
+        # advances 7 r1 veterans alphabetically, containment_first ..
+        # documents_new_used.  (Reconciling ADVICE r10 #4: r10's
         # forecast that upsert_latest/ratio_metric_ztest lead this
         # rotation was wrong — both have r8+ greens; the oldest-first
         # rule puts the remaining r1 cohort ahead.  event_type_counts,
@@ -15221,8 +15301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_flag_status": q_distinct_flag_status,
         "doc_repetition": q_doc_repetition,
         "documents_new_used": q_documents_new_used,
-        "documents_normalize": q_documents_normalize,
         # -- (C) driver-green in a prior round, unchanged closures ---
+        "documents_normalize": q_documents_normalize,
         "event_type_counts": q_event_type_counts,
         "events_extract_props": q_events_extract_props,
         "events_fx_convert": q_events_fx_convert,
@@ -15469,6 +15549,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_update_where": ORACLE_DELTA_UPDATE_WHERE,
         "delta_deletion_vectors": ORACLE_DELTA_DELETION_VECTORS,
         "delta_dv_vacuum": ORACLE_DELTA_DV_VACUUM,
+        "delta_merge_evolution": ORACLE_DELTA_MERGE_EVOLUTION,
         "report_grouping_sets": ORACLE_REPORT_GROUPING_SETS,
         "delta_bloom_skipping": ORACLE_DELTA_BLOOM_SKIPPING,
         "delta_delete_where": ORACLE_DELTA_DELETE_WHERE,

@@ -329,6 +329,7 @@ BENCH_QUERIES = [
     "delta_dv_vacuum",
     "delta_bloom_skipping",
     "report_grouping_sets",
+    "delta_merge_evolution",
 ]
 
 

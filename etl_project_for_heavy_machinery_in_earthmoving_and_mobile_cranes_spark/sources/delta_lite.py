@@ -1351,6 +1351,91 @@ def upsert_delta(
     )
 
 
+def upsert_delta_evolve(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    n_buckets: int = 16,
+    txn: "tuple[str, int] | None" = None,
+) -> int:
+    """MERGE WITH SCHEMA EVOLUTION (real Delta: ``mergeSchema`` /
+    autoMerge on MERGE INTO): the committed schema becomes the UNION
+    of the table's and the batch's — the opposite contract to
+    ``upsert_delta``, whose batch REPLACES the schema (columns absent
+    from the batch are dropped there; here they are kept).
+
+    Column semantics, matching Delta's ``whenMatchedUpdateAll`` /
+    ``whenNotMatchedInsertAll`` under evolution:
+    - batch-only NEW columns are appended to the schema; surviving old
+      rows read them as NULL (the snapshot read pins the evolved
+      schema and parquet fills absent columns — untouched buckets'
+      files never rewrite);
+    - table-only columns are KEPT: matched (updated) keys retain their
+      CURRENT value for those columns (pulled by a key join inside the
+      touched slice — O(touched), never a table scan); newly inserted
+      keys get NULL;
+    - a column present on both sides with a DIFFERENT type is refused
+      loudly (real Delta attempts implicit up-casts; a silent cast is
+      how pipelines corrupt — widen explicitly upstream instead).
+
+    Rides the same touched-file ``merge_touched`` path as
+    ``upsert_delta``: only the buckets holding the batch's keys
+    rewrite; the evolved metaData action applies table-wide.
+    Precondition (the standard MERGE contract): batch keys must be
+    unique — duplicate source keys produce duplicate target rows here
+    exactly as two MERGE source rows matching one target do."""
+    live_fields: "dict[str, object]" = {}
+    if is_delta_table(table):
+        from pyspark.sql.types import StructType
+
+        _, meta, _, _ = _read_actions(table)
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        live_fields = {f.name: f.dataType for f in schema.fields}
+    batch_fields = {f.name: f.dataType for f in updates.schema.fields}
+    for name, dt in batch_fields.items():
+        if name in live_fields and live_fields[name] != dt:
+            raise ValueError(
+                f"schema evolution type conflict on {name!r}: table has "
+                f"{live_fields[name].simpleString()}, batch has "
+                f"{dt.simpleString()} — widen explicitly upstream"
+            )
+    missing_keys = [k for k in key_cols if k not in batch_fields]
+    if missing_keys:
+        raise ValueError(f"batch lacks key column(s) {missing_keys}")
+    # evolved ordering: table columns first (stable for readers), then
+    # the batch's new columns in batch order
+    all_cols = list(live_fields) + [
+        c for c in updates.columns if c not in live_fields
+    ]
+    tgt_only = [c for c in live_fields if c not in batch_fields]
+
+    def merge_fn(cur: "DataFrame | None", batch: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if cur is None:
+            out = batch
+            for c in tgt_only:
+                out = out.withColumn(c, F.lit(None).cast(live_fields[c]))
+            return out.select(*all_cols)
+        # matched keys keep their current value for table-only columns:
+        # pull them with a key join against the touched slice (new keys
+        # left-join to NULL — exactly insert semantics)
+        upd = batch
+        if tgt_only:
+            upd = batch.join(
+                cur.select(*key_cols, *tgt_only), list(key_cols), "left"
+            )
+        keep = cur.join(
+            batch.select(*key_cols).dropDuplicates(), list(key_cols), "left_anti"
+        )
+        return keep.unionByName(upd, allowMissingColumns=True).select(*all_cols)
+
+    return merge_touched(
+        spark, table, updates, key_cols, merge_fn, n_buckets=n_buckets, txn=txn
+    )
+
+
 def delete_keys(
     spark: SparkSession,
     table: str,

@@ -2293,3 +2293,54 @@ def test_bloom_index_point_lookup_skips_files(spark, tmp_path):
     delta_lite.truncate_log(t, keep_from=delta_lite.current_version(t))
     removed = delta_lite.vacuum(t, retention_seconds=0.0)
     assert any(r.startswith(delta_lite._BLOOM_DIR) for r in removed)
+
+
+def test_upsert_evolve_merges_schema_both_ways(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION: batch-only columns append to the
+    schema (old rows read NULL, untouched buckets never rewrite),
+    table-only columns are KEPT — matched keys retain their current
+    value, inserted keys get NULL — and a same-name type conflict
+    refuses loudly.  Contrast: plain upsert_delta DROPS table-only
+    columns (batch-replaces-schema contract)."""
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, name string, score long",
+    )
+    delta_lite.upsert_delta(spark, t, base, ["k"], n_buckets=4)
+    live0, _, _, _ = delta_lite._read_actions(t)
+    # evolve: update k=2 (new column flag, NO score column), insert k=9
+    batch = spark.createDataFrame(
+        [(2, "B", True), (9, "z", False)], "k long, name string, flag boolean"
+    )
+    delta_lite.upsert_delta_evolve(spark, t, batch, ["k"], n_buckets=4)
+    got = {r["k"]: (r["name"], r["score"], r["flag"])
+           for r in delta_lite.read_delta(spark, t).collect()}
+    assert got == {
+        1: ("a", 10, None),       # untouched: old values, NULL new col
+        2: ("B", 20, True),       # matched: score KEPT, name updated
+        3: ("c", 30, None),
+        9: ("z", None, False),    # inserted: NULL table-only col
+    }
+    # evolved schema ordering: table columns first, then new ones
+    assert delta_lite.read_delta(spark, t).columns == [
+        "k", "name", "score", "flag"
+    ]
+    # only touched buckets rewrote
+    live1, _, _, _ = delta_lite._read_actions(t)
+    assert set(live0) & set(live1), "every file rewrote — not touched-file"
+    # type conflict refuses
+    bad = spark.createDataFrame([(1, 1.5)], "k long, score double")
+    with pytest.raises(ValueError, match="type conflict"):
+        delta_lite.upsert_delta_evolve(spark, t, bad, ["k"])
+    # missing key column refuses
+    nokey = spark.createDataFrame([("x",)], "name string")
+    with pytest.raises(ValueError, match="key column"):
+        delta_lite.upsert_delta_evolve(spark, t, nokey, ["k"])
+    # second evolve composes on the already-evolved schema
+    b2 = spark.createDataFrame([(1, 99)], "k long, extra long")
+    delta_lite.upsert_delta_evolve(spark, t, b2, ["k"], n_buckets=4)
+    r1 = {r["k"]: (r["name"], r["score"], r["flag"], r["extra"])
+          for r in delta_lite.read_delta(spark, t).collect()}
+    assert r1[1] == ("a", 10, None, 99)   # everything kept, extra added
+    assert r1[2] == ("B", 20, True, None)

@@ -1666,7 +1666,7 @@ def test_cdf_max_commits_per_batch_paces_without_loss(spark, tmp_path):
         .trigger(processingTime="1 seconds")
         .start()
     )
-    deadline = time.time() + 120
+    deadline = time.time() + 240  # generous: a concurrent sweep on the shared host halves throughput
     while time.time() < deadline and len(seen) < 4:
         time.sleep(1)
     q.stop()
@@ -1837,7 +1837,7 @@ def test_cdf_paced_restart_resumes_without_regression(spark, tmp_path):
             .trigger(processingTime="1 seconds")
             .start()
         )
-        deadline = time.time() + 120
+        deadline = time.time() + 240  # generous: a concurrent sweep on the shared host halves throughput
         while time.time() < deadline and len(seen) < min_rows:
             time.sleep(0.5)
         q.stop()
@@ -2063,7 +2063,7 @@ def test_cdf_paced_cold_restart_from_fully_committed_checkpoint(
             .trigger(processingTime="1 seconds")
             .start()
         )
-        deadline = time.time() + 120
+        deadline = time.time() + 240  # generous: a concurrent sweep on the shared host halves throughput
         while time.time() < deadline and len(seen) < min_rows:
             time.sleep(0.5)
         # drain to a FULLY COMMITTED checkpoint: wait for an idle
