@@ -1,0 +1,78 @@
+"""Bitext-margin crossover probe: evidence that the r11 ANN candidate
+join is the SCALE-correct plan even though it costs more than the
+exact cross join at sf0.1 (SCALE.md round-11 bench note).
+
+Replicates the embeddings table Nx (vec_id-offset), then times
+margin_bitext_pairs in both forms at a production-shaped quantizer
+(n_cells scales with the corpus, as a trained quantizer would):
+
+- exact: N x M cross join — pair mass grows quadratically;
+- ANN:   cell-equi candidate join — pair mass ~ quadratic / cells,
+         so with cells grown alongside the corpus it stays ~linear.
+
+Usage: python tools/bitext_probe.py [N] ; prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+    similarity,
+)
+from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.session import (
+    get_spark,
+    tune,
+)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = get_spark(app_name="bitext-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    tune(spark)
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_base = base.count()
+    reps = [
+        base.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        for i in range(n)
+    ]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    big = big.repartition(32).localCheckpoint(eager=True)
+    x = big.filter(F.col("vec_id") % 2 == 0)
+    y = big.filter(F.col("vec_id") % 2 == 1)
+
+    out: dict = {"n_replicas": n, "rows": n_base * n}
+
+    def run(tag: str, **kw) -> None:
+        t0 = time.time()
+        cnt = similarity.margin_bitext_pairs(
+            x, y, k=4, threshold=1.05, **kw
+        ).count()
+        out[tag] = round(time.time() - t0, 2)
+        out[f"{tag}_pairs"] = cnt
+        spark.catalog.clearCache()
+
+    # production-shaped quantizer: cells grow with the corpus (a
+    # trained IVF would); nprobe stays 2
+    cells = similarity.det_centroids(11, max(8, 8 * n), 64)
+    run("ann_sec", centroids=cells, nprobe=2)
+    run("exact_sec")
+    out["speedup"] = round(out["exact_sec"] / out["ann_sec"], 2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
