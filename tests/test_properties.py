@@ -663,3 +663,37 @@ def test_canonical_url_idempotent_on_random_urls(spark):
         F.col("c1") != F.col("c2")
     )
     assert bad.count() == 0, bad.collect()[:5]
+
+
+def test_bloom_probe_replays_jvm_positions_bit_exactly(spark):
+    """Property: the driver-side probe (_bloom_positions_py) is a
+    bit-exact replica of the JVM hash the index is built with, so a
+    bloom index can NEVER false-negative — every value present in a
+    file tests positive against that file's sidecar.  Checked over a
+    randomized value corpus (unicode, empty-ish, numeric strings) in
+    one Spark job against the same md5/conv/pmod expression the
+    builder uses."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    rng = random.Random(7)
+    vals = [str(rng.randint(-10**12, 10**12)) for _ in range(100)]
+    vals += ["", " ", "0", "-0", "naïve", "ünïcodé-χ", "a" * 500,
+             "tab\tsep", "line\nbreak", "md5", "127.0.0.1"]
+    m, k = delta_lite._bloom_params(len(vals), 0.01)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    h = lambda seed: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(f"b{seed}:"), F.col("v")).cast("binary")),
+            1, 15,
+        ), 16, 10,
+    ).cast("bigint")
+    pos = F.array(*[F.pmod(h(0) + F.lit(i) * h(1), F.lit(m)) for i in range(k)])
+    got = {r["v"]: list(r["p"]) for r in df.select("v", pos.alias("p")).collect()}
+    for v in vals:
+        assert got[v] == delta_lite._bloom_positions_py(v, m, k), v
