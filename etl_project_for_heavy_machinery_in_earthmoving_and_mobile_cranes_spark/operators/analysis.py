@@ -300,5 +300,11 @@ def multi_grain_report(
     grain = F.concat(*[F.col(f"__g_{d}").cast("string") for d in dims]).alias(
         "grain"
     )
-    agg_names = [c for c in out.columns if not c.startswith("__g_") and c not in dims]
-    return out.select(*sel, grain, *[F.col(c) for c in agg_names])
+    # Aggregate output names are captured POSITIONALLY: groupingSets
+    # output is [dims…, aggs…, grouping flags…] in call order, so the
+    # agg columns are exactly the len(aggs) names after the dims.
+    # Name-exclusion filtering (not '__g_'-prefixed, not a dim) would
+    # silently drop an aggregate the caller aliased like a dim or with
+    # a '__g_' prefix (ADVICE r11).
+    agg_names = out.columns[len(dims) : len(dims) + len(aggs)]
+    return out.select(*sel, grain, *[out[c] for c in agg_names])

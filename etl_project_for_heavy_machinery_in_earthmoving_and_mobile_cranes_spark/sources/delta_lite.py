@@ -1385,34 +1385,41 @@ def upsert_delta_evolve(
     Precondition (the standard MERGE contract): batch keys must be
     unique — duplicate source keys produce duplicate target rows here
     exactly as two MERGE source rows matching one target do."""
-    live_fields: "dict[str, object]" = {}
-    if is_delta_table(table):
-        from pyspark.sql.types import StructType
-
-        _, meta, _, _ = _read_actions(table)
-        schema = StructType.fromJson(json.loads(meta["schemaString"]))
-        live_fields = {f.name: f.dataType for f in schema.fields}
     batch_fields = {f.name: f.dataType for f in updates.schema.fields}
-    for name, dt in batch_fields.items():
-        if name in live_fields and live_fields[name] != dt:
-            raise ValueError(
-                f"schema evolution type conflict on {name!r}: table has "
-                f"{live_fields[name].simpleString()}, batch has "
-                f"{dt.simpleString()} — widen explicitly upstream"
-            )
     missing_keys = [k for k in key_cols if k not in batch_fields]
     if missing_keys:
         raise ValueError(f"batch lacks key column(s) {missing_keys}")
-    # evolved ordering: table columns first (stable for readers), then
-    # the batch's new columns in batch order
-    all_cols = list(live_fields) + [
-        c for c in updates.columns if c not in live_fields
-    ]
-    tgt_only = [c for c in live_fields if c not in batch_fields]
 
     def merge_fn(cur: "DataFrame | None", batch: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F
 
+        # The union plan (live fields, evolved column order, table-only
+        # columns) derives from ``cur.schema`` — the FRESH touched-slice
+        # read of the attempt — INSIDE merge_fn, not captured once
+        # outside: merge_touched's optimistic retry re-runs merge_fn
+        # against a rebased snapshot, and a column list captured before
+        # a concurrent schema-evolving commit would silently select the
+        # concurrently-added column away (ADVICE r11).  Type-conflict
+        # validation re-runs per attempt for the same reason; it raises
+        # BEFORE any file is staged (merge_fn precedes staging).
+        live_fields = (
+            {f.name: f.dataType for f in cur.schema.fields}
+            if cur is not None
+            else {}
+        )
+        for name, dt in batch_fields.items():
+            if name in live_fields and live_fields[name] != dt:
+                raise ValueError(
+                    f"schema evolution type conflict on {name!r}: table "
+                    f"has {live_fields[name].simpleString()}, batch has "
+                    f"{dt.simpleString()} — widen explicitly upstream"
+                )
+        # evolved ordering: table columns first (stable for readers),
+        # then the batch's new columns in batch order
+        all_cols = list(live_fields) + [
+            c for c in updates.columns if c not in live_fields
+        ]
+        tgt_only = [c for c in live_fields if c not in batch_fields]
         if cur is None:
             out = batch
             for c in tgt_only:
@@ -1840,9 +1847,17 @@ def _bloom_hash_py(value: str, seed: int) -> int:
 
 def _bloom_positions_py(value: str, m: int, k: int) -> "list[int]":
     """Kirsch-Mitzenmacher double hashing: position_i = (h1 + i·h2)
-    mod m — two md5 digests serve all k probes."""
-    h1 = _bloom_hash_py(value, 0)
-    h2 = _bloom_hash_py(value, 1)
+    mod m — two md5 digests serve all k probes.  Both operands reduce
+    mod m BEFORE the multiply-add, mirroring the JVM build expression:
+    h1,h2 < 2^60, so the unreduced i·h2 overflows a signed 64-bit long
+    at k ≥ 9 (fpp ≤ ~0.003) and the JVM sum would silently wrap while
+    Python's exact ints would not — build and probe positions would
+    diverge and point reads would drop rows (ADVICE r11).  The reduced
+    form is mathematically identical ((h1 + i·h2) mod m ≡ (h1 mod m +
+    i·(h2 mod m)) mod m), so sidecars built before the fix stay
+    bit-compatible."""
+    h1 = _bloom_hash_py(value, 0) % m
+    h2 = _bloom_hash_py(value, 1) % m
     return [(h1 + i * h2) % m for i in range(k)]
 
 
@@ -1870,12 +1885,19 @@ def add_bloom_index(
     advisory-safe meanwhile.
 
     Values hash as their STRING rendering (column cast to string in
-    the build, ``str(value)`` at probe time): exact for string/int
-    keys — index float/decimal keys through an explicit string column
-    instead.  Indexing a partition column is refused (partition
-    pruning already owns it).  Returns the committed version, or None
-    when every live file is already tagged."""
+    the build, ``str(value)`` at probe time), so only types whose
+    Spark-cast rendering equals Python's ``str()`` are indexable:
+    STRING and INTEGRAL columns.  Anything else is refused loudly at
+    build time — boolean ('true' vs 'True'), float ('1.0' vs Java's
+    rendering edge cases), decimal, and temporal renderings differ
+    between the JVM build and the driver probe, so an index on them
+    would falsely prove absence and silently drop rows (ADVICE r11);
+    index such keys through an explicit string column instead.
+    Indexing a partition column is refused (partition pruning already
+    owns it).  Returns the committed version, or None when every live
+    file is already tagged."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
 
     live, meta, base, _ = _read_actions(table)
     pcols = meta.get("partitionColumns") or []
@@ -1883,6 +1905,19 @@ def add_bloom_index(
         raise ValueError(
             f"bloom index on partition column {col!r} is pointless: "
             "partition pruning already skips on it"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    coltype = next(
+        (f.dataType.typeName() for f in schema.fields if f.name == col), None
+    )
+    if coltype is None:
+        raise ValueError(f"bloom index: {col!r} is not a column of {table}")
+    if coltype not in ("string", "byte", "short", "integer", "long"):
+        raise ValueError(
+            f"bloom index on {col!r} ({coltype}) refused: only string "
+            "and integral columns render identically under the JVM "
+            "build cast and the driver probe's str(value) — index "
+            "through an explicit string column instead"
         )
     todo = {
         p: a
@@ -1918,8 +1953,15 @@ def add_bloom_index(
         16,
         10,
     ).cast("bigint")
+    # reduce h1/h2 mod m BEFORE the multiply-add: the raw digests are
+    # < 2^60, so i·h2 overflows a signed bigint at k ≥ 9 and (with
+    # ANSI off) would silently wrap while the exact-int Python probe
+    # replica would not — divergent positions mean false proofs of
+    # absence (ADVICE r11).  Reduced, i·(h2 mod m) ≤ k·m stays tiny.
+    h1m = F.pmod(h(0), F.lit(m))
+    h2m = F.pmod(h(1), F.lit(m))
     pos = F.explode(
-        F.array(*[F.pmod(h(0) + F.lit(i) * h(1), F.lit(m)) for i in range(k)])
+        F.array(*[F.pmod(h1m + F.lit(i) * h2m, F.lit(m)) for i in range(k)])
     )
     words = (
         df.filter(F.col("__v").isNotNull())
@@ -1941,7 +1983,15 @@ def add_bloom_index(
     for r in words:
         rel = abspaths.get(_strip_uri(r["__f"]))
         if rel is None:
-            continue
+            # a scanned file that maps back to no todo entry means the
+            # URI→path translation is broken; continuing would leave
+            # that file's sidecar ALL-ZERO and every later point probe
+            # would falsely prove absence — refuse loudly (ADVICE r11)
+            raise RuntimeError(
+                f"BLOOM INDEX of {table}: scanned file {r['__f']!r} "
+                "does not map back to any file being indexed — "
+                "aborting before writing a false-pruning sidecar"
+            )
         buf = per_file.setdefault(rel, bytearray(m // 8))
         struct.pack_into("<Q", buf, r["__w"] * 8, r["__bits"] & ((1 << 64) - 1))
     os.makedirs(os.path.join(table, _BLOOM_DIR), exist_ok=True)
@@ -1989,7 +2039,17 @@ def add_bloom_index(
 
 
 def _strip_uri(p: str) -> str:
-    return p[7:] if p.startswith("file://") else p
+    """Map an ``input_file_name()`` result back to a plain local path.
+    Spark returns a PERCENT-ENCODED file URI, so a table path with a
+    space (or any URL-encodable character) fails a naive prefix strip
+    — the caller's lookup would miss and the file would be tagged with
+    an all-zero (prune-everything) sidecar (ADVICE r11).  Proper URI
+    parsing + unquoting; non-URI strings pass through untouched."""
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(p).path)
+    return p
 
 
 def _bloom_prunable(table: str, add: dict, col: str, value) -> bool:

@@ -2344,3 +2344,54 @@ def test_upsert_evolve_merges_schema_both_ways(spark, tmp_path):
           for r in delta_lite.read_delta(spark, t).collect()}
     assert r1[1] == ("a", 10, None, 99)   # everything kept, extra added
     assert r1[2] == ("B", 20, True, None)
+
+
+def test_bloom_index_high_k_space_path_and_type_guard(spark, tmp_path):
+    """ADVICE r11 hardening triple: (a) a small-fpp build (k >= 9,
+    where the unreduced hash sum would overflow a signed bigint in the
+    JVM) stays bit-consistent between build and probe — zero false
+    negatives; (b) a table path containing a SPACE round-trips through
+    input_file_name()'s percent-encoded URI — no all-zero sidecars,
+    no false pruning; (c) non string/integral columns (and unknown
+    columns) are refused at build time, because their Spark-cast
+    rendering differs from the probe's str(value)."""
+    import hashlib as _hl
+
+    t = str(tmp_path / "with space" / "t")
+    df = spark.range(0, 400).select(
+        F.md5(F.col("id").cast("string")).alias("key"),
+        F.col("id").alias("v"),
+        (F.col("id") % 2 == 0).alias("flag"),
+        (F.col("id") / 7.0).alias("score"),
+    )
+    delta_lite.write_delta(df.repartition(4), t)
+    assert delta_lite.add_bloom_index(spark, t, "key", fpp=0.0005) == 1
+    live, _, _, _ = delta_lite._read_actions(t)
+    side = next(iter(live.values()))["tags"]["bloom_key"]
+    with open(os.path.join(t, side)) as fh:
+        assert json.load(fh)["k"] >= 9
+    for probe_id in (0, 123, 399):
+        key = _hl.md5(str(probe_id).encode()).hexdigest()
+        got = delta_lite.read_delta(
+            spark, t, predicate=("key", key, key)
+        ).filter(F.col("key") == key)
+        assert [r["v"] for r in got.collect()] == [probe_id]
+        kept = {
+            p
+            for p, a in live.items()
+            if not delta_lite._bloom_prunable(t, a, "key", key)
+        }
+        # present keys prune to (almost always exactly) the holder file
+        assert len(kept) <= 2
+    absent = _hl.md5(b"absent").hexdigest()
+    assert (
+        delta_lite.read_delta(spark, t, predicate=("key", absent, absent))
+        .filter(F.col("key") == absent)
+        .count()
+        == 0
+    )
+    for bad in ("flag", "score"):
+        with pytest.raises(ValueError, match="refused"):
+            delta_lite.add_bloom_index(spark, t, bad)
+    with pytest.raises(ValueError, match="not a column"):
+        delta_lite.add_bloom_index(spark, t, "nope")

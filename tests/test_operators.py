@@ -1849,3 +1849,32 @@ def test_multi_grain_report_grouping_vs_null_and_single_expand(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Expand") == 1
     assert "Union" not in plan
+
+
+def test_multi_grain_report_agg_names_survive_collisions(spark):
+    """ADVICE r11: aggregate output columns are captured positionally
+    (groupingSets output is [dims…, aggs…, flags…]), so an aggregate
+    aliased with the '__g_' prefix — which name-exclusion filtering
+    would silently drop — survives to the output."""
+    from pyspark.sql import functions as F
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
+        analysis,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("a", 4.0)], ["brand", "amt"]
+    )
+    out = analysis.multi_grain_report(
+        df,
+        dims=["brand"],
+        grouping_sets=[["brand"], []],
+        aggs=[
+            F.sum("amt").alias("__g_weird"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+    assert out.columns == ["brand", "grain", "__g_weird", "n"]
+    rows = {(r["brand"], r["grain"]): (r["__g_weird"], r["n"]) for r in out.collect()}
+    assert rows[("a", "0")] == (5.0, 2)
+    assert rows[("ALL", "1")] == (7.0, 3)

@@ -672,7 +672,10 @@ def test_bloom_probe_replays_jvm_positions_bit_exactly(spark):
     file tests positive against that file's sidecar.  Checked over a
     randomized value corpus (unicode, empty-ish, numeric strings) in
     one Spark job against the same md5/conv/pmod expression the
-    builder uses."""
+    builder uses — INCLUDING the mod-m pre-reduction of h1/h2, and at
+    a HIGH hash count (k ≥ 9, small fpp) where the unreduced i·h2
+    would overflow a signed bigint in the JVM and silently wrap while
+    Python's exact ints would not (ADVICE r11)."""
     import random
 
     from pyspark.sql import functions as F
@@ -685,7 +688,6 @@ def test_bloom_probe_replays_jvm_positions_bit_exactly(spark):
     vals = [str(rng.randint(-10**12, 10**12)) for _ in range(100)]
     vals += ["", " ", "0", "-0", "naïve", "ünïcodé-χ", "a" * 500,
              "tab\tsep", "line\nbreak", "md5", "127.0.0.1"]
-    m, k = delta_lite._bloom_params(len(vals), 0.01)
     df = spark.createDataFrame([(v,) for v in vals], "v string")
     h = lambda seed: F.conv(  # noqa: E731
         F.substring(
@@ -693,7 +695,15 @@ def test_bloom_probe_replays_jvm_positions_bit_exactly(spark):
             1, 15,
         ), 16, 10,
     ).cast("bigint")
-    pos = F.array(*[F.pmod(h(0) + F.lit(i) * h(1), F.lit(m)) for i in range(k)])
-    got = {r["v"]: list(r["p"]) for r in df.select("v", pos.alias("p")).collect()}
-    for v in vals:
-        assert got[v] == delta_lite._bloom_positions_py(v, m, k), v
+    for fpp in (0.01, 0.0005):
+        m, k = delta_lite._bloom_params(len(vals), fpp)
+        if fpp < 0.01:
+            assert k >= 9, f"small-fpp case must exercise the overflow zone, got k={k}"
+        h1m = F.pmod(h(0), F.lit(m))
+        h2m = F.pmod(h(1), F.lit(m))
+        pos = F.array(*[F.pmod(h1m + F.lit(i) * h2m, F.lit(m)) for i in range(k)])
+        got = {
+            r["v"]: list(r["p"]) for r in df.select("v", pos.alias("p")).collect()
+        }
+        for v in vals:
+            assert got[v] == delta_lite._bloom_positions_py(v, m, k), (v, fpp)
