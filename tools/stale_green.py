@@ -191,9 +191,14 @@ def main() -> None:
     prefix = list(hashes)[:PREFIX]  # dict order == registry order
     unpromoted = [q for q in changed if q not in prefix]
     dropped = [q for q in recorded if q not in hashes]
+    # changed_count is THE round's changed-set number: docs (registry
+    # docstring, SCALE.md) must quote this output verbatim instead of
+    # hand-counting — three disagreeing hand-written counts shipped in
+    # r11 (VERDICT r11 "what's wrong" #1)
     print(
         json.dumps(
             {
+                "changed_count": len(changed),
                 "changed": changed,
                 "unpromoted_changed": unpromoted,
                 "dropped_since_record": dropped,
