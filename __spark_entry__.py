@@ -11992,6 +11992,112 @@ FROM final GROUP BY 1, 2
 """
 
 
+def q_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING (delta_lite.enable_column_mapping /
+    rename_column / drop_column, new r12 — real Delta's
+    delta.columnMapping.mode='name'): RENAME and DROP COLUMN as
+    METADATA-ONLY commits over an orders-derived table.  Files store
+    stable physical names; the committed schema maps logical names
+    onto them, so a rename keeps every existing file serving reads
+    under the new name and a drop never rewrites — ASSERTED in-query
+    by comparing the (path, modificationTime) file set before/after.
+    Re-adding the dropped column (comment) via an evolving append
+    mints a FRESH physical name, so the dropped data never resurfaces
+    (old rows read NULL); a keyed upsert then flows through the merge
+    path writing physical names.  At 100 TB this is the difference
+    between a metadata commit and a full-table rewrite.  The oracle
+    replays the final state relationally."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("comment"),
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_cmap_")
+    path = os.path.join(tmp, "orders_cm")
+    try:
+        delta_lite.write_delta(base.repartition(8), path)
+        delta_lite.enable_column_mapping(path)
+
+        def file_set():
+            live, _, _, _ = delta_lite._read_actions(path)
+            return {(p, a.get("modificationTime")) for p, a in live.items()}
+
+        before = file_set()
+        delta_lite.rename_column(path, "price", "total_usd")
+        delta_lite.drop_column(path, "comment")
+        if file_set() != before:
+            raise AssertionError(
+                "rename/drop touched data files — not metadata-only"
+            )
+        if delta_lite.read_delta(spark, path, version=0).columns != [
+            "k", "status", "price", "comment",
+        ]:
+            raise AssertionError("time travel lost the pre-rename names")
+        # re-add 'comment' (fresh physical name -> old rows read NULL)
+        # via an evolving append of offset keys
+        appended = base.filter(F.col("k") % 1001 == 0).select(
+            (F.col("k") + F.lit(100_000_000)).alias("k"),
+            F.lit("R").alias("status"),
+            (F.col("price") * 2).alias("total_usd"),
+            F.lit("readd").alias("comment"),
+        )
+        delta_lite.write_delta(appended, path, mode="append")
+        # keyed upsert through the merge path (physical-name staging)
+        upd = base.filter(F.col("k") % 97 == 0).select(
+            "k",
+            F.lit("UPD").alias("status"),
+            F.col("price").alias("total_usd"),
+            F.lit("upd").alias("comment"),
+        )
+        delta_lite.upsert_delta(spark, path, upd, ["k"], n_buckets=8)
+        got = delta_lite.read_delta(spark, path)
+        if got.columns != ["k", "status", "total_usd", "comment"]:
+            raise AssertionError(f"final schema order wrong: {got.columns}")
+        out = (
+            got.groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dround(F.sum(F.col("total_usd").cast(DEC))).alias("total_usd"),
+                F.count("comment").alias("n_comments"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE_DELTA_COLUMN_MAPPING = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+  FROM orders  -- o_orderpriority plays the dropped/re-added column
+), final AS (
+  SELECT k, status, price AS total_usd, NULL AS comment
+  FROM base WHERE k % 97 <> 0
+  UNION ALL
+  SELECT k, 'UPD' AS status, price AS total_usd, 'upd' AS comment
+  FROM base WHERE k % 97 = 0
+  UNION ALL
+  SELECT k + 100000000 AS k, 'R' AS status, price * 2 AS total_usd,
+         'readd' AS comment
+  FROM base WHERE k % 1001 = 0
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       {sql_dsum('total_usd')} AS total_usd,
+       CAST(count(comment) AS BIGINT) AS n_comments
+FROM final GROUP BY 1
+"""
+
+
 def q_delta_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLOOM FILTER INDEX (delta_lite.add_bloom_index, new r11): the
     documents table keyed by md5(doc_id) — a uniformly-distributed
@@ -15235,6 +15341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 11 (insert new HERE) ------
+        "delta_column_mapping": q_delta_column_mapping,
         "delta_merge_evolution": q_delta_merge_evolution,
         "delta_bloom_skipping": q_delta_bloom_skipping,
         "report_grouping_sets": q_report_grouping_sets,
@@ -15549,6 +15656,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_update_where": ORACLE_DELTA_UPDATE_WHERE,
         "delta_deletion_vectors": ORACLE_DELTA_DELETION_VECTORS,
         "delta_dv_vacuum": ORACLE_DELTA_DV_VACUUM,
+        "delta_column_mapping": ORACLE_DELTA_COLUMN_MAPPING,
         "delta_merge_evolution": ORACLE_DELTA_MERGE_EVOLUTION,
         "report_grouping_sets": ORACLE_REPORT_GROUPING_SETS,
         "delta_bloom_skipping": ORACLE_DELTA_BLOOM_SKIPPING,

@@ -288,6 +288,17 @@ class _CdfStreamReader(DataSourceStreamReader):
 
         schema = T.StructType.fromJson(json.loads(self.schema_json))
         arrow_schema = to_arrow_schema(schema)
+        # column mapping: parquet files store PHYSICAL names; the
+        # logical->physical map rides each field's metadata in the
+        # committed schema (identity when mapping is off), so a
+        # renamed column keeps reading instead of falling through to
+        # the schema-evolution NULL branch
+        phys_of = {
+            f.name: (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            for f in schema.fields
+        }
         if not partition.file_path:
             yield pa.RecordBatch.from_arrays(
                 [pa.array([], type=f.type) for f in arrow_schema],
@@ -327,8 +338,12 @@ class _CdfStreamReader(DataSourceStreamReader):
                 col = pa.array([partition.version] * n, type=pa.int64()).cast(
                     field.type
                 )
-            elif field.name in tbl.column_names:
-                col = tbl.column(field.name).combine_chunks().cast(field.type)
+            elif phys_of.get(field.name, field.name) in tbl.column_names:
+                col = (
+                    tbl.column(phys_of.get(field.name, field.name))
+                    .combine_chunks()
+                    .cast(field.type)
+                )
             elif field.name in pvals:
                 raw = pvals[field.name]
                 col = pa.array([raw] * n, type=pa.string()).cast(field.type)

@@ -336,11 +336,18 @@ def _file_stats(path: str) -> "str | None":
     )
 
 
-def _stage_data_files(df: DataFrame, table: str, version_hint: int) -> list[dict]:
+def _stage_data_files(
+    df: DataFrame, table: str, version_hint: int, l2p: "dict | None" = None
+) -> list[dict]:
     """Distributed parquet write into a staging dir, then move the part
     files into the table root under collision-free names.  Data files
     land BEFORE the commit; if the commit loses the version race the
-    files are re-referenced by the retried commit (same paths)."""
+    files are re-referenced by the retried commit (same paths).
+    Files store PHYSICAL column names (column mapping): ``l2p`` is the
+    logical->physical map of the schema being committed; None = derive
+    from the table's current committed schema (the rewrite paths,
+    which never change the schema)."""
+    df = _to_physical(df, l2p, table)
     stage = os.path.join(table, f".stage-{version_hint}-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(stage)
     adds = []
@@ -373,6 +380,7 @@ def _stage_partitioned_files(
     version_hint: int,
     partition_by: list[str],
     bucket_width: "int | None" = None,
+    l2p: "dict | None" = None,
 ) -> list[dict]:
     """Distributed partitioned parquet write: Hive-layout staging
     (``col=val/…``), then each part file moves into the table root
@@ -395,6 +403,10 @@ def _stage_partitioned_files(
     is the standard 100 TB lakehouse shape).  ``bucket_width`` is the
     shuffle width — the number of buckets actually present in ``df``
     (the touched set), never the table's total bucket count."""
+    # physical names for the data columns; partition columns are
+    # pinned physical==logical (rename/drop refused on them), so the
+    # Hive directory names below stay logical-name-addressable
+    df = _to_physical(df, l2p, table)
     stage = os.path.join(table, f".stage-{version_hint}-{uuid.uuid4().hex[:8]}")
     dirs = list(partition_by)
     if bucket_width is not None:
@@ -470,7 +482,11 @@ def _bucket_expr(key_cols: list[str], n_buckets: int):
 
 
 def _stage_bucketed_files(
-    df_with_bucket: DataFrame, table: str, version_hint: int, n_buckets: int
+    df_with_bucket: DataFrame,
+    table: str,
+    version_hint: int,
+    n_buckets: int,
+    l2p: "dict | None" = None,
 ) -> list[dict]:
     """Stage ``df`` hash-bucketed on ``_BUCKET_COL``: one shuffle into
     bucket-aligned partitions, a ``partitionBy`` write (the bucket
@@ -485,6 +501,9 @@ def _stage_bucketed_files(
     batch against a 10k-bucket table must launch ~5 write tasks, not
     10k mostly-empty ones (task-launch overhead was the whole per-batch
     cost in the first 30x probe)."""
+    # physical names (column mapping); _BUCKET_COL is outside every
+    # map and passes through for the partitionBy below
+    df_with_bucket = _to_physical(df_with_bucket, l2p, table)
     stage = os.path.join(table, f".stage-{version_hint}-{uuid.uuid4().hex[:8]}")
     (
         df_with_bucket.repartition(n_buckets, _BUCKET_COL)
@@ -618,6 +637,22 @@ def _read_with_dv(
     from pyspark.sql import functions as F
 
     cols = [f.name for f in schema.fields]
+    # column mapping: files store PHYSICAL names; read with the
+    # physical schema and alias back to logical in the same projection
+    # (one select, no extra plan node).  Unmapped tables hit the
+    # identity path untouched.
+    l2p = _schema_l2p(schema)
+    mapped = any(l2p[c] != c for c in cols)
+    if mapped:
+        from pyspark.sql.types import StructField, StructType
+
+        read_schema = StructType(
+            [StructField(l2p[f.name], f.dataType, f.nullable) for f in schema.fields]
+        )
+        base_sel = [F.col(l2p[c]).alias(c) for c in cols]
+    else:
+        read_schema = schema
+        base_sel = [F.col(c) for c in cols]
     pos = (
         [
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
@@ -631,19 +666,19 @@ def _read_with_dv(
     out_cols = cols + (["__file", "__idx"] if with_position else [])
 
     def rd(paths: dict, need_pos: bool) -> DataFrame:
-        reader = spark.read.schema(schema)
+        reader = spark.read.schema(read_schema)
         if pcols:
             reader = reader.option("basePath", table)
         df = reader.parquet(*[os.path.join(table, p) for p in sorted(paths)])
         if need_pos:
             return df.select(
-                *cols,
+                *base_sel,
                 F.element_at(
                     F.split(F.col("_metadata.file_path"), "/"), -1
                 ).alias("__file"),
                 F.col("_metadata.row_index").alias("__idx"),
             )
-        return df.select(*cols, *pos)
+        return df.select(*base_sel, *pos)
 
     if not files:
         empty = spark.createDataFrame([], schema)
@@ -686,6 +721,327 @@ def _file_bucket(add: dict) -> "str | None":
     if tag is not None:
         return tag
     return (add.get("partitionValues") or {}).get(_BUCKET_COL)
+
+
+# ---------------------------------------------------------------------------
+# Column mapping (real Delta: delta.columnMapping.mode = 'name')
+# ---------------------------------------------------------------------------
+#
+# RENAME/DROP COLUMN without rewriting a byte of data: every schema
+# field carries a stable PHYSICAL name (the name parquet files store)
+# in its StructField metadata; logical names — what queries see — live
+# only in the committed schemaString.  A rename changes the logical
+# name and keeps the physical one (old files keep reading); a drop
+# removes the field (old files' physical column is simply never
+# projected); re-adding a dropped name mints a FRESH physical name, so
+# the old data can never resurface — it reads NULL, exactly real
+# Delta's contract.  At 100 TB this is the difference between a
+# metadata-only commit and a full-table rewrite.
+#
+# Upgrade semantics (enable_column_mapping): existing columns get
+# physicalName == their current name, so files written BEFORE the
+# upgrade — and their log stats, which key on parquet footer names —
+# stay valid without translation.  Partition columns are pinned
+# physical==logical forever (their name is baked into Hive paths and
+# partitionValues), by refusing to rename or drop them.
+
+_CM_MODE = "delta.columnMapping.mode"
+_CM_MAXID = "delta.columnMapping.maxColumnId"
+_CM_PHYS = "delta.columnMapping.physicalName"
+_CM_ID = "delta.columnMapping.id"
+
+
+def _schema_l2p(schema) -> "dict[str, str]":
+    """logical name -> physical name for every field (identity when a
+    field carries no mapping metadata)."""
+    return {
+        f.name: ((f.metadata or {}).get(_CM_PHYS) or f.name)
+        for f in schema.fields
+    }
+
+
+def _l2p_of(meta: dict) -> "dict[str, str]":
+    """The table's logical->physical map, or {} when column mapping is
+    not enabled (every caller treats a missing key as identity)."""
+    from pyspark.sql.types import StructType
+
+    if (meta.get("configuration") or {}).get(_CM_MODE) != "name":
+        return {}
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    return _schema_l2p(schema)
+
+
+def _table_l2p(table: str) -> "dict[str, str]":
+    """Current logical->physical map of a table on disk ({} for new or
+    unmapped tables) — the stagers' default when the caller did not
+    hand them a mapping derived from an about-to-commit schema."""
+    if not is_delta_table(table):
+        return {}
+    _, meta, _, _ = _read_actions(table)
+    return _l2p_of(meta)
+
+
+def _to_physical(df: DataFrame, l2p: "dict[str, str] | None", table: str) -> DataFrame:
+    """Rename a logical DataFrame's columns to their physical names
+    for staging.  Columns outside the map (``_BUCKET_COL``, brand-new
+    columns on an unmapped table) pass through untouched."""
+    if l2p is None:
+        l2p = _table_l2p(table)
+    ren = {c: l2p[c] for c in df.columns if l2p.get(c, c) != c}
+    if not ren:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(*[F.col(c).alias(ren.get(c, c)) for c in df.columns])
+
+
+def _strip_cm_meta(schema):
+    """Drop column-mapping metadata from a schema.  StructField
+    metadata PROPAGATES through DataFrame transformations, so a frame
+    read from a mapped table (or its change feed) quietly carries the
+    UPSTREAM's physicalName tags; committing that schema verbatim into
+    a DIFFERENT, unmapped table would make its readers chase physical
+    names its files never stored — every value would read NULL.  Every
+    unmapped commit path strips first."""
+    from pyspark.sql.types import StructField, StructType
+
+    if not any(
+        k in (f.metadata or {}) for f in schema.fields for k in (_CM_PHYS, _CM_ID)
+    ):
+        return schema
+    return StructType(
+        [
+            StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                {
+                    k: v
+                    for k, v in (f.metadata or {}).items()
+                    if k not in (_CM_PHYS, _CM_ID)
+                },
+            )
+            for f in schema.fields
+        ]
+    )
+
+
+def _mapped_schema(meta: dict, new_schema) -> "tuple":
+    """Carry column-mapping metadata onto a writer's outgoing schema:
+    fields matching a committed field BY LOGICAL NAME keep its mapping
+    metadata (stable physical name across every write); new fields
+    mint a fresh ``col-<uuid>`` physical name and the next column id.
+    Returns (schema-with-metadata, configuration updates) — a no-op
+    passthrough when mapping is off.  Matching by logical name is
+    deliberate: writer DataFrames lose StructField metadata through
+    ordinary transformations, so the committed schema — not the
+    incoming df — is the source of truth for the mapping."""
+    conf = meta.get("configuration") or {}
+    if conf.get(_CM_MODE) != "name":
+        return _strip_cm_meta(new_schema), {}
+    from pyspark.sql.types import StructField, StructType
+
+    prev = StructType.fromJson(json.loads(meta["schemaString"]))
+    prev_by_name = {f.name: f for f in prev.fields}
+    maxid = int(conf.get(_CM_MAXID, "0"))
+    fields = []
+    for f in new_schema.fields:
+        pf = prev_by_name.get(f.name)
+        if pf is not None and (pf.metadata or {}).get(_CM_PHYS):
+            md = dict(pf.metadata)
+        else:
+            maxid += 1
+            md = {_CM_ID: maxid, _CM_PHYS: f"col-{uuid.uuid4().hex}"}
+        fields.append(StructField(f.name, f.dataType, f.nullable, md))
+    updates = (
+        {_CM_MAXID: str(maxid)}
+        if str(maxid) != conf.get(_CM_MAXID, "0")
+        else {}
+    )
+    return StructType(fields), updates
+
+
+def _refuse_constraint_refs(meta: dict, col: str, op: str) -> None:
+    """CHECK constraints are SQL strings over LOGICAL names; renaming
+    or dropping a referenced column would silently break (or worse,
+    re-bind) them — refuse until the caller drops the constraint."""
+    import re as _re
+
+    for cname, expr in _constraints_of(meta).items():
+        if _re.search(rf"\b{_re.escape(col)}\b", expr):
+            raise ValueError(
+                f"{op} {col!r} refused: CHECK constraint {cname!r} "
+                f"({expr}) references it — drop the constraint first"
+            )
+
+
+def enable_column_mapping(table: str) -> int:
+    """Upgrade a table to column-mapping mode 'name' with a
+    metadata-only commit: every existing field gets physicalName ==
+    its current name (files already on disk stay valid byte-for-byte,
+    including their stats and bloom tags, which key on parquet footer
+    names) and a stable column id.  Idempotent — returns the current
+    version when already enabled."""
+    from pyspark.sql.types import StructField, StructType
+
+    _, meta, base, _ = _read_actions(table)
+    conf = meta.get("configuration") or {}
+    if conf.get(_CM_MODE) == "name":
+        return base
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    fields = [
+        StructField(
+            f.name,
+            f.dataType,
+            f.nullable,
+            {**(f.metadata or {}), _CM_ID: i + 1, _CM_PHYS: f.name},
+        )
+        for i, f in enumerate(schema.fields)
+    ]
+    actions = [
+        _commit_info("ENABLE COLUMN MAPPING", {"mode": "name"}),
+        {
+            "metaData": {
+                **meta,
+                "schemaString": StructType(fields).json(),
+                "configuration": {
+                    **conf,
+                    _CM_MODE: "name",
+                    _CM_MAXID: str(len(fields)),
+                },
+            }
+        },
+    ]
+    if not _commit(table, base + 1, actions):
+        raise RuntimeError(
+            f"concurrent commit while enabling column mapping on "
+            f"{table}; re-run"
+        )
+    _maybe_checkpoint(table, base + 1)
+    return base + 1
+
+
+def rename_column(table: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN — metadata-only (zero data files
+    touched): the field keeps its physical name and column id, only
+    the logical name changes, so every file ever written (and its
+    stats and bloom sidecars) keeps serving reads under the new name.
+    Requires column mapping (``enable_column_mapping`` first).
+    Refused for partition columns (their name is baked into Hive
+    directory paths and partitionValues — a rewrite-free rename is
+    impossible by construction) and for columns referenced by CHECK
+    constraints.  A renamed MERGE KEY updates the table's bucketKeys
+    configuration, so incremental touched-bucket merges continue under
+    the new name."""
+    from pyspark.sql.types import StructField, StructType
+
+    _, meta, base, _ = _read_actions(table)
+    conf = meta.get("configuration") or {}
+    if conf.get(_CM_MODE) != "name":
+        raise ValueError(
+            f"rename_column on {table} requires column mapping: call "
+            "enable_column_mapping(table) first (a one-time "
+            "metadata-only upgrade)"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"rename_column: {old!r} is not a column of {table}")
+    if new in names:
+        raise ValueError(f"rename_column: {new!r} already exists in {table}")
+    pcols = meta.get("partitionColumns") or []
+    if old in pcols:
+        raise ValueError(
+            f"rename_column: {old!r} is a partition column — its name "
+            "is baked into Hive paths and partitionValues; renaming it "
+            "would require a full rewrite"
+        )
+    _refuse_constraint_refs(meta, old, "rename_column")
+    new_conf = dict(conf)
+    if "bucketKeys" in conf:
+        keys = json.loads(conf["bucketKeys"])
+        if old in keys:
+            new_conf["bucketKeys"] = json.dumps(
+                [new if k == old else k for k in keys]
+            )
+    fields = [
+        StructField(new, f.dataType, f.nullable, dict(f.metadata or {}))
+        if f.name == old
+        else f
+        for f in schema.fields
+    ]
+    actions = [
+        _commit_info("RENAME COLUMN", {"from": old, "to": new}),
+        {
+            "metaData": {
+                **meta,
+                "schemaString": StructType(fields).json(),
+                "configuration": new_conf,
+            }
+        },
+    ]
+    if not _commit(table, base + 1, actions):
+        raise RuntimeError(
+            f"concurrent commit during RENAME COLUMN on {table}; re-run"
+        )
+    _maybe_checkpoint(table, base + 1)
+    return base + 1
+
+
+def drop_column(table: str, col: str) -> int:
+    """ALTER TABLE DROP COLUMN — metadata-only (zero data files
+    touched): the field leaves the schema; old files still carry the
+    physical column but no read ever projects it again.  Re-adding the
+    same logical name later (via any schema-evolving write) mints a
+    FRESH physical name, so the dropped data never resurfaces — the
+    re-added column starts NULL everywhere, real Delta's contract.
+    The bytes remain until the files are rewritten by maintenance;
+    for erasure semantics use delete_where/delete_keys + vacuum.
+    Requires column mapping; refused for partition columns, merge
+    bucket keys, constraint-referenced columns, and the last column."""
+    from pyspark.sql.types import StructType
+
+    _, meta, base, _ = _read_actions(table)
+    conf = meta.get("configuration") or {}
+    if conf.get(_CM_MODE) != "name":
+        raise ValueError(
+            f"drop_column on {table} requires column mapping: call "
+            "enable_column_mapping(table) first"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise ValueError(f"drop_column: {col!r} is not a column of {table}")
+    if len(names) == 1:
+        raise ValueError(f"drop_column: {col!r} is {table}'s only column")
+    pcols = meta.get("partitionColumns") or []
+    if col in pcols:
+        raise ValueError(
+            f"drop_column: {col!r} is a partition column — dropping it "
+            "would orphan the table's Hive layout"
+        )
+    if "bucketKeys" in conf and col in json.loads(conf["bucketKeys"]):
+        raise ValueError(
+            f"drop_column: {col!r} is a merge bucket key — every file's "
+            "bucket tag derives from it; re-key the table first"
+        )
+    _refuse_constraint_refs(meta, col, "drop_column")
+    fields = [f for f in schema.fields if f.name != col]
+    actions = [
+        _commit_info("DROP COLUMN", {"column": col}),
+        {
+            "metaData": {
+                **meta,
+                "schemaString": StructType(fields).json(),
+            }
+        },
+    ]
+    if not _commit(table, base + 1, actions):
+        raise RuntimeError(
+            f"concurrent commit during DROP COLUMN on {table}; re-run"
+        )
+    _maybe_checkpoint(table, base + 1)
+    return base + 1
 
 
 class LogStore:
@@ -999,6 +1355,7 @@ def write_delta(
     if expected_version is not None:
         version = expected_version
     enforced: dict = {}
+    mapped_schema, cm_updates = _strip_cm_meta(df.schema), {}
     if version > 0:
         # existing table: the declared partition columns are the law
         _, meta0, _, _ = _read_actions(table, upto=version - 1)
@@ -1013,12 +1370,20 @@ def write_delta(
         # CHECK constraints gate the write BEFORE any file is staged
         _enforce_constraints(df, meta0, table)
         enforced = _constraints_of(meta0)
+        # column mapping: existing logical names keep their physical
+        # names; brand-new columns mint fresh ones — the SAME schema
+        # object drives both the staged files' column names and the
+        # committed schemaString, so they can never diverge
+        mapped_schema, cm_updates = _mapped_schema(meta0, df.schema)
     partition_by = list(partition_by or [])
+    stage_l2p = _schema_l2p(mapped_schema)
     if partition_by:
-        adds = _stage_partitioned_files(df, table, version, partition_by)
+        adds = _stage_partitioned_files(
+            df, table, version, partition_by, l2p=stage_l2p
+        )
     else:
-        adds = _stage_data_files(df, table, version)
-    schema_string = df.schema.json()
+        adds = _stage_data_files(df, table, version, l2p=stage_l2p)
+    schema_string = mapped_schema.json()
     for _ in range(max_retries):
         actions: list[dict] = [
             _commit_info("WRITE", {"mode": mode.upper()})
@@ -1074,15 +1439,28 @@ def write_delta(
                             pass
                     raise
                 enforced = prev_constraints
-            if prev_meta.get("schemaString") != schema_string:
+            if prev_meta.get("schemaString") != schema_string or cm_updates:
                 # schema change rides a fresh metaData action (the spec's
                 # schema-evolution mechanism); readers of older versions
-                # keep the schema their snapshot committed
+                # keep the schema their snapshot committed.  Column-
+                # mapping maxColumnId never regresses under a concurrent
+                # evolving write (ids are bookkeeping; physical names
+                # are uuid-unique regardless).
+                prev_conf = prev_meta.get("configuration") or {}
+                merged_conf = {**prev_conf, **cm_updates}
+                if _CM_MAXID in merged_conf:
+                    merged_conf[_CM_MAXID] = str(
+                        max(
+                            int(prev_conf.get(_CM_MAXID, "0")),
+                            int(cm_updates.get(_CM_MAXID, "0")),
+                        )
+                    )
                 actions.append(
                     {
                         "metaData": {
                             **prev_meta,
                             "schemaString": schema_string,
+                            "configuration": merged_conf,
                         }
                     }
                 )
@@ -1170,7 +1548,7 @@ def merge_touched(
     os.makedirs(table, exist_ok=True)
     if not is_delta_table(table):
         merged = merge_fn(None, batch_df)
-        schema_string = merged.schema.json()
+        schema_string = _strip_cm_meta(merged.schema).json()
         adds = _stage_bucketed_files(
             merged.withColumn(_BUCKET_COL, _bucket_expr(key_cols, n_buckets)),
             table,
@@ -1260,21 +1638,35 @@ def merge_touched(
         # synthesize rows the raw batch never contained)
         _enforce_constraints(merged, meta, table)
         version = base + 1
+        # column mapping: the merged output's schema (which may evolve
+        # the table's) maps through the committed mapping — existing
+        # logical names keep their physical names, new columns mint
+        # fresh ones; the same mapping renames the staged files
+        mapped_schema, cm_updates = _mapped_schema(meta, merged.schema)
+        stage_l2p = _schema_l2p(mapped_schema)
         bucketed = merged.withColumn(_BUCKET_COL, _bucket_expr(key_cols, nb))
         if table_pcols:
             # partitioned + bucketed: Hive partition dirs for pruning,
             # bucket tags for touched-file merges — both on every file
             adds = _stage_partitioned_files(
-                bucketed, table, version, table_pcols, bucket_width=width
+                bucketed,
+                table,
+                version,
+                table_pcols,
+                bucket_width=width,
+                l2p=stage_l2p,
             )
         else:
-            adds = _stage_bucketed_files(bucketed, table, version, width)
+            adds = _stage_bucketed_files(
+                bucketed, table, version, width, l2p=stage_l2p
+            )
         actions = [
             _commit_info("MERGE", {"predicate": json.dumps(list(key_cols))})
         ]
-        new_schema = merged.schema.json()
+        new_schema = mapped_schema.json()
         new_conf = {
             **conf,
+            **cm_updates,
             "bucketKeys": json.dumps(list(key_cols)),
             "numBuckets": str(nb),
         }
@@ -1655,6 +2047,11 @@ def read_delta(
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns") or []
     if predicate is not None:
+        # column mapping: log stats and bloom tags key on PHYSICAL
+        # names (parquet footer names); predicates arrive logical —
+        # translate once per triple.  Partition pruning stays logical
+        # (partition columns are pinned physical==logical).
+        l2p = _schema_l2p(schema)
         triples = predicate if isinstance(predicate, list) else [predicate]
         for col, lo, hi in triples:
             if col in pcols:
@@ -1667,16 +2064,17 @@ def read_delta(
                     for p, a in live.items()
                     if not _partition_prunable(a, col, lo, hi, dtype)
                 }
+            pc = l2p.get(col, col)
             live = {
                 p: a
                 for p, a in live.items()
-                if not _maybe_prunable(a, col, lo, hi)
+                if not _maybe_prunable(a, pc, lo, hi)
             }
             if lo is not None and lo == hi:
                 live = {
                     p: a
                     for p, a in live.items()
-                    if not _bloom_prunable(table, a, col, lo)
+                    if not _bloom_prunable(table, a, pc, lo)
                 }
     # deletion vectors apply at read time (files without one keep the
     # plain scan path inside _read_with_dv)
@@ -1919,10 +2317,14 @@ def add_bloom_index(
             "build cast and the driver probe's str(value) — index "
             "through an explicit string column instead"
         )
+    # column mapping: scan and tag by the PHYSICAL name (the parquet
+    # footer name) — a later RENAME then keeps the index valid, since
+    # the physical name never changes; read_delta translates probes
+    phys = _l2p_of(meta).get(col, col)
     todo = {
         p: a
         for p, a in live.items()
-        if not (a.get("tags") or {}).get(f"bloom_{col}")
+        if not (a.get("tags") or {}).get(f"bloom_{phys}")
     }
     if not todo:
         return None
@@ -1942,7 +2344,7 @@ def add_bloom_index(
     # raw per-file scan of the indexed column only (partition columns
     # are refused above, so nothing needs Hive-path reconstitution)
     df = spark.read.parquet(*abspaths).select(
-        F.input_file_name().alias("__f"), F.col(col).cast("string").alias("__v")
+        F.input_file_name().alias("__f"), F.col(phys).cast("string").alias("__v")
     )
     h = lambda seed: F.conv(  # noqa: E731
         F.substring(
@@ -2027,7 +2429,7 @@ def add_bloom_index(
         )
         new_add = dict(a)
         new_add["dataChange"] = False
-        new_add["tags"] = {**(a.get("tags") or {}), f"bloom_{col}": side_rel}
+        new_add["tags"] = {**(a.get("tags") or {}), f"bloom_{phys}": side_rel}
         actions.append({"add": new_add})
     if not _commit(table, new_version, actions):
         raise RuntimeError(
@@ -2849,6 +3251,9 @@ def delete_where(
     conf = meta.get("configuration") or {}
     cand = dict(live)
     if predicate is not None:
+        # stats key on physical names under column mapping; partition
+        # pruning stays logical (physical==logical for partition cols)
+        l2p = _schema_l2p(schema)
         triples = predicate if isinstance(predicate, list) else [predicate]
         for col, lo, hi in triples:
             if col in pcols:
@@ -2864,7 +3269,7 @@ def delete_where(
             cand = {
                 p: a
                 for p, a in cand.items()
-                if not _maybe_prunable(a, col, lo, hi)
+                if not _maybe_prunable(a, l2p.get(col, col), lo, hi)
             }
     if not cand:
         return base  # the log proves nothing matches
@@ -3153,6 +3558,9 @@ def update_where(
         )
     cand = dict(live)
     if predicate is not None:
+        # stats key on physical names under column mapping; partition
+        # pruning stays logical (physical==logical for partition cols)
+        l2p = _schema_l2p(schema)
         triples = predicate if isinstance(predicate, list) else [predicate]
         for col, lo, hi in triples:
             if col in pcols:
@@ -3168,7 +3576,7 @@ def update_where(
             cand = {
                 p: a
                 for p, a in cand.items()
-                if not _maybe_prunable(a, col, lo, hi)
+                if not _maybe_prunable(a, l2p.get(col, col), lo, hi)
             }
     if not cand:
         return base

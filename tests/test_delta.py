@@ -2395,3 +2395,195 @@ def test_bloom_index_high_k_space_path_and_type_guard(spark, tmp_path):
             delta_lite.add_bloom_index(spark, t, bad)
     with pytest.raises(ValueError, match="not a column"):
         delta_lite.add_bloom_index(spark, t, "nope")
+
+
+def test_column_mapping_rename_drop_readd_without_rewrite(spark, tmp_path):
+    """COLUMN MAPPING (real Delta: delta.columnMapping.mode='name'):
+    RENAME and DROP COLUMN are metadata-only commits — zero data files
+    touched — because files store stable PHYSICAL names and the
+    committed schema maps logical names onto them.  Re-adding a
+    dropped logical name mints a FRESH physical name, so the dropped
+    data never resurfaces (the re-added column starts NULL); time
+    travel to pre-rename versions serves the old names."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("price"),
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("comment"),
+    )
+    delta_lite.write_delta(df, t)
+    v1 = delta_lite.enable_column_mapping(t)
+    assert v1 == 1
+    assert delta_lite.enable_column_mapping(t) == v1  # idempotent
+
+    def data_files():
+        live, _, _, _ = delta_lite._read_actions(t)
+        return {(p, a.get("modificationTime")) for p, a in live.items()}
+
+    before = data_files()
+    delta_lite.rename_column(t, "price", "total_usd")
+    assert data_files() == before  # metadata-only: same files, untouched
+    out = delta_lite.read_delta(spark, t)
+    assert out.columns == ["k", "total_usd", "comment"]
+    assert out.agg(F.sum("total_usd")).first()[0] == sum(2 * i for i in range(100))
+
+    delta_lite.drop_column(t, "comment")
+    assert data_files() == before
+    assert delta_lite.read_delta(spark, t).columns == ["k", "total_usd"]
+
+    # re-add 'comment' via evolving append: fresh physical name, old
+    # rows NULL — the dropped values can never resurface
+    add = spark.createDataFrame(
+        [(1000, 7, "fresh")], "k long, total_usd long, comment string"
+    )
+    delta_lite.write_delta(add, t, mode="append")
+    out = delta_lite.read_delta(spark, t)
+    nn = out.filter(F.col("comment").isNotNull()).collect()
+    assert [(r["k"], r["comment"]) for r in nn] == [(1000, "fresh")]
+
+    # physical names on disk: the renamed column still stores 'price'
+    # (upgrade pins physical == pre-upgrade name); the re-added column
+    # stores a minted col-<uuid> name
+    import pyarrow.parquet as pq
+
+    live, meta, _, _ = delta_lite._read_actions(t)
+    newest = max(live, key=lambda p: live[p].get("modificationTime", 0))
+    names = pq.ParquetFile(os.path.join(t, newest)).schema_arrow.names
+    assert "price" in names
+    assert any(n.startswith("col-") for n in names)
+    assert "comment" not in names and "total_usd" not in names
+
+    # time travel: pre-rename snapshots keep their committed names
+    assert delta_lite.read_delta(spark, t, version=0).columns == [
+        "k", "price", "comment",
+    ]
+    # upsert through the merge path keeps working on the mapped table
+    delta_lite.upsert_delta(
+        spark,
+        t,
+        spark.createDataFrame([(5, 555, "u5")], "k long, total_usd long, comment string"),
+        ["k"],
+    )
+    r5 = delta_lite.read_delta(spark, t).filter(F.col("k") == 5).first()
+    assert (r5["total_usd"], r5["comment"]) == (555, "u5")
+
+
+def test_column_mapping_guards(spark, tmp_path):
+    """RENAME/DROP guardrails: both require mapping mode; partition
+    columns are pinned (their name is baked into Hive paths); merge
+    bucket keys cannot be dropped; CHECK-constraint references block;
+    name collisions and unknown columns refuse."""
+    t = str(tmp_path / "t")
+    delta_lite.write_delta(
+        spark.createDataFrame([("a", 1, "x")], "g string, v long, w string"),
+        t,
+        partition_by=["g"],
+    )
+    with pytest.raises(ValueError, match="requires column mapping"):
+        delta_lite.rename_column(t, "v", "v2")
+    with pytest.raises(ValueError, match="requires column mapping"):
+        delta_lite.drop_column(t, "v")
+    delta_lite.enable_column_mapping(t)
+    with pytest.raises(ValueError, match="partition column"):
+        delta_lite.rename_column(t, "g", "grp")
+    with pytest.raises(ValueError, match="partition column"):
+        delta_lite.drop_column(t, "g")
+    with pytest.raises(ValueError, match="already exists"):
+        delta_lite.rename_column(t, "v", "w")
+    with pytest.raises(ValueError, match="not a column"):
+        delta_lite.rename_column(t, "nope", "x2")
+    with pytest.raises(ValueError, match="not a column"):
+        delta_lite.drop_column(t, "nope")
+    delta_lite.set_check_constraint(spark, t, "v_pos", "v > 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        delta_lite.rename_column(t, "v", "v2")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        delta_lite.drop_column(t, "v")
+    delta_lite.drop_check_constraint(t, "v_pos")
+    delta_lite.rename_column(t, "v", "v2")  # unblocked now
+    # bucket keys: drop refused, rename updates bucketKeys and the
+    # NEXT merge stays incremental under the new name
+    t2 = str(tmp_path / "t2")
+    delta_lite.upsert_delta(
+        spark,
+        t2,
+        spark.createDataFrame(
+            [(k, f"v{k}") for k in range(40)], "k long, v string"
+        ),
+        ["k"],
+        n_buckets=8,
+    )
+    delta_lite.enable_column_mapping(t2)
+    with pytest.raises(ValueError, match="bucket key"):
+        delta_lite.drop_column(t2, "k")
+    delta_lite.rename_column(t2, "k", "key_id")
+    _, meta2, _, _ = delta_lite._read_actions(t2)
+    assert json.loads(meta2["configuration"]["bucketKeys"]) == ["key_id"]
+    live_before, _, _, _ = delta_lite._read_actions(t2)
+    delta_lite.upsert_delta(
+        spark,
+        t2,
+        spark.createDataFrame([(3, "UP")], "key_id long, v string"),
+        ["key_id"],
+    )
+    live_after, _, _, _ = delta_lite._read_actions(t2)
+    untouched = set(live_before) & set(live_after)
+    # incremental: most buckets' files survive the one-key merge
+    assert len(untouched) >= len(live_before) - 2
+    got = delta_lite.read_delta(spark, t2).filter(F.col("key_id") == 3).first()
+    assert got["v"] == "UP"
+
+
+def test_column_mapping_pruning_bloom_and_cdf_across_rename(spark, tmp_path):
+    """The skip layers survive a rename because stats and bloom tags
+    key on PHYSICAL names: a predicate on the NEW logical name still
+    file-prunes (stats) and point-prunes (bloom) without re-indexing,
+    and read_changes classifies updates across a rename."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 800).select(
+        F.col("id").alias("seq"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+    )
+    # range-partition so seq min/max are disjoint per file (stats skip)
+    delta_lite.write_delta(df.repartitionByRange(8, "seq"), t)
+    delta_lite.enable_column_mapping(t)
+    delta_lite.add_bloom_index(spark, t, "key")
+    delta_lite.rename_column(t, "seq", "row_seq")
+    delta_lite.rename_column(t, "key", "content_hash")
+    live, meta, _, _ = delta_lite._read_actions(t)
+    l2p = delta_lite._l2p_of(meta)
+    assert l2p == {"row_seq": "seq", "content_hash": "key"}
+    # stats skipping on the new logical name: most files pruned
+    kept_stats = {
+        p
+        for p, a in live.items()
+        if not delta_lite._maybe_prunable(a, l2p["row_seq"], 0, 50)
+    }
+    assert len(kept_stats) <= 2
+    got = delta_lite.read_delta(spark, t, predicate=("row_seq", 0, 50))
+    assert got.filter(F.col("row_seq") <= 50).count() == 51
+    # bloom probe on the new logical name, via read_delta translation
+    import hashlib as _hl
+
+    k7 = _hl.md5(b"7").hexdigest()
+    hit = delta_lite.read_delta(
+        spark, t, predicate=("content_hash", k7, k7)
+    ).filter(F.col("content_hash") == k7)
+    assert [r["row_seq"] for r in hit.collect()] == [7]
+    kept_bloom = {
+        p
+        for p, a in live.items()
+        if not delta_lite._bloom_prunable(t, a, l2p["content_hash"], k7)
+    }
+    assert len(kept_bloom) <= 2
+    # re-index after the rename is a no-op: tags key on physical names
+    assert delta_lite.add_bloom_index(spark, t, "content_hash") is None
+    # CDF across the rename: update pre/post classify under new names
+    v0 = delta_lite.current_version(t)
+    delta_lite.update_where(spark, t, {"content_hash": "'UPDATED'"}, "row_seq = 7")
+    ch = delta_lite.read_changes(spark, t, from_version=v0, key_cols=["row_seq"])
+    changes = {
+        r["_change_type"]: r["content_hash"]
+        for r in ch.filter(F.col("row_seq") == 7).collect()
+    }
+    assert changes == {"update_preimage": k7, "update_postimage": "UPDATED"}

@@ -2125,3 +2125,59 @@ def test_cdf_drain_cold_restart_after_noop_run(spark, tmp_path):
     drain_changes(spark, up, cp, fb, max_commits_per_batch=1, max_runs=10)
     flat = [r for b in batches for r in b]
     assert flat == [(i, i - 1) for i in range(1, 5)]  # exactly once
+
+
+def test_cdf_stream_and_scd2_survive_column_rename(spark, tmp_path):
+    """Column mapping × streaming: after RENAME COLUMN on the upstream
+    table (metadata-only — files keep their physical names), (a) the
+    delta_cdf streaming source reads the renamed column's VALUES (not
+    the schema-evolution NULL fallback), and (b) the CDF-driven SCD2
+    maintainer keeps folding history under the new attribute name."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources.delta_cdf_datasource import (
+        stream_changes,
+    )
+
+    up = str(tmp_path / "up")
+    mk = lambda rows, s="k long, grp string": spark.createDataFrame(rows, s)
+    delta_lite.upsert_delta(
+        spark, up, mk([(k, "a") for k in range(6)]), ["k"], n_buckets=2
+    )
+    delta_lite.enable_column_mapping(up)
+    delta_lite.rename_column(up, "grp", "segment")
+    delta_lite.upsert_delta(
+        spark,
+        up,
+        mk([(0, "b"), (1, "b")], "k long, segment string"),
+        ["k"],
+    )
+    # (a) the raw CDF stream carries real values under the new name —
+    # pre-rename files included (physical name unchanged on disk)
+    rows = jobs.run_available_now(
+        stream_changes(spark, up), str(tmp_path / "cp_raw")
+    )
+    assert all(r["segment"] is not None for r in rows)
+    inserts_v0 = {
+        (r["k"], r["segment"])
+        for r in rows
+        if r["_commit_version"] == 0 and r["_change_type"] == "insert"
+    }
+    assert inserts_v0 == {(k, "a") for k in range(6)}
+    # (b) SCD2 maintainer under the renamed attribute
+    down = str(tmp_path / "down")
+    q = jobs.maintain_scd2_from_changes(
+        spark, up, down, str(tmp_path / "cp_scd2"), key_col="k",
+        attr_cols=["segment"],
+    )
+    q.awaitTermination()
+    hist = {
+        tuple(r)
+        for r in jobs.read_maintained_table(spark, down)
+        .select("k", "segment", "valid_from", "valid_to", "is_current")
+        .collect()
+    }
+    # keys 0,1: closed 'a' interval + open 'b'; keys 2..5: open 'a'
+    assert {(0, "a", 0, 3, False), (0, "b", 3, None, True)} <= hist
+    assert (5, "a", 0, None, True) in hist
