@@ -2276,10 +2276,12 @@ def test_bloom_index_point_lookup_skips_files(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         delta_lite.add_bloom_index(spark, t2, "g")
-    # (c) a rewrite drops the tags; reads stay correct (advisory-safe)
+    # (c) OPTIMIZE auto-rebuilds the index for the rewritten files
+    # (VERDICT r11 #3): tags present, point probes still PRUNE without
+    # a manual re-run, reads stay exact
     delta_lite.compact(spark, t, n_files=2)
     live2, _, _, _ = delta_lite._read_actions(t)
-    assert all(not (a.get("tags") or {}).get("bloom_key") for a in live2.values())
+    assert all((a.get("tags") or {}).get("bloom_key") for a in live2.values())
     key0 = _hl.md5(b"0").hexdigest()
     assert (
         delta_lite.read_delta(spark, t, predicate=("key", key0, key0))
@@ -2287,6 +2289,17 @@ def test_bloom_index_point_lookup_skips_files(spark, tmp_path):
         .count()
         == 1
     )
+    absent2 = _hl.md5(b"still-not-a-key").hexdigest()
+    kept2 = {
+        p
+        for p, a in live2.items()
+        if not delta_lite._bloom_prunable(t, a, "key", absent2)
+    }
+    assert len(kept2) <= 1  # the rebuilt index prunes on absent keys
+    # the rebuild preserved the original fpp in the fresh sidecars
+    side2 = next(iter(live2.values()))["tags"]["bloom_key"]
+    with open(os.path.join(t, side2)) as fh:
+        assert json.load(fh)["fpp"] == 0.01
     # (d) vacuum with full history keeps every referenced sidecar;
     # truncating below the index commit reclaims the orphaned ones
     assert delta_lite.vacuum(t, retention_seconds=0.0) == []
@@ -2587,3 +2600,41 @@ def test_column_mapping_pruning_bloom_and_cdf_across_rename(spark, tmp_path):
         for r in ch.filter(F.col("row_seq") == 7).collect()
     }
     assert changes == {"update_preimage": k7, "update_postimage": "UPDATED"}
+
+
+def test_bloom_rebuild_after_optimize_respects_rename_and_drop(spark, tmp_path):
+    """The OPTIMIZE-chained bloom rebuild keys on PHYSICAL tag names:
+    a RENAMED indexed column re-indexes under its new logical name
+    (same physical tag), while an index whose column was DROPPED is
+    skipped instead of crashing — and the rebuilt index still prunes."""
+    import hashlib as _hl
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 600).select(
+        F.md5(F.col("id").cast("string")).alias("key"),
+        F.md5(F.concat(F.lit("x"), F.col("id").cast("string"))).alias("aux"),
+        F.col("id").alias("v"),
+    )
+    delta_lite.write_delta(df.repartition(6), t)
+    delta_lite.enable_column_mapping(t)
+    delta_lite.add_bloom_index(spark, t, "key")
+    delta_lite.add_bloom_index(spark, t, "aux")
+    delta_lite.rename_column(t, "key", "content_hash")
+    delta_lite.drop_column(t, "aux")
+    delta_lite.compact(spark, t, n_files=3)
+    live, _, _, _ = delta_lite._read_actions(t)
+    # renamed column: rebuilt under its stable physical tag
+    assert all((a.get("tags") or {}).get("bloom_key") for a in live.values())
+    # dropped column: no tag resurrected
+    assert all("bloom_aux" not in (a.get("tags") or {}) for a in live.values())
+    k9 = _hl.md5(b"9").hexdigest()
+    kept = {
+        p
+        for p, a in live.items()
+        if not delta_lite._bloom_prunable(t, a, "key", k9)
+    }
+    assert len(kept) <= 1
+    got = delta_lite.read_delta(
+        spark, t, predicate=("content_hash", k9, k9)
+    ).filter(F.col("content_hash") == k9)
+    assert [r["v"] for r in got.collect()] == [9]
