@@ -2181,3 +2181,82 @@ def test_cdf_stream_and_scd2_survive_column_rename(spark, tmp_path):
     # keys 0,1: closed 'a' interval + open 'b'; keys 2..5: open 'a'
     assert {(0, "a", 0, 3, False), (0, "b", 3, None, True)} <= hist
     assert (5, "a", 0, None, True) in hist
+
+
+def test_cdf_folds_multi_commit_backlog_into_one_batch(spark, tmp_path):
+    """Commit folding contract (VERDICT r11 #4): WITHOUT a
+    maxCommitsPerBatch cap the delta_cdf source plans the WHOLE
+    backlog as ONE micro-batch — an availableNow drain over N pending
+    commits pays the streaming floor once, not N times — and the
+    maintainers stay correct under folding: the signed rollup fold is
+    order-insensitive, and the SCD2 fold preserves intra-batch commit
+    ordering (a key changing in TWO folded commits produces correctly
+    ordered intervals), because _scd2_merge recomputes from the unioned
+    per-version observations."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources.delta_cdf_datasource import (
+        stream_changes,
+    )
+
+    up = str(tmp_path / "up")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, grp string")
+    delta_lite.upsert_delta(
+        spark, up, mk([(k, "a") for k in range(8)]), ["k"], n_buckets=2
+    )
+    delta_lite.upsert_delta(spark, up, mk([(0, "b"), (1, "b")]), ["k"])
+    delta_lite.upsert_delta(spark, up, mk([(0, "c")]), ["k"])
+    # (a) one batch for the 3-commit backlog
+    calls: list[tuple[int, list[int]]] = []
+
+    def fb(df, bid):
+        vs = sorted(
+            r["_commit_version"]
+            for r in df.select("_commit_version").distinct().collect()
+        )
+        calls.append((bid, vs))
+
+    q = (
+        stream_changes(spark, up)
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "cp_count"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert calls == [(0, [0, 1, 2])], calls
+    # (b) SCD2 over the SAME folded single batch: key 0 moved a->b->c
+    # across two commits folded together — intervals must come out
+    # ordered (a closed at 1, b closed at 2, c open)
+    down = str(tmp_path / "down")
+    q2 = jobs.maintain_scd2_from_changes(
+        spark, up, down, str(tmp_path / "cp_scd2"), key_col="k",
+        attr_cols=["grp"],
+    )
+    q2.awaitTermination()
+    hist = {
+        tuple(r)
+        for r in jobs.read_maintained_table(spark, down)
+        .select("k", "grp", "valid_from", "valid_to", "is_current")
+        .collect()
+    }
+    assert {
+        (0, "a", 0, 1, False),
+        (0, "b", 1, 2, False),
+        (0, "c", 2, None, True),
+    } <= hist
+    assert (1, "b", 1, None, True) in hist
+    assert (5, "a", 0, None, True) in hist
+    # (c) rollup over the folded batch equals the full groupBy
+    down2 = str(tmp_path / "down2")
+    q3 = jobs.maintain_rollup_from_changes(
+        spark, up, down2, str(tmp_path / "cp_roll"),
+        group_cols=["grp"], sum_cols=[],
+    )
+    q3.awaitTermination()
+    got = {
+        (r["grp"], r["n"])
+        for r in jobs.read_maintained_table(spark, down2).collect()
+    }
+    assert got == {("a", 6), ("b", 1), ("c", 1)}
