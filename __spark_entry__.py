@@ -1751,6 +1751,109 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+_MH_CAP = 4
+
+
+def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket cap WITH oracle-checked drop telemetry (VERDICT r11
+    #5): the banded LSH pair join under ``max_bucket=4`` — buckets
+    wider than the cap are EXCLUDED from pair generation and REPORTED
+    (``return_drop_stats``), so the cap can never silently read as
+    "covered everything".  Output rows: one ``dropped_bucket`` row per
+    excluded (bucket, width), plus two exact ``summary`` rows — the
+    surviving pair count and the integer sum of per-pair minhash match
+    counts (est_jaccard × 8, a double-exact multiple of 1/8, so the
+    sum is engine-portable as a BIGINT).  The oracle recomputes the
+    same cap relationally from the md5-parity signatures: band buckets
+    → widths → drop/survive split → distinct pairs from surviving
+    buckets → match-count sum."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        d, "doc_id", "text", num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE
+    )
+    sigs = sigs.localCheckpoint(eager=True)
+    pairs, drops = dedup.lsh_similar_pairs(
+        sigs,
+        "doc_id",
+        num_hashes=_MH_HASHES,
+        bands=_MH_HASHES,
+        max_bucket=_MH_CAP,
+        return_drop_stats=True,
+    )
+    drop_rows = drops.select(
+        F.lit("dropped_bucket").alias("kind"),
+        F.col("bucket"),
+        F.col("width").cast("bigint").alias("width"),
+    )
+    summary = (
+        pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.coalesce(
+                F.round(F.sum(F.col("est_jaccard") * _MH_HASHES)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("est8"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("summary").alias("kind"),
+                        F.lit("pairs").alias("bucket"),
+                        F.col("n_pairs").alias("width"),
+                    ),
+                    F.struct(
+                        F.lit("summary").alias("kind"),
+                        F.lit("est8_sum").alias("bucket"),
+                        F.col("est8").alias("width"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.kind", "s.bucket", "s.width")
+    )
+    return drop_rows.unionByName(summary).localCheckpoint(eager=True)
+
+
+def _oracle_minhash_pairs_capped() -> str:
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, '{i}_' || mh_{i}::VARCHAR AS bucket FROM sigs"
+        for i in range(_MH_HASHES)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(_MH_HASHES)
+    )
+    return f"""
+WITH sigs AS ({_oracle_minhash()}),
+bands AS (
+  {band_selects}
+), widths AS (
+  SELECT bucket, count(*) AS width FROM bands GROUP BY 1
+), ok AS (
+  SELECT bucket FROM widths WHERE width <= {_MH_CAP}
+), surv AS (
+  SELECT b.doc_id, b.bucket FROM bands b JOIN ok USING (bucket)
+), cand AS (
+  SELECT DISTINCT sa.doc_id AS id_a, sb.doc_id AS id_b
+  FROM surv sa JOIN surv sb ON sa.bucket = sb.bucket AND sa.doc_id < sb.doc_id
+), scored AS (
+  SELECT ({matches}) AS m
+  FROM cand c JOIN sigs a ON a.doc_id = c.id_a JOIN sigs b ON b.doc_id = c.id_b
+)
+SELECT 'dropped_bucket' AS kind, bucket, CAST(width AS BIGINT) AS width
+FROM widths WHERE width > {_MH_CAP}
+UNION ALL
+SELECT 'summary' AS kind, 'pairs' AS bucket, CAST(count(*) AS BIGINT) AS width
+FROM scored
+UNION ALL
+SELECT 'summary' AS kind, 'est8_sum' AS bucket,
+       CAST(COALESCE(sum(m), 0) AS BIGINT) AS width
+FROM scored
+"""
+
+
 _WIN_K = 4
 _WIN_W = 4
 
@@ -15342,6 +15445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new or re-shaped in round 11 (insert new HERE) ------
         "delta_column_mapping": q_delta_column_mapping,
+        "minhash_pairs_capped": q_minhash_pairs_capped,
         "delta_merge_evolution": q_delta_merge_evolution,
         "delta_bloom_skipping": q_delta_bloom_skipping,
         "report_grouping_sets": q_report_grouping_sets,
@@ -15657,6 +15761,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_deletion_vectors": ORACLE_DELTA_DELETION_VECTORS,
         "delta_dv_vacuum": ORACLE_DELTA_DV_VACUUM,
         "delta_column_mapping": ORACLE_DELTA_COLUMN_MAPPING,
+        "minhash_pairs_capped": _oracle_minhash_pairs_capped(),
         "delta_merge_evolution": ORACLE_DELTA_MERGE_EVOLUTION,
         "report_grouping_sets": ORACLE_REPORT_GROUPING_SETS,
         "delta_bloom_skipping": ORACLE_DELTA_BLOOM_SKIPPING,
