@@ -988,6 +988,47 @@ def rename_column(table: str, old: str, new: str) -> int:
     return base + 1
 
 
+def add_column(table: str, name: str, dtype: str, nullable: bool = True) -> int:
+    """ALTER TABLE ADD COLUMN — metadata-only on ANY table (mapping
+    not required: parquet schema projection already fills absent
+    columns with NULL on read, so appending a field to the committed
+    schema is enough).  On a mapping-enabled table the new field mints
+    a fresh physical name and column id, so re-adding a previously
+    DROPPED name can never resurface the old data.  ``dtype`` is a DDL
+    type string ('long', 'string', 'decimal(12,2)', ...)."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    _, meta, base, _ = _read_actions(table)
+    conf = meta.get("configuration") or {}
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if name in [f.name for f in schema.fields]:
+        raise ValueError(f"add_column: {name!r} already exists in {table}")
+    dt = _parse_datatype_string(dtype)
+    md: dict = {}
+    conf_updates: dict = {}
+    if conf.get(_CM_MODE) == "name":
+        maxid = int(conf.get(_CM_MAXID, "0")) + 1
+        md = {_CM_ID: maxid, _CM_PHYS: f"col-{uuid.uuid4().hex}"}
+        conf_updates = {_CM_MAXID: str(maxid)}
+    fields = list(schema.fields) + [StructField(name, dt, nullable, md)]
+    actions = [
+        _commit_info("ADD COLUMN", {"column": name, "type": dtype}),
+        {
+            "metaData": {
+                **meta,
+                "schemaString": StructType(fields).json(),
+                "configuration": {**conf, **conf_updates},
+            }
+        },
+    ]
+    if not _commit(table, base + 1, actions):
+        raise RuntimeError(
+            f"concurrent commit during ADD COLUMN on {table}; re-run"
+        )
+    _maybe_checkpoint(table, base + 1)
+    return base + 1
+
+
 def drop_column(table: str, col: str) -> int:
     """ALTER TABLE DROP COLUMN — metadata-only (zero data files
     touched): the field leaves the schema; old files still carry the

@@ -2638,3 +2638,49 @@ def test_bloom_rebuild_after_optimize_respects_rename_and_drop(spark, tmp_path):
         spark, t, predicate=("content_hash", k9, k9)
     ).filter(F.col("content_hash") == k9)
     assert [r["v"] for r in got.collect()] == [9]
+
+
+def test_add_column_and_restore_across_mapping(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN is metadata-only on mapped AND unmapped
+    tables (existing files read the new column as NULL); a re-added
+    previously-dropped name mints a fresh physical name so the old
+    data never resurfaces; and RESTORE rolls schema + mapping back
+    WITH the data — restoring to a pre-rename version serves the old
+    names, restoring forward serves the new ones."""
+    # unmapped table: plain metadata-only ADD
+    t0 = str(tmp_path / "plain")
+    delta_lite.write_delta(
+        spark.createDataFrame([(1, "a")], "k long, v string"), t0
+    )
+    files0 = sorted(delta_lite._read_actions(t0)[0])
+    delta_lite.add_column(t0, "score", "double")
+    assert sorted(delta_lite._read_actions(t0)[0]) == files0
+    row = delta_lite.read_delta(spark, t0).first()
+    assert row["score"] is None
+    with pytest.raises(ValueError, match="already exists"):
+        delta_lite.add_column(t0, "v", "string")
+
+    # mapped table: drop then ADD the same name -> NULL (fresh physical)
+    t = str(tmp_path / "mapped")
+    delta_lite.write_delta(
+        spark.createDataFrame([(1, "x", 9)], "k long, w string, old long"), t
+    )
+    delta_lite.enable_column_mapping(t)
+    delta_lite.drop_column(t, "old")
+    v_dropped = delta_lite.add_column(t, "old", "long")
+    got = delta_lite.read_delta(spark, t).first()
+    assert got["old"] is None  # the dropped 9 never resurfaces
+    _, meta, _, _ = delta_lite._read_actions(t)
+    l2p = delta_lite._l2p_of(meta)
+    assert l2p["old"].startswith("col-")
+
+    # restore across a rename: pre-rename schema comes back whole
+    delta_lite.rename_column(t, "w", "w2")
+    assert delta_lite.read_delta(spark, t).columns == ["k", "w2", "old"]
+    delta_lite.restore_table(t, version=v_dropped)
+    restored = delta_lite.read_delta(spark, t)
+    assert restored.columns == ["k", "w", "old"]
+    assert restored.first()["w"] == "x"
+    # and forward again to the renamed state
+    delta_lite.restore_table(t, version=v_dropped + 1)
+    assert delta_lite.read_delta(spark, t).columns == ["k", "w2", "old"]
