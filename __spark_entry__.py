@@ -15398,22 +15398,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first; (B) queries added THIS round (new queries are inserted at
     the TOP of section B by default, ahead of re-verified greens);
     (C) queries with a green CORRECTNESS row in some prior round,
-    most-recently-verified last.  Round 11: section A is EMPTY;
-    section B = two NEW queries (report_grouping_sets — GROUP BY
-    GROUPING SETS with GROUPING() disambiguation, VERDICT r10 #6;
-    delta_dv_vacuum — the DV/vacuum retention contract, VERDICT r10
-    #7) plus the 21 queries whose CODE closure rides this round's
-    edits — the ANN-backed bitext candidate join, restore_table DV
-    identity, stream/drain registration, cap telemetry, and the
-    read_delta BLOOM skip layer, whose ripple re-flags the whole
-    delta/cdc family — plus the NEW queries delta_bloom_skipping and
-    delta_merge_evolution (MERGE WITH SCHEMA EVOLUTION, a new
-    function so the upsert_delta riders stay unflagged): 43 changed
-    entries total, all inside the prefix.  (Reconciling the
-    r10 comment discrepancy ADVICE r10 #4 flagged: the r10 prefix
-    held 4 new + 45 stale-flagged = 49 changed entries + 1 rotation
-    slot; the B-rot comment's '47-entry closure (2 new queries)'
-    miscounted both terms.)
+    most-recently-verified last.  Round 12: section A is EMPTY;
+    section B = two NEW queries (delta_column_mapping -- RENAME/DROP
+    COLUMN without rewrite, VERDICT r11 #1; minhash_pairs_capped --
+    oracle-checked hot-bucket drop telemetry, VERDICT r11 #5) plus the
+    changed closure.  ONE authoritative count per round (VERDICT r11
+    "what's wrong" #1): `tools/stale_green.py --check` printed
+    {"changed_count": 38, ...} after the round's final registry edit,
+    and all 38 sit inside the 50-entry prefix (unpromoted_changed:
+    []).  The closure is wide because column mapping touched every
+    delta_lite writer and the one read choke point, re-flagging the
+    whole delta/cdc family, plus the ADVICE-fix ripple (bloom
+    position hashing, evolve-retry schema derivation, grouping-sets
+    positional capture).
 
     VETERAN ROTATION (round 9 onward, VERDICT r8 #7): each round the
     registry entries with the OLDEST driver-verified green (ties
@@ -15421,16 +15418,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the 50-entry prefix so they re-earn a driver green.  stale_green
     hashes catch code/oracle drift; rotation catches ENVIRONMENT
     drift (Spark/DuckDB version bumps, testdata regeneration) that no
-    code hash can see.  At ~288 entries the full registry re-verifies
-    on a bounded cycle behind the entries that re-verify anyway
-    through the stale_green closure.  Mandatory (stale-flagged)
-    entries ALWAYS outrank rotation for prefix slots.  r11 rotation:
-    7 slots — the stale_green code-word fix (docstring mentions are
-    no longer dependencies) keeps the changed set at its true 43
-    (the pre-fix scan would have flagged nearly everything), and the
-    oldest-first queue advances 7 r1-green veterans
-    (containment_first .. documents_new_used, alphabetical within
-    the r1 cohort; documents_normalize leads the r12 rotation).
+    code hash can see.  Mandatory (stale-flagged) entries ALWAYS
+    outrank rotation for prefix slots.  r12 rotation: 12 slots (38
+    changed leave 12); the oldest-green queue (computed mechanically
+    from the eleven CORRECTNESS artifacts: latest green round
+    ascending, ties alphabetical) advances 12 r1-green veterans,
+    documents_normalize .. minhash_signatures — exactly the queue the
+    r11 docstring forecast.  nation_revenue, null_count_audit,
+    orders_label_cascade lead the r13 rotation.
 
     Section-B membership is MECHANICALLY checked:
     tools/stale_green.py hashes every query's function body, its
@@ -15443,26 +15438,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry-affecting commit (VERDICT r7 #5)."""
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
-        # -- (B) new or re-shaped in round 11 (insert new HERE) ------
+        # -- (B) new in round 12 (insert new HERE) -------------------
         "delta_column_mapping": q_delta_column_mapping,
         "minhash_pairs_capped": q_minhash_pairs_capped,
+        # -- (B cont.) r12 changed closure: stale_green --check output
+        # (changed_count quoted verbatim in the docstring below) — the
+        # column-mapping layer touched every delta_lite writer/reader,
+        # so the whole delta/cdc family re-flags; plus the ADVICE-fix
+        # ripple (bloom hashing, evolve retry, grouping-sets capture).
         "delta_merge_evolution": q_delta_merge_evolution,
         "delta_bloom_skipping": q_delta_bloom_skipping,
         "report_grouping_sets": q_report_grouping_sets,
         "delta_dv_vacuum": q_delta_dv_vacuum,
-        # -- (B cont.) r11 changed closure: every query whose CODE
-        # closure rides this round's edits — the bitext candidate
-        # join, restore_table DV identity, the read_delta bloom skip
-        # layer (ripples into the whole delta/cdc/sketch-on-delta
-        # family), stream/drain registration, cap telemetry.  The
-        # 42-entry set is the class+const-aware code-word stale_green
-        # BFS, cross-checked against a clean r10-baseline worktree ---
         "ann_int8_pruned": q_ann_int8_pruned,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_srp": q_ann_srp,
-        "best_quality_canonical": q_best_quality_canonical,
-        "bitext_margin": q_bitext_margin,
         "cdc_minmax_rollup": q_cdc_minmax_rollup,
         "cdc_rollup_maintained": q_cdc_rollup_maintained,
         "cdc_scd2_history": q_cdc_scd2_history,
@@ -15482,37 +15473,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_upsert_roundtrip": q_delta_upsert_roundtrip,
         "delta_zorder_partitioned": q_delta_zorder_partitioned,
         "embedding_knn": q_embedding_knn,
-        "embedding_near_dup": q_embedding_near_dup,
         "hard_negatives": q_hard_negatives,
         "heavy_hitters_merge": q_heavy_hitters_merge,
         "hll_user_count": q_hll_user_count,
         "hybrid_retrieval": q_hybrid_retrieval,
-        "incremental_near_dup": q_incremental_near_dup,
-        "minhash_pairs": q_minhash_pairs,
-        "minhash_pairs_fast": q_minhash_pairs_fast,
         "mmr_rerank": q_mmr_rerank,
-        "near_dup_removal": q_near_dup_removal,
-        "near_dup_triangles": q_near_dup_triangles,
-        "reference_batch_parity": q_reference_batch_parity,
         "reservoir_sample": q_reservoir_sample,
         "small_file_optimize": q_small_file_optimize,
-        # -- (B-rot) veteran rotation (VERDICT r8 #7): 7 slots this
-        # round (43 changed entries leave 7) — the oldest-green queue
-        # advances 7 r1 veterans alphabetically, containment_first ..
-        # documents_new_used.  (Reconciling ADVICE r10 #4: r10's
-        # forecast that upsert_latest/ratio_metric_ztest lead this
-        # rotation was wrong — both have r8+ greens; the oldest-first
-        # rule puts the remaining r1 cohort ahead.  event_type_counts,
-        # events_extract_props, events_fx_convert lead the r12
-        # rotation.) ---------------------------------------------------
-        "containment_first": q_containment_first,
-        "containment_longest": q_containment_longest,
-        "cube_qty": q_cube_qty,
-        "dedup_exact": q_dedup_exact,
-        "distinct_flag_status": q_distinct_flag_status,
-        "doc_repetition": q_doc_repetition,
-        "documents_new_used": q_documents_new_used,
-        # -- (C) driver-green in a prior round, unchanged closures ---
+        "delta_change_feed": q_delta_change_feed,
+        "delta_time_travel_diff": q_delta_time_travel_diff,
+        # -- (B-rot) veteran rotation (VERDICT r8 #7): 12 slots this
+        # round (38 changed entries leave 12); the oldest-green queue
+        # advances the r1 cohort alphabetically, documents_normalize ..
+        # minhash_signatures.  nation_revenue leads the r13 rotation. --
         "documents_normalize": q_documents_normalize,
         "event_type_counts": q_event_type_counts,
         "events_extract_props": q_events_extract_props,
@@ -15525,6 +15498,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_counts": q_lang_source_counts,
         "lineitem_derived": q_lineitem_derived,
         "minhash_signatures": q_minhash_signatures,
+        # -- (C) prior driver greens, most-recently-verified last ------
+        "best_quality_canonical": q_best_quality_canonical,
+        "bitext_margin": q_bitext_margin,
+        "embedding_near_dup": q_embedding_near_dup,
+        "incremental_near_dup": q_incremental_near_dup,
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs_fast": q_minhash_pairs_fast,
+        "near_dup_removal": q_near_dup_removal,
+        "near_dup_triangles": q_near_dup_triangles,
+        "reference_batch_parity": q_reference_batch_parity,
+        "containment_first": q_containment_first,
+        "containment_longest": q_containment_longest,
+        "cube_qty": q_cube_qty,
+        "dedup_exact": q_dedup_exact,
+        "distinct_flag_status": q_distinct_flag_status,
+        "doc_repetition": q_doc_repetition,
+        "documents_new_used": q_documents_new_used,
         "nation_revenue": q_nation_revenue,
         "null_count_audit": q_null_count_audit,
         "orders_label_cascade": q_orders_label_cascade,
@@ -15533,9 +15523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_keyword_antifilter": q_part_keyword_antifilter,
         "part_price_outliers": q_part_price_outliers,
         "parts_except_intersect": q_parts_except_intersect,
-        "delta_change_feed": q_delta_change_feed,
         "ab_multiarm_readout": q_ab_multiarm_readout,
-        "delta_time_travel_diff": q_delta_time_travel_diff,
         "ab_srm_check": q_ab_srm_check,
         "cuped_ztest": q_cuped_ztest,
         "ab_power_mde": q_ab_power_mde,
