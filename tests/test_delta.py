@@ -2684,3 +2684,47 @@ def test_add_column_and_restore_across_mapping(spark, tmp_path):
     # and forward again to the renamed state
     delta_lite.restore_table(t, version=v_dropped + 1)
     assert delta_lite.read_delta(spark, t).columns == ["k", "w2", "old"]
+
+
+def test_column_mapping_survives_clone_and_checkpoint_truncate(spark, tmp_path):
+    """Mapping rides metaData everywhere metaData goes: a SHALLOW
+    CLONE of a mapped table serves the logical names (and renames on
+    the clone never touch the source); a checkpointed + log-truncated
+    table still reads through the mapping (the checkpoint carries the
+    metaData action)."""
+    src_t = str(tmp_path / "src")
+    delta_lite.write_delta(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                              "k long, name string, qty long"),
+        src_t,
+    )
+    delta_lite.enable_column_mapping(src_t)
+    delta_lite.rename_column(src_t, "name", "label")
+    # clone: mapping comes along; diverges independently
+    cl = str(tmp_path / "clone")
+    delta_lite.clone_table(src_t, cl)
+    got = delta_lite.read_delta(spark, cl)
+    assert got.columns == ["k", "label", "qty"]
+    assert {r["label"] for r in got.collect()} == {"a", "b"}
+    delta_lite.rename_column(cl, "qty", "amount")
+    assert delta_lite.read_delta(spark, cl).columns == ["k", "label", "amount"]
+    assert delta_lite.read_delta(spark, src_t).columns == ["k", "label", "qty"]
+    # checkpoint + truncate: the mapping survives log truncation
+    delta_lite.rename_column(src_t, "qty", "quantity")
+    keep = delta_lite.current_version(src_t)
+    delta_lite.truncate_log(src_t, keep_from=keep)
+    got2 = delta_lite.read_delta(spark, src_t)
+    assert got2.columns == ["k", "label", "quantity"]
+    assert {(r["k"], r["label"], r["quantity"]) for r in got2.collect()} == {
+        (1, "a", 10), (2, "b", 20),
+    }
+    # and writes after truncation keep staging physical names
+    delta_lite.write_delta(
+        spark.createDataFrame([(3, "c", 30)], "k long, label string, quantity long"),
+        src_t, mode="append",
+    )
+    import pyarrow.parquet as pq
+    live, _, _, _ = delta_lite._read_actions(src_t)
+    newest = max(live, key=lambda p: live[p].get("modificationTime", 0))
+    names = pq.ParquetFile(os.path.join(src_t, newest)).schema_arrow.names
+    assert names == ["k", "name", "qty"]  # stable physical names
