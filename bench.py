@@ -330,6 +330,8 @@ BENCH_QUERIES = [
     "delta_bloom_skipping",
     "report_grouping_sets",
     "delta_merge_evolution",
+    "delta_column_mapping",
+    "minhash_pairs_capped",
 ]
 
 
