@@ -332,6 +332,7 @@ BENCH_QUERIES = [
     "delta_merge_evolution",
     "delta_column_mapping",
     "minhash_pairs_capped",
+    "delta_reorg_purge",
 ]
 
 

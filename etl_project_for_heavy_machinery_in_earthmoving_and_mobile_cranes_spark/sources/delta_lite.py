@@ -3012,6 +3012,78 @@ def compact(spark: SparkSession, table: str, n_files: int = 1) -> int:
     )
 
 
+def reorg_purge_dv(
+    spark: SparkSession,
+    table: str,
+    min_dv_fraction: float = 0.0,
+) -> "int | None":
+    """REORG TABLE ... APPLY (PURGE) — real Delta's maintenance op for
+    deletion-vector debt: rewrite ONLY the live files carrying a DV
+    tag (optionally only those whose deleted-row fraction is at least
+    ``min_dv_fraction``), materializing the surviving rows into fresh
+    untagged files.  DVs make deletes O(matched rows) at write time
+    but tax every subsequent read with the anti-join; once a file's
+    dead fraction is high the right move is to pay the rewrite ONCE.
+    Cost rides the DV'd files, never the table — the same
+    O(fragmentation) discipline as ``optimize_small_files``.
+
+    The commit is layout-only (``dataChange: false`` on both sides):
+    the live ROW SET is unchanged — the purged rows were already dead
+    — so the change feed correctly sees nothing.  Deleted fractions
+    come from the sidecar entry counts against the files' log-stats
+    numRecords (metadata-scale, no data read for the planning pass).
+    Bloom indexes on the rewritten files rebuild automatically through
+    the shared layout-rewrite path.  Partition layout is preserved;
+    bucketed tables never carry DVs (``delete_where`` refuses them).
+    Returns the committed version, or None when no file qualifies."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    live, meta, base, _ = _read_actions(table)
+    pcols = meta.get("partitionColumns") or []
+    dvd = {p: a for p, a in live.items() if _dv_of(a)}
+    if not dvd:
+        return None
+    if min_dv_fraction > 0.0:
+        # metadata-scale planning: sidecar entry counts per file vs the
+        # log-stats row counts — no data file is opened to decide
+        dead = {
+            r["file"]: r["n"]
+            for r in _dv_entries(spark, table, dvd)
+            .groupBy("file")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+        def frac(p: str, a: dict) -> float:
+            try:
+                total = json.loads(a.get("stats") or "{}")["numRecords"]
+            except (KeyError, ValueError, TypeError):
+                return 1.0  # no stats: treat as fully taxed, purge it
+            return dead.get(os.path.basename(p), 0) / max(1, total)
+
+        dvd = {p: a for p, a in dvd.items() if frac(p, a) >= min_dv_fraction}
+        if not dvd:
+            return None
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    survivors = _read_with_dv(spark, table, dvd, schema, pcols)
+    version = base + 1
+    if pcols:
+        adds = _stage_partitioned_files(survivors, table, version, pcols)
+    else:
+        adds = _stage_data_files(
+            survivors.repartition(max(1, len(dvd))), table, version
+        )
+    return _commit_layout_rewrite(
+        table,
+        version,
+        dvd,
+        adds,
+        {"reorg": "purge-dv", "purgedFiles": str(len(dvd))},
+        spark=spark,
+    )
+
+
 def optimize_small_files(
     spark: SparkSession,
     table: str,

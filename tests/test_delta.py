@@ -2728,3 +2728,81 @@ def test_column_mapping_survives_clone_and_checkpoint_truncate(spark, tmp_path):
     newest = max(live, key=lambda p: live[p].get("modificationTime", 0))
     names = pq.ParquetFile(os.path.join(src_t, newest)).schema_arrow.names
     assert names == ["k", "name", "qty"]  # stable physical names
+
+
+def test_reorg_purge_dv_rewrites_only_taxed_files(spark, tmp_path):
+    """REORG APPLY (PURGE): only DV-tagged files rewrite (threshold
+    filters lightly-taxed ones), reads are identical before/after, the
+    change feed sees NOTHING (layout-only commit), old sidecars age
+    out, and a bloom index on the purged files rebuilds."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("g"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+    )
+    delta_lite.write_delta(df.repartitionByRange(4, "k"), t)
+    delta_lite.add_bloom_index(spark, t, "key")
+    # heavy delete in the low-k range (first file), light in the rest
+    delta_lite.delete_where(spark, t, "k < 200 AND k % 2 = 0", use_dv=True)
+    delta_lite.delete_where(spark, t, "k >= 800 AND k % 100 = 7", use_dv=True)
+    live0, _, _, _ = delta_lite._read_actions(t)
+    dvd0 = {p for p, a in live0.items() if delta_lite._dv_of(a)}
+    assert len(dvd0) >= 2
+    before = sorted(r["k"] for r in delta_lite.read_delta(spark, t).collect())
+    v_pre = delta_lite.current_version(t)
+    # thresholded purge: only the heavily-taxed file(s) rewrite
+    v = delta_lite.reorg_purge_dv(spark, t, min_dv_fraction=0.2)
+    assert v is not None
+    live1, _, _, _ = delta_lite._read_actions(t)
+    still_dvd = {p for p, a in live1.items() if delta_lite._dv_of(a)}
+    assert still_dvd and still_dvd < dvd0  # light file kept its DV
+    assert sorted(
+        r["k"] for r in delta_lite.read_delta(spark, t).collect()
+    ) == before
+    # full purge: no DV tags remain; reads unchanged; CDF silent
+    v2 = delta_lite.reorg_purge_dv(spark, t)
+    assert v2 is not None
+    live2, _, _, _ = delta_lite._read_actions(t)
+    assert all(not delta_lite._dv_of(a) for a in live2.values())
+    assert sorted(
+        r["k"] for r in delta_lite.read_delta(spark, t).collect()
+    ) == before
+    assert delta_lite.read_changes(spark, t, from_version=v_pre).count() == 0
+    # idempotent: nothing left to purge
+    assert delta_lite.reorg_purge_dv(spark, t) is None
+    # bloom rebuilt on the rewritten files (auto-chained)
+    assert all(
+        (a.get("tags") or {}).get("bloom_key") for a in live2.values()
+    )
+    import hashlib as _hl
+    k3 = _hl.md5(b"3").hexdigest()
+    got = delta_lite.read_delta(spark, t, predicate=("key", k3, k3)).filter(
+        F.col("key") == k3
+    )
+    assert [r["k"] for r in got.collect()] == [3]
+
+
+def test_reorg_purge_dv_partitioned_preserves_layout(spark, tmp_path):
+    """Partitioned purge: DV'd files rewrite within their Hive
+    partitions (partitionValues intact, pruning still works), reads
+    unchanged."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 600).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    delta_lite.write_delta(df, t, partition_by=["g"])
+    delta_lite.delete_where(spark, t, "v % 4 = 1", use_dv=True)
+    before = sorted(r["v"] for r in delta_lite.read_delta(spark, t).collect())
+    assert delta_lite.reorg_purge_dv(spark, t) is not None
+    live, _, _, _ = delta_lite._read_actions(t)
+    assert all(not delta_lite._dv_of(a) for a in live.values())
+    assert all((a.get("partitionValues") or {}).get("g") in {"0", "1", "2"}
+               for a in live.values())
+    assert sorted(
+        r["v"] for r in delta_lite.read_delta(spark, t).collect()
+    ) == before
+    pruned = delta_lite.read_delta(spark, t, predicate=("g", "1", "1"))
+    assert pruned.filter(F.col("g") == "1").count() == len(
+        [v for v in range(600) if v % 3 == 1 and v % 4 != 1]
+    )
