@@ -12288,6 +12288,201 @@ FROM final GROUP BY 1
 """
 
 
+def q_delta_generated_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS columns (delta_lite ``generated=``, new
+    r12 — real Delta's ``delta.generationExpression`` stored in the
+    committed schema's field metadata).  The table partitions by
+    ``event_date GENERATED AS cast(ts as date)``: the create slice and
+    the append slice both arrive WITHOUT the column (computed by the
+    writer); an UPDATE that shifts a base-column value (+5 days on the
+    2024-01-05 error events) RECOMPUTES the generated value for
+    exactly the matched rows, physically moving them to their new
+    partition.  The headline is read-side: a predicate naming ONLY the
+    raw ``ts`` column translates through the monotone generation
+    expression into partition pruning on ``event_date`` — ASSERTED
+    in-query via inputFiles (only the five implied date partitions may
+    be scanned).  At 100 TB this is the difference between a
+    partition-pruned scan and a full one for every reader that filters
+    on the raw timestamp and never names the derived column.  Output:
+    per (event_date, event_type) counts and value sums inside the
+    window; the oracle replays the update relationally — generation,
+    recompute, and pruning must all be invisible to results."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="delta_gen_")
+    path = os.path.join(tmp, "events_gen")
+    try:
+        delta_lite.write_delta(
+            ev.filter(F.col("ts") < "2024-01-16"),
+            path,
+            partition_by=["event_date"],
+            generated={"event_date": "cast(ts as date)"},
+        )
+        delta_lite.write_delta(
+            ev.filter(F.col("ts") >= "2024-01-16"), path, mode="append"
+        )
+        delta_lite.update_where(
+            spark,
+            path,
+            {"ts": "ts + interval 5 days"},
+            "event_type = 'error' AND ts >= timestamp'2024-01-05 00:00:00'"
+            " AND ts < timestamp'2024-01-06 00:00:00'",
+            predicate=("ts", "2024-01-05 00:00:00", "2024-01-05 23:59:59"),
+        )
+        all_files = set(delta_lite.read_delta(spark, path).inputFiles())
+        got = delta_lite.read_delta(
+            spark,
+            path,
+            predicate=("ts", "2024-01-08 00:00:00", "2024-01-12 23:59:59"),
+        )
+        kept = set(got.inputFiles())
+        if not kept or not kept < all_files:
+            raise AssertionError(
+                f"base-column predicate did not prune generated "
+                f"partitions: kept {len(kept)}/{len(all_files)}"
+            )
+        want = {f"event_date=2024-01-{d:02d}" for d in (8, 9, 10, 11, 12)}
+        stray = [f for f in kept if not any(w in f for w in want)]
+        if stray:
+            raise AssertionError(
+                f"derived pruning kept files outside the implied dates: "
+                f"{stray[:3]}"
+            )
+        out = (
+            got.filter(
+                (F.col("ts") >= "2024-01-08") & (F.col("ts") < "2024-01-13")
+            )
+            .groupBy(
+                F.col("event_date").cast("string").alias("event_date"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dround(F.sum(F.col("value").cast(DEC))).alias("total_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _oracle_delta_generated_partition() -> str:
+    return f"""
+WITH upd AS (
+  SELECT CASE WHEN event_type = 'error'
+               AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+               AND ts <  TIMESTAMP '2024-01-06 00:00:00'
+              THEN ts + INTERVAL 5 DAY ELSE ts END AS ts,
+         event_type, value
+  FROM events
+)
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, event_type,
+       CAST(count(*) AS BIGINT) AS n, {sql_dsum('value')} AS total_value
+FROM upd
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_delta_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped OPTIMIZE (delta_lite.optimize_where, new r12 —
+    real Delta's ``OPTIMIZE t WHERE``): at 100 TB nobody compacts the
+    table, they compact yesterday's ingest partitions.  Three append
+    slices fragment an events table partitioned by ``event_date
+    GENERATED AS cast(ts as date)``; the optimize names ONLY the raw
+    ``ts`` bound — the scope resolves through the monotone generation
+    expression, and planning is METADATA-only (partition values from
+    the log, no data read to decide).  ASSERTED in-query: the five
+    scoped date partitions compact to one file each, every
+    out-of-scope file keeps its byte identity, and the layout-only
+    commit is invisible to the change feed.  Output: per-date counts
+    and value sums over the WHOLE table — the optimize must be
+    invisible to results; the oracle is the straight relational agg."""
+    import shutil
+    import tempfile
+
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_lite,
+    )
+
+    tune(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="delta_optw_")
+    path = os.path.join(tmp, "events_optw")
+    try:
+        delta_lite.write_delta(
+            ev.filter(F.col("event_type").isin("click", "view")),
+            path,
+            partition_by=["event_date"],
+            generated={"event_date": "cast(ts as date)"},
+        )
+        delta_lite.write_delta(
+            ev.filter(F.col("event_type").isin("purchase", "signup")),
+            path,
+            mode="append",
+        )
+        delta_lite.write_delta(
+            ev.filter(F.col("event_type") == "error"), path, mode="append"
+        )
+        live0, _, _, _ = delta_lite._read_actions(path)
+        scope_dirs = {f"event_date=2024-01-{d:02d}" for d in range(10, 15)}
+
+        def split(live):
+            ins = {p for p in live if any(s in p for s in scope_dirs)}
+            return ins, set(live) - ins
+
+        in0, out0 = split(live0)
+        if len(in0) < 10:
+            raise AssertionError(
+                f"fixture not fragmented: {len(in0)} in-scope files"
+            )
+        v_pre = delta_lite.current_version(path)
+        v = delta_lite.optimize_where(
+            spark, path, ("ts", "2024-01-10 00:00:00", "2024-01-14 23:59:59")
+        )
+        if v != v_pre + 1:
+            raise AssertionError(f"optimize_where committed {v}, expected {v_pre + 1}")
+        live1, _, _, _ = delta_lite._read_actions(path)
+        in1, out1 = split(live1)
+        if out1 != out0:
+            raise AssertionError("out-of-scope files were touched")
+        if len(in1) != 5 or (in1 & in0):
+            raise AssertionError(
+                f"scope did not compact to one file per partition: {len(in1)}"
+            )
+        if delta_lite.read_changes(spark, path, from_version=v_pre).count():
+            raise AssertionError("layout-only optimize leaked into the change feed")
+        out = (
+            delta_lite.read_delta(spark, path)
+            .groupBy(F.col("event_date").cast("string").alias("event_date"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dround(F.sum(F.col("value").cast(DEC))).alias("total_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _oracle_delta_optimize_where() -> str:
+    return f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+       CAST(count(*) AS BIGINT) AS n, {sql_dsum('value')} AS total_value
+FROM events GROUP BY 1
+"""
+
+
 def q_delta_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLOOM FILTER INDEX (delta_lite.add_bloom_index, new r11): the
     documents table keyed by md5(doc_id) — a uniformly-distributed
@@ -15486,17 +15681,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the TOP of section B by default, ahead of re-verified greens);
     (C) queries with a green CORRECTNESS row in some prior round,
     most-recently-verified last.  Round 12: section A is EMPTY;
-    section B = three NEW queries (delta_column_mapping -- RENAME/DROP
+    section B = five NEW queries (delta_column_mapping -- RENAME/DROP
     COLUMN without rewrite, VERDICT r11 #1; minhash_pairs_capped --
     oracle-checked hot-bucket drop telemetry, VERDICT r11 #5;
-    delta_reorg_purge -- REORG APPLY (PURGE) of deletion-vector debt)
-    plus the changed closure.  ONE authoritative count per round
+    delta_reorg_purge -- REORG APPLY (PURGE) of deletion-vector debt;
+    delta_generated_partition -- GENERATED ALWAYS AS columns with
+    monotone base-predicate pruning and DML recompute;
+    delta_optimize_where -- partition-scoped OPTIMIZE, scope resolved
+    through the generated column) plus the changed closure.  ONE
+    authoritative count per round
     (VERDICT r11 "what's wrong" #1), from `tools/stale_green.py
     --check` against the r11 snapshot: the mid-round sweep printed
     {"changed_count": 38, ...} and the post-sweep check after the
     final registry edit printed {"changed_count": 9, ...} whose union
-    with the 38 is exactly these 39 section-B entries; both checks
-    printed unpromoted_changed: [].  The closure is wide because
+    with the 38, plus the late delta_generated_partition and
+    delta_optimize_where insertions,
+    is exactly these 41 section-B entries; both checks printed
+    unpromoted_changed: [].  The closure is wide because
     column mapping touched every delta_lite writer and the one read
     choke point, re-flagging the whole delta/cdc family, plus the
     ADVICE-fix ripple (bloom position hashing, evolve-retry schema
@@ -15509,14 +15710,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hashes catch code/oracle drift; rotation catches ENVIRONMENT
     drift (Spark/DuckDB version bumps, testdata regeneration) that no
     code hash can see.  Mandatory (stale-flagged) entries ALWAYS
-    outrank rotation for prefix slots.  r12 rotation: 11 slots (39
-    changed leave 11); the oldest-green queue (computed mechanically
-    from the eleven CORRECTNESS artifacts: latest green round
-    ascending, ties alphabetical) advances 11 r1-green veterans,
-    documents_normalize .. lineitem_derived — the queue the r11
-    docstring forecast, minus one slot to the late delta_reorg_purge.
-    minhash_signatures, nation_revenue, null_count_audit lead the r13
-    rotation.
+    outrank rotation for prefix slots.  r12 rotation: 9 slots (41
+    section-B entries leave 9); the oldest-green queue (computed
+    mechanically from the eleven CORRECTNESS artifacts: latest green
+    round ascending, ties alphabetical) advances 9 r1-green veterans,
+    documents_normalize .. lang_id — the queue the r11 docstring
+    forecast, minus three slots to the late delta_reorg_purge,
+    delta_generated_partition, and delta_optimize_where insertions.
+    lang_source_counts, lineitem_derived, minhash_signatures lead the
+    r13 rotation.
 
     Section-B membership is MECHANICALLY checked:
     tools/stale_green.py hashes every query's function body, its
@@ -15530,6 +15732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (A) driver-verification backlog: EMPTY ------------------
         # -- (B) new in round 12 (insert new HERE) -------------------
+        "delta_optimize_where": q_delta_optimize_where,
+        "delta_generated_partition": q_delta_generated_partition,
         "delta_column_mapping": q_delta_column_mapping,
         "minhash_pairs_capped": q_minhash_pairs_capped,
         "delta_reorg_purge": q_delta_reorg_purge,
@@ -15574,10 +15778,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_file_optimize": q_small_file_optimize,
         "delta_change_feed": q_delta_change_feed,
         "delta_time_travel_diff": q_delta_time_travel_diff,
-        # -- (B-rot) veteran rotation (VERDICT r8 #7): 12 slots this
-        # round (39 changed entries leave 11); the oldest-green queue
+        # -- (B-rot) veteran rotation (VERDICT r8 #7): 9 slots this
+        # round (41 section-B entries leave 9); the oldest-green queue
         # advances the r1 cohort alphabetically, documents_normalize ..
-        # lineitem_derived.  minhash_signatures leads the r13 rotation. --
+        # lang_id.  lang_source_counts / lineitem_derived (slots lost
+        # to the late r12 insertions) and minhash_signatures lead r13. --
         "documents_normalize": q_documents_normalize,
         "event_type_counts": q_event_type_counts,
         "events_extract_props": q_events_extract_props,
@@ -15587,11 +15792,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_windows": q_hourly_event_windows,
         "keyword_diagnostics": q_keyword_diagnostics,
         "lang_id": q_lang_id,
+        # -- (C) prior driver greens, most-recently-verified last ------
+        # (lang_source_counts, lineitem_derived, and minhash_signatures
+        # lost their rotation slots to the late delta_reorg_purge /
+        # delta_generated_partition / delta_optimize_where insertions;
+        # they lead the r13 queue)
         "lang_source_counts": q_lang_source_counts,
         "lineitem_derived": q_lineitem_derived,
-        # -- (C) prior driver greens, most-recently-verified last ------
-        # (minhash_signatures lost its rotation slot to the late
-        # delta_reorg_purge insertion; it leads the r13 queue)
         "minhash_signatures": q_minhash_signatures,
         "best_quality_canonical": q_best_quality_canonical,
         "bitext_margin": q_bitext_margin,
@@ -15845,6 +16052,8 @@ def oracle_sql() -> dict[str, str]:
         "delta_column_mapping": ORACLE_DELTA_COLUMN_MAPPING,
         "minhash_pairs_capped": _oracle_minhash_pairs_capped(),
         "delta_reorg_purge": _oracle_delta_reorg_purge(),
+        "delta_generated_partition": _oracle_delta_generated_partition(),
+        "delta_optimize_where": _oracle_delta_optimize_where(),
         "delta_merge_evolution": ORACLE_DELTA_MERGE_EVOLUTION,
         "report_grouping_sets": ORACLE_REPORT_GROUPING_SETS,
         "delta_bloom_skipping": ORACLE_DELTA_BLOOM_SKIPPING,

@@ -333,6 +333,8 @@ BENCH_QUERIES = [
     "delta_column_mapping",
     "minhash_pairs_capped",
     "delta_reorg_purge",
+    "delta_generated_partition",
+    "delta_optimize_where",
 ]
 
 

@@ -71,11 +71,27 @@ What this implements (the subset a maintained table needs):
   read algebra — a spec reader sees ordinary adds and over-reads, the
   honest compatibility trade, called out here rather than hidden.)
 
-What it deliberately does NOT implement: column mapping, protocol
-feature flags past (1,2).  A real 100 TB deployment inherits those
-from the full Delta/Iceberg implementation; the point here is that the
-maintained tables' publish protocol is the OPEN log format, so such a
-deployment is an engine swap, not a migration.
+- COLUMN MAPPING (r12, ``enable_column_mapping`` / ``rename_column`` /
+  ``drop_column`` / ``add_column``): real Delta's
+  ``delta.columnMapping.mode='name'`` — logical→physical field-name
+  mapping carried in the schema's field metadata, so RENAME/DROP
+  COLUMN commit metadata-only (zero data files rewritten) and every
+  file ever written keeps serving reads, stats skipping, bloom probes,
+  CDF, and the SCD2 maintainer under the new names.  Enabling it
+  commits the spec's protocol upgrade (2, 5) in the same atomic entry.
+- PROTOCOL FEATURE GATING: protocol actions are tracked through
+  replay; a table demanding ``minReaderVersion`` past this engine's
+  ceiling refuses to READ (silently ignoring a reader feature such as
+  a mapping mode would return wrong data, not an error), and one
+  demanding ``minWriterVersion`` past it refuses to WRITE (committing
+  could corrupt invariants a newer writer maintains).  Checkpoints and
+  clones re-emit the REPLAYED protocol, never the default, so an
+  upgraded table never regresses.
+
+A real 100 TB deployment can still inherit the full Delta/Iceberg
+implementation wholesale; the point is that the maintained tables'
+publish protocol is the OPEN log format, so such a deployment is an
+engine swap, not a migration.
 
 Crash safety matches the bespoke protocol's contract: data files are
 written BEFORE the commit (an orphaned data file from a crash is
@@ -98,6 +114,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_delta_log"
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+# protocol committed when column mapping is enabled — real Delta gates
+# name mapping behind (2, 5), and emitting it is what PROTECTS foreign
+# spec readers: one that cannot apply the mapping refuses instead of
+# silently serving physical column names as logical ones
+_PROTOCOL_CM = {"minReaderVersion": 2, "minWriterVersion": 5}
+# ceiling of what THIS engine implements; tables demanding more are
+# refused loudly (reads in _apply_action, writes in _read_actions)
+_SUPPORTED = {"minReaderVersion": 2, "minWriterVersion": 5}
 _BUCKET_COL = "__bucket"
 # Checkpoint-pointer filename deliberately does NOT collide with the
 # spec's ``_last_checkpoint``: our checkpoints are JSONL (dependency-
@@ -148,7 +172,9 @@ def _read_last_checkpoint(table: str) -> int | None:
         return None  # corrupt pointer: fall back to full replay
 
 
-def _apply_action(action: dict, live: dict, meta: dict, txns: dict) -> None:
+def _apply_action(
+    action: dict, live: dict, meta: dict, txns: dict, proto: "dict | None" = None
+) -> None:
     if "add" in action:
         live[action["add"]["path"]] = action["add"]
     elif "remove" in action:
@@ -161,6 +187,28 @@ def _apply_action(action: dict, live: dict, meta: dict, txns: dict) -> None:
         prev = txns.get(t["appId"])
         if prev is None or t["version"] > prev:
             txns[t["appId"]] = t["version"]
+    elif "protocol" in action:
+        # READER FEATURE GATE (Delta spec "Protocol Evolution"): a
+        # protocol action encountered during replay whose
+        # minReaderVersion exceeds what this engine understands MUST
+        # abort the read — the table uses reader features (e.g. a
+        # future column-mapping mode, row tracking) whose absence
+        # would not fail loudly but silently return WRONG results
+        # (a v1 reader of a name-mapped table serves physical column
+        # names as logical ones).  Raising here covers every path:
+        # snapshot reads, time travel, CDF, maintenance — all replay
+        # through this function.
+        p = action["protocol"]
+        if p.get("minReaderVersion", 1) > _SUPPORTED["minReaderVersion"]:
+            raise ValueError(
+                f"table requires minReaderVersion="
+                f"{p.get('minReaderVersion')} but this engine supports "
+                f"{_SUPPORTED['minReaderVersion']} — refusing to read "
+                "(a silent read would misinterpret reader features)"
+            )
+        if proto is not None:
+            proto.clear()
+            proto.update(p)
 
 
 def _list_checkpoints(table: str) -> list[int]:
@@ -179,11 +227,21 @@ def _list_checkpoints(table: str) -> list[int]:
 
 
 def _read_actions(
-    table: str, upto: int | None = None
+    table: str,
+    upto: int | None = None,
+    proto_out: "dict | None" = None,
+    writer: bool = False,
 ) -> tuple[dict, dict, int, dict]:
     """Replay the log: returns (live add actions by path, metaData,
     last version, latest txn version per appId).  ``upto`` pins a
-    snapshot version (time travel).  Replay starts from the newest
+    snapshot version (time travel).  ``proto_out`` (mutated in place)
+    receives the latest protocol action seen — checkpoint writers and
+    clones re-emit it so an upgraded table never regresses to the
+    default.  ``writer=True`` additionally enforces the WRITER feature
+    gate: a table whose minWriterVersion exceeds this engine's ceiling
+    may still be readable, but committing to it could break invariants
+    maintained by writer features we don't implement, so write entry
+    points refuse before staging anything.  Replay starts from the newest
     checkpoint at-or-below the bound when one exists — O(interval)
     tail commits instead of the whole history.  The pointer file is
     the fast path; when it is unusable for this bound (time travel
@@ -199,6 +257,7 @@ def _read_actions(
     live: dict[str, dict] = {}
     meta: dict = {}
     txns: dict[str, int] = {}
+    proto: dict = proto_out if proto_out is not None else {}
     start_after = -1
     cp = _read_last_checkpoint(table)
     if not (
@@ -215,7 +274,7 @@ def _read_actions(
         with open(_checkpoint_file(table, cp)) as fh:
             for line in fh:
                 if line.strip():
-                    _apply_action(json.loads(line), live, meta, txns)
+                    _apply_action(json.loads(line), live, meta, txns, proto)
         start_after = cp
     # a truncated log must not be replayed from scratch: version files
     # below the oldest checkpoint are gone, so a from-zero replay would
@@ -233,7 +292,14 @@ def _read_actions(
         with open(_version_file(table, v)) as fh:
             for line in fh:
                 if line.strip():
-                    _apply_action(json.loads(line), live, meta, txns)
+                    _apply_action(json.loads(line), live, meta, txns, proto)
+    if writer and proto.get("minWriterVersion", 1) > _SUPPORTED["minWriterVersion"]:
+        raise ValueError(
+            f"table {table} requires minWriterVersion="
+            f"{proto.get('minWriterVersion')} but this engine supports "
+            f"{_SUPPORTED['minWriterVersion']} — refusing to write "
+            "(writer features we don't implement could be corrupted)"
+        )
     return live, meta, versions[-1], txns
 
 
@@ -242,11 +308,15 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
     txn per app) into ``{v}.checkpoint.json`` and repoint
     ``_last_checkpoint``.  Derived data — last-writer-wins replace is
     safe (any complete checkpoint is a correct replay prefix)."""
-    live, meta, v, txns = _read_actions(table, upto=version)
+    proto: dict = {}
+    live, meta, v, txns = _read_actions(table, upto=version, proto_out=proto)
     log = _log_path(table)
     tmp = os.path.join(log, f".tmp-cp-{uuid.uuid4().hex[:8]}.json")
     with open(tmp, "w") as fh:
-        fh.write(json.dumps({"protocol": dict(_PROTOCOL)}) + "\n")
+        # the REPLAYED protocol, never the default: a checkpoint that
+        # regressed an upgraded table to (1,2) would let a pre-mapping
+        # reader replay from it without tripping the feature gate
+        fh.write(json.dumps({"protocol": dict(proto or _PROTOCOL)}) + "\n")
         if meta:
             fh.write(json.dumps({"metaData": meta}) + "\n")
         for app, tv in sorted(txns.items()):
@@ -749,6 +819,8 @@ _CM_MODE = "delta.columnMapping.mode"
 _CM_MAXID = "delta.columnMapping.maxColumnId"
 _CM_PHYS = "delta.columnMapping.physicalName"
 _CM_ID = "delta.columnMapping.id"
+# real Delta's field-metadata key for GENERATED ALWAYS AS columns
+_GEN_KEY = "delta.generationExpression"
 
 
 def _schema_l2p(schema) -> "dict[str, str]":
@@ -806,7 +878,9 @@ def _strip_cm_meta(schema):
     from pyspark.sql.types import StructField, StructType
 
     if not any(
-        k in (f.metadata or {}) for f in schema.fields for k in (_CM_PHYS, _CM_ID)
+        k in (f.metadata or {})
+        for f in schema.fields
+        for k in (_CM_PHYS, _CM_ID, _GEN_KEY)
     ):
         return schema
     return StructType(
@@ -818,7 +892,11 @@ def _strip_cm_meta(schema):
                 {
                     k: v
                     for k, v in (f.metadata or {}).items()
-                    if k not in (_CM_PHYS, _CM_ID)
+                    # generation expressions strip for the same reason
+                    # mapping tags do: a frame read from a generated
+                    # table and committed into a DIFFERENT table must
+                    # not smuggle the upstream's generation contract
+                    if k not in (_CM_PHYS, _CM_ID, _GEN_KEY)
                 },
             )
             for f in schema.fields
@@ -875,6 +953,169 @@ def _refuse_constraint_refs(meta: dict, col: str, op: str) -> None:
             )
 
 
+def _generated_of(meta: dict) -> "dict[str, str]":
+    """{generated column -> generation expression} from the committed
+    schema's field metadata (real Delta's
+    ``delta.generationExpression`` key)."""
+    if not meta:
+        return {}
+    out = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        expr = (f.get("metadata") or {}).get(_GEN_KEY)
+        if expr:
+            out[f["name"]] = expr
+    return out
+
+
+def _with_gen_meta(schema, genspec: "dict[str, str]"):
+    """Pin generation expressions onto the outgoing schema's field
+    metadata.  Writer DataFrames lose StructField metadata through
+    ordinary transformations (and ``_strip_cm_meta`` deliberately
+    strips the key), so the COMMITTED spec — not the incoming frame —
+    is the source of truth, re-applied on every schema commit; without
+    this, any schema-evolving append would silently drop the
+    generation contract from the table."""
+    if not genspec:
+        return schema
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [
+            StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                {**(f.metadata or {}), _GEN_KEY: genspec[f.name]}
+                if f.name in genspec
+                else f.metadata,
+            )
+            for f in schema.fields
+        ]
+    )
+
+
+def _apply_generated(df: DataFrame, genspec: "dict[str, str]", table: str) -> DataFrame:
+    """GENERATED ALWAYS AS semantics on a write batch: a generated
+    column ABSENT from the batch is computed from its expression; one
+    PROVIDED by the batch is validated against it (null-safe equality,
+    exactly real Delta's ``expected <=> provided`` check) and the
+    write refuses BEFORE staging on the first violation — a divergent
+    provided value would silently break the pruning contract that
+    makes the column useful.  Validation costs one bounded pass over
+    the BATCH (O(batch), never O(table))."""
+    from pyspark.sql import functions as F
+
+    for name, expr in genspec.items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr))
+        else:
+            bad = df.filter(~F.col(name).eqNullSafe(F.expr(expr))).limit(1)
+            if bad.count():
+                raise ValueError(
+                    f"generated column {name!r} violated: a provided "
+                    f"value differs from its generation expression "
+                    f"({expr}) — drop the column from the batch or fix "
+                    "the upstream computation"
+                )
+    return df
+
+
+def _refuse_generation_refs(meta: dict, col: str, op: str) -> None:
+    """Generation expressions are SQL strings over LOGICAL names;
+    renaming or dropping a referenced base column would dangle them —
+    refuse, same contract as CHECK constraints."""
+    import re as _re
+
+    for gname, expr in _generated_of(meta).items():
+        if gname != col and _re.search(rf"\b{_re.escape(col)}\b", expr):
+            raise ValueError(
+                f"{op} {col!r} refused: generated column {gname!r} "
+                f"({expr}) references it"
+            )
+
+
+def _monotone_gen(expr: str):
+    """Recognize the monotone generation-expression shapes whose
+    base-column predicates translate to partition/stats predicates —
+    the optimization real Delta documents as "generated column
+    partition pruning".  For a NON-DECREASING g, base ∈ [lo, hi] ⟹
+    g(base) ∈ [g(lo), g(hi)], so the derived range is always sound.
+    Returns (base_column, g) or (None, None) when the expression isn't
+    a recognized monotone shape (no derived pruning — reads stay
+    correct, just less pruned).  Recognized: CAST(x AS DATE),
+    YEAR(x), SUBSTRING/SUBSTR(x, 1, n), FLOOR(x / N)."""
+    import datetime
+    import math
+    import re as _re
+
+    e = expr.strip()
+    m = _re.fullmatch(r"(?i)cast\s*\(\s*(\w+)\s+as\s+date\s*\)", e)
+    if m:
+
+        def g_date(v):
+            if isinstance(v, datetime.datetime):
+                return v.date()
+            if isinstance(v, datetime.date):
+                return v
+            if isinstance(v, str) and len(v) >= 10:
+                return v[:10]
+            return None
+
+        return m.group(1), g_date
+    m = _re.fullmatch(r"(?i)year\s*\(\s*(\w+)\s*\)", e)
+    if m:
+
+        def g_year(v):
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return v.year
+            if isinstance(v, str) and len(v) >= 4 and v[:4].isdigit():
+                return int(v[:4])
+            return None
+
+        return m.group(1), g_year
+    m = _re.fullmatch(r"(?i)substr(?:ing)?\s*\(\s*(\w+)\s*,\s*1\s*,\s*(\d+)\s*\)", e)
+    if m:
+        n = int(m.group(2))
+        return m.group(1), lambda v: v[:n] if isinstance(v, str) else None
+    m = _re.fullmatch(r"(?i)floor\s*\(\s*(\w+)\s*/\s*(\d+(?:\.\d+)?)\s*\)", e)
+    if m:
+        d = float(m.group(2))
+        return (
+            m.group(1),
+            lambda v: math.floor(v / d)
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+            else None,
+        )
+    return None, None
+
+
+def _derived_gen_triples(meta: dict, triples: list) -> list:
+    """Extend predicate triples with ranges DERIVED through monotone
+    generation expressions: a bound on the BASE column implies a bound
+    on the generated column, which then rides the ordinary partition /
+    stats / (equality) pruning layers.  This is what lets a reader
+    filter on ``ts`` and still skip partitions of a table partitioned
+    by ``event_date GENERATED AS CAST(ts AS DATE)`` — at 100 TB the
+    difference between a partition-pruned scan and a full one.  A
+    g(bound) of None (unrecognized value shape) drops that side of the
+    derived range — conservative, never over-pruning."""
+    gen = _generated_of(meta)
+    if not gen:
+        return triples
+    out = list(triples)
+    for gname, expr in gen.items():
+        base, g = _monotone_gen(expr)
+        if base is None:
+            continue
+        for col, lo, hi in triples:
+            if col == base:
+                glo = g(lo) if lo is not None else None
+                ghi = g(hi) if hi is not None else None
+                if glo is not None or ghi is not None:
+                    out.append((gname, glo, ghi))
+    return out
+
+
 def enable_column_mapping(table: str) -> int:
     """Upgrade a table to column-mapping mode 'name' with a
     metadata-only commit: every existing field gets physicalName ==
@@ -884,7 +1125,7 @@ def enable_column_mapping(table: str) -> int:
     version when already enabled."""
     from pyspark.sql.types import StructField, StructType
 
-    _, meta, base, _ = _read_actions(table)
+    _, meta, base, _ = _read_actions(table, writer=True)
     conf = meta.get("configuration") or {}
     if conf.get(_CM_MODE) == "name":
         return base
@@ -900,6 +1141,11 @@ def enable_column_mapping(table: str) -> int:
     ]
     actions = [
         _commit_info("ENABLE COLUMN MAPPING", {"mode": "name"}),
+        # protocol upgrade rides the SAME atomic commit as the mapped
+        # schema: real Delta gates name mapping behind (2, 5), and the
+        # bump is what makes a foreign reader that can't apply the
+        # mapping refuse instead of silently serving physical names
+        {"protocol": dict(_PROTOCOL_CM)},
         {
             "metaData": {
                 **meta,
@@ -935,7 +1181,7 @@ def rename_column(table: str, old: str, new: str) -> int:
     the new name."""
     from pyspark.sql.types import StructField, StructType
 
-    _, meta, base, _ = _read_actions(table)
+    _, meta, base, _ = _read_actions(table, writer=True)
     conf = meta.get("configuration") or {}
     if conf.get(_CM_MODE) != "name":
         raise ValueError(
@@ -957,6 +1203,7 @@ def rename_column(table: str, old: str, new: str) -> int:
             "would require a full rewrite"
         )
     _refuse_constraint_refs(meta, old, "rename_column")
+    _refuse_generation_refs(meta, old, "rename_column")
     new_conf = dict(conf)
     if "bucketKeys" in conf:
         keys = json.loads(conf["bucketKeys"])
@@ -998,7 +1245,7 @@ def add_column(table: str, name: str, dtype: str, nullable: bool = True) -> int:
     type string ('long', 'string', 'decimal(12,2)', ...)."""
     from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
-    _, meta, base, _ = _read_actions(table)
+    _, meta, base, _ = _read_actions(table, writer=True)
     conf = meta.get("configuration") or {}
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     if name in [f.name for f in schema.fields]:
@@ -1042,7 +1289,7 @@ def drop_column(table: str, col: str) -> int:
     bucket keys, constraint-referenced columns, and the last column."""
     from pyspark.sql.types import StructType
 
-    _, meta, base, _ = _read_actions(table)
+    _, meta, base, _ = _read_actions(table, writer=True)
     conf = meta.get("configuration") or {}
     if conf.get(_CM_MODE) != "name":
         raise ValueError(
@@ -1067,6 +1314,7 @@ def drop_column(table: str, col: str) -> int:
             "bucket tag derives from it; re-key the table first"
         )
     _refuse_constraint_refs(meta, col, "drop_column")
+    _refuse_generation_refs(meta, col, "drop_column")
     fields = [f for f in schema.fields if f.name != col]
     actions = [
         _commit_info("DROP COLUMN", {"column": col}),
@@ -1312,7 +1560,7 @@ def set_check_constraint(
     version."""
     if not name or "." in name or "=" in name:
         raise ValueError(f"invalid constraint name: {name!r}")
-    live, meta, base, _ = _read_actions(table)
+    live, meta, base, _ = _read_actions(table, writer=True)
     key = _CONSTRAINT_PREFIX + name
     conf = dict(meta.get("configuration") or {})
     if key in conf:
@@ -1342,7 +1590,7 @@ def drop_check_constraint(table: str, name: str) -> int:
     """ALTER TABLE ... DROP CONSTRAINT: remove the recorded CHECK
     constraint (metadata-only commit).  Returns the committed
     version."""
-    _, meta, base, _ = _read_actions(table)
+    _, meta, base, _ = _read_actions(table, writer=True)
     key = _CONSTRAINT_PREFIX + name
     conf = dict(meta.get("configuration") or {})
     if key not in conf:
@@ -1368,6 +1616,7 @@ def write_delta(
     txn: "tuple[str, int] | None" = None,
     expected_version: int | None = None,
     partition_by: "list[str] | None" = None,
+    generated: "dict[str, str] | None" = None,
 ) -> int:
     """Write ``df`` as a Delta commit (``overwrite`` replaces the live
     file set; ``append`` adds to it).  Returns the committed version.
@@ -1380,6 +1629,19 @@ def write_delta(
     ``read_delta`` prunes files by partition value BEFORE stats
     skipping — at 100 TB, partition pruning on e.g. an ingest-date
     column is the first and cheapest scan eliminator.
+
+    ``generated`` declares GENERATED ALWAYS AS columns at table
+    creation (``{"event_date": "cast(ts as date)"}`` — real Delta's
+    ``delta.generationExpression``, stored in the field metadata of
+    the committed schema).  Every later write computes a missing
+    generated column from its expression and VALIDATES a provided one
+    (null-safe equality, refused before staging).  Declaring a
+    generated column as a PARTITION column is the headline use: a
+    monotone expression (``CAST(x AS DATE)``, ``YEAR(x)``,
+    ``SUBSTRING(x, 1, n)``, ``FLOOR(x / N)``) lets ``read_delta``
+    translate predicates on the BASE column into partition/stats
+    pruning on the generated one, so a reader filtering on a raw
+    timestamp still skips date partitions it never names.
 
     ``txn=(appId, version)`` rides a SetTransaction action inside the
     same atomic commit (streaming idempotence; see
@@ -1396,10 +1658,20 @@ def write_delta(
     if expected_version is not None:
         version = expected_version
     enforced: dict = {}
-    mapped_schema, cm_updates = _strip_cm_meta(df.schema), {}
+    genspec: "dict[str, str]" = dict(generated or {})
     if version > 0:
         # existing table: the declared partition columns are the law
         _, meta0, _, _ = _read_actions(table, upto=version - 1)
+        if generated is not None:
+            raise ValueError(
+                "generated columns are declared at table creation; the "
+                "committed spec governs every later write"
+            )
+        # generated columns compute/validate FIRST: constraints and
+        # partition staging may reference them
+        genspec = _generated_of(meta0)
+        if genspec:
+            df = _apply_generated(df, genspec, table)
         declared = meta0.get("partitionColumns") or []
         if partition_by is None:
             partition_by = list(declared)
@@ -1416,6 +1688,16 @@ def write_delta(
         # object drives both the staged files' column names and the
         # committed schemaString, so they can never diverge
         mapped_schema, cm_updates = _mapped_schema(meta0, df.schema)
+    else:
+        if genspec:
+            # creation: compute missing / validate provided, so the
+            # first commit's files already carry the generated values
+            df = _apply_generated(df, genspec, table)
+        mapped_schema, cm_updates = _strip_cm_meta(df.schema), {}
+    # the generation contract rides the COMMITTED schema's field
+    # metadata on every schema commit (writer frames lose StructField
+    # metadata through ordinary transformations)
+    mapped_schema = _with_gen_meta(mapped_schema, genspec)
     partition_by = list(partition_by or [])
     stage_l2p = _schema_l2p(mapped_schema)
     if partition_by:
@@ -1444,7 +1726,7 @@ def write_delta(
                 }
             )
         else:
-            prev_live, prev_meta, _, _ = _read_actions(table, upto=version - 1)
+            prev_live, prev_meta, _, _ = _read_actions(table, upto=version - 1, writer=True)
             declared_now = prev_meta.get("partitionColumns") or []
             if list(declared_now) != list(partition_by):
                 # lost the version race to a commit that (re)declared the
@@ -1624,7 +1906,17 @@ def merge_touched(
 
     last_version = None
     for _ in range(max_retries):
-        live, meta, base, _txns = _read_actions(table)
+        live, meta, base, _txns = _read_actions(table, writer=True)
+        if _generated_of(meta):
+            # merge_fn output is caller-shaped; silently committing it
+            # into a table with a generation contract could break the
+            # pruning the contract guarantees — refuse loudly until a
+            # merge path validates/recomputes generated columns
+            raise ValueError(
+                f"merge_touched: {table} declares generated columns "
+                f"({sorted(_generated_of(meta))}) — generated tables "
+                "are write_delta/update_where-managed"
+            )
         table_pcols = meta.get("partitionColumns") or []
         conf = meta.get("configuration") or {}
         stored_keys = (
@@ -1998,31 +2290,54 @@ def _maybe_prunable(add: dict, col: str, lo, hi) -> bool:
         return False  # incomparable types: keep the file
 
 
-def _partition_prunable(add: dict, col: str, lo, hi, dtype: str) -> bool:
-    """True when the file's committed partition value PROVES [lo, hi]
-    misses it.  Partition values are stored as strings (the spec's
-    representation); they are parsed to the DECLARED column type before
-    comparing — never raw string order for numeric/temporal columns.
-    A null partition value, or a value that fails to parse, keeps the
-    file (advisory-safe, like stats skipping)."""
-    raw = (add.get("partitionValues") or {}).get(col)
+def _parse_partition_value(raw, dtype: str):
+    """Parse a committed partition-value string to the DECLARED column
+    type's comparison key — never raw string order for numeric or
+    temporal columns.  None when absent or unparseable."""
     if raw is None:
-        return False
+        return None
     t = dtype.lower()
     try:
         if t in ("byte", "short", "integer", "long"):
-            v = int(raw)
-        elif t in ("float", "double") or t.startswith("decimal"):
-            v = float(raw)
-        elif t in ("date", "timestamp", "timestamp_ntz"):
-            v = _temporal_key(raw)
-        else:
-            v = raw
+            return int(raw)
+        if t in ("float", "double") or t.startswith("decimal"):
+            return float(raw)
+        if t in ("date", "timestamp", "timestamp_ntz"):
+            return _temporal_key(raw)
+        return raw
     except (ValueError, TypeError):
+        return None
+
+
+def _partition_prunable(add: dict, col: str, lo, hi, dtype: str) -> bool:
+    """True when the file's committed partition value PROVES [lo, hi]
+    misses it.  A null partition value, or a value that fails to
+    parse, keeps the file (advisory-safe, like stats skipping)."""
+    v = _parse_partition_value(
+        (add.get("partitionValues") or {}).get(col), dtype
+    )
+    if v is None:
         return False
     lo, hi = _temporal_key(lo), _temporal_key(hi)
     try:
         return (hi is not None and v > hi) or (lo is not None and v < lo)
+    except TypeError:
+        return False
+
+
+def _partition_in_range(add: dict, col: str, lo, hi, dtype: str) -> bool:
+    """True when the file's committed partition value PROVES it lies
+    INSIDE [lo, hi] — the scoping direction (an unparseable or absent
+    value is NOT provably inside, the conservative direction for a
+    maintenance scope: the file is simply left alone)."""
+    v = _parse_partition_value(
+        (add.get("partitionValues") or {}).get(col), dtype
+    )
+    if v is None:
+        return False
+    lo, hi = _temporal_key(lo), _temporal_key(hi)
+    try:
+        return (lo is None or v >= lo) and (hi is None or v <= hi)
     except TypeError:
         return False
 
@@ -2094,6 +2409,10 @@ def read_delta(
         # (partition columns are pinned physical==logical).
         l2p = _schema_l2p(schema)
         triples = predicate if isinstance(predicate, list) else [predicate]
+        # GENERATED columns: a bound on a base column implies a bound
+        # through every monotone generation expression — the derived
+        # triples ride the same partition/stats layers below
+        triples = _derived_gen_triples(meta, triples)
         for col, lo, hi in triples:
             if col in pcols:
                 dtype = next(
@@ -2341,7 +2660,7 @@ def add_bloom_index(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
-    live, meta, base, _ = _read_actions(table)
+    live, meta, base, _ = _read_actions(table, writer=True)
     pcols = meta.get("partitionColumns") or []
     if col in pcols:
         raise ValueError(
@@ -2647,7 +2966,8 @@ def clone_table(
         raise ValueError("pass at most one of version / timestamp_ms")
     if timestamp_ms is not None:
         version = version_at_timestamp(source, timestamp_ms)
-    live, meta, base, _ = _read_actions(source, upto=version)
+    src_proto: dict = {}
+    live, meta, base, _ = _read_actions(source, upto=version, proto_out=src_proto)
     pcols = meta.get("partitionColumns") or []
     if pcols:
         raise ValueError(
@@ -2681,7 +3001,12 @@ def clone_table(
             "CLONE",
             {"source": src_abs, "sourceVersion": str(base)},
         ),
-        {"protocol": dict(_PROTOCOL)},
+        # carry the SOURCE's protocol: the clone inherits its metaData
+        # verbatim (mapping config, physical-name field metadata), so a
+        # clone stamped with the default (1,2) would let a pre-mapping
+        # spec reader misread a mapped source's physical names as
+        # logical ones
+        {"protocol": dict(src_proto or _PROTOCOL)},
         {"metaData": {**meta, "id": str(uuid.uuid4())}},
     ]
     for p, add in live.items():
@@ -2738,7 +3063,7 @@ def restore_table(
             if committed
             else f"no Delta log at {table}"
         )
-    live_now, _, base, _ = _read_actions(table)
+    live_now, _, base, _ = _read_actions(table, writer=True)
     if version == base:
         return base  # already there: no-op, no empty commit
     live_then, meta_then, _, _ = _read_actions(table, upto=version)
@@ -2959,7 +3284,7 @@ def compact(spark: SparkSession, table: str, n_files: int = 1) -> int:
     preserves bucketing — one file per live bucket (``n_files`` is
     ignored), so incremental merges stay incremental after compaction.
     Returns the committed version."""
-    live, meta, base, _ = _read_actions(table)
+    live, meta, base, _ = _read_actions(table, writer=True)
     conf = meta.get("configuration") or {}
     snapshot = read_delta(spark, table, version=base)
     pcols = meta.get("partitionColumns") or []
@@ -3012,6 +3337,102 @@ def compact(spark: SparkSession, table: str, n_files: int = 1) -> int:
     )
 
 
+def optimize_where(
+    spark: SparkSession,
+    table: str,
+    predicate: "tuple | list",
+    n_files: int = 1,
+    min_files: int = 2,
+) -> "int | None":
+    """Partition-scoped OPTIMIZE (real Delta's ``OPTIMIZE t WHERE``):
+    compact ONLY the live files whose committed partition values fall
+    inside the predicate triples.  At 100 TB nobody optimizes the
+    table — they optimize yesterday's ingest partition; this is that
+    shape: planning is METADATA-only (partition values from the log,
+    zero data read to decide) and the rewrite is O(scoped files).
+
+    ``predicate`` is the same (col, lo, hi) range-triple form the
+    readers use.  Columns must resolve to PARTITION columns — directly,
+    or through a monotone GENERATED partition column (a bound on the
+    raw ``ts`` scopes the ``event_date GENERATED AS cast(ts as date)``
+    partitions, same translation as read-side pruning).  Scope
+    membership must be PROVEN: a file whose partition value is absent
+    or unparseable is left alone — for a maintenance scope the
+    conservative direction is to skip it, never to rewrite extra.
+
+    Same commit discipline as ``compact``: the rewrite is layout-only
+    (``dataChange: false`` both sides — the change feed skips it),
+    bucket tags are preserved on merge-maintained tables, deletion
+    vectors on scoped files are materialized away, bloom indexes on
+    rewritten files auto-rebuild, and a concurrent commit aborts the
+    optimize (pinned snapshot).  Returns the committed version, or
+    None when fewer than ``min_files`` files are in scope."""
+    from pyspark.sql.types import StructType
+
+    live, meta, base, _ = _read_actions(table, writer=True)
+    pcols = meta.get("partitionColumns") or []
+    if not pcols:
+        raise ValueError(
+            f"optimize_where: {table} is unpartitioned — there is no "
+            "partition scope to optimize; use compact()"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    triples = predicate if isinstance(predicate, list) else [predicate]
+    triples = _derived_gen_triples(meta, triples)
+    eff = [t for t in triples if t[0] in pcols]
+    if not eff:
+        raise ValueError(
+            f"optimize_where: no predicate column resolves to a "
+            f"partition column of {table} ({pcols}) — a scope that "
+            "cannot be proven from the log would silently rewrite "
+            "the whole table"
+        )
+    dtypes = {
+        f.name: f.dataType.typeName() for f in schema.fields
+    }
+    scoped = {
+        p: a
+        for p, a in live.items()
+        if all(
+            _partition_in_range(a, col, lo, hi, dtypes.get(col, "string"))
+            for col, lo, hi in eff
+        )
+    }
+    if len(scoped) < min_files:
+        return None
+    conf = meta.get("configuration") or {}
+    version = base + 1
+    snapshot = _read_with_dv(spark, table, scoped, schema, pcols)
+    if "bucketKeys" in conf and "numBuckets" in conf:
+        key_cols = json.loads(conf["bucketKeys"])
+        nb = int(conf["numBuckets"])
+        adds = _stage_partitioned_files(
+            snapshot.withColumn(_BUCKET_COL, _bucket_expr(key_cols, nb)),
+            table,
+            version,
+            pcols,
+            bucket_width=nb,
+        )
+    else:
+        adds = _stage_partitioned_files(
+            snapshot.repartition(max(n_files, 1), *pcols),
+            table,
+            version,
+            pcols,
+        )
+    return _commit_layout_rewrite(
+        table,
+        version,
+        scoped,
+        adds,
+        {
+            "where": json.dumps([[c, str(lo), str(hi)] for c, lo, hi in eff]),
+            "scopedFiles": str(len(scoped)),
+        },
+        spark=spark,
+    )
+
+
 def reorg_purge_dv(
     spark: SparkSession,
     table: str,
@@ -3039,7 +3460,7 @@ def reorg_purge_dv(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
-    live, meta, base, _ = _read_actions(table)
+    live, meta, base, _ = _read_actions(table, writer=True)
     pcols = meta.get("partitionColumns") or []
     dvd = {p: a for p, a in live.items() if _dv_of(a)}
     if not dvd:
@@ -3116,7 +3537,7 @@ def optimize_small_files(
     than ``min_files`` files qualify (nothing worth packing)."""
     from pyspark.sql.types import StructType
 
-    live, meta, base, _ = _read_actions(table)
+    live, meta, base, _ = _read_actions(table, writer=True)
     pcols = meta.get("partitionColumns") or []
     if pcols:
         raise ValueError(
@@ -3201,7 +3622,7 @@ def optimize_zorder(
 
     from ..operators.layout import morton_code
 
-    live, _meta, base, _ = _read_actions(table)
+    live, _meta, base, _ = _read_actions(table, writer=True)
     pcols = _meta.get("partitionColumns") or []
     if col_a in pcols or col_b in pcols:
         raise ValueError(
@@ -3336,7 +3757,7 @@ def optimize_cluster(
     untag the merge buckets and the next merge would degrade to a full
     re-bucketing rewrite — on those tables the touched-file pruning IS
     the clustering, by key.  Returns the committed version."""
-    live, meta, base, _ = _read_actions(table)
+    live, meta, base, _ = _read_actions(table, writer=True)
     pcols = meta.get("partitionColumns") or []
     conf = meta.get("configuration") or {}
     cols = list(cols)
@@ -3430,7 +3851,7 @@ def delete_where(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
-    live, meta, base, _ = _read_actions(table)
+    live, meta, base, _ = _read_actions(table, writer=True)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns") or []
     conf = meta.get("configuration") or {}
@@ -3440,6 +3861,10 @@ def delete_where(
         # pruning stays logical (physical==logical for partition cols)
         l2p = _schema_l2p(schema)
         triples = predicate if isinstance(predicate, list) else [predicate]
+        # GENERATED columns: a bound on a base column implies a bound
+        # through every monotone generation expression — the derived
+        # triples ride the same partition/stats layers below
+        triples = _derived_gen_triples(meta, triples)
         for col, lo, hi in triples:
             if col in pcols:
                 dtype = next(
@@ -3656,7 +4081,7 @@ def optimize_cluster_incremental(
     need clustering."""
     from pyspark.sql.types import StructType
 
-    live, meta, base, _ = _read_actions(table)
+    live, meta, base, _ = _read_actions(table, writer=True)
     pcols = meta.get("partitionColumns") or []
     conf = meta.get("configuration") or {}
     cols = list(cols)
@@ -3731,7 +4156,7 @@ def update_where(
 
     if not set_exprs:
         raise ValueError("update_where: pass at least one SET expression")
-    live, meta, base, _ = _read_actions(table)
+    live, meta, base, _ = _read_actions(table, writer=True)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns") or []
     conf = meta.get("configuration") or {}
@@ -3748,6 +4173,10 @@ def update_where(
         # pruning stays logical (physical==logical for partition cols)
         l2p = _schema_l2p(schema)
         triples = predicate if isinstance(predicate, list) else [predicate]
+        # GENERATED columns: a bound on a base column implies a bound
+        # through every monotone generation expression — the derived
+        # triples ride the same partition/stats layers below
+        triples = _derived_gen_triples(meta, triples)
         for col, lo, hi in triples:
             if col in pcols:
                 dtype = next(
@@ -3784,18 +4213,57 @@ def update_where(
         dirty[rel] = cand[rel]
     if not dirty:
         return base
-    updated = _read_with_dv(spark, table, dirty, schema, pcols).select(
-        *[
-            (
-                F.when(hit, F.expr(set_exprs[f.name]).cast(f.dataType))
-                .otherwise(F.col(f.name))
-                .alias(f.name)
-                if f.name in set_exprs
-                else F.col(f.name)
-            )
-            for f in schema.fields
-        ]
-    )
+    import re as _re
+
+    genspec = _generated_of(meta)
+    gen_direct = sorted(g for g in genspec if g in set_exprs)
+    if gen_direct:
+        raise ValueError(
+            f"update_where: {gen_direct} are GENERATED columns — they "
+            "are computed from their generation expressions, not SET; "
+            "update the base columns instead"
+        )
+    # a SET on a base column makes its generated columns stale:
+    # recompute them (over the UPDATED values) for exactly the rows
+    # the condition matched — real Delta's UPDATE behavior, and what
+    # keeps the pruning contract true after DML
+    gen_stale = {
+        g: e
+        for g, e in genspec.items()
+        if any(_re.search(rf"\b{_re.escape(c)}\b", e) for c in set_exprs)
+    }
+    proj = [
+        (
+            F.when(hit, F.expr(set_exprs[f.name]).cast(f.dataType))
+            .otherwise(F.col(f.name))
+            .alias(f.name)
+            if f.name in set_exprs
+            else F.col(f.name)
+        )
+        for f in schema.fields
+    ]
+    if gen_stale:
+        # the hit flag must be evaluated over the OLD row (the SETs may
+        # touch the condition's columns), so it rides the first
+        # projection; the recompute then sees the NEW base values
+        proj.append(hit.alias("__upd_hit"))
+    updated = _read_with_dv(spark, table, dirty, schema, pcols).select(*proj)
+    if gen_stale:
+        updated = updated.select(
+            *[
+                (
+                    F.when(
+                        F.col("__upd_hit"),
+                        F.expr(gen_stale[f.name]).cast(f.dataType),
+                    )
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in gen_stale
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+        )
     # CHECK constraints gate the rewritten rows (the SET expressions
     # may synthesize values the table's constraints forbid)
     _enforce_constraints(updated, meta, table)

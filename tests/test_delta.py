@@ -2806,3 +2806,322 @@ def test_reorg_purge_dv_partitioned_preserves_layout(spark, tmp_path):
     assert pruned.filter(F.col("g") == "1").count() == len(
         [v for v in range(600) if v % 3 == 1 and v % 4 != 1]
     )
+
+
+def test_column_mapping_upgrade_commits_protocol(spark, tmp_path):
+    """Enabling column mapping must ship the spec's protocol upgrade
+    (2, 5) in the SAME atomic commit as the mapped schema, and every
+    later checkpoint must re-emit the REPLAYED protocol — a checkpoint
+    regressed to the default (1, 2) would let a pre-mapping reader
+    replay from it without tripping the feature gate."""
+    t = str(tmp_path / "t")
+    delta_lite.write_delta(_df(spark, [(1, "a"), (2, "b")]), t)
+    v = delta_lite.enable_column_mapping(t)
+    log = os.path.join(t, "_delta_log", f"{v:020d}.json")
+    actions = [json.loads(ln) for ln in open(log) if ln.strip()]
+    protos = [a["protocol"] for a in actions if "protocol" in a]
+    assert protos == [{"minReaderVersion": 2, "minWriterVersion": 5}]
+    # replay surfaces the upgraded protocol
+    proto = {}
+    delta_lite._read_actions(t, proto_out=proto)
+    assert proto == {"minReaderVersion": 2, "minWriterVersion": 5}
+    # ... and the checkpoint written AFTER the upgrade preserves it
+    delta_lite.rename_column(t, "v", "label")
+    cpv = delta_lite.write_checkpoint(t)
+    cp = os.path.join(t, "_delta_log", f"{cpv:020d}.checkpoint.json")
+    first = json.loads(open(cp).readline())
+    assert first["protocol"] == {"minReaderVersion": 2, "minWriterVersion": 5}
+    # replay-from-checkpoint (no tail commits re-stating it) keeps it
+    proto2 = {}
+    delta_lite._read_actions(t, proto_out=proto2)
+    assert proto2 == {"minReaderVersion": 2, "minWriterVersion": 5}
+    assert delta_lite.read_delta(spark, t).columns == ["k", "label"]
+
+
+def test_reader_gate_refuses_future_minreader(spark, tmp_path):
+    """A protocol action demanding a minReaderVersion past this
+    engine's ceiling must abort the read LOUDLY — silently ignoring an
+    unknown reader feature (a future mapping mode, row tracking) would
+    return wrong data, not an error.  Time travel BELOW the upgrade
+    commit still reads: the gate rides replay, so a pre-upgrade
+    snapshot never sees the action."""
+    t = str(tmp_path / "t")
+    v0 = delta_lite.write_delta(_df(spark, [(1, "a")]), t)
+    v1 = delta_lite.write_delta(_df(spark, [(2, "b")]), t, mode="append")
+    nxt = os.path.join(t, "_delta_log", f"{v1 + 1:020d}.json")
+    with open(nxt, "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 3,
+                                          "minWriterVersion": 7}}) + "\n")
+    with pytest.raises(ValueError, match="minReaderVersion=3"):
+        delta_lite.read_delta(spark, t)
+    with pytest.raises(ValueError, match="minReaderVersion=3"):
+        delta_lite.read_changes(spark, t, from_version=v0)
+    got = delta_lite.read_delta(spark, t, version=v1)  # pre-upgrade snapshot
+    assert {r["k"] for r in got.collect()} == {1, 2}
+
+
+def test_writer_gate_refuses_future_minwriter_but_still_reads(spark, tmp_path):
+    """minWriterVersion past the ceiling refuses WRITES before staging
+    anything (committing could corrupt invariants a newer writer
+    maintains) while reads keep working — the spec's asymmetric
+    contract."""
+    t = str(tmp_path / "t")
+    v0 = delta_lite.write_delta(_df(spark, [(1, "a"), (2, "b")]), t)
+    nxt = os.path.join(t, "_delta_log", f"{v0 + 1:020d}.json")
+    with open(nxt, "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 1,
+                                          "minWriterVersion": 9}}) + "\n")
+    assert {r["k"] for r in delta_lite.read_delta(spark, t).collect()} == {1, 2}
+    with pytest.raises(ValueError, match="minWriterVersion=9"):
+        delta_lite.write_delta(_df(spark, [(3, "c")]), t, mode="append")
+    with pytest.raises(ValueError, match="minWriterVersion=9"):
+        delta_lite.delete_where(spark, t, "k = 1")
+    with pytest.raises(ValueError, match="minWriterVersion=9"):
+        delta_lite.rename_column(t, "v", "w")
+    # nothing committed, nothing staged: log tail is still the probe
+    assert delta_lite.current_version(t) == v0 + 1
+    assert {r["k"] for r in delta_lite.read_delta(spark, t).collect()} == {1, 2}
+
+
+def test_clone_carries_source_protocol(spark, tmp_path):
+    """A shallow clone inherits the source's metaData verbatim
+    (mapping config included), so it must inherit the source's
+    PROTOCOL too — a clone of a mapped table stamped (1, 2) would let
+    a pre-mapping spec reader misread physical names as logical."""
+    src = str(tmp_path / "src")
+    delta_lite.write_delta(_df(spark, [(1, "a")]), src)
+    delta_lite.enable_column_mapping(src)
+    delta_lite.rename_column(src, "v", "label")
+    cl = str(tmp_path / "clone")
+    delta_lite.clone_table(src, cl)
+    log0 = os.path.join(cl, "_delta_log", f"{0:020d}.json")
+    protos = [json.loads(ln)["protocol"] for ln in open(log0)
+              if ln.strip() and "protocol" in json.loads(ln)]
+    assert protos == [{"minReaderVersion": 2, "minWriterVersion": 5}]
+    # an UNMAPPED source still clones at the default
+    plain = str(tmp_path / "plain")
+    delta_lite.write_delta(_df(spark, [(1, "a")]), plain)
+    cl2 = str(tmp_path / "clone2")
+    delta_lite.clone_table(plain, cl2)
+    log0b = os.path.join(cl2, "_delta_log", f"{0:020d}.json")
+    protos2 = [json.loads(ln)["protocol"] for ln in open(log0b)
+               if ln.strip() and "protocol" in json.loads(ln)]
+    assert protos2 == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+
+
+def test_generated_columns_compute_validate_and_prune(spark, tmp_path):
+    """GENERATED ALWAYS AS: declared at creation, computed when absent
+    from a batch, validated when provided, and — the headline — a
+    predicate on the BASE column alone prunes the partitions of a
+    table partitioned by the generated column (the monotone-expression
+    translation real Delta documents)."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00", 10.0), (2, "2024-01-02 09:00:00", 20.0),
+         (3, "2024-01-03 10:00:00", 30.0), (4, "2024-01-03 23:00:00", 40.0)],
+        "k long, ts_s string, v double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    delta_lite.write_delta(
+        df, t, partition_by=["event_date"],
+        generated={"event_date": "cast(ts as date)"},
+    )
+    got = delta_lite.read_delta(spark, t)
+    assert "event_date" in got.columns
+    assert got.count() == 4
+    # the generation contract rides the committed schema's metadata
+    _, meta, _, _ = delta_lite._read_actions(t)
+    assert delta_lite._generated_of(meta) == {"event_date": "cast(ts as date)"}
+    # append WITHOUT the column: computed
+    more = spark.createDataFrame([(5, "2024-01-05 01:00:00", 50.0)],
+                                 "k long, ts_s string, v double"
+                                 ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    delta_lite.write_delta(more, t, mode="append")
+    # ... and an unchanged-schema append must NOT re-commit metaData
+    # (the gen metadata round-trips bit-identically through the writer)
+    v = delta_lite.current_version(t)
+    log = os.path.join(t, "_delta_log", f"{v:020d}.json")
+    kinds = [next(iter(json.loads(ln))) for ln in open(log) if ln.strip()]
+    assert "metaData" not in kinds
+    # append WITH a wrong provided value: refused before staging
+    bad = delta_lite.read_delta(spark, t).limit(1).withColumn(
+        "event_date", F.lit("1999-01-01").cast("date")
+    ).withColumn("k", F.lit(99).cast("long"))
+    with pytest.raises(ValueError, match="generated column 'event_date'"):
+        delta_lite.write_delta(bad, t, mode="append")
+    # re-declaring on an existing table: refused
+    with pytest.raises(ValueError, match="declared at table creation"):
+        delta_lite.write_delta(more, t, mode="append",
+                               generated={"event_date": "cast(ts as date)"})
+    # PRUNING: predicate names only the BASE column; the derived
+    # event_date bound must skip the other partitions' files
+    all_files = set(delta_lite.read_delta(spark, t).inputFiles())
+    pruned = delta_lite.read_delta(
+        spark, t,
+        predicate=("ts", "2024-01-03 00:00:00", "2024-01-03 23:59:59"),
+    )
+    assert {r["k"] for r in pruned.filter(
+        "ts >= '2024-01-03' and ts < '2024-01-04'").collect()} == {3, 4}
+    kept = set(pruned.inputFiles())
+    assert kept < all_files
+    assert all("event_date=2024-01-03" in f for f in kept)
+
+
+def test_monotone_generation_shapes(spark):
+    """The recognizer's four monotone shapes translate bounds; an
+    unrecognized expression translates nothing (reads stay correct,
+    just unpruned)."""
+    import datetime
+
+    base, g = delta_lite._monotone_gen("cast(ts as date)")
+    assert base == "ts"
+    assert g("2024-01-03 12:34:56") == "2024-01-03"
+    assert g(datetime.datetime(2024, 1, 3, 12)) == datetime.date(2024, 1, 3)
+    base, g = delta_lite._monotone_gen("YEAR(ts)")
+    assert base == "ts" and g("2024-01-03") == 2024
+    base, g = delta_lite._monotone_gen("substring(code, 1, 3)")
+    assert base == "code" and g("ABCDEF") == "ABC"
+    base, g = delta_lite._monotone_gen("floor(k / 100)")
+    assert base == "k" and g(250) == 2 and g(-1) == -1
+    assert delta_lite._monotone_gen("month(ts)") == (None, None)  # cyclic
+    assert delta_lite._monotone_gen("a + b") == (None, None)
+
+
+def test_update_where_recomputes_generated(spark, tmp_path):
+    """SET on a base column recomputes its generated columns for
+    exactly the matched rows (over the NEW values — the rows move to
+    their new partition); SET on the generated column itself is
+    refused."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00", 10.0), (2, "2024-01-02 09:00:00", 20.0)],
+        "k long, ts_s string, v double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    delta_lite.write_delta(df, t, partition_by=["event_date"],
+                           generated={"event_date": "cast(ts as date)"})
+    with pytest.raises(ValueError, match="GENERATED"):
+        delta_lite.update_where(
+            spark, t, {"event_date": "date'2030-01-01'"}, "k = 1"
+        )
+    delta_lite.update_where(
+        spark, t, {"ts": "ts + interval 40 days"}, "k = 1"
+    )
+    rows = {r["k"]: (str(r["ts"]), str(r["event_date"]))
+            for r in delta_lite.read_delta(spark, t).collect()}
+    assert rows[1] == ("2024-02-10 08:00:00", "2024-02-10")
+    assert rows[2] == ("2024-01-02 09:00:00", "2024-01-02")
+    # the moved row landed in its NEW partition directory
+    live, _, _, _ = delta_lite._read_actions(t)
+    parts = {(a.get("partitionValues") or {}).get("event_date") for a in live.values()}
+    assert "2024-02-10" in parts and "2024-01-01" not in parts
+
+
+def test_generated_column_guards(spark, tmp_path):
+    """Renaming/dropping a generation-referenced base column dangles
+    the expression — refused; renaming the generated column itself is
+    metadata-safe and allowed; merges refuse generated tables."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 250)], "k long, qty long")
+    delta_lite.write_delta(df, t, generated={"bucket": "floor(qty / 100)"})
+    delta_lite.enable_column_mapping(t)
+    with pytest.raises(ValueError, match="generated column 'bucket'"):
+        delta_lite.rename_column(t, "qty", "amount")
+    with pytest.raises(ValueError, match="generated column 'bucket'"):
+        delta_lite.drop_column(t, "qty")
+    delta_lite.rename_column(t, "bucket", "qty_bucket")
+    _, meta, _, _ = delta_lite._read_actions(t)
+    assert delta_lite._generated_of(meta) == {"qty_bucket": "floor(qty / 100)"}
+    with pytest.raises(ValueError, match="generated columns"):
+        delta_lite.merge_touched(
+            spark, t,
+            spark.createDataFrame([(1, 300)], "k long, qty long"),
+            ["k"], lambda cur, b: b,
+        )
+
+
+def test_optimize_where_compacts_only_scoped_partitions(spark, tmp_path):
+    """OPTIMIZE ... WHERE: only files whose committed partition values
+    fall inside the predicate are rewritten; out-of-scope files keep
+    their byte-for-byte identity; the commit is layout-only (change
+    feed silent) and results are unchanged."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 4:02d}", float(i)) for i in range(40)],
+        "k long, day_s string, v double",
+    ).select("k", F.col("day_s").cast("date").alias("day"), "v")
+    delta_lite.write_delta(df.repartition(3), t, partition_by=["day"])
+    delta_lite.write_delta(df.repartition(3), t, mode="append")
+    live0, _, _, _ = delta_lite._read_actions(t)
+    in0 = {p for p in live0 if "day=2024-01-02" in p}
+    out0 = {p for p in live0 if "day=2024-01-02" not in p}
+    assert len(in0) >= 2
+    v_pre = delta_lite.current_version(t)
+    v = delta_lite.optimize_where(spark, t, ("day", "2024-01-02", "2024-01-02"))
+    assert v == v_pre + 1
+    live1, _, _, _ = delta_lite._read_actions(t)
+    in1 = {p for p in live1 if "day=2024-01-02" in p}
+    out1 = {p for p in live1 if "day=2024-01-02" not in p}
+    assert out1 == out0          # untouched files keep their identity
+    assert len(in1) == 1 and not (in1 & in0)
+    assert delta_lite.read_changes(spark, t, from_version=v_pre).count() == 0
+    got = delta_lite.read_delta(spark, t)
+    assert got.count() == 80
+    assert got.filter("day = date'2024-01-02'").agg(
+        F.sum("v")).first()[0] == sum(2 * float(i) for i in range(40) if i % 4 == 1)
+    # re-running on the now-single-file scope is a no-op
+    assert delta_lite.optimize_where(
+        spark, t, ("day", "2024-01-02", "2024-01-02")) is None
+
+
+def test_optimize_where_scopes_through_generated_column(spark, tmp_path):
+    """A bound on the raw base column scopes the GENERATED partition
+    column through the same monotone translation the readers use —
+    'optimize yesterday's ingest' without naming the derived column."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d} 0{i % 9}:00:00", float(i)) for i in range(30)],
+        "k long, ts_s string, v double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    delta_lite.write_delta(
+        df.repartition(2), t, partition_by=["event_date"],
+        generated={"event_date": "cast(ts as date)"},
+    )
+    delta_lite.write_delta(df.repartition(2), t, mode="append")
+    live0, _, _, _ = delta_lite._read_actions(t)
+    out0 = {p for p in live0 if "event_date=2024-01-03" not in p}
+    v = delta_lite.optimize_where(
+        spark, t, ("ts", "2024-01-03 00:00:00", "2024-01-03 23:59:59")
+    )
+    assert v is not None
+    live1, _, _, _ = delta_lite._read_actions(t)
+    assert {p for p in live1 if "event_date=2024-01-03" not in p} == out0
+    assert len({p for p in live1 if "event_date=2024-01-03" in p}) == 1
+    assert delta_lite.read_delta(spark, t).count() == 60
+
+
+def test_optimize_where_guards_and_dv_purge(spark, tmp_path):
+    """Unpartitioned tables and non-partition predicates are refused
+    (a scope unprovable from the log would rewrite the whole table);
+    scoped files carrying deletion vectors are materialized clean."""
+    flat = str(tmp_path / "flat")
+    delta_lite.write_delta(_df(spark, [(1, "a")]), flat)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        delta_lite.optimize_where(spark, flat, ("k", 0, 10))
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "2024-01-01" if i < 20 else "2024-01-02", float(i))
+         for i in range(40)],
+        "k long, day_s string, v double",
+    ).select("k", F.col("day_s").cast("date").alias("day"), "v")
+    delta_lite.write_delta(df.repartition(3), t, partition_by=["day"])
+    with pytest.raises(ValueError, match="resolves to a partition column"):
+        delta_lite.optimize_where(spark, t, ("v", 0.0, 5.0))
+    delta_lite.delete_where(spark, t, "day = date'2024-01-01' AND k % 2 = 0",
+                            use_dv=True)
+    live0, _, _, _ = delta_lite._read_actions(t)
+    assert any(delta_lite._dv_of(a) for a in live0.values())
+    delta_lite.optimize_where(spark, t, ("day", "2024-01-01", "2024-01-01"))
+    live1, _, _, _ = delta_lite._read_actions(t)
+    assert not any(delta_lite._dv_of(a) for a in live1.values())
+    got = delta_lite.read_delta(spark, t)
+    assert got.count() == 30
+    assert got.filter("day = date'2024-01-01'").count() == 10
