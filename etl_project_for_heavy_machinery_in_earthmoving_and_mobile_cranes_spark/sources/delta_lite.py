@@ -1451,10 +1451,49 @@ def _log_store_for(table: str) -> LogStore:
         ) from None
 
 
+def _prev_commit_ts(table: str, version: int) -> "int | None":
+    """commitInfo timestamp of ``version - 1``, or None when absent
+    (version 0, truncated log, or a commit without commitInfo)."""
+    if version <= 0:
+        return None
+    prev = _version_file(table, version - 1)
+    if not os.path.isfile(prev):
+        return None
+    try:
+        with open(prev) as fh:
+            for line in fh:
+                if line.strip():
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        return a["commitInfo"].get("timestamp")
+    except (OSError, json.JSONDecodeError):
+        return None
+    return None
+
+
 def _commit(table: str, version: int, actions: list[dict]) -> bool:
     """Atomic mutually-exclusive publish of one log entry; False if the
     version was taken (optimistic-concurrency conflict — retry).
-    Delegates the fence to the table's LogStore."""
+    Delegates the fence to the table's LogStore.
+
+    MONOTONIC COMMIT TIMESTAMPS: commitInfo timestamps come from the
+    writer's wall clock, and a backwards clock step (NTP correction,
+    a different writer host) would make ``version_at_timestamp``
+    (TIMESTAMP AS OF) resolve non-monotonically — time travel silently
+    answering with the WRONG version.  The publish choke point clamps
+    this commit's timestamp to ``max(now, previous + 1)``, so history
+    order always equals timestamp order (real Delta solves the same
+    skew with its in-commit-timestamps table feature; clamping at the
+    single choke point gives the identical guarantee for tables this
+    engine writes).  One metadata-file read per commit — the prior
+    version's first line — never a data read."""
+    prev_ts = _prev_commit_ts(table, version)
+    if prev_ts is not None:
+        for a in actions:
+            if "commitInfo" in a:
+                if a["commitInfo"].get("timestamp", 0) <= prev_ts:
+                    a["commitInfo"]["timestamp"] = prev_ts + 1
+                break
     content = "".join(json.dumps(a) + "\n" for a in actions).encode()
     return _log_store_for(table).put_if_absent(
         _version_file(table, version), content
@@ -2549,6 +2588,61 @@ def read_changes(
             )
         )
     )
+
+
+def generate_symlink_manifest(table: str, version: "int | None" = None) -> list[str]:
+    """GENERATE symlink_format_manifest — real Delta's interop bridge
+    for engines that cannot replay a Delta log (Presto/Trino/Athena/
+    Hive): text manifests under ``_symlink_format_manifest/`` listing
+    the ABSOLUTE data-file paths of the pinned snapshot, one manifest
+    per partition directory on partitioned tables (so the external
+    engine's partition pruning still works), a single root manifest
+    otherwise.  The external reader sees exactly the committed
+    snapshot — never an orphaned staging file, never a file a
+    concurrent writer added but not yet committed.
+
+    REFUSED while any live file carries a deletion vector: an
+    external manifest reader cannot apply the vector and would
+    silently serve deleted rows — run ``reorg_purge_dv`` first.  On a
+    column-mapped table the manifest is still written (the files are
+    valid parquet) but external readers see PHYSICAL column names;
+    the returned paths let callers wire the external schema.
+
+    A manifest is a snapshot EXPORT, not a maintained view —
+    regenerate after commits.  Stale partition manifests from a
+    previous generation are removed.  Returns the manifest file paths
+    written."""
+    live, meta, v, _ = _read_actions(table, upto=version)
+    dvd = [p for p, a in live.items() if _dv_of(a)]
+    if dvd:
+        raise ValueError(
+            f"generate_symlink_manifest: {len(dvd)} live file(s) of "
+            f"{table} carry deletion vectors (e.g. {dvd[0]}) — an "
+            "external manifest reader cannot apply them and would "
+            "serve deleted rows; run reorg_purge_dv first"
+        )
+    root = os.path.join(table, "_symlink_format_manifest")
+    shutil.rmtree(root, ignore_errors=True)
+    pcols = meta.get("partitionColumns") or []
+    groups: "dict[str, list[str]]" = {}
+    for p in live:
+        ap = p if os.path.isabs(p) else os.path.abspath(os.path.join(table, p))
+        rel_dir = os.path.dirname(p) if (pcols and not os.path.isabs(p)) else ""
+        groups.setdefault(rel_dir, []).append(ap)
+    written = []
+    for rel_dir, paths in sorted(groups.items()):
+        d = os.path.join(root, rel_dir) if rel_dir else root
+        os.makedirs(d, exist_ok=True)
+        mf = os.path.join(d, "manifest")
+        tmp = mf + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            for ap in sorted(paths):
+                fh.write("file://" + ap + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, mf)
+        written.append(mf)
+    return written
 
 
 def delta_history(table: str) -> list[dict]:

@@ -3125,3 +3125,68 @@ def test_optimize_where_guards_and_dv_purge(spark, tmp_path):
     got = delta_lite.read_delta(spark, t)
     assert got.count() == 30
     assert got.filter("day = date'2024-01-01'").count() == 10
+
+
+def test_commit_timestamps_monotonic_under_clock_skew(spark, tmp_path, monkeypatch):
+    """A backwards clock step between commits must not produce a
+    non-monotonic commitInfo timestamp — TIMESTAMP AS OF would
+    silently resolve the wrong version.  The publish choke point
+    clamps to previous + 1."""
+    t = str(tmp_path / "t")
+    delta_lite.write_delta(_df(spark, [(1, "a")]), t)
+    h0 = delta_lite.delta_history(t)
+    # the clock steps back 1 hour before the next commit
+    skewed = (h0[-1]["timestamp"] / 1000.0) - 3600.0
+    monkeypatch.setattr(delta_lite.time, "time", lambda: skewed)
+    delta_lite.write_delta(_df(spark, [(2, "b")]), t, mode="append")
+    monkeypatch.undo()
+    h = delta_lite.delta_history(t)
+    ts = [x["timestamp"] for x in h]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)
+    assert ts[1] == ts[0] + 1  # clamped, not wall-clock
+    # TIMESTAMP AS OF resolves each version correctly
+    assert delta_lite.version_at_timestamp(t, ts[0]) == 0
+    assert delta_lite.version_at_timestamp(t, ts[1]) == 1
+
+
+def test_symlink_manifest_flat_partitioned_and_dv_refusal(spark, tmp_path):
+    """GENERATE symlink_format_manifest: absolute committed paths,
+    per-partition manifests on partitioned tables, refreshed on
+    regeneration, refused while deletion vectors are live."""
+    t = str(tmp_path / "flat")
+    delta_lite.write_delta(_df(spark, [(1, "a"), (2, "b")]), t)
+    written = delta_lite.generate_symlink_manifest(t)
+    assert len(written) == 1
+    lines = open(written[0]).read().splitlines()
+    live, _, _, _ = delta_lite._read_actions(t)
+    assert sorted(lines) == sorted(
+        "file://" + os.path.abspath(os.path.join(t, p)) for p in live
+    )
+    # regeneration after an append reflects the new snapshot
+    delta_lite.write_delta(_df(spark, [(3, "c")]), t, mode="append")
+    lines2 = open(delta_lite.generate_symlink_manifest(t)[0]).read().splitlines()
+    assert len(lines2) > len(lines) and set(lines) < set(lines2)
+    # partitioned: one manifest per partition directory
+    pt = str(tmp_path / "part")
+    df = spark.createDataFrame(
+        [(i, "2024-01-01" if i % 2 else "2024-01-02", float(i)) for i in range(10)],
+        "k long, day_s string, v double",
+    ).select("k", F.col("day_s").cast("date").alias("day"), "v")
+    delta_lite.write_delta(df, pt, partition_by=["day"])
+    mans = delta_lite.generate_symlink_manifest(pt)
+    assert len(mans) == 2
+    assert {os.path.basename(os.path.dirname(m)) for m in mans} == {
+        "day=2024-01-01", "day=2024-01-02",
+    }
+    for m in mans:
+        part = os.path.basename(os.path.dirname(m))
+        for ln in open(m).read().splitlines():
+            assert ln.startswith("file:///") and f"/{part}/" in ln
+    # a live deletion vector refuses the export (external readers
+    # cannot apply it)
+    delta_lite.delete_where(spark, pt, "k = 4", use_dv=True)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        delta_lite.generate_symlink_manifest(pt)
+    # ... and purging the vectors re-enables it
+    delta_lite.reorg_purge_dv(spark, pt)
+    assert len(delta_lite.generate_symlink_manifest(pt)) == 2
