@@ -15697,7 +15697,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with the 38, plus the late delta_generated_partition and
     delta_optimize_where insertions,
     is exactly these 41 section-B entries; both checks printed
-    unpromoted_changed: [].  The closure is wide because
+    unpromoted_changed: [].  The round-end gate (after the LAST
+    registry-affecting commit) re-ran the full --exact sweep at sf0.01
+    AND sf0.1 (ALL OK, 295 queries); the pre-record check printed
+    {"changed_count": 39, "unpromoted_changed": []} (section B minus
+    the two entries the mid-round snapshot had already recorded), and
+    the post-record check printed {"changed_count": 0, "changed": []}.
+    The closure is wide because
     column mapping touched every delta_lite writer and the one read
     choke point, re-flagging the whole delta/cdc family, plus the
     ADVICE-fix ripple (bloom position hashing, evolve-retry schema
