@@ -231,6 +231,26 @@ class _CdfStreamReader(DataSourceStreamReader):
                     if not line.strip():
                         continue
                     action = json.loads(line)
+                    if "protocol" in action:
+                        # the reader feature gate applies MID-STREAM
+                        # too: a writer upgrading the table past this
+                        # engine's ceiling means later commits may use
+                        # reader features whose absence silently emits
+                        # WRONG change rows — abort like every batch
+                        # replay path (delta_lite._apply_action) does
+                        p = action["protocol"]
+                        if (
+                            p.get("minReaderVersion", 1)
+                            > delta_lite._SUPPORTED["minReaderVersion"]
+                        ):
+                            raise ValueError(
+                                f"commit {v} of {self.table} requires "
+                                f"minReaderVersion="
+                                f"{p.get('minReaderVersion')} but this "
+                                "engine supports "
+                                f"{delta_lite._SUPPORTED['minReaderVersion']}"
+                                " — stopping the change stream"
+                            )
                     if "add" in action and action["add"].get("dataChange", True):
                         adds_v[action["add"]["path"]] = action["add"]
                     elif "remove" in action and action["remove"].get(

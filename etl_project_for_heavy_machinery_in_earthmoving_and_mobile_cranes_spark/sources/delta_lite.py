@@ -1001,22 +1001,39 @@ def _apply_generated(df: DataFrame, genspec: "dict[str, str]", table: str) -> Da
     exactly real Delta's ``expected <=> provided`` check) and the
     write refuses BEFORE staging on the first violation — a divergent
     provided value would silently break the pruning contract that
-    makes the column useful.  Validation costs one bounded pass over
-    the BATCH (O(batch), never O(table))."""
+    makes the column useful.  Validation costs ONE bounded pass over
+    the BATCH regardless of how many generated columns the batch
+    provides (all violation predicates ride a single filter job —
+    O(batch), never O(table))."""
+    import functools
+    import operator
+
     from pyspark.sql import functions as F
 
+    provided = [(n, e) for n, e in genspec.items() if n in df.columns]
     for name, expr in genspec.items():
         if name not in df.columns:
             df = df.withColumn(name, F.expr(expr))
-        else:
-            bad = df.filter(~F.col(name).eqNullSafe(F.expr(expr))).limit(1)
-            if bad.count():
-                raise ValueError(
-                    f"generated column {name!r} violated: a provided "
-                    f"value differs from its generation expression "
-                    f"({expr}) — drop the column from the batch or fix "
-                    "the upstream computation"
-                )
+    if provided:
+        flags = df.select(
+            [
+                (~F.col(n).eqNullSafe(F.expr(e))).alias(n)
+                for n, e in provided
+            ]
+        )
+        any_bad = functools.reduce(
+            operator.or_, [F.col(n) for n, _ in provided]
+        )
+        hit = flags.filter(any_bad).limit(1).collect()
+        if hit:
+            bad = [n for n, _ in provided if hit[0][n]]
+            exprs = {n: e for n, e in provided}
+            raise ValueError(
+                f"generated column(s) {bad} violated: provided values "
+                f"differ from their generation expressions "
+                f"({ {n: exprs[n] for n in bad} }) — drop the column "
+                "from the batch or fix the upstream computation"
+            )
     return df
 
 
@@ -1178,10 +1195,14 @@ def rename_column(table: str, old: str, new: str) -> int:
     impossible by construction) and for columns referenced by CHECK
     constraints.  A renamed MERGE KEY updates the table's bucketKeys
     configuration, so incremental touched-bucket merges continue under
-    the new name."""
+    the new name; a renamed CLUSTER column re-tags the clustered
+    backbone's add actions in the same commit (log metadata, zero data
+    files), so ``optimize_cluster_incremental`` under the new name
+    still sees the backbone as clustered instead of rewriting the
+    whole table."""
     from pyspark.sql.types import StructField, StructType
 
-    _, meta, base, _ = _read_actions(table, writer=True)
+    live, meta, base, _ = _read_actions(table, writer=True)
     conf = meta.get("configuration") or {}
     if conf.get(_CM_MODE) != "name":
         raise ValueError(
@@ -1227,6 +1248,30 @@ def rename_column(table: str, old: str, new: str) -> int:
             }
         },
     ]
+    # clustered-backbone tags carry LOGICAL column names; without a
+    # re-tag, the next optimize_cluster_incremental([new]) would see
+    # every backbone file as fresh and rewrite the whole table — the
+    # exact cost the metadata-only rename promises to avoid.  The
+    # re-add actions are log metadata (same path, same bytes, updated
+    # tag), not a data rewrite.
+    for p, a in live.items():
+        tag = (a.get("tags") or {}).get(_CLUSTERED_TAG)
+        if not tag:
+            continue
+        try:
+            cl_cols = json.loads(tag)
+        except ValueError:
+            continue
+        if old in cl_cols:
+            retagged = dict(a)
+            retagged["tags"] = {
+                **a["tags"],
+                _CLUSTERED_TAG: json.dumps(
+                    [new if c == old else c for c in cl_cols]
+                ),
+            }
+            retagged["dataChange"] = False
+            actions.append({"add": retagged})
     if not _commit(table, base + 1, actions):
         raise RuntimeError(
             f"concurrent commit during RENAME COLUMN on {table}; re-run"
@@ -1698,9 +1743,12 @@ def write_delta(
         version = expected_version
     enforced: dict = {}
     genspec: "dict[str, str]" = dict(generated or {})
+    meta0: dict = {}
     if version > 0:
-        # existing table: the declared partition columns are the law
-        _, meta0, _, _ = _read_actions(table, upto=version - 1)
+        # existing table: the declared partition columns are the law.
+        # writer=True fires the minWriterVersion gate HERE — before any
+        # file is staged — honoring the refuse-before-staging contract
+        _, meta0, _, _ = _read_actions(table, upto=version - 1, writer=True)
         if generated is not None:
             raise ValueError(
                 "generated columns are declared at table creation; the "
@@ -1746,6 +1794,13 @@ def write_delta(
     else:
         adds = _stage_data_files(df, table, version, l2p=stage_l2p)
     schema_string = mapped_schema.json()
+    # the schema this writer STAGED against: the retry loop compares
+    # the rebased table schema to it and ABORTS on a concurrent schema
+    # change instead of rebasing — recommitting our (now stale)
+    # schemaString would clobber the concurrent evolution/rename/drop;
+    # on a mapped table the winner's freshly-minted physical column
+    # would silently read NULL everywhere afterwards
+    base_schema_string = meta0.get("schemaString", schema_string)
     for _ in range(max_retries):
         actions: list[dict] = [
             _commit_info("WRITE", {"mode": mode.upper()})
@@ -1765,7 +1820,41 @@ def write_delta(
                 }
             )
         else:
-            prev_live, prev_meta, _, _ = _read_actions(table, upto=version - 1, writer=True)
+            try:
+                prev_live, prev_meta, _, _ = _read_actions(
+                    table, upto=version - 1, writer=True
+                )
+            except ValueError:
+                # a concurrent commit raised the table's writer floor
+                # after our pre-stage gate passed: clean the staged
+                # files before propagating (they would otherwise orphan
+                # until vacuum)
+                for a in adds:
+                    try:
+                        os.remove(os.path.join(table, a["path"]))
+                    except OSError:
+                        pass
+                raise
+            if (
+                prev_meta.get("schemaString") != base_schema_string
+                and prev_meta.get("schemaString") != schema_string
+            ):
+                # lost the race to a SCHEMA-CHANGING commit (evolution,
+                # rename, drop, a divergent creation): the staged files'
+                # column layout matches the old schema, and recommitting
+                # our schemaString would silently revert the winner —
+                # abort and have the caller re-stage against the fresh
+                # table, same discipline as the partition-layout race
+                for a in adds:
+                    try:
+                        os.remove(os.path.join(table, a["path"]))
+                    except OSError:
+                        pass
+                raise RuntimeError(
+                    f"concurrent commit changed {table}'s schema after "
+                    "this write staged its files; write aborted — "
+                    "re-run against the current table schema"
+                )
             declared_now = prev_meta.get("partitionColumns") or []
             if list(declared_now) != list(partition_by):
                 # lost the version race to a commit that (re)declared the
@@ -3353,7 +3442,18 @@ def _rebuild_bloom_after_rewrite(spark, table: str, removed: dict) -> "list[int]
         logical = p2l.get(phys, phys)
         if logical not in logical_names:
             continue  # column dropped since the index was built
-        v = add_bloom_index(spark, table, logical, fpp=_orig_fpp(phys))
+        try:
+            v = add_bloom_index(spark, table, logical, fpp=_orig_fpp(phys))
+        except (RuntimeError, ValueError):
+            # the docstring's contract, made real: the OPTIMIZE commit
+            # this chains from already SUCCEEDED, and the index is
+            # advisory (untagged reads stay correct) — a lost commit
+            # race here, or a legacy index on a column type the
+            # build-time guard now refuses, must not surface the
+            # completed maintenance as failed (re-running it would pay
+            # the whole rewrite again).  Re-index manually to restore
+            # pruning.
+            continue
         if v is not None:
             versions.append(v)
     return versions
@@ -3399,6 +3499,7 @@ def compact(spark: SparkSession, table: str, n_files: int = 1) -> int:
                 version,
                 pcols,
                 bucket_width=nb,
+                l2p=_l2p_of(meta),
             )
         else:
             adds = _stage_partitioned_files(
@@ -3406,6 +3507,7 @@ def compact(spark: SparkSession, table: str, n_files: int = 1) -> int:
                 table,
                 version,
                 pcols,
+                l2p=_l2p_of(meta),
             )
         return _commit_layout_rewrite(
             table, version, live, adds,
@@ -3419,12 +3521,15 @@ def compact(spark: SparkSession, table: str, n_files: int = 1) -> int:
             table,
             version,
             nb,
+            l2p=_l2p_of(meta),
         )
         return _commit_layout_rewrite(
             table, version, live, adds, {"numBuckets": str(nb)},
             spark=spark,
         )
-    adds = _stage_data_files(snapshot.coalesce(n_files), table, version)
+    adds = _stage_data_files(
+        snapshot.coalesce(n_files), table, version, l2p=_l2p_of(meta)
+    )
     return _commit_layout_rewrite(
         table, version, live, adds, {"numFiles": str(n_files)},
         spark=spark,
@@ -3506,6 +3611,7 @@ def optimize_where(
             version,
             pcols,
             bucket_width=nb,
+            l2p=_l2p_of(meta),
         )
     else:
         adds = _stage_partitioned_files(
@@ -3513,6 +3619,7 @@ def optimize_where(
             table,
             version,
             pcols,
+            l2p=_l2p_of(meta),
         )
     return _commit_layout_rewrite(
         table,
@@ -3584,10 +3691,15 @@ def reorg_purge_dv(
     survivors = _read_with_dv(spark, table, dvd, schema, pcols)
     version = base + 1
     if pcols:
-        adds = _stage_partitioned_files(survivors, table, version, pcols)
+        adds = _stage_partitioned_files(
+            survivors, table, version, pcols, l2p=_l2p_of(meta)
+        )
     else:
         adds = _stage_data_files(
-            survivors.repartition(max(1, len(dvd))), table, version
+            survivors.repartition(max(1, len(dvd))),
+            table,
+            version,
+            l2p=_l2p_of(meta),
         )
     return _commit_layout_rewrite(
         table,
@@ -3661,11 +3773,14 @@ def optimize_small_files(
             table,
             version,
             width,
+            l2p=_l2p_of(meta),
         )
     else:
         total = sum(a.get("size", 0) for a in small.values())
         n_out = max(1, -(-total // max(1, target_bytes)))
-        adds = _stage_data_files(df.repartition(n_out), table, version)
+        adds = _stage_data_files(
+            df.repartition(n_out), table, version, l2p=_l2p_of(meta)
+        )
     return _commit_layout_rewrite(
         table,
         version,
@@ -3811,9 +3926,11 @@ def optimize_zorder(
         )
     version = base + 1
     if pcols:
-        adds = _stage_partitioned_files(ordered, table, version, pcols)
+        adds = _stage_partitioned_files(
+            ordered, table, version, pcols, l2p=_l2p_of(_meta)
+        )
     else:
-        adds = _stage_data_files(ordered, table, version)
+        adds = _stage_data_files(ordered, table, version, l2p=_l2p_of(_meta))
     return _commit_layout_rewrite(
         table, version, live, adds,
         {"zOrderBy": json.dumps([col_a, col_b])}, spark=spark,
@@ -3877,9 +3994,11 @@ def optimize_cluster(
     ).sortWithinPartitions(*pcols, *cols)
     version = base + 1
     if pcols:
-        adds = _stage_partitioned_files(ordered, table, version, pcols)
+        adds = _stage_partitioned_files(
+            ordered, table, version, pcols, l2p=_l2p_of(meta)
+        )
     else:
-        adds = _stage_data_files(ordered, table, version)
+        adds = _stage_data_files(ordered, table, version, l2p=_l2p_of(meta))
         # tag flat clustered outputs so optimize_cluster_incremental
         # can skip this backbone and rewrite only fresh appends
         for a in adds:
@@ -4077,6 +4196,7 @@ def delete_where(
         "DELETE",
         {"predicate": condition},
         txn,
+        l2p=_schema_l2p(schema),
     )
 
 
@@ -4091,6 +4211,7 @@ def _commit_dirty_rewrite(
     operation: str,
     params: dict,
     txn: "tuple[str, int] | None",
+    l2p: "dict | None" = None,
 ) -> int:
     """Shared DML rewrite commit (DELETE / UPDATE): stage ``new_rows``
     back in the table's layout (partition dirs, bucket tags, or both —
@@ -4108,15 +4229,15 @@ def _commit_dirty_rewrite(
         rem_b = new_rows.withColumn(_BUCKET_COL, _bucket_expr(key_cols, nb))
         if pcols:
             adds = _stage_partitioned_files(
-                rem_b, table, version, pcols, bucket_width=width
+                rem_b, table, version, pcols, bucket_width=width, l2p=l2p
             )
         else:
-            adds = _stage_bucketed_files(rem_b, table, version, width)
+            adds = _stage_bucketed_files(rem_b, table, version, width, l2p=l2p)
     elif pcols:
-        adds = _stage_partitioned_files(new_rows, table, version, pcols)
+        adds = _stage_partitioned_files(new_rows, table, version, pcols, l2p=l2p)
     else:
         adds = _stage_data_files(
-            new_rows.repartition(max(1, len(dirty))), table, version
+            new_rows.repartition(max(1, len(dirty))), table, version, l2p=l2p
         )
     actions: list[dict] = [_commit_info(operation, params)]
     ts = int(time.time() * 1000)
@@ -4209,7 +4330,7 @@ def optimize_cluster_incremental(
         n_files = max(1, -(-total // max(1, target_bytes)))
     ordered = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
     version = base + 1
-    adds = _stage_data_files(ordered, table, version)
+    adds = _stage_data_files(ordered, table, version, l2p=_l2p_of(meta))
     for a in adds:
         a.setdefault("tags", {})[_CLUSTERED_TAG] = want
     return _commit_layout_rewrite(
@@ -4372,4 +4493,5 @@ def update_where(
         "UPDATE",
         {"predicate": condition, "set": json.dumps(set_exprs)},
         txn,
+        l2p=_schema_l2p(schema),
     )

@@ -2946,7 +2946,7 @@ def test_generated_columns_compute_validate_and_prune(spark, tmp_path):
     bad = delta_lite.read_delta(spark, t).limit(1).withColumn(
         "event_date", F.lit("1999-01-01").cast("date")
     ).withColumn("k", F.lit(99).cast("long"))
-    with pytest.raises(ValueError, match="generated column 'event_date'"):
+    with pytest.raises(ValueError, match=r"generated column\(s\) \['event_date'\]"):
         delta_lite.write_delta(bad, t, mode="append")
     # re-declaring on an existing table: refused
     with pytest.raises(ValueError, match="declared at table creation"):
@@ -3190,3 +3190,150 @@ def test_symlink_manifest_flat_partitioned_and_dv_refusal(spark, tmp_path):
     # ... and purging the vectors re-enables it
     delta_lite.reorg_purge_dv(spark, pt)
     assert len(delta_lite.generate_symlink_manifest(pt)) == 2
+
+
+def test_write_delta_aborts_on_concurrent_schema_change(spark, tmp_path, monkeypatch):
+    """A retry after losing the version race to a SCHEMA-CHANGING
+    commit must abort and clean its staged files, never recommit its
+    stale schemaString (which would silently revert the winner's
+    evolution — on a mapped table the winner's fresh column would
+    read NULL everywhere)."""
+    from pyspark.sql.types import StructType
+
+    t = str(tmp_path / "t")
+    delta_lite.write_delta(_df(spark, [(1, "a")]), t)
+    orig_commit = delta_lite._commit
+    raced = {}
+
+    def racing(table_, version_, actions_):
+        if not raced:
+            raced["done"] = True
+            # the concurrent winner lands a schema evolution at this
+            # version before our commit: simulate it directly
+            _, meta, _, _ = delta_lite._read_actions(table_)
+            schema = json.loads(meta["schemaString"])
+            schema["fields"].append(
+                {"name": "extra", "type": "long", "nullable": True,
+                 "metadata": {}}
+            )
+            orig_commit(
+                table_, version_,
+                [{"metaData": {**meta, "schemaString": json.dumps(schema)}}],
+            )
+            return False  # we lost the race
+        return orig_commit(table_, version_, actions_)
+
+    monkeypatch.setattr(delta_lite, "_commit", racing)
+    with pytest.raises(RuntimeError, match="schema"):
+        delta_lite.write_delta(_df(spark, [(2, "b")]), t, mode="append")
+    monkeypatch.undo()
+    # staged files were cleaned: every parquet on disk is referenced
+    live, _, _, _ = delta_lite._read_actions(t)
+    on_disk = {
+        os.path.relpath(os.path.join(r, f), t)
+        for r, _, fs in os.walk(t)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r
+    }
+    referenced = set()
+    for v in delta_lite._list_versions(t):
+        for ln in open(delta_lite._version_file(t, v)):
+            a = json.loads(ln) if ln.strip() else {}
+            if "add" in a:
+                referenced.add(a["add"]["path"])
+    assert on_disk <= referenced
+    # ... and the winner's schema survives
+    _, meta, _, _ = delta_lite._read_actions(t)
+    names = [f["name"] for f in json.loads(meta["schemaString"])["fields"]]
+    assert "extra" in names
+
+
+def test_writer_gate_fires_before_staging(spark, tmp_path):
+    """The minWriterVersion refusal must land BEFORE any file is
+    staged — a refused write leaves zero new files behind."""
+    t = str(tmp_path / "t")
+    v0 = delta_lite.write_delta(_df(spark, [(1, "a")]), t)
+    with open(os.path.join(t, "_delta_log", f"{v0 + 1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 1,
+                                          "minWriterVersion": 9}}) + "\n")
+    def count_parquet():
+        return sum(
+            1 for r, _, fs in os.walk(t) for f in fs
+            if f.endswith(".parquet") and "_delta_log" not in r
+        )
+    before = count_parquet()
+    with pytest.raises(ValueError, match="minWriterVersion=9"):
+        delta_lite.write_delta(_df(spark, [(2, "b")]), t, mode="append")
+    assert count_parquet() == before
+
+
+def test_bloom_rebuild_failure_does_not_poison_optimize(spark, tmp_path):
+    """A bloom auto-rebuild that fails (here: a legacy tag on a column
+    type the build-time guard now refuses) must not surface the
+    already-committed OPTIMIZE as failed — the index is advisory."""
+    t = str(tmp_path / "t")
+    delta_lite.write_delta(
+        spark.createDataFrame([(1, 1.5), (2, 2.5)], "k long, v double")
+        .repartition(2), t,
+    )
+    live, meta, base, _ = delta_lite._read_actions(t)
+    # hand-tag a live file with a bloom index on the DOUBLE column —
+    # the pre-r12 builder allowed this; the rebuilt guard refuses it
+    sidecar_dir = os.path.join(t, "_bloom")
+    os.makedirs(sidecar_dir, exist_ok=True)
+    sidecar = os.path.join(sidecar_dir, "legacy.json")
+    with open(sidecar, "w") as fh:
+        json.dump({"fpp": 0.01, "m": 64, "k": 3, "words": [0]}, fh)
+    p, a = next(iter(live.items()))
+    retagged = dict(a)
+    retagged["tags"] = {**(a.get("tags") or {}), "bloom_v": "_bloom/legacy.json"}
+    assert delta_lite._commit(t, base + 1, [{"add": retagged}])
+    v = delta_lite.compact(spark, t, n_files=1)  # must not raise
+    assert v is not None
+    assert delta_lite.read_delta(spark, t).count() == 2
+
+
+def test_rename_retags_clustered_backbone(spark, tmp_path):
+    """Renaming a cluster column re-tags the clustered backbone in the
+    same metadata-only commit, so incremental clustering under the new
+    name leaves the backbone untouched instead of rewriting the
+    table."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "a long, v double")
+    delta_lite.write_delta(df.repartition(4), t)
+    assert delta_lite.optimize_cluster_incremental(spark, t, ["a"]) is not None
+    live0, _, _, _ = delta_lite._read_actions(t)
+    backbone0 = {p for p, x in live0.items()
+                 if (x.get("tags") or {}).get("clustered")}
+    assert backbone0
+    delta_lite.enable_column_mapping(t)
+    delta_lite.rename_column(t, "a", "key")
+    live1, _, _, _ = delta_lite._read_actions(t)
+    tags = {(x.get("tags") or {}).get("clustered")
+            for p, x in live1.items() if p in backbone0}
+    assert tags == {json.dumps(["key"])}
+    # the backbone is already clustered under the new name: nothing
+    # fresh to rewrite
+    assert delta_lite.optimize_cluster_incremental(spark, t, ["key"]) is None
+
+
+def test_cdf_stream_reader_gates_midstream_protocol(spark, tmp_path):
+    """The CDF streaming reader must refuse commits demanding a
+    minReaderVersion past the engine ceiling — a mid-stream table
+    upgrade silently ignored could emit wrong change rows."""
+    from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.sources import (
+        delta_cdf_datasource as cdf,
+    )
+
+    t = str(tmp_path / "t")
+    v0 = delta_lite.write_delta(_df(spark, [(1, "a")]), t)
+    delta_lite.write_delta(_df(spark, [(2, "b")]), t, mode="append")
+    reader = cdf._CdfStreamReader({"path": t, "startingVersion": "0"})
+    assert reader.partitions({"version": 0}, {"version": 1})  # healthy
+    v2 = delta_lite.current_version(t) + 1
+    with open(os.path.join(t, "_delta_log", f"{v2:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 3,
+                                          "minWriterVersion": 7}}) + "\n")
+    with pytest.raises(ValueError, match="minReaderVersion=3"):
+        reader.partitions({"version": 1}, {"version": v2})

@@ -58,13 +58,19 @@ def main() -> None:
     dim = len(base.first()["embedding"])
 
     def shift(df, i):
-        if i % dim == 0:
+        if i == 0:
             return df
+        # rotation amount must be nonzero for EVERY replica, not just
+        # i % dim != 0: at n > dim a plain `i % dim` makes replica dim
+        # an exact clone of replica 0 again — the degenerate corpus
+        # (cosine-1.0 neighbors, saturated margins) this probe exists
+        # to avoid.  1 + (i-1) % (dim-1) cycles through 1..dim-1.
+        rot = 1 + (i - 1) % (dim - 1)
         return df.withColumn(
             "embedding",
             F.expr(
                 f"transform(embedding, (v, j) -> "
-                f"embedding[(j + {i % dim}) % {dim}])"
+                f"embedding[(j + {rot}) % {dim}])"
             ),
         )
 
@@ -104,8 +110,15 @@ def main() -> None:
     # pairs the exact plan emits that the ANN candidate join misses
     # are the cost of cell-bounded neighborhoods
     out["recall"] = round(len(ann & exact) / len(exact), 4) if exact else 1.0
-    # nprobe knee at this corpus size: where recall saturates
+    # nprobe knee at this corpus size: where recall saturates.
+    # nprobe=2 was already measured above — reuse it instead of
+    # repeating a full ANN candidate join + collect.
     for np_ in (1, 2, 4):
+        if np_ == 2:
+            out["ann_np2_sec"] = out["ann_sec"]
+            out["ann_np2_sec_pairs"] = out["ann_sec_pairs"]
+            out["ann_np2_recall"] = out["recall"]
+            continue
         p = run(f"ann_np{np_}_sec", centroids=cells, nprobe=np_)
         out[f"ann_np{np_}_recall"] = (
             round(len(p & exact) / len(exact), 4) if exact else 1.0
