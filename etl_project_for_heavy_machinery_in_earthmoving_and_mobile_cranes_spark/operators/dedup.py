@@ -362,30 +362,33 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # One shuffle per iteration (r12, guide §2.4): the neighbor-min AND
+    # the node's own label meet in a single groupBy — new label =
+    # min(own ∪ neighbor labels) — instead of the former
+    # aggregate-then-left-join (two exchanges).  Convergence detection
+    # rides the same aggregate: only the node's own row carries __own
+    # (messages carry NULL, which max() ignores), so label < __own
+    # flags a change without the former third join against the previous
+    # labels.  Fixpoint and labels are identical: both formulations
+    # compute min-label propagation and stop when no label changes.
     for _ in range(max_iter):
-        neigh = (
-            e.join(labels, e["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
+        msgs = e.join(labels, e["dst"] == labels["node"]).select(
+            F.col("src").alias("node"),
+            F.col("label"),
+            F.lit(None).cast(dict(labels.dtypes)["label"]).alias("__own"),
         )
+        own = labels.select("node", "label", F.col("label").alias("__own"))
         new_labels = (
-            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            own.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"), F.max("__own").alias("__old"))
             .select(
-                F.col("node"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
+                "node", "label", (F.col("label") < F.col("__old")).alias("__chg")
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     else:
