@@ -11854,9 +11854,14 @@ def q_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         assert_dv_commit(v2)
         net = delta_lite.read_changes(spark, path, v1, v2)
-        n_del = net.filter("_change_type = 'delete'").count()
+        # one aggregate pass nets both change-type counts (r12: the two
+        # separate .count() calls each recomputed the whole CDF diff)
+        n_del, n_ins = net.agg(
+            F.sum(F.when(F.col("_change_type") == "delete", 1).otherwise(0)),
+            F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(0)),
+        ).first()
         want_del = d.filter("lang = 'fr' AND source = 'src3'").count()
-        if n_del != want_del or net.filter("_change_type = 'insert'").count():
+        if (n_del or 0) != want_del or (n_ins or 0):
             raise AssertionError(
                 f"DV change feed wrong: {n_del} deletes (want {want_del})"
             )

@@ -2603,6 +2603,27 @@ def changed_files(
     return added, removed, vto
 
 
+def _range_has_datachange(table: str, from_version: int, to_version: int) -> bool:
+    """True iff any commit in ``(from_version, to_version]`` carries an
+    add/remove with ``dataChange`` true (absent = true, per spec).  A
+    range of pure layout commits (OPTIMIZE / compact / clustering /
+    bloom rebuild) provably nets to an EMPTY row diff — that is the
+    dataChange contract — so the change feed can answer from the log
+    alone.  Unreadable commits (truncated log) conservatively count as
+    data changes so the caller falls back to the row diff."""
+    for v in range(from_version + 1, to_version + 1):
+        try:
+            with open(_version_file(table, v)) as fh:
+                acts = [json.loads(ln) for ln in fh if ln.strip()]
+        except OSError:
+            return True
+        for a in acts:
+            for k in ("add", "remove"):
+                if k in a and a[k].get("dataChange", True):
+                    return True
+    return False
+
+
 def read_changes(
     spark: SparkSession,
     table: str,
@@ -2615,9 +2636,11 @@ def read_changes(
     ONLY the files that changed between the versions, never two full
     snapshots.  This is the incremental-consumption primitive the log
     already paid for: ``changed_files`` derives the touched file set
-    from add/remove actions, and the row diff is the exceptAll algebra
-    over just those files' rows (rows a rewrite carried over unchanged
-    appear on both sides and cancel).  Cost rides the CHANGED files —
+    from add/remove actions, and the row diff is a signed whole-row
+    aggregation over just those files' rows (rows a rewrite carried
+    over unchanged cancel to net 0; net > 0 inserts, net < 0 deletes —
+    bag-identical to an exceptAll pair at one exchange instead of
+    two).  Cost rides the CHANGED files —
     constant under table growth with constant batch size, the property
     a 100 TB consumer needs (VERDICT r8 #1; the previous
     delta_time_travel_diff shape was exceptAll over two FULL
@@ -2637,6 +2660,15 @@ def read_changes(
     from pyspark.sql.types import StructType
 
     added, removed, vto = changed_files(table, from_version, to_version)
+    # spec short-circuit (r12, guide §2.4): a range of pure
+    # dataChange:false commits nets to an EMPTY feed by the layout-
+    # commit contract (real Delta CDF skips such commits outright) —
+    # answer from the log instead of scanning both rewrite sides and
+    # letting the rows cancel.  Mixed ranges keep the row diff.
+    if (added or removed) and not _range_has_datachange(
+        table, from_version, vto
+    ):
+        added, removed = {}, {}
     _, meta_to, _, _ = _read_actions(table, upto=vto)
     schema = StructType.fromJson(json.loads(meta_to["schemaString"]))
     pcols = meta_to.get("partitionColumns") or []
@@ -2645,36 +2677,53 @@ def read_changes(
     # tags), so a DV-only change nets to exactly the deleted rows
     new_rows = _read_with_dv(spark, table, added, schema, pcols)
     old_rows = _read_with_dv(spark, table, removed, schema, pcols)
-    inserts = new_rows.exceptAll(old_rows)
-    deletes = old_rows.exceptAll(new_rows)
+    # single-exchange bag difference (r12, guide §2.3/§2.4): tag each
+    # side ±1 and sum per whole-row group — a row a rewrite carried
+    # over unchanged cancels to net 0 and is never emitted; net > 0
+    # emits that many inserts, net < 0 that many deletes.  Bag-identical
+    # to the former exceptAll pair (exceptAll(a,b) keeps each row
+    # max(cnt_a − cnt_b, 0) times) at half the cost: ONE aggregate over
+    # the changed files' rows instead of two exceptAll exchanges, each
+    # side scanned once instead of twice.  The sequence() replicate is
+    # bounded by a row's duplicate multiplicity within one batch.
+    cols = [f.name for f in schema.fields]
     ct = "_change_type"
-    if not key_cols:
-        return inserts.withColumn(ct, F.lit("insert")).unionByName(
-            deletes.withColumn(ct, F.lit("delete"))
+    sided = new_rows.withColumn("__sgn", F.lit(1)).unionByName(
+        old_rows.withColumn("__sgn", F.lit(-1))
+    )
+    diff = (
+        sided.groupBy(*cols)
+        .agg(F.sum("__sgn").alias("__net"))
+        .filter(F.col("__net") != 0)
+        .withColumn(
+            ct,
+            F.when(F.col("__net") > 0, F.lit("insert")).otherwise(
+                F.lit("delete")
+            ),
         )
+        .withColumn(
+            "__rep", F.explode(F.sequence(F.lit(1), F.abs(F.col("__net"))))
+        )
+        .select(*cols, ct)
+    )
+    if not key_cols:
+        return diff
     keys = list(key_cols)
+    # the returned plan stays LAZY on purpose (its scan set is the
+    # changed files — a pinned contract, test_read_changes_reads_only_
+    # changed_files); only the key intersection materializes, as before
     both = (
-        inserts.select(*keys)
-        .intersect(deletes.select(*keys))
+        diff.filter(F.col(ct) == "insert")
+        .select(*keys)
+        .intersect(diff.filter(F.col(ct) == "delete").select(*keys))
         .localCheckpoint(eager=True)
     )
-    return (
-        inserts.join(both, keys, "left_anti")
-        .withColumn(ct, F.lit("insert"))
-        .unionByName(
-            inserts.join(both, keys, "left_semi").withColumn(
-                ct, F.lit("update_postimage")
-            )
-        )
-        .unionByName(
-            deletes.join(both, keys, "left_anti").withColumn(
-                ct, F.lit("delete")
-            )
-        )
-        .unionByName(
-            deletes.join(both, keys, "left_semi").withColumn(
-                ct, F.lit("update_preimage")
-            )
+    return diff.join(both, keys, "left_anti").unionByName(
+        diff.join(both, keys, "left_semi").withColumn(
+            ct,
+            F.when(
+                F.col(ct) == F.lit("insert"), F.lit("update_postimage")
+            ).otherwise(F.lit("update_preimage")),
         )
     )
 
