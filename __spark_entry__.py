@@ -7132,10 +7132,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id == doc_id), (4) epoch-weighted mixture replication, and
     (5) deterministic train-order shuffle rank over (doc, copy).
     Every stage is a narrow/equi-join/cell-scoped shape (no stage
-    introduces a cross product or a global sort), so the whole
-    pipeline is one DAG Catalyst schedules end to end — no
-    intermediate materialization.  The oracle replays all five stages
-    as one CTE chain."""
+    introduces a cross product or a global sort).  The gate→dedup
+    survivor frame is materialized ONCE (r13, guide §3.3/§5: the
+    SemDeDup stage references its input four times — cell assignment,
+    both self-join sides, and the kept-flag join — and the survivor
+    frame feeds the post-dedup join besides; unmaterialized, Catalyst
+    replayed the full quality-gate + window-dedup chain per reference:
+    32 parquet scans / 12 SMJs in the r13 before plan).  The oracle
+    replays all five stages as one CTE chain."""
     from etl_project_for_heavy_machinery_in_earthmoving_and_mobile_cranes_spark.operators import (
         sampling,
     )
@@ -7149,8 +7153,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "text")
     )
     kept = dedup.dedup_exact(qd, "doc_id", "text").select("doc_id", "source")
-    cand = kept.join(emb, kept.doc_id == emb.vec_id, "inner").select(
-        "doc_id", "source", "embedding"
+    cand = (
+        kept.join(emb, kept.doc_id == emb.vec_id, "inner")
+        .select("doc_id", "source", "embedding")
+        .localCheckpoint(eager=True)
     )
     cents = similarity.det_centroids(_IVF_SEED, _SD_CELLS, _SRP_DIM)
     sem = similarity.semantic_dedup(
@@ -8843,8 +8849,12 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # broadcast_ranks: the vertex universe here is |parts|+|suppliers|
+    # (dimension-table sized at any SF — lineitem fans out, parts don't),
+    # so the per-iteration rank vector is broadcast-sized and each
+    # iteration runs with a single exchange (r13, guide §2.4/§3.1)
     pr = graph.pagerank(
-        edges, iterations=_PR_ITER, damping=_PR_DAMPING
+        edges, iterations=_PR_ITER, damping=_PR_DAMPING, broadcast_ranks=True
     )
     return pr.select("v", F.round("rank", 10).alias("rank"))
 
@@ -11860,12 +11870,22 @@ def q_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("_change_type") == "delete", 1).otherwise(0)),
             F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(0)),
         ).first()
-        want_del = d.filter("lang = 'fr' AND source = 'src3'").count()
+        # one pass over d for BOTH expectations (r13: the separate
+        # filter().count() + count() pair re-scanned the table twice)
+        want_del, n_base = d.agg(
+            F.sum(
+                F.when((F.col("lang") == "fr") & (F.col("source") == "src3"), 1)
+                .otherwise(0)
+            ),
+            F.count(F.lit(1)),
+        ).first()
+        want_del = want_del or 0
         if (n_del or 0) != want_del or (n_ins or 0):
             raise AssertionError(
-                f"DV change feed wrong: {n_del} deletes (want {want_del})"
+                f"DV change feed wrong: {n_del or 0} deletes (want "
+                f"{want_del}), {n_ins or 0} inserts (want 0)"
             )
-        if delta_lite.read_delta(spark, path, version=base).count() != d.count():
+        if delta_lite.read_delta(spark, path, version=base).count() != n_base:
             raise AssertionError("time travel lost pre-delete rows")
         agg = lambda df_, side: (
             df_.groupBy("lang", "source")

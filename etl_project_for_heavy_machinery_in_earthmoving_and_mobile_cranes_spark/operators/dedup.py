@@ -159,13 +159,18 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket become candidate
     pairs (id_a < id_b).  The bucket join is an equi hash join on the
-    band key — the scale path that avoids all-pairs comparison."""
+    band key — the scale path that avoids all-pairs comparison.
+
+    The band key is ``xxhash64(band_index, mh_...)`` — an 8-byte join
+    key instead of the former ~90-byte ``concat_ws`` string (r13,
+    guide §2.3: shuffle fewer bytes; also skips per-row string
+    building).  Two DISTINCT band tuples colliding would add a
+    candidate pair — the standard LSH fingerprinting trade (~n²/2⁶⁴),
+    proven exact on the test corpora by the oracle gate."""
     rows = num_hashes // bands
     band_cols = [
-        F.concat_ws(
-            "_",
-            F.lit(b),
-            *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)],
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
@@ -221,16 +226,32 @@ def lsh_similar_pairs(
     when uncapped).  Count/log it and route those buckets to exact
     dedup; it shares the banded lineage, so materialize both from one
     pass if you need both.
+
+    On the UNCAPPED path band keys are ``xxhash64(band_index, mh_...)``
+    — 8-byte join keys, same narrowing and collision contract as
+    ``lsh_candidate_pairs`` (r13, guide §2.3).  The capped path keeps
+    the engine-portable ``concat_ws`` string key: the drop report
+    EXPOSES the bucket value (oracle-replayed by
+    ``minhash_pairs_capped``), so its representation is part of the
+    declared output there, not an internal key.
     """
     rows = num_hashes // bands
-    band_cols = [
-        F.concat_ws(
-            "_",
-            F.lit(b),
-            *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)],
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
+    if max_bucket is None:
+        band_cols = [
+            F.xxhash64(
+                F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)],
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
     banded = sigs.select(
         F.col(id_col),
         *[F.col(f"mh_{i}") for i in range(num_hashes)],
@@ -350,6 +371,11 @@ def connected_components(
 
     Returns (node, label) — docs to DROP are rows with node != label.
     """
+    # NOTE (r13, measured): a pre-repartition("dst") before the
+    # checkpoint does NOT help — localCheckpoint re-surfaces as a
+    # LogicalRDD with UnknownPartitioning (verified via explain), so
+    # the partitioning cannot be reused by the iteration join and the
+    # extra exchange is pure cost.  Left as the plain checkpoint.
     e = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -385,11 +411,19 @@ def connected_components(
             .select(
                 "node", "label", (F.col("label") < F.col("__old")).alias("__chg")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        # ONE job per iteration (r13, guide §2.4/§5): the convergence
+        # aggregate computes every partition of the LAZY checkpoint (so
+        # materialization and the convergence answer share the job),
+        # where the former eager-checkpoint + limit(1).count() pair paid
+        # a materialization job PLUS incremental take-jobs per round
+        # (measured: dedup_clusters 56 jobs → ~20).
+        changed = new_labels.agg(
+            F.max(F.col("__chg").cast("int"))
+        ).first()[0]
         labels = new_labels.drop("__chg")
-        if changed == 0:
+        if not changed:
             break
     else:
         import warnings
@@ -429,8 +463,20 @@ def ngram_jaccard_pairs(
     the per-doc set sizes (Jaccard over the discriminative shingle
     subset — identical docs still score 1.0).  This mirrors the
     ``max_bucket`` cap on the LSH path and is what bounds the self-join
-    at corpus scale."""
-    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    at corpus scale.
+
+    Shuffle width (r13, guide §2.3): the join/aggregate key is the
+    shingle HASHED to int64 (``xxhash64``) — 8 bytes per row through
+    the hot-shingle aggregate and the inverted-index self-join instead
+    of the ~25-byte 3-gram string.  The output never contains shingle
+    text, so the hash is a pure key narrowing; two DISTINCT shingles
+    colliding (probability ~n²/2⁶⁴ over the corpus vocabulary) would
+    merge their postings — the standard fingerprinting trade every
+    minhash/LSH stage here already makes, and the oracle gate proves
+    exactness on the test corpora."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n).select(
+        id_col, F.xxhash64("__sh").alias("__sh")
+    )
     if max_df is not None:
         hot = (
             sh.groupBy("__sh")
@@ -492,11 +538,15 @@ def containment_pairs(
     the per-doc set sizes, bounding the self-join fan-out at O(df²)
     per retained shingle.  ``min_containment`` filters on the larger
     direction, max(cont_a_in_b, cont_b_in_a) — "either doc is mostly
-    inside the other".
+    inside the other".  The join key is the xxhash64 of the shingle
+    (8-byte shuffle rows — same narrowing and collision contract as
+    ``ngram_jaccard_pairs``, r13 guide §2.3).
 
     Returns ``(id_a < id_b, common, cont_a_in_b, cont_b_in_a)``.
     """
-    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    sh = shingle_rows(df, id_col, text_col, shingle_n).select(
+        id_col, F.xxhash64("__sh").alias("__sh")
+    )
     if max_df is not None:
         hot = (
             sh.groupBy("__sh")
@@ -557,6 +607,10 @@ def exact_jaccard_of_pairs(
     Cost scales with the candidate set, not the corpus: at 100 TB the
     expensive part stays the (already banded+capped) LSH stage, and the
     verify stage touches |candidate ids| documents.
+
+    The intersection key is the xxhash64 of the shingle (8-byte rows
+    through the pair-scoped join — same narrowing and collision
+    contract as ``ngram_jaccard_pairs``, r13 guide §2.3).
     """
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
@@ -565,7 +619,9 @@ def exact_jaccard_of_pairs(
     )
     # prune BEFORE tokenize/explode: only candidate docs pay the
     # shingling cost (the candidate set is tiny next to the corpus)
-    sh = shingle_rows(df.join(ids, id_col, "left_semi"), id_col, text_col, shingle_n)
+    sh = shingle_rows(
+        df.join(ids, id_col, "left_semi"), id_col, text_col, shingle_n
+    ).select(id_col, F.xxhash64("__sh").alias("__sh"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
     # PAIR-SCOPED intersection: attach id_a's shingles to each pair,
     # then equi-join on (id_b, shingle).  Cost is Σ_pairs |shingles(a)|

@@ -29,6 +29,7 @@ def pagerank(
     iterations: int = 2,
     damping: float = 0.85,
     materialize: bool = True,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list:
 
@@ -58,6 +59,18 @@ def pagerank(
     without it the edge-list derivation re-executes ~2x per iteration
     and the plan tree grows multiplicatively).  Lazy checkpoints run
     no job at plan-construction time.
+
+    Shuffle shape (r13, guide §2.4/§3.1): ``broadcast_ranks=True`` makes
+    every per-iteration join a broadcast hash join — the rank vector
+    (|V| rows of 16 bytes) and the out-degree table ship as broadcast
+    build sides, so the |E|-sized edge list is NEVER shuffled and each
+    iteration runs with ONE exchange (the map-side-combined
+    contribution aggregate).  Use it when |V| is broadcast-sized
+    (vertex dimension tables, id universes ≤ tens of millions); for
+    graphs whose vertex set itself is TB-scale leave it False — the
+    joins then shuffle both sides per unrolled leg (a pre-partition
+    does not survive the checkpoint: LogicalRDD re-surfaces with
+    UnknownPartitioning, verified r13).
     """
     # NULL endpoints can never receive or contribute mass (joins skip
     # them) but WOULD otherwise surface as a phantom NULL vertex in the
@@ -75,6 +88,8 @@ def pagerank(
     n1 = verts.agg(F.count("*").alias("__n"))
     verts_n = verts.crossJoin(F.broadcast(n1))
     outdeg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
+    if broadcast_ranks:
+        outdeg = F.broadcast(outdeg)
     # edges annotated with their source's out-degree are an iteration
     # INVARIANT — join once outside the loop (and checkpoint it) so
     # each unrolled iteration pays one join (edges x ranks), not two
@@ -84,14 +99,19 @@ def pagerank(
     ranks = verts_n.select("v", (F.lit(1.0) / F.col("__n")).alias("rank"))
     base = 1.0 - damping
     for _ in range(iterations):
+        r = ranks.withColumnRenamed("v", "__s")
+        if broadcast_ranks:
+            r = F.broadcast(r)
         contrib = (
-            e_deg.join(ranks.withColumnRenamed("v", "__s"), "__s")
+            e_deg.join(r, "__s")
             .select(
                 F.col("__d").alias("v"),
                 (F.col("rank") / F.col("__deg")).alias("__c"),
             )
         )
         summed = contrib.groupBy("v").agg(F.sum("__c").alias("__in"))
+        if broadcast_ranks:
+            summed = F.broadcast(summed)
         ranks = verts_n.join(summed, "v", "left").select(
             "v",
             (
@@ -106,9 +126,24 @@ def triangle_enumerate(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_degree: int | None = None
 ) -> DataFrame:
     """All triangles (a, b, c) with a<b<c from a canonically-ordered
-    edge list (requires ``src < dst`` per row, as the pair operators
-    emit).  Optional ``max_degree`` drops super-node vertices first —
-    the skew cap for power-law graphs."""
+    edge list (requires ``src < dst`` per row AND distinct rows, as the
+    pair operators emit).  Optional ``max_degree`` drops super-node
+    vertices first — the skew cap for power-law graphs.
+
+    Algorithm (r13, guide §2.3/§2.4 — "compact-forward" adjacency
+    intersection instead of the wedge self-join): with canonical
+    ordering, fwd(x) = {y : (x,y) ∈ E} holds exactly x's GREATER
+    neighbors, and the triangles through edge (a,b) are precisely
+    fwd(a) ∩ fwd(b) — each triangle {a<b<c} materializes exactly once,
+    same set as the former e1⋈e2⋈e3 plan.  The former plan shuffled
+    the Σ deg(v)² wedge TABLE into a second join (the dominant exchange
+    — at sf0.1 the basket graph makes ~10⁸ wedge rows from ~10⁶ edges);
+    this plan shuffles only |E| adjacency rows (one groupBy + two
+    id-keyed joins, the fwd exchange reused across both) and intersects
+    per edge inside the stage — the wedge table never exists, no
+    exchange ever carries it.  Per-edge intersection cost is
+    O(deg(a)+deg(b)), the same Σ deg² arithmetic as before, now done
+    in-memory per task instead of through a shuffle."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if max_degree is not None:
         deg = (
@@ -123,14 +158,14 @@ def triangle_enumerate(
             .join(deg.select(F.col("x").alias("v")), "v")
             .select("u", "v")
         )
-    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    fwd = e.groupBy(F.col("u").alias("x")).agg(F.collect_list("v").alias("nbrs"))
     return (
-        e1.join(e2, "b")
-        .join(e3, ["a", "c"])
+        e.join(fwd.select(F.col("x").alias("u"), F.col("nbrs").alias("__nu")), "u")
+        .join(fwd.select(F.col("x").alias("v"), F.col("nbrs").alias("__nv")), "v")
         .select(
-            F.col("a").alias("id_a"), F.col("b").alias("id_b"), F.col("c").alias("id_c")
+            F.col("u").alias("id_a"),
+            F.col("v").alias("id_b"),
+            F.explode(F.array_intersect("__nu", "__nv")).alias("id_c"),
         )
     )
 

@@ -260,51 +260,60 @@ def ann_union_knn(
     query side broadcast — never an all-pairs scan — and the union of
     two independent coarse retrievers recovers most of what either one
     alone misses (multi-probe recall compounding).  ``brute_force_knn``
-    stays test-side as the recall oracle only."""
+    stays test-side as the recall oracle only.
+
+    SLIM-FIRST (r13, guide §2.3 — the same discipline as
+    ``near_dup_pairs_bucketed``): candidate rows carry ONLY the two ids
+    through the union and the per-(query, neighbor) dedup exchange
+    (16-byte rows), and the vectors + hoisted norms are re-attached
+    AFTERWARDS by id-keyed broadcast joins for the one exact scoring
+    pass per distinct candidate.  Previously both 64-dim vectors rode
+    the dedup exchange (~70× wider rows at candidate-mass count).  At
+    100 TB the fetch joins become shuffle hash joins on the id — the
+    candidate list stays the only candidate-mass exchange either way."""
     if centroids is None:
         centroids = det_centroids(ivf_seed, n_cells, dim)
     planes = [_det_plane(seed, i, dim) for i in range(num_planes)]
-    # per-vector norms hoisted ahead of the candidate joins (8 bytes per
-    # row through the dedup exchange vs re-running the HOF norm per
-    # candidate) — bit-identical scoring, guide §1.2/§2.3
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        norm(F.col(vec_col)).alias("__cn"),
         srp_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        norm(F.col(vec_col)).alias("__qn"),
         srp_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
     srp_cand = cb.join(F.broadcast(qb), on="__bucket").select(
-        "query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn"
+        "query_id", "neighbor_id"
     )
     ci = assign_cells(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cv"),
-            norm(F.col(vec_col)).alias("__cn"),
-        ),
-        "__cv", centroids, nprobe=1,
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        vec_col, centroids, nprobe=1,
     )
     qi = assign_cells(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qv"),
-            norm(F.col(vec_col)).alias("__qn"),
-        ),
-        "__qv", centroids, nprobe=nprobe,
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        vec_col, centroids, nprobe=nprobe,
     )
     ivf_cand = ci.join(F.broadcast(qi), on="__cell").select(
-        "query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn"
+        "query_id", "neighbor_id"
+    )
+    # per-vector norms hoisted into the fetch frames (computed once per
+    # vector at broadcast build) — bit-identical scoring, guide §1.2
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     scored = (
         srp_cand.unionByName(ivf_cand)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+        .join(F.broadcast(qv), "query_id")
+        .join(F.broadcast(cv), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",

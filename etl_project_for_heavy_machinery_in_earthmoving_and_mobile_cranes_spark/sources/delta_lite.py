@@ -1744,11 +1744,13 @@ def write_delta(
     enforced: dict = {}
     genspec: "dict[str, str]" = dict(generated or {})
     meta0: dict = {}
+    live0: "dict | None" = None
+    prestage_version = version
     if version > 0:
         # existing table: the declared partition columns are the law.
         # writer=True fires the minWriterVersion gate HERE — before any
         # file is staged — honoring the refuse-before-staging contract
-        _, meta0, _, _ = _read_actions(table, upto=version - 1, writer=True)
+        live0, meta0, _, _ = _read_actions(table, upto=version - 1, writer=True)
         if generated is not None:
             raise ValueError(
                 "generated columns are declared at table creation; the "
@@ -1820,21 +1822,32 @@ def write_delta(
                 }
             )
         else:
-            try:
-                prev_live, prev_meta, _, _ = _read_actions(
-                    table, upto=version - 1, writer=True
-                )
-            except ValueError:
-                # a concurrent commit raised the table's writer floor
-                # after our pre-stage gate passed: clean the staged
-                # files before propagating (they would otherwise orphan
-                # until vacuum)
-                for a in adds:
-                    try:
-                        os.remove(os.path.join(table, a["path"]))
-                    except OSError:
-                        pass
-                raise
+            if version == prestage_version and live0 is not None:
+                # first attempt: the pre-stage replay already read
+                # exactly this snapshot (upto version-1) and passed the
+                # writer gate — reuse it instead of re-replaying the
+                # whole log (r13, guide §2.4: one replay per write, not
+                # two).  Staleness is safe: a concurrent commit makes
+                # the put-if-absent fence fail below, and the retry
+                # path re-reads fresh.  Every post-read validation
+                # below still runs against this snapshot.
+                prev_live, prev_meta = live0, meta0
+            else:
+                try:
+                    prev_live, prev_meta, _, _ = _read_actions(
+                        table, upto=version - 1, writer=True
+                    )
+                except ValueError:
+                    # a concurrent commit raised the table's writer
+                    # floor after our pre-stage gate passed: clean the
+                    # staged files before propagating (they would
+                    # otherwise orphan until vacuum)
+                    for a in adds:
+                        try:
+                            os.remove(os.path.join(table, a["path"]))
+                        except OSError:
+                            pass
+                    raise
             if (
                 prev_meta.get("schemaString") != base_schema_string
                 and prev_meta.get("schemaString") != schema_string
@@ -3407,8 +3420,13 @@ def _commit_layout_rewrite(
     actions) skips the churn instead of re-emitting every rewritten
     row as a delete+insert pair and forcing downstream gauge
     maintainers through recompute for zero semantic change (VERDICT r9
-    #2).  ``read_changes``' live-set diff is correct either way (the
-    rewritten rows cancel in the exceptAll).  Aborts on a concurrent
+    #2).  ``read_changes`` HONORS this flag (r12): a version range of
+    pure dataChange:false commits short-circuits to an EMPTY feed from
+    the log alone, and its signed-aggregation diff otherwise cancels
+    the rewritten rows — both paths TRUST the flag, so a writer that
+    mis-marks a real data change as dataChange:false yields a silently
+    empty/short feed (the same trust boundary as real Delta CDF; this
+    helper is flag-correct by construction).  Aborts on a concurrent
     commit: the remove set was computed from a pinned snapshot, and a
     rebase would silently drop the concurrent commit's data — callers
     re-run the maintenance, losing the race is cheap.

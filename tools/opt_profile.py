@@ -1,15 +1,18 @@
-"""Per-query optimization profiler (round 12, guide §1).
+"""Per-query optimization profiler (rounds 12/13, guide §1).
 
-For each named query: run it twice through the bench's noop sink
+For each named query: run it N times through the bench's noop sink
 (min wall kept), count the Spark jobs it launches via a per-query job
 group, and optionally dump ``explain("formatted")`` to
-``plans/r12/<name>_<tag>.txt``.
+``plans/<round>/<name>_<tag>.txt`` (``--round r13`` default).
 
 Usage:
-  python3 tools/opt_profile.py [--sf DIR] [--plans TAG] query [query ...]
+  python3 tools/opt_profile.py [--sf DIR] [--plans TAG] [--round rNN] query [...]
   python3 tools/opt_profile.py --top N          # N slowest from BENCH_DETAIL.json
 
 Prints one line per query:  <name> wall_min=<s> runs=[..] jobs=<n>
+
+Caveat (ADVICE r12): ``jobs`` is the job count of the LAST run's job
+group; the status tracker can evict old jobs on very long sessions.
 """
 
 from __future__ import annotations
@@ -31,6 +34,7 @@ def main() -> None:
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.1"
     plans_tag = None
+    plans_round = "r13"
     names: list[str] = []
     runs = 2
     i = 0
@@ -41,6 +45,9 @@ def main() -> None:
             i += 2
         elif a == "--plans":
             plans_tag = args[i + 1]
+            i += 2
+        elif a == "--round":
+            plans_round = args[i + 1]
             i += 2
         elif a == "--runs":
             runs = int(args[i + 1])
@@ -73,7 +80,7 @@ def main() -> None:
     for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         spark.read.parquet(p).write.format("noop").mode("overwrite").save()
 
-    plans_dir = os.path.join(os.path.dirname(__file__), "..", "plans", "r12")
+    plans_dir = os.path.join(os.path.dirname(__file__), "..", "plans", plans_round)
     if plans_tag:
         os.makedirs(plans_dir, exist_ok=True)
 
@@ -88,7 +95,10 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             walls.append(round(time.time() - t0, 3))
-            jobs_count = len(sc.statusTracker().getJobIdsForGroup(group))
+            # max across runs (ADVICE r12: last-run-only under-reported
+            # when a run raced status-tracker eviction)
+            n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+            jobs_count = n_jobs if jobs_count is None else max(jobs_count, n_jobs)
             sc.setJobGroup("idle", "idle")
         if plans_tag:
             try:
