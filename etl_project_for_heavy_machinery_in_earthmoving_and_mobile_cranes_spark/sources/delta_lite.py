@@ -2885,7 +2885,10 @@ def add_bloom_index(
     sidecar tag, ``dataChange: false`` (an index is layout, invisible
     to the change feed).  The OPTIMIZE family (compact, small-file
     packing, Z-order, clustering) auto-rebuilds the index for the
-    files it rewrites in a chained commit (VERDICT r11 #3); DML
+    files it rewrites in a chained commit (VERDICT r11 #3) — pass
+    ``rebuild_bloom=False`` to any of them to DEFER the re-index to a
+    maintenance window (VERDICT r12 #1: the chained rebuild re-scans
+    the rewritten bytes; reads stay advisory-safe untagged); DML
     rewrites (merge / UPDATE / DELETE) still produce untagged files —
     re-run the index after heavy DML; reads stay advisory-safe
     meanwhile.
@@ -3526,7 +3529,10 @@ def _rebuild_bloom_after_rewrite(spark, table: str, removed: dict) -> "list[int]
     return versions
 
 
-def compact(spark: SparkSession, table: str, n_files: int = 1) -> int:
+def compact(
+    spark: SparkSession, table: str, n_files: int = 1,
+    rebuild_bloom: bool = True,
+) -> int:
     """OPTIMIZE-style small-file compaction: rewrite the CURRENT
     snapshot into fewer files and commit the swap as a new version
     (readers of old versions are untouched — time travel intact).
@@ -3578,7 +3584,8 @@ def compact(spark: SparkSession, table: str, n_files: int = 1) -> int:
             )
         return _commit_layout_rewrite(
             table, version, live, adds,
-            {"partitionBy": json.dumps(pcols)}, spark=spark,
+            {"partitionBy": json.dumps(pcols)},
+            spark=spark, rebuild_bloom=rebuild_bloom,
         )
     if "bucketKeys" in conf and "numBuckets" in conf:
         key_cols = json.loads(conf["bucketKeys"])
@@ -3592,14 +3599,14 @@ def compact(spark: SparkSession, table: str, n_files: int = 1) -> int:
         )
         return _commit_layout_rewrite(
             table, version, live, adds, {"numBuckets": str(nb)},
-            spark=spark,
+            spark=spark, rebuild_bloom=rebuild_bloom,
         )
     adds = _stage_data_files(
         snapshot.coalesce(n_files), table, version, l2p=_l2p_of(meta)
     )
     return _commit_layout_rewrite(
         table, version, live, adds, {"numFiles": str(n_files)},
-        spark=spark,
+        spark=spark, rebuild_bloom=rebuild_bloom,
     )
 
 
@@ -3609,6 +3616,7 @@ def optimize_where(
     predicate: "tuple | list",
     n_files: int = 1,
     min_files: int = 2,
+    rebuild_bloom: bool = True,
 ) -> "int | None":
     """Partition-scoped OPTIMIZE (real Delta's ``OPTIMIZE t WHERE``):
     compact ONLY the live files whose committed partition values fall
@@ -3697,7 +3705,7 @@ def optimize_where(
             "where": json.dumps([[c, str(lo), str(hi)] for c, lo, hi in eff]),
             "scopedFiles": str(len(scoped)),
         },
-        spark=spark,
+        spark=spark, rebuild_bloom=rebuild_bloom,
     )
 
 
@@ -3705,6 +3713,7 @@ def reorg_purge_dv(
     spark: SparkSession,
     table: str,
     min_dv_fraction: float = 0.0,
+    rebuild_bloom: bool = True,
 ) -> "int | None":
     """REORG TABLE ... APPLY (PURGE) — real Delta's maintenance op for
     deletion-vector debt: rewrite ONLY the live files carrying a DV
@@ -3774,7 +3783,7 @@ def reorg_purge_dv(
         dvd,
         adds,
         {"reorg": "purge-dv", "purgedFiles": str(len(dvd))},
-        spark=spark,
+        spark=spark, rebuild_bloom=rebuild_bloom,
     )
 
 
@@ -3783,6 +3792,7 @@ def optimize_small_files(
     table: str,
     target_bytes: int = 128 << 20,
     min_files: int = 2,
+    rebuild_bloom: bool = True,
 ) -> "int | None":
     """INCREMENTAL small-file compaction — the streaming-ingest
     counterpart of ``compact``: bin-pack ONLY the live files smaller
@@ -3854,7 +3864,7 @@ def optimize_small_files(
         small,
         adds,
         {"targetBytes": str(target_bytes), "packedFiles": str(len(small))},
-        spark=spark,
+        spark=spark, rebuild_bloom=rebuild_bloom,
     )
 
 
@@ -3865,6 +3875,7 @@ def optimize_zorder(
     col_b: str,
     n_files: int = 32,
     bits: int = 16,
+    rebuild_bloom: bool = True,
 ) -> int:
     """OPTIMIZE ZORDER BY (col_a, col_b): rewrite the CURRENT snapshot
     Morton-ordered (operators.layout.morton_code) into ``n_files``
@@ -4000,7 +4011,8 @@ def optimize_zorder(
         adds = _stage_data_files(ordered, table, version, l2p=_l2p_of(_meta))
     return _commit_layout_rewrite(
         table, version, live, adds,
-        {"zOrderBy": json.dumps([col_a, col_b])}, spark=spark,
+        {"zOrderBy": json.dumps([col_a, col_b])},
+        spark=spark, rebuild_bloom=rebuild_bloom,
     )
 
 
@@ -4009,6 +4021,7 @@ def optimize_cluster(
     table: str,
     cols: list[str],
     n_files: int = 32,
+    rebuild_bloom: bool = True,
 ) -> int:
     """OPTIMIZE ... CLUSTER BY (cols): rewrite the CURRENT snapshot
     range-partitioned and sorted on ``cols`` so each new file's
@@ -4072,7 +4085,7 @@ def optimize_cluster(
             a.setdefault("tags", {})[_CLUSTERED_TAG] = json.dumps(cols)
     return _commit_layout_rewrite(
         table, version, live, adds, {"clusterBy": json.dumps(cols)},
-        spark=spark,
+        spark=spark, rebuild_bloom=rebuild_bloom,
     )
 
 
@@ -4336,6 +4349,7 @@ def optimize_cluster_incremental(
     target_bytes: int = 128 << 20,
     min_files: int = 2,
     n_files: "int | None" = None,
+    rebuild_bloom: bool = True,
 ) -> "int | None":
     """INCREMENTAL OPTIMIZE CLUSTER BY — the streaming-ingest
     counterpart of ``optimize_cluster``, shaped like an LSM level
@@ -4406,7 +4420,7 @@ def optimize_cluster_incremental(
         fresh,
         adds,
         {"clusterBy": want, "incremental": "true", "freshFiles": str(len(fresh))},
-        spark=spark,
+        spark=spark, rebuild_bloom=rebuild_bloom,
     )
 
 
